@@ -1,0 +1,15 @@
+package graft.api
+
+/** All engine queries, in stable declaration order. */
+object Registry {
+  def all: Seq[QueryDef] =
+    graft.queries.CoreParityQueries.defs ++
+      graft.queries.Relational.defs
+
+  lazy val byName: Map[String, QueryDef] = {
+    val names = all.map(_.name)
+    require(names.distinct.size == names.size,
+      s"duplicate query names: ${names.diff(names.distinct).mkString(",")}")
+    all.map(q => q.name -> q).toMap
+  }
+}
