@@ -4,7 +4,8 @@ package graft.api
 object Registry {
   def all: Seq[QueryDef] =
     graft.queries.CoreParityQueries.defs ++
-      graft.queries.Relational.defs
+      graft.queries.Relational.defs ++
+      graft.queries.RelationalExt.defs
 
   lazy val byName: Map[String, QueryDef] = {
     val names = all.map(_.name)

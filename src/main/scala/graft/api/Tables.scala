@@ -1,6 +1,8 @@
 package graft.api
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-generated parquet tables (see /root/repo/FIXTURES.md).
   *
@@ -13,8 +15,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark refuses
+      // (PARQUET_TYPE_ILLEGAL). Read nanos as long, then truncate to the
+      // engine's native microsecond timestamps — the same truncation DuckDB
+      // applies when it casts ns parquet to its µs TIMESTAMP.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      if (raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      else raw
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Register every table as a temp view so `spark.sql` mirrors the oracle. */
   def registerAll(spark: SparkSession, dir: String): Unit =

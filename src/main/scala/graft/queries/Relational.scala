@@ -29,9 +29,9 @@ object Relational {
           round(sum("l_extendedprice"), 2).as("sum_base_price"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-          round(avg("l_quantity"), 4).as("avg_qty"),
-          round(avg("l_extendedprice"), 4).as("avg_price"),
-          round(avg("l_discount"), 4).as("avg_disc"),
+          round(round(sum("l_quantity"), 2) / count(lit(1)), 6).as("avg_qty"),
+          round(round(sum("l_extendedprice"), 2) / count(lit(1)), 6).as("avg_price"),
+          round(round(sum("l_discount"), 4) / count(lit(1)), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"),
       Some(
@@ -40,9 +40,9 @@ object Relational {
           |  round(sum(l_extendedprice), 2) AS sum_base_price,
           |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
           |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-          |  round(avg(l_quantity), 4) AS avg_qty,
-          |  round(avg(l_extendedprice), 4) AS avg_price,
-          |  round(avg(l_discount), 4) AS avg_disc,
+          |  round(round(sum(l_quantity), 2) / count(*), 6) AS avg_qty,
+          |  round(round(sum(l_extendedprice), 2) / count(*), 6) AS avg_price,
+          |  round(round(sum(l_discount), 4) / count(*), 6) AS avg_disc,
           |  count(*) AS count_order
           |FROM lineitem
           |WHERE l_shipdate <= TIMESTAMP '1998-09-02'

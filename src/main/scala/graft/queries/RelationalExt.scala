@@ -1,0 +1,339 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.api.{QueryDef, Tables}
+import graft.operators.{AsOfJoin, Sessionize}
+
+/** Extended relational inventory: multi-dim grouping, set ops, scalar/JSON
+  * function surface, theta/range/as-of joins, event-time windows and
+  * sessionization (all ABSENT in the reference, SURVEY.md §2.4).
+  */
+object RelationalExt {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // --- rollup (hierarchical grouping). Nulls from the rollup are
+    //     coalesced to 'ALL' on both sides to dodge null-ordering skew. ---
+    QueryDef(
+      "q11_rollup",
+      (s, dir) => Tables.t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("sum_qty"), col("n"))
+        .orderBy("rflag", "lstatus"),
+      Some(
+        """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+          |       coalesce(l_linestatus, 'ALL') AS lstatus,
+          |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+          |ORDER BY rflag, lstatus""".stripMargin)),
+
+    // --- cube (all grouping combinations) ---
+    QueryDef(
+      "q12_cube",
+      (s, dir) => Tables.t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(round(sum("o_totalprice"), 2).as("revenue"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("revenue"), col("n"))
+        .orderBy("status", "priority"),
+      Some(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          |       coalesce(o_orderpriority, 'ALL') AS priority,
+          |       round(sum(o_totalprice), 2) AS revenue, count(*) AS n
+          |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+          |ORDER BY status, priority""".stripMargin)),
+
+    // --- explicit grouping sets ---
+    QueryDef(
+      "q13_grouping_sets",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        o.groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), round(round(sum("o_totalprice"), 2) / count(lit(1)), 6).as("avg_price"))
+          .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("n"), col("avg_price"))
+          .orderBy("status", "priority")
+      },
+      Some(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          |       coalesce(o_orderpriority, 'ALL') AS priority,
+          |       count(*) AS n, round(round(sum(o_totalprice), 2) / count(*), 6) AS avg_price
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY status, priority""".stripMargin)),
+
+    // --- distinct aggregation (exact) ---
+    QueryDef(
+      "q14_distinct_agg",
+      (s, dir) => Tables.t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          round(sum_distinct(col("l_quantity")), 2).as("sum_dist_qty"))
+        .orderBy("l_returnflag"),
+      Some(
+        """SELECT l_returnflag,
+          |  count(DISTINCT l_partkey) AS n_parts,
+          |  count(DISTINCT l_suppkey) AS n_supps,
+          |  round(sum(DISTINCT l_quantity), 2) AS sum_dist_qty
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // --- approximate distinct (HLL++). No oracle: sketch internals differ
+    //     across engines; accuracy asserted in ScalaTest instead. ---
+    QueryDef(
+      "q15_approx_distinct",
+      (s, dir) => Tables.t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag"),
+      None),
+
+    // --- set operations: INTERSECT / EXCEPT both directions, tagged ---
+    QueryDef(
+      "q16_set_ops",
+      (s, dir) => {
+        val c = Tables.t(s, dir, "customer")
+        val o = Tables.t(s, dir, "orders")
+        val a = c.filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("custkey"))
+        val b = o.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("custkey")).distinct()
+        a.intersect(b).withColumn("op", lit("both"))
+          .unionByName(a.except(b).withColumn("op", lit("only_building")))
+          .unionByName(b.except(a).withColumn("op", lit("only_urgent")))
+          .orderBy("op", "custkey")
+      },
+      Some(
+        """WITH a AS (SELECT c_custkey AS custkey FROM customer
+          |           WHERE c_mktsegment = 'BUILDING'),
+          |     b AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+          |           WHERE o_orderpriority = '1-URGENT')
+          |SELECT custkey, 'both' AS op FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+          |UNION ALL
+          |SELECT custkey, 'only_building' AS op FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+          |UNION ALL
+          |SELECT custkey, 'only_urgent' AS op FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+          |ORDER BY op, custkey""".stripMargin)),
+
+    // --- scalar function surface: string + math ---
+    QueryDef(
+      "q17_scalar_string_math",
+      (s, dir) => Tables.t(s, dir, "customer")
+        .filter(col("c_custkey") < 200)
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("up"),
+          substring(col("c_name"), 1, 8).as("sub"),
+          length(col("c_name")).as("len"),
+          concat_ws("|", col("c_name"), col("c_mktsegment")).as("cat"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+          instr(col("c_name"), "1").as("pos1"),
+          round(abs(col("c_acctbal")), 2).as("ab"),
+          round(sqrt(abs(col("c_acctbal"))), 6).as("sq"),
+          round(log(abs(col("c_acctbal")) + 1), 6).as("lg"),
+          ceil(col("c_acctbal")).as("cl"),
+          floor(col("c_acctbal")).as("fl"),
+          (col("c_custkey") % 7).as("m7"))
+        .orderBy("c_custkey"),
+      Some(
+        """SELECT c_custkey,
+          |  upper(c_name) AS up,
+          |  substring(c_name, 1, 8) AS sub,
+          |  length(c_name) AS len,
+          |  concat_ws('|', c_name, c_mktsegment) AS cat,
+          |  regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+          |  strpos(c_name, '1') AS pos1,
+          |  round(abs(c_acctbal), 2) AS ab,
+          |  round(sqrt(abs(c_acctbal)), 6) AS sq,
+          |  round(ln(abs(c_acctbal) + 1), 6) AS lg,
+          |  CAST(ceil(c_acctbal) AS BIGINT) AS cl,
+          |  CAST(floor(c_acctbal) AS BIGINT) AS fl,
+          |  c_custkey % 7 AS m7
+          |FROM customer WHERE c_custkey < 200 ORDER BY c_custkey""".stripMargin)),
+
+    // --- scalar function surface: dates ---
+    QueryDef(
+      "q18_scalar_dates",
+      (s, dir) => Tables.t(s, dir, "orders")
+        .filter(col("o_custkey") < 50)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          quarter(col("o_orderdate")).as("qtr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dy"),
+          date_trunc("month", col("o_orderdate")).as("mstart"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).as("days_since"))
+        .orderBy("o_orderkey"),
+      Some(
+        """SELECT o_orderkey,
+          |  CAST(date_part('year', o_orderdate) AS INT) AS yr,
+          |  CAST(date_part('quarter', o_orderdate) AS INT) AS qtr,
+          |  CAST(date_part('month', o_orderdate) AS INT) AS mo,
+          |  CAST(date_part('day', o_orderdate) AS INT) AS dy,
+          |  date_trunc('month', o_orderdate) AS mstart,
+          |  CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since
+          |FROM orders WHERE o_custkey < 50 ORDER BY o_orderkey""".stripMargin)),
+
+    // --- semi-structured: JSON extraction from events.props ---
+    QueryDef(
+      "q19_json_extract",
+      (s, dir) => Tables.t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+        .groupBy((col("k_val") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum("k_val").as("sum_k"))
+        .orderBy("k_mod"),
+      Some(
+        """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+          |       count(*) AS n,
+          |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+          |FROM events GROUP BY k_mod ORDER BY k_mod""".stripMargin)),
+
+    // --- pure theta join (broadcast nested loop) ---
+    QueryDef(
+      "q20_theta_join",
+      (s, dir) => {
+        val su = Tables.t(s, dir, "supplier")
+        val n = Tables.t(s, dir, "nation")
+        su.join(broadcast(n), su("s_acctbal") > n("n_nationkey") * 1000)
+          .groupBy("s_suppkey")
+          .agg(count(lit(1)).as("n_below"),
+            max("n_nationkey").as("max_nation"))
+          .orderBy("s_suppkey")
+      },
+      Some(
+        """SELECT s_suppkey, count(*) AS n_below, max(n_nationkey) AS max_nation
+          |FROM supplier JOIN nation ON s_acctbal > n_nationkey * 1000
+          |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin)),
+
+    // --- range join: error→click funnel within 10 minutes, same user ---
+    QueryDef(
+      "q21_range_join_funnel",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+        val errs = e.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("err_id"), col("ts").as("err_ts"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+        errs.join(clicks,
+          col("user_id") === col("c_user") &&
+            col("click_ts") > col("err_ts") &&
+            col("click_ts") <= col("err_ts") + expr("INTERVAL 10 MINUTES"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_pairs"), min("err_id").as("first_err"))
+          .orderBy("user_id")
+      },
+      Some(
+        """SELECT e.user_id, count(*) AS n_pairs, min(e.event_id) AS first_err
+          |FROM events e JOIN events c
+          |  ON e.user_id = c.user_id
+          | AND c.ts > e.ts AND c.ts <= e.ts + INTERVAL 10 MINUTE
+          |WHERE e.event_type = 'error' AND c.event_type = 'click'
+          |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin)),
+
+    // --- as-of join: each click joined to latest prior purchase (per user) ---
+    QueryDef(
+      "q22_asof_join",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+        val clicks = e.filter(col("event_type") === "click")
+          .select("user_id", "ts", "event_id")
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+        AsOfJoin.backward(clicks, purchases,
+          keys = Seq("user_id"), timeCol = "ts", rightTieBreak = "purchase_id")
+          .select(col("event_id"), col("user_id"),
+            unix_timestamp(col("ts")).as("ts_epoch"),
+            col("purchase_id"), round(col("purchase_value"), 2).as("purchase_value"))
+          .orderBy("event_id")
+      },
+      Some(
+        """WITH u AS (
+          |  SELECT user_id, ts, event_id, NULL::BIGINT AS purchase_id,
+          |         NULL::DOUBLE AS purchase_value, 1 AS side
+          |  FROM events WHERE event_type = 'click'
+          |  UNION ALL
+          |  SELECT user_id, ts, event_id, event_id AS purchase_id,
+          |         value AS purchase_value, 0 AS side
+          |  FROM events WHERE event_type = 'purchase'),
+          |m AS (
+          |  SELECT *,
+          |    last_value(purchase_id IGNORE NULLS) OVER w AS pid,
+          |    last_value(purchase_value IGNORE NULLS) OVER w AS pval
+          |  FROM u
+          |  WINDOW w AS (PARTITION BY user_id
+          |               ORDER BY ts, side, purchase_id NULLS FIRST
+          |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          |SELECT event_id, user_id,
+          |       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+          |       pid AS purchase_id, round(pval, 2) AS purchase_value
+          |FROM m WHERE side = 1 ORDER BY event_id""".stripMargin)),
+
+    // --- event-time tumbling window (batch twin of streaming window agg) ---
+    QueryDef(
+      "q23_tumbling_window",
+      (s, dir) => Tables.t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("win_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("win_start", "event_type"),
+      Some(
+        """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS win_start,
+          |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
+
+    // --- sliding window (1h window, 30m slide): each event lands in 2 windows ---
+    QueryDef(
+      "q24_sliding_window",
+      (s, dir) => Tables.t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), round(round(sum("value"), 2) / count(lit(1)), 6).as("avg_value"))
+        .select(unix_timestamp(col("w.start")).as("win_start"),
+          col("n"), col("avg_value"))
+        .orderBy("win_start"),
+      Some(
+        """WITH x AS (
+          |  SELECT unnest([
+          |    CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT),
+          |    CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT)]) AS win_start,
+          |    value
+          |  FROM events)
+          |SELECT win_start, count(*) AS n, round(round(sum(value), 2) / count(*), 6) AS avg_value
+          |FROM x GROUP BY win_start ORDER BY win_start""".stripMargin)),
+
+    // --- gap-based sessionization (batch twin of session_window) ---
+    QueryDef(
+      "q25_sessionize",
+      (s, dir) => Sessionize.sessions(
+        Tables.t(s, dir, "events"), "user_id", "ts", gapSeconds = 1800)
+        .orderBy("user_id", "session_start"),
+      Some(
+        """WITH e AS (
+          |  SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+          |    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+          |           - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+          |             (PARTITION BY user_id ORDER BY ts) > 1800
+          |         THEN 1 ELSE 0 END AS gap
+          |  FROM events),
+          |s AS (
+          |  SELECT user_id, sec,
+          |    sum(gap) OVER (PARTITION BY user_id ORDER BY ts
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+          |  FROM e)
+          |SELECT user_id, min(sec) AS session_start, max(sec) AS session_end,
+          |       count(*) AS n_events
+          |FROM s GROUP BY user_id, session
+          |ORDER BY user_id, session_start""".stripMargin))
+  )
+}
