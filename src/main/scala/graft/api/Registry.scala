@@ -5,7 +5,8 @@ object Registry {
   def all: Seq[QueryDef] =
     graft.queries.CoreParityQueries.defs ++
       graft.queries.Relational.defs ++
-      graft.queries.RelationalExt.defs
+      graft.queries.RelationalExt.defs ++
+      graft.queries.PipelineQueries.defs
 
   lazy val byName: Map[String, QueryDef] = {
     val names = all.map(_.name)

@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Column-level function surface of the engine: hash fingerprints, vector
+  * math over `array<float>` embeddings, tokenization/shingling. Everything
+  * here composes built-in (codegen'd) functions or the native expressions
+  * in HashExprs — no Scala UDFs in any hot path.
+  */
+object Fns {
+
+  /** Register the custom Catalyst expressions for SQL + call_function use.
+    * Idempotent; queries call this on their session first.
+    */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "rolling_hash31", exprs => RollingHash31(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "fnv1a32", exprs => Fnv1a32(exprs.head), "built-in")
+  }
+
+  import org.apache.spark.sql.graftshim.Bridge.{toCol, toExpr}
+
+  def rollingHash31(c: Column): Column = toCol(RollingHash31(toExpr(c)))
+  def fnv1a32(c: Column): Column = toCol(Fnv1a32(toExpr(c)))
+
+  // --- vector math (all double-precision, index-ordered folds so the
+  //     DuckDB oracle computes bit-identical sums) ---
+
+  /** Dot product of two array<float/double> columns in double precision. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosineSimilarity(a: Column, b: Column): Column =
+    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  // --- text ---
+
+  /** Whitespace tokens (documents.text is space-separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct n-gram shingles of a token array: contiguous n-token
+    * windows joined by spaces. Empty array when fewer than n tokens.
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+}

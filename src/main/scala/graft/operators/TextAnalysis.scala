@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting (north-star scope;
+  * reference has only word count, /root/reference/mrapps/wc.go).
+  * Everything is a deterministic, codegen'd column expression — per-row,
+  * embarrassingly parallel, no shuffle.
+  */
+object TextAnalysis {
+
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to")
+
+  /** Character-class language-ID heuristic (deterministic; mirrored in
+    * the DuckDB oracle with identical RE2-compatible patterns).
+    */
+  def langIdGuess(text: Column): Column =
+    when(text.rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+      .when(text.rlike("[áéíóúñ¿¡]"), "es")
+      .when(text.rlike("[äöüß]"), "de")
+      .when(text.rlike("[èàçêôû]"), "fr")
+      .otherwise("en")
+
+  /** Quality metrics + composite score. */
+  def qualityColumns(text: Column): Seq[Column] = {
+    val toks = Fns.tokens(text)
+    val nToks = size(toks).cast("double")
+    val stopRatio = size(filter(toks,
+      t => stopwords.map(t === _).reduce(_ || _))).cast("double") / nToks
+    val punctRatio =
+      length(regexp_replace(text, "[A-Za-z0-9 ]", "")).cast("double") / length(text)
+    val avgTokLen = (length(text) - (nToks - 1)) / nToks
+    Seq(
+      nToks.cast("long").as("n_tokens"),
+      round(avgTokLen, 6).as("avg_token_len"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(punctRatio, 6).as("punct_ratio"),
+      round(log(nToks + 1) - lit(2.0) * punctRatio - stopRatio, 6).as("quality_score"))
+  }
+
+  /** Whitespace vs BPE-ish token counts. */
+  def tokenCountColumns(text: Column): Seq[Column] = Seq(
+    size(Fns.tokens(text)).as("ws_tokens"),
+    size(regexp_extract_all(text,
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("bpe_tokens"))
+
+  /** Rolling-hash document fingerprint (custom codegen'd expression). */
+  def fingerprint(text: Column): Column = Fns.rollingHash31(text)
+
+  /** One row per document with the full analysis column set. */
+  def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol) +:
+        langIdGuess(t).as("lang_guess") +:
+        fingerprint(t).as("fingerprint") +:
+        (qualityColumns(t) ++ tokenCountColumns(t)): _*)
+  }
+}

@@ -1,0 +1,249 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.api.{QueryDef, Tables}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** LLM-training-data pipeline queries over `documents` / `embeddings`:
+  * dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine),
+  * similarity search (brute-force + LSH ANN), text analysis. North-star
+  * scope on top of reference parity (SURVEY.md §0 scope note).
+  */
+object PipelineQueries {
+
+  // DuckDB mirror of graft.functions.RollingHash31 (code-point rolling
+  // hash mod 2^31) — keeps hash-bearing queries oracle-checkable.
+  private def duckRollingHash(expr: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($expr, ''), " +
+      "c -> unicode(c)::BIGINT)), (h, c) -> (h*31 + c) % 2147483648)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // --- exact dedup: content-hash groups ---
+    QueryDef(
+      "p01_dedup_exact",
+      (s, dir) => Dedup.exactGroups(Tables.t(s, dir, "documents"), "doc_id", "text")
+        .select("content_md5", "keep_id", "n_copies")
+        .orderBy("keep_id"),
+      Some(
+        """SELECT md5(text) AS content_md5, min(doc_id) AS keep_id,
+          |       count(*) AS n_copies
+          |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin)),
+
+    // --- MinHash+LSH near-dup, exact-Jaccard verified. Oracle computes
+    //     exact all-pairs Jaccard; with 128 hashes / 32 bands the LSH miss
+    //     probability at the planted j>=0.9 pairs is < 1e-14. ---
+    QueryDef(
+      "p02_minhash_neardup",
+      (s, dir) => Dedup.minhashNearDupPairs(
+        Tables.t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.8)
+        .orderBy("id_a", "id_b"),
+      Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') tk FROM documents),
+          |sh AS (SELECT doc_id,
+          |         list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+          |                        FOR i IN range(1, len(tk) - 1)]) s
+          |       FROM t WHERE len(tk) >= 3),
+          |p AS (SELECT a.doc_id id_a, b.doc_id id_b,
+          |        len(list_intersect(a.s, b.s))::DOUBLE
+          |          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) j
+          |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+          |SELECT id_a, id_b, round(j, 6) AS jaccard
+          |FROM p WHERE j >= 0.8 ORDER BY id_a, id_b""".stripMargin),
+      bench = true),
+
+    // --- exact n-gram (bigram) Jaccard via shingle inverted-index join ---
+    QueryDef(
+      "p03_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(
+        Tables.t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 2, threshold = 0.5)
+        .orderBy("id_a", "id_b"),
+      Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') tk FROM documents),
+          |sh AS (SELECT doc_id,
+          |         list_distinct([tk[i] || ' ' || tk[i+1]
+          |                        FOR i IN range(1, len(tk))]) s
+          |       FROM t WHERE len(tk) >= 2),
+          |p AS (SELECT a.doc_id id_a, b.doc_id id_b,
+          |        len(list_intersect(a.s, b.s))::DOUBLE
+          |          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) j
+          |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+          |SELECT id_a, id_b, round(j, 6) AS jaccard
+          |FROM p WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
+
+    // --- 32-bit SimHash signatures (fully mirrored in SQL) ---
+    QueryDef(
+      "p04_simhash",
+      (s, dir) => Dedup.simhashSignatures(
+        Tables.t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+           |            FROM documents),
+           |h AS (SELECT doc_id, ${duckRollingHash("t")} AS th FROM tok),
+           |c AS (SELECT doc_id, j,
+           |        CASE WHEN (th * (2*j + 3) + (j * 2654435761) % 2147483647)
+           |                  % 2147483647 % 2 = 1
+           |             THEN 1 ELSE -1 END AS contrib
+           |      FROM h CROSS JOIN range(32) r(j)),
+           |w AS (SELECT doc_id, j, sum(contrib) AS wj FROM c GROUP BY doc_id, j)
+           |SELECT doc_id,
+           |       CAST(sum(CASE WHEN wj > 0 THEN 1::BIGINT << j ELSE 0 END)
+           |            AS BIGINT) AS simhash
+           |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // --- SimHash near-dup pairs (hamming <= 3, pigeonhole banding).
+    //     Banding over 4 bands of 8 bits guarantees every hamming<=3 pair
+    //     is a candidate, so this equals exact all-pairs hamming. ---
+    QueryDef(
+      "p05_simhash_neardup",
+      (s, dir) => Dedup.simhashNearDupPairs(
+        Dedup.simhashSignatures(Tables.t(s, dir, "documents"), "doc_id", "text"),
+        maxDist = 3)
+        .orderBy("id_a", "id_b"),
+      Some(
+        s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+           |            FROM documents),
+           |h AS (SELECT doc_id, ${duckRollingHash("t")} AS th FROM tok),
+           |c AS (SELECT doc_id, j,
+           |        CASE WHEN (th * (2*j + 3) + (j * 2654435761) % 2147483647)
+           |                  % 2147483647 % 2 = 1
+           |             THEN 1 ELSE -1 END AS contrib
+           |      FROM h CROSS JOIN range(32) r(j)),
+           |w AS (SELECT doc_id, j, sum(contrib) AS wj FROM c GROUP BY doc_id, j),
+           |sig AS (SELECT doc_id,
+           |          CAST(sum(CASE WHEN wj > 0 THEN 1::BIGINT << j ELSE 0 END)
+           |               AS BIGINT) AS sh
+           |        FROM w GROUP BY doc_id)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |       bit_count(xor(a.sh, b.sh)) AS hamming
+           |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+           |ORDER BY id_a, id_b""".stripMargin)),
+
+    // --- rolling-hash fingerprint (the custom Expression, end-to-end) ---
+    QueryDef(
+      "p06_fingerprint",
+      (s, dir) => Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id"),
+      Some(
+        s"""SELECT doc_id, ${duckRollingHash("text")} AS fingerprint
+           |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // --- language-ID + quality + token-count analysis ---
+    QueryDef(
+      "p07_text_analysis",
+      (s, dir) => TextAnalysis.analyze(
+        Tables.t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id,
+          |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+          |       WHEN regexp_matches(text, '[áéíóúñ¿¡]') THEN 'es'
+          |       WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+          |       WHEN regexp_matches(text, '[èàçêôû]') THEN 'fr'
+          |       ELSE 'en' END AS lang_guess,
+          |  """.stripMargin +
+          duckRollingHash("text") + " AS fingerprint,\n" +
+          """  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          |  round((length(text) - (len(string_split(text, ' ')) - 1))
+          |        / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS avg_token_len,
+          |  round(len(list_filter(string_split(text, ' '),
+          |          t -> t IN ('the','a','of','and','in','to')))
+          |        / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stopword_ratio,
+          |  round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+          |        / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+          |  round(ln(len(string_split(text, ' ')) + 1)
+          |        - 2.0 * (length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+          |                 / CAST(length(text) AS DOUBLE))
+          |        - (len(list_filter(string_split(text, ' '),
+          |             t -> t IN ('the','a','of','and','in','to')))
+          |           / CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS quality_score,
+          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+          |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+          |       AS BIGINT) AS bpe_tokens
+          |FROM documents ORDER BY doc_id""".stripMargin),
+      bench = true),
+
+    // --- embedding-cosine near-dup pairs (brute force; LSH = scale path) ---
+    QueryDef(
+      "p08_embedding_neardup",
+      (s, dir) => Similarity.cosineNearDupPairs(
+        Tables.t(s, dir, "embeddings"), threshold = 0.4)
+        .orderBy("id_a", "id_b"),
+      Some(
+        """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+          |p AS (SELECT a.vec_id id_a, b.vec_id id_b,
+          |  round(
+          |    list_sum(list_transform(range(1, 65),
+          |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          |    / (sqrt(list_sum(list_transform(range(1, 65),
+          |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+          |     * sqrt(list_sum(list_transform(range(1, 65),
+          |         i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) c
+          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+          |SELECT id_a, id_b, c AS cos FROM p WHERE c >= 0.4
+          |ORDER BY id_a, id_b""".stripMargin)),
+
+    // --- exact ANN: brute-force cosine top-5 for query subset ---
+    QueryDef(
+      "p09_ann_bruteforce",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        Similarity.bruteForceTopK(
+          e.filter(col("vec_id") % 50 === 0), e, k = 5)
+          .orderBy("qid", "rank")
+      },
+      Some(
+        """WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings
+          |           WHERE vec_id % 50 = 0),
+          |c AS (SELECT vec_id nid, embedding nv FROM embeddings),
+          |s AS (SELECT qid, nid,
+          |  round(
+          |    list_sum(list_transform(range(1, 65),
+          |      i -> CAST(qv[i] AS DOUBLE) * CAST(nv[i] AS DOUBLE)))
+          |    / (sqrt(list_sum(list_transform(range(1, 65),
+          |         i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+          |     * sqrt(list_sum(list_transform(range(1, 65),
+          |         i -> CAST(nv[i] AS DOUBLE) * CAST(nv[i] AS DOUBLE))))), 6) cos
+          |  FROM q JOIN c ON qid <> nid),
+          |r AS (SELECT *, CAST(row_number() OVER
+          |        (PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rank
+          |      FROM s)
+          |SELECT qid, nid, cos, rank FROM r WHERE rank <= 5
+          |ORDER BY qid, rank""".stripMargin),
+      bench = true),
+
+    // --- approximate ANN: LSH bucket join + in-bucket rerank. No oracle
+    //     (approximate); recall vs brute force asserted in ScalaTest. ---
+    QueryDef(
+      "p10_ann_lsh",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        Similarity.lshTopK(
+          e.filter(col("vec_id") % 50 === 0), e, k = 5)
+          .orderBy("qid", "rank")
+      },
+      None),
+
+    // --- corpus profile by language ---
+    QueryDef(
+      "p11_docs_by_lang",
+      (s, dir) => Tables.t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("lang"),
+      Some(
+        """SELECT lang, count(*) AS n_docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+          |       count(DISTINCT source) AS n_sources
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+  )
+}
