@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.api.{QueryDef, Tables}
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline queries over `documents` / `embeddings`:
   * dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine),
@@ -230,6 +230,27 @@ object PipelineQueries {
           .orderBy("qid", "rank")
       },
       None),
+
+    // --- multimodal: binary media column -> stub decode -> features.
+    //     The payload is documents.text as UTF-8 bytes (all-ASCII, so the
+    //     oracle can mirror byte-level FNV with code points). ---
+    QueryDef(
+      "p12_media_features",
+      (s, dir) => Multimodal.mediaFeatures(s, Tables.t(s, dir, "documents"))
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id,
+          |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+          |       ELSE 'video' END AS kind,
+          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          |  unicode(substring(text, 1, 1)) AS width,
+          |  unicode(substring(text, 2, 1)) AS height,
+          |  CAST(octet_length(encode(text)) % 7 AS INT) AS n_frames,
+          |  (list_reduce(list_prepend(2166136261::BIGINT,
+          |     list_transform(string_split(text, ''), c -> unicode(c)::BIGINT)),
+          |     (h, c) -> (xor(h, c) * 16777619) % 4294967296)) % 2147483648
+          |    AS checksum
+          |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // --- corpus profile by language ---
     QueryDef(

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming slice (reference status: streaming ABSENT,
+  * SURVEY.md §2.4). The `events` parquet directory doubles as a file
+  * source; each transform here has a batch twin registered as an
+  * oracle-checked query (q23 tumbling, q24 sliding, q25 sessionize), so
+  * streaming correctness is established by batch equivalence — the
+  * StreamingSpec runs these to a memory sink via processAllAvailable()
+  * and compares against the batch results.
+  *
+  * Scale notes: watermarks bound all state; the windowed aggregations
+  * shuffle on (window, key) exactly like their batch twins; file-source
+  * backpressure comes from maxFilesPerTrigger in production.
+  */
+object EventStreams {
+
+  /** events schema with ts as raw nanos (the parquet stores
+    * TIMESTAMP(NANOS); see Tables.t) — converted to µs timestamps.
+    */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema)
+      .parquet(streamableDir(s"$dir/events.parquet"))
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+
+  /** The file stream source requires a directory; the fixtures ship
+    * events as a single parquet file. Stage a symlink inside a temp dir
+    * (fixtures are read-only) when handed a plain file.
+    */
+  private def streamableDir(path: String): String = {
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(path)
+    if (Files.isDirectory(p)) path
+    else {
+      val d = Paths.get("/tmp/graft-stream",
+        Integer.toHexString(path.hashCode))
+      Files.createDirectories(d)
+      val link = d.resolve(p.getFileName)
+      if (!Files.exists(link)) Files.createSymbolicLink(link, p)
+      d.toString
+    }
+  }
+
+  /** Tumbling 1h window counts with a 1h watermark (batch twin: q23). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding 1h/30m windows (batch twin: q24). */
+  def slidingStats(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"),
+        round(round(sum("value"), 2) / count(lit(1)), 6).as("avg_value"))
+      .select(unix_timestamp(col("w.start")).as("win_start"),
+        col("n"), col("avg_value"))
+
+  /** Watermarked stream dedup on (user_id, event_type) —
+    * dropDuplicatesWithinWatermark exercises streaming state eviction.
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Run a streaming transform of the events source to completion against
+    * the (static) fixture directory and return the result as a batch
+    * DataFrame — used by tests to prove batch equivalence.
+    */
+  def runToMemory(spark: SparkSession, dir: String, name: String,
+      mode: String = "complete")(
+      transform: DataFrame => DataFrame): DataFrame = {
+    val q = transform(readEventStream(spark, dir))
+      .writeStream.outputMode(mode)
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}

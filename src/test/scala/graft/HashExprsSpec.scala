@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Fns, Fnv1a32, RollingHash31}
+
+class HashExprsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("fnv1a32 matches published FNV-1a test vectors (reference ihash parity)") {
+    // FNV-1a 32-bit: ""=0x811c9dc5, "a"=0xe40c292c, "hello"=0x4f9f2cab;
+    // reference masks with 0x7fffffff (/root/reference/mr/worker.go:29-33)
+    assert(Fnv1a32.hash("".getBytes("UTF-8")) == (0x811c9dc5L & 0x7fffffffL))
+    assert(Fnv1a32.hash("a".getBytes("UTF-8")) == (0xe40c292cL & 0x7fffffffL))
+    assert(Fnv1a32.hash("hello".getBytes("UTF-8")) == 0x4f9f2cabL)
+  }
+
+  test("expressions evaluate identically through codegen (DataFrame) and directly") {
+    val words = Seq("", "a", "hello", "Grüße", "日本語", "mixed 123 tokens!")
+    val df = words.toDF("w")
+      .select($"w", Fns.fnv1a32($"w").as("f"), Fns.rollingHash31($"w").as("r"))
+    df.collect().foreach { row =>
+      val w = row.getString(0)
+      assert(row.getLong(1) == Fnv1a32.hash(w.getBytes("UTF-8")), s"fnv($w)")
+      assert(row.getLong(2) == RollingHash31.hash(w), s"rolling($w)")
+    }
+  }
+
+  test("rolling_hash31 equals higher-order-function composition") {
+    // independent formulation: aggregate over per-char code points
+    val df = Seq("hello", "the quick brown fox", "abc def").toDF("w")
+      .select(Fns.rollingHash31($"w").as("expr_hash"),
+        aggregate(transform(split($"w", ""), c => ascii(c).cast("long")),
+          lit(0L), (h, c) => (h * 31 + c) % 2147483648L).as("hof_hash"))
+    df.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("rolling hash property: random ascii strings fold like the scala model") {
+    val rnd = new scala.util.Random(42)
+    (1 to 500).foreach { _ =>
+      val s = (0 until rnd.nextInt(40)).map(_ => (' ' + rnd.nextInt(95)).toChar).mkString
+      val expect = s.foldLeft(0L)((h, c) => (h * 31 + c.toLong) & 0x7fffffffL)
+      assert(RollingHash31.hash(s) == expect, s"for '$s'")
+    }
+  }
+}

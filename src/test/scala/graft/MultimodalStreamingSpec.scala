@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.Registry
+import graft.operators.Multimodal
+import graft.streaming.EventStreams
+
+class MultimodalStreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("multimodal: stub decode preserves ids, byte counts, checksums") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val feats = Multimodal.mediaFeatures(spark, docs).cache()
+    assert(feats.count() == docs.count())
+    val sample = feats.filter($"doc_id" === 0).head()
+    val text = docs.filter($"doc_id" === 0).select("text").as[String].head()
+    assert(sample.getAs[Long]("n_bytes") == text.getBytes("UTF-8").length.toLong)
+    assert(sample.getAs[Int]("width") == (text.head & 0xff))
+    assert(sample.getAs[Long]("checksum") ==
+      graft.functions.Fnv1a32.hash(text.getBytes("UTF-8")))
+    assert(sample.getAs[String]("kind") == "image")
+  }
+
+  test("streaming tumbling window equals oracle-checked batch twin (q23)") {
+    val streamed = EventStreams.runToMemory(spark, TestSpark.sf0001, "t_tumbling")(
+      EventStreams.tumblingCounts)
+      .orderBy("win_start", "event_type")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    val batch = Registry.byName("q23_tumbling_window")
+      .run(spark, TestSpark.sf0001)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("streaming sliding window equals batch twin (q24)") {
+    val streamed = EventStreams.runToMemory(spark, TestSpark.sf0001, "t_sliding")(
+      EventStreams.slidingStats)
+      .orderBy("win_start")
+      .as[(Long, Long, Double)].collect().toSeq
+    val batch = Registry.byName("q24_sliding_window")
+      .run(spark, TestSpark.sf0001)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("streaming dedup within watermark emits one row per (user, type)") {
+    val deduped = EventStreams.runToMemory(spark, TestSpark.sf0001, "t_dedup", "append")(
+      EventStreams.dedupedEvents)
+    val n = deduped.select("user_id", "event_type").distinct().count()
+    assert(deduped.count() == n)
+    assert(n > 0)
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{AsOfJoin, Sessionize}
+
+class OperatorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asof backward: latest right row at-or-before each left row, per key") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-01 12:00:00"), 101L),
+      (2L, ts("2024-01-01 10:30:00"), 200L))
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 900L, 5.0),
+      (1L, ts("2024-01-01 10:00:00"), 901L, 6.0), // exact tie: inclusive
+      (1L, ts("2024-01-01 11:00:00"), 902L, 7.0),
+      (2L, ts("2024-01-01 11:00:00"), 903L, 8.0)) // after left -> no match
+      .toDF("user_id", "ts", "purchase_id", "purchase_value")
+    val got = AsOfJoin.backward(left, right, Seq("user_id"), "ts", "purchase_id")
+      .orderBy("event_id")
+      .select("event_id", "purchase_id")
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (100L, Some(901L)), // 10:00 matches the simultaneous purchase
+      (101L, Some(902L)), // latest before noon
+      (200L, None)))      // user 2 has no prior purchase
+  }
+
+  test("asof backward: simultaneous right rows resolve to greatest tiebreak") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), 1L)).toDF("k", "ts", "lid")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 7L, 1.0),
+      (1L, ts("2024-01-01 09:00:00"), 9L, 2.0),
+      (1L, ts("2024-01-01 09:00:00"), 8L, 3.0))
+      .toDF("k", "ts", "rid", "v")
+    val got = AsOfJoin.backward(left, right, Seq("k"), "ts", "rid")
+      .select("rid").as[Long].head()
+    assert(got == 9L)
+  }
+
+  test("sessionize: gap > threshold starts a new session") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:10:00")),
+      (1L, ts("2024-01-01 11:30:00")), // 80 min gap -> new session
+      (2L, ts("2024-01-01 10:00:00")))
+      .toDF("user_id", "ts")
+    val got = Sessionize.sessions(ev, "user_id", "ts", gapSeconds = 1800)
+      .orderBy("user_id", "session_start")
+      .select("user_id", "n_events")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+  }
+
+  test("approx_count_distinct is within 5% of exact on lineitem") {
+    val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+    val r = li.agg(
+      countDistinct($"l_partkey").as("exact"),
+      approx_count_distinct($"l_partkey", 0.02).as("approx")).head()
+    val (exact, approx) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
+  }
+}

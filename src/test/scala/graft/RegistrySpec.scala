@@ -1,0 +1,27 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.Registry
+
+/** Smoke: every registered query runs and returns rows at sf0.001, and
+  * the registry upholds the driver contract's naming invariants.
+  */
+class RegistrySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("names are unique and oracle keys are a subset of query names") {
+    assert(Registry.byName.size == Registry.all.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.benchQueries.toSet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  Registry.all.foreach { q =>
+    test(s"${q.name} runs at sf0.001 and returns rows") {
+      assert(q.run(spark, TestSpark.sf0001).count() > 0, q.name)
+    }
+  }
+}
