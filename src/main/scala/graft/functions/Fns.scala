@@ -38,7 +38,12 @@ object Fns {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
+  /** Native one-pass cosine (see ArrayCosine). */
   def cosineSimilarity(a: Column, b: Column): Column =
+    toCol(ArrayCosine(toExpr(a), toExpr(b)))
+
+  /** HOF-composed cosine — independent cross-check in tests. */
+  def cosineSimilarityHof(a: Column, b: Column): Column =
     dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
 
   // --- text ---
@@ -48,8 +53,15 @@ object Fns {
 
   /** Distinct n-gram shingles of a token array: contiguous n-token
     * windows joined by spaces. Empty array when fewer than n tokens.
+    * Native single-pass expression (see ShingleArray).
     */
   def shingles(toks: Column, n: Int): Column =
+    toCol(ShingleArray(toExpr(toks), n))
+
+  /** HOF-composed formulation of [[shingles]] — kept as the independent
+    * cross-check in tests (interpreted lambdas; ~10× slower).
+    */
+  def shinglesHof(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       array_distinct(transform(sequence(lit(0), size(toks) - n),
         i => array_join(slice(toks, i + 1, lit(n)), " "))))

@@ -36,6 +36,24 @@ class HashExprsSpec extends AnyFunSuite {
     df.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("native shingle expression equals HOF composition (order and content)") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val both = docs.select(
+      Fns.shingles(split($"text", " "), 3).as("fast"),
+      Fns.shinglesHof(split($"text", " "), 3).as("hof"))
+    assert(both.filter(not($"fast" <=> $"hof")).count() == 0)
+  }
+
+  test("native cosine equals HOF composition bit-for-bit") {
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val a = e.select($"vec_id".as("ia"), $"embedding".as("va")).filter($"ia" < 30)
+    val b = e.select($"vec_id".as("ib"), $"embedding".as("vb")).filter($"ib" < 30)
+    val pairs = a.join(b, $"ia" < $"ib")
+      .select(Fns.cosineSimilarity($"va", $"vb").as("fast"),
+        Fns.cosineSimilarityHof($"va", $"vb").as("hof"))
+    assert(pairs.filter(not($"fast" <=> $"hof")).count() == 0)
+  }
+
   test("rolling hash property: random ascii strings fold like the scala model") {
     val rnd = new scala.util.Random(42)
     (1 to 500).foreach { _ =>
