@@ -53,6 +53,20 @@ class CoreParitySpec extends AnyFunSuite {
     assert(declarative == typed)
   }
 
+  test("ReduceAggregator (UDAF surface) reproduces the wc reducer incrementally") {
+    import graft.core.ReduceAggregator
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val words = docs.select(explode(split($"text", MapReduce.tokenSeparator)).as("w"))
+      .filter(length($"w") > 0).as[String]
+    val viaAggregator = words.groupByKey(identity)
+      .agg(ReduceAggregator.countValues.asInstanceOf[
+        org.apache.spark.sql.expressions.Aggregator[String, Long, Long]].toColumn)
+      .collect().toMap
+    val viaGroupBy = MapReduce.wordCount(docs, "text")
+      .as[(String, Long)].collect().toMap
+    assert(viaAggregator == viaGroupBy)
+  }
+
   test("inverted index: ndocs equals distinct docs containing the word") {
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     val idx = MapReduce.invertedIndex(docs, "text", "doc_id")

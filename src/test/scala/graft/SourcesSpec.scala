@@ -1,0 +1,43 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source/sink surface: csv and json round-trips, and the reference's
+  * text sink format ("key value\n" lines, /root/reference/mr/worker.go:152).
+  */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val tmp = Files.createTempDirectory("graft-sources").toString
+
+  test("csv round-trip preserves nation table") {
+    val nation = spark.read.parquet(s"${TestSpark.sf0001}/nation.parquet")
+    nation.write.mode("overwrite").option("header", "true").csv(s"$tmp/nation_csv")
+    val back = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$tmp/nation_csv")
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("json round-trip preserves region table") {
+    val region = spark.read.parquet(s"${TestSpark.sf0001}/region.parquet")
+    region.write.mode("overwrite").json(s"$tmp/region_json")
+    val back = spark.read.json(s"$tmp/region_json")
+      .select(col("r_regionkey").cast("int"), col("r_name"))
+    assert(back.orderBy("r_regionkey").collect().toSeq ==
+      region.orderBy("r_regionkey").collect().toSeq)
+  }
+
+  test("text sink emits the reference's 'key value' line format") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    graft.core.MapReduce.wordCount(docs, "text")
+      .select(concat_ws(" ", $"word", $"cnt").as("value"))
+      .write.mode("overwrite").text(s"$tmp/wc_out")
+    val lines = spark.read.text(s"$tmp/wc_out").as[String].collect()
+    assert(lines.nonEmpty)
+    assert(lines.forall(_.matches("\\S+ \\d+")))
+  }
+}
