@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{ArrayCosine, Fnv1a32, RollingHash31, ShingleArray}
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * Catalyst expressions as SQL functions. Activate with
+  *   SparkSession.builder().withExtensions(new GraftExtensions)
+  * or spark.sql.extensions=graft.GraftExtensions, after which
+  * `SELECT rolling_hash31(text), array_cosine(a, b) ...` parse natively.
+  * (Session-local alternative: graft.functions.Fns.ensureRegistered.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "scala_udf")
+
+  private def fn(name: String, usage: String, builder: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) =
+    (FunctionIdentifier(name), info(name, usage), builder)
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(fn("rolling_hash31",
+      "rolling_hash31(str) - code-point polynomial hash mod 2^31",
+      exprs => RollingHash31(exprs.head)))
+    e.injectFunction(fn("fnv1a32",
+      "fnv1a32(str) - FNV-1a 32-bit over UTF-8 bytes, masked to 31 bits",
+      exprs => Fnv1a32(exprs.head)))
+    e.injectFunction(fn("shingle_array",
+      "shingle_array(tokens, n) - distinct contiguous n-token shingles",
+      exprs => ShingleArray(exprs.head,
+        exprs(1).eval().asInstanceOf[Int])))
+    e.injectFunction(fn("array_cosine",
+      "array_cosine(a, b) - cosine similarity of two numeric arrays",
+      exprs => ArrayCosine(exprs.head, exprs(1))))
+  }
+}

@@ -19,6 +19,12 @@ object Fns {
       "rolling_hash31", exprs => RollingHash31(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "fnv1a32", exprs => Fnv1a32(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "shingle_array",
+      exprs => ShingleArray(exprs.head, exprs(1).eval().asInstanceOf[Int]),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "array_cosine", exprs => ArrayCosine(exprs.head, exprs(1)), "built-in")
   }
 
   import org.apache.spark.sql.graftshim.Bridge.{toCol, toExpr}

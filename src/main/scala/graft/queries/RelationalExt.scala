@@ -10,6 +10,22 @@ import graft.operators.{AsOfJoin, Sessionize}
   */
 object RelationalExt {
 
+  /** TPC-H Q3 shape in fully-portable SQL: executed verbatim by Spark SQL
+    * (temp views) and by the DuckDB oracle — one text, two engines.
+    */
+  val q26Sql: String =
+    """SELECT o_orderkey,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND l_shipdate  > TIMESTAMP '1997-01-01'
+      |GROUP BY o_orderkey
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // --- rollup (hierarchical grouping). Nulls from the rollup are
@@ -311,6 +327,16 @@ object RelationalExt {
           |  FROM events)
           |SELECT win_start, count(*) AS n, round(round(sum(value), 2) / count(*), 6) AS avg_value
           |FROM x GROUP BY win_start ORDER BY win_start""".stripMargin)),
+
+    // --- SQL surface: the same portable SQL text runs on Spark (over
+    //     registered temp views) AND as its own DuckDB oracle ---
+    QueryDef(
+      "q26_sql_surface",
+      (s, dir) => {
+        graft.api.Tables.registerAll(s, dir)
+        s.sql(RelationalExt.q26Sql)
+      },
+      Some(q26Sql)),
 
     // --- gap-based sessionization (batch twin of session_window) ---
     QueryDef(

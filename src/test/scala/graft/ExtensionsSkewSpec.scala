@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Fns
+import graft.operators.SkewJoin
+import graft.streaming.{EventStreams, StatefulOps}
+
+class ExtensionsSkewSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("registered SQL functions parse and match the column API") {
+    Fns.ensureRegistered(spark)
+    val r = spark.sql(
+      """SELECT rolling_hash31('hello') AS rh, fnv1a32('hello') AS fnv,
+        |       shingle_array(array('a','b','c','b','c'), 2) AS sh,
+        |       array_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos
+        |""".stripMargin).head()
+    assert(r.getAs[Long]("rh") == graft.functions.RollingHash31.hash("hello"))
+    assert(r.getAs[Long]("fnv") == graft.functions.Fnv1a32.hash("hello".getBytes))
+    assert(r.getSeq[String](2).toSeq == Seq("a b", "b c", "c b"))
+    assert(r.getAs[Double]("cos") == 1.0)
+  }
+
+  test("GraftExtensions injects the function set") {
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(e)
+    // injection is only observable through a new session; assert the
+    // builder path at least wires without throwing, then check the
+    // session-local registration used by queries
+    Fns.ensureRegistered(spark)
+    assert(spark.catalog.functionExists("rolling_hash31"))
+    assert(spark.catalog.functionExists("array_cosine"))
+  }
+
+  test("salted join equals plain join (correctness under salting)") {
+    val large = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+      .select($"l_orderkey".as("k"), $"l_quantity")
+    val small = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
+      .select($"o_orderkey".as("k"), $"o_orderpriority")
+    val plain = large.join(small, Seq("k"))
+      .groupBy("o_orderpriority").agg(round(sum("l_quantity"), 2).as("s"))
+      .orderBy("o_orderpriority").collect().toSeq
+    val salted = SkewJoin.saltedJoin(large, small, "k", salts = 8)
+      .groupBy("o_orderpriority").agg(round(sum("l_quantity"), 2).as("s"))
+      .orderBy("o_orderpriority").collect().toSeq
+    assert(plain == salted)
+  }
+
+  test("stateful streaming running totals converge to the batch aggregate") {
+    val streamed = EventStreams.runToMemory(spark, TestSpark.sf0001,
+      "t_state", "update")(df => StatefulOps.runningUserTotals(df).toDF())
+    // update mode emits one row per key per micro-batch; the LAST row per
+    // key is the converged state
+    val last = streamed.groupBy("user_id")
+      .agg(max(struct($"n_events", $"total_value")).as("s"))
+      .select($"user_id", $"s.n_events", round($"s.total_value", 2).as("tv"))
+      .as[(Long, Long, Double)].collect().toMap2
+    val batch = graft.api.Tables.t(spark, TestSpark.sf0001, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("tv"))
+      .as[(Long, Long, Double)].collect().toMap2
+    assert(last == batch)
+  }
+
+  implicit class Tup3Ops[A, B, C](s: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = s.map(t => t._1 -> (t._2, t._3)).toMap
+  }
+}
