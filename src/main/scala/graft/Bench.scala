@@ -24,9 +24,13 @@ object Bench {
     val results = names.map { name =>
       val fn = fns(name)
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warm
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // min of two timed runs — absorbs GC/compile jitter on a shared box
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -207,7 +207,8 @@ object Relational {
           |    row_number() OVER (PARTITION BY o_custkey
           |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
           |  FROM orders) t
-          |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin)),
+          |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin),
+      bench = true),
 
     // --- analytic window: running sum + lag/lead over order history ---
     QueryDef(

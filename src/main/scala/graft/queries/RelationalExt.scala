@@ -293,7 +293,8 @@ object RelationalExt {
           |SELECT event_id, user_id,
           |       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
           |       pid AS purchase_id, round(pval, 2) AS purchase_value
-          |FROM m WHERE side = 1 ORDER BY event_id""".stripMargin)),
+          |FROM m WHERE side = 1 ORDER BY event_id""".stripMargin),
+      bench = true),
 
     // --- event-time tumbling window (batch twin of streaming window agg) ---
     QueryDef(
@@ -328,6 +329,62 @@ object RelationalExt {
           |SELECT win_start, count(*) AS n, round(round(sum(value), 2) / count(*), 6) AS avg_value
           |FROM x GROUP BY win_start ORDER BY win_start""".stripMargin)),
 
+    // --- exact interpolated percentiles ---
+    QueryDef(
+      "q27_percentiles",
+      (s, dir) => Tables.t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          round(min("o_totalprice"), 2).as("lo"),
+          round(max("o_totalprice"), 2).as("hi"))
+        .orderBy("o_orderstatus"),
+      Some(
+        """SELECT o_orderstatus,
+          |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+          |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+          |  round(min(o_totalprice), 2) AS lo,
+          |  round(max(o_totalprice), 2) AS hi
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // --- array functions: collect_set/sort_array/array_contains ---
+    QueryDef(
+      "q28_array_funcs",
+      (s, dir) => Tables.t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(concat_ws(",", sort_array(collect_set("l_linestatus"))).as("statuses"),
+          array_contains(collect_set("l_linestatus"), "F").as("has_f"),
+          size(collect_set("l_linestatus")).as("n_statuses"))
+        .orderBy("l_returnflag"),
+      Some(
+        """WITH d AS (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)
+          |SELECT l_returnflag,
+          |  string_agg(l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+          |  bool_or(l_linestatus = 'F') AS has_f,
+          |  CAST(count(*) AS INT) AS n_statuses
+          |FROM d GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // --- map functions: per-user event-type histogram as a map column,
+    //     looked up per type (oracle computes the same lookups directly) ---
+    QueryDef(
+      "q29_map_funcs",
+      (s, dir) => Tables.t(s, dir, "events")
+        .groupBy("user_id", "event_type").count()
+        .groupBy("user_id")
+        .agg(map_from_entries(collect_list(struct(col("event_type"), col("count"))))
+          .as("hist"))
+        .select(col("user_id"),
+          coalesce(element_at(col("hist"), "click"), lit(0L)).as("clicks"),
+          coalesce(element_at(col("hist"), "purchase"), lit(0L)).as("purchases"),
+          size(col("hist")).as("n_types"))
+        .orderBy("user_id"),
+      Some(
+        """SELECT user_id,
+          |  count(*) FILTER (event_type = 'click') AS clicks,
+          |  count(*) FILTER (event_type = 'purchase') AS purchases,
+          |  CAST(count(DISTINCT event_type) AS INT) AS n_types
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // --- SQL surface: the same portable SQL text runs on Spark (over
     //     registered temp views) AND as its own DuckDB oracle ---
     QueryDef(
@@ -336,7 +393,8 @@ object RelationalExt {
         graft.api.Tables.registerAll(s, dir)
         s.sql(RelationalExt.q26Sql)
       },
-      Some(q26Sql)),
+      Some(q26Sql),
+      bench = true),
 
     // --- gap-based sessionization (batch twin of session_window) ---
     QueryDef(
@@ -360,6 +418,7 @@ object RelationalExt {
           |SELECT user_id, min(sec) AS session_start, max(sec) AS session_end,
           |       count(*) AS n_events
           |FROM s GROUP BY user_id, session
-          |ORDER BY user_id, session_start""".stripMargin))
+          |ORDER BY user_id, session_start""".stripMargin),
+      bench = true)
   )
 }
