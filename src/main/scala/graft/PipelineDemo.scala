@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextAnalysis}
+
+/** End-to-end training-data pipeline demo: the chain a 100 TB corpus
+  * would run, at fixture scale —
+  *   documents → exact dedup → near-dup removal (MinHash+LSH)
+  *             → quality/language filter → token accounting → parquet.
+  * Every stage is one of the library operators; nothing touches the
+  * driver except the final summary counts.
+  */
+object PipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = if (args.length > 1) args(1) else "/tmp/graft-pipeline"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = graft.api.Tables.t(spark, dir, "documents")
+    val n0 = docs.count()
+
+    // 1. exact dedup: keep the min doc_id of each identical text
+    val keepExact = Dedup.exactGroups(docs, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val exactDeduped = docs.join(keepExact, "doc_id")
+    val n1 = exactDeduped.count()
+
+    // 2. near-dup removal: drop the higher id of every verified pair
+    val dropNear = Dedup.minhashNearDupPairs(exactDeduped, "doc_id", "text")
+      .select(col("id_b").as("doc_id")).distinct()
+    val nearDeduped = exactDeduped.join(dropNear, Seq("doc_id"), "left_anti")
+    val n2 = nearDeduped.count()
+
+    // 3. analysis + quality/language gate
+    val analyzed = nearDeduped.join(
+      TextAnalysis.analyze(nearDeduped, "doc_id", "text"), "doc_id")
+    val kept = analyzed.filter(col("quality_score") > 3.0 &&
+      col("n_tokens") >= 10)
+    val n3 = kept.count()
+
+    // 4. token accounting + sink
+    val stats = kept.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum("ws_tokens").as("total_tokens"),
+      round(avg("quality_score"), 3).as("avg_quality"))
+    kept.select("doc_id", "lang", "text", "n_tokens", "quality_score")
+      .write.mode("overwrite").parquet(out)
+    val summary = stats.orderBy("lang").collect()
+      .map(r => s"${r.get(0)}:${r.get(1)} docs/${r.get(2)} tokens")
+      .mkString(", ")
+    println(s"[pipeline] $n0 docs -> $n1 after exact dedup -> " +
+      s"$n2 after near-dedup -> $n3 after quality gate | $summary | wrote $out")
+    spark.stop()
+  }
+}

@@ -385,6 +385,66 @@ object RelationalExt {
           |  CAST(count(DISTINCT event_type) AS INT) AS n_types
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // --- full outer join with null-producing sides ---
+    QueryDef(
+      "q30_outer_join",
+      (s, dir) => {
+        val hv = Tables.t(s, dir, "orders")
+          .filter(col("o_totalprice") > 400000)
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_hv"),
+            round(sum("o_totalprice"), 2).as("hv_rev"))
+        val poor = Tables.t(s, dir, "customer")
+          .filter(col("c_acctbal") < 0)
+          .select("c_custkey", "c_name")
+        hv.join(poor, hv("o_custkey") === poor("c_custkey"), "full_outer")
+          .select(coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+            coalesce(col("n_hv"), lit(0L)).as("n_hv"),
+            coalesce(col("hv_rev"), lit(0.0)).as("hv_rev"),
+            coalesce(col("c_name"), lit("<none>")).as("name"))
+          .orderBy("custkey")
+      },
+      Some(
+        """WITH hv AS (SELECT o_custkey, count(*) AS n_hv,
+          |              round(sum(o_totalprice), 2) AS hv_rev
+          |            FROM orders WHERE o_totalprice > 400000
+          |            GROUP BY o_custkey),
+          |poor AS (SELECT c_custkey, c_name FROM customer WHERE c_acctbal < 0)
+          |SELECT coalesce(o_custkey, c_custkey) AS custkey,
+          |       coalesce(n_hv, 0) AS n_hv,
+          |       coalesce(hv_rev, 0.0) AS hv_rev,
+          |       coalesce(c_name, '<none>') AS name
+          |FROM hv FULL OUTER JOIN poor ON o_custkey = c_custkey
+          |ORDER BY custkey""".stripMargin)),
+
+    // --- pivot: event-type histogram as columns ---
+    QueryDef(
+      "q31_pivot",
+      (s, dir) => Tables.t(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "purchase", "error", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy("user_id"),
+      Some(
+        """SELECT user_id,
+          |  count(*) FILTER (event_type = 'click') AS click,
+          |  count(*) FILTER (event_type = 'purchase') AS purchase,
+          |  count(*) FILTER (event_type = 'error') AS error,
+          |  count(*) FILTER (event_type = 'signup') AS signup,
+          |  count(*) FILTER (event_type = 'view') AS view
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // --- seeded sampling (no oracle: engine RNGs differ; driver records
+    //     the rows-only check, determinism-for-fixed-seed in RegistrySpec) ---
+    QueryDef(
+      "q32_sample",
+      (s, dir) => Tables.t(s, dir, "orders")
+        .sample(withReplacement = false, fraction = 0.1, seed = 7)
+        .agg(count(lit(1)).as("n_sampled"),
+          round(sum("o_totalprice"), 2).as("rev_sampled")),
+      None),
+
     // --- SQL surface: the same portable SQL text runs on Spark (over
     //     registered temp views) AND as its own DuckDB oracle ---
     QueryDef(

@@ -19,6 +19,13 @@ class RegistrySpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("seeded sample is deterministic across runs") {
+    val q = Registry.byName("q32_sample")
+    val a = q.run(spark, TestSpark.sf0001).collect().toSeq
+    val b = q.run(spark, TestSpark.sf0001).collect().toSeq
+    assert(a == b)
+  }
+
   Registry.all.foreach { q =>
     test(s"${q.name} runs at sf0.001 and returns rows") {
       assert(q.run(spark, TestSpark.sf0001).count() > 0, q.name)
