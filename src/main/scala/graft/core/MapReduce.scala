@@ -75,4 +75,23 @@ object MapReduce {
     spark.read.option("wholetext", "true").text(glob)
       .withColumn("filename", input_file_name())
       .withColumnRenamed("value", "contents")
+
+  /** RDD-flavored core (SURVEY.md §1.5): the literal reference dataflow —
+    * wholeTextFiles ≙ O1, flatMap(mapf) ≙ O2, hash partition + per-key
+    * reduce ≙ O4–O8 — on the RDD API. `reduceByKey` map-side-combines,
+    * which the reference lacked (every KV crossed its shuffle). Kept for
+    * the rare per-partition imperative case; the DataFrame surface above
+    * is the engine's real path (codegen + Catalyst).
+    */
+  def mapReduceRdd[K: scala.reflect.ClassTag, V: scala.reflect.ClassTag](
+      spark: SparkSession, glob: String,
+      mapf: (String, String) => Seq[(K, V)],
+      reducef: (V, V) => V,
+      numPartitions: Int = 0): org.apache.spark.rdd.RDD[(K, V)] = {
+    val files = spark.sparkContext.wholeTextFiles(glob)
+    val mapped = files.flatMap { case (name, contents) => mapf(name, contents) }
+    if (numPartitions > 0) mapped.reduceByKey(
+      new org.apache.spark.HashPartitioner(numPartitions), reducef)
+    else mapped.reduceByKey(reducef)
+  }
 }

@@ -43,9 +43,9 @@ object TextAnalysis {
 
   /** Whitespace vs BPE-ish token counts. */
   def tokenCountColumns(text: Column): Seq[Column] = Seq(
-    size(Fns.tokens(text)).as("ws_tokens"),
+    size(Fns.tokens(text)).cast("long").as("ws_tokens"),
     size(regexp_extract_all(text,
-      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("bpe_tokens"))
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("bpe_tokens"))
 
   /** Rolling-hash document fingerprint (custom codegen'd expression). */
   def fingerprint(text: Column): Column = Fns.rollingHash31(text)

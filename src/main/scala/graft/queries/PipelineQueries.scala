@@ -119,7 +119,7 @@ object PipelineQueries {
            |               AS BIGINT) AS sh
            |        FROM w GROUP BY doc_id)
            |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           |       bit_count(xor(a.sh, b.sh)) AS hamming
+           |       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
            |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.sh, b.sh)) <= 3
            |ORDER BY id_a, id_b""".stripMargin)),

@@ -204,8 +204,8 @@ object Relational {
       Some(
         """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
           |  SELECT o_custkey, o_orderkey, o_totalprice,
-          |    row_number() OVER (PARTITION BY o_custkey
-          |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          |    CAST(row_number() OVER (PARTITION BY o_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
           |  FROM orders) t
           |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin),
       bench = true),
@@ -235,8 +235,8 @@ object Relational {
           |    ORDER BY o_orderdate, o_orderkey), 2) AS prev_price,
           |  round(lead(o_totalprice, 1) OVER (PARTITION BY o_custkey
           |    ORDER BY o_orderdate, o_orderkey), 2) AS next_price,
-          |  row_number() OVER (PARTITION BY o_custkey
-          |    ORDER BY o_orderdate, o_orderkey) AS order_seq
+          |  CAST(row_number() OVER (PARTITION BY o_custkey
+          |    ORDER BY o_orderdate, o_orderkey) AS INT) AS order_seq
           |FROM orders WHERE o_custkey < 100
           |ORDER BY o_custkey, order_seq""".stripMargin))
   )

@@ -164,10 +164,10 @@ object RelationalExt {
         """SELECT c_custkey,
           |  upper(c_name) AS up,
           |  substring(c_name, 1, 8) AS sub,
-          |  length(c_name) AS len,
+          |  CAST(length(c_name) AS INT) AS len,
           |  concat_ws('|', c_name, c_mktsegment) AS cat,
           |  regexp_extract(c_name, '([0-9]+)', 1) AS digits,
-          |  strpos(c_name, '1') AS pos1,
+          |  CAST(strpos(c_name, '1') AS INT) AS pos1,
           |  round(abs(c_acctbal), 2) AS ab,
           |  round(sqrt(abs(c_acctbal)), 6) AS sq,
           |  round(ln(abs(c_acctbal) + 1), 6) AS lg,

@@ -67,6 +67,19 @@ class CoreParitySpec extends AnyFunSuite {
     assert(viaAggregator == viaGroupBy)
   }
 
+  test("RDD-flavored mapReduce equals the DataFrame wordCount on the pg corpus") {
+    val viaRdd = MapReduce.mapReduceRdd[String, Long](
+      spark, pgGlob,
+      (_, contents) => contents.split(MapReduce.tokenSeparator)
+        .filter(_.nonEmpty).map(w => (w, 1L)).toSeq,
+      _ + _, numPartitions = 10)
+      .collect().toMap
+    val viaDf = MapReduce.wordCount(
+      MapReduce.wholeTextFiles(spark, pgGlob), "contents")
+      .as[(String, Long)].collect().toMap
+    assert(viaRdd == viaDf)
+  }
+
   test("inverted index: ndocs equals distinct docs containing the word") {
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     val idx = MapReduce.invertedIndex(docs, "text", "doc_id")

@@ -38,6 +38,10 @@ def main(sf_dir, out_dir):
         import pandas as pd
         g = got.reset_index(drop=True)
         e = exp.reset_index(drop=True)
+        dt = [(c, str(g[c].dtype), str(e[c].dtype)) for c in g.columns
+              if str(g[c].dtype) != str(e[c].dtype)]
+        if dt:
+            print(f"WARN {name}: dtype skew {dt}")
         try:
             pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
             print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
