@@ -231,6 +231,19 @@ object PipelineQueries {
       },
       None),
 
+    // --- approximate ANN, IVF path: k-means coarse quantizer + nprobe
+    //     rerank. No oracle (approximate + iterative training); recall
+    //     floor vs brute force asserted in DedupSimilaritySpec. ---
+    QueryDef(
+      "p13_ann_ivf",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        Similarity.ivfTopK(
+          e.filter(col("vec_id") % 50 === 0), e, k = 5)
+          .orderBy("qid", "rank")
+      },
+      None),
+
     // --- multimodal: binary media column -> stub decode -> features.
     //     The payload is documents.text as UTF-8 bytes (all-ASCII, so the
     //     oracle can mirror byte-level FNV with code points). ---

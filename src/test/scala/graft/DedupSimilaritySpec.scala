@@ -50,6 +50,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(topk.groupBy("qid").count().select("count").as[Long].collect().forall(_ == 3))
   }
 
+  test("IVF ANN (kmeans coarse quantizer) achieves usable recall vs brute force") {
+    val queries = embs.filter($"vec_id" % 50 === 0)
+    val bf = Similarity.bruteForceTopK(queries, embs, k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(queries, embs, k = 5, nlist = 16, nprobe = 4)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.4, s"recall=$recall")
+  }
+
   test("LSH ANN achieves usable recall vs brute force on random vectors") {
     // uniformly random embeddings are LSH's worst case (no cluster
     // structure); the bound here documents that floor rather than
