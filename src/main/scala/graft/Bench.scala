@@ -21,13 +21,18 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.benchQueries
     val fns = SparkEntry.queries
+    var failed = List.empty[String]
     val results = names.map { name =>
       val fn = fns(name)
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warm
       // min of two timed runs — absorbs GC/compile jitter on a shared box
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable => // a broken query must not read as a fast one
+            if (!failed.contains(name)) failed ::= name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
@@ -35,7 +40,8 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -23,8 +23,11 @@ object Tables {
       // applies when it casts ns parquet to its µs TIMESTAMP.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
+      // `div` = integer division: ts nanos exceed 2^53, so the `/` operator
+      // (double arithmetic) rounds by up to 128 ns and lands 1 µs off
+      // DuckDB's ns//1000 truncation for ~1.6% of values.
       if (raw.schema("ts").dataType == LongType)
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else raw
     } else spark.read.parquet(s"$dir/$name.parquet")
   }

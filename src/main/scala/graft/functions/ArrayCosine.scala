@@ -38,7 +38,11 @@ case class ArrayCosine(left: Expression, right: Expression)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // zero-norm vectors: define cosine as 0.0 (no similarity) rather than
+    // NaN — NaN sorts ABOVE every double in Spark, so a garbage all-zero
+    // embedding would otherwise rank as the #1 neighbor of every query
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def withNewChildrenInternal(

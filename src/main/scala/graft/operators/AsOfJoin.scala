@@ -36,21 +36,34 @@ object AsOfJoin {
       rightTieBreak: String): DataFrame = {
     val payload = right.columns.filterNot(c => keys.contains(c) || c == timeCol)
     val side = "__asof_side"
-    val l = payload.foldLeft(left.withColumn(side, lit(1))) { (df, p) =>
-      df.withColumn(p, lit(null).cast(right.schema(p).dataType))
-    }
-    val r = left.columns.filterNot(c => keys.contains(c) || c == timeCol)
-      .foldLeft(right.withColumn(side, lit(0))) { (df, c) =>
+    val pack = "__asof_payload"
+    // The payload travels as ONE struct (null on left rows), so a right row
+    // with a legitimately-null payload field still matches atomically —
+    // carrying columns independently would fuse fields of different rows.
+    val l = left.withColumn(side, lit(1))
+      .withColumn(pack, lit(null).cast(
+        org.apache.spark.sql.types.StructType(payload.map(right.schema(_)))))
+    val r = right.withColumn(side, lit(0))
+      .withColumn(pack, struct(payload.map(col): _*))
+      .withColumn("__asof_tb", col(rightTieBreak))
+      .drop(payload: _*)
+    val lAligned = l.withColumn("__asof_tb",
+      lit(null).cast(right.schema(rightTieBreak).dataType))
+      .select((keys :+ timeCol :+ side :+ pack :+ "__asof_tb").map(col) ++
+        left.columns.filterNot(c => keys.contains(c) || c == timeCol).map(col): _*)
+    val rAligned = left.columns.filterNot(c => keys.contains(c) || c == timeCol)
+      .foldLeft(r) { (df, c) =>
         df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-      }
+      }.select(lAligned.columns.map(col): _*)
     // Right rows sort before left rows at equal time => inclusive match;
     // among equal-time right rows the greatest tieBreak is carried last.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(timeCol).asc, col(side).asc, col(rightTieBreak).asc_nulls_first)
+      .orderBy(col(timeCol).asc, col(side).asc, col("__asof_tb").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(l.unionByName(r.select(l.columns.map(col): _*))) {
-      (df, p) => df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
-    carried.filter(col(side) === 1).drop(side)
+    val carried = lAligned.unionByName(rAligned)
+      .withColumn(pack, last(col(pack), ignoreNulls = true).over(w))
+    payload.foldLeft(carried.filter(col(side) === 1)) { (df, p) =>
+      df.withColumn(p, col(s"$pack.$p"))
+    }.drop(side, pack, "__asof_tb")
   }
 }

@@ -14,17 +14,21 @@ object CoreParityQueries {
   // DuckDB (RE2) and Java both implement Unicode category L as \p{L}.
   private val sep = """[^\p{L}]+"""
 
+  // one wordcount oracle, spliced into both the declarative and the
+  // typed-mapReduce query (they must stay semantically identical)
+  private val wcOracle: String =
+    s"""SELECT word, count(*) AS cnt
+       |FROM (SELECT unnest(string_split_regex(text, '$sep')) AS word
+       |      FROM documents) t
+       |WHERE word <> ''
+       |GROUP BY word ORDER BY word""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "wc_wordcount",
       (s, dir) => MapReduce.wordCount(Tables.t(s, dir, "documents"), "text")
         .orderBy("word"),
-      Some(
-        s"""SELECT word, count(*) AS cnt
-           |FROM (SELECT unnest(string_split_regex(text, '$sep')) AS word
-           |      FROM documents) t
-           |WHERE word <> ''
-           |GROUP BY word ORDER BY word""".stripMargin),
+      Some(wcOracle),
       bench = true),
 
     QueryDef(
@@ -42,12 +46,7 @@ object CoreParityQueries {
           .toDF("word", "cnt")
           .orderBy("word")
       },
-      Some(
-        s"""SELECT word, count(*) AS cnt
-           |FROM (SELECT unnest(string_split_regex(text, '$sep')) AS word
-           |      FROM documents) t
-           |WHERE word <> ''
-           |GROUP BY word ORDER BY word""".stripMargin)),
+      Some(wcOracle)),
 
     QueryDef(
       "wc_inverted_index",

@@ -17,6 +17,25 @@ object PipelineQueries {
     s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($expr, ''), " +
       "c -> unicode(c)::BIGINT)), (h, c) -> (h*31 + c) % 2147483648)"
 
+  // Shared CTE prefix mirroring Dedup.simhashSignatures (tokens -> rolling
+  // hash -> 32 affine-permutation parity contributions -> signature).
+  // Single source: p04 and p05 both splice this, so the permutation
+  // formula can never drift between the two oracles.
+  private val duckSimhashCte: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |            FROM documents),
+       |h AS (SELECT doc_id, ${duckRollingHash("t")} AS th FROM tok),
+       |c AS (SELECT doc_id, j,
+       |        CASE WHEN (th * (2*j + 3) + (j * 2654435761) % 2147483647)
+       |                  % 2147483647 % 2 = 1
+       |             THEN 1 ELSE -1 END AS contrib
+       |      FROM h CROSS JOIN range(32) r(j)),
+       |w AS (SELECT doc_id, j, sum(contrib) AS wj FROM c GROUP BY doc_id, j),
+       |sig AS (SELECT doc_id,
+       |          CAST(sum(CASE WHEN wj > 0 THEN 1::BIGINT << j ELSE 0 END)
+       |               AS BIGINT) AS sh
+       |        FROM w GROUP BY doc_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // --- exact dedup: content-hash groups ---
@@ -81,19 +100,8 @@ object PipelineQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id"),
       Some(
-        s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
-           |            FROM documents),
-           |h AS (SELECT doc_id, ${duckRollingHash("t")} AS th FROM tok),
-           |c AS (SELECT doc_id, j,
-           |        CASE WHEN (th * (2*j + 3) + (j * 2654435761) % 2147483647)
-           |                  % 2147483647 % 2 = 1
-           |             THEN 1 ELSE -1 END AS contrib
-           |      FROM h CROSS JOIN range(32) r(j)),
-           |w AS (SELECT doc_id, j, sum(contrib) AS wj FROM c GROUP BY doc_id, j)
-           |SELECT doc_id,
-           |       CAST(sum(CASE WHEN wj > 0 THEN 1::BIGINT << j ELSE 0 END)
-           |            AS BIGINT) AS simhash
-           |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+        s"""$duckSimhashCte
+           |SELECT doc_id, sh AS simhash FROM sig ORDER BY doc_id""".stripMargin)),
 
     // --- SimHash near-dup pairs (hamming <= 3, pigeonhole banding).
     //     Banding over 4 bands of 8 bits guarantees every hamming<=3 pair
@@ -105,19 +113,7 @@ object PipelineQueries {
         maxDist = 3)
         .orderBy("id_a", "id_b"),
       Some(
-        s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
-           |            FROM documents),
-           |h AS (SELECT doc_id, ${duckRollingHash("t")} AS th FROM tok),
-           |c AS (SELECT doc_id, j,
-           |        CASE WHEN (th * (2*j + 3) + (j * 2654435761) % 2147483647)
-           |                  % 2147483647 % 2 = 1
-           |             THEN 1 ELSE -1 END AS contrib
-           |      FROM h CROSS JOIN range(32) r(j)),
-           |w AS (SELECT doc_id, j, sum(contrib) AS wj FROM c GROUP BY doc_id, j),
-           |sig AS (SELECT doc_id,
-           |          CAST(sum(CASE WHEN wj > 0 THEN 1::BIGINT << j ELSE 0 END)
-           |               AS BIGINT) AS sh
-           |        FROM w GROUP BY doc_id)
+        s"""$duckSimhashCte
            |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            |       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
            |FROM sig a JOIN sig b ON a.doc_id < b.doc_id

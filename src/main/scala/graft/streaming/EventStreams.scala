@@ -30,7 +30,7 @@ object EventStreams {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream.schema(rawSchema)
       .parquet(streamableDir(s"$dir/events.parquet"))
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div: see Tables.t
   }
 
   /** The file stream source requires a directory; the fixtures ship

@@ -5,9 +5,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Custom stateful streaming via [KeyValue]GroupedDataset.*GroupsWithState
-  * (reference status: streaming ABSENT). State is bounded by event-time
-  * timeout; keys partition the state store exactly like a shuffle, so
-  * this scales with the key space, not the stream length.
+  * (reference status: streaming ABSENT). Keys partition the state store
+  * exactly like a shuffle, so state scales with the key space, not the
+  * stream length. NOTE: this demo keeps lifetime totals and so uses
+  * NoTimeout — state grows with the number of distinct keys; a production
+  * deployment over an unbounded key space would set EventTimeTimeout (+
+  * watermark) and evict idle keys in the state function.
   */
 object StatefulOps {
 
