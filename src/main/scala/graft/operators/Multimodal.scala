@@ -60,4 +60,45 @@ object Multimodal {
     import spark.implicits._
     decodeStub(mediaFromDocuments(docs).as[MediaRow]).toDF()
   }
+
+  case class ResizedMedia(doc_id: Long, kind: String, width: Int, height: Int,
+      out_w: Int, out_h: Int, scale: Double)
+
+  /** STUB resize — aspect-preserving fit into maxDim×maxDim. A real
+    * implementation rescales pixels here; the FAKE part is only that no
+    * pixel buffer exists, the dimension arithmetic and batch shape are
+    * what production code keeps.
+    */
+  def resizeStub(features: Dataset[MediaFeatures], maxDim: Int): Dataset[ResizedMedia] = {
+    import features.sparkSession.implicits._
+    features.mapPartitions { rows =>
+      rows.map { f =>
+        val w = math.max(f.width, 1); val h = math.max(f.height, 1)
+        val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+        ResizedMedia(f.doc_id, f.kind, w, h,
+          math.max(1, math.round(w * scale).toInt),
+          math.max(1, math.round(h * scale).toInt), scale)
+      }
+    }
+  }
+
+  case class FrameSample(doc_id: Long, frame_idx: Int, frame_checksum: Long)
+
+  /** STUB frame sampling — every `stride`-th frame of a video payload.
+    * A real implementation seeks+decodes frames here; the deterministic
+    * fake hashes the byte range each frame would occupy, keeping the
+    * 1-row-to-N-frames generator shape (flatMap) real.
+    */
+  def frameSampleStub(ds: Dataset[MediaRow], stride: Int): Dataset[FrameSample] = {
+    import ds.sparkSession.implicits._
+    ds.filter(_.kind == "video").flatMap { r =>
+      val nFrames = (r.media.length % 7).toInt // matches decodeStub.n_frames
+      (0 until nFrames by stride).map { i =>
+        val from = i * r.media.length / math.max(nFrames, 1)
+        val until = (i + 1) * r.media.length / math.max(nFrames, 1)
+        FrameSample(r.doc_id, i,
+          graft.functions.Fnv1a32.hash(r.media.slice(from, until)))
+      }
+    }
+  }
 }

@@ -22,6 +22,34 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(sample.getAs[String]("kind") == "image")
   }
 
+  test("multimodal: resize stub preserves aspect ratio and respects maxDim") {
+    import graft.operators.Multimodal._
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val resized = resizeStub(
+      decodeStub(mediaFromDocuments(docs).as[MediaRow]), maxDim = 64).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { r =>
+      assert(r.out_w <= 64 && r.out_h <= 64)
+      val inAspect = r.width.toDouble / r.height
+      val outAspect = r.out_w.toDouble / r.out_h
+      assert(math.abs(inAspect - outAspect) / inAspect < 0.1, r)
+    }
+  }
+
+  test("multimodal: frame sampling emits every 2nd frame of video payloads") {
+    import graft.operators.Multimodal._
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val media = mediaFromDocuments(docs).as[MediaRow]
+    val frames = frameSampleStub(media, stride = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_idx % 2 == 0))
+    val feats = decodeStub(media).filter(_.kind == "video").collect()
+      .map(f => f.doc_id -> f.n_frames).toMap
+    frames.groupBy(_.doc_id).foreach { case (id, fs) =>
+      assert(fs.length == (feats(id) + 1) / 2, s"doc $id")
+    }
+  }
+
   test("streaming tumbling window equals oracle-checked batch twin (q23)") {
     val streamed = EventStreams.runToMemory(spark, TestSpark.sf0001, "t_tumbling")(
       EventStreams.tumblingCounts)
