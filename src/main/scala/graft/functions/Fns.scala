@@ -21,7 +21,7 @@ object Fns {
       "fnv1a32", exprs => Fnv1a32(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "shingle_array",
-      exprs => ShingleArray(exprs.head, exprs(1).eval().asInstanceOf[Int]),
+      exprs => ShingleArray(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue),
       "built-in")
     reg.createOrReplaceTempFunction(
       "array_cosine", exprs => ArrayCosine(exprs.head, exprs(1)), "built-in")

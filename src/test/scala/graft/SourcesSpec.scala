@@ -31,6 +31,19 @@ class SourcesSpec extends AnyFunSuite {
       region.orderBy("r_regionkey").collect().toSeq)
   }
 
+  test("committed output is atomic: _SUCCESS present, no _temporary (early_exit parity)") {
+    // the reference's early_exit test asserts no partial results are ever
+    // visible (test-mr.sh:226-281); Spark's FileOutputCommitter gives the
+    // same guarantee via tmp-dir + rename
+    val dir = s"$tmp/commit_check"
+    spark.read.parquet(s"${TestSpark.sf0001}/region.parquet")
+      .write.mode("overwrite").parquet(dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(files.contains("_SUCCESS"))
+    assert(!files.exists(_.startsWith("_temporary")))
+    assert(spark.read.parquet(dir).count() == 5)
+  }
+
   test("text sink emits the reference's 'key value' line format") {
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     graft.core.MapReduce.wordCount(docs, "text")
