@@ -6,6 +6,7 @@ object Registry {
     graft.queries.CoreParityQueries.defs ++
       graft.queries.Relational.defs ++
       graft.queries.RelationalExt.defs ++
+      graft.queries.RelationalMore.defs ++
       graft.queries.PipelineQueries.defs
 
   lazy val byName: Map[String, QueryDef] = {

@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.api.{QueryDef, Tables}
+
+/** Third relational batch: extended scalar surface (string distance,
+  * padding, bitwise), advanced window functions (dense_rank /
+  * percent_rank / cume_dist / ntile / nth_value), and correlated scalar
+  * subqueries.
+  */
+object RelationalMore {
+
+  /** Correlated scalar subquery in portable SQL — one text, two engines
+    * (Spark over temp views; DuckDB as its own oracle).
+    */
+  val q35Sql: String =
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+      |FROM orders o
+      |WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice) FROM orders o2
+      |                          WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q33_scalar_extras",
+      (s, dir) => Tables.t(s, dir, "customer")
+        .filter(col("c_custkey") < 150)
+        .select(col("c_custkey"),
+          reverse(col("c_name")).as("rev"),
+          levenshtein(col("c_mktsegment"), lit("MACHINERY")).as("lev"),
+          repeat(substring(col("c_name"), 1, 2), 3).as("rep"),
+          lpad(col("c_nationkey").cast("string"), 4, "0").as("lp"),
+          rpad(col("c_nationkey").cast("string"), 4, "x").as("rp"),
+          trim(concat(lit(" "), col("c_mktsegment"), lit(" "))).as("tr"),
+          greatest(col("c_acctbal"), lit(1000.0)).as("gr"),
+          least(col("c_acctbal"), lit(1000.0)).as("le"),
+          col("c_custkey").bitwiseAND(lit(255L)).as("band"),
+          col("c_custkey").bitwiseXOR(lit(255L)).as("bxor"),
+          shiftleft(col("c_custkey") % 16, 2).as("shl"))
+        .orderBy("c_custkey"),
+      Some(
+        """SELECT c_custkey,
+          |  reverse(c_name) AS rev,
+          |  CAST(levenshtein(c_mktsegment, 'MACHINERY') AS INT) AS lev,
+          |  repeat(substring(c_name, 1, 2), 3) AS rep,
+          |  lpad(CAST(c_nationkey AS VARCHAR), 4, '0') AS lp,
+          |  rpad(CAST(c_nationkey AS VARCHAR), 4, 'x') AS rp,
+          |  trim(concat(' ', c_mktsegment, ' ')) AS tr,
+          |  greatest(c_acctbal, 1000.0) AS gr,
+          |  least(c_acctbal, 1000.0) AS le,
+          |  c_custkey & 255 AS band,
+          |  xor(c_custkey, 255) AS bxor,
+          |  (c_custkey % 16) << 2 AS shl
+          |FROM customer WHERE c_custkey < 150 ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef(
+      "q34_window_extras",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.t(s, dir, "orders")
+          .filter(col("o_custkey") < 100)
+          .select(col("o_custkey"), col("o_orderkey"),
+            dense_rank().over(w).as("drk"),
+            round(percent_rank().over(w), 6).as("prk"),
+            round(cume_dist().over(w), 6).as("cd"),
+            ntile(4).over(w).as("nt"),
+            nth_value(col("o_orderkey"), 2).over(full).as("second_cheapest"),
+            first(col("o_orderkey")).over(full).as("cheapest"),
+            last(col("o_orderkey")).over(full).as("priciest"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some(
+        """SELECT o_custkey, o_orderkey,
+          |  CAST(dense_rank() OVER w AS INT) AS drk,
+          |  round(percent_rank() OVER w, 6) AS prk,
+          |  round(cume_dist() OVER w, 6) AS cd,
+          |  CAST(ntile(4) OVER w AS INT) AS nt,
+          |  nth_value(o_orderkey, 2) OVER
+          |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          |    AS second_cheapest,
+          |  first_value(o_orderkey) OVER
+          |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          |    AS cheapest,
+          |  last_value(o_orderkey) OVER
+          |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          |    AS priciest
+          |FROM orders WHERE o_custkey < 100
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+          |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    QueryDef(
+      "q35_correlated_subquery",
+      (s, dir) => {
+        graft.api.Tables.registerAll(s, dir)
+        s.sql(RelationalMore.q35Sql)
+      },
+      Some(q35Sql))
+  )
+}
