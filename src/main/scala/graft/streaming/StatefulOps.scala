@@ -16,6 +16,64 @@ object StatefulOps {
 
   case class UserActivity(user_id: Long, n_events: Long, total_value: Double)
 
+  case class SessionState(start: Long, end: Long, n: Long)
+  case class Session(user_id: Long, session_start: Long, session_end: Long,
+      n_events: Long)
+
+  /** Streaming twin of [[graft.operators.Sessionize]]: per-user gap-based
+    * sessions maintained in the state store, closed and emitted when the
+    * event-time watermark passes the session end + gap (EventTimeTimeout
+    * — state for idle keys is evicted, which is what bounds the store on
+    * an unbounded key space).
+    *
+    * Emission semantics: sessions are only emitted on timeout, so with a
+    * static input the final in-flight session per user stays open (the
+    * watermark never advances past it) — callers/tests compare the
+    * emitted set against the batch result minus each user's last session.
+    */
+  def sessionizeStream(events: DataFrame, gapSeconds: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      // the watermarked TIMESTAMP column itself must reach the stateful
+      // operator (event-time timeout validation); epoch conversion happens
+      // inside the state function
+      .select($"user_id".as[Long], $"ts".as[java.sql.Timestamp])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, tsRows: Iterator[(Long, java.sql.Timestamp)],
+            state: GroupState[SessionState]) => {
+          val rows = tsRows.map { case (u, t) => (u, t.getTime / 1000) }
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(user, s.start, s.end, s.n))
+          } else {
+            val sorted = rows.map(_._2).toSeq.sorted
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { sec =>
+              cur match {
+                case Some(s) if sec - s.end <= gapSeconds =>
+                  cur = Some(SessionState(s.start, math.max(s.end, sec), s.n + 1))
+                case Some(s) =>
+                  closed ::= Session(user, s.start, s.end, s.n)
+                  cur = Some(SessionState(sec, sec, 1))
+                case None =>
+                  cur = Some(SessionState(sec, sec, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close when the watermark passes end-of-session + gap
+              state.setTimeoutTimestamp((s.end + gapSeconds) * 1000)
+            }
+            closed.reverseIterator
+          }
+        })
+  }
+
   /** Running per-user activity totals maintained in the state store.
     * flatMapGroupsWithState(Update) emits the refreshed state for each
     * key touched by the micro-batch.

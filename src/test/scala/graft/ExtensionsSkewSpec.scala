@@ -64,6 +64,22 @@ class ExtensionsSkewSpec extends AnyFunSuite {
     assert(last == batch)
   }
 
+  test("streaming sessionization emits exactly the batch sessions closed by the watermark") {
+    val streamed = EventStreams.runToMemory(spark, TestSpark.sf0001,
+      "t_sessions", "append")(df => StatefulOps.sessionizeStream(df, 1800).toDF())
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val events = graft.api.Tables.t(spark, TestSpark.sf0001, "events")
+    val maxTs = events.agg(max(unix_timestamp($"ts"))).head().getLong(0)
+
+    val batchClosed = graft.operators.Sessionize
+      .sessions(events, "user_id", "ts", 1800)
+      .filter($"session_end" + 1800 < lit(maxTs - 600))
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batchClosed)
+    assert(streamed.nonEmpty)
+  }
+
   implicit class Tup3Ops[A, B, C](s: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = s.map(t => t._1 -> (t._2, t._3)).toMap
   }
