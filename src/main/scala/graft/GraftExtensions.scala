@@ -33,7 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("shingle_array",
       "shingle_array(tokens, n) - distinct contiguous n-token shingles",
       exprs => ShingleArray(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue)))
+        graft.functions.Fns.intLiteral(exprs(1)))))
     e.injectFunction(fn("array_cosine",
       "array_cosine(a, b) - cosine similarity of two numeric arrays",
       exprs => ArrayCosine(exprs.head, exprs(1))))

@@ -13,6 +13,17 @@ object Fns {
   /** Register the custom Catalyst expressions for SQL + call_function use.
     * Idempotent; queries call this on their session first.
     */
+  /** Evaluate a literal argument to Int, covering integral, floating and
+    * DecimalType literals (Spark's Decimal does not extend j.l.Number).
+    */
+  private[graft] def intLiteral(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+    e.eval() match {
+      case d: org.apache.spark.sql.types.Decimal => d.toInt
+      case n: Number => n.intValue
+      case other => throw new IllegalArgumentException(
+        s"expected a numeric literal, got: $other")
+    }
+
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
@@ -21,7 +32,7 @@ object Fns {
       "fnv1a32", exprs => Fnv1a32(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "shingle_array",
-      exprs => ShingleArray(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue),
+      exprs => ShingleArray(exprs.head, intLiteral(exprs(1))),
       "built-in")
     reg.createOrReplaceTempFunction(
       "array_cosine", exprs => ArrayCosine(exprs.head, exprs(1)), "built-in")

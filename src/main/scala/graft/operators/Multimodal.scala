@@ -22,6 +22,9 @@ import graft.functions.Fnv1a32
 object Multimodal {
 
   case class MediaRow(doc_id: Long, kind: String, media: Array[Byte])
+
+  /** Fake frame count of a payload — single source for decode + sampling. */
+  def nFrames(media: Array[Byte]): Int = (media.length % 7).toInt
   case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Long,
       width: Int, height: Int, n_frames: Int, checksum: Long)
 
@@ -49,7 +52,7 @@ object Multimodal {
         val b0 = if (n > 0) r.media(0) & 0xff else 0
         val b1 = if (n > 1) r.media(1) & 0xff else 0
         MediaFeatures(r.doc_id, r.kind, n,
-          width = b0, height = b1, n_frames = (n % 7).toInt,
+          width = b0, height = b1, n_frames = Multimodal.nFrames(r.media),
           checksum = Fnv1a32.hash(r.media))
       }
     }
@@ -92,10 +95,11 @@ object Multimodal {
   def frameSampleStub(ds: Dataset[MediaRow], stride: Int): Dataset[FrameSample] = {
     import ds.sparkSession.implicits._
     ds.filter(_.kind == "video").flatMap { r =>
-      val nFrames = (r.media.length % 7).toInt // matches decodeStub.n_frames
-      (0 until nFrames by stride).map { i =>
-        val from = i * r.media.length / math.max(nFrames, 1)
-        val until = (i + 1) * r.media.length / math.max(nFrames, 1)
+      val frames = Multimodal.nFrames(r.media)
+      (0 until frames by stride).map { i =>
+        // Long arithmetic: i * length overflows Int for payloads > ~300 MB
+        val from = (i.toLong * r.media.length / math.max(frames, 1)).toInt
+        val until = ((i + 1).toLong * r.media.length / math.max(frames, 1)).toInt
         FrameSample(r.doc_id, i,
           graft.functions.Fnv1a32.hash(r.media.slice(from, until)))
       }

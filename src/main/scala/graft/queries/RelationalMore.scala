@@ -17,9 +17,13 @@ object RelationalMore {
   val q35Sql: String =
     """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
       |FROM orders o
-      |WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice) FROM orders o2
-      |                          WHERE o2.o_custkey = o.o_custkey)
+      |WHERE o_totalprice >
+      |  (SELECT round(round(sum(o2.o_totalprice), 2) * 2 / count(*), 6)
+      |   FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
       |ORDER BY o_orderkey""".stripMargin
+  // threshold built sum-first (2-decimal grid) so both engines compare
+  // against bit-identical doubles — raw `2 * avg(...)` differs in the last
+  // ULP between engines and can flip boundary rows
 
   val defs: Seq[QueryDef] = Seq(
 

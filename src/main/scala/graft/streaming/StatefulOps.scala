@@ -26,10 +26,11 @@ object StatefulOps {
     * — state for idle keys is evicted, which is what bounds the store on
     * an unbounded key space).
     *
-    * Emission semantics: sessions are only emitted on timeout, so with a
-    * static input the final in-flight session per user stays open (the
-    * watermark never advances past it) — callers/tests compare the
-    * emitted set against the batch result minus each user's last session.
+    * Emission semantics (two paths): a session closed by a LATER event of
+    * the same user (gap exceeded) is emitted immediately in that
+    * micro-batch; a session with no successor is emitted when its timeout
+    * fires. With a static input, each user's final session therefore stays
+    * open iff its end + gap is within the terminal watermark.
     */
   def sessionizeStream(events: DataFrame, gapSeconds: Long): Dataset[Session] = {
     import events.sparkSession.implicits._

@@ -21,6 +21,7 @@ class BucketingSpec extends AnyFunSuite {
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .saveAsTable("o_bucketed")
     // disable broadcast so the join strategy is genuinely SMJ
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val joined = spark.table("li_bucketed")
@@ -33,7 +34,7 @@ class BucketingSpec extends AnyFunSuite {
       assert(joined.count() ==
         li.join(o, col("l_orderkey") === col("o_orderkey")).count())
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS li_bucketed")
       spark.sql("DROP TABLE IF EXISTS o_bucketed")
     }

@@ -69,14 +69,20 @@ class ExtensionsSkewSpec extends AnyFunSuite {
       "t_sessions", "append")(df => StatefulOps.sessionizeStream(df, 1800).toDF())
       .as[(Long, Long, Long, Long)].collect().toSet
     val events = graft.api.Tables.t(spark, TestSpark.sf0001, "events")
-    val maxTs = events.agg(max(unix_timestamp($"ts"))).head().getLong(0)
-
-    val batchClosed = graft.operators.Sessionize
+    // the watermark is millisecond-precision: floor-second maxTs would
+    // mis-model timeout firing at one-second boundaries
+    val wmMs = events.agg(max(unix_millis($"ts"))).head().getLong(0) - 600000L
+    val sessions = graft.operators.Sessionize
       .sessions(events, "user_id", "ts", 1800)
-      .filter($"session_end" + 1800 < lit(maxTs - 600))
       .select($"user_id", $"session_start", $"session_end", $"n_events")
-      .as[(Long, Long, Long, Long)].collect().toSet
-    assert(streamed == batchClosed)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val lastStart = sessions.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    // expected = gap-closed sessions (a successor exists -> emitted in-band)
+    //          + final sessions whose timeout fired before the terminal watermark
+    val expected = sessions.filter { case (u, start, end, _) =>
+      start != lastStart(u) || (end + 1800) * 1000 < wmMs
+    }.toSet
+    assert(streamed == expected)
     assert(streamed.nonEmpty)
   }
 
