@@ -96,6 +96,46 @@ object RelationalMore {
           |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
           |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
+    // --- exact decimal aggregation: DECIMAL sums are exact in both
+    //     engines, so no rounding dance is needed at all ---
+    QueryDef(
+      "q36_decimal_agg",
+      (s, dir) => Tables.t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("dec_revenue"),
+          sum(col("l_quantity").cast("decimal(12,2)")).as("dec_qty"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_discount").cast("decimal(8,4)")).cast("decimal(24,6)"))
+            .as("dec_discount_amt"))
+        .orderBy("l_returnflag"),
+      Some(
+        """SELECT l_returnflag,
+          |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS dec_revenue,
+          |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS dec_qty,
+          |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+          |           * CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(24,6)))
+          |    AS dec_discount_amt
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // --- calendar interval arithmetic (month-end clamping semantics) ---
+    QueryDef(
+      "q37_interval_arith",
+      (s, dir) => Tables.t(s, dir, "orders")
+        .filter(col("o_custkey") < 50)
+        .select(col("o_orderkey"),
+          add_months(col("o_orderdate"), 3).cast("timestamp").as("plus3m"),
+          (col("o_orderdate") + expr("INTERVAL 10 DAYS")).as("plus10d"),
+          add_months(col("o_orderdate"), -12).cast("timestamp").as("minus1y"),
+          date_trunc("quarter", col("o_orderdate")).as("qtr_start"))
+        .orderBy("o_orderkey"),
+      Some(
+        """SELECT o_orderkey,
+          |  o_orderdate + INTERVAL 3 MONTH AS plus3m,
+          |  o_orderdate + INTERVAL 10 DAY AS plus10d,
+          |  o_orderdate - INTERVAL 1 YEAR AS minus1y,
+          |  date_trunc('quarter', o_orderdate) AS qtr_start
+          |FROM orders WHERE o_custkey < 50 ORDER BY o_orderkey""".stripMargin)),
+
     QueryDef(
       "q35_correlated_subquery",
       (s, dir) => {
