@@ -32,7 +32,14 @@ object Tables {
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** Register every table as a temp view so `spark.sql` mirrors the oracle. */
+  /** Register tables as temp views so `spark.sql` mirrors the oracle.
+    * Pass the subset a query touches to skip 7+ unneeded footer reads.
+    */
+  def register(spark: SparkSession, dir: String, only: String*): Unit =
+    (if (only.isEmpty) names else only)
+      .foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Register every table as a temp view. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    register(spark, dir)
 }

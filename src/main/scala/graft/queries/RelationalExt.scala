@@ -450,7 +450,7 @@ object RelationalExt {
     QueryDef(
       "q26_sql_surface",
       (s, dir) => {
-        graft.api.Tables.registerAll(s, dir)
+        graft.api.Tables.register(s, dir, "customer", "orders", "lineitem")
         s.sql(RelationalExt.q26Sql)
       },
       Some(q26Sql),

@@ -139,7 +139,7 @@ object RelationalMore {
     QueryDef(
       "q35_correlated_subquery",
       (s, dir) => {
-        graft.api.Tables.registerAll(s, dir)
+        graft.api.Tables.register(s, dir, "orders")
         s.sql(RelationalMore.q35Sql)
       },
       Some(q35Sql))
