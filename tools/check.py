@@ -18,6 +18,10 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    for name, sql in oracle.items():
+        # every oracle needs a total ORDER BY: the compare is row-ordered
+        if "ORDER BY" not in sql.upper():
+            print(f"WARN {name}: oracle SQL has no ORDER BY (hash instability)")
     n_pass = n_fail = 0
     for name in sorted(oracle):
         pq = glob.glob(os.path.join(out_dir, name, "*.parquet"))
