@@ -13,8 +13,11 @@ class DeterminismSpec extends AnyFunSuite {
 
   Registry.all.filter(_.oracle.isDefined).foreach { q =>
     test(s"${q.name} is deterministic across runs") {
-      val a = q.run(spark, TestSpark.sf0001).collect().toSeq
-      val b = q.run(spark, TestSpark.sf0001).collect().toSeq
+      // compare string renderings, not Rows: Scala Map equality is
+      // unordered, so raw == would miss map-entry-order nondeterminism
+      // that still changes serialized/hashed output
+      val a = q.run(spark, TestSpark.sf0001).collect().toSeq.map(_.toString)
+      val b = q.run(spark, TestSpark.sf0001).collect().toSeq.map(_.toString)
       assert(a == b, q.name)
     }
   }

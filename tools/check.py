@@ -18,10 +18,17 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    import re as _re
     for name, sql in oracle.items():
-        # every oracle needs a total ORDER BY: the compare is row-ordered
-        if "ORDER BY" not in sql.upper():
-            print(f"WARN {name}: oracle SQL has no ORDER BY (hash instability)")
+        # every oracle needs a TOTAL ORDER BY — one outside any
+        # parenthesized (window/subquery) context; strip parens first so
+        # an OVER (ORDER BY ...) can't satisfy the check
+        stripped, prev = sql, None
+        while prev != stripped:
+            prev = stripped
+            stripped = _re.sub(r"\([^()]*\)", " ", stripped)
+        if "ORDER BY" not in stripped.upper():
+            print(f"WARN {name}: oracle SQL has no top-level ORDER BY (hash instability)")
     n_pass = n_fail = 0
     for name in sorted(oracle):
         pq = glob.glob(os.path.join(out_dir, name, "*.parquet"))
