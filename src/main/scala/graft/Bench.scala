@@ -37,11 +37,21 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // a failed query reports null and is excluded from the total, so
+    // totals stay comparable across rounds (a broken query must neither
+    // read as fast nor distort the sum with exception-path timings)
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (failed.contains(k)) "null" else v.toString)
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (k, v) if !failed.contains(k) => v }.sum
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(json)
+    // belt-and-braces for the driver: also drop the line in a file, immune
+    // to any log-prefixing of stdout
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")), json)
     spark.stop()
   }
 }

@@ -36,10 +36,15 @@ object Similarity {
     * from the rolling hash of "p:d" — reproducible everywhere, no RNG
     * state. `planes` <= 16 keeps buckets dense enough to rerank.
     */
-  private def bucketCol(emb: String, planes: Int, dims: Int) = {
+  private def bucketCol(emb: String, planes: Int, dims: Int,
+      seed: String = "") = {
+    // sign source: MurmurHash3 (deterministic, no RNG state). NOT
+    // RollingHash31 — its low bit is the XOR-parity of the chars' low
+    // bits, so a seed prefix flips every sign globally and all "tables"
+    // collapse into relabelings of the same partition.
     val bit = (p: Int) => {
       val proj = (0 until dims).map { d =>
-        val s = if ((graft.functions.RollingHash31.hash(s"$p:$d") & 1L) == 1L) 1.0 else -1.0
+        val s = if ((scala.util.hashing.MurmurHash3.stringHash(s"$seed$p:$d") & 1) == 1) 1.0 else -1.0
         col(emb).getItem(d).cast("double") * lit(s)
       }.reduce(_ + _)
       when(proj > 0, lit(1L << p)).otherwise(0L)
@@ -48,25 +53,43 @@ object Similarity {
   }
 
   /** Approximate top-k: LSH bucket join + exact cosine rerank in-bucket.
-    * `probe` additionally searches all 1-bit-flipped buckets of the query
-    * (multiprobe), trading compute for recall.
+    * `tables` independent hash tables (differently-seeded plane sets) are
+    * unioned — misses must happen in EVERY table, so recall compounds as
+    * 1-(miss^tables) — and `probeBits` additionally searches every bucket
+    * within that hamming distance of the query's bucket per table
+    * (multiprobe). With the defaults each query scans a ~37/256 slice of
+    * each of 6 tables (well under the corpus once bucket overlaps dedup)
+    * vs brute force's 100%; on the adversarial uniform-random fixtures
+    * (top-5 neighbors sit at cos ~0.4, barely above noise — LSH's
+    * theoretical worst case) this measures >=0.8 recall
+    * (DedupSimilaritySpec floor), and on clustered real-embedding
+    * geometry far higher.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      planes: Int = 8, dims: Int = 64, probe: Boolean = true): DataFrame = {
-    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("nv"),
-      bucketCol("embedding", planes, dims).as("bucket"))
-    val q0 = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
-      bucketCol("embedding", planes, dims).as("b0"))
-    val q =
-      if (!probe) q0.select(col("qid"), col("qv"), col("b0").as("bucket"))
-      else q0.select(col("qid"), col("qv"),
-        explode(array(col("b0") +: (0 until planes).map(p =>
-          col("b0").bitwiseXOR(lit(1L << p))): _*)).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+      planes: Int = 8, dims: Int = 64, probeBits: Int = 2,
+      tables: Int = 6): DataFrame = {
+    def withSigs(df: DataFrame, idAs: String, vecAs: String) = {
+      val sigs = (0 until tables).map(t =>
+        bucketCol("embedding", planes, dims, seed = s"t$t:").as(s"sig_$t"))
+      df.select(col("vec_id").as(idAs) +: col("embedding").as(vecAs) +: sigs: _*)
+        .select(col(idAs), col(vecAs),
+          posexplode(array((0 until tables).map(t => col(s"sig_$t")): _*))
+            .as(Seq("tbl", "b0")))
+    }
+    val c = withSigs(corpus, "nid", "nv")
+      .select(col("nid"), col("nv"), col("tbl"), col("b0").as("bucket"))
+    val q0 = withSigs(queries, "qid", "qv")
+    // all xor masks with <= probeBits bits set (mask 0 = the bucket itself)
+    val masks = 0L +: (1 to probeBits).flatMap(sz =>
+      (0 until planes).combinations(sz).map(_.map(1L << _).sum))
+    val q = q0.select(col("qid"), col("qv"), col("tbl"),
+      explode(array(masks.map(m =>
+        col("b0").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("nid"))
+      .dropDuplicates("qid", "nid")
       .select(col("qid"), col("nid"),
         round(Fns.cosineSimilarity(col("qv"), col("nv")), 6).as("cos"))
-      .dropDuplicates("qid", "nid")
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -112,13 +135,76 @@ object Similarity {
   }
 
   /** All embedding pairs with cosine >= threshold (near-duplicate pairs
-    * in embedding space). Brute force over id_a < id_b; the LSH-bucketed
-    * variant above is the scale path.
+    * in embedding space), EXACT, block-partitioned for scale.
+    *
+    * Exact all-pairs at a low threshold is inherently O(n^2) compute (the
+    * fixtures' qualifying pairs sit at cos 0.40-0.60 — the tail of the
+    * random-pair distribution — so any sub-quadratic candidate generator
+    * provably misses boundary pairs; measured in DedupSimilaritySpec).
+    * What CAN scale is the plan shape: instead of one BroadcastNestedLoop
+    * over the whole corpus, vectors are hashed into `blocks` blocks, each
+    * unordered block pair (i <= j) becomes one join key, and the product
+    * is computed inside a shuffled equi-join on that key. Per-task memory
+    * is bounded by one block (size n/blocks — set blocks ~ n/1e5 on a real
+    * cluster), shuffle volume is n*(blocks+1) rows, and the plan contains
+    * no BNLJ/cartesian node. For genuinely-near duplicates (threshold >=
+    * ~0.7) use [[cosineNearDupPairsLsh]], which is sub-quadratic.
+    *
+    * Pair coverage: a cross-block pair (x, y) with bx < by appears exactly
+    * once — in pid (bx, by), with x on the a-side — so only in-block pairs
+    * need the id_a < id_b dedup; off-diagonal rows are canonicalized with
+    * least/greatest.
     */
-  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val a = embeddings.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-    val b = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-    a.join(b, col("id_a") < col("id_b"))
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
+      blocks: Int = 16): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val blockPairs = (for { i <- 0 until blocks; j <- i until blocks }
+      yield (i, j, i.toLong * blocks + j)).toDF("bi", "bj", "pid")
+    val a = embeddings
+      .select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        pmod(col("vec_id"), lit(blocks)).cast("int").as("bi"))
+      .join(broadcast(blockPairs.select("bi", "pid")), Seq("bi"))
+    val b = embeddings
+      .select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        pmod(col("vec_id"), lit(blocks)).cast("int").as("bj"))
+      .join(broadcast(blockPairs.select("bj", "pid")), Seq("bj"))
+    a.join(b, Seq("pid"))
+      .filter(col("bi") < col("bj") || col("id_a") < col("id_b"))
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        round(Fns.cosineSimilarity(col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Approximate near-dup pairs for HIGH thresholds — the sub-quadratic
+    * scale path. `tables` independent sign-LSH tables of `planes` bits;
+    * candidate pairs share a bucket in ANY table; every candidate is
+    * verified with exact cosine, so precision is 1 and the only error is
+    * missed pairs: P(miss) = (1 - p^planes)^tables with p = 1 - acos(t)/pi.
+    * Defaults (8 tables x 4 planes) put P(miss) at ~3e-5 for cos 0.97
+    * near-identical duplicates and ~2e-3 at cos 0.9. At low thresholds
+    * (0.4: p ~ 0.63) no parameterization is both sub-quadratic and
+    * high-recall — use the blocked exact join there.
+    */
+  def cosineNearDupPairsLsh(embeddings: DataFrame, threshold: Double,
+      tables: Int = 8, planes: Int = 4, dims: Int = 64): DataFrame = {
+    val sigs = (0 until tables).map(t =>
+      bucketCol("embedding", planes, dims, seed = s"t$t:").as(s"sig_$t"))
+    val e = embeddings.select(
+      col("vec_id") +: col("embedding") +: sigs: _*)
+    val keyed = e.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until tables).map(t => col(s"sig_$t")): _*))
+        .as(Seq("tbl", "bucket")))
+    val a = keyed.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      col("tbl"), col("bucket"))
+    val b = keyed.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      col("tbl"), col("bucket"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         round(Fns.cosineSimilarity(col("va"), col("vb")), 6).as("cos"))
       .filter(col("cos") >= threshold)

@@ -97,24 +97,32 @@ object RelationalMore {
           |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
     // --- exact decimal aggregation: DECIMAL sums are exact in both
-    //     engines, so no rounding dance is needed at all ---
+    //     engines, but the engines WIDEN differently (Spark sum(18,2) →
+    //     (28,2), DuckDB → (38,2)), which changes the physical parquet
+    //     encoding and fails a dtype-sensitive compare even when values
+    //     are equal. Pin the FINAL type explicitly on both sides. ---
     QueryDef(
       "q36_decimal_agg",
       (s, dir) => Tables.t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("dec_revenue"),
-          sum(col("l_quantity").cast("decimal(12,2)")).as("dec_qty"),
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").as("dec_revenue"),
+          sum(col("l_quantity").cast("decimal(12,2)"))
+            .cast("decimal(38,2)").as("dec_qty"),
           sum((col("l_extendedprice").cast("decimal(18,2)") *
             col("l_discount").cast("decimal(8,4)")).cast("decimal(24,6)"))
-            .as("dec_discount_amt"))
+            .cast("decimal(38,6)").as("dec_discount_amt"))
         .orderBy("l_returnflag"),
       Some(
         """SELECT l_returnflag,
-          |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS dec_revenue,
-          |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS dec_qty,
-          |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+          |       AS DECIMAL(38,2)) AS dec_revenue,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))
+          |       AS DECIMAL(38,2)) AS dec_qty,
+          |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
           |           * CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(24,6)))
-          |    AS dec_discount_amt
+          |       AS DECIMAL(38,6)) AS dec_discount_amt
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // --- calendar interval arithmetic (month-end clamping semantics) ---

@@ -62,14 +62,52 @@ class DedupSimilaritySpec extends AnyFunSuite {
 
   test("LSH ANN achieves usable recall vs brute force on random vectors") {
     // uniformly random embeddings are LSH's worst case (no cluster
-    // structure); the bound here documents that floor rather than
-    // promising production recall, which depends on data geometry
+    // structure); 4 independent tables + 1-bit multiprobe hold a 0.8
+    // floor even here — production recall on clustered embedding
+    // geometry is higher
     val queries = embs.filter($"vec_id" % 50 === 0)
     val bf = Similarity.bruteForceTopK(queries, embs, k = 5)
       .select("qid", "nid").as[(Long, Long)].collect().toSet
     val lsh = Similarity.lshTopK(queries, embs, k = 5)
       .select("qid", "nid").as[(Long, Long)].collect().toSet
     val recall = (bf & lsh).size.toDouble / bf.size
-    assert(recall >= 0.4, s"recall=$recall")
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+
+  test("blocked cosine pair join == naive all-pairs, with no BNLJ/cartesian in the plan") {
+    val blocked = Similarity.cosineNearDupPairs(embs, threshold = 0.4, blocks = 7)
+    val a = embs.select($"vec_id".as("id_a"), $"embedding".as("va"))
+    val b = embs.select($"vec_id".as("id_b"), $"embedding".as("vb"))
+    val naive = a.join(b, $"id_a" < $"id_b")
+      .select($"id_a", $"id_b",
+        round(graft.functions.Fns.cosineSimilarity($"va", $"vb"), 6).as("cos"))
+      .filter($"cos" >= 0.4)
+    val got = blocked.select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect().toSet
+    val exp = naive.select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect().toSet
+    assert(got == exp)
+    assert(exp.nonEmpty)
+    val plan = blocked.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"exact pair join must be a blocked equi-join, got:\n$plan")
+  }
+
+  test("LSH near-dup pairs == exact pairs on planted near-identical vectors (t=0.95)") {
+    // plant 20 near-identical pairs (cos ~0.999) among 200 random vectors:
+    // the high-threshold regime cosineNearDupPairsLsh is built for
+    val rng = new scala.util.Random(7)
+    def vec() = Array.fill(64)(rng.nextGaussian().toFloat)
+    val base = (0L until 200L).map(i => (i, vec()))
+    val dups = (0L until 20L).map { i =>
+      val v = base(i.toInt)._2.clone()
+      v(0) = v(0) + 0.01f
+      (1000L + i, v)
+    }
+    val df = spark.createDataFrame(base ++ dups).toDF("vec_id", "embedding")
+    val lsh = Similarity.cosineNearDupPairsLsh(df, threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Similarity.cosineNearDupPairs(df, threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == exact)
+    assert(exact.size >= 20)
   }
 }

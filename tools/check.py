@@ -46,13 +46,37 @@ def main(sf_dir, out_dir):
             n_fail += 1; continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); n_fail += 1; continue
+        # ARROW-LEVEL type compare — the driver's hash is dtype-sensitive
+        # (q36 round 1: equal values, DECIMAL(28,2) vs DECIMAL(38,2), red).
+        # pandas hides this (both sides decay to float/object), so compare
+        # the physical arrow types and FAIL on skew. Only known-benign
+        # diffs are normalized: timestamp tz (Spark stamps UTC, DuckDB
+        # none — both store identical µs since epoch) and large_string.
+        import pyarrow.parquet as _pq
+        def _norm(t):
+            s = str(t)
+            s = s.replace(", tz=UTC", "").replace("large_string", "string")
+            # temporal physical encodings differ benignly (Spark INT96 ->
+            # ns, DuckDB us; date32 vs timestamp) and were driver-green in
+            # round 1 (q18/q37) — the driver compares temporal VALUES.
+            if s.startswith("timestamp") or s.startswith("date"):
+                s = "datetime"
+            return s
+        try:
+            g_schema = _pq.read_table(pq).schema
+            e_schema = con.sql(oracle[name]).arrow().schema
+            g_types = {f.name: _norm(f.type) for f in g_schema}
+            e_types = {f.name: _norm(f.type) for f in e_schema}
+            skew = [(c, g_types[c], e_types[c]) for c in sorted(g_types)
+                    if c in e_types and g_types[c] != e_types[c]]
+            if skew:
+                print(f"FAIL {name}: arrow dtype skew {skew}")
+                n_fail += 1; continue
+        except Exception as e2:
+            print(f"WARN {name}: arrow schema compare errored: {e2}")
         import pandas as pd
         g = got.reset_index(drop=True)
         e = exp.reset_index(drop=True)
-        dt = [(c, str(g[c].dtype), str(e[c].dtype)) for c in g.columns
-              if str(g[c].dtype) != str(e[c].dtype)]
-        if dt:
-            print(f"WARN {name}: dtype skew {dt}")
         try:
             pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
             print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
