@@ -36,6 +36,10 @@ object Fns {
       "built-in")
     reg.createOrReplaceTempFunction(
       "array_cosine", exprs => ArrayCosine(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash_sigs",
+      exprs => MinHashSigs(exprs.head, intLiteral(exprs(1))),
+      "built-in")
   }
 
   import org.apache.spark.sql.graftshim.Bridge.{toCol, toExpr}
@@ -58,6 +62,10 @@ object Fns {
   /** Native one-pass cosine (see ArrayCosine). */
   def cosineSimilarity(a: Column, b: Column): Column =
     toCol(ArrayCosine(toExpr(a), toExpr(b)))
+
+  /** All k MinHash values of a shingle array (see MinHashSigs). */
+  def minhashSigs(sh: Column, k: Int): Column =
+    toCol(MinHashSigs(toExpr(sh), k))
 
   /** HOF-composed cosine — independent cross-check in tests. */
   def cosineSimilarityHof(a: Column, b: Column): Column =

@@ -207,12 +207,14 @@ object RelationalExt {
           get_json_object(col("props"), "$.k").cast("int").as("k_val"))
         .groupBy((col("k_val") % 10).as("k_mod"))
         .agg(count(lit(1)).as("n"), sum("k_val").as("sum_k"))
-        .orderBy("k_mod"),
+        // explicit null position: Spark defaults NULLS FIRST, DuckDB
+        // NULLS LAST — a fixture row with no $.k would silently reorder
+        .orderBy(col("k_mod").asc_nulls_first),
       Some(
         """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
           |       count(*) AS n,
           |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
-          |FROM events GROUP BY k_mod ORDER BY k_mod""".stripMargin)),
+          |FROM events GROUP BY k_mod ORDER BY k_mod NULLS FIRST""".stripMargin)),
 
     // --- pure theta join (broadcast nested loop) ---
     QueryDef(

@@ -42,11 +42,20 @@ object EventStreams {
     val p = Paths.get(path)
     if (Files.isDirectory(p)) path
     else {
-      val d = Paths.get("/tmp/graft-stream",
-        Integer.toHexString(path.hashCode))
+      // key the staging dir on a SHA-256 of the FULL path (a 32-bit
+      // String.hashCode collision between two fixture paths would
+      // silently stream the wrong file), and verify a pre-existing
+      // symlink actually points at this path before reusing it
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(path.getBytes("UTF-8")).take(16)
+        .map(b => f"$b%02x").mkString
+      val d = Paths.get("/tmp/graft-stream", digest)
       Files.createDirectories(d)
       val link = d.resolve(p.getFileName)
-      if (!Files.exists(link)) Files.createSymbolicLink(link, p)
+      if (Files.isSymbolicLink(link)) {
+        require(Files.readSymbolicLink(link) == p,
+          s"staging collision: $link -> ${Files.readSymbolicLink(link)}, expected $p")
+      } else Files.createSymbolicLink(link, p)
       d.toString
     }
   }
