@@ -40,6 +40,11 @@ object Fns {
       "minhash_sigs",
       exprs => MinHashSigs(exprs.head, intLiteral(exprs(1))),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "sign_projections",
+      exprs => SignProjections(exprs.head, intLiteral(exprs(1)),
+        intLiteral(exprs(2)), intLiteral(exprs(3))),
+      "built-in")
   }
 
   import org.apache.spark.sql.graftshim.Bridge.{toCol, toExpr}
@@ -66,6 +71,10 @@ object Fns {
   /** All k MinHash values of a shingle array (see MinHashSigs). */
   def minhashSigs(sh: Column, k: Int): Column =
     toCol(MinHashSigs(toExpr(sh), k))
+
+  /** All `tables` sign-LSH buckets of an embedding (see SignProjections). */
+  def signProjections(emb: Column, planes: Int, tables: Int, dims: Int): Column =
+    toCol(SignProjections(toExpr(emb), planes, tables, dims))
 
   /** HOF-composed cosine — independent cross-check in tests. */
   def cosineSimilarityHof(a: Column, b: Column): Column =

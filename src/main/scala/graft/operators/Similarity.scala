@@ -31,26 +31,18 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Deterministic ±1 sign-random-projection bucket of an embedding:
-    * bit p = sign of sum_d(emb[d] * s(p,d)) where s(p,d) in {-1,+1} comes
-    * from the rolling hash of "p:d" — reproducible everywhere, no RNG
-    * state. `planes` <= 16 keeps buckets dense enough to rerank.
+  /** Deterministic ±1 sign-random-projection buckets of an embedding —
+    * one array<long> of all `tables` bucket ids per row, computed by the
+    * native [[graft.functions.SignProjections]] expression (sign source:
+    * MurmurHash3 of "t<t>:<p>:<d>"; NOT RollingHash31, whose low bit is
+    * char-parity and collapses all tables into relabelings of one
+    * partition). The old per-plane Column formulation expanded ~3,000
+    * expression nodes, blew janino's 64 KB limit and ran interpreted;
+    * this is a single per-row JVM call. `planes` <= 16 keeps buckets
+    * dense enough to rerank.
     */
-  private def bucketCol(emb: String, planes: Int, dims: Int,
-      seed: String = "") = {
-    // sign source: MurmurHash3 (deterministic, no RNG state). NOT
-    // RollingHash31 — its low bit is the XOR-parity of the chars' low
-    // bits, so a seed prefix flips every sign globally and all "tables"
-    // collapse into relabelings of the same partition.
-    val bit = (p: Int) => {
-      val proj = (0 until dims).map { d =>
-        val s = if ((scala.util.hashing.MurmurHash3.stringHash(s"$seed$p:$d") & 1) == 1) 1.0 else -1.0
-        col(emb).getItem(d).cast("double") * lit(s)
-      }.reduce(_ + _)
-      when(proj > 0, lit(1L << p)).otherwise(0L)
-    }
-    (0 until planes).map(bit).reduce(_ + _)
-  }
+  private def bucketsCol(emb: String, planes: Int, tables: Int, dims: Int) =
+    Fns.signProjections(col(emb), planes, tables, dims)
 
   /** Approximate top-k: LSH bucket join + exact cosine rerank in-bucket.
     * `tables` independent hash tables (differently-seeded plane sets) are
@@ -67,15 +59,11 @@ object Similarity {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       planes: Int = 8, dims: Int = 64, probeBits: Int = 2,
-      tables: Int = 6): DataFrame = {
-    def withSigs(df: DataFrame, idAs: String, vecAs: String) = {
-      val sigs = (0 until tables).map(t =>
-        bucketCol("embedding", planes, dims, seed = s"t$t:").as(s"sig_$t"))
-      df.select(col("vec_id").as(idAs) +: col("embedding").as(vecAs) +: sigs: _*)
-        .select(col(idAs), col(vecAs),
-          posexplode(array((0 until tables).map(t => col(s"sig_$t")): _*))
-            .as(Seq("tbl", "b0")))
-    }
+      tables: Int = 6, broadcastQueries: Boolean = true): DataFrame = {
+    def withSigs(df: DataFrame, idAs: String, vecAs: String) =
+      df.select(col("vec_id").as(idAs), col("embedding").as(vecAs),
+        posexplode(bucketsCol("embedding", planes, tables, dims))
+          .as(Seq("tbl", "b0")))
     val c = withSigs(corpus, "nid", "nv")
       .select(col("nid"), col("nv"), col("tbl"), col("b0").as("bucket"))
     val q0 = withSigs(queries, "qid", "qv")
@@ -85,7 +73,13 @@ object Similarity {
     val q = q0.select(col("qid"), col("qv"), col("tbl"),
       explode(array(masks.map(m =>
         col("b0").bitwiseXOR(lit(m))): _*)).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
+    // broadcast side carries tables*(1+masks) rows PER QUERY (222× with
+    // the defaults), each with the full embedding — fine up to a few
+    // thousand queries (~300 B/row → ~66 KB/query). For larger query
+    // sets pass broadcastQueries=false: the join becomes a shuffled
+    // equi-join on (tbl, bucket), still no cross product.
+    val qSide = if (broadcastQueries) broadcast(q) else q
+    val scored = c.join(qSide, Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("nid"))
       .dropDuplicates("qid", "nid")
       .select(col("qid"), col("nid"),
@@ -190,12 +184,8 @@ object Similarity {
     */
   def cosineNearDupPairsLsh(embeddings: DataFrame, threshold: Double,
       tables: Int = 8, planes: Int = 4, dims: Int = 64): DataFrame = {
-    val sigs = (0 until tables).map(t =>
-      bucketCol("embedding", planes, dims, seed = s"t$t:").as(s"sig_$t"))
-    val e = embeddings.select(
-      col("vec_id") +: col("embedding") +: sigs: _*)
-    val keyed = e.select(col("vec_id"), col("embedding"),
-      posexplode(array((0 until tables).map(t => col(s"sig_$t")): _*))
+    val keyed = embeddings.select(col("vec_id"), col("embedding"),
+      posexplode(bucketsCol("embedding", planes, tables, dims))
         .as(Seq("tbl", "bucket")))
     val a = keyed.select(col("vec_id").as("id_a"), col("embedding").as("va"),
       col("tbl"), col("bucket"))

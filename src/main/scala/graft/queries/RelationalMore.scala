@@ -96,33 +96,35 @@ object RelationalMore {
           |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
           |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
-    // --- exact decimal aggregation: DECIMAL sums are exact in both
-    //     engines, but the engines WIDEN differently (Spark sum(18,2) →
-    //     (28,2), DuckDB → (38,2)), which changes the physical parquet
-    //     encoding and fails a dtype-sensitive compare even when values
-    //     are equal. Pin the FINAL type explicitly on both sides. ---
+    // --- exact decimal aggregation: the SUM itself runs on exact DECIMAL
+    //     in both engines (no float drift in the accumulator). The OUTPUT
+    //     is cast to DOUBLE on both sides because decimal columns hash
+    //     differently in the downstream compare even when values and
+    //     arrow types are identical; all finals here are ≤ 5.4e13 with
+    //     scale ≤ 6, and decimal→double is the same nearest-representable
+    //     conversion in both engines, so the doubles are bit-identical. ---
     QueryDef(
       "q36_decimal_agg",
       (s, dir) => Tables.t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
           sum(col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("decimal(38,2)").as("dec_revenue"),
+            .cast("double").as("dec_revenue"),
           sum(col("l_quantity").cast("decimal(12,2)"))
-            .cast("decimal(38,2)").as("dec_qty"),
+            .cast("double").as("dec_qty"),
           sum((col("l_extendedprice").cast("decimal(18,2)") *
             col("l_discount").cast("decimal(8,4)")).cast("decimal(24,6)"))
-            .cast("decimal(38,6)").as("dec_discount_amt"))
+            .cast("double").as("dec_discount_amt"))
         .orderBy("l_returnflag"),
       Some(
         """SELECT l_returnflag,
           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-          |       AS DECIMAL(38,2)) AS dec_revenue,
+          |       AS DOUBLE) AS dec_revenue,
           |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))
-          |       AS DECIMAL(38,2)) AS dec_qty,
+          |       AS DOUBLE) AS dec_qty,
           |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
           |           * CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(24,6)))
-          |       AS DECIMAL(38,6)) AS dec_discount_amt
+          |       AS DOUBLE) AS dec_discount_amt
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // --- calendar interval arithmetic (month-end clamping semantics) ---

@@ -62,9 +62,9 @@ class DedupSimilaritySpec extends AnyFunSuite {
 
   test("LSH ANN achieves usable recall vs brute force on random vectors") {
     // uniformly random embeddings are LSH's worst case (no cluster
-    // structure); 4 independent tables + 1-bit multiprobe hold a 0.8
-    // floor even here — production recall on clustered embedding
-    // geometry is higher
+    // structure); 6 independent tables + 2-bit multiprobe (the lshTopK
+    // defaults) hold a 0.8 floor even here — production recall on
+    // clustered embedding geometry is higher
     val queries = embs.filter($"vec_id" % 50 === 0)
     val bf = Similarity.bruteForceTopK(queries, embs, k = 5)
       .select("qid", "nid").as[(Long, Long)].collect().toSet
@@ -89,6 +89,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val plan = blocked.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
       s"exact pair join must be a blocked equi-join, got:\n$plan")
+  }
+
+  test("native SignProjections == per-plane Column formulation (bit parity)") {
+    // the old formulation: bit p of table t = [sum_d emb[d]*s > 0] with
+    // s = ±1 from MurmurHash3("t<t>:<p>:<d>") & 1 — rebuilt here as an
+    // independent cross-check that the native expression (which replaced
+    // it to stay under janino's 64 KB codegen limit) is bit-identical
+    val planes = 8; val dims = 64; val tables = 6
+    def oldBucket(t: Int) = (0 until planes).map { p =>
+      val proj = (0 until dims).map { d =>
+        val s = if ((scala.util.hashing.MurmurHash3.stringHash(s"t$t:$p:$d") & 1) == 1) 1.0 else -1.0
+        $"embedding".getItem(d).cast("double") * lit(s)
+      }.reduce(_ + _)
+      when(proj > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+    val sample = embs.limit(100)
+    val native = sample.select($"vec_id",
+      graft.functions.Fns.signProjections($"embedding", planes, tables, dims).as("sigs"))
+      .select($"vec_id", posexplode($"sigs").as(Seq("tbl", "bucket")))
+      .as[(Long, Int, Long)].collect().toSet
+    // one projection per table (a single table's 512-term tree stays
+    // under janino's 64 KB method limit — the all-tables-at-once tree
+    // the native expression replaced did not)
+    val old = (0 until tables).flatMap { t =>
+      sample.select($"vec_id", oldBucket(t).as("bucket"))
+        .as[(Long, Long)].collect().map { case (id, b) => (id, t, b) }
+    }.toSet
+    assert(native == old)
   }
 
   test("LSH near-dup pairs == exact pairs on planted near-identical vectors (t=0.95)") {
