@@ -19,14 +19,26 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fixed data-independent CPU probe, timed at start and end: round-2
+    // showed uniform ~+40% drift on byte-identical queries (shared-box
+    // load); the probe pair lets the driver normalize round-over-round
+    // totals and spot a noisy run.
+    def probe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(100000000L).selectExpr("sum(id * 3 + 1)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    probe() // warm codegen for the probe itself
+    val probeStart = probe()
     val names = SparkEntry.benchQueries
     val fns = SparkEntry.queries
     var failed = List.empty[String]
     val results = names.map { name =>
       val fn = fns(name)
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warm
-      // min of two timed runs — absorbs GC/compile jitter on a shared box
-      val times = (1 to 2).map { _ =>
+      // three timed runs — min absorbs GC/compile jitter on a shared box,
+      // median is the robust companion signal
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable => // a broken query must not read as a fast one
@@ -35,23 +47,31 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> (times.min, times.sorted.apply(times.size / 2))
     }
+    val probeEnd = probe()
     // a failed query reports null and is excluded from the total, so
     // totals stay comparable across rounds (a broken query must neither
     // read as fast nor distort the sum with exception-path timings)
-    val qs = results.map { case (k, v) =>
-      "\"" + k + "\":" + (if (failed.contains(k)) "null" else v.toString)
+    def qJson(pick: ((Double, Double)) => Double) = results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (failed.contains(k)) "null" else pick(v).toString)
     }.mkString("{", ",", "}")
-    val total = results.collect { case (k, v) if !failed.contains(k) => v }.sum
+    val total = results.collect { case (k, (mn, _)) if !failed.contains(k) => mn }.sum
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(_._1)},"medians":${qJson(_._2)},"noise_floor":{"probe_start":$probeStart,"probe_end":$probeEnd},"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // belt-and-braces for the driver: also drop the line in a file, immune
-    // to any log-prefixing of stdout
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")), json)
+    // to any log-prefixing of stdout. Stdout stays the primary channel —
+    // an unwritable path must not turn a successful bench into a nonzero
+    // exit after the line was already printed.
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")), json)
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] could not write bench_result.json: $e")
+    }
     spark.stop()
   }
 }

@@ -32,12 +32,25 @@ object Tables {
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  // (session identity, view name) -> dir it was registered for. Guards
+  // repeat registration: SQL-surface queries (q26/q35) call register on
+  // every invocation, and re-creating the view re-reads parquet footers
+  // (~0.1-0.3 s per call at bench cadence). Keyed by session so tests
+  // with multiple sessions stay isolated; re-registers when dir changes.
+  private val registered =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
   /** Register tables as temp views so `spark.sql` mirrors the oracle.
     * Pass the subset a query touches to skip 7+ unneeded footer reads.
+    * Idempotent per (session, dir): repeat calls are no-ops.
     */
   def register(spark: SparkSession, dir: String, only: String*): Unit =
-    (if (only.isEmpty) names else only)
-      .foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    (if (only.isEmpty) names else only).foreach { n =>
+      if (registered.get((spark, n)) != dir) {
+        t(spark, dir, n).createOrReplaceTempView(n)
+        registered.put((spark, n), dir)
+      }
+    }
 
   /** Register every table as a temp view. */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -55,7 +55,17 @@ object EventStreams {
       if (Files.isSymbolicLink(link)) {
         require(Files.readSymbolicLink(link) == p,
           s"staging collision: $link -> ${Files.readSymbolicLink(link)}, expected $p")
-      } else Files.createSymbolicLink(link, p)
+      } else if (Files.isRegularFile(link)) {
+        // stale regular file from an interrupted run: we own /tmp/graft-
+        // stream, so replace it (createSymbolicLink alone would throw
+        // FileAlreadyExistsException)
+        Files.delete(link)
+        Files.createSymbolicLink(link, p)
+      } else {
+        require(!Files.exists(link),
+          s"staging path $link is occupied by a directory; remove it manually")
+        Files.createSymbolicLink(link, p)
+      }
       d.toString
     }
   }
