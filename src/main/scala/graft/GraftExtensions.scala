@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     (FunctionIdentifier(name), info(name, usage), builder)
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // whole-operator planner extension (see graft.plans.TopKPerGroup);
+    // sessions built without extensions get the same strategy lazily via
+    // experimental.extraStrategies in TopKPerGroup.topK
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
     e.injectFunction(fn("rolling_hash31",
       "rolling_hash31(str) - code-point polynomial hash mod 2^31",
       exprs => RollingHash31(exprs.head)))

@@ -1,0 +1,158 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
+  RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Sort, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
+  Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graftshim.Bridge
+
+/** Whole-operator planner extension: top-k rows per group as a first-class
+  * logical node with its own physical strategy — the surface SURVEY §4.2
+  * argues Spark's built-ins make optional, demonstrated here end-to-end
+  * (LogicalPlan -> SparkStrategy -> SparkPlan, registered through
+  * `experimental.extraStrategies` / GraftExtensions).
+  *
+  * Why a custom operator beats the declarative window formulation at
+  * scale: `row_number().over(partitionBy(g).orderBy(o)) <= k` shuffles
+  * EVERY input row to its group's reducer before any row is discarded.
+  * The physical plan here inserts a map-side partial top-k (bounded
+  * per-group heaps) BELOW the exchange, capping shuffle volume at
+  * k rows per (group, input partition) — the same partial/final shape
+  * hash aggregation uses, applied to ranking, which Catalyst cannot
+  * derive from the window formulation (rank predicates don't push
+  * through exchanges). At 100 TB with k=3 this turns a full-data shuffle
+  * into a ~(3 x groups x partitions)-row shuffle.
+  */
+case class TopKPerGroupNode(group: Seq[Attribute], order: Seq[SortOrder],
+    k: Int, child: LogicalPlan) extends UnaryNode {
+  require(k >= 1, "k must be >= 1")
+  require(group.nonEmpty, "grouping columns must be non-empty")
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroupNode =
+    copy(child = newChild)
+}
+
+/** Plans TopKPerGroupNode as Final(exchange+sort inserted here)(Partial). */
+object TopKPerGroupStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroupNode(group, order, k, child) =>
+      TopKPerGroupFinalExec(group, order, k,
+        TopKPerGroupPartialExec(group, order, k, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Map-side partial: per input partition, a bounded heap of the k best
+  * rows per group (memory = k rows x groups-per-partition — the hash
+  * aggregate shape). No distribution requirement, no sort: rows stream
+  * through once, the heap keeps order internally.
+  */
+case class TopKPerGroupPartialExec(group: Seq[Attribute], order: Seq[SortOrder],
+    k: Int, child: SparkPlan) extends UnaryExecNode {
+  import org.apache.spark.sql.execution.metric.SQLMetrics
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows (rows entering the shuffle)"))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (groupL, orderL, kL, childOutput) = (group, order, k, child.output)
+    val numOutputRows = longMetric("numOutputRows")
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(groupL, childOutput)
+      val ord = RowOrdering.create(orderL, childOutput)
+      // heap head = worst kept row, so comparator is reversed
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](kL + 1, ord.reverse)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < kL) heap.offer(row.copy())
+        else if (ord.compare(row, heap.peek) < 0) {
+          heap.poll(); heap.offer(row.copy())
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values.asScala.iterator.flatMap(_.iterator.asScala)
+        .map { r => numOutputRows += 1; r }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+}
+
+/** Final: requires clustering on the group and a (group, order) sort —
+  * EnsureRequirements inserts the exchange and sort — then emits the
+  * first k rows of each group in one streaming pass.
+  */
+case class TopKPerGroupFinalExec(group: Seq[Attribute], order: Seq[SortOrder],
+    k: Int, child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(group) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(group.map(SortOrder(_, Ascending)) ++ order)
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (groupL, kL, childOutput) = (group, k, child.output)
+    val numOutputRows = longMetric("numOutputRows")
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(groupL, childOutput)
+      var current: UnsafeRow = null
+      var n = 0
+      iter.filter { row =>
+        val key = keyProj(row)
+        if (current == null || key != current) { current = key.copy(); n = 1 }
+        else n += 1
+        if (n <= kL) { numOutputRows += 1; true } else false
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+}
+
+object TopKPerGroup {
+  /** Top-k rows per group of `df`, ordered by `orderCols` (e.g.
+    * `col("price").desc`). Output columns = input columns; within a
+    * group rows come back in `orderCols` order.
+    */
+  def topK(df: DataFrame, groupCols: Seq[String], orderCols: Seq[Column],
+      k: Int): DataFrame = {
+    val spark = df.sparkSession
+    Bridge.addStrategy(spark, TopKPerGroupStrategy)
+    // route the order columns through the analyzer (a throwaway
+    // sortWithinPartitions plan) to obtain RESOLVED catalyst SortOrders —
+    // Spark 4's Column nodes only become catalyst expressions during
+    // analysis, so converting them directly leaves unresolved (and
+    // unserializable) wrappers in the plan
+    val analyzedSort = Bridge.analyzed(df.sortWithinPartitions(orderCols: _*))
+    val (order, child) = analyzedSort match {
+      case s: Sort => (s.order, s.child)
+      case other => throw new IllegalStateException(
+        s"expected Sort from sortWithinPartitions, got: ${other.nodeName}")
+    }
+    def byName(name: String): Attribute =
+      child.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(
+        s"column $name not in ${child.output.map(_.name).mkString(",")}"))
+    Bridge.ofRows(spark, TopKPerGroupNode(groupCols.map(byName), order, k, child))
+  }
+}

@@ -152,6 +152,29 @@ object RelationalMore {
         graft.api.Tables.register(s, dir, "orders")
         s.sql(RelationalMore.q35Sql)
       },
-      Some(q35Sql))
+      Some(q35Sql)),
+
+    // --- custom physical operator: top-3 orders per customer through the
+    //     TopKPerGroup LogicalPlan + SparkStrategy + SparkPlan pipeline
+    //     (q09's semantics minus the rank column; the window formulation
+    //     is the oracle's subquery). The plan carries TopKPerGroupPartial/
+    //     FinalExec nodes — asserted in PhysicalTopKSpec. ---
+    QueryDef(
+      "q38_topk_physical",
+      (s, dir) => graft.plans.TopKPerGroup.topK(
+        Tables.t(s, dir, "orders")
+          .select("o_custkey", "o_orderkey", "o_totalprice"),
+        groupCols = Seq("o_custkey"),
+        orderCols = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+        k = 3)
+        .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey")),
+      Some(
+        """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+          |  SELECT o_custkey, o_orderkey, o_totalprice,
+          |    row_number() OVER (PARTITION BY o_custkey
+          |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          |  FROM orders) t
+          |WHERE rk <= 3
+          |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin))
   )
 }
