@@ -41,5 +41,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("array_cosine",
       "array_cosine(a, b) - cosine similarity of two numeric arrays",
       exprs => ArrayCosine(exprs.head, exprs(1))))
+    e.injectFunction(fn("minhash_sigs",
+      "minhash_sigs(shingles, k) - all k MinHash values in one pass",
+      exprs => graft.functions.MinHashSigs(exprs.head,
+        graft.functions.Fns.intLiteral(exprs(1)))))
+    e.injectFunction(fn("sign_projections",
+      "sign_projections(emb, planes, tables, dims) - all sign-LSH buckets",
+      exprs => graft.functions.SignProjections(exprs.head,
+        graft.functions.Fns.intLiteral(exprs(1)),
+        graft.functions.Fns.intLiteral(exprs(2)),
+        graft.functions.Fns.intLiteral(exprs(3)))))
   }
 }

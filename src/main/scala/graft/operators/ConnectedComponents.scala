@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a near-duplicate pair graph — the step that
+  * turns dedup PAIRS into dedup GROUPS (one representative document kept
+  * per group, everything else dropped), which is what a training-data
+  * pipeline actually executes: near-dup relations are not transitive, so
+  * without the closure a chain a~b~c dedups to two "groups" {a,b},{b,c}
+  * that both survive a pairwise keep-one rule.
+  *
+  * Algorithm: iterative min-label propagation with pointer jumping —
+  * each round every node takes the min label among itself and its
+  * neighbors (one edges-to-labels shuffle join + groupBy min), then
+  * label-of-label compression halves remaining chain length, giving
+  * O(log diameter) rounds instead of O(diameter). Labels live only on
+  * nodes that appear in a pair (the near-dup subgraph — at 100 TB that
+  * is orders of magnitude smaller than the corpus); singletons join back
+  * at the end with group_id = own id. Per round the lineage is cut with
+  * an eager localCheckpoint, the standard Spark iterative-algorithm
+  * shape (spark.ml KMeans does the same); block cleanup is handled by
+  * the ContextCleaner as superseded label frames go out of scope. On a
+  * real cluster the label frame would use a reliable checkpoint dir and
+  * the edge frame would be bucketed by both endpoints.
+  */
+object ConnectedComponents {
+
+  /** Component label (min node id in component) for every node that
+    * appears in `pairs` (columns id_a, id_b). Output: (id, label).
+    */
+  def componentLabels(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").cast("long").as("s"),
+        col("id_b").cast("long").as("d"))
+      .union(pairs.select(col("id_b").cast("long").as("s"),
+        col("id_a").cast("long").as("d")))
+      .localCheckpoint(true) // pair generation (LSH + verify) runs ONCE
+    var labels = edges.select(col("s").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // neighbor min: for each node s, the smallest label among N(s)
+      val nm = edges
+        .join(labels.select(col("id").as("d"), col("label").as("dl")), "d")
+        .groupBy(col("s").as("id")).agg(min("dl").as("nmin"))
+      val prop = labels.join(nm, Seq("id"), "left")
+        .select(col("id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("mid"))
+      // pointer jump: follow the new label one hop (label(label(v)))
+      val next = prop
+        .join(labels.select(col("id").as("mid"), col("label").as("midl")), "mid")
+        .select(col("id"), col("old"), least(col("mid"), col("midl")).as("label"))
+        .localCheckpoint(true)
+      converged = next.filter(col("label") =!= col("old")).isEmpty
+      labels = next.select("id", "label")
+      iter += 1
+    }
+    require(converged,
+      s"connected components did not converge in $maxIter rounds — " +
+        "raise maxIter (rounds needed ~ log2 of the longest near-dup chain)")
+    labels
+  }
+
+  /** Dedup-group assignment for EVERY document: group_id = min doc id of
+    * its near-dup component (own id for singletons), is_rep marks the one
+    * row per group a keep-one dedup retains.
+    */
+  def dedupGroups(docs: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val labels = componentLabels(pairs, maxIter)
+      .select(col("id").as(idCol), col("label"))
+    docs.select(col(idCol).cast("long").as(idCol))
+      .join(labels, Seq(idCol), "left")
+      .select(col(idCol).as("doc_id"),
+        coalesce(col("label"), col(idCol)).as("group_id"))
+      .withColumn("is_rep", col("doc_id") === col("group_id"))
+  }
+}

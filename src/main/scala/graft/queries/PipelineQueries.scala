@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.api.{QueryDef, Tables}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{ConnectedComponents, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline queries over `documents` / `embeddings`:
   * dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine),
@@ -274,6 +274,47 @@ object PipelineQueries {
         """SELECT lang, count(*) AS n_docs,
           |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
           |       count(DISTINCT source) AS n_sources
-          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // --- dedup GROUPS: connected components over the verified MinHash
+    //     near-dup pairs (near-dup is not transitive — the closure is
+    //     what a keep-one-per-group dedup actually needs). Oracle: the
+    //     exact all-pairs Jaccard edge set (p02's oracle) closed with a
+    //     recursive CTE. ---
+    QueryDef(
+      "p14_dedup_groups",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+          shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.8)
+        ConnectedComponents.dedupGroups(docs, "doc_id", pairs)
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH RECURSIVE
+          |t AS (SELECT doc_id, string_split(text, ' ') tk FROM documents),
+          |sh AS (SELECT doc_id,
+          |         list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+          |                        FOR i IN range(1, len(tk) - 1)]) s
+          |       FROM t WHERE len(tk) >= 3),
+          |p AS (SELECT a.doc_id id_a, b.doc_id id_b,
+          |        len(list_intersect(a.s, b.s))::DOUBLE
+          |          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) j
+          |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+          |e0 AS (SELECT id_a, id_b FROM p WHERE j >= 0.8),
+          |edges AS (SELECT id_a AS s, id_b AS d FROM e0
+          |          UNION SELECT id_b, id_a FROM e0),
+          |reach AS (
+          |  SELECT s, d FROM edges
+          |  UNION
+          |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+          |),
+          |comp AS (SELECT s AS doc_id, least(s, min(d)) AS group_id
+          |         FROM reach GROUP BY s)
+          |SELECT d.doc_id,
+          |  coalesce(c.group_id, d.doc_id) AS group_id,
+          |  (d.doc_id = coalesce(c.group_id, d.doc_id)) AS is_rep
+          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+          |ORDER BY d.doc_id""".stripMargin))
   )
 }

@@ -103,16 +103,28 @@ object RelationalExt {
           |  round(sum(DISTINCT l_quantity), 2) AS sum_dist_qty
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
-    // --- approximate distinct (HLL++). No oracle: sketch internals differ
-    //     across engines; accuracy asserted in ScalaTest instead. ---
+    // --- approximate distinct (HLL++). The sketch VALUE can't be
+    //     mirrored (engine sketch internals differ), but its accuracy
+    //     CONTRACT can: emit the exact count plus a boolean "within the
+    //     2%-rsd sketch's 5% envelope" check, which the oracle asserts
+    //     as TRUE. HLL++ is deterministic for fixed data, so this is
+    //     driver-hashable; the raw sketch value stays covered in
+    //     OperatorSpec. ---
     QueryDef(
       "q15_approx_distinct",
       (s, dir) => Tables.t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+            col("exact_parts") * 0.05).as("approx_ok"))
         .orderBy("l_returnflag"),
-      None),
+      Some(
+        """SELECT l_returnflag,
+          |  count(DISTINCT l_partkey) AS exact_parts,
+          |  TRUE AS approx_ok
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // --- set operations: INTERSECT / EXCEPT both directions, tagged ---
     QueryDef(
@@ -437,15 +449,29 @@ object RelationalExt {
           |  count(*) FILTER (event_type = 'view') AS view
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
-    // --- seeded sampling (no oracle: engine RNGs differ; driver records
-    //     the rows-only check, determinism-for-fixed-seed in RegistrySpec) ---
+    // --- deterministic sampling: a 10% hash-split on fnv1a32(orderkey),
+    //     the reproducible-across-engines (and across-reruns) form a
+    //     training pipeline wants for holdout splits — Bernoulli RNG
+    //     sampling can't be oracled (engine RNGs differ; `.sample(seed)`
+    //     stays covered in RegistrySpec/OperatorSpec), but the hash split
+    //     mirrors exactly via the DuckDB FNV-1a fold. ---
     QueryDef(
       "q32_sample",
       (s, dir) => Tables.t(s, dir, "orders")
-        .sample(withReplacement = false, fraction = 0.1, seed = 7)
+        .filter(pmod(graft.functions.Fns.fnv1a32(col("o_orderkey").cast("string")),
+          lit(10)) === 0)
         .agg(count(lit(1)).as("n_sampled"),
           round(sum("o_totalprice"), 2).as("rev_sampled")),
-      None),
+      Some(
+        """SELECT count(*) AS n_sampled,
+          |  round(sum(o_totalprice), 2) AS rev_sampled
+          |FROM orders
+          |WHERE (list_reduce(list_prepend(2166136261::BIGINT,
+          |    list_transform(string_split(CAST(o_orderkey AS VARCHAR), ''),
+          |      c -> unicode(c)::BIGINT)),
+          |    (h, c) -> (xor(h, c) * 16777619) % 4294967296)) % 2147483648
+          |    % 10 = 0
+          |ORDER BY n_sampled""".stripMargin)),
 
     // --- SQL surface: the same portable SQL text runs on Spark (over
     //     registered temp views) AND as its own DuckDB oracle ---

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.ConnectedComponents
+
+class ConnectedComponentsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def labels(pairs: Seq[(Long, Long)], maxIter: Int = 20) =
+    ConnectedComponents.componentLabels(
+      pairs.toDF("id_a", "id_b"), maxIter)
+      .as[(Long, Long)].collect().toMap
+
+  test("chain is transitive: a~b~c~d is ONE group (pairwise dedup is not)") {
+    assert(labels(Seq((1L, 2L), (2L, 3L), (3L, 4L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("disjoint components and cycles keep distinct min labels") {
+    val got = labels(Seq((5L, 6L), (6L, 7L), (7L, 5L), (10L, 11L)))
+    assert(got == Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("pointer jumping converges on a 64-node chain within log-ish rounds") {
+    // worst-case diameter graph: plain propagation needs 63 rounds and
+    // would trip maxIter=10; min-label + label-of-label compression must
+    // finish well inside it
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    assert(labels(chain, maxIter = 10) == (0L to 63L).map(_ -> 0L).toMap)
+  }
+
+  test("dedupGroups assigns singletons their own id and marks one rep per group") {
+    val docs = Seq(1L, 2L, 3L, 4L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = ConnectedComponents.dedupGroups(docs, "doc_id", pairs)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true), (9L, 9L, true)))
+    // keep-one dedup: exactly one rep per group
+    val reps = got.groupBy(_._2).map { case (_, rows) => rows.count(_._3) }
+    assert(reps.forall(_ == 1))
+  }
+
+  test("empty pair set: every document is its own singleton group") {
+    val docs = Seq(1L, 2L).toDF("doc_id")
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val got = ConnectedComponents.dedupGroups(docs, "doc_id", pairs)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == Set((1L, 1L, true), (2L, 2L, true)))
+  }
+}

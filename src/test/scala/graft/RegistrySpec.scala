@@ -26,6 +26,20 @@ class RegistrySpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("RNG .sample(seed) is deterministic for a fixed seed, ~fraction-sized") {
+    // q32 itself uses the oracle-mirrorable fnv1a32 hash split; Spark's
+    // Bernoulli RNG sampler is covered here (its output can't be oracled
+    // because engine RNGs differ)
+    val orders = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
+    val a = orders.sample(withReplacement = false, fraction = 0.1, seed = 7)
+      .select("o_orderkey").collect().toSeq
+    val b = orders.sample(withReplacement = false, fraction = 0.1, seed = 7)
+      .select("o_orderkey").collect().toSeq
+    assert(a == b)
+    val n = orders.count().toDouble
+    assert(math.abs(a.size - 0.1 * n) <= 0.05 * n, s"${a.size} of $n")
+  }
+
   Registry.all.foreach { q =>
     test(s"${q.name} runs at sf0.001 and returns rows") {
       assert(q.run(spark, TestSpark.sf0001).count() > 0, q.name)
