@@ -94,6 +94,29 @@ object EventStreams {
     events.withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Stream-stream interval join (batch twin: q21's error→click range
+    * join): error events joined to the same user's click events within
+    * 10 minutes. Both sides are watermarked and the join carries an
+    * explicit event-time range, so Spark bounds BOTH state stores —
+    * an error row is evictable once the click-side watermark passes
+    * err_ts + 10 min, a click row once the error-side watermark passes
+    * click_ts. Inner join ⇒ rows emit as they match (append mode).
+    */
+  def errorClickJoinStream(events: DataFrame): DataFrame = {
+    val wm = events.withWatermark("ts", "1 hour")
+    val errs = wm.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("err_id"),
+        col("ts").as("err_ts"))
+    val clicks = wm.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    errs.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("click_ts") > col("err_ts") &&
+        col("click_ts") <= col("err_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("user_id"), col("err_id"), col("click_id"))
+  }
+
   /** Run a streaming transform of the events source to completion against
     * the (static) fixture directory and return the result as a batch
     * DataFrame — used by tests to prove batch equivalence.

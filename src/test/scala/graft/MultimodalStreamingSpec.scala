@@ -79,4 +79,26 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(deduped.count() == n)
     assert(n > 0)
   }
+
+  test("stream-stream interval join equals the batch range join (q21's join stage)") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStreams.runToMemory(
+      spark, TestSpark.sf0001, "t_ssjoin", "append")(
+      EventStreams.errorClickJoinStream)
+      .as[(Long, Long, Long)].collect().toSet
+    val e = graft.api.Tables.t(spark, TestSpark.sf0001, "events")
+    val errs = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("err_id"), col("ts").as("err_ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val batch = errs.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("click_ts") > col("err_ts") &&
+        col("click_ts") <= col("err_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("user_id"), col("err_id"), col("click_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty, "fixtures contain error→click funnels")
+  }
 }

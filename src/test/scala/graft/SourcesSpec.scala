@@ -22,6 +22,15 @@ class SourcesSpec extends AnyFunSuite {
       nation.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("orc round-trip preserves customer table (schema and values)") {
+    val customer = spark.read.parquet(s"${TestSpark.sf0001}/customer.parquet")
+    customer.write.mode("overwrite").orc(s"$tmp/customer_orc")
+    val back = spark.read.orc(s"$tmp/customer_orc")
+    assert(back.schema == customer.schema) // orc keeps types, unlike csv
+    assert(back.orderBy("c_custkey").collect().toSeq ==
+      customer.orderBy("c_custkey").collect().toSeq)
+  }
+
   test("json round-trip preserves region table") {
     val region = spark.read.parquet(s"${TestSpark.sf0001}/region.parquet")
     region.write.mode("overwrite").json(s"$tmp/region_json")
