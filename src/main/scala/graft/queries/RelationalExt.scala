@@ -361,6 +361,31 @@ object RelationalExt {
           |  round(max(o_totalprice), 2) AS hi
           |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // --- approximate percentiles (Greenwald-Khanna / approx_percentile).
+    //     Same contract-oracle pattern as q15: the sketch value is
+    //     engine-specific but deterministic for fixed data, so emit the
+    //     exact percentile plus a boolean "approx within 2%" the oracle
+    //     asserts TRUE. ---
+    QueryDef(
+      "q39_approx_percentiles",
+      (s, dir) => Tables.t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50_exact"),
+          expr("approx_percentile(o_totalprice, 0.5, 10000)").as("p50_approx"),
+          round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95_exact"),
+          expr("approx_percentile(o_totalprice, 0.95, 10000)").as("p95_approx"))
+        .select(col("o_orderstatus"), col("p50_exact"), col("p95_exact"),
+          (abs(col("p50_approx") - col("p50_exact")) <= col("p50_exact") * 0.02 &&
+            abs(col("p95_approx") - col("p95_exact")) <= col("p95_exact") * 0.02)
+            .as("approx_ok"))
+        .orderBy("o_orderstatus"),
+      Some(
+        """SELECT o_orderstatus,
+          |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+          |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95_exact,
+          |  TRUE AS approx_ok
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // --- array functions: collect_set/sort_array/array_contains ---
     QueryDef(
       "q28_array_funcs",

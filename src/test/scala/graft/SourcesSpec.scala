@@ -40,6 +40,41 @@ class SourcesSpec extends AnyFunSuite {
       region.orderBy("r_regionkey").collect().toSeq)
   }
 
+  test("partitionBy write lays out hive dirs and reads prune partitions") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(s"$tmp/docs_by_lang")
+    // data-lake layout: one directory per partition value
+    val langDirs = new java.io.File(s"$tmp/docs_by_lang").listFiles()
+      .filter(_.getName.startsWith("lang=")).map(_.getName).toSet
+    val langs = docs.select("lang").distinct().as[String].collect().toSet
+    assert(langDirs == langs.map(l => s"lang=$l"))
+    // partition pruning: the filter must become a PartitionFilter on the
+    // scan (no data files outside lang=en are touched), not a row filter
+    val pruned = spark.read.parquet(s"$tmp/docs_by_lang").filter(col("lang") === "en")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("lang"),
+      s"expected partition pruning in:\n$scan")
+    assert(pruned.count() == docs.filter(col("lang") === "en").count())
+  }
+
+  test("stratified sampling (sampleBy) is seed-deterministic and per-stratum sized") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val fractions = Map("en" -> 0.5, "de" -> 0.1) // other langs -> 0.0
+    val a = docs.stat.sampleBy("lang", fractions, 42L)
+      .select("doc_id").as[Long].collect().toSeq
+    val b = docs.stat.sampleBy("lang", fractions, 42L)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(a == b)
+    val sampled = docs.stat.sampleBy("lang", fractions, 42L)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val full = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(!sampled.contains("fr") && !sampled.contains("zh"),
+      "strata with no fraction must be excluded")
+    val enRatio = sampled("en").toDouble / full("en")
+    assert(math.abs(enRatio - 0.5) < 0.15, s"en stratum ratio $enRatio")
+  }
+
   test("committed output is atomic: _SUCCESS present, no _temporary (early_exit parity)") {
     // the reference's early_exit test asserts no partial results are ever
     // visible (test-mr.sh:226-281); Spark's FileOutputCommitter gives the
