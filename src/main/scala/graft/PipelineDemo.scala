@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{ConnectedComponents, Dedup, TextAnalysis}
 
 /** End-to-end training-data pipeline demo: the chain a 100 TB corpus
   * would run, at fixture scale —
@@ -32,10 +32,14 @@ object PipelineDemo {
     val exactDeduped = docs.join(keepExact, "doc_id")
     val n1 = exactDeduped.count()
 
-    // 2. near-dup removal: drop the higher id of every verified pair
-    val dropNear = Dedup.minhashNearDupPairs(exactDeduped, "doc_id", "text")
-      .select(col("id_b").as("doc_id")).distinct()
-    val nearDeduped = exactDeduped.join(dropNear, Seq("doc_id"), "left_anti")
+    // 2. near-dup removal: verified pairs → connected components → keep
+    //    exactly one representative per group (near-dup is not
+    //    transitive; dropping the higher id of each PAIR would keep
+    //    overlapping "groups" — see ConnectedComponents)
+    val groups = ConnectedComponents.dedupGroups(exactDeduped, "doc_id",
+      Dedup.minhashNearDupPairs(exactDeduped, "doc_id", "text"))
+    val nearDeduped = exactDeduped.join(
+      groups.filter(col("is_rep")).select("doc_id"), "doc_id")
     val n2 = nearDeduped.count()
 
     // 3. analysis + quality/language gate
