@@ -32,23 +32,27 @@ object Tables {
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  // (session identity, view name) -> dir it was registered for. Guards
+  // (session UUID, view name) -> dir it was registered for. Guards
   // repeat registration: SQL-surface queries (q26/q35) call register on
   // every invocation, and re-creating the view re-reads parquet footers
-  // (~0.1-0.3 s per call at bench cadence). Keyed by session so tests
-  // with multiple sessions stay isolated; re-registers when dir changes.
+  // (~0.1-0.3 s per call at bench cadence). Keyed by the session's UUID
+  // string (not the session object — the map must not pin stopped
+  // sessions in memory); re-registers when dir changes or when the view
+  // was dropped/replaced behind our back (tableExists check).
   private val registered =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
   /** Register tables as temp views so `spark.sql` mirrors the oracle.
     * Pass the subset a query touches to skip 7+ unneeded footer reads.
-    * Idempotent per (session, dir): repeat calls are no-ops.
+    * Idempotent per (session, dir): repeat calls are no-ops while the
+    * view still exists.
     */
   def register(spark: SparkSession, dir: String, only: String*): Unit =
     (if (only.isEmpty) names else only).foreach { n =>
-      if (registered.get((spark, n)) != dir) {
+      val key = (org.apache.spark.sql.graftshim.Bridge.sessionId(spark), n)
+      if (registered.get(key) != dir || !spark.catalog.tableExists(n)) {
         t(spark, dir, n).createOrReplaceTempView(n)
-        registered.put((spark, n), dir)
+        registered.put(key, dir)
       }
     }
 

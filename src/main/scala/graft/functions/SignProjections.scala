@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** All `tables` sign-random-projection LSH buckets of an embedding in one
   * pass: bucket_t bit p = [ sum_d(emb[d] * s(t,p,d)) > 0 ] where the
@@ -28,6 +28,19 @@ case class SignProjections(child: Expression, planes: Int, tables: Int,
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "sign_projections"
+
+  // registered as a SQL function, so inputs are user-controlled: only
+  // float/double arrays read correctly through getFloat/getDouble (an
+  // int array would be silently misread as garbage buckets)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float> or array<double>, got " +
+            other.catalogString)
+    }
 
   private lazy val childIsFloat = child.dataType match {
     case ArrayType(FloatType, _) => true
@@ -57,7 +70,10 @@ case class SignProjections(child: Expression, planes: Int, tables: Int,
     val v = new Array[Double](n)
     var d = 0
     while (d < n) {
-      v(d) = if (childIsFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+      // null elements contribute 0 to every projection (skipped dimension)
+      v(d) = if (arr.isNullAt(d)) 0.0
+        else if (childIsFloat) arr.getFloat(d).toDouble
+        else arr.getDouble(d)
       d += 1
     }
     val out = new Array[Long](tables)

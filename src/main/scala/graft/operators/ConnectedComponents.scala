@@ -38,9 +38,13 @@ object ConnectedComponents {
     var labels = edges.select(col("s").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
-    var iter = 0
+    // `improving` counts only rounds that changed a label; the final
+    // confirming round (no changes) is always allowed on top of maxIter,
+    // so a graph that stabilizes exactly on its maxIter-th improving
+    // round is certified rather than spuriously rejected
+    var improving = 0
     var converged = false
-    while (iter < maxIter && !converged) {
+    while (improving <= maxIter && !converged) {
       // neighbor min: for each node s, the smallest label among N(s)
       val nm = edges
         .join(labels.select(col("id").as("d"), col("label").as("dl")), "d")
@@ -55,11 +59,12 @@ object ConnectedComponents {
         .localCheckpoint(true)
       converged = next.filter(col("label") =!= col("old")).isEmpty
       labels = next.select("id", "label")
-      iter += 1
+      if (!converged) improving += 1
     }
     require(converged,
-      s"connected components did not converge in $maxIter rounds — " +
-        "raise maxIter (rounds needed ~ log2 of the longest near-dup chain)")
+      s"connected components did not converge within $maxIter improving " +
+        "rounds — raise maxIter (improving rounds needed ~ log2 of the " +
+        "longest near-dup chain; the confirming round is not counted)")
     labels
   }
 

@@ -97,34 +97,40 @@ object RelationalMore {
           |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
     // --- exact decimal aggregation: the SUM itself runs on exact DECIMAL
-    //     in both engines (no float drift in the accumulator). The OUTPUT
-    //     is cast to DOUBLE on both sides because decimal columns hash
-    //     differently in the downstream compare even when values and
-    //     arrow types are identical; all finals here are ≤ 5.4e13 with
-    //     scale ≤ 6, and decimal→double is the same nearest-representable
-    //     conversion in both engines, so the doubles are bit-identical. ---
+    //     in both engines (no float drift in the accumulator; the
+    //     discount column accumulates at scale 6). The OUTPUT is cast to
+    //     DOUBLE on both sides because decimal columns hash differently
+    //     in the downstream compare even when values and arrow types are
+    //     identical. Every emitted value is first pinned to SCALE 2 so
+    //     its unscaled form stays under 2^53 up to sums of 9e13: there
+    //     the int->double conversion is exact and /100 is one correctly-
+    //     rounded step in both engines — bit-identical doubles. (A direct
+    //     scale-6 cast is NOT safe: above 2^53 unscaled, DuckDB's
+    //     int128->double->/10^6 double-rounds while Spark's BigDecimal
+    //     rounds once, diverging by 1 ulp — measured on 527/2000 random
+    //     values; scale 6 crosses 2^53 at sums of only ~9e9.) ---
     QueryDef(
       "q36_decimal_agg",
       (s, dir) => Tables.t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
           sum(col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("double").as("dec_revenue"),
+            .cast("decimal(38,2)").cast("double").as("dec_revenue"),
           sum(col("l_quantity").cast("decimal(12,2)"))
-            .cast("double").as("dec_qty"),
+            .cast("decimal(38,2)").cast("double").as("dec_qty"),
           sum((col("l_extendedprice").cast("decimal(18,2)") *
             col("l_discount").cast("decimal(8,4)")).cast("decimal(24,6)"))
-            .cast("double").as("dec_discount_amt"))
+            .cast("decimal(38,2)").cast("double").as("dec_discount_amt"))
         .orderBy("l_returnflag"),
       Some(
         """SELECT l_returnflag,
-          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-          |       AS DOUBLE) AS dec_revenue,
-          |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))
-          |       AS DOUBLE) AS dec_qty,
-          |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+          |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+          |       AS DECIMAL(38,2)) AS DOUBLE) AS dec_revenue,
+          |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))
+          |       AS DECIMAL(38,2)) AS DOUBLE) AS dec_qty,
+          |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
           |           * CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(24,6)))
-          |       AS DOUBLE) AS dec_discount_amt
+          |       AS DECIMAL(38,2)) AS DOUBLE) AS dec_discount_amt
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // --- calendar interval arithmetic (month-end clamping semantics) ---

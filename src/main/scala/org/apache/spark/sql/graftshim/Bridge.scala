@@ -25,13 +25,23 @@ object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Stable identity string for a session, without retaining the session
+    * object itself (cache keys that must not pin stopped sessions).
+    */
+  def sessionId(spark: SparkSession): String =
+    spark.asInstanceOf[classic.SparkSession].sessionUUID
+
   /** Idempotently add a planner strategy to the session (the public
     * `experimental.extraStrategies` hook; GraftExtensions injects the
     * same strategy at session build time for the extensions path).
     */
   def addStrategy(spark: SparkSession, s: SparkStrategy): Unit = {
     val exp = spark.asInstanceOf[classic.SparkSession].experimental
-    if (!exp.extraStrategies.contains(s))
-      exp.extraStrategies = exp.extraStrategies :+ s
+    // synchronize the check-then-act: concurrent first uses on one
+    // session must not lose a registration racing on the plain var
+    exp.synchronized {
+      if (!exp.extraStrategies.contains(s))
+        exp.extraStrategies = exp.extraStrategies :+ s
+    }
   }
 }

@@ -42,6 +42,13 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(reps.forall(_ == 1))
   }
 
+  test("maxIter counts improving rounds only: a single pair converges at maxIter=1") {
+    // round 1 improves (2 -> label 1), the uncounted confirming round
+    // certifies — this used to throw because the confirming round
+    // consumed the budget
+    assert(labels(Seq((1L, 2L)), maxIter = 1) == Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("empty pair set: every document is its own singleton group") {
     val docs = Seq(1L, 2L).toDF("doc_id")
     val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
