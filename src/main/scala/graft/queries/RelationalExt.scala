@@ -532,6 +532,37 @@ object RelationalExt {
           |       count(*) AS n_events
           |FROM s GROUP BY user_id, session
           |ORDER BY user_id, session_start""".stripMargin),
-      bench = true)
+      bench = true),
+
+    // --- built-in session_window operator (the native sessionization
+    //     Spark ships; q25's custom Sessionize is the library twin).
+    //     Boundary semantics differ from q25's oracle: session_window
+    //     starts a NEW session when diff >= gap (the window is
+    //     [start, last+gap)), so the mirror compares at µs precision
+    //     with >=. ---
+    QueryDef(
+      "q40_session_window",
+      (s, dir) => Tables.t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("session_start_us"),
+          col("n_events"))
+        .orderBy("user_id", "session_start_us"),
+      Some(
+        """WITH e AS (
+          |  SELECT user_id, ts, epoch_us(ts) AS us,
+          |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+          |           (PARTITION BY user_id ORDER BY ts) >= 1800000000
+          |         THEN 1 ELSE 0 END AS gap
+          |  FROM events),
+          |s AS (
+          |  SELECT user_id, us,
+          |    sum(gap) OVER (PARTITION BY user_id ORDER BY ts
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+          |  FROM e)
+          |SELECT user_id, min(us) AS session_start_us, count(*) AS n_events
+          |FROM s GROUP BY user_id, session
+          |ORDER BY user_id, session_start_us""".stripMargin))
   )
 }
