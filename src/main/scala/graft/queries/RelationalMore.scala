@@ -160,6 +160,85 @@ object RelationalMore {
       },
       Some(q35Sql)),
 
+    // --- RANGE window frames (value-based, vs q10's ROWS frames): the
+    //     trailing-30-day spend per order. Both engines get an integer
+    //     epoch-day ordering so the frame bound is engine-neutral. ---
+    QueryDef(
+      "q41_range_frame",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_day"))
+          .rangeBetween(-30, Window.currentRow)
+        Tables.t(s, dir, "orders")
+          .filter(col("o_custkey") < 200)
+          .withColumn("o_day", datediff(col("o_orderdate"), lit("1970-01-01")))
+          .select(col("o_custkey"), col("o_orderkey"), col("o_day"),
+            round(sum("o_totalprice").over(w), 2).as("spend_30d"),
+            count(lit(1)).over(w).as("n_orders_30d"))
+          .orderBy("o_custkey", "o_day", "o_orderkey")
+      },
+      Some(
+        """SELECT o_custkey, o_orderkey,
+          |  CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS INT) AS o_day,
+          |  round(sum(o_totalprice) OVER w, 2) AS spend_30d,
+          |  count(*) OVER w AS n_orders_30d
+          |FROM orders WHERE o_custkey < 200
+          |WINDOW w AS (PARTITION BY o_custkey
+          |  ORDER BY datediff('day', DATE '1970-01-01', o_orderdate)
+          |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+          |ORDER BY o_custkey, o_day, o_orderkey""".stripMargin)),
+
+    // --- statistical aggregates (stddev/corr/covar). The builtins use
+    //     different accumulation orders across engines (last-ulp float
+    //     drift), so the oracle-stable values are computed from rounded
+    //     moments with one identical formula on both sides, and Spark's
+    //     builtins are additionally checked against that formula with a
+    //     1e-6 envelope boolean (q15 contract pattern). ---
+    QueryDef(
+      "q42_stats_agg",
+      (s, dir) => Tables.t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          round(sum("l_quantity"), 2).as("sq"),
+          round(sum(col("l_quantity") * col("l_quantity")), 4).as("sqq"),
+          round(sum("l_discount"), 4).as("sd"),
+          round(sum(col("l_discount") * col("l_discount")), 6).as("sdd"),
+          round(sum(col("l_quantity") * col("l_discount")), 4).as("sqd"),
+          stddev_samp(col("l_quantity")).as("sd_builtin"),
+          corr(col("l_quantity"), col("l_discount")).as("corr_builtin"))
+        .select(col("l_returnflag"),
+          round(sqrt((col("sqq") - col("sq") * col("sq") / col("n")) /
+            (col("n") - 1)), 6).as("stddev_qty"),
+          round((col("sqd") - col("sq") * col("sd") / col("n")) /
+            (sqrt(col("sqq") - col("sq") * col("sq") / col("n")) *
+              sqrt(col("sdd") - col("sd") * col("sd") / col("n"))), 6)
+            .as("corr_qty_disc"),
+          (abs(col("sd_builtin") - sqrt((col("sqq") - col("sq") * col("sq") / col("n")) /
+            (col("n") - 1))) < 1e-6 &&
+            abs(col("corr_builtin") - (col("sqd") - col("sq") * col("sd") / col("n")) /
+              (sqrt(col("sqq") - col("sq") * col("sq") / col("n")) *
+                sqrt(col("sdd") - col("sd") * col("sd") / col("n")))) < 1e-6)
+            .as("builtin_ok"))
+        .orderBy("l_returnflag"),
+      Some(
+        """WITH m AS (
+          |  SELECT l_returnflag,
+          |    CAST(count(*) AS DOUBLE) AS n,
+          |    round(sum(l_quantity), 2) AS sq,
+          |    round(sum(l_quantity * l_quantity), 4) AS sqq,
+          |    round(sum(l_discount), 4) AS sd,
+          |    round(sum(l_discount * l_discount), 6) AS sdd,
+          |    round(sum(l_quantity * l_discount), 4) AS sqd
+          |  FROM lineitem GROUP BY l_returnflag)
+          |SELECT l_returnflag,
+          |  round(sqrt((sqq - sq * sq / n) / (n - 1)), 6) AS stddev_qty,
+          |  round((sqd - sq * sd / n) /
+          |    (sqrt(sqq - sq * sq / n) * sqrt(sdd - sd * sd / n)), 6)
+          |    AS corr_qty_disc,
+          |  TRUE AS builtin_ok
+          |FROM m ORDER BY l_returnflag""".stripMargin)),
+
     // --- custom physical operator: top-3 orders per customer through the
     //     TopKPerGroup LogicalPlan + SparkStrategy + SparkPlan pipeline
     //     (q09's semantics minus the rank column; the window formulation
