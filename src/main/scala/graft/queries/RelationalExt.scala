@@ -536,10 +536,11 @@ object RelationalExt {
 
     // --- built-in session_window operator (the native sessionization
     //     Spark ships; q25's custom Sessionize is the library twin).
-    //     Boundary semantics differ from q25's oracle: session_window
-    //     starts a NEW session when diff >= gap (the window is
-    //     [start, last+gap)), so the mirror compares at µs precision
-    //     with >=. ---
+    //     Boundary semantics: session_window MERGES an event exactly
+    //     gap-apart (UpdatingSessionsIterator merges while sessionStart
+    //     <= currentSessionEnd), i.e. a new session starts only when
+    //     diff > gap — same boundary as q25, but mirrored here at µs
+    //     precision instead of whole seconds. ---
     QueryDef(
       "q40_session_window",
       (s, dir) => Tables.t(s, dir, "events")
@@ -553,7 +554,7 @@ object RelationalExt {
         """WITH e AS (
           |  SELECT user_id, ts, epoch_us(ts) AS us,
           |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
-          |           (PARTITION BY user_id ORDER BY ts) >= 1800000000
+          |           (PARTITION BY user_id ORDER BY ts) > 1800000000
           |         THEN 1 ELSE 0 END AS gap
           |  FROM events),
           |s AS (

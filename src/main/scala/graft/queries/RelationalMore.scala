@@ -188,39 +188,45 @@ object RelationalMore {
           |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
           |ORDER BY o_custkey, o_day, o_orderkey""".stripMargin)),
 
-    // --- statistical aggregates (stddev/corr/covar). The builtins use
+    // --- statistical aggregates (stddev/covar/corr). The builtins use
     //     different accumulation orders across engines (last-ulp float
     //     drift), so the oracle-stable values are computed from rounded
     //     moments with one identical formula on both sides, and Spark's
-    //     builtins are additionally checked against that formula with a
-    //     1e-6 envelope boolean (q15 contract pattern). ---
+    //     builtins (stddev_samp, covar_samp, corr) are additionally
+    //     checked against those formulas with a 1e-6 envelope boolean
+    //     (q15 contract pattern). ---
     QueryDef(
       "q42_stats_agg",
-      (s, dir) => Tables.t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          count(lit(1)).cast("double").as("n"),
-          round(sum("l_quantity"), 2).as("sq"),
-          round(sum(col("l_quantity") * col("l_quantity")), 4).as("sqq"),
-          round(sum("l_discount"), 4).as("sd"),
-          round(sum(col("l_discount") * col("l_discount")), 6).as("sdd"),
-          round(sum(col("l_quantity") * col("l_discount")), 4).as("sqd"),
-          stddev_samp(col("l_quantity")).as("sd_builtin"),
-          corr(col("l_quantity"), col("l_discount")).as("corr_builtin"))
-        .select(col("l_returnflag"),
-          round(sqrt((col("sqq") - col("sq") * col("sq") / col("n")) /
-            (col("n") - 1)), 6).as("stddev_qty"),
-          round((col("sqd") - col("sq") * col("sd") / col("n")) /
-            (sqrt(col("sqq") - col("sq") * col("sq") / col("n")) *
-              sqrt(col("sdd") - col("sd") * col("sd") / col("n"))), 6)
-            .as("corr_qty_disc"),
-          (abs(col("sd_builtin") - sqrt((col("sqq") - col("sq") * col("sq") / col("n")) /
-            (col("n") - 1))) < 1e-6 &&
-            abs(col("corr_builtin") - (col("sqd") - col("sq") * col("sd") / col("n")) /
-              (sqrt(col("sqq") - col("sq") * col("sq") / col("n")) *
-                sqrt(col("sdd") - col("sd") * col("sd") / col("n")))) < 1e-6)
-            .as("builtin_ok"))
-        .orderBy("l_returnflag"),
+      (s, dir) => {
+        // each formula bound ONCE so the emitted value and the builtin
+        // contract check are bit-identical by construction
+        val n = col("n"); val sq = col("sq"); val sqq = col("sqq")
+        val sd = col("sd"); val sdd = col("sdd"); val sqd = col("sqd")
+        val stddevQty = sqrt((sqq - sq * sq / n) / (n - 1))
+        val covarQtyDisc = (sqd - sq * sd / n) / (n - 1)
+        val corrQtyDisc = (sqd - sq * sd / n) /
+          (sqrt(sqq - sq * sq / n) * sqrt(sdd - sd * sd / n))
+        Tables.t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            round(sum("l_quantity"), 2).as("sq"),
+            round(sum(col("l_quantity") * col("l_quantity")), 4).as("sqq"),
+            round(sum("l_discount"), 4).as("sd"),
+            round(sum(col("l_discount") * col("l_discount")), 6).as("sdd"),
+            round(sum(col("l_quantity") * col("l_discount")), 4).as("sqd"),
+            stddev_samp(col("l_quantity")).as("sd_builtin"),
+            covar_samp(col("l_quantity"), col("l_discount")).as("cov_builtin"),
+            corr(col("l_quantity"), col("l_discount")).as("corr_builtin"))
+          .select(col("l_returnflag"),
+            round(stddevQty, 6).as("stddev_qty"),
+            round(covarQtyDisc, 6).as("covar_qty_disc"),
+            round(corrQtyDisc, 6).as("corr_qty_disc"),
+            (abs(col("sd_builtin") - stddevQty) < 1e-6 &&
+              abs(col("cov_builtin") - covarQtyDisc) < 1e-6 &&
+              abs(col("corr_builtin") - corrQtyDisc) < 1e-6).as("builtin_ok"))
+          .orderBy("l_returnflag")
+      },
       Some(
         """WITH m AS (
           |  SELECT l_returnflag,
@@ -233,6 +239,7 @@ object RelationalMore {
           |  FROM lineitem GROUP BY l_returnflag)
           |SELECT l_returnflag,
           |  round(sqrt((sqq - sq * sq / n) / (n - 1)), 6) AS stddev_qty,
+          |  round((sqd - sq * sd / n) / (n - 1), 6) AS covar_qty_disc,
           |  round((sqd - sq * sd / n) /
           |    (sqrt(sqq - sq * sq / n) * sqrt(sdd - sd * sd / n)), 6)
           |    AS corr_qty_disc,
