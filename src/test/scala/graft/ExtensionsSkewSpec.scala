@@ -15,12 +15,25 @@ class ExtensionsSkewSpec extends AnyFunSuite {
     val r = spark.sql(
       """SELECT rolling_hash31('hello') AS rh, fnv1a32('hello') AS fnv,
         |       shingle_array(array('a','b','c','b','c'), 2) AS sh,
-        |       array_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos
+        |       array_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos,
+        |       minhash_sigs(array('a b', 'b c'), 4) AS mh,
+        |       sign_projections(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)), 4, 2, 2) AS sp
         |""".stripMargin).head()
     assert(r.getAs[Long]("rh") == graft.functions.RollingHash31.hash("hello"))
     assert(r.getAs[Long]("fnv") == graft.functions.Fnv1a32.hash("hello".getBytes))
     assert(r.getSeq[String](2).toSeq == Seq("a b", "b c", "c b"))
     assert(r.getAs[Double]("cos") == 1.0)
+    assert(r.getSeq[Long](4).size == 4)
+    assert(r.getSeq[Long](5).size == 2) // one bucket per table
+  }
+
+  test("sign_projections rejects non-floating arrays at analysis time") {
+    Fns.ensureRegistered(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT sign_projections(array(1, 2, 3), 4, 2, 3)").collect()
+    }
+    assert(e.getMessage.contains("array<float> or array<double>"),
+      s"unexpected: ${e.getMessage}")
   }
 
   test("GraftExtensions injects the function set") {
