@@ -87,6 +87,22 @@ object EventStreams {
       .select(unix_timestamp(col("w.start")).as("win_start"),
         col("n"), col("avg_value"))
 
+  /** Gap-based sessions via the built-in `session_window` (batch twin:
+    * q40). Session state merges adjacent windows as events arrive; the
+    * window's `end` is last-event + gap, so in append mode a session
+    * emits exactly when the watermark passes its end (no later event can
+    * extend it). State is bounded: one open session per (user, chain) at
+    * most `gap` behind the watermark.
+    */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        unix_micros(col("w.end")).as("session_end_us"),
+        col("n_events"))
+
   /** Watermarked stream dedup on (user_id, event_type) —
     * dropDuplicatesWithinWatermark exercises streaming state eviction.
     */

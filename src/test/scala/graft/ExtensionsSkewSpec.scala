@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+import graft.api.Registry
 import graft.functions.Fns
 import graft.operators.SkewJoin
 import graft.streaming.{EventStreams, StatefulOps}
@@ -97,6 +98,30 @@ class ExtensionsSkewSpec extends AnyFunSuite {
     }.toSet
     assert(streamed == expected)
     assert(streamed.nonEmpty)
+  }
+
+  test("streaming built-in session_window emits the batch sessions closed by the watermark (q40 twin)") {
+    val streamed = EventStreams.runToMemory(spark, TestSpark.sf0001,
+      "t_swin", "append")(EventStreams.sessionCounts)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val events = graft.api.Tables.t(spark, TestSpark.sf0001, "events")
+    val batch = events
+      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", unix_micros($"w.start").as("s"),
+        unix_micros($"w.end").as("e"), $"n_events")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // watermark is ms-precision; a session emits once the watermark passes
+    // its end (end = last event + gap, so no later event can extend it)
+    val wmUs = (events.agg(max(unix_millis($"ts"))).head().getLong(0)
+      - 1800000L) * 1000
+    val expected = batch.filter(_._3 < wmUs).toSet
+    assert(streamed == expected)
+    assert(streamed.nonEmpty)
+    // cross-check against the oracle-checked batch registry entry
+    val q40 = Registry.byName("q40_session_window").run(spark, TestSpark.sf0001)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed.map(t => (t._1, t._2, t._4)).subsetOf(q40))
   }
 
   implicit class Tup3Ops[A, B, C](s: Array[(A, B, C)]) {
