@@ -29,9 +29,11 @@ import org.apache.spark.sql.graftshim.Bridge
   * into a ~(3 x groups x partitions)-row shuffle.
   */
 case class TopKPerGroupNode(group: Seq[Attribute], order: Seq[SortOrder],
-    k: Int, child: LogicalPlan) extends UnaryNode {
+    k: Int, child: LogicalPlan,
+    maxGroups: Int = TopKPerGroup.defaultPartialMaxGroups) extends UnaryNode {
   require(k >= 1, "k must be >= 1")
   require(group.nonEmpty, "grouping columns must be non-empty")
+  require(maxGroups >= 1, "maxGroups must be >= 1")
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroupNode =
@@ -41,9 +43,9 @@ case class TopKPerGroupNode(group: Seq[Attribute], order: Seq[SortOrder],
 /** Plans TopKPerGroupNode as Final(exchange+sort inserted here)(Partial). */
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroupNode(group, order, k, child) =>
+    case TopKPerGroupNode(group, order, k, child, maxGroups) =>
       TopKPerGroupFinalExec(group, order, k,
-        TopKPerGroupPartialExec(group, order, k, planLater(child))) :: Nil
+        TopKPerGroupPartialExec(group, order, k, planLater(child), maxGroups)) :: Nil
     case _ => Nil
   }
 }
@@ -54,37 +56,56 @@ object TopKPerGroupStrategy extends SparkStrategy {
   * through once, the heap keeps order internally.
   */
 case class TopKPerGroupPartialExec(group: Seq[Attribute], order: Seq[SortOrder],
-    k: Int, child: SparkPlan) extends UnaryExecNode {
+    k: Int, child: SparkPlan,
+    maxGroups: Int = TopKPerGroup.defaultPartialMaxGroups) extends UnaryExecNode {
   import org.apache.spark.sql.execution.metric.SQLMetrics
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override lazy val metrics = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
-      "number of output rows (rows entering the shuffle)"))
+      "number of output rows (rows entering the shuffle)"),
+    "numPassThroughRows" -> SQLMetrics.createMetric(sparkContext,
+      "rows passed through after the group cap (memory fallback)"))
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val (groupL, orderL, kL, childOutput) = (group, order, k, child.output)
+    val (groupL, orderL, kL, capL, childOutput) =
+      (group, order, k, maxGroups, child.output)
     val numOutputRows = longMetric("numOutputRows")
+    val numPassThroughRows = longMetric("numPassThroughRows")
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(groupL, childOutput)
       val ord = RowOrdering.create(orderL, childOutput)
       // heap head = worst kept row, so comparator is reversed
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
+      // rows belonging to groups beyond the cap stream straight to the
+      // shuffle unfiltered (no buffering — the exchange serializes each
+      // emitted row before pulling the next, so the reused child row is
+      // safe to forward) — the final exec still ranks them exactly, so
+      // the cap trades shuffle volume for bounded map-side memory, the
+      // same degrade-to-passthrough shape HashAggregateExec uses when
+      // its hash map can't grow.
+      val scanned = iter.flatMap { row =>
         val key = keyProj(row)
         var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kL + 1, ord.reverse)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size < kL) heap.offer(row.copy())
-        else if (ord.compare(row, heap.peek) < 0) {
-          heap.poll(); heap.offer(row.copy())
+        if (heap == null && heaps.size >= capL) {
+          numPassThroughRows += 1
+          Iterator.single(row)
+        } else {
+          if (heap == null) {
+            heap = new java.util.PriorityQueue[InternalRow](kL + 1, ord.reverse)
+            heaps.put(key.copy(), heap)
+          }
+          if (heap.size < kL) heap.offer(row.copy())
+          else if (ord.compare(row, heap.peek) < 0) {
+            heap.poll(); heap.offer(row.copy())
+          }
+          Iterator.empty
         }
       }
       import scala.jdk.CollectionConverters._
-      heaps.values.asScala.iterator.flatMap(_.iterator.asScala)
+      // `++`'s right side is by-name: the heap flush builds only after
+      // the scan (and therefore every heap update) has completed
+      (scanned ++ heaps.values.asScala.iterator.flatMap(_.iterator.asScala))
         .map { r => numOutputRows += 1; r }
     }, preservesPartitioning = true)
   }
@@ -131,12 +152,22 @@ case class TopKPerGroupFinalExec(group: Seq[Attribute], order: Seq[SortOrder],
 }
 
 object TopKPerGroup {
+  /** Partial-side group cap: above this many distinct groups in one input
+    * partition, further groups' rows pass through to the shuffle
+    * unfiltered instead of growing the heap map. At k=3 and ~100 B/row
+    * the cap bounds map-side memory near 80 MB regardless of input
+    * cardinality (the group-count : partition-count ratio at 100 TB is
+    * unknowable at plan time, so the bound must be a runtime degrade,
+    * not a plan-time assumption).
+    */
+  val defaultPartialMaxGroups: Int = 1 << 18
+
   /** Top-k rows per group of `df`, ordered by `orderCols` (e.g.
     * `col("price").desc`). Output columns = input columns; within a
     * group rows come back in `orderCols` order.
     */
   def topK(df: DataFrame, groupCols: Seq[String], orderCols: Seq[Column],
-      k: Int): DataFrame = {
+      k: Int, maxGroups: Int = defaultPartialMaxGroups): DataFrame = {
     val spark = df.sparkSession
     Bridge.addStrategy(spark, TopKPerGroupStrategy)
     // route the order columns through the analyzer (a throwaway
@@ -153,6 +184,7 @@ object TopKPerGroup {
     def byName(name: String): Attribute =
       child.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(
         s"column $name not in ${child.output.map(_.name).mkString(",")}"))
-    Bridge.ofRows(spark, TopKPerGroupNode(groupCols.map(byName), order, k, child))
+    Bridge.ofRows(spark, TopKPerGroupNode(groupCols.map(byName), order, k,
+      child, maxGroups))
   }
 }

@@ -61,12 +61,41 @@ class PhysicalTopKSpec extends AnyFunSuite {
       .collectFirst { case t: graft.plans.TopKPerGroupPartialExec => t }
     assert(partial.nonEmpty, "no TopKPerGroupPartialExec in executed plan")
     val shuffled = partial.get.metrics("numOutputRows").value
+    assert(shuffled > 0, "metric should reflect the executed plan")
     assert(shuffled <= 3L * 10 * 4,
       s"shuffle carried $shuffled rows; partial top-k should cap at 120")
     // and the result is still exactly the k smallest per group
     val got = custom.as[(Long, Long)].collect().toSet
     val exp = (0L until 10L).flatMap(g => (0 until 3).map(i => (g, g + 10L * i))).toSet
     assert(got == exp)
+  }
+
+  test("partial group cap degrades to passthrough without changing results") {
+    // 10 groups but cap=2: at most 2 heaps per partition; every other
+    // group's rows stream to the shuffle unfiltered and the final exec
+    // alone ranks them — results must be identical to the uncapped run
+    val big = spark.range(4000).select(
+      (col("id") % 10).as("g"), col("id").as("v")).repartition(4)
+    val capped = TopKPerGroup.topK(big, Seq("g"), Seq($"v".asc), 3, maxGroups = 2)
+    // collect() on THIS Dataset: .as[...] would build a fresh
+    // QueryExecution and the metrics below would read a never-run plan
+    val got = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exp = (0L until 10L).flatMap(g => (0 until 3).map(i => (g, g + 10L * i))).toSet
+    assert(got == exp)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def findAll(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => findAll(a.executedPlan)
+      case q: QueryStageExec => findAll(q.plan)
+      case _ => p.children.flatMap(findAll)
+    })
+    val partial = findAll(capped.queryExecution.executedPlan)
+      .collectFirst { case t: graft.plans.TopKPerGroupPartialExec => t }.get
+    info(s"maxGroups=${partial.maxGroups} metrics=${partial.metrics.view.mapValues(_.value).toMap}")
+    val passed = partial.metrics("numPassThroughRows").value
+    assert(passed > 0, "cap=2 with 10 groups/partition must trigger passthrough")
+    // tracked groups still filter: shuffle volume < full input
+    assert(partial.metrics("numOutputRows").value < 4000)
   }
 
   test("ties, k larger than group size, and single-row groups") {
