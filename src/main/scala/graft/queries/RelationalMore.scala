@@ -108,7 +108,12 @@ object RelationalMore {
     //     scale-6 cast is NOT safe: above 2^53 unscaled, DuckDB's
     //     int128->double->/10^6 double-rounds while Spark's BigDecimal
     //     rounds once, diverging by 1 ulp — measured on 527/2000 random
-    //     values; scale 6 crosses 2^53 at sums of only ~9e9.) ---
+    //     values; scale 6 crosses 2^53 at sums of only ~9e9.)
+    //     The scale-2 pin itself must be round(x, 2) in the oracle, NOT
+    //     CAST(x AS DECIMAL(38,2)): DuckDB's decimal downscale cast
+    //     rounds half-to-even (.405 -> .40) while Spark's decimal cast
+    //     and DuckDB's round() both round half away from zero (.405 ->
+    //     .41) — a sf0.001 sum landed exactly on the half point. ---
     QueryDef(
       "q36_decimal_agg",
       (s, dir) => Tables.t(s, dir, "lineitem")
@@ -124,13 +129,13 @@ object RelationalMore {
         .orderBy("l_returnflag"),
       Some(
         """SELECT l_returnflag,
-          |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-          |       AS DECIMAL(38,2)) AS DOUBLE) AS dec_revenue,
-          |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))
-          |       AS DECIMAL(38,2)) AS DOUBLE) AS dec_qty,
-          |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-          |           * CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(24,6)))
-          |       AS DECIMAL(38,2)) AS DOUBLE) AS dec_discount_amt
+          |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+          |       AS DOUBLE) AS dec_revenue,
+          |  CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2)
+          |       AS DOUBLE) AS dec_qty,
+          |  CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+          |           * CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(24,6))), 2)
+          |       AS DOUBLE) AS dec_discount_amt
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // --- calendar interval arithmetic (month-end clamping semantics) ---
@@ -267,6 +272,34 @@ object RelationalMore {
           |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
           |  FROM orders) t
           |WHERE rk <= 3
-          |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin))
+          |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin)),
+
+    // --- custom DataSource V2 scan (sources.GenSource): the id filter
+    //     reaches the connector as a pushed range (no rows outside
+    //     [1000, 9000) are ever generated — GenSourceSpec pins the plan),
+    //     and the oracle recomputes the same deterministic table from
+    //     range() in DuckDB, so the whole TableProvider -> ScanBuilder ->
+    //     PartitionReader pipeline is driver-hash-checked. ---
+    QueryDef(
+      "q43_gen_source",
+      (s, _) => s.read.format("graft.sources.GenSource")
+        .option("rows", 20000).option("slices", 8).load()
+        .filter(col("id") >= 1000 && col("id") < 9000)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          round(sum("val"), 4).as("sum_val"),
+          countDistinct("tag").as("n_tags"),
+          min("id").as("min_id"), max("id").as("max_id"))
+        .orderBy("bucket"),
+      Some(
+        """WITH g AS (
+          |  SELECT i AS id, (i * 2654435761) % 4294967296 AS h
+          |  FROM range(1000, 9000) t(i))
+          |SELECT CAST(h % 100 AS INT) AS bucket, count(*) AS n,
+          |  round(sum(h / 4294967296.0), 4) AS sum_val,
+          |  count(DISTINCT 't' || CAST(h % 7 AS VARCHAR)) AS n_tags,
+          |  min(id) AS min_id, max(id) AS max_id
+          |FROM g GROUP BY 1
+          |ORDER BY bucket""".stripMargin))
   )
 }

@@ -1,0 +1,159 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader,
+  PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters,
+  SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
+  GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic synthetic-table source, written against the public
+  * DataSource V2 connector API to prove the engine's source-extension
+  * surface end-to-end (TableProvider -> ScanBuilder -> Batch ->
+  * PartitionReader) — the reference's only "source" is a whole-file text
+  * scan; a pluggable columnar source is the Spark-native generalization.
+  *
+  * The row at index i is a pure function of i (a Knuth multiplicative
+  * hash), so the table is reproducible on any cluster and mirrorable in
+  * ANSI SQL — the q43 oracle recomputes it in DuckDB from `range()`.
+  *
+  * Scale design: no driver-side data — `planInputPartitions` ships only
+  * (start, end) offsets; each executor generates its slice. Filter
+  * pushdown narrows the generated id range BEFORE planning (a 100 TB
+  * virtual table filtered to one id-window generates exactly that
+  * window), and column pruning drops per-row work for unread columns.
+  *
+  * Usage: `spark.read.format("graft.sources.GenSource")
+  *   .option("rows", n).option("slices", p).load()`.
+  */
+class GenSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GenSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GenTable(
+      properties.getOrDefault("rows", "1000").toLong,
+      properties.getOrDefault("slices", "8").toInt)
+}
+
+object GenSource {
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("bucket", IntegerType, nullable = false),
+    StructField("val", DoubleType, nullable = false),
+    StructField("tag", StringType, nullable = false)))
+
+  /** Knuth multiplicative hash of the row index, kept in [0, 2^32) so
+    * every derived column is exact in both Long and DuckDB BIGINT
+    * arithmetic (no overflow below ~3.5e9 rows; enforced in GenTable).
+    */
+  def h(id: Long): Long = (id * 2654435761L) % 4294967296L
+  def bucket(id: Long): Int = (h(id) % 100L).toInt
+  /** Exact in IEEE double: h < 2^32 is integer-exact, /2^32 is a power-
+    * of-two scale — DuckDB's `h / 4294967296.0` yields the same bits.
+    */
+  def value(id: Long): Double = h(id).toDouble / 4294967296.0
+  def tag(id: Long): String = "t" + (h(id) % 7L)
+}
+
+class GenTable(rows: Long, slices: Int) extends Table with SupportsRead {
+  require(rows >= 0 && rows <= 3400000000L,
+    s"rows=$rows would overflow the 64-bit hash product")
+  require(slices >= 1, "slices must be >= 1")
+  override def name(): String = s"graftgen($rows)"
+  override def schema(): StructType = GenSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GenScanBuilder(rows, slices)
+}
+
+/** Pushdown state: [lo, hi) is the id range that survives every accepted
+  * filter; pruned columns narrow the emitted schema.
+  */
+class GenScanBuilder(rows: Long, slices: Int) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var lo = 0L
+  private var hi = rows
+  private var accepted: Array[Filter] = Array.empty
+  private var prunedSchema: StructType = GenSource.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (push, remain) = filters.partition {
+      case EqualTo("id", _: Number) => true
+      case GreaterThan("id", _: Number) => true
+      case GreaterThanOrEqual("id", _: Number) => true
+      case LessThan("id", _: Number) => true
+      case LessThanOrEqual("id", _: Number) => true
+      case _ => false
+    }
+    push.foreach {
+      case EqualTo("id", v: Number) =>
+        lo = math.max(lo, v.longValue); hi = math.min(hi, v.longValue + 1)
+      case GreaterThan("id", v: Number) => lo = math.max(lo, v.longValue + 1)
+      case GreaterThanOrEqual("id", v: Number) => lo = math.max(lo, v.longValue)
+      case LessThan("id", v: Number) => hi = math.min(hi, v.longValue)
+      case LessThanOrEqual("id", v: Number) => hi = math.min(hi, v.longValue + 1)
+      case _ =>
+    }
+    accepted = push
+    remain
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    prunedSchema = requiredSchema
+
+  override def build(): Scan = new GenScan(math.min(lo, hi),
+    math.max(math.min(lo, hi), hi), slices, prunedSchema)
+}
+
+class GenScan(lo: Long, hi: Long, slices: Int, pruned: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = pruned
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GenScan PushedRange: [$lo, $hi) ReadSchema: ${pruned.simpleString}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = hi - lo
+    if (n <= 0) Array.empty
+    else {
+      val per = math.max(1L, (n + slices - 1) / slices)
+      (lo until hi by per).map(s =>
+        GenPartition(s, math.min(s + per, hi)): InputPartition).toArray
+    }
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GenReaderFactory(pruned)
+}
+
+case class GenPartition(start: Long, end: Long) extends InputPartition
+
+class GenReaderFactory(pruned: StructType) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val gp = p.asInstanceOf[GenPartition]
+    // resolve column generators once per partition, not per row
+    val gens: Array[Long => Any] = pruned.fieldNames.map {
+      case "id" => (id: Long) => id
+      case "bucket" => (id: Long) => GenSource.bucket(id)
+      case "val" => (id: Long) => GenSource.value(id)
+      case "tag" => (id: Long) => UTF8String.fromString(GenSource.tag(id))
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    }
+    new PartitionReader[InternalRow] {
+      private var cur = gp.start - 1
+      override def next(): Boolean = { cur += 1; cur < gp.end }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(gens.map(g => g(cur)).toSeq)
+      override def close(): Unit = ()
+    }
+  }
+}

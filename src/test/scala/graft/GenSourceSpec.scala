@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.GenSource
+
+class GenSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def gen(rows: Long, slices: Int = 8) =
+    spark.read.format("graft.sources.GenSource")
+      .option("rows", rows).option("slices", slices).load()
+
+  test("full scan: schema, count, and deterministic per-row values") {
+    val df = gen(1000, 4)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "bucket", "val", "tag"))
+    assert(df.count() == 1000)
+    val r = df.filter($"id" === 7L).head()
+    assert(r.getLong(0) == 7L)
+    assert(r.getInt(1) == GenSource.bucket(7))
+    assert(r.getDouble(2) == GenSource.value(7))
+    assert(r.getString(3) == GenSource.tag(7))
+  }
+
+  test("id filters reach the connector as a pushed range") {
+    val df = gen(100000, 8).filter($"id" >= 90000L && $"id" < 95000L)
+    assert(df.count() == 5000)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedRange: [90000, 95000)"),
+      s"range not pushed:\n$plan")
+  }
+
+  test("column pruning reaches the reader schema") {
+    val df = gen(1000, 4).groupBy("bucket").count()
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<bucket:int>"),
+      s"bucket-only read schema not pushed:\n$plan")
+  }
+
+  test("slices control scan parallelism; non-id filters stay post-scan") {
+    assert(gen(1000, 4).rdd.getNumPartitions == 4)
+    // bucket filter is not pushable: connector keeps the full range and
+    // Spark applies the predicate post-scan — result must still be exact
+    val got = gen(1000, 2).filter($"bucket" === 5).count()
+    val exp = (0L until 1000L).count(GenSource.bucket(_) == 5)
+    assert(got == exp && exp > 0)
+  }
+
+  test("contradictory range yields an empty scan, not an error") {
+    assert(gen(1000).filter($"id" >= 900L && $"id" < 100L).count() == 0)
+  }
+}
