@@ -42,6 +42,20 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(reps.forall(_ == 1))
   }
 
+  test("giant skewed component: 20k-spoke hub + 512-node chain inside the log bound") {
+    // the hub gives the neighbor-min groupBy one 20k-row key — the skew
+    // shape of a boilerplate page at 100 TB; min is algebraic, so the
+    // map-side combiner collapses it before the shuffle. The chain pins
+    // the pointer-jumping bound: log2(513) ≈ 9 improving rounds, so
+    // maxIter=11 fails if compression ever regresses to O(diameter).
+    val star = (1L to 20000L).map(i => (0L, i))
+    val chain = (100000L until 100512L).map(i => (i, i + 1))
+    val got = labels(star ++ chain, maxIter = 11)
+    assert(got.size == 20001 + 513)
+    assert(got(0L) == 0L && (1L to 20000L).forall(got(_) == 0L))
+    assert((100000L to 100512L).forall(got(_) == 100000L))
+  }
+
   test("maxIter counts improving rounds only: a single pair converges at maxIter=1") {
     // round 1 improves (2 -> label 1), the uncounted confirming round
     // certifies — this used to throw because the confirming round
