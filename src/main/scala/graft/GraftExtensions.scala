@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // sessions built without extensions get the same strategy lazily via
     // experimental.extraStrategies in TopKPerGroup.topK
     e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+    // optimizer extension (third Catalyst surface): declarative
+    // row_number-filter top-k -> TopKPerGroupNode; inert unless
+    // spark.graft.rewriteRankLimit=true
+    e.injectOptimizerRule(_ => graft.plans.RankLimitRewrite)
     e.injectFunction(fn("rolling_hash31",
       "rolling_hash31(str) - code-point polynomial hash mod 2^31",
       exprs => RollingHash31(exprs.head)))

@@ -17,16 +17,22 @@ import org.apache.spark.sql.graftshim.Bridge
   * (LogicalPlan -> SparkStrategy -> SparkPlan, registered through
   * `experimental.extraStrategies` / GraftExtensions).
   *
-  * Why a custom operator beats the declarative window formulation at
-  * scale: `row_number().over(partitionBy(g).orderBy(o)) <= k` shuffles
-  * EVERY input row to its group's reducer before any row is discarded.
-  * The physical plan here inserts a map-side partial top-k (bounded
-  * per-group heaps) BELOW the exchange, capping shuffle volume at
-  * k rows per (group, input partition) — the same partial/final shape
-  * hash aggregation uses, applied to ranking, which Catalyst cannot
-  * derive from the window formulation (rank predicates don't push
-  * through exchanges). At 100 TB with k=3 this turns a full-data shuffle
-  * into a ~(3 x groups x partitions)-row shuffle.
+  * How this relates to what Catalyst already derives: since 3.5, Spark's
+  * InferWindowGroupLimit plans `row_number().over(...) <= k` with a
+  * map-side WindowGroupLimit(Partial), so BOTH formulations cap the
+  * shuffle at k rows per (group, input partition). The differences that
+  * remain, and why the custom operator still earns its place at 100 TB:
+  *  - the built-in partial requires a FULL local sort of every input
+  *    partition beneath it (O(n log n), spill-prone on wide rows, and a
+  *    second local sort above the exchange), and still computes the
+  *    row_number column in a WindowExec before filtering it away; the
+  *    partial here streams UNSORTED input through bounded per-group
+  *    heaps in O(n log k) and the final pass never materializes a rank;
+  *  - map-side memory is hard-capped: above `maxGroups` distinct groups
+  *    per partition the partial degrades to passthrough (see below)
+  *    instead of growing, a bound WindowGroupLimit gets from its sort
+  *    (spill) and this operator gets without one.
+  * PhysicalTopKSpec pins both plans' shuffle-volume metrics.
   */
 case class TopKPerGroupNode(group: Seq[Attribute], order: Seq[SortOrder],
     k: Int, child: LogicalPlan,

@@ -300,6 +300,39 @@ object RelationalMore {
           |  count(DISTINCT 't' || CAST(h % 7 AS VARCHAR)) AS n_tags,
           |  min(id) AS min_id, max(id) AS max_id
           |FROM g GROUP BY 1
-          |ORDER BY bucket""".stripMargin))
+          |ORDER BY bucket""".stripMargin)),
+
+    // --- optimizer-rule extension (RankLimitRewrite): the DECLARATIVE
+    //     row_number-filter formulation, planned through the custom
+    //     TopKPerGroup operator by the injected rule — the oracle is the
+    //     same declarative SQL, so the driver hash-checks that the
+    //     rewrite is semantics-preserving. The flag is scoped by forcing
+    //     optimization eagerly, then resetting (the rewrite must not
+    //     leak into other queries' plans). ---
+    QueryDef(
+      "q44_rank_rewrite",
+      (s, dir) => {
+        graft.plans.RankLimitRewrite.enable(s)
+        try {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("p_brand"))
+            .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+          val df = Tables.t(s, dir, "part")
+            .select("p_brand", "p_partkey", "p_retailprice")
+            .withColumn("rk", row_number().over(w))
+            .filter(col("rk") <= 2).drop("rk")
+            .orderBy(col("p_brand"), col("p_retailprice").desc, col("p_partkey"))
+          df.queryExecution.optimizedPlan // rewrite fires here, under the flag
+          df
+        } finally s.conf.set(graft.plans.RankLimitRewrite.flag, "false")
+      },
+      Some(
+        """SELECT p_brand, p_partkey, p_retailprice FROM (
+          |  SELECT p_brand, p_partkey, p_retailprice,
+          |    row_number() OVER (PARTITION BY p_brand
+          |      ORDER BY p_retailprice DESC, p_partkey) AS rk
+          |  FROM part) t
+          |WHERE rk <= 2
+          |ORDER BY p_brand, p_retailprice DESC, p_partkey""".stripMargin))
   )
 }

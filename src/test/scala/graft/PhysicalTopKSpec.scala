@@ -98,6 +98,44 @@ class PhysicalTopKSpec extends AnyFunSuite {
     assert(partial.metrics("numOutputRows").value < 4000)
   }
 
+  test("RankLimitRewrite plans the declarative row_number filter as the custom operator") {
+    import graft.plans.RankLimitRewrite
+    RankLimitRewrite.enable(spark)
+    try {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      def declarative = orders.withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3).drop("rk")
+      val rewritten = declarative
+      val got = rewritten.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerGroupPartial"), s"rewrite did not fire:\n$plan")
+      assert(!plan.contains("WindowGroupLimit") && !plan.contains("row_number()"),
+        s"built-in window path should be fully replaced:\n$plan")
+      spark.conf.set(RankLimitRewrite.flag, "false")
+      val base = declarative.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == base)
+      assert(got.nonEmpty)
+    } finally spark.conf.set(RankLimitRewrite.flag, "false")
+  }
+
+  test("RankLimitRewrite stays conservative when the rank column escapes") {
+    import graft.plans.RankLimitRewrite
+    RankLimitRewrite.enable(spark)
+    try {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      val keepsRank = orders.withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3) // rk kept in output -> no rewrite
+      keepsRank.collect()
+      val plan = keepsRank.queryExecution.executedPlan.toString
+      assert(!plan.contains("TopKPerGroupPartial"), s"must not fire:\n$plan")
+      assert(plan.contains("row_number()"), s"window path expected:\n$plan")
+    } finally spark.conf.set(RankLimitRewrite.flag, "false")
+  }
+
   test("ties, k larger than group size, and single-row groups") {
     val df = Seq((1L, 5.0), (1L, 5.0), (1L, 4.0), (2L, 1.0)).toDF("g", "v")
     val got = TopKPerGroup.topK(df, Seq("g"), Seq($"v".desc), 10)
