@@ -67,4 +67,31 @@ class OperatorSpec extends AnyFunSuite {
     val (exact, approx) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
     assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
   }
+
+  test("merge upsert: update replaces whole row, insert lands, rest carries forward") {
+    import graft.operators.MergeUpsert
+    val target = Seq((1L, Some("a"), 10.0), (2L, Some("b"), 20.0),
+      (3L, Some("c"), 30.0)).toDF("k", "s", "v")
+    // row 2: whole-row UPDATE with a NULL data column — MERGE SET *
+    // semantics require the NULL to overwrite, not fall back
+    val source = Seq((2L, None: Option[String], 99.0), (4L, Some("d"), 40.0))
+      .toDF("k", "s", "v")
+    val got = MergeUpsert.merge(target, source, Seq("k"))
+      .as[(Long, Option[String], Double)].collect().toSet
+    assert(got == Set(
+      (1L, Some("a"), 10.0), (2L, None, 99.0),
+      (3L, Some("c"), 30.0), (4L, Some("d"), 40.0)))
+  }
+
+  test("merge upsert: composite keys and schema-mismatch rejection") {
+    import graft.operators.MergeUpsert
+    val target = Seq((1L, "x", 10.0), (1L, "y", 20.0)).toDF("k1", "k2", "v")
+    val source = Seq((1L, "y", 99.0), (2L, "x", 1.0)).toDF("k1", "k2", "v")
+    val got = MergeUpsert.merge(target, source, Seq("k1", "k2"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(got == Set((1L, "x", 10.0), (1L, "y", 99.0), (2L, "x", 1.0)))
+    assertThrows[IllegalArgumentException] {
+      MergeUpsert.merge(target, source.select("k2", "k1", "v"), Seq("k1"))
+    }
+  }
 }
