@@ -315,6 +315,65 @@ object PipelineQueries {
           |  coalesce(c.group_id, d.doc_id) AS group_id,
           |  (d.doc_id = coalesce(c.group_id, d.doc_id)) AS is_rep
           |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
-          |ORDER BY d.doc_id""".stripMargin))
+          |ORDER BY d.doc_id""".stripMargin)),
+
+    // --- overlapping token-window chunking (operators.Chunking): the
+    //     doc->chunk generator between cleaning and tokenization. Spark's
+    //     split(text,' ') and slice(arr, start, len) mirror DuckDB's
+    //     string_split and list_slice (inclusive 1-based begin..end). ---
+    QueryDef(
+      "p15_doc_chunks",
+      (s, dir) => graft.operators.Chunking.chunks(
+        Tables.t(s, dir, "documents").filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", window = 50, stride = 40)
+        .orderBy("doc_id", "chunk_start"),
+      Some(
+        """WITH d AS (
+          |  SELECT doc_id, string_split(text, ' ') AS toks
+          |  FROM documents WHERE doc_id % 20 = 0),
+          |e AS (
+          |  SELECT doc_id, toks,
+          |    unnest(generate_series(0, greatest(len(toks) - 1, 0), 40))
+          |      AS chunk_start
+          |  FROM d)
+          |SELECT doc_id, chunk_start,
+          |  CAST(len(list_slice(toks, chunk_start + 1, chunk_start + 50))
+          |       AS BIGINT) AS n_chunk_tokens,
+          |  array_to_string(list_slice(toks, chunk_start + 1, chunk_start + 50),
+          |                  ' ') AS chunk_text
+          |FROM e WHERE chunk_start < len(toks)
+          |ORDER BY doc_id, chunk_start""".stripMargin)),
+
+    // --- greedy sequence packing (operators.Chunking.withSequenceIds):
+    //     docs fill 2048-token sequences per language in doc_id order; a
+    //     doc joins the sequence its first token lands in. Output is the
+    //     per-sequence manifest a training job reads. ---
+    QueryDef(
+      "p16_seq_packing",
+      (s, dir) => graft.operators.Chunking.withSequenceIds(
+        Tables.t(s, dir, "documents")
+          .select(col("lang"), col("doc_id"),
+            size(graft.functions.Fns.tokens(col("text"))).as("nt")),
+        "lang", "doc_id", col("nt"), budget = 2048)
+        .groupBy("lang", "seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("seq_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("lang", "seq_id"),
+      Some(
+        """WITH t AS (
+          |  SELECT lang, doc_id,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+          |  FROM documents),
+          |c AS (
+          |  SELECT lang, doc_id, n_toks,
+          |    sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM t)
+          |SELECT lang, CAST((cum - n_toks) // 2048 AS BIGINT) AS seq_id,
+          |  count(*) AS n_docs,
+          |  CAST(sum(n_toks) AS BIGINT) AS seq_tokens,
+          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+          |FROM c GROUP BY lang, seq_id
+          |ORDER BY lang, seq_id""".stripMargin))
   )
 }

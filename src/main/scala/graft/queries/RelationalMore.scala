@@ -333,6 +333,72 @@ object RelationalMore {
           |      ORDER BY p_retailprice DESC, p_partkey) AS rk
           |  FROM part) t
           |WHERE rk <= 2
-          |ORDER BY p_brand, p_retailprice DESC, p_partkey""".stripMargin))
+          |ORDER BY p_brand, p_retailprice DESC, p_partkey""".stripMargin)),
+
+    // --- MERGE / upsert (operators.MergeUpsert): updates bump matched
+    //     keys (whole-row replace), inserts land guaranteed-new keys,
+    //     everything else carries forward — one full-outer join, same
+    //     formulation the oracle runs. ---
+    QueryDef(
+      "q45_merge_upsert",
+      (s, dir) => {
+        val target = Tables.t(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        // +1000.0 is a single IEEE add — bit-identical in both engines
+        // (round(x*1.1, 2) is NOT: Spark rounds the exact BigDecimal of
+        // the double, DuckDB rounds in float — they disagreed on ~0.01%
+        // of rows at sf0.01)
+        val updates = target.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") + 1000.0).as("o_totalprice"),
+            lit("U").as("o_orderstatus"))
+        val inserts = target.filter(col("o_orderkey") % 11 === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            col("o_totalprice"), lit("N").as("o_orderstatus"))
+        graft.operators.MergeUpsert
+          .merge(target, updates.unionAll(inserts), Seq("o_orderkey"))
+          .orderBy("o_orderkey")
+      },
+      Some(
+        """WITH target AS (
+          |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+          |source AS (
+          |  SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice,
+          |         'U' AS o_orderstatus
+          |  FROM target WHERE o_orderkey % 7 = 0
+          |  UNION ALL
+          |  SELECT o_orderkey + 100000000, o_totalprice, 'N'
+          |  FROM target WHERE o_orderkey % 11 = 0)
+          |SELECT
+          |  COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+          |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+          |       ELSE t.o_totalprice END AS o_totalprice,
+          |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+          |       ELSE t.o_orderstatus END AS o_orderstatus
+          |FROM target t FULL OUTER JOIN source s
+          |  ON t.o_orderkey = s.o_orderkey
+          |ORDER BY o_orderkey""".stripMargin)),
+
+    // --- string/array aggregation (LISTAGG-family): collect_list is
+    //     order-nondeterministic after a shuffle, so both engines pin a
+    //     total order inside the aggregate (array_sort / ORDER BY). ---
+    QueryDef(
+      "q46_string_agg",
+      (s, dir) => Tables.t(s, dir, "nation")
+        .join(Tables.t(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          array_join(array_sort(collect_list("n_name")), ",").as("nations_csv"),
+          array_sort(collect_list("n_nationkey")).as("nation_keys"),
+          count(lit(1)).as("n_nations"))
+        .orderBy("r_name"),
+      Some(
+        """SELECT r_name,
+          |  string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+          |  list(n_nationkey ORDER BY n_nationkey) AS nation_keys,
+          |  count(*) AS n_nations
+          |FROM nation JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name ORDER BY r_name""".stripMargin))
   )
 }
