@@ -381,7 +381,10 @@ object RelationalMore {
 
     // --- string/array aggregation (LISTAGG-family): collect_list is
     //     order-nondeterministic after a shuffle, so both engines pin a
-    //     total order inside the aggregate (array_sort / ORDER BY). ---
+    //     total order inside the aggregate (array_sort / ORDER BY).
+    //     Output columns are all scalar: the sorted key list is emitted
+    //     as a CSV string (numeric sort, THEN cast to string) because
+    //     the driver's comparator cannot hash list-typed cells. ---
     QueryDef(
       "q46_string_agg",
       (s, dir) => Tables.t(s, dir, "nation")
@@ -390,13 +393,15 @@ object RelationalMore {
         .groupBy("r_name")
         .agg(
           array_join(array_sort(collect_list("n_name")), ",").as("nations_csv"),
-          array_sort(collect_list("n_nationkey")).as("nation_keys"),
+          array_join(array_sort(collect_list("n_nationkey"))
+            .cast("array<string>"), ",").as("nation_keys_csv"),
           count(lit(1)).as("n_nations"))
         .orderBy("r_name"),
       Some(
         """SELECT r_name,
           |  string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
-          |  list(n_nationkey ORDER BY n_nationkey) AS nation_keys,
+          |  string_agg(CAST(n_nationkey AS VARCHAR), ','
+          |             ORDER BY n_nationkey) AS nation_keys_csv,
           |  count(*) AS n_nations
           |FROM nation JOIN region ON n_regionkey = r_regionkey
           |GROUP BY r_name ORDER BY r_name""".stripMargin))
