@@ -7,6 +7,7 @@ object Registry {
       graft.queries.Relational.defs ++
       graft.queries.RelationalExt.defs ++
       graft.queries.RelationalMore.defs ++
+      graft.queries.RelationalScale.defs ++
       graft.queries.PipelineQueries.defs
 
   lazy val byName: Map[String, QueryDef] = {
