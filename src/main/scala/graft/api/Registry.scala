@@ -8,7 +8,8 @@ object Registry {
       graft.queries.RelationalExt.defs ++
       graft.queries.RelationalMore.defs ++
       graft.queries.RelationalScale.defs ++
-      graft.queries.PipelineQueries.defs
+      graft.queries.PipelineQueries.defs ++
+      graft.queries.PipelineExt.defs
 
   lazy val byName: Map[String, QueryDef] = {
     val names = all.map(_.name)

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+
+/** Benchmark decontamination — remove training documents that overlap an
+  * evaluation/benchmark set, the standard pre-training hygiene step (the
+  * n-gram-overlap procedure popularized by GPT-3 appendix C / PaLM /
+  * Llama): a training doc is contaminated when it shares any word n-gram
+  * with an eval doc.
+  *
+  * Scale design: the eval side is benchmarks — MBs, thousands of docs —
+  * while the train side is the 100 TB corpus. The eval n-gram set is
+  * therefore built distinct and BROADCAST; the corpus streams through a
+  * broadcast hash join with NO shuffle of the train side at all. The only
+  * wide operation is the final per-doc count, which shuffles one (id,
+  * gram-count) pair per contaminated doc — vanishingly small. The corpus
+  * is never re-partitioned, so this composes with upstream dedup/quality
+  * stages without an extra exchange.
+  */
+object Decontaminate {
+
+  /** Per-train-doc count of distinct word n-grams also present anywhere in
+    * the eval set. Only contaminated docs (count >= 1) are returned.
+    * Shingles come from the same native ShingleArray expression as the
+    * dedup family (already distinct per doc), so "overlap" here means
+    * distinct shared n-grams.
+    */
+  def overlapCounts(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val evalGrams = eval
+      .select(explode(Fns.shingles(Fns.tokens(col(textCol)), n)).as("gram"))
+      .distinct()
+    val trainGrams = train.select(col(idCol).as("id"),
+      explode(Fns.shingles(Fns.tokens(col(textCol)), n)).as("gram"))
+    trainGrams.join(broadcast(evalGrams), Seq("gram"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
+  /** The train set with every doc sharing >= `maxOverlap` distinct eval
+    * n-grams removed (maxOverlap = 1 => any shared n-gram disqualifies).
+    * Same broadcast shape, but as a LEFT ANTI join so clean docs pass
+    * through untouched with their full payload.
+    */
+  def clean(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int, maxOverlap: Long = 1L): DataFrame = {
+    val dirty = overlapCounts(train, eval, idCol, textCol, n)
+      .filter(col("n_overlap") >= maxOverlap)
+      .select(col("id").as(idCol))
+    train.join(broadcast(dirty), Seq(idCol), "left_anti")
+  }
+}

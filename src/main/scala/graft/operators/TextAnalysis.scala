@@ -47,6 +47,24 @@ object TextAnalysis {
     size(regexp_extract_all(text,
       lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("bpe_tokens"))
 
+  /** Gopher-style repetition metrics (Rae et al. 2021, table A1): the
+    * fraction of duplicate word n-gram occurrences, 1 - distinct/total,
+    * for n = 1, 2, 3. High values mark boilerplate, spam and degenerate
+    * repetition that survive the surface-level qualityColumns gates.
+    * Per-row expressions over the same native ShingleArray as the dedup
+    * family (distinct by construction) — no shuffle.
+    */
+  def repetitionColumns(text: Column): Seq[Column] = {
+    val toks = Fns.tokens(text)
+    def dupFrac(n: Int, as: String) = {
+      val total = (size(toks) - (n - 1)).cast("double")
+      val dist = size(Fns.shingles(toks, n)).cast("double")
+      round(when(total > 0, lit(1.0) - dist / total).otherwise(0.0), 6).as(as)
+    }
+    Seq(dupFrac(1, "dup_word_frac"), dupFrac(2, "dup_2gram_frac"),
+      dupFrac(3, "dup_3gram_frac"))
+  }
+
   /** Rolling-hash document fingerprint (custom codegen'd expression). */
   def fingerprint(text: Column): Column = Fns.rollingHash31(text)
 
