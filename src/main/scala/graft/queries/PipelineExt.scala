@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.api.{QueryDef, Tables}
-import graft.operators.{Decontaminate, TextAnalysis}
+import graft.operators.{Anonymize, Decontaminate, Embeddings, TextAnalysis}
 
 /** Round-4 training-data pipeline additions: benchmark decontamination,
   * repetition-based quality rules, embedding maintenance, PII
@@ -66,6 +66,56 @@ object PipelineExt {
            |  CASE WHEN len(tk) >= 3 THEN
            |    round(1.0 - len(${duckGrams(3)})::DOUBLE / (len(tk) - 2), 6)
            |  ELSE 0.0 END AS dup_3gram_frac
-           |FROM t ORDER BY doc_id""".stripMargin))
+           |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // --- embedding maintenance: L2 norm + symmetric int8 quantization,
+    //     verified through a scalar digest (dims, norm, maxabs, and a
+    //     position-weighted code checksum that pins every code). The
+    //     floor(y + 0.5) rounding is deliberate: engine round() half-rules
+    //     differ, floor in IEEE doubles does not. ---
+    QueryDef(
+      "p19_embed_quantize",
+      (s, dir) => Embeddings.int8Digest(
+          Tables.t(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("vec_id"),
+      Some(
+        """WITH v AS (SELECT vec_id,
+          |             list_transform(embedding, x -> x::DOUBLE) AS e
+          |           FROM embeddings),
+          |m AS (SELECT vec_id, e,
+          |        len(e) AS n_dims,
+          |        sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm,
+          |        list_max(list_transform(e, x -> abs(x))) AS ma
+          |      FROM v)
+          |SELECT vec_id,
+          |  n_dims::BIGINT AS n_dims,
+          |  round(nrm, 6) AS l2_norm,
+          |  round(ma, 6) AS maxabs,
+          |  CAST(list_sum([i * (CASE WHEN ma > 0
+          |         THEN floor(e[i] * 127.0 / ma + 0.5) ELSE 0.0 END)
+          |       FOR i IN range(1, len(e) + 1)]) AS BIGINT) AS code_checksum
+          |FROM m ORDER BY vec_id""".stripMargin)),
+
+    // --- PII scrub: digit masking + salted-SHA-256 pseudonyms + numeric
+    //     generalization over customer. Every transform is a built-in
+    //     codegen'd expression, so the scrub fuses into the table scan —
+    //     the 100 TB cost is the scan itself. ---
+    QueryDef(
+      "p20_pii_scrub",
+      (s, dir) => Tables.t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          Anonymize.maskDigits(col("c_name")).as("masked_name"),
+          Anonymize.pseudonym(col("c_name"), salt = "graft-v1").as("name_pseudonym"),
+          Anonymize.generalize(col("c_acctbal"), 1000L).as("acctbal_bucket"),
+          col("c_mktsegment"))
+        .orderBy("c_custkey"),
+      Some(
+        """SELECT c_custkey,
+          |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,
+          |  sha256('graft-v1' || c_name) AS name_pseudonym,
+          |  CAST(floor(c_acctbal / 1000.0) * 1000 AS BIGINT) AS acctbal_bucket,
+          |  c_mktsegment
+          |FROM customer ORDER BY c_custkey""".stripMargin))
   )
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Decontaminate, TextAnalysis}
+import graft.operators.{Anonymize, Decontaminate, Embeddings, TextAnalysis}
 
 class PipelineExtSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -65,5 +65,50 @@ class PipelineExtSpec extends AnyFunSuite {
       (2L, 0.6, 0.5, r(1.0 / 3)),
       (3L, 0.0, 0.0, 0.0),
       (4L, 0.0, 0.0, 0.0)))
+  }
+
+  test("int8 quantization: max element hits ±127, zero vector is all-zero") {
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)), // maxabs 1.0 -> codes 64, -127, 32
+      (2L, Seq(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Embeddings.quantizeInt8(df, "vec_id", "embedding")
+      .orderBy("vec_id")
+      .as[(Long, Double, Seq[Int])].collect().toSeq
+    assert(got == Seq((1L, 1.0, Seq(64, -127, 32)), (2L, 0.0, Seq(0, 0, 0))))
+  }
+
+  test("int8 digest checksum pins codes and positions") {
+    val df = Seq((1L, Seq(0.5f, -1.0f, 0.25f))).toDF("vec_id", "embedding")
+    val got = Embeddings.int8Digest(df, "vec_id", "embedding")
+      .as[(Long, Long, Double, Double, Long)].collect().head
+    // 1*64 + 2*(-127) + 3*32 = -94; norm = sqrt(0.25 + 1 + 0.0625)
+    assert(got == ((1L, 3L, math.rint(math.sqrt(1.3125) * 1e6) / 1e6, 1.0, -94L)))
+  }
+
+  test("normalized() yields unit vectors and passes zero vectors through") {
+    val df = Seq((1L, Seq(3.0f, 4.0f)), (2L, Seq(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"),
+        Embeddings.normalized(col("embedding")).as("u"))
+      .orderBy("vec_id").as[(Long, Seq[Double])].collect().toSeq
+    assert(got.head._2.map(x => math.rint(x * 100) / 100) == Seq(0.6, 0.8))
+    assert(got(1)._2 == Seq(0.0, 0.0))
+  }
+
+  test("anonymize: digit masking, salted pseudonym, bucket generalization") {
+    val df = Seq(("Customer#042", 2543.75), ("Customer#042", -12.5))
+      .toDF("name", "bal")
+    val got = df.select(
+        Anonymize.maskDigits(col("name")).as("m"),
+        Anonymize.pseudonym(col("name"), "s1").as("p1"),
+        Anonymize.pseudonym(col("name"), "s2").as("p2"),
+        Anonymize.generalize(col("bal"), 1000L).as("b"))
+      .as[(String, String, String, Long)].collect().toSeq
+    assert(got.map(_._1).distinct == Seq("Customer####"))
+    assert(got.head._2 == got(1)._2)            // deterministic
+    assert(got.head._2 != got.head._3)          // salt changes the pseudonym
+    assert(got.head._2.matches("[0-9a-f]{64}"))
+    assert(got.map(_._4) == Seq(2000L, -1000L)) // floor, not truncate
   }
 }
