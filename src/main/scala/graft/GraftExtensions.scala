@@ -55,5 +55,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.Fns.intLiteral(exprs(1)),
         graft.functions.Fns.intLiteral(exprs(2)),
         graft.functions.Fns.intLiteral(exprs(3)))))
+    e.injectFunction(fn("zorder_key",
+      "zorder_key(x, y) - Morton interleave of the low 16 bits of x and y",
+      exprs => graft.functions.ZOrderKey(exprs.head, exprs(1))))
   }
 }

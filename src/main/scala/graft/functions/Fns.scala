@@ -45,12 +45,18 @@ object Fns {
       exprs => SignProjections(exprs.head, intLiteral(exprs(1)),
         intLiteral(exprs(2)), intLiteral(exprs(3))),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "zorder_key", exprs => ZOrderKey(exprs.head, exprs(1)), "built-in")
   }
 
   import org.apache.spark.sql.graftshim.Bridge.{toCol, toExpr}
 
   def rollingHash31(c: Column): Column = toCol(RollingHash31(toExpr(c)))
   def fnv1a32(c: Column): Column = toCol(Fnv1a32(toExpr(c)))
+
+  /** Morton key over the low 16 bits of two dimensions (see ZOrderKey). */
+  def zorderKey(x: Column, y: Column): Column =
+    toCol(ZOrderKey(toExpr(x.cast("long")), toExpr(y.cast("long"))))
 
   // --- vector math (all double-precision, index-ordered folds so the
   //     DuckDB oracle computes bit-identical sums) ---

@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.api.{QueryDef, Tables}
-import graft.operators.RangeJoin
+import graft.functions.Fns
+import graft.operators.{RangeJoin, SnapshotDiff}
 
 /** Scale-path relational operators added in round 4: joins and layout
   * primitives whose naive plans stop working around the 100 TB mark, each
@@ -46,6 +47,79 @@ object RelationalScale {
           |       BETWEEN datediff('day', DATE '1970-01-01', o.o_orderdate)
           |           AND datediff('day', DATE '1970-01-01', o.o_orderdate) + 7
           |WHERE o.o_orderpriority = '1-URGENT' AND l.l_returnflag = 'R'
-          |GROUP BY o.o_orderkey ORDER BY o.o_orderkey""".stripMargin))
+          |GROUP BY o.o_orderkey ORDER BY o.o_orderkey""".stripMargin)),
+
+    // --- Z-order layout key (native ZOrderKey expression): the
+    //     multi-dimensional clustering primitive — sort by this key before
+    //     writing and min/max file stats prune on BOTH dimensions.
+    //     ZOrderSpec asserts the actual layout win (chunk bounding boxes);
+    //     this query pins the key values against a pure-SQL bit-interleave
+    //     mirror. ---
+    QueryDef(
+      "q48_zorder_key",
+      (s, dir) => {
+        val px = col("l_partkey") % 65536
+        val sx = col("l_suppkey") % 65536
+        Tables.t(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 61 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            px.as("px"), sx.as("sx"),
+            Fns.zorderKey(px, sx).as("zkey"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some(
+        """SELECT l_orderkey, l_linenumber,
+          |  l_partkey % 65536 AS px,
+          |  l_suppkey % 65536 AS sx,
+          |  CAST(list_sum(
+          |    [(((l_partkey % 65536) >> i) & 1) * (1::BIGINT << (2 * i))
+          |     + (((l_suppkey % 65536) >> i) & 1) * (1::BIGINT << (2 * i + 1))
+          |     FOR i IN range(0, 16)]) AS BIGINT) AS zkey
+          |FROM lineitem WHERE l_orderkey % 61 = 0
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // --- snapshot diff (CDC extraction, the inverse of q45's MERGE):
+    //     synthesize a next-day snapshot from orders (delete %13, update
+    //     %7's price and status, insert %11 under shifted keys), then
+    //     recover exactly the I/U/D changeset. +1000.0 is a single IEEE
+    //     add — bit-identical in both engines (q45's precedent). ---
+    QueryDef(
+      "q49_snapshot_diff",
+      (s, dir) => {
+        val base = Tables.t(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        val k = col("o_orderkey")
+        val survivors = base.filter(k % 13 =!= 0)
+          .select(k,
+            when(k % 7 === 0, col("o_totalprice") + 1000.0)
+              .otherwise(col("o_totalprice")).as("o_totalprice"),
+            when(k % 7 === 0, lit("U")).otherwise(col("o_orderstatus"))
+              .as("o_orderstatus"))
+        val inserts = base.filter(k % 11 === 0)
+          .select((k + 100000000L).as("o_orderkey"),
+            col("o_totalprice"), lit("N").as("o_orderstatus"))
+        SnapshotDiff.diff(base, survivors.unionAll(inserts), Seq("o_orderkey"))
+          .orderBy("o_orderkey")
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS st
+          |  FROM orders),
+          |nxt AS (
+          |  SELECT k,
+          |    CASE WHEN k % 7 = 0 THEN p + 1000.0 ELSE p END AS p,
+          |    CASE WHEN k % 7 = 0 THEN 'U' ELSE st END AS st
+          |  FROM base WHERE k % 13 <> 0
+          |  UNION ALL
+          |  SELECT k + 100000000, p, 'N' FROM base WHERE k % 11 = 0)
+          |SELECT COALESCE(b.k, n.k) AS o_orderkey,
+          |  CASE WHEN b.k IS NULL THEN 'I'
+          |       WHEN n.k IS NULL THEN 'D' ELSE 'U' END AS change_type,
+          |  b.p AS old_o_totalprice, n.p AS new_o_totalprice,
+          |  b.st AS old_o_orderstatus, n.st AS new_o_orderstatus
+          |FROM base b FULL OUTER JOIN nxt n ON b.k = n.k
+          |WHERE b.k IS NULL OR n.k IS NULL
+          |   OR b.p IS DISTINCT FROM n.p OR b.st IS DISTINCT FROM n.st
+          |ORDER BY o_orderkey""".stripMargin))
   )
 }

@@ -94,4 +94,48 @@ class OperatorSpec extends AnyFunSuite {
       MergeUpsert.merge(target, source.select("k2", "k1", "v"), Seq("k1"))
     }
   }
+
+  test("snapshot diff: I/U/D tagged, unchanged dropped, null-safe compare") {
+    import graft.operators.SnapshotDiff
+    val old = Seq(
+      (1L, Some("a"), 10.0), // unchanged -> dropped
+      (2L, Some("b"), 20.0), // value update
+      (3L, None: Option[String], 30.0), // null -> value update
+      (5L, Some("e"), 50.0)) // deleted
+      .toDF("k", "s", "v")
+    val neu = Seq(
+      (1L, Some("a"), 10.0),
+      (2L, Some("b"), 21.0),
+      (3L, Some("c"), 30.0),
+      (4L, None: Option[String], 40.0)) // insert with a null field
+      .toDF("k", "s", "v")
+    val got = SnapshotDiff.diff(old, neu, Seq("k"))
+      .orderBy("k")
+      .as[(Long, String, Option[String], Option[String], Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(got == Seq(
+      (2L, "U", Some("b"), Some("b"), Some(20.0), Some(21.0)),
+      (3L, "U", None, Some("c"), Some(30.0), Some(30.0)),
+      (4L, "I", None, None, None, Some(40.0)),
+      (5L, "D", Some("e"), None, Some(50.0), None)))
+    // diff is the inverse of merge: applying the changeset reproduces new
+    val reapplied = graft.operators.MergeUpsert.merge(
+      old.filter($"k" =!= 5L), // deletes applied separately
+      neu.join(SnapshotDiff.diff(old, neu, Seq("k"))
+        .filter($"change_type" =!= "D").select("k"), Seq("k")),
+      Seq("k")).as[(Long, Option[String], Double)].collect().toSet
+    assert(reapplied == neu.as[(Long, Option[String], Double)].collect().toSet)
+  }
+
+  test("snapshot diff: schema mismatch and key-only schemas rejected") {
+    import graft.operators.SnapshotDiff
+    val a = Seq((1L, "x")).toDF("k", "v")
+    assertThrows[IllegalArgumentException] {
+      SnapshotDiff.diff(a, a.select("v", "k"), Seq("k"))
+    }
+    val keysOnly = Seq(Tuple1(1L)).toDF("k")
+    assertThrows[IllegalArgumentException] {
+      SnapshotDiff.diff(keysOnly, keysOnly, Seq("k"))
+    }
+  }
 }
