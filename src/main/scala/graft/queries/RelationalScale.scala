@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.api.{QueryDef, Tables}
 import graft.functions.Fns
-import graft.operators.{RangeJoin, SnapshotDiff}
+import graft.operators.{HeavyHitters, RangeJoin, SnapshotDiff}
 
 /** Scale-path relational operators added in round 4: joins and layout
   * primitives whose naive plans stop working around the 100 TB mark, each
@@ -120,6 +120,21 @@ object RelationalScale {
           |FROM base b FULL OUTER JOIN nxt n ON b.k = n.k
           |WHERE b.k IS NULL OR n.k IS NULL
           |   OR b.p IS DISTINCT FROM n.p OR b.st IS DISTINCT FROM n.st
-          |ORDER BY o_orderkey""".stripMargin))
+          |ORDER BY o_orderkey""".stripMargin)),
+
+    // --- heavy hitters: Misra-Gries per partition + exact recount. The
+    //     fixture sits squarely in the operator's exactness regime
+    //     (distinct partkeys per partition << capacity), so the oracle is
+    //     the plain exact top-k; HeavyHittersSpec covers the approximate
+    //     regime with a skewed fixture and a tiny capacity. ---
+    QueryDef(
+      "q50_heavy_hitters",
+      (s, dir) => HeavyHitters
+        .topK(Tables.t(s, dir, "lineitem"), "l_partkey", k = 20)
+        .orderBy(col("cnt").desc, col("l_partkey")),
+      Some(
+        """SELECT l_partkey, count(*) AS cnt
+          |FROM lineitem GROUP BY l_partkey
+          |ORDER BY cnt DESC, l_partkey LIMIT 20""".stripMargin))
   )
 }
