@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+
+/** Deterministic per-stratum subsampling: exactly min(k, |stratum|) rows
+  * per stratum, selected by salted-hash order — the eval-set / ablation
+  * construction primitive. Hash order (FNV-1a of the id) makes the
+  * sample a pure function of the data: stable across runs, partition
+  * layouts, cluster sizes and engines — unlike `sample()`, whose RNG
+  * stream is partition-dependent, and unlike "first k" which is
+  * scan-order-dependent.
+  *
+  * Scale design: planned through the engine's custom TopKPerGroup
+  * physical operator — map-side bounded heaps cap the exchange at k rows
+  * per (stratum x input partition), so a 100 TB corpus shuffles KBs per
+  * stratum instead of sorting whole strata under a window. Hash ties
+  * break by id, so the result is total-order deterministic.
+  */
+object Sampling {
+
+  def perStratum(df: DataFrame, stratumCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h = "__samp_h"
+    require(!df.columns.contains(h), s"column name $h is reserved by perStratum")
+    graft.plans.TopKPerGroup
+      .topK(df.withColumn(h, Fns.fnv1a32(col(idCol).cast("string"))),
+        Seq(stratumCol), Seq(col(h).asc, col(idCol).asc), k)
+      .drop(h)
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.api.{QueryDef, Tables}
-import graft.operators.{Anonymize, Decontaminate, Embeddings, TextAnalysis}
+import graft.operators.{Anonymize, Decontaminate, Embeddings, Sampling, TextAnalysis}
 
 /** Round-4 training-data pipeline additions: benchmark decontamination,
   * repetition-based quality rules, embedding maintenance, PII
@@ -116,6 +116,32 @@ object PipelineExt {
           |  sha256('graft-v1' || c_name) AS name_pseudonym,
           |  CAST(floor(c_acctbal / 1000.0) * 1000 AS BIGINT) AS acctbal_bucket,
           |  c_mktsegment
-          |FROM customer ORDER BY c_custkey""".stripMargin))
+          |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // --- deterministic per-stratum subsample: exactly 10 docs per lang by
+    //     FNV-1a(doc_id) order, planned through the custom TopKPerGroup
+    //     physical operator (hash ascending instead of a measure
+    //     descending — same bounded map-side heaps). The oracle replays
+    //     the identical hash order through a window, using q32's FNV
+    //     list_reduce mirror. ---
+    QueryDef(
+      "p21_stratified_sample",
+      (s, dir) => Sampling
+        .perStratum(Tables.t(s, dir, "documents"), "lang", "doc_id", k = 10)
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id"),
+      Some(
+        """WITH h AS (SELECT doc_id, lang,
+          |    (list_reduce(list_prepend(2166136261::BIGINT,
+          |       list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+          |         c -> unicode(c)::BIGINT)),
+          |       (h, c) -> (xor(h, c) * 16777619) % 4294967296)) % 2147483648
+          |      AS hv
+          |  FROM documents),
+          |r AS (SELECT doc_id, lang,
+          |        row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) rn
+          |      FROM h)
+          |SELECT doc_id, lang FROM r WHERE rn <= 10
+          |ORDER BY lang, doc_id""".stripMargin))
   )
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Anonymize, Decontaminate, Embeddings, TextAnalysis}
+import graft.operators.{Anonymize, Decontaminate, Embeddings, Sampling, TextAnalysis}
 
 class PipelineExtSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -110,5 +110,23 @@ class PipelineExtSpec extends AnyFunSuite {
     assert(got.head._2 != got.head._3)          // salt changes the pseudonym
     assert(got.head._2.matches("[0-9a-f]{64}"))
     assert(got.map(_._4) == Seq(2000L, -1000L)) // floor, not truncate
+  }
+
+  test("per-stratum sample: exact k, layout-invariant, TopKPerGroup plan") {
+    val df = (1L to 500L).map(i => (i, s"s${i % 3}")).toDF("id", "stratum")
+    val a = Sampling.perStratum(df.repartition(7), "stratum", "id", 5)
+      .orderBy("stratum", "id").as[(Long, String)].collect().toSeq
+    val b = Sampling.perStratum(df.repartition(2, col("id")), "stratum", "id", 5)
+      .orderBy("stratum", "id").as[(Long, String)].collect().toSeq
+    assert(a == b)                                   // layout-invariant
+    assert(a.groupBy(_._2).values.forall(_.size == 5)) // exactly k each
+    // small strata return all their rows, not an error
+    val tiny = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "stratum")
+    assert(Sampling.perStratum(tiny, "stratum", "id", 5).count() == 3)
+    // planned through the custom physical operator, not a window
+    val plan = Sampling.perStratum(df, "stratum", "id", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), plan)
+    assert(!plan.contains("WindowExec"), plan)
   }
 }
