@@ -123,18 +123,22 @@ object RelationalScale {
           |ORDER BY o_orderkey""".stripMargin)),
 
     // --- heavy hitters: Misra-Gries per partition + exact recount. The
-    //     fixture sits squarely in the operator's exactness regime
-    //     (distinct partkeys per partition << capacity), so the oracle is
-    //     the plain exact top-k; HeavyHittersSpec covers the approximate
-    //     regime with a skewed fixture and a tiny capacity. ---
+    //     oracle demands exactness, so the query keys on a BOUNDED domain
+    //     (l_quantity, 50 distinct values): every partition's distinct
+    //     count sits below capacity at ANY scale factor, which is the
+    //     operator's exactness condition. A near-uniform unbounded key
+    //     (l_partkey) leaves the exact regime as sf grows — no bounded-
+    //     memory sketch can rank keys that aren't actually heavy — and
+    //     that approximate regime is covered in HeavyHittersSpec with a
+    //     skewed fixture and a deliberately tiny capacity. ---
     QueryDef(
       "q50_heavy_hitters",
       (s, dir) => HeavyHitters
-        .topK(Tables.t(s, dir, "lineitem"), "l_partkey", k = 20)
-        .orderBy(col("cnt").desc, col("l_partkey")),
+        .topK(Tables.t(s, dir, "lineitem"), "l_quantity", k = 20)
+        .orderBy(col("cnt").desc, col("l_quantity")),
       Some(
-        """SELECT l_partkey, count(*) AS cnt
-          |FROM lineitem GROUP BY l_partkey
-          |ORDER BY cnt DESC, l_partkey LIMIT 20""".stripMargin))
+        """SELECT l_quantity, count(*) AS cnt
+          |FROM lineitem GROUP BY l_quantity
+          |ORDER BY cnt DESC, l_quantity LIMIT 20""".stripMargin))
   )
 }
