@@ -2,12 +2,14 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.operators.{ConnectedComponents, Dedup, TextAnalysis}
+import graft.operators.{ConnectedComponents, Decontaminate, Dedup, Sampling, TextAnalysis}
 
 /** End-to-end training-data pipeline demo: the chain a 100 TB corpus
   * would run, at fixture scale —
   *   documents → exact dedup → near-dup removal (MinHash+LSH)
-  *             → quality/language filter → token accounting → parquet.
+  *             → benchmark decontamination → quality/repetition gate
+  *             → token accounting → parquet (+ a deterministic
+  *               per-language sample manifest).
   * Every stage is one of the library operators; nothing touches the
   * driver except the final summary counts.
   */
@@ -42,25 +44,39 @@ object PipelineDemo {
       groups.filter(col("is_rep")).select("doc_id"), "doc_id")
     val n2 = nearDeduped.count()
 
-    // 3. analysis + quality/language gate
-    val analyzed = nearDeduped.join(
-      TextAnalysis.analyze(nearDeduped, "doc_id", "text"), "doc_id")
-    val kept = analyzed.filter(col("quality_score") > 3.0 &&
-      col("n_tokens") >= 10)
-    val n3 = kept.count()
+    // 3. benchmark decontamination: docs sharing any word 4-gram with
+    //    the held-out eval split (doc_id % 20 = 0) leave the train pool
+    val evalDocs = docs.filter(col("doc_id") % 20 === 0)
+    val trainPool = nearDeduped.filter(col("doc_id") % 20 =!= 0)
+    val decontaminated = Decontaminate.clean(
+      trainPool, evalDocs, "doc_id", "text", n = 4)
+    val n3 = decontaminated.count()
 
-    // 4. token accounting + sink
+    // 4. analysis + quality/repetition gate
+    val analyzed = decontaminated
+      .join(TextAnalysis.analyze(decontaminated, "doc_id", "text"), "doc_id")
+      .select(col("*") +: TextAnalysis.repetitionColumns(col("text")): _*)
+    val kept = analyzed.filter(col("quality_score") > 3.0 &&
+      col("n_tokens") >= 10 && col("dup_3gram_frac") < 0.5)
+    val n4 = kept.count()
+
+    // 5. token accounting + sink + deterministic per-language sample
+    //    manifest (for eyeballing / eval construction)
     val stats = kept.groupBy("lang").agg(
       count(lit(1)).as("n_docs"),
       sum("ws_tokens").as("total_tokens"),
       round(avg("quality_score"), 3).as("avg_quality"))
     kept.select("doc_id", "lang", "text", "n_tokens", "quality_score")
       .write.mode("overwrite").parquet(out)
+    Sampling.perStratum(kept, "lang", "doc_id", k = 5)
+      .select("doc_id", "lang", "n_tokens")
+      .write.mode("overwrite").parquet(s"$out-sample")
     val summary = stats.orderBy("lang").collect()
       .map(r => s"${r.get(0)}:${r.get(1)} docs/${r.get(2)} tokens")
       .mkString(", ")
     println(s"[pipeline] $n0 docs -> $n1 after exact dedup -> " +
-      s"$n2 after near-dedup -> $n3 after quality gate | $summary | wrote $out")
+      s"$n2 after near-dedup -> $n3 after decontamination -> " +
+      s"$n4 after quality gate | $summary | wrote $out (+ -sample manifest)")
     spark.stop()
   }
 }
