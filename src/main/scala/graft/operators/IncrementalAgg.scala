@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental materialized-aggregate maintenance: apply a CDC changeset
+  * (SnapshotDiff's I/U/D rows) to a previously materialized
+  * count+sum-per-group aggregate WITHOUT touching the base table — the
+  * standard incremental-view-maintenance algebra for distributive
+  * aggregates (count/sum; min/max need the base table on deletes).
+  *
+  * Scale design: cost is O(|changes|), not O(|base|). Every change row
+  * contributes at most two delta rows (retract from the old group, add
+  * to the new group — updates may MOVE a row between groups), the deltas
+  * partial-aggregate map-side down to one row per touched group, and the
+  * merge with the materialized aggregate is a join on the group key —
+  * group-cardinality-sized, vanishing next to the 100 TB base. Between
+  * consecutive daily snapshots this replaces a full recompute with work
+  * proportional to what actually changed.
+  *
+  * Exactness: counts are integral; sums are bit-exact as long as the
+  * measure's values are exactly representable (integers in double, or
+  * decimals) — floating accumulation order differs from a recompute, so
+  * a non-integral measure is exact only to double rounding.
+  */
+object IncrementalAgg {
+
+  /** Merge SnapshotDiff output (`old_<c>` / `new_<c>` columns) into a
+    * materialized `(groupCol, cntCol, sumCol)` aggregate. Groups whose
+    * count reaches zero are dropped, matching a recompute over the new
+    * snapshot.
+    */
+  def applyDelta(agg: DataFrame, changes: DataFrame, groupCol: String,
+      valCol: String, cntCol: String, sumCol: String): DataFrame = {
+    val retract = changes.filter(col("change_type").isin("D", "U"))
+      .select(col(s"old_$groupCol").as(groupCol),
+        lit(-1L).as("dc"), (-col(s"old_$valCol")).as("dv"))
+    val add = changes.filter(col("change_type").isin("I", "U"))
+      .select(col(s"new_$groupCol").as(groupCol),
+        lit(1L).as("dc"), col(s"new_$valCol").as("dv"))
+    val delta = retract.unionAll(add)
+      .groupBy(groupCol)
+      .agg(sum("dc").as("dc"), sum("dv").as("dv"))
+    agg.join(delta, Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        (coalesce(col(cntCol), lit(0L)) + coalesce(col("dc"), lit(0L)))
+          .as(cntCol),
+        (coalesce(col(sumCol), lit(0.0)) + coalesce(col("dv"), lit(0.0)))
+          .as(sumCol))
+      .filter(col(cntCol) > 0)
+  }
+}

@@ -25,6 +25,12 @@ object SnapshotDiff {
     * any non-key difference (null-safe). Unchanged rows are dropped.
     * Output: keys, change_type, then old_<c> / new_<c> for every non-key
     * column.
+    *
+    * `keys` MUST uniquely identify rows within each snapshot — duplicate
+    * keys turn the full-outer join many-to-many and the changeset
+    * meaningless. (Discovered the hard way: the synthetic lineitem's
+    * (l_orderkey, l_linenumber) is NOT unique, 45832 distinct of 60000
+    * at sf0.01.)
     */
   def diff(oldSnap: DataFrame, newSnap: DataFrame, keys: Seq[String]): DataFrame = {
     require(oldSnap.columns.toSeq == newSnap.columns.toSeq,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.api.{QueryDef, Tables}
 import graft.functions.Fns
-import graft.operators.{HeavyHitters, RangeJoin, SnapshotDiff}
+import graft.operators.{HeavyHitters, IncrementalAgg, RangeJoin, SnapshotDiff}
 
 /** Scale-path relational operators added in round 4: joins and layout
   * primitives whose naive plans stop working around the 100 TB mark, each
@@ -139,6 +139,57 @@ object RelationalScale {
       Some(
         """SELECT l_quantity, count(*) AS cnt
           |FROM lineitem GROUP BY l_quantity
-          |ORDER BY cnt DESC, l_quantity LIMIT 20""".stripMargin))
+          |ORDER BY cnt DESC, l_quantity LIMIT 20""".stripMargin)),
+
+    // --- incremental materialized-view maintenance: materialize a
+    //     count+sum aggregate over the OLD orders snapshot, extract the
+    //     I/U/D changeset to a synthetic NEW snapshot with SnapshotDiff
+    //     (updates MOVE rows between groups — orderstatus flips to 'U'),
+    //     then apply only the deltas. The oracle recomputes the aggregate
+    //     over the new snapshot from scratch — the driver hash-check IS
+    //     the "incremental == recompute" proof. Keyed on o_orderkey
+    //     (unique — lineitem's (orderkey, linenumber) is NOT, see
+    //     SnapshotDiff's scaladoc); the measure floor(o_totalprice) is
+    //     integral, so sums are bit-exact in double regardless of
+    //     accumulation order. ---
+    QueryDef(
+      "q51_incremental_agg",
+      (s, dir) => {
+        val base = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            floor(col("o_totalprice")).cast("double").as("dollars"))
+        val k = col("o_orderkey")
+        val survivors = base.filter(k % 13 =!= 0)
+          .select(k,
+            when(k % 7 === 0, lit("U")).otherwise(col("o_orderstatus"))
+              .as("o_orderstatus"),
+            when(k % 7 === 0, col("dollars") + 1000.0)
+              .otherwise(col("dollars")).as("dollars"))
+        val inserts = base.filter(k % 11 === 0)
+          .select((k + 100000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), col("dollars"))
+        val matAgg = base.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt"), sum("dollars").as("total_dollars"))
+        val changes = SnapshotDiff.diff(base, survivors.unionAll(inserts),
+          Seq("o_orderkey"))
+        IncrementalAgg
+          .applyDelta(matAgg, changes, "o_orderstatus", "dollars",
+            "cnt", "total_dollars")
+          .orderBy("o_orderstatus")
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT o_orderkey k, o_orderstatus g, floor(o_totalprice) q
+          |  FROM orders),
+          |nxt AS (
+          |  SELECT k,
+          |    CASE WHEN k % 7 = 0 THEN 'U' ELSE g END AS g,
+          |    CASE WHEN k % 7 = 0 THEN q + 1000.0 ELSE q END AS q
+          |  FROM base WHERE k % 13 <> 0
+          |  UNION ALL
+          |  SELECT k + 100000000, 'N', q FROM base WHERE k % 11 = 0)
+          |SELECT g AS o_orderstatus, count(*) AS cnt,
+          |  sum(q) AS total_dollars
+          |FROM nxt GROUP BY g ORDER BY g""".stripMargin))
   )
 }

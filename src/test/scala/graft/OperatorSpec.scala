@@ -127,6 +127,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(reapplied == neu.as[(Long, Option[String], Double)].collect().toSet)
   }
 
+  test("incremental agg: delta-applied == recomputed, incl. group moves/drops") {
+    import graft.operators.{IncrementalAgg, SnapshotDiff}
+    val old = Seq(
+      (1L, "g1", 10.0), (2L, "g1", 20.0), // g1: one row moves to g2
+      (3L, "g2", 30.0),
+      (4L, "g3", 40.0))                   // g3's only row deleted -> drop
+      .toDF("k", "g", "v")
+    val neu = Seq(
+      (1L, "g1", 10.0),
+      (2L, "g2", 25.0),                   // moved g1 -> g2, value changed
+      (3L, "g2", 30.0),
+      (5L, "g4", 50.0))                   // new group appears
+      .toDF("k", "g", "v")
+    val matAgg = old.groupBy("g")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sv"))
+    val got = IncrementalAgg.applyDelta(matAgg,
+        SnapshotDiff.diff(old, neu, Seq("k")), "g", "v", "cnt", "sv")
+      .orderBy("g").as[(String, Long, Double)].collect().toSeq
+    val recomputed = neu.groupBy("g")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sv"))
+      .orderBy("g").as[(String, Long, Double)].collect().toSeq
+    assert(got == recomputed)
+    assert(!got.exists(_._1 == "g3")) // zero-count group dropped
+  }
+
   test("snapshot diff: schema mismatch and key-only schemas rejected") {
     import graft.operators.SnapshotDiff
     val a = Seq((1L, "x")).toDF("k", "v")
