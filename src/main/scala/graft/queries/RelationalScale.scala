@@ -5,9 +5,10 @@ import graft.api.{QueryDef, Tables}
 import graft.functions.Fns
 import graft.operators.{HeavyHitters, IncrementalAgg, RangeJoin, SnapshotDiff}
 
-/** Scale-path relational operators added in round 4: joins and layout
-  * primitives whose naive plans stop working around the 100 TB mark, each
-  * re-planned into a shuffle-linear form.
+/** Round-4 relational additions: scale-path joins/layout/maintenance
+  * primitives whose naive plans stop working around the 100 TB mark
+  * (each re-planned into a shuffle-linear form), plus modern engine
+  * surface (VARIANT).
   */
 object RelationalScale {
 
@@ -190,6 +191,36 @@ object RelationalScale {
           |  SELECT k + 100000000, 'N', q FROM base WHERE k % 11 = 0)
           |SELECT g AS o_orderstatus, count(*) AS cnt,
           |  sum(q) AS total_dollars
-          |FROM nxt GROUP BY g ORDER BY g""".stripMargin))
+          |FROM nxt GROUP BY g ORDER BY g""".stripMargin)),
+
+    // --- VARIANT (Spark 4 semi-structured type): parse the JSON blob
+    //     ONCE into a binary variant, then typed-path access — the
+    //     engine-native alternative to q19's per-call string extraction
+    //     (get_json_object re-parses the text for every path). At 100 TB
+    //     the parse-once representation is the difference between one
+    //     JSON parse per row and one per (row × extracted field).
+    //     try_variant_get on a missing path yields NULL, not an error —
+    //     counted to pin that semantic. ---
+    QueryDef(
+      "q52_variant_json",
+      (s, dir) => Tables.t(s, dir, "events")
+        .select(
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"),
+          expr("try_variant_get(parse_json(props), '$.missing', 'long')")
+            .as("miss"))
+        .groupBy((col("k") % 7).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"),
+          count(col("miss")).as("n_missing_hits"))
+        .orderBy(col("k_mod").asc_nulls_first),
+      Some(
+        """WITH v AS (
+          |  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          |  FROM events)
+          |SELECT k % 7 AS k_mod, count(*) AS n,
+          |  CAST(sum(k) AS BIGINT) AS sum_k,
+          |  min(k) AS min_k, max(k) AS max_k,
+          |  0::BIGINT AS n_missing_hits
+          |FROM v GROUP BY k_mod ORDER BY k_mod NULLS FIRST""".stripMargin))
   )
 }
