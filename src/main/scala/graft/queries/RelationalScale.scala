@@ -221,6 +221,31 @@ object RelationalScale {
           |  CAST(sum(k) AS BIGINT) AS sum_k,
           |  min(k) AS min_k, max(k) AS max_k,
           |  0::BIGINT AS n_missing_hits
-          |FROM v GROUP BY k_mod ORDER BY k_mod NULLS FIRST""".stripMargin))
+          |FROM v GROUP BY k_mod ORDER BY k_mod NULLS FIRST""".stripMargin)),
+
+    // --- changelog compaction: latest row per key — the standard CDC-log
+    //     -> current-state step. Planned through TopKPerGroup with k=1:
+    //     the map-side partial keeps ONE row per (key x partition), so
+    //     the exchange carries |keys|x|partitions| rows instead of the
+    //     whole log — at 100 TB of append history that is the entire
+    //     game. Tie on ts broken by event_id (deterministic). ---
+    QueryDef(
+      "q53_compact_latest",
+      (s, dir) => graft.plans.TopKPerGroup
+        .topK(Tables.t(s, dir, "events")
+            .select("user_id", "ts", "event_id", "event_type"),
+          Seq("user_id"), Seq(col("ts").desc, col("event_id").desc), 1)
+        .select(col("user_id"), unix_timestamp(col("ts")).as("ts_epoch"),
+          col("event_id"), col("event_type"))
+        .orderBy("user_id"),
+      Some(
+        """WITH r AS (
+          |  SELECT user_id, ts, event_id, event_type,
+          |    row_number() OVER (PARTITION BY user_id
+          |                       ORDER BY ts DESC, event_id DESC) rn
+          |  FROM events)
+          |SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+          |       event_id, event_type
+          |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin))
   )
 }
