@@ -32,13 +32,21 @@ object IncrementalAgg {
     */
   def applyDelta(agg: DataFrame, changes: DataFrame, groupCol: String,
       valCol: String, cntCol: String, sumCol: String): DataFrame = {
-    val retract = changes.filter(col("change_type").isin("D", "U"))
-      .select(col(s"old_$groupCol").as(groupCol),
-        lit(-1L).as("dc"), (-col(s"old_$valCol")).as("dv"))
-    val add = changes.filter(col("change_type").isin("I", "U"))
-      .select(col(s"new_$groupCol").as(groupCol),
-        lit(1L).as("dc"), col(s"new_$valCol").as("dv"))
-    val delta = retract.unionAll(add)
+    // Both contributions come out of ONE pass over the changeset: a
+    // union of two filtered branches would reference `changes` twice and
+    // re-execute its whole upstream plan (for SnapshotDiff input, the
+    // full-outer diff join — plan-audited, it really ran twice), while
+    // explode(array_compact(...)) emits the <= 2 delta rows per change
+    // in a single scan.
+    val retract = when(col("change_type").isin("D", "U"),
+      struct(col(s"old_$groupCol").as("g"),
+        lit(-1L).as("dc"), (-col(s"old_$valCol")).as("dv")))
+    val add = when(col("change_type").isin("I", "U"),
+      struct(col(s"new_$groupCol").as("g"),
+        lit(1L).as("dc"), col(s"new_$valCol").as("dv")))
+    val delta = changes
+      .select(explode(array_compact(array(retract, add))).as("d"))
+      .select(col("d.g").as(groupCol), col("d.dc").as("dc"), col("d.dv").as("dv"))
       .groupBy(groupCol)
       .agg(sum("dc").as("dc"), sum("dv").as("dv"))
     agg.join(delta, Seq(groupCol), "full_outer")
