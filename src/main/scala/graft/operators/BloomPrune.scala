@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.functions.{BloomMightContain, BloomUtil}
+import org.apache.spark.sql.graftshim.Bridge.{toCol, toExpr}
+
+/** Explicit bloom-filter join pruning — the runtime-filter pattern
+  * (Spark's own InjectRuntimeFilter, Snowflake/BigQuery's bloom pushdown)
+  * as a composable library operator: build a compact bitmap over the
+  * small side's join keys, broadcast it, and drop non-matching fact rows
+  * BEFORE they reach the join's exchange.
+  *
+  * Scale design: the bitmap is sized bits/key (default ~10 bits/key ≈ 1%
+  * false positives with 7 hashes) — a 10M-key dim is ~12 MB, broadcast
+  * once. The probe is a codegen'd per-row expression on the scan side,
+  * so a 100 TB fact table sheds its non-matching rows at scan speed and
+  * the join's shuffle carries only (matches + FPP·rows). False positives
+  * are handled by the real join that follows; false negatives cannot
+  * occur because build and probe share BloomUtil's bit positions.
+  *
+  * The build side is a typed Aggregator (SURVEY §2.4 UDAF surface): a
+  * partial bitmap per partition, merged by OR — one pass, no shuffle of
+  * the keys themselves.
+  */
+object BloomPrune {
+
+  private class BloomAgg(numWords: Int, numHashes: Int)
+      extends Aggregator[java.lang.Long, Array[Long], Array[Long]] {
+    def zero: Array[Long] = new Array[Long](numWords)
+    def reduce(b: Array[Long], key: java.lang.Long): Array[Long] = {
+      if (key != null) BloomUtil.set(b, key.longValue, numHashes)
+      b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoderHolder.arrayLongEnc
+    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoderHolder.arrayLongEnc
+  }
+
+  private object ExpressionEncoderHolder {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val arrayLongEnc: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
+  /** One-row DataFrame holding the bitmap (`bloom: array<bigint>`) over
+    * `keys`'s `keyCol` (integral). Size the filter ~10 bits per expected
+    * distinct key for ~1% FPP at 7 hashes.
+    */
+  def build(keys: DataFrame, keyCol: String, numBits: Int,
+      numHashes: Int = 7): DataFrame = {
+    require(numBits >= 64 && numHashes >= 1,
+      s"need numBits >= 64 (got $numBits) and numHashes >= 1 (got $numHashes)")
+    val numWords = (numBits + 63) / 64
+    val agg = udaf(new BloomAgg(numWords, numHashes))
+    keys.select(col(keyCol).cast("long").as("k"))
+      .agg(agg(col("k")).as("bloom"))
+  }
+
+  def mightContain(bloom: Column, key: Column, numHashes: Int = 7): Column =
+    toCol(BloomMightContain(toExpr(bloom), toExpr(key.cast("long")), numHashes))
+
+  /** `facts` minus the rows whose `keyCol` is definitely not in the
+    * bloom. Cross-broadcast of the one-row bitmap + a codegen'd filter:
+    * no shuffle, no join — compose the REAL join downstream to resolve
+    * the ~FPP false positives.
+    */
+  def prune(facts: DataFrame, keyCol: String, bloom: DataFrame,
+      numHashes: Int = 7): DataFrame = {
+    val cols = facts.columns
+    facts.crossJoin(broadcast(bloom))
+      .filter(mightContain(col("bloom"), col(keyCol), numHashes))
+      .select(cols.map(col): _*)
+  }
+}

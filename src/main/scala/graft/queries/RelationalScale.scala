@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.api.{QueryDef, Tables}
 import graft.functions.Fns
-import graft.operators.{HeavyHitters, IncrementalAgg, RangeJoin, SnapshotDiff}
+import graft.operators.{BloomPrune, HeavyHitters, IncrementalAgg, RangeJoin, SnapshotDiff}
 
 /** Round-4 relational additions: scale-path joins/layout/maintenance
   * primitives whose naive plans stop working around the 100 TB mark
@@ -246,6 +246,38 @@ object RelationalScale {
           |  FROM events)
           |SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
           |       event_id, event_type
-          |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin))
+          |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // --- explicit bloom-filter join pruning (the runtime-filter pattern
+    //     as a composable operator): build a ~10-bits/key bitmap over
+    //     urgent orders' keys (typed Aggregator, merged by OR), broadcast
+    //     it, shed non-matching lineitems at scan speed with a codegen'd
+    //     probe, THEN run the real semi join — false positives die there,
+    //     false negatives are impossible (build and probe share
+    //     BloomUtil's bit positions), so the result is exactly the plain
+    //     semi join the oracle runs. ---
+    QueryDef(
+      "q54_bloom_prune",
+      (s, dir) => {
+        val urgent = Tables.t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey")
+        val bloom = BloomPrune.build(urgent, "o_orderkey", numBits = 1 << 15)
+        val pruned = BloomPrune.prune(
+          Tables.t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_extendedprice")),
+          "l_orderkey", bloom)
+        pruned.join(urgent,
+            pruned("l_orderkey") === urgent("o_orderkey"), "left_semi")
+          .agg(count(lit(1)).as("n_items"),
+            round(sum("l_extendedprice"), 2).as("revenue"))
+      },
+      Some(
+        """SELECT count(*) AS n_items,
+          |  round(sum(l_extendedprice), 2) AS revenue
+          |FROM lineitem
+          |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+          |                     WHERE o_orderpriority = '1-URGENT')
+          |ORDER BY n_items""".stripMargin))
   )
 }

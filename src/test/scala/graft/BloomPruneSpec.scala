@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.BloomPrune
+import graft.functions.BloomUtil
+
+class BloomPruneSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("no false negatives: every built key passes the probe") {
+    val keys = (1L to 5000L).map(_ * 7919L) // spread values
+    val bloom = BloomPrune.build(keys.toDF("k"), "k", numBits = 1 << 16)
+    val facts = keys.toDF("k")
+    assert(BloomPrune.prune(facts, "k", bloom).count() == keys.size.toLong)
+  }
+
+  test("false positive rate is in the expected band at 10 bits/key") {
+    val n = 5000
+    val keys = (1L to n.toLong).toDF("k")
+    val bloom = BloomPrune.build(keys, "k", numBits = 64 * ((10 * n + 63) / 64))
+    // probe disjoint keys: expected FPP ~1% at k=7; allow generous slack
+    val probes = ((n + 1).toLong to (n + 20000).toLong).toDF("k")
+    val fp = BloomPrune.prune(probes, "k", bloom).count().toDouble / 20000
+    assert(fp < 0.05, s"false positive rate $fp")
+    assert(fp > 0.0001, s"suspiciously perfect filter ($fp) — probe broken?")
+  }
+
+  test("build-side Aggregator OR-merge equals single-partition build") {
+    val keys = (1L to 2000L).toDF("k")
+    val one = BloomPrune.build(keys.coalesce(1), "k", 1 << 12)
+      .as[Array[Long]].head()
+    val many = BloomPrune.build(keys.repartition(16), "k", 1 << 12)
+      .as[Array[Long]].head()
+    assert(one.toSeq == many.toSeq)
+  }
+
+  test("expression evaluates identically through codegen and directly") {
+    val words = new Array[Long](64)
+    (1L to 100L).foreach(k => BloomUtil.set(words, k, 7))
+    val bloomDf = Seq(words.toSeq).toDF("bloom")
+    val got = (1L to 300L).toDF("k").crossJoin(bloomDf)
+      .select($"k", BloomPrune.mightContain($"bloom", $"k").as("hit"))
+      .as[(Long, Boolean)].collect()
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val ad = ArrayData.toArrayData(words)
+    got.foreach { case (k, hit) =>
+      assert(hit == BloomUtil.mightContain(ad, k, 7), s"key $k")
+    }
+    assert(got.count(_._2) >= 100) // all built keys hit
+  }
+
+  test("pruned + real semi join == plain semi join (FPs resolved)") {
+    val dim = (1L to 100L).filter(_ % 3 == 0).toDF("k")
+    val fact = (1L to 1000L).map(i => (i % 120, i)).toDF("k", "v")
+    val bloom = BloomPrune.build(dim, "k", 1 << 10)
+    val viaBloom = BloomPrune.prune(fact, "k", bloom)
+      .join(dim, Seq("k"), "left_semi")
+      .as[(Long, Long)].collect().toSet
+    val plain = fact.join(dim, Seq("k"), "left_semi")
+      .as[(Long, Long)].collect().toSet
+    assert(viaBloom == plain)
+  }
+}
