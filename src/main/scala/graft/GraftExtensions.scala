@@ -58,5 +58,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("zorder_key",
       "zorder_key(x, y) - Morton interleave of the low 16 bits of x and y",
       exprs => graft.functions.ZOrderKey(exprs.head, exprs(1))))
+    e.injectFunction(fn("bloom_might_contain",
+      "bloom_might_contain(bloom, key, k) - probe an array<bigint> bloom bitmap",
+      exprs => graft.functions.BloomMightContain(exprs.head, exprs(1),
+        graft.functions.Fns.intLiteral(exprs(2)))))
   }
 }

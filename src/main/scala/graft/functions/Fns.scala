@@ -47,6 +47,10 @@ object Fns {
       "built-in")
     reg.createOrReplaceTempFunction(
       "zorder_key", exprs => ZOrderKey(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "bloom_might_contain",
+      exprs => BloomMightContain(exprs.head, exprs(1), intLiteral(exprs(2))),
+      "built-in")
   }
 
   import org.apache.spark.sql.graftshim.Bridge.{toCol, toExpr}

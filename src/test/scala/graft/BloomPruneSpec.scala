@@ -51,6 +51,20 @@ class BloomPruneSpec extends AnyFunSuite {
     assert(got.count(_._2) >= 100) // all built keys hit
   }
 
+  test("bloom_might_contain parses as a SQL function") {
+    graft.functions.Fns.ensureRegistered(spark)
+    val words = new Array[Long](8)
+    BloomUtil.set(words, 42L, 7)
+    Seq(words.toSeq).toDF("bloom").createOrReplaceTempView("bloom_v")
+    val r = spark.sql(
+      """SELECT bloom_might_contain(bloom, 42L, 7) AS hit,
+        |       bloom_might_contain(bloom, 43L, 7) AS miss43
+        |FROM bloom_v""".stripMargin).head()
+    assert(r.getBoolean(0))
+    // 43 may be a false positive in 512 bits but overwhelmingly is not;
+    // only assert the built key hits to keep this deterministic
+  }
+
   test("pruned + real semi join == plain semi join (FPs resolved)") {
     val dim = (1L to 100L).filter(_ % 3 == 0).toDF("k")
     val fact = (1L to 1000L).map(i => (i % 120, i)).toDF("k", "v")
