@@ -51,6 +51,8 @@ object Fns {
       "bloom_might_contain",
       exprs => BloomMightContain(exprs.head, exprs(1), intLiteral(exprs(2))),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "normalize_nfc", exprs => NormalizeNFC(exprs.head), "built-in")
   }
 
   import org.apache.spark.sql.graftshim.Bridge.{toCol, toExpr}
@@ -61,6 +63,9 @@ object Fns {
   /** Morton key over the low 16 bits of two dimensions (see ZOrderKey). */
   def zorderKey(x: Column, y: Column): Column =
     toCol(ZOrderKey(toExpr(x.cast("long")), toExpr(y.cast("long"))))
+
+  /** Unicode NFC canonical composition (see NormalizeNFC). */
+  def normalizeNfc(c: Column): Column = toCol(NormalizeNFC(toExpr(c)))
 
   // --- vector math (all double-precision, index-ordered folds so the
   //     DuckDB oracle computes bit-identical sums) ---

@@ -65,6 +65,14 @@ object TextAnalysis {
       dupFrac(3, "dup_3gram_frac"))
   }
 
+  /** Canonical text normalization — the step every dedup/fingerprint
+    * stage assumes has already happened: Unicode NFC composition (native
+    * NormalizeNFC expression; Spark has no builtin), lowercasing, and
+    * whitespace collapse. Per-row, codegen'd, no shuffle.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(Fns.normalizeNfc(text)), "\\s+", " "))
+
   /** Rolling-hash document fingerprint (custom codegen'd expression). */
   def fingerprint(text: Column): Column = Fns.rollingHash31(text)
 

@@ -142,6 +142,26 @@ object PipelineExt {
           |        row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) rn
           |      FROM h)
           |SELECT doc_id, lang FROM r WHERE rn <= 10
-          |ORDER BY lang, doc_id""".stripMargin))
+          |ORDER BY lang, doc_id""".stripMargin)),
+
+    // --- canonical text normalization: NFC (native expression — Spark
+    //     has no builtin; DuckDB's nfc_normalize is the mirror) + lower +
+    //     whitespace collapse. The full normalized text is emitted, so
+    //     the driver hash pins every character of every document. ---
+    QueryDef(
+      "p22_normalize_text",
+      (s, dir) => Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.normalizeText(col("text")).as("norm_text"),
+          length(TextAnalysis.normalizeText(col("text")))
+            .cast("long").as("n_chars_norm"))
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id,
+          |  trim(regexp_replace(lower(nfc_normalize(text)),
+          |                      '\s+', ' ', 'g')) AS norm_text,
+          |  length(trim(regexp_replace(lower(nfc_normalize(text)),
+          |                             '\s+', ' ', 'g'))) AS n_chars_norm
+          |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.api.{QueryDef, Tables}
 import graft.functions.Fns
-import graft.operators.{BloomPrune, HeavyHitters, IncrementalAgg, RangeJoin, SnapshotDiff}
+import graft.operators.{BloomPrune, HeavyHitters, IncrementalAgg, RangeJoin, SkewJoin, SnapshotDiff}
 
 /** Round-4 relational additions: scale-path joins/layout/maintenance
   * primitives whose naive plans stop working around the 100 TB mark
@@ -278,6 +278,30 @@ object RelationalScale {
           |FROM lineitem
           |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
           |                     WHERE o_orderpriority = '1-URGENT')
-          |ORDER BY n_items""".stripMargin))
+          |ORDER BY n_items""".stripMargin)),
+
+    // --- salted skew join, oracle-checked: the salt spreads each hot key
+    //     over `salts` reducers; the aggregation collapses the salt away,
+    //     so the result is identical to the plain join no matter what the
+    //     rand(seed) stream produced on any partition layout — which is
+    //     exactly what the driver's hash-compare against the unsalted
+    //     DuckDB join proves. (Previously test-only equality.) ---
+    QueryDef(
+      "q55_salted_join",
+      (s, dir) => SkewJoin
+        .saltedJoin(
+          Tables.t(s, dir, "events")
+            .select(col("user_id").as("c_custkey"), col("value")),
+          Tables.t(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+          key = "c_custkey", salts = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("sum_value"))
+        .orderBy("c_mktsegment"),
+      Some(
+        """SELECT c_mktsegment, count(*) AS n_events,
+          |  round(sum(value), 2) AS sum_value
+          |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
   )
 }

@@ -112,6 +112,32 @@ class PipelineExtSpec extends AnyFunSuite {
     assert(got.map(_._4) == Seq(2000L, -1000L)) // floor, not truncate
   }
 
+  test("NFC normalization: decomposed accents compose, fast path intact") {
+    import graft.functions.{Fns, NormalizeNFC}
+    import org.apache.spark.unsafe.types.UTF8String
+    val decomposed = "cafe\u0301 nai\u0308ve" // e + U+0301, i + U+0308
+    val composed = "caf\u00e9 na\u00efve"
+    val rows = Seq(decomposed, composed, "plain ascii", "日本語")
+      .toDF("t")
+      .select($"t", Fns.normalizeNfc($"t").as("n"),
+        graft.operators.TextAnalysis.normalizeText($"t").as("full"))
+      .as[(String, String, String)].collect()
+    assert(rows(0)._2 == composed)            // composition happened
+    assert(rows(1)._2 == composed)            // already-NFC unchanged
+    assert(rows(2)._2 == "plain ascii")
+    assert(rows(3)._2 == "日本語")
+    assert(rows(0)._3 == rows(1)._3)          // normalizeText unifies both
+    // codegen path == direct JVM call
+    rows.foreach { case (t, n, _) =>
+      assert(n == NormalizeNFC.nfc(UTF8String.fromString(t)).toString)
+    }
+    // whitespace collapse + lower + trim
+    val messy = Seq("  A\tB\n\nC  ").toDF("t")
+      .select(graft.operators.TextAnalysis.normalizeText($"t"))
+      .as[String].head()
+    assert(messy == "a b c")
+  }
+
   test("per-stratum sample: exact k, layout-invariant, TopKPerGroup plan") {
     val df = (1L to 500L).map(i => (i, s"s${i % 3}")).toDF("id", "stratum")
     val a = Sampling.perStratum(df.repartition(7), "stratum", "id", 5)
