@@ -62,5 +62,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "bloom_might_contain(bloom, key, k) - probe an array<bigint> bloom bitmap",
       exprs => graft.functions.BloomMightContain(exprs.head, exprs(1),
         graft.functions.Fns.intLiteral(exprs(2)))))
+    e.injectFunction(fn("normalize_nfc",
+      "normalize_nfc(str) - Unicode NFC canonical composition",
+      exprs => graft.functions.NormalizeNFC(exprs.head)))
   }
 }
