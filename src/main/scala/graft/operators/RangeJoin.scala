@@ -46,11 +46,17 @@ object RangeJoin {
     val bin = "__rj_bin"
     require(!(points.columns ++ intervals.columns).contains(bin),
       s"column name $bin is reserved by binnedIntervalJoin")
-    // floor-division bins are correct for negative values too
-    val p = points.withColumn(bin, floor(col(pt) / binWidth).cast("long"))
+    // Exact long floor-division: (a - pmod(a, w)) div w stays entirely in
+    // integer arithmetic and is floor (not truncate) for negatives. The
+    // obvious floor(a / w) — and even Column./ on longs — routes through
+    // DOUBLE division, which silently loses precision above 2^53:
+    // epoch-nanosecond domains (~1.7e18) would land in wrong bins and
+    // drop matches.
+    def floorDiv(name: String) = expr(
+      s"(`$name` - pmod(`$name`, ${binWidth}L)) div ${binWidth}L")
+    val p = points.withColumn(bin, floorDiv(pt).cast("long"))
     val i = intervals.withColumn(bin,
-      explode(sequence(floor(col(lo) / binWidth).cast("long"),
-        floor(col(hi) / binWidth).cast("long"))))
+      explode(sequence(floorDiv(lo).cast("long"), floorDiv(hi).cast("long"))))
     p.join(i, Seq(bin))
       .filter(col(pt) >= col(lo) && col(pt) <= col(hi))
       .drop(bin)

@@ -44,6 +44,18 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got == Set((-8L, "neg"), (-1L, "zero"), (0L, "zero"), (1L, "zero")))
   }
 
+  test("epoch-nanosecond domain bins exactly (no double precision loss)") {
+    // values above 2^53: floor(x / w) in double would misbin these
+    val base = 1700000000000000000L // ~2023 in epoch nanos
+    val points = Seq(base + 1L, base + 999999999L, base + 1000000001L)
+      .toDF("pt")
+    val intervals = Seq((base, base + 1000000000L, "w1")).toDF("lo", "hi", "itag")
+    val got = RangeJoin.binnedIntervalJoin(points, intervals,
+        "pt", "lo", "hi", binWidth = 1000000000L)
+      .select("pt").as[Long].collect().toSet
+    assert(got == Set(base + 1L, base + 999999999L))
+  }
+
   test("plan is an equi-join on the bin id — no BNLJ / cartesian") {
     val points = spark.range(1000).select(col("id").as("pt"))
     val intervals = spark.range(100)
