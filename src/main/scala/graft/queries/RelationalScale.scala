@@ -302,6 +302,45 @@ object RelationalScale {
         """SELECT c_mktsegment, count(*) AS n_events,
           |  round(sum(value), 2) AS sum_value
           |FROM events e JOIN customer c ON e.user_id = c.c_custkey
-          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // --- corrupt-record quarantine (resilient ingest): a deterministic
+    //     11th of the JSON blobs is truncated to simulate upstream
+    //     corruption; from_json's PERMISSIVE null marks them, good rows
+    //     parse on, quarantined rows are counted — a malformed record
+    //     must never kill a 100 TB ingest job OR silently vanish. The
+    //     oracle mirrors with json_valid + json_extract. ---
+    QueryDef(
+      "q56_corrupt_quarantine",
+      (s, dir) => {
+        val mangled = Tables.t(s, dir, "events")
+          .select(col("event_id"),
+            when(col("event_id") % 11 === 0,
+              expr("substring(props, 1, length(props) - 1)"))
+              .otherwise(col("props")).as("raw"))
+        val parsed = mangled.withColumn("k",
+          from_json(col("raw"), lit("k BIGINT")).getField("k"))
+        parsed.agg(
+          count(lit(1)).as("n_total"),
+          count(col("k")).as("n_good"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_quarantined"),
+          sum("k").as("sum_k_good"))
+      },
+      Some(
+        """WITH m AS (
+          |  SELECT event_id,
+          |    CASE WHEN event_id % 11 = 0
+          |         THEN substring(props, 1, length(props) - 1)
+          |         ELSE props END AS raw
+          |  FROM events),
+          |p AS (SELECT CASE WHEN json_valid(raw)
+          |               THEN CAST(json_extract_string(raw, '$.k') AS BIGINT)
+          |             END AS k
+          |      FROM m)
+          |SELECT count(*) AS n_total, count(k) AS n_good,
+          |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_quarantined,
+          |  CAST(sum(k) AS BIGINT) AS sum_k_good
+          |FROM p ORDER BY n_total""".stripMargin))
   )
 }
