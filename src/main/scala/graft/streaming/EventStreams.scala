@@ -133,6 +133,32 @@ object EventStreams {
       .select(col("user_id"), col("err_id"), col("click_id"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: every error, with its
+    * follow-up click when one exists, or nulls once the watermark proves
+    * no click can arrive anymore. The outer side is what makes this a
+    * genuinely stateful problem — the engine must HOLD each unmatched
+    * error until `err_ts + 10 min` falls behind the watermark, then emit
+    * the null-extended row and evict; without the event-time range
+    * bounds on BOTH inputs the state store would grow forever. Batch
+    * twin: a plain left join (MultimodalStreamingSpec proves equality on
+    * watermark-closed rows).
+    */
+  def errorClickLeftJoinStream(events: DataFrame): DataFrame = {
+    val wm = events.withWatermark("ts", "1 hour")
+    val errs = wm.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("err_id"),
+        col("ts").as("err_ts"))
+    val clicks = wm.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    errs.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("click_ts") > col("err_ts") &&
+        col("click_ts") <= col("err_ts") + expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+      .select(col("user_id"), col("err_id"), col("click_id"))
+  }
+
   /** Run a streaming transform of the events source to completion against
     * the (static) fixture directory and return the result as a batch
     * DataFrame — used by tests to prove batch equivalence.

@@ -101,4 +101,35 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(batch.nonEmpty, "fixtures contain error→click funnels")
   }
+
+  test("stream-stream LEFT OUTER join: matches + watermark-proven nulls == batch left join") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStreams.runToMemory(
+      spark, TestSpark.sf0001, "t_ssljoin", "append")(
+      EventStreams.errorClickLeftJoinStream)
+      .as[(Long, Long, Option[Long])].collect()
+    val e = graft.api.Tables.t(spark, TestSpark.sf0001, "events")
+    val errs = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("err_id"), col("ts").as("err_ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val batch = errs.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("click_ts") > col("err_ts") &&
+        col("click_ts") <= col("err_ts") + expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+      .select(col("user_id"), col("err_id"), col("click_id"))
+      .as[(Long, Long, Option[Long])].collect()
+    // matched rows must agree exactly; null-extended rows may be withheld
+    // by the final watermark for errors near the stream's end, so the
+    // streamed nulls must be a SUBSET of the batch nulls — and some must
+    // actually have been emitted (state eviction fired)
+    val (sMatched, sNulls) = streamed.partition(_._3.isDefined)
+    val (bMatched, bNulls) = batch.partition(_._3.isDefined)
+    assert(sMatched.toSet == bMatched.toSet)
+    assert(sNulls.toSet.subsetOf(bNulls.toSet))
+    assert(sNulls.nonEmpty, "watermark should have closed some unmatched errors")
+    assert(bNulls.nonEmpty, "fixtures contain errors with no follow-up click")
+  }
 }
