@@ -49,6 +49,10 @@ object Decontaminate {
     val dirty = overlapCounts(train, eval, idCol, textCol, n)
       .filter(col("n_overlap") >= maxOverlap)
       .select(col("id").as(idCol))
-    train.join(broadcast(dirty), Seq(idCol), "left_anti")
+    // no broadcast hint: the dirty-id set is usually tiny (AQE will
+    // broadcast it), but a heavily-contaminated corpus can make it
+    // arbitrarily large — a forced broadcast would OOM exactly when
+    // decontamination matters most
+    train.join(dirty, Seq(idCol), "left_anti")
   }
 }
