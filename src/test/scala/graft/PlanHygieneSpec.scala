@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.Registry
+
+/** Whole-registry plan audit: no query may regress into a cross product.
+  * Planning only — nothing executes — so this sweeps all queries in
+  * seconds and permanently pins the "no all-pairs node anywhere" claim
+  * PLANS.md makes (the first property to silently rot when a join
+  * condition is edited).
+  */
+class PlanHygieneSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // Every BNLJ in the engine is a deliberate small-broadcast design,
+  // enumerated here so a NEW one fails loudly:
+  //  - q20_theta_join: pure theta, no equi conjunct exists — BNL over the
+  //    broadcast dim is the correct plan at any scale
+  //  - q54_bloom_prune: the "join" is a one-row broadcast carrying the
+  //    bloom bitmap to every task — O(n) by construction
+  //  - p09_ann_bruteforce: brute-force ANN is all-pairs BY DEFINITION;
+  //    the query side is the small broadcast, the corpus streams
+  //  - p13_ann_ivf: query × 16 centroids assignment (nlist is a constant)
+  private val bnljAllowed = Set("q20_theta_join", "q54_bloom_prune",
+    "p09_ann_bruteforce", "p13_ann_ivf")
+
+  test("no cartesian product or unexpected BNLJ in any registered query") {
+    val offenders = Registry.all.flatMap { q =>
+      val plan =
+        try q.run(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
+        catch { case e: Throwable => fail(s"${q.name} failed to plan: $e") }
+      val cartesian = plan.contains("CartesianProduct")
+      val bnlj = plan.contains("BroadcastNestedLoopJoin") &&
+        !bnljAllowed(q.name)
+      if (cartesian || bnlj)
+        Some(s"${q.name}: cartesian=$cartesian bnlj=$bnlj")
+      else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
