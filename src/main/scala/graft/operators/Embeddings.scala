@@ -43,6 +43,50 @@ object Embeddings {
       when(m > 0, floor(x * 127.0 / m + 0.5)).otherwise(lit(0.0)).cast("int"))
   }
 
+  /** Deterministic ±1 projection matrix for Johnson-Lindenstrauss sign
+    * random projection (Achlioptas 2003's database-friendly variant with
+    * p=1/2): sign(j,i) = low bit of fmix32(FNV-1a-32("j:i")), where
+    * fmix32 is MurmurHash3's finalizer. The avalanche step matters: the
+    * raw FNV low bit is just the parity of the input bytes' low bits
+    * (odd-multiplier arithmetic preserves parity), which makes rows of
+    * the matrix exact negations of each other. Generated on both engines
+    * from the same literals — the matrix is embedded in the plan and in
+    * the oracle SQL, so no cross-engine RNG is involved.
+    */
+  def projectionSigns(outDims: Int, inDims: Int): Array[Array[Double]] =
+    Array.tabulate(outDims, inDims) { (j, i) =>
+      var h = 0x811c9dc5L // FNV-1a 32-bit offset basis
+      s"$j:$i".getBytes("UTF-8").foreach { b =>
+        h = ((h ^ (b & 0xffL)) * 0x01000193L) & 0xffffffffL
+      }
+      h ^= h >>> 16; h = (h * 0x85ebca6bL) & 0xffffffffL
+      h ^= h >>> 13; h = (h * 0xc2b2ae35L) & 0xffffffffL
+      h ^= h >>> 16
+      if ((h & 1L) == 0L) 1.0 else -1.0
+    }
+
+  /** JL sign random projection to `outDims` dimensions, scaled by
+    * 1/sqrt(outDims): r_j = sum_i(sign(j,i) * x_i) / sqrt(outDims).
+    * Output: (id, r0..r{outDims-1}) rounded to 6 dp.
+    *
+    * Scale design: a pure per-row project (the matrix is plan literals),
+    * fused into the corpus scan — the 100 TB cost is the scan itself,
+    * and downstream ANN/cluster passes run on outDims/inDims of the data.
+    */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+      outDims: Int, inDims: Int): DataFrame = {
+    val signs = projectionSigns(outDims, inDims)
+    val scale = lit(math.sqrt(outDims.toDouble))
+    val outs = (0 until outDims).map { j =>
+      val dot = aggregate(
+        zip_with(asDouble(col(vecCol)), typedLit(signs(j).toSeq),
+          (x, s) => x * s),
+        lit(0.0), (acc, t) => acc + t)
+      round(dot / scale, 6).as(s"r$j")
+    }
+    df.select(col(idCol) +: outs: _*)
+  }
+
   /** Rows of (id, maxabs, codes) — the stored quantized form. */
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol), round(maxAbs(col(vecCol)), 6).as("maxabs"),

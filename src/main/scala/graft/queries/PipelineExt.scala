@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.api.{QueryDef, Tables}
-import graft.operators.{Anonymize, Decontaminate, Embeddings, Sampling, TextAnalysis}
+import graft.operators.{Anonymize, Decontaminate, Embeddings, Sampling, TextAnalysis, TfIdf}
 
 /** Round-4 training-data pipeline additions: benchmark decontamination,
   * repetition-based quality rules, embedding maintenance, PII
@@ -162,6 +162,58 @@ object PipelineExt {
           |                      '\s+', ' ', 'g')) AS norm_text,
           |  length(trim(regexp_replace(lower(nfc_normalize(text)),
           |                             '\s+', ' ', 'g'))) AS n_chars_norm
-          |FROM documents ORDER BY doc_id""".stripMargin))
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // --- TF-IDF top-3 salient terms per document (sklearn's smooth
+    //     ln((N+1)/(df+1))+1 idf): keyword extraction through the
+    //     TopKPerGroup physical operator. Selection ranks on the
+    //     UNROUNDED score (bit-identical across engines: same IEEE
+    //     ratio through ln on both sides); output rounds to 6 dp. ---
+    QueryDef(
+      "p23_tfidf_topterms",
+      (s, dir) => TfIdf
+        .topTerms(Tables.t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .select(col("id").as("doc_id"), col("term"), col("tf"),
+          round(col("score"), 6).as("tfidf"))
+        .orderBy(col("doc_id"), col("tfidf").desc, col("term")),
+      Some(
+        """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          |              FROM documents),
+          |tc AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+          |dfx AS (SELECT term, count(*) AS df FROM tc GROUP BY 1),
+          |n AS (SELECT count(*) AS n_docs FROM documents),
+          |s AS (SELECT tc.doc_id, tc.term, tc.tf,
+          |        tc.tf * (ln((n.n_docs + 1)::DOUBLE / (dfx.df + 1)::DOUBLE)
+          |                 + 1.0) AS score
+          |      FROM tc JOIN dfx USING (term) CROSS JOIN n),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+          |        ORDER BY score DESC, term) AS rn FROM s)
+          |SELECT doc_id, term, tf, round(score, 6) AS tfidf
+          |FROM r WHERE rn <= 3
+          |ORDER BY doc_id, tfidf DESC, term""".stripMargin)),
+
+    // --- Johnson-Lindenstrauss sign random projection 64 -> 8 dims: the
+    //     cheap-distance-preserving reduction run before clustering or
+    //     coarse ANN. The ±1 matrix is deterministic (avalanched FNV) and
+    //     embedded as literals in BOTH plans, so every output coordinate
+    //     is a bit-identical index-ordered fold on the two engines. ---
+    QueryDef(
+      "p24_random_projection",
+      (s, dir) => Embeddings.randomProjection(
+          Tables.t(s, dir, "embeddings"), "vec_id", "embedding",
+          outDims = 8, inDims = 64)
+        .orderBy("vec_id"),
+      Some {
+        val signs = Embeddings.projectionSigns(8, 64)
+        val outs = (0 until 8).map { j =>
+          val terms = (0 until 64).map(i =>
+            (if (signs(j)(i) > 0) " + " else " - ") + s"e[${i + 1}]").mkString
+          s"round((0.0$terms) / sqrt(8.0), 6) AS r$j"
+        }
+        s"""SELECT vec_id, ${outs.mkString(",\n  ")}
+           |FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+           |      FROM embeddings)
+           |ORDER BY vec_id""".stripMargin
+      })
   )
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.api.{QueryDef, Tables}
 import graft.functions.Fns
-import graft.operators.{BloomPrune, HeavyHitters, IncrementalAgg, RangeJoin, SkewJoin, SnapshotDiff}
+import graft.operators.{BloomPrune, GapFill, HeavyHitters, IncrementalAgg, RangeJoin, SkewJoin, SnapshotDiff}
 
 /** Round-4 relational additions: scale-path joins/layout/maintenance
   * primitives whose naive plans stop working around the 100 TB mark
@@ -341,6 +341,62 @@ object RelationalScale {
           |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
           |    AS n_quarantined,
           |  CAST(sum(k) AS BIGINT) AS sum_k_good
-          |FROM p ORDER BY n_total""".stripMargin))
+          |FROM p ORDER BY n_total""".stripMargin)),
+
+    // --- time-series gap fill + last-observation-carried-forward over
+    //     each user's daily value series (operators.GapFill): every
+    //     observed row GENERATES its own gap days up to the next
+    //     observation, so the carried value needs no second pass — one
+    //     per-key window shuffle plus an output-sized explode, vs the
+    //     spine-join formulation's three shuffles. ---
+    QueryDef(
+      "q57_gap_fill",
+      (s, dir) => {
+        val daily = Tables.t(s, dir, "events")
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(round(sum("value"), 6).as("day_value"))
+        GapFill.dailyLocf(daily, "user_id", "day", "day_value")
+          .orderBy("user_id", "day")
+      },
+      Some(
+        """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+          |    round(sum(value), 6) AS day_value
+          |  FROM events GROUP BY 1, 2),
+          |x AS (SELECT user_id, day, day_value,
+          |        lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt
+          |      FROM daily),
+          |g AS (SELECT user_id, day AS src_day, day_value,
+          |        unnest(generate_series(day::TIMESTAMP,
+          |          coalesce((nxt - INTERVAL 1 DAY)::TIMESTAMP, day::TIMESTAMP),
+          |          INTERVAL 1 DAY))::DATE AS day
+          |      FROM x)
+          |SELECT user_id, day, day_value, day <> src_day AS is_gap
+          |FROM g ORDER BY user_id, day""".stripMargin)),
+
+    // --- schema evolution: two generations of the orders feed (v1
+    //     carries totalprice, v2 replaced it with orderpriority) unioned
+    //     by COLUMN NAME with missing columns null-filled
+    //     (unionByName(allowMissingColumns)) — the mixed-vintage read
+    //     every long-lived 100 TB dataset eventually needs. Position-based
+    //     union would silently mis-align; the oracle is DuckDB's
+    //     UNION ALL BY NAME. ---
+    QueryDef(
+      "q58_schema_union",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        val v1 = o.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val v2 = o.filter(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_custkey", "o_orderpriority")
+        v1.unionByName(v2, allowMissingColumns = true)
+          .orderBy("o_orderkey")
+      },
+      Some(
+        """SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM orders WHERE o_orderkey % 2 = 0
+          |UNION ALL BY NAME
+          |SELECT o_orderkey, o_custkey, o_orderpriority
+          |FROM orders WHERE o_orderkey % 2 = 1
+          |ORDER BY o_orderkey""".stripMargin))
   )
 }

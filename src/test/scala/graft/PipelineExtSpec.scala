@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Anonymize, Decontaminate, Embeddings, Sampling, TextAnalysis}
+import graft.operators.{Anonymize, Decontaminate, Embeddings, Sampling, TextAnalysis, TfIdf}
 
 class PipelineExtSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -154,5 +154,64 @@ class PipelineExtSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerGroup"), plan)
     assert(!plan.contains("WindowExec"), plan)
+  }
+
+  test("tfidf: scores match hand computation, rarer term outranks common") {
+    // 3 docs; "rare" appears only in doc 1, "the" in all three.
+    val docs = Seq(
+      (1L, "the rare the"),
+      (2L, "the common words"),
+      (3L, "the common stuff")).toDF("doc_id", "text")
+    val got = TfIdf.scored(docs, "doc_id", "text")
+      .orderBy("id", "term")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    def idf(df: Long) = math.log(4.0 / (df + 1)) + 1.0
+    val exp = Seq(
+      (1L, "rare", 1L, 1 * idf(1)), (1L, "the", 2L, 2 * idf(3)),
+      (2L, "common", 1L, 1 * idf(2)), (2L, "the", 1L, 1 * idf(3)),
+      (2L, "words", 1L, 1 * idf(1)),
+      (3L, "common", 1L, 1 * idf(2)), (3L, "stuff", 1L, 1 * idf(1)),
+      (3L, "the", 1L, 1 * idf(3)))
+    assert(got == exp)
+    // top-1 of doc 2: the df=1 terms beat "common" (df=2) and "the" (df=3)
+    val top = TfIdf.topTerms(docs, "doc_id", "text", 1)
+      .filter($"id" === 2L).select("term").as[String].head()
+    assert(top == "words")
+  }
+
+  test("tfidf: top-k planned through TopKPerGroup, N never collected") {
+    val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val plan = TfIdf.topTerms(docs, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), plan)
+    assert(!plan.contains("WindowExec"), plan)
+    // corpus size joins in as a broadcast aggregate, not a driver collect
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("projection sign matrix: ±1, decorrelated rows (avalanche regression)") {
+    val signs = Embeddings.projectionSigns(8, 64)
+    assert(signs.flatten.forall(s => s == 1.0 || s == -1.0))
+    // raw-FNV-parity bug made every row pair exact (anti-)correlates;
+    // with the avalanche mix |row_a . row_b| stays far from ±64
+    for (a <- 0 until 8; b <- (a + 1) until 8) {
+      val dot = (0 until 64).map(i => signs(a)(i) * signs(b)(i)).sum
+      assert(math.abs(dot) < 32, s"rows $a,$b correlate: $dot")
+    }
+  }
+
+  test("random projection: matches a literal-matrix hand fold") {
+    val df = Seq((1L, Array(1.0f, 2.0f, 3.0f, 4.0f))).toDF("vec_id", "embedding")
+    val got = Embeddings.randomProjection(df, "vec_id", "embedding",
+      outDims = 2, inDims = 4).collect().head
+    val signs = Embeddings.projectionSigns(2, 4)
+    val v = Array(1.0, 2.0, 3.0, 4.0)
+    def expect(j: Int) = {
+      val dot = (0 until 4).map(i => v(i) * signs(j)(i)).sum
+      BigDecimal(dot / math.sqrt(2.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got.getDouble(1) == expect(0) && got.getDouble(2) == expect(1))
   }
 }

@@ -21,8 +21,10 @@ class PlanHygieneSpec extends AnyFunSuite {
   //  - p09_ann_bruteforce: brute-force ANN is all-pairs BY DEFINITION;
   //    the query side is the small broadcast, the corpus streams
   //  - p13_ann_ivf: query × 16 centroids assignment (nlist is a constant)
+  //  - p23_tfidf_topterms: the corpus size N joins in as a ONE-ROW
+  //    broadcast aggregate (the alternative is a driver-side collect)
   private val bnljAllowed = Set("q20_theta_join", "q54_bloom_prune",
-    "p09_ann_bruteforce", "p13_ann_ivf")
+    "p09_ann_bruteforce", "p13_ann_ivf", "p23_tfidf_topterms")
 
   test("no cartesian product or unexpected BNLJ in any registered query") {
     val offenders = Registry.all.flatMap { q =>
