@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.api.{QueryDef, Tables}
-import graft.operators.{Anonymize, Decontaminate, Embeddings, Sampling, TextAnalysis, TfIdf}
+import graft.operators.{Anonymize, Decontaminate, Embeddings, IdAssign, Sampling, TextAnalysis, TfIdf}
 
 /** Round-4 training-data pipeline additions: benchmark decontamination,
   * repetition-based quality rules, embedding maintenance, PII
@@ -214,6 +214,23 @@ object PipelineExt {
            |FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
            |      FROM embeddings)
            |ORDER BY vec_id""".stripMargin
-      })
+      }),
+
+    // --- contiguous global id assignment in key order WITHOUT the
+    //     single-reducer window (operators.IdAssign): range sort + the
+    //     zipWithIndex two-phase count/offset scheme. The oracle is the
+    //     very formulation that does NOT scale — row_number over a
+    //     global ORDER BY — correct at sf, single-partition at 100 TB
+    //     (IdAssignSpec pins the plan difference). ---
+    QueryDef(
+      "p25_assign_ids",
+      (s, dir) => IdAssign.contiguousIds(
+          Tables.t(s, dir, "documents").select("doc_id", "lang"),
+          col("doc_id"), "gid")
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id, lang,
+          |  row_number() OVER (ORDER BY doc_id) - 1 AS gid
+          |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }
