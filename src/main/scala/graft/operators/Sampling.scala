@@ -29,4 +29,37 @@ object Sampling {
         Seq(stratumCol), Seq(col(h).asc, col(idCol).asc), k)
       .drop(h)
   }
+
+  /** Mixture sampling — the data-mixing primitive: per-stratum QUOTAS
+    * (e.g. upweight curated sources, downweight crawl), selected in the
+    * same deterministic hash order as [[perStratum]]. Strata absent from
+    * `quotas` are dropped (quota 0).
+    *
+    * Scale design: one TopKPerGroup pass at k = max(quota) prunes the
+    * corpus to ≤ k rows per (stratum × input partition) map-side; the
+    * exact per-stratum cut (row_number ≤ quota) then runs on that pruned,
+    * quota-bounded set — the full corpus never sees a window sort.
+    */
+  def mixture(df: DataFrame, stratumCol: String, idCol: String,
+      quotas: Map[String, Int]): DataFrame = {
+    require(quotas.nonEmpty, "quotas must be non-empty")
+    require(quotas.values.forall(_ >= 1), s"quotas must be >= 1: $quotas")
+    val h = "__samp_h"
+    val rn = "__samp_rn"
+    require(!df.columns.contains(h) && !df.columns.contains(rn),
+      s"column names $h/$rn are reserved by mixture")
+    val kmax = quotas.values.max
+    val quotaCol = quotas.foldLeft(lit(0)) { case (acc, (s, k)) =>
+      when(col(stratumCol) === s, lit(k)).otherwise(acc)
+    }
+    val order = Seq(col(h).asc, col(idCol).asc)
+    val pruned = graft.plans.TopKPerGroup.topK(
+      df.withColumn(h, Fns.fnv1a32(col(idCol).cast("string"))),
+      Seq(stratumCol), order, kmax)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol).orderBy(order: _*)
+    pruned.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= quotaCol)
+      .drop(h, rn)
+  }
 }

@@ -231,6 +231,37 @@ object PipelineExt {
       Some(
         """SELECT doc_id, lang,
           |  row_number() OVER (ORDER BY doc_id) - 1 AS gid
-          |FROM documents ORDER BY doc_id""".stripMargin))
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // --- mixture sampling (data mixing): per-source quotas in the same
+    //     deterministic FNV hash order as p21 — upweight src0, keep src4
+    //     whole, drop the 15 unlisted sources. One TopKPerGroup pass at
+    //     kmax prunes the corpus map-side; the exact quota cut runs on
+    //     the pruned set. ---
+    QueryDef(
+      "p26_mixture_sample",
+      (s, dir) => Sampling.mixture(
+          Tables.t(s, dir, "documents"), "source", "doc_id",
+          Map("src0" -> 20, "src1" -> 15, "src2" -> 10, "src3" -> 5,
+            "src4" -> 25))
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id"),
+      Some(
+        """WITH h AS (SELECT doc_id, source,
+          |    (list_reduce(list_prepend(2166136261::BIGINT,
+          |       list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+          |         c -> unicode(c)::BIGINT)),
+          |       (h, c) -> (xor(h, c) * 16777619) % 4294967296)) % 2147483648
+          |      AS hv
+          |  FROM documents),
+          |r AS (SELECT doc_id, source,
+          |        row_number() OVER (PARTITION BY source ORDER BY hv, doc_id)
+          |          AS rn
+          |      FROM h)
+          |SELECT doc_id, source FROM r
+          |WHERE rn <= CASE source
+          |  WHEN 'src0' THEN 20 WHEN 'src1' THEN 15 WHEN 'src2' THEN 10
+          |  WHEN 'src3' THEN 5 WHEN 'src4' THEN 25 ELSE 0 END
+          |ORDER BY source, doc_id""".stripMargin))
   )
 }

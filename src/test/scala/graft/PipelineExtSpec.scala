@@ -156,6 +156,22 @@ class PipelineExtSpec extends AnyFunSuite {
     assert(!plan.contains("WindowExec"), plan)
   }
 
+  test("mixture sample: per-stratum quotas, unlisted strata dropped") {
+    val df = (1L to 300L).map(i => (i, s"s${i % 3}")).toDF("id", "stratum")
+    val got = Sampling.mixture(df, "stratum", "id",
+        Map("s0" -> 7, "s1" -> 3))
+      .as[(Long, String)].collect().toSeq
+    val bySize = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySize == Map("s0" -> 7, "s1" -> 3)) // s2 dropped (no quota)
+    // quota rows are a PREFIX of perStratum's hash order — same ordering
+    val ps = Sampling.perStratum(df, "stratum", "id", 7)
+      .filter($"stratum" === "s0").as[(Long, String)].collect().toSeq
+    assert(got.filter(_._2 == "s0").toSet == ps.toSet)
+    // quota larger than the stratum returns the whole stratum
+    val all = Sampling.mixture(df, "stratum", "id", Map("s2" -> 1000))
+    assert(all.count() == 100)
+  }
+
   test("tfidf: scores match hand computation, rarer term outranks common") {
     // 3 docs; "rare" appears only in doc 1, "the" in all three.
     val docs = Seq(
