@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.operators.{ConnectedComponents, Decontaminate, Dedup, Sampling, TextAnalysis}
+import graft.operators.{ConnectedComponents, Decontaminate, Dedup, IdAssign, Sampling, TextAnalysis}
 
 /** End-to-end training-data pipeline demo: the chain a 100 TB corpus
   * would run, at fixture scale —
@@ -60,15 +60,24 @@ object PipelineDemo {
       col("n_tokens") >= 10 && col("dup_3gram_frac") < 0.5)
     val n4 = kept.count()
 
-    // 5. token accounting + sink + deterministic per-language sample
+    // 5. data mixing: per-source quotas (upweight even sources), then
+    //    contiguous global ids in doc_id order — the stable sequence ids
+    //    a downstream tokenizer shards by
+    val quotas = (0 until 20).map(i =>
+      s"src$i" -> (if (i % 2 == 0) 25 else 10)).toMap
+    val mixed = Sampling.mixture(kept, "source", "doc_id", quotas)
+    val withIds = IdAssign.contiguousIds(mixed, col("doc_id"), "gid")
+    val n5 = withIds.count()
+
+    // 6. token accounting + sink + deterministic per-language sample
     //    manifest (for eyeballing / eval construction)
-    val stats = kept.groupBy("lang").agg(
+    val stats = withIds.groupBy("lang").agg(
       count(lit(1)).as("n_docs"),
       sum("ws_tokens").as("total_tokens"),
       round(avg("quality_score"), 3).as("avg_quality"))
-    kept.select("doc_id", "lang", "text", "n_tokens", "quality_score")
+    withIds.select("gid", "doc_id", "lang", "text", "n_tokens", "quality_score")
       .write.mode("overwrite").parquet(out)
-    Sampling.perStratum(kept, "lang", "doc_id", k = 5)
+    Sampling.perStratum(withIds, "lang", "doc_id", k = 5)
       .select("doc_id", "lang", "n_tokens")
       .write.mode("overwrite").parquet(s"$out-sample")
     val summary = stats.orderBy("lang").collect()
@@ -76,7 +85,8 @@ object PipelineDemo {
       .mkString(", ")
     println(s"[pipeline] $n0 docs -> $n1 after exact dedup -> " +
       s"$n2 after near-dedup -> $n3 after decontamination -> " +
-      s"$n4 after quality gate | $summary | wrote $out (+ -sample manifest)")
+      s"$n4 after quality gate -> $n5 after mixing (ids 0..${n5 - 1}) | " +
+      s"$summary | wrote $out (+ -sample manifest)")
     spark.stop()
   }
 }
