@@ -39,6 +39,19 @@ class IdAssignSpec extends AnyFunSuite {
     assert(naive.contains("Exchange SinglePartition"), naive)
   }
 
+  test("random inputs: contiguity and order alignment hold (seeded property)") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 1 + rnd.nextInt(2000)
+      val data = Seq.fill(n)(rnd.nextLong()).distinct.map(k => (k, trial))
+      val got = IdAssign.contiguousIds(
+          data.toDF("k", "t").repartition(1 + rnd.nextInt(8)), col("k"), "gid")
+        .orderBy("gid").select("k", "gid").as[(Long, Long)].collect().toSeq
+      assert(got.map(_._2) == (0L until data.size.toLong), s"trial $trial")
+      assert(got.map(_._1) == data.map(_._1).sorted, s"trial $trial")
+    }
+  }
+
   test("empty input and reserved-column guard") {
     val empty = df.filter(col("k") < 0)
     assert(IdAssign.contiguousIds(empty, col("k"), "gid").count() == 0)
