@@ -13,46 +13,37 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * neither contiguous nor order-aligned.
   *
   * Scale design: range-repartition + local sort by key (Spark's ordinary
-  * distributed sort — the same machinery as orderBy), then a
-  * zipWithIndex-style two-phase pass: a per-partition count job (tiny:
-  * one long per partition, the exact scheme RDD.zipWithIndex uses), the
-  * cumulative offsets broadcast back as a plan literal, and a
-  * mapPartitions that adds `offset(pid) + local index` while streaming.
-  * Per-partition counts are the ONLY driver-side materialization —
-  * bounded by partition count, like AQE's own stage statistics.
+  * distributed sort — the same machinery as orderBy), then
+  * `RDD.zipWithIndex` — a per-partition count job (one long per
+  * partition) whose cumulative offsets are added while streaming.
+  *
+  * The count pass and the data pass MUST run on one RDD lineage (as
+  * zipWithIndex does), not on two executions of the DataFrame:
+  * repartitionByRange samples its boundaries with an rdd.id-seeded
+  * sampler, so two separate executions of the same plan can draw
+  * DIFFERENT boundaries, and offsets computed against one layout applied
+  * to the other scatter duplicate/missing ids (IdAssignSpec's seeded
+  * property test catches exactly this). Sharing the lineage also reuses
+  * the sort's shuffle files across the two jobs.
+  *
+  * Ids equal the global rank in key order, so they are independent of
+  * the (execution-specific) boundary draw whenever `key` is unique —
+  * pass a unique key for a total order.
   */
 object IdAssign {
 
-  /** Append `idColName` with contiguous longs 0..n-1 ordered by `key`
-    * (ties broken arbitrarily but deterministically for a fixed layout;
-    * pass a unique key for a total order).
-    */
+  /** Append `idColName` with contiguous longs 0..n-1 ordered by `key`. */
   def contiguousIds(df: DataFrame, key: Column, idColName: String): DataFrame = {
     val spark = df.sparkSession
     require(!df.columns.contains(idColName), s"column $idColName already exists")
-    val sorted = df.repartitionByRange(key).sortWithinPartitions(key)
-    // tiny job: one count per partition (same scheme as RDD.zipWithIndex)
-    val counts = sorted.groupBy(spark_partition_id().as("pid"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy("pid")
-      .collect()
-      .map(r => (r.getInt(0), r.getLong(1)))
-    val offsets = new Array[Long](counts.map(_._1).foldLeft(0)(math.max) + 2)
-    var acc = 0L
-    counts.foreach { case (pid, n) => offsets(pid) = acc; acc += n }
-    val bcast = spark.sparkContext.broadcast(offsets)
+    val numParts = spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(numParts, key).sortWithinPartitions(key)
     val outSchema = StructType(sorted.schema.fields :+
       StructField(idColName, LongType, nullable = false))
-    val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    sorted.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var i = bcast.value(pid)
-      it.map { r =>
-        val out = Row.fromSeq(r.toSeq :+ i)
-        i += 1
-        out
-      }
-    }(enc)
+    val withIds = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(withIds, outSchema)
   }
 
   /** The naive single-reducer formulation — kept as the plan

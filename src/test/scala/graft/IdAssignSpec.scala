@@ -29,11 +29,14 @@ class IdAssignSpec extends AnyFunSuite {
     assert(run(df.repartition(7)) == run(df.repartition(3, col("v"))))
   }
 
-  test("no single-partition exchange (the naive plan's failure mode)") {
-    val scalable = IdAssign.contiguousIds(df, col("k"), "gid")
-      .queryExecution.executedPlan.toString
-    assert(!scalable.contains("Exchange SinglePartition"), scalable)
-    assert(scalable.contains("rangepartitioning"), scalable)
+  test("no single-partition stage (the naive plan's failure mode)") {
+    val out = IdAssign.contiguousIds(df, col("k"), "gid")
+    // the data flows through all range partitions, never one reducer
+    assert(out.rdd.getNumPartitions ==
+      spark.sessionState.conf.numShufflePartitions)
+    // ...and the range sort is in the lineage
+    assert(out.rdd.toDebugString.contains("ShuffledRowRDD"),
+      out.rdd.toDebugString)
     val naive = IdAssign.contiguousIdsNaive(df, col("k"), "gid")
       .queryExecution.executedPlan.toString
     assert(naive.contains("Exchange SinglePartition"), naive)
