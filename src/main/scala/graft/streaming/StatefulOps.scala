@@ -75,6 +75,60 @@ object StatefulOps {
         })
   }
 
+  case class LocfState(lastDay: Int, lastValue: Double)
+  case class FilledDay(user_id: Long, day: java.sql.Date, day_value: Double,
+      is_gap: Boolean)
+
+  /** Streaming twin of [[graft.operators.GapFill]] over per-user daily
+    * event-value sums: every gap row is determined by a pair of
+    * CONSECUTIVE observations, so it is emitted in-band when the later
+    * observation arrives — no timeout path. Streamed output equals the
+    * batch twin minus each user's final observed day (it has no
+    * successor yet; it emits when one arrives — the spec pins this
+    * equality exactly).
+    *
+    * Late data: an observation at or before the key's last-seen day is
+    * dropped (the days it would revise were already emitted) — the same
+    * contract as watermark dedup. State is two scalars per user.
+    */
+  def gapFillStream(events: DataFrame): Dataset[FilledDay] = {
+    import events.sparkSession.implicits._
+    events
+      .select($"user_id".as[Long],
+        to_date($"ts").as("day").as[java.sql.Date], $"value".as[Double])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LocfState, FilledDay](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, java.sql.Date, Double)],
+            state: GroupState[LocfState]) => {
+          def epochDay(d: java.sql.Date): Int = d.toLocalDate.toEpochDay.toInt
+          def date(ed: Int): java.sql.Date =
+            java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(ed.toLong))
+          // daily sums of this batch, ascending by day
+          val days = rows.toSeq.groupBy(r => epochDay(r._2)).view
+            .mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+          var cur = state.getOption
+          val out = Seq.newBuilder[FilledDay]
+          days.foreach { case (d, v) =>
+            cur match {
+              case Some(s) if d <= s.lastDay => // late observation: dropped
+              case Some(s) =>
+                // emit the predecessor, then its gap days up to d
+                out += FilledDay(user, date(s.lastDay), s.lastValue,
+                  is_gap = false)
+                ((s.lastDay + 1) until d).foreach { g =>
+                  out += FilledDay(user, date(g), s.lastValue, is_gap = true)
+                }
+                cur = Some(LocfState(d, v))
+              case None =>
+                cur = Some(LocfState(d, v))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+        })
+  }
+
   /** Running per-user activity totals maintained in the state store.
     * flatMapGroupsWithState(Update) emits the refreshed state for each
     * key touched by the micro-batch.

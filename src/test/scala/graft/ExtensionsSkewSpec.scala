@@ -78,6 +78,27 @@ class ExtensionsSkewSpec extends AnyFunSuite {
     assert(last == batch)
   }
 
+  test("streaming gap fill equals the batch twin minus each user's final day") {
+    val streamed = EventStreams.runToMemory(spark, TestSpark.sf0001,
+      "t_gapfill", "append")(df => StatefulOps.gapFillStream(df).toDF())
+      .select($"user_id", $"day", round($"day_value", 2).as("v"), $"is_gap")
+      .as[(Long, java.sql.Date, Double, Boolean)].collect().toSet
+    val events = graft.api.Tables.t(spark, TestSpark.sf0001, "events")
+    val daily = events.groupBy($"user_id", to_date($"ts").as("day"))
+      .agg(sum("value").as("day_value"))
+    val batch = graft.operators.GapFill
+      .dailyLocf(daily, "user_id", "day", "day_value")
+      .select($"user_id", $"day", round($"day_value", 2).as("v"), $"is_gap")
+      .as[(Long, java.sql.Date, Double, Boolean)].collect().toSeq
+    val lastDay = batch.groupBy(_._1).view.mapValues(_.map(_._2.getTime).max).toMap
+    // each user's final observed day has no successor -> not yet emitted
+    val expected = batch.filter { case (u, d, _, _) =>
+      d.getTime != lastDay(u)
+    }.toSet
+    assert(streamed == expected)
+    assert(streamed.exists(_._4), "expected at least one gap row")
+  }
+
   test("streaming sessionization emits exactly the batch sessions closed by the watermark") {
     val streamed = EventStreams.runToMemory(spark, TestSpark.sf0001,
       "t_sessions", "append")(df => StatefulOps.sessionizeStream(df, 1800).toDF())
