@@ -60,28 +60,31 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       planes: Int = 8, dims: Int = 64, probeBits: Int = 2,
       tables: Int = 6, broadcastQueries: Boolean = true): DataFrame = {
-    def withSigs(df: DataFrame, idAs: String, vecAs: String) =
-      df.select(col("vec_id").as(idAs), col("embedding").as(vecAs),
-        posexplode(bucketsCol("embedding", planes, tables, dims))
-          .as(Seq("tbl", "b0")))
-    val c = withSigs(corpus, "nid", "nv")
-      .select(col("nid"), col("nv"), col("tbl"), col("b0").as("bucket"))
-    val q0 = withSigs(queries, "qid", "qv")
+    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+      posexplode(bucketsCol("embedding", planes, tables, dims))
+        .as(Seq("tbl", "bucket")))
     // all xor masks with <= probeBits bits set (mask 0 = the bucket itself)
     val masks = 0L +: (1 to probeBits).flatMap(sz =>
       (0 until planes).combinations(sz).map(_.map(1L << _).sum))
-    val q = q0.select(col("qid"), col("qv"), col("tbl"),
-      explode(array(masks.map(m =>
-        col("b0").bitwiseXOR(lit(m))): _*)).as("bucket"))
-    // broadcast side carries tables*(1+masks) rows PER QUERY (222× with
-    // the defaults), each with the full embedding — fine up to a few
-    // thousand queries (~300 B/row → ~66 KB/query). For larger query
-    // sets pass broadcastQueries=false: the join becomes a shuffled
-    // equi-join on (tbl, bucket), still no cross product.
-    val qSide = if (broadcastQueries) broadcast(q) else q
-    val scored = c.join(qSide, Seq("tbl", "bucket"))
+    // The probe side carries tables*(1+masks) rows PER QUERY (222× with
+    // the defaults) — so it ships KEYS ONLY (qid, tbl, bucket ≈ 20 B/row,
+    // ~4.4 KB/query); the full embedding is re-attached AFTER the bucket
+    // join from the un-exploded query table (one row per query). For very
+    // large query sets pass broadcastQueries=false: both joins become
+    // shuffled equi-joins, still no cross product.
+    val qKeys = queries.select(col("vec_id").as("qid"),
+        posexplode(bucketsCol("embedding", planes, tables, dims))
+          .as(Seq("tbl", "b0")))
+      .select(col("qid"), col("tbl"),
+        explode(array(masks.map(m =>
+          col("b0").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val qVecs = queries.select(col("vec_id").as("qid"),
+      col("embedding").as("qv"))
+    def side(df: DataFrame) = if (broadcastQueries) broadcast(df) else df
+    val scored = c.join(side(qKeys), Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("nid"))
       .dropDuplicates("qid", "nid")
+      .join(side(qVecs), Seq("qid"))
       .select(col("qid"), col("nid"),
         round(Fns.cosineSimilarity(col("qv"), col("nv")), 6).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
