@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.Fns
 
@@ -61,5 +61,41 @@ object Sampling {
     pruned.withColumn(rn, row_number().over(w))
       .filter(col(rn) <= quotaCol)
       .drop(h, rn)
+  }
+
+  /** Deterministic weighted sampling (Efraimidis–Spirakis A-ES): each row
+    * gets priority key ln(u)/w with u = (fnv1a32(id)+1)/2^31 ∈ (0,1] —
+    * a pure function of the id, not an RNG — and the k largest keys win,
+    * so P(selected) scales with the weight exactly as in weighted
+    * reservoir sampling. The key is rounded to 6dp before ranking (ties
+    * break by id) so the JVM and C libm `ln` agree bit-for-bit after
+    * rounding — u and the division are IEEE-exact on both engines.
+    *
+    * Scale design: orderBy+limit plans as TakeOrderedAndProject — each
+    * input partition keeps a k-row heap map-side and the driver merges
+    * k·partitions rows; the corpus is never globally sorted or shuffled.
+    */
+  def weighted(df: DataFrame, idCol: String, weight: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = greatest(weight.cast("double"), lit(1.0))
+    val u = (Fns.fnv1a32(col(idCol).cast("string")) + 1) / lit(2147483648.0)
+    df.select(col(idCol), w.as("w"),
+        round(log(u) / w, 6).as("rk"))
+      .orderBy(col("rk").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Near-dup-leakage-safe train/val/test split: documents are split by
+    * the HASH OF THEIR DEDUP GROUP, not their own id, so every member of
+    * a near-duplicate cluster lands in the same split — the standard
+    * guard against eval contamination by paraphrase/near-copies of
+    * training rows. 80/10/10 by fnv1a32(group_id) % 10.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, nearDupPairs: DataFrame): DataFrame = {
+    val grouped = ConnectedComponents.dedupGroups(docs, idCol, nearDupPairs)
+    val bucket = Fns.fnv1a32(col("group_id").cast("string")) % 10
+    grouped.select(col("doc_id"), col("group_id"),
+      when(bucket < 8, "train").when(bucket === 8, "val")
+        .otherwise("test").as("split"))
   }
 }

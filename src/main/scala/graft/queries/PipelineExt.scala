@@ -262,6 +262,83 @@ object PipelineExt {
           |WHERE rn <= CASE source
           |  WHEN 'src0' THEN 20 WHEN 'src1' THEN 15 WHEN 'src2' THEN 10
           |  WHEN 'src3' THEN 5 WHEN 'src4' THEN 25 ELSE 0 END
-          |ORDER BY source, doc_id""".stripMargin))
+          |ORDER BY source, doc_id""".stripMargin)),
+
+    // --- weighted sampling (Efraimidis-Spirakis A-ES): priority key
+    //     ln(u)/w with deterministic u = (fnv1a32(id)+1)/2^31, w = doc
+    //     length in chars — longer docs proportionally likelier. u and
+    //     the division are IEEE-exact on both engines; the only libm
+    //     call (ln) is rounded to 6dp before ranking on BOTH sides, so
+    //     the selected set is engine-independent. ---
+    QueryDef(
+      "p27_weighted_sample",
+      (s, dir) => Sampling.weighted(
+          Tables.t(s, dir, "documents"), "doc_id",
+          length(col("text")), k = 100)
+        .orderBy("doc_id"),
+      Some(
+        """WITH h AS (SELECT doc_id,
+          |    greatest(length(text), 1)::DOUBLE AS w,
+          |    (list_reduce(list_prepend(2166136261::BIGINT,
+          |       list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+          |         c -> unicode(c)::BIGINT)),
+          |       (h, c) -> (xor(h, c) * 16777619) % 4294967296)) % 2147483648
+          |      AS hv
+          |  FROM documents),
+          |k AS (SELECT doc_id, w,
+          |        round(ln((hv + 1) / 2147483648.0) / w, 6) AS rk
+          |      FROM h),
+          |s AS (SELECT * FROM k ORDER BY rk DESC, doc_id LIMIT 100)
+          |SELECT doc_id, w, rk FROM s ORDER BY doc_id""".stripMargin)),
+
+    // --- near-dup-leakage-safe split: train/val/test assigned by the
+    //     hash of the doc's DEDUP GROUP (p14's connected components over
+    //     MinHash near-dup pairs), so paraphrase clusters never straddle
+    //     splits — the standard eval-contamination guard. 80/10/10. ---
+    QueryDef(
+      "p28_leakage_split",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val pairs = graft.operators.Dedup.minhashNearDupPairs(
+          docs, "doc_id", "text",
+          shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.8)
+        Sampling.leakageSafeSplit(docs, "doc_id", pairs)
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH RECURSIVE
+          |t AS (SELECT doc_id, string_split(text, ' ') tk FROM documents),
+          |sh AS (SELECT doc_id,
+          |         list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+          |                        FOR i IN range(1, len(tk) - 1)]) s
+          |       FROM t WHERE len(tk) >= 3),
+          |p AS (SELECT a.doc_id id_a, b.doc_id id_b,
+          |        len(list_intersect(a.s, b.s))::DOUBLE
+          |          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) j
+          |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+          |e0 AS (SELECT id_a, id_b FROM p WHERE j >= 0.8),
+          |edges AS (SELECT id_a AS s, id_b AS d FROM e0
+          |          UNION SELECT id_b, id_a FROM e0),
+          |reach AS (
+          |  SELECT s, d FROM edges
+          |  UNION
+          |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+          |),
+          |comp AS (SELECT s AS doc_id, least(s, min(d)) AS group_id
+          |         FROM reach GROUP BY s),
+          |g AS (SELECT d.doc_id,
+          |        coalesce(c.group_id, d.doc_id) AS group_id
+          |      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+          |b AS (SELECT doc_id, group_id,
+          |    (list_reduce(list_prepend(2166136261::BIGINT,
+          |       list_transform(string_split(CAST(group_id AS VARCHAR), ''),
+          |         c -> unicode(c)::BIGINT)),
+          |       (h, c) -> (xor(h, c) * 16777619) % 4294967296))
+          |      % 2147483648 % 10 AS bk
+          |  FROM g)
+          |SELECT doc_id, group_id,
+          |  CASE WHEN bk < 8 THEN 'train' WHEN bk = 8 THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM b ORDER BY doc_id""".stripMargin))
   )
 }

@@ -397,6 +397,30 @@ object RelationalScale {
           |UNION ALL BY NAME
           |SELECT o_orderkey, o_custkey, o_orderpriority
           |FROM orders WHERE o_orderkey % 2 = 1
-          |ORDER BY o_orderkey""".stripMargin))
+          |ORDER BY o_orderkey""".stripMargin)),
+
+    // --- SQL-registered UDAF (untyped plugin ABI): the custom GeoMean
+    //     Aggregator runs inside a SQL text through spark.udf.register —
+    //     partial (sumLog, n) buffers merge map-side exactly like
+    //     built-in avg, so the shuffle stays one row per (group,
+    //     partition). Oracle identity: geomean(x) = exp(avg(ln(x))). ---
+    QueryDef(
+      "q59_sql_udaf",
+      (s, dir) => {
+        Tables.register(s, dir, "lineitem")
+        s.udf.register("geomean", udaf(graft.functions.GeoMean))
+        s.sql(
+          """SELECT l_returnflag,
+            |  round(geomean(CAST(l_quantity AS DOUBLE)), 6) AS geo_qty,
+            |  count(*) AS n_rows
+            |FROM lineitem GROUP BY l_returnflag
+            |ORDER BY l_returnflag""".stripMargin)
+      },
+      Some(
+        """SELECT l_returnflag,
+          |  round(exp(avg(ln(CAST(l_quantity AS DOUBLE)))), 6) AS geo_qty,
+          |  count(*) AS n_rows
+          |FROM lineitem GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin))
   )
 }

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Sampling
+
+class SamplingWeightedSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus(n: Int) =
+    (0 until n).map(i => (i.toLong, if (i % 10 == 0) 1000.0 else 1.0))
+      .toDF("id", "w")
+
+  test("weighted: exactly k rows, deterministic across runs and layouts") {
+    val df = corpus(500)
+    val a = Sampling.weighted(df, "id", col("w"), 50)
+      .orderBy("id").as[(Long, Double, Double)].collect().toSeq
+    val b = Sampling.weighted(df.repartition(13), "id", col("w"), 50)
+      .orderBy("id").as[(Long, Double, Double)].collect().toSeq
+    assert(a.size == 50)
+    assert(a == b) // pure function of ids+weights, not of partitioning
+  }
+
+  test("weighted: selection probability scales with weight (A-ES)") {
+    // 50 heavy rows at w=1000 vs 450 light rows at w=1: at k=50 the
+    // heavies (10% of rows) must dominate the sample
+    val sel = Sampling.weighted(corpus(500), "id", col("w"), 50)
+      .as[(Long, Double, Double)].collect()
+    val heavy = sel.count(_._1 % 10 == 0)
+    assert(heavy >= 40, s"expected >=40/50 heavy-weight rows, got $heavy")
+  }
+
+  test("weighted: k larger than the input returns every row") {
+    assert(Sampling.weighted(corpus(20), "id", col("w"), 100).count() == 20)
+  }
+
+  test("weighted: plans as TakeOrderedAndProject, no global sort exchange") {
+    val plan = Sampling.weighted(corpus(500), "id", col("w"), 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
+  test("leakageSafeSplit: near-dup groups never straddle splits") {
+    val docs = (0L until 100L).toDF("doc_id")
+    // chain pairs: {0,1,2} one group, {10,11} another, rest singletons
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Sampling.leakageSafeSplit(docs, "doc_id", pairs)
+    val bySplit = out.groupBy("group_id")
+      .agg(countDistinct("split").as("n")).as[(Long, Long)].collect()
+    assert(bySplit.forall(_._2 == 1L))
+    val g0 = out.filter(col("doc_id").isin(0L, 1L, 2L))
+      .select("split").distinct().count()
+    assert(g0 == 1L)
+    // 80/10/10 buckets: each split non-empty at n=100 and train largest
+    val counts = out.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"), counts)
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+  }
+
+  test("geomean UDAF equals exp(avg(ln)) and survives SQL registration") {
+    spark.udf.register("geomean", udaf(graft.functions.GeoMean))
+    val df = Seq(2.0, 8.0, 4.0, 16.0).toDF("x")
+    df.createOrReplaceTempView("gm_t")
+    val got = spark.sql("SELECT round(geomean(x), 9) g FROM gm_t")
+      .as[Double].head()
+    val want = math.exp(Seq(2.0, 8.0, 4.0, 16.0).map(math.log).sum / 4)
+    assert(got == BigDecimal(want).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+}
