@@ -77,4 +77,32 @@ object BloomPrune {
       .filter(mightContain(col("bloom"), col(keyCol), numHashes))
       .select(cols.map(col): _*)
   }
+
+  /** EXACT anti-join (`facts` rows whose `keyCol` is NOT in `dimKeys`),
+    * bloom-accelerated: a definite bloom miss PROVES absence, so
+    * bloom-negative rows are kept without touching any join — only the
+    * (true matches + FPP) bloom-positive slice pays the exact anti-join.
+    * At 100 TB this is the cross-corpus dedup shape: the incoming crawl
+    * streams through a broadcast bitmap at scan speed and the exchange
+    * carries a few percent of it, yet the result is exactly
+    * `facts LEFT ANTI JOIN dimKeys` — false positives are resolved by
+    * the real anti-join, false negatives cannot occur (build and probe
+    * share BloomUtil's bit positions).
+    */
+  def antiKeep(facts: DataFrame, keyCol: String, dimKeys: DataFrame,
+      dimKeyCol: String, numBits: Int, numHashes: Int = 7): DataFrame = {
+    val cols = facts.columns
+    val flag = "__bloom_might"
+    require(!cols.contains(flag), s"column name $flag is reserved by antiKeep")
+    val bloom = build(dimKeys, dimKeyCol, numBits, numHashes)
+    val flagged = facts.crossJoin(broadcast(bloom))
+      .withColumn(flag, mightContain(col("bloom"), col(keyCol), numHashes))
+      .select(cols.map(col) :+ col(flag): _*)
+    val misses = flagged.filter(!col(flag)).select(cols.map(col): _*)
+    val candidates = flagged.filter(col(flag)).select(cols.map(col): _*)
+    val dk = dimKeys.select(col(dimKeyCol).cast("long").as("__dim_key"))
+    val survivors = candidates.join(dk,
+      col(keyCol).cast("long") === col("__dim_key"), "left_anti")
+    misses.unionByName(survivors)
+  }
 }

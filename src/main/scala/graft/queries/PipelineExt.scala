@@ -18,6 +18,12 @@ object PipelineExt {
     s"list_distinct([$terms FOR i IN range(1, len(tk) - ${n - 2})])"
   }
 
+  // DuckDB mirror of graft.functions.RollingHash31 (code-point rolling
+  // hash mod 2^31) — same formula PipelineQueries splices for p06.
+  private def duckRollingHash(expr: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($expr, ''), " +
+      "c -> unicode(c)::BIGINT)), (h, c) -> (h*31 + c) % 2147483648)"
+
   val defs: Seq[QueryDef] = Seq(
 
     // --- benchmark decontamination (GPT-3 appendix C procedure): docs
@@ -339,6 +345,36 @@ object PipelineExt {
           |SELECT doc_id, group_id,
           |  CASE WHEN bk < 8 THEN 'train' WHEN bk = 8 THEN 'val'
           |       ELSE 'test' END AS split
-          |FROM b ORDER BY doc_id""".stripMargin))
+          |FROM b ORDER BY doc_id""".stripMargin)),
+
+    // --- cross-corpus dedup (incremental-ingest shape): drop incoming
+    //     docs whose 200-char-prefix fingerprint already exists in the
+    //     ingested corpus. EXACT anti-join semantics, bloom-accelerated:
+    //     a definite bitmap miss proves absence, so the bulk of the
+    //     crawl never reaches a join exchange; only bloom-positives pay
+    //     the exact anti-join (BloomPrune.antiKeep). The oracle computes
+    //     the plain NOT EXISTS — bitmap acceleration must be invisible. ---
+    QueryDef(
+      "p29_cross_corpus_dedup",
+      (s, dir) => {
+        val keyed = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), graft.functions.Fns.rollingHash31(
+            substring(col("text"), 1, 200)).as("fp"))
+        graft.operators.BloomPrune.antiKeep(
+            facts = keyed.filter(col("doc_id") % 3 =!= 0),
+            keyCol = "fp",
+            dimKeys = keyed.filter(col("doc_id") % 3 === 0).select("fp"),
+            dimKeyCol = "fp", numBits = 1 << 14)
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH f AS (SELECT doc_id,
+           |    ${duckRollingHash("substr(text, 1, 200)")} AS fp
+           |  FROM documents)
+           |SELECT i.doc_id, i.fp FROM f i
+           |WHERE i.doc_id % 3 <> 0
+           |  AND NOT EXISTS (SELECT 1 FROM f g
+           |                  WHERE g.doc_id % 3 = 0 AND g.fp = i.fp)
+           |ORDER BY i.doc_id""".stripMargin))
   )
 }

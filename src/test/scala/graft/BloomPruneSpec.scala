@@ -76,4 +76,34 @@ class BloomPruneSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(viaBloom == plain)
   }
+
+  test("antiKeep equals the plain anti-join at any bloom size (FPP-invariant)") {
+    val fact = (1L to 3000L).map(k => (k, k * 3)).toDF("k", "v")
+    val dim = (1L to 3000L by 5).toDF("dk") // 20% of fact keys present
+    val plain = fact.join(dim, col("k") === col("dk"), "left_anti")
+      .as[(Long, Long)].collect().toSet
+    // a roomy filter and a pathologically tiny one (near-100% FPP) must
+    // both return the exact anti-join — acceleration, not approximation
+    for (bits <- Seq(1 << 16, 64)) {
+      val got = BloomPrune.antiKeep(fact, "k", dim, "dk", numBits = bits)
+        .as[(Long, Long)].collect().toSet
+      assert(got == plain, s"numBits=$bits")
+    }
+  }
+
+  test("antiKeep bloom-negative path reaches the output without any join") {
+    val fact = (1L to 1000L).map(k => (k, k)).toDF("k", "v")
+    val dim = (1L to 1000L by 10).toDF("dk")
+    val plan = BloomPrune.antiKeep(fact, "k", dim, "dk", numBits = 1 << 14)
+      .queryExecution.executedPlan.toString
+    // the union's first child (misses branch) holds only the one-row
+    // bitmap probe (a broadcast of the bloom, no row exchange): the
+    // anti-join and any hash-partition exchange may appear only in the
+    // candidates branch, after the LeftAnti marker
+    val anti = plan.indexOf("LeftAnti")
+    assert(anti > 0, plan)
+    val misses = plan.substring(plan.indexOf("Union"), anti)
+    assert(!misses.contains("Exchange hashpartitioning"), plan)
+    assert(!misses.contains("LeftAnti"), plan)
+  }
 }
