@@ -85,4 +85,33 @@ object TextAnalysis {
         fingerprint(t).as("fingerprint") +:
         (qualityColumns(t) ++ tokenCountColumns(t)): _*)
   }
+
+  /** Unigram-LM cross-entropy quality score (the CCNet-family filter
+    * signal, with the corpus itself as the LM): per document, the mean
+    * of -ln p(token) under the corpus unigram distribution. Low =
+    * stopword-heavy/common prose, high = rare-token/gibberish tails —
+    * threshold either side to filter.
+    *
+    * Scale design: token counts are one partial-agg shuffle (map-side
+    * combine collapses each partition to its distinct tokens); the
+    * tokens->counts join shuffles on the token key, whose stopword skew
+    * is exactly the AQE skew-join case (the count side is one row per
+    * token, so splitting a hot partition is always legal); the final
+    * per-doc mean is one more linear shuffle. The corpus total rides a
+    * broadcast 1-row cross join, never a driver collect. At 100 TB with
+    * a bounded vocabulary the counts side can instead be broadcast
+    * (top-V + OOV smoothing) — this exact formulation is the
+    * oracle-checkable baseline.
+    */
+  def unigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(Fns.tokens(col(textCol))).as("t"))
+    val cnt = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val total = cnt.agg(sum("c").cast("double").as("n"))
+    tok.join(cnt, "t")
+      .crossJoin(broadcast(total))
+      .groupBy("id")
+      .agg(round(avg(-log(col("c") / col("n"))), 6).as("lm_score"))
+      .withColumnRenamed("id", idCol)
+  }
 }

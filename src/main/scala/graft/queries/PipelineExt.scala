@@ -375,6 +375,26 @@ object PipelineExt {
            |WHERE i.doc_id % 3 <> 0
            |  AND NOT EXISTS (SELECT 1 FROM f g
            |                  WHERE g.doc_id % 3 = 0 AND g.fp = i.fp)
-           |ORDER BY i.doc_id""".stripMargin))
+           |ORDER BY i.doc_id""".stripMargin)),
+
+    // --- unigram-LM cross-entropy quality score (CCNet-family signal,
+    //     corpus-as-LM): mean -ln p(token) per doc. Counts are a partial
+    //     agg; the token join's stopword skew is the AQE skew-join case
+    //     (1 row per token on the count side); corpus total rides a
+    //     broadcast 1-row cross join. 6dp rounding on both engines
+    //     absorbs summation-order drift. ---
+    QueryDef(
+      "p30_lm_score",
+      (s, dir) => TextAnalysis.unigramLmScore(
+          Tables.t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(
+        """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+          |            FROM documents),
+          |cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+          |tot AS (SELECT sum(c)::DOUBLE AS n FROM cnt)
+          |SELECT doc_id, round(avg(-ln(c / n)), 6) AS lm_score
+          |FROM tok JOIN cnt USING (t) CROSS JOIN tot
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }
