@@ -421,6 +421,60 @@ object RelationalScale {
           |  round(exp(avg(ln(CAST(l_quantity AS DOUBLE)))), 6) AS geo_qty,
           |  count(*) AS n_rows
           |FROM lineitem GROUP BY l_returnflag
-          |ORDER BY l_returnflag""".stripMargin))
+          |ORDER BY l_returnflag""".stripMargin)),
+
+    // --- UNPIVOT (wide -> long, the inverse of q31's pivot): built-in
+    //     Dataset.unpivot == DuckDB UNPIVOT. count(CASE...) on both
+    //     sides so the measure is BIGINT on both engines (DuckDB's
+    //     sum(int) widens to HUGEINT). Pure per-row generator after the
+    //     agg — no extra shuffle. ---
+    QueryDef(
+      "q60_unpivot",
+      (s, dir) => {
+        val wide = Tables.t(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .agg(
+            count(when(col("o_orderpriority") === "1-URGENT", 1)).as("urgent"),
+            count(when(col("o_orderpriority") === "2-HIGH", 1)).as("high"),
+            count(when(col("o_orderpriority") === "3-MEDIUM", 1)).as("medium"))
+        wide.unpivot(
+            Array(col("o_orderstatus")),
+            Array(col("urgent"), col("high"), col("medium")),
+            "priority", "n")
+          .orderBy("o_orderstatus", "priority")
+      },
+      Some(
+        """WITH wide AS (SELECT o_orderstatus,
+          |    count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent,
+          |    count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS high,
+          |    count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS medium
+          |  FROM orders GROUP BY o_orderstatus)
+          |SELECT o_orderstatus, priority, n FROM wide
+          |UNPIVOT (n FOR priority IN (urgent, high, medium))
+          |ORDER BY o_orderstatus, priority""".stripMargin)),
+
+    // --- null-safe equality join (<=> / IS NOT DISTINCT FROM): the six
+    //     per-priority aggregates join to themselves with '1-URGENT'
+    //     mapped to NULL — plain = drops the NULL row, <=> keeps it, and
+    //     the driver hash pins exactly that difference. ---
+    QueryDef(
+      "q61_nullsafe_join",
+      (s, dir) => {
+        def agg(nm: String) = Tables.t(s, dir, "orders")
+          .groupBy(when(col("o_orderpriority") =!= "1-URGENT",
+            col("o_orderpriority")).as("k"))
+          .agg(count(lit(1)).as(nm))
+        val a = agg("n_a"); val b = agg("n_b")
+        a.join(b, a("k") <=> b("k"))
+          .select(a("k").as("k"), col("n_a"), col("n_b"))
+          .orderBy(col("k").asc_nulls_first)
+      },
+      Some(
+        """WITH g AS (SELECT CASE WHEN o_orderpriority <> '1-URGENT'
+          |         THEN o_orderpriority END AS k, count(*) AS n
+          |  FROM orders GROUP BY 1)
+          |SELECT a.k AS k, a.n AS n_a, b.n AS n_b
+          |FROM g a JOIN g b ON a.k IS NOT DISTINCT FROM b.k
+          |ORDER BY k NULLS FIRST""".stripMargin))
   )
 }
