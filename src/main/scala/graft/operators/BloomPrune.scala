@@ -88,6 +88,19 @@ object BloomPrune {
     * `facts LEFT ANTI JOIN dimKeys` — false positives are resolved by
     * the real anti-join, false negatives cannot occur (build and probe
     * share BloomUtil's bit positions).
+    *
+    * Null keys (or keys that cast to null) follow anti-join semantics: a
+    * null join condition is never true, so null-key rows are KEPT — they
+    * ride the misses branch (the bloom probe returns null for them, which
+    * coalesces to "definite miss").
+    *
+    * Cost note: the two branches each re-evaluate the flagged subtree, so
+    * `facts` is scanned twice (the probe itself is a codegen'd filter at
+    * scan speed, and only the bloom-positive slice — a few percent —
+    * reaches the anti-join's exchange). Folding both branches into one
+    * join would instead shuffle EVERY fact row, which is worse at 100 TB;
+    * if the double scan dominates (e.g. facts is an expensive subquery,
+    * not a parquet scan), persist/checkpoint `facts` first.
     */
   def antiKeep(facts: DataFrame, keyCol: String, dimKeys: DataFrame,
       dimKeyCol: String, numBits: Int, numHashes: Int = 7): DataFrame = {
@@ -98,8 +111,12 @@ object BloomPrune {
     val flagged = facts.crossJoin(broadcast(bloom))
       .withColumn(flag, mightContain(col("bloom"), col(keyCol), numHashes))
       .select(cols.map(col) :+ col(flag): _*)
-    val misses = flagged.filter(!col(flag)).select(cols.map(col): _*)
-    val candidates = flagged.filter(col(flag)).select(cols.map(col): _*)
+    // coalesce: a null probe result (null key) is a definite miss — the
+    // row must be kept, exactly as LEFT ANTI JOIN keeps null-key rows.
+    val misses = flagged.filter(!coalesce(col(flag), lit(false)))
+      .select(cols.map(col): _*)
+    val candidates = flagged.filter(coalesce(col(flag), lit(false)))
+      .select(cols.map(col): _*)
     val dk = dimKeys.select(col(dimKeyCol).cast("long").as("__dim_key"))
     val survivors = candidates.join(dk,
       col(keyCol).cast("long") === col("__dim_key"), "left_anti")

@@ -71,6 +71,14 @@ object Sampling {
     * break by id) so the JVM and C libm `ln` agree bit-for-bit after
     * rounding — u and the division are IEEE-exact on both engines.
     *
+    * WEIGHTS MUST BE >= 1: weights are clamped up to 1.0
+    * (`greatest(w, 1.0)`), so fractional/zero/negative weights all
+    * behave as weight 1, NOT as proportionally-lower priority. The clamp
+    * guards ln(u)/0 = -Inf (which would break the deterministic rank) and
+    * is mirrored verbatim in the DuckDB oracle; scale weights so the
+    * minimum is 1 (e.g. multiply all weights by 1/min) if you need
+    * fractional ratios.
+    *
     * Scale design: orderBy+limit plans as TakeOrderedAndProject — each
     * input partition keeps a k-row heap map-side and the driver merges
     * k·partitions rows; the corpus is never globally sorted or shuffled.

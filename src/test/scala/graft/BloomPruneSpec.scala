@@ -91,6 +91,21 @@ class BloomPruneSpec extends AnyFunSuite {
     }
   }
 
+  test("antiKeep keeps null-key rows, matching LEFT ANTI JOIN semantics") {
+    // a null join condition is never true in an anti-join, so null-key
+    // rows must survive — they ride the misses branch via coalesce
+    val fact = Seq[(java.lang.Long, String)](
+      (1L, "in_dim"), (2L, "not_in_dim"), (null, "null_key_a"),
+      (null, "null_key_b"), (7L, "in_dim_too")).toDF("k", "v")
+    val dim = Seq(1L, 7L).toDF("dk")
+    val got = BloomPrune.antiKeep(fact, "k", dim, "dk", numBits = 1 << 10)
+      .select($"v").as[String].collect().toSet
+    val plain = fact.join(dim, col("k") === col("dk"), "left_anti")
+      .select($"v").as[String].collect().toSet
+    assert(got == plain)
+    assert(got == Set("not_in_dim", "null_key_a", "null_key_b"))
+  }
+
   test("antiKeep bloom-negative path reaches the output without any join") {
     val fact = (1L to 1000L).map(k => (k, k)).toDF("k", "v")
     val dim = (1L to 1000L by 10).toDF("dk")

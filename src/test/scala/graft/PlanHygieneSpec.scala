@@ -23,8 +23,13 @@ class PlanHygieneSpec extends AnyFunSuite {
   //  - p13_ann_ivf: query × 16 centroids assignment (nlist is a constant)
   //  - p23_tfidf_topterms: the corpus size N joins in as a ONE-ROW
   //    broadcast aggregate (the alternative is a driver-side collect)
+  //  - p29_cross_corpus_dedup: BloomPrune.antiKeep cross-broadcasts the
+  //    ONE-ROW bloom bitmap to every task — same q54 pattern
+  //  - p30_lm_score: the corpus token total joins in as a ONE-ROW
+  //    broadcast aggregate — same p23 pattern
   private val bnljAllowed = Set("q20_theta_join", "q54_bloom_prune",
-    "p09_ann_bruteforce", "p13_ann_ivf", "p23_tfidf_topterms")
+    "p09_ann_bruteforce", "p13_ann_ivf", "p23_tfidf_topterms",
+    "p29_cross_corpus_dedup", "p30_lm_score")
 
   test("no cartesian product or unexpected BNLJ in any registered query") {
     val offenders = Registry.all.flatMap { q =>
