@@ -47,18 +47,30 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> (times.min, times.sorted.apply(times.size / 2))
+      // probe right after each query: round 4's driver bench read as a
+      // fake 3.2x regression purely from box load mid-run; a per-query
+      // probe timestamps the contamination so the compare self-corrects
+      name -> (times.min, times.sorted.apply(times.size / 2), probe())
     }
     val probeEnd = probe()
     // a failed query reports null and is excluded from the total, so
     // totals stay comparable across rounds (a broken query must neither
     // read as fast nor distort the sum with exception-path timings)
-    def qJson(pick: ((Double, Double)) => Double) = results.map { case (k, v) =>
+    def qJson(pick: ((Double, Double, Double)) => Double) = results.map { case (k, v) =>
       "\"" + k + "\":" + (if (failed.contains(k)) "null" else pick(v).toString)
     }.mkString("{", ",", "}")
-    val total = results.collect { case (k, (mn, _)) if !failed.contains(k) => mn }.sum
+    val total = results.collect { case (k, (mn, _, _)) if !failed.contains(k) => mn }.sum
+    // normalized_total: each query's min scaled by (cleanest probe this
+    // run / its nearest probe) — a query timed while the box was loaded
+    // is deflated by the probe's own slowdown, so a loaded run no longer
+    // reads as a code regression. On a quiet box all ratios are ~1 and
+    // normalized_total ≈ total.
+    val probeMin = (probeStart +: probeEnd +: results.map(_._2._3)).min
+    val normalizedTotal = results.collect {
+      case (k, (mn, _, p)) if !failed.contains(k) => mn * (probeMin / p)
+    }.sum
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(_._1)},"medians":${qJson(_._2)},"noise_floor":{"probe_start":$probeStart,"probe_end":$probeEnd},"failed":$failedJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(_._1)},"medians":${qJson(_._2)},"probes":${qJson(_._3)},"normalized_total":$normalizedTotal,"noise_floor":{"probe_start":$probeStart,"probe_end":$probeEnd},"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // belt-and-braces for the driver: also drop the line in a file, immune
     // to any log-prefixing of stdout. Stdout stays the primary channel —
