@@ -7,12 +7,17 @@ import graft.functions.Fnv1a32
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, decoded/feature-extracted per partition.
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * clearly-marked deterministic FAKE decode; everything around it — the
-  * schema, the typed Dataset boundary, the batch-shaped mapPartitions
-  * (one decoder init per partition, not per row), the binary column
-  * transport — is the real Spark plumbing a production pipeline would
-  * keep, swapping only the stub body for the codec call.
+  * PNG is decoded FOR REAL (`decodePng`/`resizePng` below): `javax.imageio`
+  * ships in the JDK, so genuine PNG bytes round-trip through an actual
+  * codec — dimensions, channel count and pixel statistics come from the
+  * decoded raster, and resize rescales real pixels through Graphics2D.
+  * Audio/video codecs are NOT in this container, so `decodeStub`/
+  * `frameSampleStub` remain clearly-marked deterministic FAKES for those
+  * kinds; everything around them — the schema, the typed Dataset
+  * boundary, the batch-shaped mapPartitions (one decoder init per
+  * partition, not per row), the binary column transport — is the real
+  * Spark plumbing a production pipeline would keep, swapping only the
+  * stub body for the codec call.
   *
   * Scale notes: decode is per-row compute with no shuffle; binary payloads
   * stay columnar in parquet and are never collected. Feature extraction
@@ -86,6 +91,116 @@ object Multimodal {
   }
 
   case class FrameSample(doc_id: Long, frame_idx: Int, frame_checksum: Long)
+
+  // ------------------------------------------------------------------
+  // REAL PNG path (javax.imageio — in the JDK, no external codec needed)
+  // ------------------------------------------------------------------
+
+  case class PngRow(doc_id: Long, png: Array[Byte])
+  case class PngFeatures(doc_id: Long, width: Long, height: Long,
+      channels: Int, px_min: Long, px_max: Long, px_mean: Double)
+
+  /** Deterministic synthetic PNG: a w×h 8-bit grayscale image whose
+    * pixel at index i = y*w + x equals (docId*31 + i) % 256, encoded
+    * through the REAL `javax.imageio` PNG writer. The fixtures ship no
+    * media, but because PNG is lossless the decode below recovers these
+    * exact samples — which makes the whole encode→decode round trip
+    * verifiable by plain SQL arithmetic in the DuckDB oracle (p31).
+    */
+  def synthPng(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((docId * 31 + y.toLong * w + x) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL decode: `javax.imageio` parses the PNG bytes and the features
+    * come from the decoded raster — width, height, channel count, and
+    * min/max/mean over every sample of every band. mapPartitions keeps
+    * the decoder-init-once-per-partition shape (ImageIO's in-memory
+    * mode is switched on per task, not per row).
+    */
+  def decodePng(ds: Dataset[PngRow]): Dataset[PngFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // pure in-memory decode
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.png))
+        require(img != null, s"doc ${r.doc_id}: payload is not a decodable image")
+        val raster = img.getRaster
+        val w = img.getWidth; val h = img.getHeight
+        val bands = raster.getNumBands
+        var mn = Int.MaxValue; var mx = Int.MinValue; var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var b = 0
+            while (b < bands) {
+              val v = raster.getSample(x, y, b)
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              sum += v
+              b += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        PngFeatures(r.doc_id, w, h, bands, mn, mx,
+          sum.toDouble / (w.toLong * h * bands))
+      }
+    }
+  }
+
+  case class ResizedPng(doc_id: Long, in_w: Int, in_h: Int,
+      out_w: Int, out_h: Int, png: Array[Byte])
+
+  /** REAL aspect-preserving resize: decode the PNG, rescale the actual
+    * pixels through a bilinear Graphics2D draw into a fit-in
+    * maxDim×maxDim target (never upscaling), and re-encode as PNG.
+    */
+  def resizePng(ds: Dataset[PngRow], maxDim: Int): Dataset[ResizedPng] = {
+    require(maxDim >= 1, s"maxDim must be >= 1, got $maxDim")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.png))
+        require(img != null, s"doc ${r.doc_id}: payload is not a decodable image")
+        val w = img.getWidth; val h = img.getHeight
+        val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+        val ow = math.max(1, math.round(w * scale).toInt)
+        val oh = math.max(1, math.round(h * scale).toInt)
+        val imgType =
+          if (img.getType == java.awt.image.BufferedImage.TYPE_CUSTOM)
+            java.awt.image.BufferedImage.TYPE_INT_ARGB
+          else img.getType
+        val out = new java.awt.image.BufferedImage(ow, oh, imgType)
+        val g = out.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, ow, oh, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        ResizedPng(r.doc_id, w, h, ow, oh, bos.toByteArray)
+      }
+    }
+  }
 
   /** STUB frame sampling — every `stride`-th frame of a video payload.
     * A real implementation seeks+decodes frames here; the deterministic

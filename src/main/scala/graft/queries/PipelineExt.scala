@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.api.{QueryDef, Tables}
-import graft.operators.{Anonymize, Decontaminate, Embeddings, IdAssign, Sampling, TextAnalysis, TfIdf}
+import graft.operators.{Anonymize, Decontaminate, Embeddings, IdAssign, Multimodal, Sampling, TextAnalysis, TfIdf}
 
 /** Round-4 training-data pipeline additions: benchmark decontamination,
   * repetition-based quality rules, embedding maintenance, PII
@@ -395,6 +395,43 @@ object PipelineExt {
           |tot AS (SELECT sum(c)::DOUBLE AS n FROM cnt)
           |SELECT doc_id, round(avg(-ln(c / n)), 6) AS lm_score
           |FROM tok JOIN cnt USING (t) CROSS JOIN tot
-          |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // --- REAL PNG decode (javax.imageio — the codec ships in the JDK):
+    //     deterministic synthetic grayscale PNGs, pixel(i) = (doc_id*31
+    //     + i) % 256 at w=4+doc_id%13, h=4+doc_id%7, are ENCODED and
+    //     then DECODED by the actual codec inside mapPartitions. PNG is
+    //     lossless, so the raster statistics the real decoder reports
+    //     are pure arithmetic the oracle recomputes in SQL — the whole
+    //     encode→decode round trip is differentially verified. Per-row
+    //     compute, zero shuffle; payload bytes never leave the task. ---
+    QueryDef(
+      "p31_png_decode",
+      (s, dir) => {
+        import s.implicits._
+        val pngs = Tables.t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            Multimodal.PngRow(id,
+              Multimodal.synthPng(id, 4 + (id % 13).toInt, 4 + (id % 7).toInt))
+          })
+        Multimodal.decodePng(pngs).toDF()
+          .select(col("doc_id"), col("width"), col("height"), col("channels"),
+            col("px_min"), col("px_max"),
+            round(col("px_mean"), 6).as("px_mean"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH px AS (
+          |  SELECT doc_id,
+          |    unnest(range(0, (4 + doc_id % 13)*(4 + doc_id % 7))) AS i
+          |  FROM documents)
+          |SELECT doc_id,
+          |  (4 + doc_id % 13) AS width,
+          |  (4 + doc_id % 7) AS height,
+          |  1::INTEGER AS channels,
+          |  min((doc_id*31 + i) % 256) AS px_min,
+          |  max((doc_id*31 + i) % 256) AS px_max,
+          |  round(avg(((doc_id*31 + i) % 256)::DOUBLE), 6) AS px_mean
+          |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }
