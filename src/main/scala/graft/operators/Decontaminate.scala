@@ -18,6 +18,13 @@ import graft.functions.Fns
   * gram-count) pair per contaminated doc — vanishingly small. The corpus
   * is never re-partitioned, so this composes with upstream dedup/quality
   * stages without an extra exchange.
+  *
+  * When the eval set is too big to broadcast (a consortium of benchmarks,
+  * a held-out split that is itself corpus-sized), set
+  * `broadcastEval = false`: the gram join becomes a SHUFFLED hash join —
+  * the inverted-index shape the n-gram Jaccard dedup uses — trading the
+  * train-side exchange for bounded executor memory. Same output, proven
+  * by spec on both paths.
   */
 object Decontaminate {
 
@@ -26,15 +33,24 @@ object Decontaminate {
     * Shingles come from the same native ShingleArray expression as the
     * dedup family (already distinct per doc), so "overlap" here means
     * distinct shared n-grams.
+    *
+    * `broadcastEval = false` switches to the shuffled inverted-index join
+    * for eval gram sets that exceed broadcast capacity (executor memory,
+    * driver collect ceiling) — the 100 TB escape hatch.
     */
   def overlapCounts(train: DataFrame, eval: DataFrame,
-      idCol: String, textCol: String, n: Int): DataFrame = {
+      idCol: String, textCol: String, n: Int,
+      broadcastEval: Boolean = true): DataFrame = {
     val evalGrams = eval
       .select(explode(Fns.shingles(Fns.tokens(col(textCol)), n)).as("gram"))
       .distinct()
     val trainGrams = train.select(col(idCol).as("id"),
       explode(Fns.shingles(Fns.tokens(col(textCol)), n)).as("gram"))
-    trainGrams.join(broadcast(evalGrams), Seq("gram"))
+    // shuffle_hash (not merge): gram-keyed rows need no sort, and the
+    // eval side stays the hash-table build side at any partition count
+    val evalSide =
+      if (broadcastEval) broadcast(evalGrams) else evalGrams.hint("shuffle_hash")
+    trainGrams.join(evalSide, Seq("gram"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_overlap"))
   }
@@ -45,8 +61,9 @@ object Decontaminate {
     * through untouched with their full payload.
     */
   def clean(train: DataFrame, eval: DataFrame,
-      idCol: String, textCol: String, n: Int, maxOverlap: Long = 1L): DataFrame = {
-    val dirty = overlapCounts(train, eval, idCol, textCol, n)
+      idCol: String, textCol: String, n: Int, maxOverlap: Long = 1L,
+      broadcastEval: Boolean = true): DataFrame = {
+    val dirty = overlapCounts(train, eval, idCol, textCol, n, broadcastEval)
       .filter(col("n_overlap") >= maxOverlap)
       .select(col("id").as(idCol))
     // no broadcast hint: the dirty-id set is usually tiny (AQE will

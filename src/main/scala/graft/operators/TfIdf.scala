@@ -34,9 +34,22 @@ object TfIdf {
       .groupBy("id", "term")
       .agg(count(lit(1)).as("tf"))
 
-  /** (id, term, tf, score) — the full scored posting list. */
-  def scored(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = termFreq(docs, idCol, textCol)
+  /** (id, term, tf, score) — the full scored posting list.
+    *
+    * Catalyst has no automatic common-subplan reuse, so the df branch
+    * re-scans the corpus by default. `persistTf = true` caches the tf
+    * posting list (MEMORY_AND_DISK) so both the df aggregate and the
+    * tf-df join read the single materialized pass — the fix for the
+    * double scan when the corpus is an expensive subquery or at 100 TB.
+    * The cache is LRU-evicted by Spark; callers wanting deterministic
+    * release can unpersist via the returned frame's lineage.
+    */
+  def scored(docs: DataFrame, idCol: String, textCol: String,
+      persistTf: Boolean = false): DataFrame = {
+    val tf0 = termFreq(docs, idCol, textCol)
+    val tf = if (persistTf)
+      tf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else tf0
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(df, "term")
@@ -50,9 +63,10 @@ object TfIdf {
   /** Top-k terms per document by (score desc, term asc) — deterministic
     * under exact score ties (same (tf, df) pair → bit-equal scores).
     */
-  def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+  def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int,
+      persistTf: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    graft.plans.TopKPerGroup.topK(scored(docs, idCol, textCol),
+    graft.plans.TopKPerGroup.topK(scored(docs, idCol, textCol, persistTf),
       Seq("id"), Seq(col("score").desc, col("term").asc), k)
   }
 }

@@ -74,6 +74,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("LSH ANN shuffled path (broadcastQueries=false): identical output, no cross product") {
+    // the large-query-set escape hatch: both joins become shuffled
+    // equi-joins — the result must be IDENTICAL (same buckets, same
+    // rerank, the join strategy is invisible) and the plan must stay
+    // free of any all-pairs node
+    val queries = embs.filter($"vec_id" % 50 === 0)
+    val shuffled = Similarity.lshTopK(queries, embs, k = 5,
+      broadcastQueries = false)
+    val plan = shuffled.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    val got = shuffled.select("qid", "nid", "cos")
+      .as[(Long, Long, Double)].collect().toSet
+    val bc = Similarity.lshTopK(queries, embs, k = 5)
+      .select("qid", "nid", "cos").as[(Long, Long, Double)].collect().toSet
+    assert(got == bc)
+    assert(got.nonEmpty)
+  }
+
   test("blocked cosine pair join == naive all-pairs, with no BNLJ/cartesian in the plan") {
     val blocked = Similarity.cosineNearDupPairs(embs, threshold = 0.4, blocks = 7)
     val a = embs.select($"vec_id".as("id_a"), $"embedding".as("va"))

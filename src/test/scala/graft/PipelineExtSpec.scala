@@ -48,6 +48,31 @@ class PipelineExtSpec extends AnyFunSuite {
     assert(!trainSide.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("decontaminate: shuffled fallback (broadcastEval=false) equals the broadcast path") {
+    // the too-big-to-broadcast escape: same distinct-overlap output and
+    // clean() survivors on both join strategies
+    val bc = Decontaminate.overlapCounts(train, eval, "doc_id", "text", n = 3)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val sh = Decontaminate.overlapCounts(train, eval, "doc_id", "text", n = 3,
+        broadcastEval = false)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(sh == bc && sh == Seq((1L, 2L), (3L, 2L)))
+    val keptSh = Decontaminate.clean(train, eval, "doc_id", "text", n = 3,
+        broadcastEval = false)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(keptSh.map(_._1) == Seq(2L, 4L))
+  }
+
+  test("decontaminate: shuffled fallback plans a shuffled hash join, no broadcast of eval grams") {
+    val plan = Decontaminate
+      .overlapCounts(train, eval, "doc_id", "text", n = 3, broadcastEval = false)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    // the gram join must not smuggle the eval side in via broadcast —
+    // the whole point of the fallback is bounded per-executor memory
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("repetition metrics match hand computation") {
     val df = Seq(
       (1L, "a a a a"),        // words 4/1 distinct; 2-grams 3 occ/1 distinct; 3-grams 2/1
@@ -204,6 +229,25 @@ class PipelineExtSpec extends AnyFunSuite {
     // corpus size joins in as a broadcast aggregate, not a driver collect
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("tfidf: persistTf caches the posting list — one materialized pass feeds both branches") {
+    val docs = Seq(
+      (1L, "the rare the"),
+      (2L, "the common words"),
+      (3L, "the common stuff")).toDF("doc_id", "text")
+    val scored = TfIdf.scored(docs, "doc_id", "text", persistTf = true)
+    try {
+      val plan = scored.queryExecution.executedPlan.toString
+      // both the df aggregate branch and the tf side of the join read the
+      // cache: the tokenize+explode subtree materializes exactly once
+      assert("InMemoryTableScan".r.findAllIn(plan).size >= 2, plan)
+      val got = scored.orderBy("id", "term")
+        .as[(Long, String, Long, Double)].collect().toSeq
+      val exp = TfIdf.scored(docs, "doc_id", "text").orderBy("id", "term")
+        .as[(Long, String, Long, Double)].collect().toSeq
+      assert(got == exp)
+    } finally spark.sharedState.cacheManager.clearCache()
   }
 
   test("projection sign matrix: ±1, decorrelated rows (avalanche regression)") {
