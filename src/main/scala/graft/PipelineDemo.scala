@@ -2,14 +2,17 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.operators.{ConnectedComponents, Decontaminate, Dedup, IdAssign, Sampling, TextAnalysis}
+import graft.operators.{BloomPrune, ConnectedComponents, Decontaminate, Dedup, GapFill, IdAssign, Sampling, TextAnalysis}
 
 /** End-to-end training-data pipeline demo: the chain a 100 TB corpus
   * would run, at fixture scale —
-  *   documents → exact dedup → near-dup removal (MinHash+LSH)
-  *             → benchmark decontamination → quality/repetition gate
-  *             → token accounting → parquet (+ a deterministic
-  *               per-language sample manifest).
+  *   documents → cross-corpus dedup (bloom anti-join vs the previously
+  *               ingested corpus) → exact dedup → near-dup removal
+  *               (MinHash+LSH) → benchmark decontamination →
+  *               quality/repetition gate → mixture sampling →
+  *               leakage-safe train/val/test split → token accounting
+  *               → parquet (+ a deterministic per-language sample
+  *               manifest + gap-filled daily ingest telemetry).
   * Every stage is one of the library operators; nothing touches the
   * driver except the final summary counts.
   */
@@ -25,7 +28,22 @@ object PipelineDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val docs = graft.api.Tables.t(spark, dir, "documents")
+    val allDocs = graft.api.Tables.t(spark, dir, "documents")
+    val n00 = allDocs.count()
+
+    // 0. cross-corpus dedup at ingest: docs whose 200-char-prefix
+    //    fingerprint already exists in the "previously ingested" corpus
+    //    (stand-in: doc_id % 7 = 0) are dropped by the bloom-accelerated
+    //    exact anti-join — the bulk of a real crawl never reaches a join
+    //    exchange
+    val fingerprinted = allDocs.withColumn("fp",
+      graft.functions.Fns.rollingHash31(substring(col("text"), 1, 200)))
+    val docs = BloomPrune.antiKeep(
+        facts = fingerprinted.filter(col("doc_id") % 7 =!= 0),
+        keyCol = "fp",
+        dimKeys = fingerprinted.filter(col("doc_id") % 7 === 0).select("fp"),
+        dimKeyCol = "fp", numBits = 1 << 14)
+      .drop("fp")
     val n0 = docs.count()
 
     // 1. exact dedup: keep the min doc_id of each identical text
@@ -38,8 +56,8 @@ object PipelineDemo {
     //    exactly one representative per group (near-dup is not
     //    transitive; dropping the higher id of each PAIR would keep
     //    overlapping "groups" — see ConnectedComponents)
-    val groups = ConnectedComponents.dedupGroups(exactDeduped, "doc_id",
-      Dedup.minhashNearDupPairs(exactDeduped, "doc_id", "text"))
+    val nearPairs = Dedup.minhashNearDupPairs(exactDeduped, "doc_id", "text")
+    val groups = ConnectedComponents.dedupGroups(exactDeduped, "doc_id", nearPairs)
     val nearDeduped = exactDeduped.join(
       groups.filter(col("is_rep")).select("doc_id"), "doc_id")
     val n2 = nearDeduped.count()
@@ -69,24 +87,48 @@ object PipelineDemo {
     val withIds = IdAssign.contiguousIds(mixed, col("doc_id"), "gid")
     val n5 = withIds.count()
 
-    // 6. token accounting + sink + deterministic per-language sample
+    // 6. leakage-safe train/val/test split: assignment hashes the doc's
+    //    DEDUP GROUP (from step 2's verified pairs), so near-duplicate
+    //    clusters never straddle a split boundary
+    val withSplit = withIds.join(
+      Sampling.leakageSafeSplit(withIds, "doc_id", nearPairs)
+        .select("doc_id", "split"), "doc_id")
+    val splitCounts = withSplit.groupBy("split").count()
+      .orderBy("split").collect()
+      .map(r => s"${r.get(0)}=${r.get(1)}").mkString("/")
+
+    // 7. token accounting + sink + deterministic per-language sample
     //    manifest (for eyeballing / eval construction)
-    val stats = withIds.groupBy("lang").agg(
+    val stats = withSplit.groupBy("lang").agg(
       count(lit(1)).as("n_docs"),
       sum("ws_tokens").as("total_tokens"),
       round(avg("quality_score"), 3).as("avg_quality"))
-    withIds.select("gid", "doc_id", "lang", "text", "n_tokens", "quality_score")
+    withSplit.select("gid", "doc_id", "lang", "split", "text", "n_tokens",
+        "quality_score")
       .write.mode("overwrite").parquet(out)
-    Sampling.perStratum(withIds, "lang", "doc_id", k = 5)
+    Sampling.perStratum(withSplit, "lang", "doc_id", k = 5)
       .select("doc_id", "lang", "n_tokens")
       .write.mode("overwrite").parquet(s"$out-sample")
+
+    // 8. ingest telemetry: gap-filled daily event volume per event type
+    //    (LOCF over calendar gaps) — the ops-side series a pipeline
+    //    dashboards next to the corpus counts
+    val daily = graft.api.Tables.t(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("n_events"))
+    val telemetry = GapFill.dailyLocf(daily, "event_type", "day", "n_events")
+    val nTelemetry = telemetry.count()
+    val nFilled = telemetry.filter(col("is_gap")).count()
+
     val summary = stats.orderBy("lang").collect()
       .map(r => s"${r.get(0)}:${r.get(1)} docs/${r.get(2)} tokens")
       .mkString(", ")
-    println(s"[pipeline] $n0 docs -> $n1 after exact dedup -> " +
+    println(s"[pipeline] $n00 docs -> $n0 after cross-corpus dedup -> " +
+      s"$n1 after exact dedup -> " +
       s"$n2 after near-dedup -> $n3 after decontamination -> " +
       s"$n4 after quality gate -> $n5 after mixing (ids 0..${n5 - 1}) | " +
-      s"$summary | wrote $out (+ -sample manifest)")
+      s"split $splitCounts | $summary | telemetry $nTelemetry day-rows " +
+      s"($nFilled gap-filled) | wrote $out (+ -sample manifest)")
     spark.stop()
   }
 }
