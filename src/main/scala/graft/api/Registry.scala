@@ -8,6 +8,7 @@ object Registry {
       graft.queries.RelationalExt.defs ++
       graft.queries.RelationalMore.defs ++
       graft.queries.RelationalScale.defs ++
+      graft.queries.RelationalAnalytics.defs ++
       graft.queries.PipelineQueries.defs ++
       graft.queries.PipelineExt.defs
 

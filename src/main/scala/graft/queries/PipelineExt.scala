@@ -432,6 +432,96 @@ object PipelineExt {
           |  min((doc_id*31 + i) % 256) AS px_min,
           |  max((doc_id*31 + i) % 256) AS px_max,
           |  round(avg(((doc_id*31 + i) % 256)::DOUBLE), 6) AS px_mean
-          |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+          |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // --- per-doc token Shannon entropy (vocabulary-diversity quality
+    //     signal — low entropy = repetitive/templated text): H = -sum
+    //     (c/n) ln(c/n) over the doc's token distribution, plus the
+    //     type count. Same linear explode + partial-agg shape as p30;
+    //     6dp rounding absorbs summation order. ---
+    QueryDef(
+      "p32_token_entropy",
+      (s, dir) => {
+        val cnt = Tables.t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(graft.functions.Fns.tokens(col("text"))).as("t"))
+          .groupBy("doc_id", "t").agg(count(lit(1)).cast("double").as("c"))
+        val tot = cnt.groupBy("doc_id").agg(sum("c").as("n"))
+        cnt.join(tot, "doc_id")
+          .groupBy("doc_id")
+          .agg(round(-sum((col("c") / col("n")) * log(col("c") / col("n"))), 6)
+              .as("entropy"),
+            count(lit(1)).as("n_types"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+          |            FROM documents),
+          |cnt AS (SELECT doc_id, t, count(*)::DOUBLE AS c
+          |        FROM tok GROUP BY 1, 2),
+          |tot AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY 1)
+          |SELECT doc_id, round(-sum((c/n) * ln(c/n)), 6) AS entropy,
+          |  count(*) AS n_types
+          |FROM cnt JOIN tot USING (doc_id)
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // --- collocation extraction (corpus-level PMI of adjacent token
+    //     pairs — the multi-word-expression / tokenizer-vocab-candidate
+    //     primitive): pmi = ln(P(w1,w2) / (P(w1)P(w2))), bigrams with
+    //     count >= 5, top 50 by rounded pmi (rounded BEFORE ranking so
+    //     the cut is engine-invariant; ties break lexicographically).
+    //     Scale shape: bigrams are zipped per row (slice+arrays_zip, no
+    //     self-join, no extra shuffle); uni/bigram counts are partial
+    //     aggs; the pmi join runs on vocabulary-sized frames; totals
+    //     ride 1-row broadcasts. ---
+    QueryDef(
+      "p33_collocations",
+      (s, dir) => {
+        val tk = graft.functions.Fns.tokens(col("text"))
+        val docs = Tables.t(s, dir, "documents")
+        val uni = docs.select(explode(tk).as("w"))
+          .groupBy("w").agg(count(lit(1)).cast("double").as("cw"))
+        val nTok = uni.agg(sum("cw").as("n_tok"))
+        val big = docs
+          .select(explode(arrays_zip(
+            slice(tk, lit(1), size(tk) - 1).as("w1"),
+            slice(tk, lit(2), size(tk) - 1).as("w2"))).as("p"))
+          .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .groupBy("w1", "w2").agg(count(lit(1)).cast("double").as("c2"))
+          .filter(col("c2") >= 5)
+        val nBig = docs.select(
+            sum(greatest(size(tk) - 1, lit(0))).cast("double").as("n_big"))
+        big
+          .join(uni.select(col("w").as("w1"), col("cw").as("c1")), "w1")
+          .join(uni.select(col("w").as("w2"), col("cw").as("c2w")), "w2")
+          .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBig))
+          .select(col("w1"), col("w2"), col("c2").cast("long").as("n_pair"),
+            round(log((col("c2") / col("n_big")) /
+              ((col("c1") / col("n_tok")) * (col("c2w") / col("n_tok")))), 6)
+              .as("pmi"))
+          .orderBy(col("pmi").desc, col("w1"), col("w2"))
+          .limit(50)
+      },
+      Some(
+        """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk
+          |            FROM documents),
+          |uni AS (SELECT unnest(tk) AS w FROM tok),
+          |ucnt AS (SELECT w, count(*)::DOUBLE AS cw FROM uni GROUP BY w),
+          |ntok AS (SELECT sum(cw) AS n_tok FROM ucnt),
+          |big AS (SELECT unnest(list_slice(tk, 1, len(tk) - 1)) AS w1,
+          |               unnest(list_slice(tk, 2, len(tk))) AS w2
+          |        FROM tok),
+          |bcnt AS (SELECT w1, w2, count(*)::DOUBLE AS c2 FROM big
+          |         GROUP BY w1, w2 HAVING count(*) >= 5),
+          |nbig AS (SELECT sum(greatest(len(tk) - 1, 0))::DOUBLE AS n_big
+          |         FROM tok)
+          |SELECT w1, w2, c2::BIGINT AS n_pair,
+          |  round(ln((c2 / n_big) /
+          |    ((a.cw / n_tok) * (b.cw / n_tok))), 6) AS pmi
+          |FROM bcnt
+          |JOIN ucnt a ON a.w = w1
+          |JOIN ucnt b ON b.w = w2
+          |CROSS JOIN ntok CROSS JOIN nbig
+          |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin))
   )
 }

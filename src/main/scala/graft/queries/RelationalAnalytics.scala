@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.api.{QueryDef, Tables}
+
+/** Round-5 analytics additions: warehouse temporal modeling (SCD2),
+  * Spark's LATERAL correlated-subquery surface, regression aggregates,
+  * the Spark 4 DataSketches HLL family, and sequence analytics over the
+  * events stream. Same conventions as the other registries (total-order
+  * output, identical aliases both engines, floats rounded both sides).
+  */
+object RelationalAnalytics {
+
+  // One SQL text, two engines (q26 pattern): LATERAL correlated subquery
+  // with per-row ORDER BY + LIMIT — Catalyst decorrelates it into a
+  // ranked window join rather than executing the subquery per row.
+  private val lateralSql =
+    """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+      |FROM customer c,
+      |  LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |           WHERE o_custkey = c.c_custkey
+      |           ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
+      |ORDER BY c.c_custkey""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // --- SCD Type-2 dimension build: turn an append-only changelog
+    //     (orders as status observations per customer) into validity
+    //     intervals [eff_from, eff_to) + is_current — the warehouse
+    //     temporal-modeling primitive. One window shuffle on the key;
+    //     at 100 TB this is the same single-exchange shape as q53. ---
+    QueryDef(
+      "q62_scd2_build",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+            col("o_orderdate").as("eff_from"))
+          .withColumn("eff_to",
+            lead(col("eff_from"), 1).over(
+              Window.partitionBy("o_custkey")
+                .orderBy(col("eff_from"), col("o_orderkey"))))
+          .withColumn("is_current", col("eff_to").isNull)
+          .orderBy("o_custkey", "eff_from", "o_orderkey")
+      },
+      Some(
+        """WITH v AS (
+          |  SELECT o_custkey, o_orderkey, o_orderstatus,
+          |    o_orderdate AS eff_from,
+          |    lead(o_orderdate) OVER (PARTITION BY o_custkey
+          |      ORDER BY o_orderdate, o_orderkey) AS eff_to
+          |  FROM orders)
+          |SELECT o_custkey, o_orderkey, o_orderstatus, eff_from, eff_to,
+          |  (eff_to IS NULL) AS is_current
+          |FROM v ORDER BY o_custkey, eff_from, o_orderkey""".stripMargin)),
+
+    // --- LATERAL correlated subquery (SQL:1999 lateral join): top order
+    //     per customer expressed as a per-row subquery. Spark
+    //     decorrelates to a window + join — no nested-loop execution —
+    //     and DuckDB runs the IDENTICAL text. ---
+    QueryDef(
+      "q63_lateral_join",
+      (s, dir) => {
+        Tables.register(s, dir, "customer", "orders")
+        s.sql(lateralSql)
+      },
+      Some(lateralSql)),
+
+    // --- regression aggregates per group: slope/intercept/r2 of
+    //     extendedprice on quantity. VALUES come from the closed-form
+    //     sums (identical expression both engines — engine-internal
+    //     accumulation orders differ only past 6dp); Spark's regr_*
+    //     builtins are additionally pinned to the formula by a 1e-6
+    //     envelope boolean (q42's accuracy-contract pattern). ---
+    QueryDef(
+      "q64_regression",
+      (s, dir) => {
+        val x = col("l_quantity"); val y = col("l_extendedprice")
+        val agg = Tables.t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum(x).as("sx"), sum(y).as("sy"),
+            sum(x * y).as("sxy"), sum(x * x).as("sxx"),
+            regr_slope(y, x).as("b_slope"))
+        agg.select(col("l_returnflag"),
+            col("n").cast("long").as("n_rows"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+            round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+              col("n"), 6).as("intercept"),
+            (abs(col("b_slope") -
+              (col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx"))) < 1e-6)
+              .as("builtin_ok"))
+          .orderBy("l_returnflag")
+      },
+      Some(
+        """WITH m AS (
+          |  SELECT l_returnflag, count(*)::DOUBLE AS n,
+          |    sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+          |    sum(l_quantity * l_extendedprice) AS sxy,
+          |    sum(l_quantity * l_quantity) AS sxx
+          |  FROM lineitem GROUP BY l_returnflag)
+          |SELECT l_returnflag, n::BIGINT AS n_rows,
+          |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+          |  round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6)
+          |    AS intercept,
+          |  TRUE AS builtin_ok
+          |FROM m ORDER BY l_returnflag""".stripMargin)),
+
+    // --- Spark 4 DataSketches HLL: hll_sketch_agg builds a mergeable
+    //     sketch (the cross-system interchange format — the same binary
+    //     merges in Druid/Hive/DataSketches-java), hll_sketch_estimate
+    //     reads it. Oracle is q15's accuracy contract: the estimate must
+    //     land within 5% of DuckDB's exact distinct count. ---
+    QueryDef(
+      "q65_hll_sketch",
+      (s, dir) => Tables.t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(hll_sketch_estimate(
+            hll_sketch_agg(col("l_partkey"), lit(12))).as("est"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("est") - col("exact_parts")) <=
+            col("exact_parts") * 0.05).as("sketch_ok"))
+        .orderBy("l_returnflag"),
+      Some(
+        """SELECT l_returnflag,
+          |  count(DISTINCT l_partkey) AS exact_parts,
+          |  TRUE AS sketch_ok
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // --- event-sequence transition matrix: count of (event_type -> next
+    //     event_type) transitions per user timeline — the Markov-chain /
+    //     clickstream primitive. One window shuffle on user_id; the
+    //     count agg reuses nothing wider than (type, type) pairs. ---
+    QueryDef(
+      "q66_event_transitions",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables.t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            lead(col("event_type"), 1).over(w).as("next_type"))
+          .filter(col("next_type").isNotNull)
+          .groupBy("event_type", "next_type")
+          .agg(count(lit(1)).as("n_transitions"))
+          .orderBy("event_type", "next_type")
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT event_type,
+          |    lead(event_type) OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id) AS next_type
+          |  FROM events)
+          |SELECT event_type, next_type, count(*) AS n_transitions
+          |FROM t WHERE next_type IS NOT NULL
+          |GROUP BY event_type, next_type
+          |ORDER BY event_type, next_type""".stripMargin))
+  )
+}

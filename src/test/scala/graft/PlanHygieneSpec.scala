@@ -27,9 +27,11 @@ class PlanHygieneSpec extends AnyFunSuite {
   //    ONE-ROW bloom bitmap to every task — same q54 pattern
   //  - p30_lm_score: the corpus token total joins in as a ONE-ROW
   //    broadcast aggregate — same p23 pattern
+  //  - p33_collocations: the token and bigram totals join in as ONE-ROW
+  //    broadcast aggregates — same p23/p30 pattern
   private val bnljAllowed = Set("q20_theta_join", "q54_bloom_prune",
     "p09_ann_bruteforce", "p13_ann_ivf", "p23_tfidf_topterms",
-    "p29_cross_corpus_dedup", "p30_lm_score")
+    "p29_cross_corpus_dedup", "p30_lm_score", "p33_collocations")
 
   test("no cartesian product or unexpected BNLJ in any registered query") {
     val offenders = Registry.all.flatMap { q =>
