@@ -435,35 +435,33 @@ object PipelineExt {
           |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // --- per-doc token Shannon entropy (vocabulary-diversity quality
-    //     signal — low entropy = repetitive/templated text): H = -sum
-    //     (c/n) ln(c/n) over the doc's token distribution, plus the
-    //     type count. Same linear explode + partial-agg shape as p30;
-    //     6dp rounding absorbs summation order. ---
+    //     signal — low entropy = repetitive/templated text). SINGLE
+    //     PASS: H = -sum (c/n) ln(c/n) needs n before the sum, which
+    //     would mean a join (and a second corpus scan — Catalyst has no
+    //     subplan reuse); the algebraic form H = ln(n) - (sum c ln c)/n
+    //     computes from one (doc, token)-count aggregate followed by one
+    //     per-doc aggregate — one scan, two stacked partial aggs, no
+    //     join. Identical formula on both engines; 6dp rounding. ---
     QueryDef(
       "p32_token_entropy",
-      (s, dir) => {
-        val cnt = Tables.t(s, dir, "documents")
-          .select(col("doc_id"),
-            explode(graft.functions.Fns.tokens(col("text"))).as("t"))
-          .groupBy("doc_id", "t").agg(count(lit(1)).cast("double").as("c"))
-        val tot = cnt.groupBy("doc_id").agg(sum("c").as("n"))
-        cnt.join(tot, "doc_id")
-          .groupBy("doc_id")
-          .agg(round(-sum((col("c") / col("n")) * log(col("c") / col("n"))), 6)
-              .as("entropy"),
-            count(lit(1)).as("n_types"))
-          .orderBy("doc_id")
-      },
+      (s, dir) => Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.Fns.tokens(col("text"))).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).cast("double").as("c"))
+        .groupBy("doc_id")
+        .agg(round(log(sum("c")) - sum(col("c") * log(col("c"))) / sum("c"), 6)
+            .as("entropy"),
+          count(lit(1)).as("n_types"))
+        .orderBy("doc_id"),
       Some(
         """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
           |            FROM documents),
           |cnt AS (SELECT doc_id, t, count(*)::DOUBLE AS c
-          |        FROM tok GROUP BY 1, 2),
-          |tot AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY 1)
-          |SELECT doc_id, round(-sum((c/n) * ln(c/n)), 6) AS entropy,
+          |        FROM tok GROUP BY 1, 2)
+          |SELECT doc_id,
+          |  round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy,
           |  count(*) AS n_types
-          |FROM cnt JOIN tot USING (doc_id)
-          |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+          |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // --- collocation extraction (corpus-level PMI of adjacent token
     //     pairs — the multi-word-expression / tokenizer-vocab-candidate
