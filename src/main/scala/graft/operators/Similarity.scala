@@ -92,6 +92,30 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Memory-lean top-k over SYMMETRIC-INT8 QUANTIZED vectors (FAISS's
+    * SQ8 idea): both sides are quantized with [[Embeddings.int8Codes]]
+    * (4× smaller at rest and over the wire) and candidates are ranked by
+    * the INTEGER code dot product — exact integer arithmetic, so the
+    * ranking is bit-deterministic on any engine, unlike float scores.
+    * The classic 100 TB serving shape: quantized coarse rank streams the
+    * corpus at a quarter of the bandwidth; rescore survivors with the
+    * full-precision vectors downstream if cosine fidelity matters.
+    */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"),
+      Embeddings.int8Codes(col("embedding")).as("qc"))
+    val c = corpus.select(col("vec_id").as("nid"),
+      Embeddings.int8Codes(col("embedding")).as("nc"))
+    val dot = aggregate(
+      zip_with(col("qc"), col("nc"), (a, b) => a.cast("long") * b.cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), dot.as("qdot"))
+    val w = Window.partitionBy("qid").orderBy(col("qdot").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF-style approximate top-k: a k-means coarse quantizer (spark.ml,
     * fixed seed) assigns every corpus vector to its nearest centroid;
     * each query searches only its `nprobe` nearest cells, reranked by

@@ -520,6 +520,43 @@ object PipelineExt {
           |JOIN ucnt a ON a.w = w1
           |JOIN ucnt b ON b.w = w2
           |CROSS JOIN ntok CROSS JOIN nbig
-          |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin))
+          |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin)),
+
+    // --- quantized ANN (FAISS SQ8 shape): top-5 per query by INTEGER
+    //     dot product over symmetric-int8 codes — 4x less memory and
+    //     bandwidth than float search, and integer arithmetic makes the
+    //     ranking bit-deterministic, so unlike p10/p13 this approximate-
+    //     FIDELITY path still has an EXACT oracle (DuckDB mirrors the
+    //     quantizer and the integer dot). Broadcast queries, corpus
+    //     streamed (p09's plan shape). ---
+    QueryDef(
+      "p34_ann_quantized",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        graft.operators.Similarity.quantizedTopK(
+            e.filter(col("vec_id") % 50 === 0), e, k = 5)
+          .orderBy("qid", "rank")
+      },
+      Some(
+        """WITH v AS (SELECT vec_id,
+          |             list_transform(embedding, x -> x::DOUBLE) AS e
+          |           FROM embeddings),
+          |m AS (SELECT vec_id, e,
+          |        list_max(list_transform(e, x -> abs(x))) AS ma FROM v),
+          |qz AS (SELECT vec_id,
+          |         [CASE WHEN ma > 0 THEN floor(e[i] * 127.0 / ma + 0.5)
+          |               ELSE 0.0 END FOR i IN range(1, len(e) + 1)] AS c
+          |       FROM m),
+          |q AS (SELECT vec_id AS qid, c AS qc FROM qz WHERE vec_id % 50 = 0),
+          |n AS (SELECT vec_id AS nid, c AS nc FROM qz),
+          |s AS (SELECT qid, nid,
+          |        CAST(list_sum([qc[i] * nc[i]
+          |          FOR i IN range(1, len(qc) + 1)]) AS BIGINT) AS qdot
+          |      FROM q JOIN n ON qid <> nid),
+          |r AS (SELECT *, CAST(row_number() OVER
+          |        (PARTITION BY qid ORDER BY qdot DESC, nid) AS INT) AS rank
+          |      FROM s)
+          |SELECT qid, nid, qdot, rank FROM r WHERE rank <= 5
+          |ORDER BY qid, rank""".stripMargin))
   )
 }

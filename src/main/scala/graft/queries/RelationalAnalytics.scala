@@ -158,6 +158,33 @@ object RelationalAnalytics {
           |SELECT event_type, next_type, count(*) AS n_transitions
           |FROM t WHERE next_type IS NOT NULL
           |GROUP BY event_type, next_type
-          |ORDER BY event_type, next_type""".stripMargin))
+          |ORDER BY event_type, next_type""".stripMargin)),
+
+    // --- Spark 4 COLLATION surface: grouping under UTF8_LCASE merges
+    //     case variants at the COMPARATOR level (hash/sort/equals all
+    //     collation-aware) — no normalizing projection in the plan. The
+    //     fixture case-mangles c_mktsegment deterministically; the
+    //     oracle groups by lower() — same groups, so equal counts prove
+    //     the collated comparator semantics. Output key is lowercased
+    //     and cast back to a plain string on both sides. ---
+    QueryDef(
+      "q67_collated_group",
+      (s, dir) => {
+        val mangled = Tables.t(s, dir, "customer").select(
+          when(col("c_custkey") % 2 === 0, lower(col("c_mktsegment")))
+            .otherwise(col("c_mktsegment")).as("seg"))
+        mangled
+          .groupBy(collate(col("seg"), "UTF8_LCASE").as("k"))
+          .agg(count(lit(1)).as("n_customers"))
+          .select(lower(col("k")).cast("string").as("segment"),
+            col("n_customers"))
+          .orderBy("segment")
+      },
+      Some(
+        """WITH m AS (SELECT CASE WHEN c_custkey % 2 = 0
+          |    THEN lower(c_mktsegment) ELSE c_mktsegment END AS seg
+          |  FROM customer)
+          |SELECT lower(seg) AS segment, count(*) AS n_customers
+          |FROM m GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -93,6 +93,47 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("quantized top-k (int8 SQ) recall floor vs float brute force") {
+    // uniform-random fixtures are the WORST case for quantized rank
+    // fidelity: the true top-5 sit in a near-tie band (cos ~0.4, barely
+    // above the random-pair distribution), and int8 coordinate error
+    // (~0.4% of maxabs) legitimately reorders near-ties — measured 0.68
+    // here. On real clustered embeddings neighbor margins dwarf the
+    // quantization noise. The p34 oracle already pins the quantized
+    // ranking itself EXACTLY; this floor guards against quantizer bugs
+    // (a broken scale or sign collapses recall toward k/n ~ 0.005).
+    val queries = embs.filter($"vec_id" % 50 === 0)
+    val bf = Similarity.bruteForceTopK(queries, embs, k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val qz = Similarity.quantizedTopK(queries, embs, k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (bf & qz).size.toDouble / bf.size
+    assert(recall >= 0.6, s"recall=$recall")
+  }
+
+  test("quantized top-k rank-1 is exact on planted near-identical vectors") {
+    // where margins are real (a planted duplicate at cos ~0.999), the
+    // quantized rank must agree with float brute force
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    val rows = (0 until 40).map { i =>
+      val v =
+        if (i == 1) base.map(x => x + 0.001f) // near-identical to vec 0
+        else if (i == 0) base
+        else Array.fill(64)(rnd.nextFloat() * 2 - 1)
+      Row(i.toLong, v.toSeq)
+    }
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val top1 = Similarity.quantizedTopK(df.filter($"vec_id" === 0), df, k = 1)
+      .select("nid").as[Long].head()
+    assert(top1 == 1L)
+  }
+
   test("blocked cosine pair join == naive all-pairs, with no BNLJ/cartesian in the plan") {
     val blocked = Similarity.cosineNearDupPairs(embs, threshold = 0.4, blocks = 7)
     val a = embs.select($"vec_id".as("id_a"), $"embedding".as("va"))

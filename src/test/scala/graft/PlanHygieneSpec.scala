@@ -29,9 +29,12 @@ class PlanHygieneSpec extends AnyFunSuite {
   //    broadcast aggregate — same p23 pattern
   //  - p33_collocations: the token and bigram totals join in as ONE-ROW
   //    broadcast aggregates — same p23/p30 pattern
+  //  - p34_ann_quantized: brute force over int8 codes — all-pairs BY
+  //    DEFINITION like p09; queries broadcast, corpus streams
   private val bnljAllowed = Set("q20_theta_join", "q54_bloom_prune",
     "p09_ann_bruteforce", "p13_ann_ivf", "p23_tfidf_topterms",
-    "p29_cross_corpus_dedup", "p30_lm_score", "p33_collocations")
+    "p29_cross_corpus_dedup", "p30_lm_score", "p33_collocations",
+    "p34_ann_quantized")
 
   test("no cartesian product or unexpected BNLJ in any registered query") {
     val offenders = Registry.all.flatMap { q =>
