@@ -185,6 +185,89 @@ object RelationalAnalytics {
           |    THEN lower(c_mktsegment) ELSE c_mktsegment END AS seg
           |  FROM customer)
           |SELECT lower(seg) AS segment, count(*) AS n_customers
-          |FROM m GROUP BY 1 ORDER BY 1""".stripMargin))
+          |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // --- ordered funnel (view -> click -> purchase per user), SINGLE
+    //     SHUFFLE: the naive formulation is one self-join per stage;
+    //     here each stage is a running min over the SAME window spec
+    //     (t1r = earliest view so far; a click qualifies if strictly
+    //     after t1r; t2r = earliest qualifying click so far; ...), so
+    //     Catalyst stacks the window nodes on one user_id exchange and
+    //     the per-user groupBy reuses the same key. RANGE (default)
+    //     frames make same-timestamp ties engine-invariant. ---
+    QueryDef(
+      "q68_funnel",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts")
+        val marked = Tables.t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_type"))
+          .withColumn("t1r",
+            min(when(col("event_type") === "view", col("ts"))).over(w))
+          .withColumn("t2c",
+            when(col("event_type") === "click" && col("ts") > col("t1r"),
+              col("ts")))
+          .withColumn("t2r", min(col("t2c")).over(w))
+          .withColumn("t3c",
+            when(col("event_type") === "purchase" && col("ts") > col("t2r"),
+              col("ts")))
+        marked.groupBy("user_id")
+          .agg(min(when(col("event_type") === "view", col("ts"))).as("t1"),
+            min("t2c").as("t2"), min("t3c").as("t3"))
+          .agg(count("t1").as("n_view"), count("t2").as("n_click"),
+            count("t3").as("n_purchase"))
+          .orderBy("n_view")
+      },
+      Some(
+        """WITH m AS (
+          |  SELECT user_id, ts, event_type,
+          |    min(CASE WHEN event_type = 'view' THEN ts END) OVER
+          |      (PARTITION BY user_id ORDER BY ts) AS t1r
+          |  FROM events),
+          |m2 AS (SELECT *, CASE WHEN event_type = 'click' AND ts > t1r
+          |         THEN ts END AS t2c FROM m),
+          |m3 AS (SELECT *, min(t2c) OVER
+          |         (PARTITION BY user_id ORDER BY ts) AS t2r FROM m2),
+          |m4 AS (SELECT *, CASE WHEN event_type = 'purchase' AND ts > t2r
+          |         THEN ts END AS t3c FROM m3),
+          |u AS (SELECT user_id,
+          |        min(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+          |        min(t2c) AS t2, min(t3c) AS t3
+          |      FROM m4 GROUP BY user_id)
+          |SELECT count(t1) AS n_view, count(t2) AS n_click,
+          |  count(t3) AS n_purchase
+          |FROM u ORDER BY n_view""".stripMargin)),
+
+    // --- time-weighted average (TWAP): each observation weighted by its
+    //     holding duration (epoch seconds to the key's next event); the
+    //     final open-ended observation is excluded. One window lead on
+    //     the key + a partial/final agg — q57's single-exchange shape. ---
+    QueryDef(
+      "q69_time_weighted_avg",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables.t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+          .withColumn("dur",
+            unix_timestamp(lead(col("ts"), 1).over(w)) -
+              unix_timestamp(col("ts")))
+          .filter(col("dur").isNotNull)
+          .groupBy("user_id")
+          .agg(round(sum(col("value") * col("dur")) / sum(col("dur")), 6)
+              .as("twap"),
+            count(lit(1)).as("n_intervals"))
+          .orderBy("user_id")
+      },
+      Some(
+        """WITH d AS (
+          |  SELECT user_id, value,
+          |    CAST(floor(epoch(lead(ts) OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id))) AS BIGINT)
+          |    - CAST(floor(epoch(ts)) AS BIGINT) AS dur
+          |  FROM events)
+          |SELECT user_id,
+          |  round(sum(value * dur) / sum(dur), 6) AS twap,
+          |  count(*) AS n_intervals
+          |FROM d WHERE dur IS NOT NULL
+          |GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }
