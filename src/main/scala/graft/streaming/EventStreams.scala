@@ -159,6 +159,21 @@ object EventStreams {
       .select(col("user_id"), col("err_id"), col("click_id"))
   }
 
+  /** Stream-static enrichment: the stream joins a STATIC dimension —
+    * no watermark, no join state; the static side is (re)broadcast per
+    * micro-batch. The 100 TB shape for dimension attachment: the stream
+    * never shuffles, the dim is structurally small. (Static-side
+    * updates are picked up on re-read for file-backed dims; a slowly
+    * changing dim at scale is q62's SCD2 table joined the same way.)
+    */
+  def enrichWithSegment(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+      broadcast(customers.select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment"))),
+      Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("segment"))
+
   /** Run a streaming transform of the events source to completion against
     * the (static) fixture directory and return the result as a batch
     * DataFrame — used by tests to prove batch equivalence.

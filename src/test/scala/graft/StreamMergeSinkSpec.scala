@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{EventStreams, MergeSink}
+
+/** Streaming sink patterns: stream-static enrichment (batch-equal) and
+  * the foreachBatch exactly-once MERGE sink (order- and replay-proof
+  * latest-per-key fold + manifest commit).
+  */
+class StreamMergeSinkSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("stream-static enrichment equals the batch join") {
+    val customers = graft.api.Tables.t(spark, TestSpark.sf0001, "customer")
+    val streamed = EventStreams.runToMemory(spark, TestSpark.sf0001,
+      "enrich_mem", mode = "append")(EventStreams.enrichWithSegment(_, customers))
+      .as[(Long, Long, String, String)].collect().toSet
+    val batchEvents = graft.api.Tables.t(spark, TestSpark.sf0001, "events")
+    val batch = EventStreams.enrichWithSegment(batchEvents, customers)
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("foreachBatch merge sink: multi-batch stream folds to the batch latest-per-user") {
+    val src = graft.api.Tables.t(spark, TestSpark.sf0001, "events")
+      .select("user_id", "event_id", "ts", "event_type", "value")
+    val staged = tmpDir("graft-merge-src")
+    src.repartitionByRange(4, col("ts")).write.mode("overwrite").parquet(staged)
+    val table = tmpDir("graft-merge-table")
+    val q = MergeSink.latestPerUserSink(
+      spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged),
+      table, tmpDir("graft-merge-ckpt"))
+    try q.processAllAvailable() finally q.stop()
+    // > 1 version directory proves the fold really ran incrementally
+    val versions = java.nio.file.Files.list(java.nio.file.Paths.get(table))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    val vCount = Iterator.continually(versions)
+      .takeWhile(_.hasNext).map(_.next().getFileName.toString)
+      .count(_.startsWith("v"))
+    assert(vCount >= 2, s"expected multiple micro-batches, saw $vCount versions")
+    val got = MergeSink.readCurrent(spark, table).get
+      .as[(Long, Long, java.sql.Timestamp, String, Double)].collect().toSet
+    val expected = graft.plans.TopKPerGroup.topK(src,
+        Seq("user_id"), Seq(col("ts").desc, col("event_id").desc), 1)
+      .as[(Long, Long, java.sql.Timestamp, String, Double)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("merge sink is replay-proof: re-applying a batch changes nothing") {
+    val src = graft.api.Tables.t(spark, TestSpark.sf0001, "events")
+      .select("user_id", "event_id", "ts", "event_type", "value")
+    val older = src.filter(col("event_id") % 2 === 0)
+    val newer = src.filter(col("event_id") % 2 === 1)
+    val table = tmpDir("graft-merge-replay")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(table))
+    MergeSink.upsertBatch(older, table, 0L)
+    MergeSink.upsertBatch(newer, table, 1L)
+    def snapshot() = MergeSink.readCurrent(spark, table).get
+      .as[(Long, Long, java.sql.Timestamp, String, Double)].collect().toSet
+    val committed = snapshot()
+    // replay AFTER publish: manifest short-circuit
+    MergeSink.upsertBatch(newer, table, 1L)
+    assert(snapshot() == committed)
+    assert(MergeSink.currentVersion(table).contains("v1"))
+    // replay of the same DATA under a new batch id (at-least-once source
+    // after a checkpoint rollback): the commutative fold is a no-op
+    MergeSink.upsertBatch(newer, table, 2L)
+    assert(snapshot() == committed)
+    // and an OLD batch re-delivered late cannot regress newer state
+    MergeSink.upsertBatch(older, table, 3L)
+    assert(snapshot() == committed)
+  }
+}
