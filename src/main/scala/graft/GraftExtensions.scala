@@ -65,5 +65,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("normalize_nfc",
       "normalize_nfc(str) - Unicode NFC canonical composition",
       exprs => graft.functions.NormalizeNFC(exprs.head)))
+    e.injectFunction(fn("array_int_dot",
+      "array_int_dot(a, b) - integer dot product of two int arrays as LONG",
+      exprs => graft.functions.ArrayIntDot(exprs.head, exprs(1))))
   }
 }

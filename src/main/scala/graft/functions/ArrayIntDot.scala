@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Integer dot product of two int arrays as a LONG — the quantized-ANN
+  * (SQ8) scorer. One JVM pass per pair; replaces the zip_with/aggregate
+  * lambda composition, which Spark evaluates interpreted and which sat
+  * in p34's per-candidate hot loop exactly as the float dot once did in
+  * the cosine family (see ArrayCosine).
+  *
+  * Integer arithmetic is exact, so the DuckDB oracle's list fold is
+  * bit-identical by construction — no rounding contract needed.
+  */
+case class ArrayIntDot(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "array_int_dot"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0L
+    var i = 0
+    while (i < n) {
+      dot += a.getInt(i).toLong * b.getInt(i).toLong
+      i += 1
+    }
+    dot
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -53,6 +53,8 @@ object Fns {
       "built-in")
     reg.createOrReplaceTempFunction(
       "normalize_nfc", exprs => NormalizeNFC(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "array_int_dot", exprs => ArrayIntDot(exprs.head, exprs(1)), "built-in")
   }
 
   import org.apache.spark.sql.graftshim.Bridge.{toCol, toExpr}
@@ -82,6 +84,10 @@ object Fns {
   /** Native one-pass cosine (see ArrayCosine). */
   def cosineSimilarity(a: Column, b: Column): Column =
     toCol(ArrayCosine(toExpr(a), toExpr(b)))
+
+  /** Native integer dot product of two int arrays (see ArrayIntDot). */
+  def arrayIntDot(a: Column, b: Column): Column =
+    toCol(ArrayIntDot(toExpr(a), toExpr(b)))
 
   /** All k MinHash values of a shingle array (see MinHashSigs). */
   def minhashSigs(sh: Column, k: Int): Column =

@@ -106,11 +106,12 @@ object Similarity {
       Embeddings.int8Codes(col("embedding")).as("qc"))
     val c = corpus.select(col("vec_id").as("nid"),
       Embeddings.int8Codes(col("embedding")).as("nc"))
-    val dot = aggregate(
-      zip_with(col("qc"), col("nc"), (a, b) => a.cast("long") * b.cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    // native one-pass integer dot (quantization above runs once per row;
+    // THIS runs once per candidate pair — the hot loop, so no
+    // interpreted zip_with/aggregate lambdas here)
     val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), dot.as("qdot"))
+      .select(col("qid"), col("nid"),
+        Fns.arrayIntDot(col("qc"), col("nc")).as("qdot"))
     val w = Window.partitionBy("qid").orderBy(col("qdot").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

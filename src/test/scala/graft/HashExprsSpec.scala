@@ -54,6 +54,24 @@ class HashExprsSpec extends AnyFunSuite {
     assert(pairs.filter(not($"fast" <=> $"hof")).count() == 0)
   }
 
+  test("native array_int_dot equals HOF composition, sums in long (no int overflow)") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 50).map { i =>
+      (i.toLong, Seq.fill(64)(rnd.nextInt(255) - 127), Seq.fill(64)(rnd.nextInt(255) - 127))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val both = df.select(
+      Fns.arrayIntDot($"a", $"b").as("fast"),
+      aggregate(zip_with($"a", $"b",
+          (x, y) => x.cast("long") * y.cast("long")),
+        lit(0L), (acc, v) => acc + v).as("hof"))
+    assert(both.filter(not($"fast" <=> $"hof")).count() == 0)
+    // accumulation is long: Int.MaxValue-squared magnitudes must not wrap
+    val big = Seq((Seq(Int.MaxValue, Int.MaxValue), Seq(2, 2))).toDF("a", "b")
+    val got = big.select(Fns.arrayIntDot($"a", $"b")).as[Long].head()
+    assert(got == 2L * Int.MaxValue * 2)
+  }
+
   test("rolling hash property: random ascii strings fold like the scala model") {
     val rnd = new scala.util.Random(42)
     (1 to 500).foreach { _ =>
