@@ -92,6 +92,28 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: the top-k nearest
+    * neighbors per query whose cosine falls INSIDE a mid-similarity band
+    * — similar enough to be informative negatives, dissimilar enough to
+    * not be latent positives (near-duplicates above `hi` are excluded;
+    * easy negatives below `lo` teach nothing). Band membership tests the
+    * ROUNDED cosine, so the cut is engine-invariant. Broadcast queries,
+    * corpus streamed — p09's plan shape with a pre-rank band filter.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+      lo: Double, hi: Double): DataFrame = {
+    require(lo < hi, s"band must satisfy lo < hi, got [$lo, $hi]")
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(Fns.cosineSimilarity(col("qv"), col("nv")), 6).as("cos"))
+      .filter(col("cos") >= lo && col("cos") <= hi)
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Memory-lean top-k over SYMMETRIC-INT8 QUANTIZED vectors (FAISS's
     * SQ8 idea): both sides are quantized with [[Embeddings.int8Codes]]
     * (4× smaller at rest and over the wire) and candidates are ranked by

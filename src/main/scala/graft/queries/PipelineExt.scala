@@ -557,6 +557,40 @@ object PipelineExt {
           |        (PARTITION BY qid ORDER BY qdot DESC, nid) AS INT) AS rank
           |      FROM s)
           |SELECT qid, nid, qdot, rank FROM r WHERE rank <= 5
+          |ORDER BY qid, rank""".stripMargin)),
+
+    // --- hard-negative mining (contrastive training): top-5 neighbors
+    //     per query INSIDE the cos [0.30, 0.55] band — informative
+    //     negatives, not latent positives. Band tests the ROUNDED
+    //     cosine (engine-invariant cut); p09's broadcast-queries plan
+    //     with a pre-rank band filter. ---
+    QueryDef(
+      "p35_hard_negatives",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        graft.operators.Similarity.hardNegatives(
+            e.filter(col("vec_id") % 50 === 0), e, k = 5,
+            lo = 0.30, hi = 0.55)
+          .orderBy("qid", "rank")
+      },
+      Some(
+        """WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings
+          |           WHERE vec_id % 50 = 0),
+          |c AS (SELECT vec_id nid, embedding nv FROM embeddings),
+          |s AS (SELECT qid, nid,
+          |  round(
+          |    list_sum(list_transform(range(1, 65),
+          |      i -> CAST(qv[i] AS DOUBLE) * CAST(nv[i] AS DOUBLE)))
+          |    / (sqrt(list_sum(list_transform(range(1, 65),
+          |         i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+          |     * sqrt(list_sum(list_transform(range(1, 65),
+          |         i -> CAST(nv[i] AS DOUBLE) * CAST(nv[i] AS DOUBLE))))), 6) cos
+          |  FROM q JOIN c ON qid <> nid),
+          |b AS (SELECT * FROM s WHERE cos >= 0.30 AND cos <= 0.55),
+          |r AS (SELECT *, CAST(row_number() OVER
+          |        (PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rank
+          |      FROM b)
+          |SELECT qid, nid, cos, rank FROM r WHERE rank <= 5
           |ORDER BY qid, rank""".stripMargin))
   )
 }

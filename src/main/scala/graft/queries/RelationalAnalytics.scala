@@ -268,6 +268,39 @@ object RelationalAnalytics {
           |  round(sum(value * dur) / sum(dur), 6) AS twap,
           |  count(*) AS n_intervals
           |FROM d WHERE dur IS NOT NULL
-          |GROUP BY user_id ORDER BY user_id""".stripMargin))
+          |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // --- retention cohort matrix: users grouped by first-active week,
+    //     counted per weeks-since-cohort — the product-analytics
+    //     staple. (user, week) is made distinct first, so each user
+    //     lands at most once per cell and count(*) == count distinct
+    //     with no expensive distinct aggregate. Both engines truncate
+    //     weeks to ISO Monday. ---
+    QueryDef(
+      "q70_retention_cohorts",
+      (s, dir) => {
+        val weeks = Tables.t(s, dir, "events")
+          .select(col("user_id"),
+            date_trunc("week", col("ts")).cast("date").as("wk"))
+          .distinct()
+        val cohort = weeks.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+        weeks.join(cohort, "user_id")
+          .groupBy(col("cohort_wk"),
+            floor(datediff(col("wk"), col("cohort_wk")) / 7)
+              .cast("int").as("week_n"))
+          .agg(count(lit(1)).as("n_active"))
+          .orderBy("cohort_wk", "week_n")
+      },
+      Some(
+        """WITH weeks AS (
+          |  SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS wk
+          |  FROM events),
+          |cohort AS (SELECT user_id, min(wk) AS cohort_wk
+          |           FROM weeks GROUP BY user_id)
+          |SELECT cohort_wk,
+          |  CAST(date_diff('day', cohort_wk, wk) // 7 AS INT) AS week_n,
+          |  count(*) AS n_active
+          |FROM weeks JOIN cohort USING (user_id)
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -31,10 +31,11 @@ class PlanHygieneSpec extends AnyFunSuite {
   //    broadcast aggregates — same p23/p30 pattern
   //  - p34_ann_quantized: brute force over int8 codes — all-pairs BY
   //    DEFINITION like p09; queries broadcast, corpus streams
+  //  - p35_hard_negatives: p09's brute-force shape with a band filter
   private val bnljAllowed = Set("q20_theta_join", "q54_bloom_prune",
     "p09_ann_bruteforce", "p13_ann_ivf", "p23_tfidf_topterms",
     "p29_cross_corpus_dedup", "p30_lm_score", "p33_collocations",
-    "p34_ann_quantized")
+    "p34_ann_quantized", "p35_hard_negatives")
 
   test("no cartesian product or unexpected BNLJ in any registered query") {
     val offenders = Registry.all.flatMap { q =>
