@@ -125,20 +125,40 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** REAL decode: `javax.imageio` parses the PNG bytes and the features
-    * come from the decoded raster — width, height, channel count, and
-    * min/max/mean over every sample of every band. mapPartitions keeps
-    * the decoder-init-once-per-partition shape (ImageIO's in-memory
-    * mode is switched on per task, not per row).
+  /** Palette-indexed rasters (GIF, indexed PNG/BMP) store palette
+    * INDICES in their samples — raw `getSample` over them would compute
+    * statistics of indices, not colors. Resolve through the palette by
+    * redrawing into a direct-color image. Caught by the format-agnostic
+    * decode spec: a grayscale GIF's "mean" came out 67 instead of 101.
+    */
+  private def resolveIndexed(img: java.awt.image.BufferedImage)
+      : java.awt.image.BufferedImage =
+    if (img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]) {
+      val out = new java.awt.image.BufferedImage(
+        img.getWidth, img.getHeight,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val g = out.createGraphics()
+      g.drawImage(img, 0, 0, null)
+      g.dispose()
+      out
+    } else img
+
+  /** REAL decode: `javax.imageio` parses the image bytes (format sniffed
+    * from the container — PNG, BMP, GIF, JPEG all ride the same path)
+    * and the features come from the decoded raster — width, height,
+    * channel count, and min/max/mean over every sample of every band.
+    * mapPartitions keeps the decoder-init-once-per-partition shape
+    * (ImageIO's in-memory mode is switched on per task, not per row).
     */
   def decodePng(ds: Dataset[PngRow]): Dataset[PngFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false) // pure in-memory decode
       rows.map { r =>
-        val img = javax.imageio.ImageIO.read(
+        val img0 = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.png))
-        require(img != null, s"doc ${r.doc_id}: payload is not a decodable image")
+        require(img0 != null, s"doc ${r.doc_id}: payload is not a decodable image")
+        val img = resolveIndexed(img0)
         val raster = img.getRaster
         val w = img.getWidth; val h = img.getHeight
         val bands = raster.getNumBands
@@ -178,9 +198,13 @@ object Multimodal {
     ds.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
-        val img = javax.imageio.ImageIO.read(
+        val img0 = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.png))
-        require(img != null, s"doc ${r.doc_id}: payload is not a decodable image")
+        require(img0 != null, s"doc ${r.doc_id}: payload is not a decodable image")
+        // indexed inputs resolve through their palette before resampling:
+        // bilinear interpolation over palette INDICES is meaningless, and
+        // a fresh indexed target would remap to the default 256 palette
+        val img = resolveIndexed(img0)
         val w = img.getWidth; val h = img.getHeight
         val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
         val ow = math.max(1, math.round(w * scale).toInt)

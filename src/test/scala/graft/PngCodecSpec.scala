@@ -75,6 +75,36 @@ class PngCodecSpec extends AnyFunSuite {
       assert(out.getRaster.getSample(x, y, 0) == 137, s"pixel ($x,$y)")
   }
 
+  test("decode path is format-agnostic: BMP and GIF bytes decode through the same codec plumbing") {
+    // ImageIO sniffs the container from the bytes, so the SAME operator
+    // ingests any JDK-supported format — the binary column doesn't care
+    // 16x8, not smaller: the JDK GIF WRITER corrupts tiny images (6x3
+    // came back with a shifted row) — at 16x8+ the roundtrip is exact
+    def encode(fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        16, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 8; x <- 0 until 16)
+        img.getRaster.setSample(x, y, 0, (x * 7 + y * 3) % 256)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val rows = Seq(PngRow(1L, encode("bmp")), PngRow(2L, encode("gif")))
+    val got = Multimodal.decodePng(spark.createDataset(rows))
+      .collect().sortBy(_.doc_id)
+    val px = for (y <- 0 until 8; x <- 0 until 16) yield (x * 7 + y * 3) % 256
+    got.foreach { f =>
+      assert(f.width == 16 && f.height == 8, f.toString)
+      // BMP decodes direct-gray (1 band); GIF decodes INDEXED and the
+      // operator resolves the palette into direct RGB (3 equal gray
+      // bands — without the resolve, stats would be over palette
+      // indices). Either way the color statistics are exact.
+      assert(f.channels == (if (f.doc_id == 1L) 1 else 3), f.toString)
+      assert(f.px_min == px.min && f.px_max == px.max, f.toString)
+      assert(math.abs(f.px_mean - px.sum.toDouble / px.size) < 1e-9, f.toString)
+    }
+  }
+
   test("resizePng never upscales (scale clamps at 1.0)") {
     val r = Multimodal.resizePng(
       spark.createDataset(Seq(PngRow(2L, Multimodal.synthPng(2L, 8, 5)))), 64).head()
