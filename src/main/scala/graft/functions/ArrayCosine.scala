@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
@@ -12,10 +12,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Replaces the zip_with/aggregate lambda composition: Spark evaluates
   * higher-order lambdas interpreted, which made the 64-dim dot product
-  * the hot cost of every ANN/near-dup query.
+  * the hot cost of every ANN/near-dup query. Participates in whole-stage
+  * codegen (doGenCode → one static call per row, no interpreted
+  * fallback re-dispatch in the per-pair loop).
   */
 case class ArrayCosine(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "array_cosine"
 
@@ -26,9 +28,22 @@ case class ArrayCosine(left: Expression, right: Expression)
   private lazy val leftFloat = isFloat(left)
   private lazy val rightFloat = isFloat(right)
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    ArrayCosine.cosine(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      leftFloat, rightFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ArrayCosine.cosine($a, $b, $leftFloat, $rightFloat)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArrayCosine {
+  def cosine(a: ArrayData, b: ArrayData,
+      leftFloat: Boolean, rightFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -44,8 +59,4 @@ case class ArrayCosine(left: Expression, right: Expression)
     if (na == 0.0 || nb == 0.0) 0.0
     else dot / (math.sqrt(na) * math.sqrt(nb))
   }
-
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
 }

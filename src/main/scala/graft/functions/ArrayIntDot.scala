@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -9,19 +9,31 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * (SQ8) scorer. One JVM pass per pair; replaces the zip_with/aggregate
   * lambda composition, which Spark evaluates interpreted and which sat
   * in p34's per-candidate hot loop exactly as the float dot once did in
-  * the cosine family (see ArrayCosine).
+  * the cosine family (see ArrayCosine). Participates in whole-stage
+  * codegen like its float sibling.
   *
   * Integer arithmetic is exact, so the DuckDB oracle's list fold is
   * bit-identical by construction — no rounding contract needed.
   */
 case class ArrayIntDot(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "array_int_dot"
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    ArrayIntDot.dot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ArrayIntDot.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArrayIntDot {
+  def dot(a: ArrayData, b: ArrayData): Long = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0L
     var i = 0
@@ -31,8 +43,4 @@ case class ArrayIntDot(left: Expression, right: Expression)
     }
     dot
   }
-
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
 }
