@@ -68,5 +68,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("array_int_dot",
       "array_int_dot(a, b) - integer dot product of two int arrays as LONG",
       exprs => graft.functions.ArrayIntDot(exprs.head, exprs(1))))
+    // generator (UDTF surface): SELECT shingle_rows(tokens, 3) yields
+    // one row per distinct shingle, no intermediate array value
+    e.injectFunction(fn("shingle_rows",
+      "shingle_rows(tokens, n) - one row per distinct contiguous n-token shingle",
+      exprs => graft.functions.ShingleRows(exprs.head,
+        graft.functions.Fns.intLiteral(exprs(1)))))
   }
 }

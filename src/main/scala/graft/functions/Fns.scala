@@ -55,6 +55,9 @@ object Fns {
       "normalize_nfc", exprs => NormalizeNFC(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "array_int_dot", exprs => ArrayIntDot(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "shingle_rows",
+      exprs => ShingleRows(exprs.head, intLiteral(exprs(1))), "built-in")
   }
 
   import org.apache.spark.sql.graftshim.Bridge.{toCol, toExpr}
@@ -112,6 +115,13 @@ object Fns {
     */
   def shingles(toks: Column, n: Int): Column =
     toCol(ShingleArray(toExpr(toks), n))
+
+  /** Generator form of [[shingles]] — one row per distinct shingle, no
+    * intermediate array (see ShingleRows). Same rows, same order as
+    * `explode(shingles(toks, n))`.
+    */
+  def shingleRows(toks: Column, n: Int): Column =
+    toCol(ShingleRows(toExpr(toks), n))
 
   /** HOF-composed formulation of [[shingles]] — kept as the independent
     * cross-check in tests (interpreted lambdas; ~10× slower).

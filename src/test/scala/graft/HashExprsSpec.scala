@@ -54,6 +54,27 @@ class HashExprsSpec extends AnyFunSuite {
     assert(pairs.filter(not($"fast" <=> $"hof")).count() == 0)
   }
 
+  test("shingle_rows generator == explode(shingle_array): rows, order, and plan shape") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val viaGen = docs.select($"doc_id",
+      Fns.shingleRows(split($"text", " "), 3).as("shingle"))
+    val viaArr = docs.select($"doc_id",
+      explode(Fns.shingles(split($"text", " "), 3)).as("shingle"))
+    assert(viaGen.as[(Long, String)].collect().toSeq ==
+      viaArr.as[(Long, String)].collect().toSeq)
+    // the generator plans as a Generate node over shingle_rows with no
+    // intermediate shingle_array value in the plan
+    val plan = viaGen.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate shingle_rows"), plan)
+    assert(!plan.contains("shingle_array"), plan)
+    // and it parses as a SQL table-generating function
+    Fns.ensureRegistered(spark)
+    docs.limit(5).createOrReplaceTempView("sr_docs")
+    val n = spark.sql(
+      "SELECT doc_id, shingle_rows(split(text, ' '), 3) FROM sr_docs").count()
+    assert(n > 0)
+  }
+
   test("native array_int_dot equals HOF composition, sums in long (no int overflow)") {
     val rnd = new scala.util.Random(11)
     val rows = (0 until 50).map { i =>
