@@ -591,6 +591,34 @@ object PipelineExt {
           |        (PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rank
           |      FROM b)
           |SELECT qid, nid, cos, rank FROM r WHERE rank <= 5
-          |ORDER BY qid, rank""".stripMargin))
+          |ORDER BY qid, rank""".stripMargin)),
+
+    // --- repeated-passage mining (the exact-substring dedup signal of
+    //     "Deduplicating Training Data Makes Language Models Better"):
+    //     8-token spans occurring in >= 3 distinct documents, with doc
+    //     frequency and an exemplar doc. Spans come from the native
+    //     ShingleRows GENERATOR — one row per distinct span per doc, no
+    //     intermediate array — then a partial-agg count. (doc, span) is
+    //     distinct by construction, so count(*) IS the doc frequency.
+    //     Hot boilerplate spans are the usual AQE-skew case (p03's
+    //     note applies). ---
+    QueryDef(
+      "p36_repeated_spans",
+      (s, dir) => Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.Fns.shingleRows(
+            graft.functions.Fns.tokens(col("text")), 8).as("span"))
+        .groupBy("span")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+        .filter(col("n_docs") >= 3)
+        .orderBy("span"),
+      Some(
+        s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk
+           |            FROM documents),
+           |sp AS (SELECT DISTINCT doc_id, unnest(${duckGrams(8)}) AS span
+           |       FROM tok WHERE len(tk) >= 8)
+           |SELECT span, count(*) AS n_docs, min(doc_id) AS first_doc
+           |FROM sp GROUP BY span HAVING count(*) >= 3
+           |ORDER BY span""".stripMargin))
   )
 }
