@@ -58,6 +58,33 @@ class SourcesSpec extends AnyFunSuite {
     assert(pruned.count() == docs.filter(col("lang") === "en").count())
   }
 
+  test("dynamic partition overwrite replaces only the touched partitions") {
+    // the incremental-backfill write at 100 TB: re-running one day/lang
+    // must not wipe the rest of the table (STATIC overwrite — the
+    // default — drops ALL partitions first)
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+    val dir = s"$tmp/docs_dyn_overwrite"
+    docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val before = spark.read.parquet(dir).filter(col("lang") =!= "en").count()
+    // rewrite ONLY lang=en with halved payload under dynamic mode
+    val enPatch = docs.filter(col("lang") === "en")
+      .withColumn("n_chars", (col("n_chars") / 2).cast("long")) // keep the partition schema
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try enPatch.write.mode("overwrite").partitionBy("lang").parquet(dir)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val after = spark.read.parquet(dir)
+    // untouched partitions survive byte-for-byte in row count...
+    assert(after.filter(col("lang") =!= "en").count() == before)
+    // ...and the touched partition carries the new payload
+    assert(after.filter(col("lang") === "en").agg(sum("n_chars")).head().getLong(0) ==
+      enPatch.agg(sum("n_chars")).head().getLong(0))
+  }
+
   test("stratified sampling (sampleBy) is seed-deterministic and per-stratum sized") {
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     val fractions = Map("en" -> 0.5, "de" -> 0.1) // other langs -> 0.0
