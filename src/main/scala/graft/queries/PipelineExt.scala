@@ -619,6 +619,43 @@ object PipelineExt {
            |       FROM tok WHERE len(tk) >= 8)
            |SELECT span, count(*) AS n_docs, min(doc_id) AS first_doc
            |FROM sp GROUP BY span HAVING count(*) >= 3
-           |ORDER BY span""".stripMargin))
+           |ORDER BY span""".stripMargin)),
+
+    // --- corpus drift detection: symmetric smoothed KL divergence
+    //     between the token distributions of two corpus slices (even /
+    //     odd doc ids stand in for last-crawl / new-crawl). Laplace
+    //     add-one smoothing over the UNION vocabulary keeps both
+    //     directions finite; identical formula both engines; 6dp.
+    //     The data-quality gate that catches a scraper change or
+    //     boilerplate injection before tokens reach training. ---
+    QueryDef(
+      "p37_corpus_drift",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        graft.operators.Drift.tokenKl(
+            ref = docs.filter(col("doc_id") % 2 === 0),
+            cand = docs.filter(col("doc_id") % 2 === 1),
+            textCol = "text")
+          .orderBy("n_vocab")
+      },
+      Some(
+        """WITH rt AS (SELECT unnest(string_split(text, ' ')) AS w
+          |            FROM documents WHERE doc_id % 2 = 0),
+          |ct AS (SELECT unnest(string_split(text, ' ')) AS w
+          |       FROM documents WHERE doc_id % 2 = 1),
+          |rc AS (SELECT w, count(*)::DOUBLE AS cr FROM rt GROUP BY w),
+          |cc AS (SELECT w, count(*)::DOUBLE AS cc FROM ct GROUP BY w),
+          |u AS (SELECT coalesce(rc.w, cc.w) AS w,
+          |        coalesce(rc.cr, 0) AS cr, coalesce(cc.cc, 0) AS cc
+          |      FROM rc FULL OUTER JOIN cc ON rc.w = cc.w),
+          |tot AS (SELECT sum(cr) AS nr, sum(cc) AS nc,
+          |          count(*)::DOUBLE AS v FROM u)
+          |SELECT CAST(max(v) AS BIGINT) AS n_vocab,
+          |  round(sum(((cr+1)/(nr+v)) *
+          |    ln(((cr+1)/(nr+v)) / ((cc+1)/(nc+v)))), 6) AS kl_ref_cand,
+          |  round(sum(((cc+1)/(nc+v)) *
+          |    ln(((cc+1)/(nc+v)) / ((cr+1)/(nr+v)))), 6) AS kl_cand_ref
+          |FROM u CROSS JOIN tot
+          |ORDER BY n_vocab""".stripMargin))
   )
 }

@@ -73,6 +73,24 @@ class PipelineExtSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("corpus drift: KL is zero on identical slices, rises under boilerplate injection") {
+    import graft.operators.Drift
+    val base = Seq((1L, "alpha beta gamma delta"), (2L, "beta gamma epsilon"),
+      (3L, "alpha epsilon zeta")).toDF("doc_id", "text")
+    val same = Drift.tokenKl(base, base, "text")
+      .as[(Long, Double, Double)].head()
+    assert(same._2 == 0.0 && same._3 == 0.0)
+    // injected boilerplate shifts the candidate distribution: both KL
+    // directions must strictly exceed the identical-slices baseline
+    val polluted = base.union(Seq(
+      (4L, "cookie policy cookie policy cookie policy"),
+      (5L, "cookie policy cookie policy cookie policy")).toDF("doc_id", "text"))
+    val drift = Drift.tokenKl(base, polluted, "text")
+      .as[(Long, Double, Double)].head()
+    assert(drift._2 > 0.0 && drift._3 > 0.0, drift.toString)
+    assert(drift._1 > same._1) // union vocab grew
+  }
+
   test("repetition metrics match hand computation") {
     val df = Seq(
       (1L, "a a a a"),        // words 4/1 distinct; 2-grams 3 occ/1 distinct; 3-grams 2/1
