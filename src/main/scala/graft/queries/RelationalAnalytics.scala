@@ -301,6 +301,42 @@ object RelationalAnalytics {
           |  CAST(date_diff('day', cohort_wk, wk) // 7 AS INT) AS week_n,
           |  count(*) AS n_active
           |FROM weeks JOIN cohort USING (user_id)
-          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // --- HLL sketch MERGEABILITY (the property that matters at 100 TB):
+    //     per-nation customer sketches are built once, then re-aggregated
+    //     to region level with hll_union_agg — NO rescan of the base
+    //     table, the pre-aggregated-cube / per-day-sketch re-merge path.
+    //     A nation's customers are disjoint from other nations', but the
+    //     union estimate must hold regardless; q15/q65's accuracy
+    //     contract (5% of exact) is the oracle. ---
+    QueryDef(
+      "q71_hll_merge",
+      (s, dir) => {
+        val perNation = Tables.t(s, dir, "customer")
+          .groupBy("c_nationkey")
+          .agg(hll_sketch_agg(col("c_custkey"), lit(12)).as("sk"))
+        val nations = Tables.t(s, dir, "nation")
+          .select(col("n_nationkey").as("c_nationkey"), col("n_regionkey"))
+        perNation.join(broadcast(nations), "c_nationkey")
+          .groupBy("n_regionkey")
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+          .join(
+            Tables.t(s, dir, "customer")
+              .join(broadcast(nations), "c_nationkey")
+              .groupBy("n_regionkey")
+              .agg(countDistinct(col("c_custkey")).as("exact_customers")),
+            "n_regionkey")
+          .select(col("n_regionkey"), col("exact_customers"),
+            (abs(col("est") - col("exact_customers")) <=
+              col("exact_customers") * 0.05).as("merge_ok"))
+          .orderBy("n_regionkey")
+      },
+      Some(
+        """SELECT n.n_regionkey,
+          |  count(DISTINCT c.c_custkey) AS exact_customers,
+          |  TRUE AS merge_ok
+          |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+          |GROUP BY n.n_regionkey ORDER BY n.n_regionkey""".stripMargin))
   )
 }
