@@ -12,6 +12,21 @@ import graft.api.{QueryDef, Tables}
   */
 object RelationalAnalytics {
 
+  // One SQL text, two engines: WITH RECURSIVE (Spark 4's recursive CTE)
+  // walking the implicit binary tree parent(s) = floor(s/2) over
+  // suppliers — every node's chain to the root, reduced to its depth.
+  // Arithmetic recursion terminates structurally (cur strictly halves),
+  // so no cycle guard is needed; only engine-portable constructs
+  // (CAST(floor(x/2)), UNION ALL) appear in the text.
+  private val recursiveSql =
+    """WITH RECURSIVE chain(node, cur, steps) AS (
+      |  SELECT s_suppkey, s_suppkey, 0 FROM supplier
+      |  UNION ALL
+      |  SELECT node, CAST(floor(cur / 2) AS BIGINT), steps + 1
+      |  FROM chain WHERE cur > 1)
+      |SELECT node, max(steps) AS depth
+      |FROM chain GROUP BY node ORDER BY node""".stripMargin
+
   // One SQL text, two engines (q26 pattern): LATERAL correlated subquery
   // with per-row ORDER BY + LIMIT — Catalyst decorrelates it into a
   // ranked window join rather than executing the subquery per row.
@@ -337,6 +352,20 @@ object RelationalAnalytics {
           |  count(DISTINCT c.c_custkey) AS exact_customers,
           |  TRUE AS merge_ok
           |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-          |GROUP BY n.n_regionkey ORDER BY n.n_regionkey""".stripMargin))
+          |GROUP BY n.n_regionkey ORDER BY n.n_regionkey""".stripMargin)),
+
+    // --- WITH RECURSIVE (Spark 4 recursive CTE — Catalyst's UnionLoop):
+    //     iterative computation declared in SQL instead of a driver-side
+    //     loop; DuckDB runs the IDENTICAL text. The graph-iterate
+    //     operator family (p14's connected components) uses the Spark
+    //     pointer-jumping operator at scale; this pins the SQL surface
+    //     itself. ---
+    QueryDef(
+      "q72_recursive_cte",
+      (s, dir) => {
+        Tables.register(s, dir, "supplier")
+        s.sql(recursiveSql)
+      },
+      Some(recursiveSql))
   )
 }
