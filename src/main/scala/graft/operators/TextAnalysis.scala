@@ -114,4 +114,34 @@ object TextAnalysis {
       .agg(round(avg(-log(col("c") / col("n"))), 6).as("lm_score"))
       .withColumnRenamed("id", idCol)
   }
+
+  /** CCNet's actual quality-filter shape: score EVERY document's
+    * cross-entropy under a unigram LM trained on a CURATED REFERENCE
+    * slice (Wikipedia-like), not on the corpus itself — low scores read
+    * "looks like the reference", high scores read "far from it".
+    * Add-one smoothing over (reference vocab + UNK) keeps OOV tokens
+    * finite: p(w) = (c_ref(w) + 1) / (N_ref + V_ref + 1), unseen w
+    * scoring as 1/(N_ref + V_ref + 1).
+    *
+    * Scale design: the reference count table is vocabulary-sized (LEFT
+    * join, so scored tokens missing from it survive as OOV); stopword
+    * skew on the token join is the AQE case as in [[unigramLmScore]];
+    * the (N, V) totals ride a broadcast 1-row cross join.
+    */
+  def refLmScore(docs: DataFrame, ref: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val refCnt = ref
+      .select(explode(Fns.tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).cast("double").as("c"))
+    val totals = refCnt.agg(sum("c").as("n"),
+      count(lit(1)).cast("double").as("v"))
+    val tok = docs.select(col(idCol).as("id"),
+      explode(Fns.tokens(col(textCol))).as("t"))
+    val p = (coalesce(col("c"), lit(0.0)) + 1) / (col("n") + col("v") + 1)
+    tok.join(refCnt, Seq("t"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .groupBy("id")
+      .agg(round(avg(-log(p)), 6).as("ref_lm_score"))
+      .withColumnRenamed("id", idCol)
+  }
 }

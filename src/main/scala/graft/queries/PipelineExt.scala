@@ -656,6 +656,37 @@ object PipelineExt {
           |  round(sum(((cc+1)/(nc+v)) *
           |    ln(((cc+1)/(nc+v)) / ((cr+1)/(nr+v)))), 6) AS kl_cand_ref
           |FROM u CROSS JOIN tot
-          |ORDER BY n_vocab""".stripMargin))
+          |ORDER BY n_vocab""".stripMargin)),
+
+    // --- reference-LM quality score (CCNet's actual filter shape):
+    //     every doc scored by cross-entropy under a unigram LM trained
+    //     on a CURATED slice (en docs with doc_id % 4 = 0 stand in for
+    //     the Wikipedia-like reference). Add-one smoothing over
+    //     (ref vocab + UNK) keeps OOV finite; LEFT join preserves OOV
+    //     tokens; totals ride a 1-row broadcast. Low = reference-like. ---
+    QueryDef(
+      "p38_ref_lm_score",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        TextAnalysis.refLmScore(
+            docs,
+            ref = docs.filter(col("lang") === "en" && col("doc_id") % 4 === 0),
+            idCol = "doc_id", textCol = "text")
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH rc AS (
+          |  SELECT t, count(*)::DOUBLE AS c FROM (
+          |    SELECT unnest(string_split(text, ' ')) AS t
+          |    FROM documents WHERE lang = 'en' AND doc_id % 4 = 0)
+          |  GROUP BY t),
+          |tot AS (SELECT sum(c) AS n, count(*)::DOUBLE AS v FROM rc),
+          |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+          |        FROM documents)
+          |SELECT doc_id,
+          |  round(avg(-ln((coalesce(c, 0) + 1) / (n + v + 1))), 6)
+          |    AS ref_lm_score
+          |FROM tok LEFT JOIN rc USING (t) CROSS JOIN tot
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

@@ -73,6 +73,20 @@ class PipelineExtSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("reference-LM score: in-vocabulary text scores below OOV text") {
+    import graft.operators.TextAnalysis
+    val ref = Seq((100L, "alpha beta gamma alpha beta"),
+      (101L, "beta gamma delta")).toDF("doc_id", "text")
+    val docs = Seq((1L, "alpha beta gamma"), // fully in-vocab
+      (2L, "qqq zzz xxx")).toDF("doc_id", "text") // fully OOV
+    val got = TextAnalysis.refLmScore(docs, ref, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Double)].collect()
+    assert(got(0)._2 < got(1)._2, got.mkString(","))
+    // every OOV token has the same smoothed probability 1/(N+V+1), so
+    // doc 2's score is exactly -ln(1/(8+4+1))
+    assert(math.abs(got(1)._2 - math.log(13.0)) < 1e-6, got(1).toString)
+  }
+
   test("corpus drift: KL is zero on identical slices, rises under boilerplate injection") {
     import graft.operators.Drift
     val base = Seq((1L, "alpha beta gamma delta"), (2L, "beta gamma epsilon"),

@@ -34,10 +34,13 @@ class PlanHygieneSpec extends AnyFunSuite {
   //  - p35_hard_negatives: p09's brute-force shape with a band filter
   //  - p37_corpus_drift: the (nr, nc, v) totals join in as a ONE-ROW
   //    broadcast aggregate — same p23/p30/p33 pattern
+  //  - p38_ref_lm_score: the reference-LM (n, v) totals join in as a
+  //    ONE-ROW broadcast aggregate — same pattern
   private val bnljAllowed = Set("q20_theta_join", "q54_bloom_prune",
     "p09_ann_bruteforce", "p13_ann_ivf", "p23_tfidf_topterms",
     "p29_cross_corpus_dedup", "p30_lm_score", "p33_collocations",
-    "p34_ann_quantized", "p35_hard_negatives", "p37_corpus_drift")
+    "p34_ann_quantized", "p35_hard_negatives", "p37_corpus_drift",
+    "p38_ref_lm_score")
 
   test("no cartesian product or unexpected BNLJ in any registered query") {
     val offenders = Registry.all.flatMap { q =>
