@@ -185,6 +185,62 @@ object Multimodal {
     }
   }
 
+  case class PngFeaturesSafe(doc_id: Long, width: Long, height: Long,
+      channels: Int, px_min: Long, px_max: Long, px_mean: Double,
+      decode_error: String)
+
+  /** Quarantine variant of [[decodePng]] (q56's resilient-ingest shape
+    * applied to media): a corrupt payload yields a row with
+    * `decode_error` set and null-ish features instead of failing the
+    * task — at 100 TB a single bad crawl byte must not kill a stage.
+    * Filter `decode_error IS NULL` for the clean side, the rest is the
+    * quarantine.
+    */
+  def decodePngSafe(ds: Dataset[PngRow]): Dataset[PngFeaturesSafe] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        try {
+          val img0 = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.png))
+          if (img0 == null)
+            PngFeaturesSafe(r.doc_id, -1L, -1L, -1, -1L, -1L, -1.0,
+              "not a decodable image")
+          else {
+            val img = resolveIndexed(img0)
+            val raster = img.getRaster
+            val w = img.getWidth; val h = img.getHeight
+            val bands = raster.getNumBands
+            var mn = Int.MaxValue; var mx = Int.MinValue; var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                var b = 0
+                while (b < bands) {
+                  val v = raster.getSample(x, y, b)
+                  if (v < mn) mn = v
+                  if (v > mx) mx = v
+                  sum += v
+                  b += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
+            PngFeaturesSafe(r.doc_id, w, h, bands, mn, mx,
+              sum.toDouble / (w.toLong * h * bands), null)
+          }
+        } catch {
+          case e: Exception =>
+            PngFeaturesSafe(r.doc_id, -1L, -1L, -1, -1L, -1L, -1.0,
+              s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(200))
+        }
+      }
+    }
+  }
+
   case class ResizedPng(doc_id: Long, in_w: Int, in_h: Int,
       out_w: Int, out_h: Int, png: Array[Byte])
 

@@ -106,6 +106,24 @@ class BloomPruneSpec extends AnyFunSuite {
     assert(got == Set("not_in_dim", "null_key_a", "null_key_b"))
   }
 
+  test("antiKeep == LEFT ANTI on random inputs with nulls (seeded property)") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 5) {
+      val fact = (1 to 400).map { i =>
+        val k: java.lang.Long =
+          if (rnd.nextInt(10) == 0) null else rnd.nextInt(200).toLong
+        (k, i.toLong)
+      }.toDF("k", "v")
+      val dim = (1 to 60).map(_ => rnd.nextInt(200).toLong).distinct.toDF("dk")
+      val bits = Seq(64, 1 << 8, 1 << 14)(trial % 3)
+      val got = BloomPrune.antiKeep(fact, "k", dim, "dk", numBits = bits)
+        .select("v").as[Long].collect().toSet
+      val plain = fact.join(dim, col("k") === col("dk"), "left_anti")
+        .select("v").as[Long].collect().toSet
+      assert(got == plain, s"trial $trial bits=$bits")
+    }
+  }
+
   test("antiKeep bloom-negative path reaches the output without any join") {
     val fact = (1L to 1000L).map(k => (k, k)).toDF("k", "v")
     val dim = (1L to 1000L by 10).toDF("dk")

@@ -105,6 +105,23 @@ class PipelineExtSpec extends AnyFunSuite {
     assert(drift._1 > same._1) // union vocab grew
   }
 
+  test("corpus drift: KL is non-negative on random corpora (Gibbs, seeded property)") {
+    import graft.operators.Drift
+    val rnd = new scala.util.Random(29)
+    val vocab = ('a' to 'p').map(_.toString)
+    def corpus(skew: Int) = (1 to 20).map { i =>
+      val words = (1 to 5 + rnd.nextInt(15)).map { _ =>
+        vocab(math.min(rnd.nextInt(vocab.size) / skew, vocab.size - 1))
+      }
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    for (trial <- 1 to 3) {
+      val r = Drift.tokenKl(corpus(1), corpus(1 + trial), "text")
+        .as[(Long, Double, Double)].head()
+      assert(r._2 >= 0.0 && r._3 >= 0.0, s"trial $trial: $r")
+    }
+  }
+
   test("repetition metrics match hand computation") {
     val df = Seq(
       (1L, "a a a a"),        // words 4/1 distinct; 2-grams 3 occ/1 distinct; 3-grams 2/1

@@ -105,6 +105,24 @@ class PngCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("decodePngSafe quarantines corrupt payloads instead of failing the task") {
+    val good = Multimodal.synthPng(5L, 6, 4)
+    val truncated = good.take(20) // valid magic, torn body
+    val garbage = Array.fill[Byte](64)(0x5a)
+    val rows = Seq(PngRow(1L, good), PngRow(2L, truncated), PngRow(3L, garbage))
+    val got = Multimodal.decodePngSafe(spark.createDataset(rows))
+      .collect().sortBy(_.doc_id)
+    assert(got(0).decode_error == null &&
+      got(0).width == 6 && got(0).height == 4)
+    // both bad payloads survive as quarantine rows, not exceptions
+    assert(got(1).decode_error != null && got(1).width == -1, got(1).toString)
+    assert(got(2).decode_error != null, got(2).toString)
+    // and the clean/quarantine split is a plain filter
+    val clean = Multimodal.decodePngSafe(spark.createDataset(rows))
+      .filter(_.decode_error == null).count()
+    assert(clean == 1)
+  }
+
   test("resizePng never upscales (scale clamps at 1.0)") {
     val r = Multimodal.resizePng(
       spark.createDataset(Seq(PngRow(2L, Multimodal.synthPng(2L, 8, 5)))), 64).head()
