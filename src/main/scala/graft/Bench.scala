@@ -6,6 +6,11 @@ import org.apache.spark.sql.SparkSession
   * on SPARK_GRAFT_SF_DIR and prints one JSON line. Each query is run once
   * to warm the JVM/codegen caches, then timed — the driver compares the
   * totals round-over-round against BASELINE.md.
+  *
+  * Two reported groups: the LEGACY 12 (unchanged since round 1, the
+  * round-over-round comparability anchor — `value`/`legacy_total`) and
+  * the EXTENDED group (`extended_total`) covering the newer surface:
+  * image decode, the ordered funnel, quantized ANN, retention cohorts.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -30,47 +35,64 @@ object Bench {
     }
     probe() // warm codegen for the probe itself
     val probeStart = probe()
-    val names = SparkEntry.benchQueries
     val fns = SparkEntry.queries
     var failed = List.empty[String]
-    val results = names.map { name =>
-      val fn = fns(name)
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warm
-      // three timed runs — min absorbs GC/compile jitter on a shared box,
-      // median is the robust companion signal
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable => // a broken query must not read as a fast one
-            if (!failed.contains(name)) failed ::= name
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+
+    def timeGroup(names: Seq[String]): Seq[(String, (Double, Double, Double))] =
+      names.map { name =>
+        val fn = fns(name)
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warm
+        // three timed runs — min absorbs GC/compile jitter on a shared box,
+        // median is the robust companion signal
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch {
+            case e: Throwable => // a broken query must not read as a fast one
+              if (!failed.contains(name)) failed ::= name
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          }
+          (System.nanoTime() - t0) / 1e9
         }
-        (System.nanoTime() - t0) / 1e9
+        // probe right after each query: round 4's driver bench read as a
+        // fake 3.2x regression purely from box load mid-run; a per-query
+        // probe timestamps the contamination so the compare self-corrects
+        name -> (times.min, times.sorted.apply(times.size / 2), probe())
       }
-      // probe right after each query: round 4's driver bench read as a
-      // fake 3.2x regression purely from box load mid-run; a per-query
-      // probe timestamps the contamination so the compare self-corrects
-      name -> (times.min, times.sorted.apply(times.size / 2), probe())
-    }
+
+    val results = timeGroup(SparkEntry.benchQueries)
+    val extResults = timeGroup(SparkEntry.benchQueriesExtended)
     val probeEnd = probe()
     // a failed query reports null and is excluded from the total, so
     // totals stay comparable across rounds (a broken query must neither
     // read as fast nor distort the sum with exception-path timings)
-    def qJson(pick: ((Double, Double, Double)) => Double) = results.map { case (k, v) =>
+    def qJson(rs: Seq[(String, (Double, Double, Double))])(
+        pick: ((Double, Double, Double)) => Double) = rs.map { case (k, v) =>
       "\"" + k + "\":" + (if (failed.contains(k)) "null" else pick(v).toString)
     }.mkString("{", ",", "}")
-    val total = results.collect { case (k, (mn, _, _)) if !failed.contains(k) => mn }.sum
+    def rawTotal(rs: Seq[(String, (Double, Double, Double))]) =
+      rs.collect { case (k, (mn, _, _)) if !failed.contains(k) => mn }.sum
+    val total = rawTotal(results)
+    val extTotal = rawTotal(extResults)
     // normalized_total: each query's min scaled by (cleanest probe this
     // run / its nearest probe) — a query timed while the box was loaded
     // is deflated by the probe's own slowdown, so a loaded run no longer
     // reads as a code regression. On a quiet box all ratios are ~1 and
-    // normalized_total ≈ total.
-    val probeMin = (probeStart +: probeEnd +: results.map(_._2._3)).min
-    val normalizedTotal = results.collect {
-      case (k, (mn, _, p)) if !failed.contains(k) => mn * (probeMin / p)
+    // normalized_total ≈ total. The ratio is CLAMPED to [0.5, 1.0]:
+    // a probe can also be inflated by the query's own aftermath (GC
+    // pressure, page-cache eviction), and an unclamped ratio would let a
+    // self-inflicted regression masquerade as box noise — at most 2x of
+    // a query's time can be attributed to the environment. Raw total
+    // stays the primary signal.
+    val probeMin = (probeStart +: probeEnd +:
+      (results ++ extResults).map(_._2._3)).min
+    def normTotal(rs: Seq[(String, (Double, Double, Double))]) = rs.collect {
+      case (k, (mn, _, p)) if !failed.contains(k) =>
+        mn * math.max(0.5, math.min(1.0, probeMin / p))
     }.sum
+    val normalizedTotal = normTotal(results)
+    val extNormalizedTotal = normTotal(extResults)
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(_._1)},"medians":${qJson(_._2)},"probes":${qJson(_._3)},"normalized_total":$normalizedTotal,"noise_floor":{"probe_start":$probeStart,"probe_end":$probeEnd},"failed":$failedJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(results)(_._1)},"medians":${qJson(results)(_._2)},"probes":${qJson(results)(_._3)},"legacy_total":$total,"normalized_total":$normalizedTotal,"extended":${qJson(extResults)(_._1)},"extended_probes":${qJson(extResults)(_._3)},"extended_total":$extTotal,"extended_normalized_total":$extNormalizedTotal,"noise_floor":{"probe_start":$probeStart,"probe_end":$probeEnd},"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // belt-and-braces for the driver: also drop the line in a file, immune
     // to any log-prefixing of stdout. Stdout stays the primary channel —

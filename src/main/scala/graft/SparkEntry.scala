@@ -21,6 +21,12 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Registry.all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 
-  /** Headline queries timed by Bench at sf0.1. */
+  /** Headline queries timed by Bench at sf0.1 (legacy-12 anchor group). */
   def benchQueries: Seq[String] = Registry.all.filter(_.bench).map(_.name)
+
+  /** Extended bench group: newer-surface representatives timed separately
+    * so the legacy total stays comparable round-over-round.
+    */
+  def benchQueriesExtended: Seq[String] =
+    Registry.all.filter(_.benchExt).map(_.name)
 }

@@ -432,7 +432,8 @@ object PipelineExt {
           |  min((doc_id*31 + i) % 256) AS px_min,
           |  max((doc_id*31 + i) % 256) AS px_max,
           |  round(avg(((doc_id*31 + i) % 256)::DOUBLE), 6) AS px_mean
-          |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+          |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      benchExt = true),
 
     // --- per-doc token Shannon entropy (vocabulary-diversity quality
     //     signal — low entropy = repetitive/templated text). SINGLE
@@ -557,7 +558,8 @@ object PipelineExt {
           |        (PARTITION BY qid ORDER BY qdot DESC, nid) AS INT) AS rank
           |      FROM s)
           |SELECT qid, nid, qdot, rank FROM r WHERE rank <= 5
-          |ORDER BY qid, rank""".stripMargin)),
+          |ORDER BY qid, rank""".stripMargin),
+      benchExt = true),
 
     // --- hard-negative mining (contrastive training): top-5 neighbors
     //     per query INSIDE the cos [0.30, 0.55] band — informative
@@ -687,6 +689,73 @@ object PipelineExt {
           |  round(avg(-ln((coalesce(c, 0) + 1) / (n + v + 1))), 6)
           |    AS ref_lm_score
           |FROM tok LEFT JOIN rc USING (t) CROSS JOIN tot
-          |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // --- REAL WAV decode (javax.sound.sampled — the codec ships in the
+    //     JDK, exactly like javax.imageio did for p31): deterministic
+    //     mono 16-bit PCM WAVs, sample(i) = (doc_id*31 + i) % 65536 −
+    //     32768 at 8 kHz with n = 100 + doc_id % 50 samples, are ENCODED
+    //     through the real RIFF writer and DECODED by the real parser
+    //     inside mapPartitions. PCM is lossless, so sample rate, frame
+    //     count, duration and amplitude stats are pure arithmetic the
+    //     oracle recomputes in SQL. Per-row compute, zero shuffle. ---
+    QueryDef(
+      "p39_wav_decode",
+      (s, dir) => {
+        import s.implicits._
+        val wavs = Tables.t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            Multimodal.WavRow(id,
+              Multimodal.synthWav(id, 8000, 100 + (id % 50).toInt))
+          })
+        Multimodal.decodeWav(wavs).toDF()
+          .select(col("doc_id"), col("sample_rate"), col("channels"),
+            col("n_samples"), round(col("duration_s"), 6).as("duration_s"),
+            col("pcm_min"), col("pcm_max"),
+            round(col("pcm_mean"), 6).as("pcm_mean"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH smp AS (
+          |  SELECT doc_id, unnest(range(0, 100 + doc_id % 50)) AS i
+          |  FROM documents)
+          |SELECT doc_id,
+          |  CAST(8000 AS INTEGER) AS sample_rate,
+          |  CAST(1 AS INTEGER) AS channels,
+          |  CAST(100 + doc_id % 50 AS BIGINT) AS n_samples,
+          |  round((100 + doc_id % 50) / 8000.0, 6) AS duration_s,
+          |  CAST(min((doc_id*31 + i) % 65536 - 32768) AS INTEGER) AS pcm_min,
+          |  CAST(max((doc_id*31 + i) % 65536 - 32768) AS INTEGER) AS pcm_max,
+          |  round(avg(((doc_id*31 + i) % 65536 - 32768)::DOUBLE), 6) AS pcm_mean
+          |FROM smp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // --- REAL multi-frame sampling (ImageIO's animated-GIF reader):
+    //     each video-kind doc carries a multi-frame GIF (frame f's pixel
+    //     i = (doc_id*31 + f*17 + i) % 256, 16×8 — the JDK writer
+    //     corrupts tiny GIFs); frameSample decodes every 2nd stored
+    //     frame to its actual raster through the palette resolver and
+    //     emits one row per sampled frame (1-row-to-N generator via
+    //     flatMap). Gray palettes resolve to 3 equal bands, so the mean
+    //     equals the gray mean and the oracle is SQL arithmetic. ---
+    QueryDef(
+      "p40_frame_sample",
+      (s, dir) => Multimodal.frameSample(
+          Multimodal.mediaFromDocuments(Tables.t(s, dir, "documents")),
+          stride = 2).toDF()
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          round(col("px_mean"), 6).as("px_mean"))
+        .orderBy("doc_id", "frame_idx"),
+      Some(
+        """WITH vid AS (
+          |  SELECT doc_id, 2 + doc_id % 4 AS nf FROM documents
+          |  WHERE doc_id % 3 = 2),
+          |fr AS (SELECT doc_id, unnest(range(0, nf, 2)) AS f FROM vid),
+          |px AS (SELECT doc_id, f, unnest(range(0, 128)) AS i FROM fr)
+          |SELECT doc_id,
+          |  CAST(f AS INTEGER) AS frame_idx,
+          |  CAST(16 AS INTEGER) AS width,
+          |  CAST(8 AS INTEGER) AS height,
+          |  round(avg(((doc_id*31 + f*17 + i) % 256)::DOUBLE), 6) AS px_mean
+          |FROM px GROUP BY doc_id, f ORDER BY doc_id, frame_idx""".stripMargin))
   )
 }

@@ -240,26 +240,54 @@ object PipelineQueries {
       },
       None),
 
-    // --- multimodal: binary media column -> stub decode -> features.
-    //     The payload is documents.text as UTF-8 bytes (all-ASCII, so the
-    //     oracle can mirror byte-level FNV with code points). ---
+    // --- multimodal: REAL mixed-kind decode through one dispatching
+    //     pass. Each doc gets a deterministic payload encoded by the
+    //     actual JDK codec for its kind (grayscale PNG / 16-bit PCM WAV /
+    //     multi-frame GIF); decodeMedia routes each row to the matching
+    //     decoder and lands everything in one union feature schema. All
+    //     three codecs are lossless here, so every feature is plain SQL
+    //     arithmetic for the oracle. Visual fields are -1 for audio and
+    //     vice versa; video pixels index as frame f = i // (w*h),
+    //     pixel j = i % (w*h) with value (id*31 + f*17 + j) % 256. ---
     QueryDef(
       "p12_media_features",
       (s, dir) => Multimodal.mediaFeatures(s, Tables.t(s, dir, "documents"))
+        .select(col("doc_id"), col("kind"), col("width"), col("height"),
+          col("n_frames"), col("sample_rate"), col("n_samples"),
+          round(col("feat_mean"), 6).as("feat_mean"))
         .orderBy("doc_id"),
       Some(
-        """SELECT doc_id,
-          |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-          |       ELSE 'video' END AS kind,
-          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-          |  unicode(substring(text, 1, 1)) AS width,
-          |  unicode(substring(text, 2, 1)) AS height,
-          |  CAST(octet_length(encode(text)) % 7 AS INT) AS n_frames,
-          |  (list_reduce(list_prepend(2166136261::BIGINT,
-          |     list_transform(string_split(text, ''), c -> unicode(c)::BIGINT)),
-          |     (h, c) -> (xor(h, c) * 16777619) % 4294967296)) % 2147483648
-          |    AS checksum
-          |FROM documents ORDER BY doc_id""".stripMargin)),
+        """WITH params AS (
+          |  SELECT doc_id,
+          |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+          |         ELSE 'video' END AS kind,
+          |    CAST(CASE doc_id % 3 WHEN 0 THEN 4 + doc_id % 13
+          |         WHEN 1 THEN -1 ELSE 16 END AS INTEGER) AS width,
+          |    CAST(CASE doc_id % 3 WHEN 0 THEN 4 + doc_id % 7
+          |         WHEN 1 THEN -1 ELSE 8 END AS INTEGER) AS height,
+          |    CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN -1
+          |         ELSE 2 + doc_id % 4 END AS INTEGER) AS n_frames,
+          |    CAST(CASE doc_id % 3 WHEN 1 THEN 8000 ELSE -1 END
+          |         AS INTEGER) AS sample_rate,
+          |    CAST(CASE doc_id % 3 WHEN 1 THEN 100 + doc_id % 50 ELSE -1 END
+          |         AS BIGINT) AS n_samples
+          |  FROM documents),
+          |vals AS (
+          |  SELECT doc_id, unnest(range(0, CASE doc_id % 3
+          |      WHEN 0 THEN (4 + doc_id % 13) * (4 + doc_id % 7)
+          |      WHEN 1 THEN 100 + doc_id % 50
+          |      ELSE (2 + doc_id % 4) * 128 END)) AS i
+          |  FROM documents),
+          |fm AS (
+          |  SELECT doc_id, round(avg(CASE doc_id % 3
+          |      WHEN 0 THEN ((doc_id*31 + i) % 256)::DOUBLE
+          |      WHEN 1 THEN ((doc_id*31 + i) % 65536 - 32768)::DOUBLE
+          |      ELSE ((doc_id*31 + (i // 128) * 17 + (i % 128)) % 256)::DOUBLE
+          |      END), 6) AS feat_mean
+          |  FROM vals GROUP BY doc_id)
+          |SELECT p.doc_id, kind, width, height, n_frames, sample_rate,
+          |  n_samples, feat_mean
+          |FROM params p JOIN fm USING (doc_id) ORDER BY p.doc_id""".stripMargin)),
 
     // --- corpus profile by language ---
     QueryDef(

@@ -250,7 +250,8 @@ object RelationalAnalytics {
           |      FROM m4 GROUP BY user_id)
           |SELECT count(t1) AS n_view, count(t2) AS n_click,
           |  count(t3) AS n_purchase
-          |FROM u ORDER BY n_view""".stripMargin)),
+          |FROM u ORDER BY n_view""".stripMargin),
+      benchExt = true),
 
     // --- time-weighted average (TWAP): each observation weighted by its
     //     holding duration (epoch seconds to the key's next event); the
@@ -316,7 +317,8 @@ object RelationalAnalytics {
           |  CAST(date_diff('day', cohort_wk, wk) // 7 AS INT) AS week_n,
           |  count(*) AS n_active
           |FROM weeks JOIN cohort USING (user_id)
-          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      benchExt = true),
 
     // --- HLL sketch MERGEABILITY (the property that matters at 100 TB):
     //     per-nation customer sketches are built once, then re-aggregated

@@ -9,45 +9,76 @@ class MultimodalStreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  test("multimodal: stub decode preserves ids, byte counts, checksums") {
+  test("multimodal: dispatching decode recovers every kind's synth params") {
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     val feats = Multimodal.mediaFeatures(spark, docs).cache()
     assert(feats.count() == docs.count())
-    val sample = feats.filter($"doc_id" === 0).head()
-    val text = docs.filter($"doc_id" === 0).select("text").as[String].head()
-    assert(sample.getAs[Long]("n_bytes") == text.getBytes("UTF-8").length.toLong)
-    assert(sample.getAs[Int]("width") == (text.head & 0xff))
-    assert(sample.getAs[Long]("checksum") ==
-      graft.functions.Fnv1a32.hash(text.getBytes("UTF-8")))
-    assert(sample.getAs[String]("kind") == "image")
+
+    // image doc 0: 4x4 grayscale PNG, pixel(i) = (0*31 + i) % 256 = i
+    val img = feats.filter($"doc_id" === 0).head()
+    assert(img.getAs[String]("kind") == "image")
+    assert(img.getAs[Int]("width") == 4 && img.getAs[Int]("height") == 4)
+    assert(img.getAs[Int]("n_frames") == 1)
+    assert(img.getAs[Int]("sample_rate") == -1 && img.getAs[Long]("n_samples") == -1L)
+    assert(math.abs(img.getAs[Double]("feat_mean") - (0 until 16).sum / 16.0) < 1e-9)
+
+    // audio doc 1: 8 kHz WAV with 101 samples, sample(i) = (31+i)%65536-32768
+    val aud = feats.filter($"doc_id" === 1).head()
+    assert(aud.getAs[String]("kind") == "audio")
+    assert(aud.getAs[Int]("sample_rate") == 8000)
+    assert(aud.getAs[Long]("n_samples") == 101L)
+    assert(aud.getAs[Int]("width") == -1 && aud.getAs[Int]("n_frames") == -1)
+    val audMean = (0 until 101).map(i => (31 + i) % 65536 - 32768).sum / 101.0
+    assert(math.abs(aud.getAs[Double]("feat_mean") - audMean) < 1e-9)
+
+    // video doc 2: 16x8 GIF with 2 + 2%4 = 4 frames,
+    // frame f pixel i = (2*31 + f*17 + i) % 256
+    val vid = feats.filter($"doc_id" === 2).head()
+    assert(vid.getAs[String]("kind") == "video")
+    assert(vid.getAs[Int]("width") == 16 && vid.getAs[Int]("height") == 8)
+    assert(vid.getAs[Int]("n_frames") == 4)
+    val vidMean = (for (f <- 0 until 4; i <- 0 until 128)
+      yield (62 + f * 17 + i) % 256).sum.toDouble / (4 * 128)
+    assert(math.abs(vid.getAs[Double]("feat_mean") - vidMean) < 1e-9)
   }
 
-  test("multimodal: resize stub preserves aspect ratio and respects maxDim") {
+  test("multimodal: WAV round trip is lossless (real RIFF encode/decode)") {
     import graft.operators.Multimodal._
-    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
-    val resized = resizeStub(
-      decodeStub(mediaFromDocuments(docs).as[MediaRow]), maxDim = 64).collect()
-    assert(resized.nonEmpty)
-    resized.foreach { r =>
-      assert(r.out_w <= 64 && r.out_h <= 64)
-      val inAspect = r.width.toDouble / r.height
-      val outAspect = r.out_w.toDouble / r.out_h
-      assert(math.abs(inAspect - outAspect) / inAspect < 0.1, r)
-    }
+    val rows = spark.createDataset(Seq(
+      WavRow(7L, synthWav(7L, 8000, 120)),
+      WavRow(8L, synthWav(8L, 16000, 64))))
+    val feats = decodeWav(rows).collect().map(f => f.doc_id -> f).toMap
+    val f7 = feats(7L)
+    assert(f7.sample_rate == 8000 && f7.channels == 1 && f7.n_samples == 120L)
+    assert(math.abs(f7.duration_s - 120.0 / 8000) < 1e-12)
+    val exp7 = (0 until 120).map(i => ((7L * 31 + i) % 65536 - 32768).toInt)
+    assert(f7.pcm_min == exp7.min && f7.pcm_max == exp7.max)
+    assert(math.abs(f7.pcm_mean - exp7.sum.toDouble / 120) < 1e-9)
+    val f8 = feats(8L)
+    assert(f8.sample_rate == 16000 && f8.n_samples == 64L)
+    // RIFF header is real: magic bytes say RIFF....WAVE
+    val wav = synthWav(7L, 8000, 120)
+    assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
   }
 
-  test("multimodal: frame sampling emits every 2nd frame of video payloads") {
+  test("multimodal: frame sampling decodes every 2nd real GIF frame") {
     import graft.operators.Multimodal._
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
-    val media = mediaFromDocuments(docs).as[MediaRow]
-    val frames = frameSampleStub(media, stride = 2).collect()
+    val media = mediaFromDocuments(docs)
+    val frames = frameSample(media, stride = 2).collect()
     assert(frames.nonEmpty)
     assert(frames.forall(_.frame_idx % 2 == 0))
-    val feats = decodeStub(media).filter(_.kind == "video").collect()
-      .map(f => f.doc_id -> f.n_frames).toMap
+    assert(frames.forall(f => f.width == 16 && f.height == 8))
+    // each video doc has 2 + id%4 frames; stride 2 keeps ceil(nf/2)
     frames.groupBy(_.doc_id).foreach { case (id, fs) =>
-      assert(fs.length == (feats(id) + 1) / 2, s"doc $id")
+      val nf = 2 + (id % 4).toInt
+      assert(fs.length == (nf + 1) / 2, s"doc $id")
     }
+    // decoded pixel means match the synth arithmetic exactly (lossless)
+    val f0 = frames.filter(_.doc_id == 2L).minBy(_.frame_idx)
+    val exp = (0 until 128).map(i => (2L * 31 + i) % 256).sum.toDouble / 128
+    assert(math.abs(f0.px_mean - exp) < 1e-9, s"got ${f0.px_mean}, want $exp")
   }
 
   test("streaming tumbling window equals oracle-checked batch twin (q23)") {
