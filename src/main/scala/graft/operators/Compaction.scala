@@ -21,10 +21,17 @@ object Compaction {
   case class CompactionStats(filesBefore: Long, filesAfter: Long,
       bytesBefore: Long)
 
+  // Recursive: hive-partitioned layouts keep their data files in
+  // partition SUBDIRECTORIES, which a top-level listing would miss
+  // (yielding a misleading "no parquet files" on a perfectly readable
+  // table).
   private def parquetFiles(dir: String): Seq[java.io.File] = {
-    val d = new java.io.File(dir)
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
+    def walk(d: java.io.File): Seq[java.io.File] = {
+      val entries = Option(d.listFiles()).getOrElse(Array.empty).toSeq
+      entries.filter(f => f.isFile && f.getName.endsWith(".parquet")) ++
+        entries.filter(_.isDirectory).flatMap(walk)
+    }
+    walk(new java.io.File(dir))
   }
 
   /** Rewrite `inDir`'s parquet into `outDir` at ~`targetBytes` per file.
@@ -34,6 +41,11 @@ object Compaction {
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetBytes: Long): CompactionStats = {
     require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
+    // overwrite mode deletes the target before writing — pointing it at
+    // the directory being read would destroy the input mid-scan
+    require(new java.io.File(inDir).getCanonicalPath !=
+        new java.io.File(outDir).getCanonicalPath,
+      s"outDir must differ from inDir ($inDir)")
     val files = parquetFiles(inDir)
     require(files.nonEmpty, s"no parquet files under $inDir")
     val totalBytes = files.map(_.length()).sum

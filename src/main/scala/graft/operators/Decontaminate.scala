@@ -20,13 +20,25 @@ import graft.functions.Fns
   * stages without an extra exchange.
   *
   * When the eval set is too big to broadcast (a consortium of benchmarks,
-  * a held-out split that is itself corpus-sized), set
-  * `broadcastEval = false`: the gram join becomes a SHUFFLED hash join —
-  * the inverted-index shape the n-gram Jaccard dedup uses — trading the
-  * train-side exchange for bounded executor memory. Same output, proven
-  * by spec on both paths.
+  * a held-out split that is itself corpus-sized), the gram join becomes a
+  * SHUFFLED hash join — the inverted-index shape the n-gram Jaccard dedup
+  * uses — trading the train-side exchange for bounded executor memory.
+  * Same output, proven by spec on both paths. The switch is AUTOMATIC:
+  * unless the caller pins `broadcastEval`, the eval gram count is probed
+  * (a bounded `limit(threshold+1).count()` over the eval side only — MBs,
+  * never the corpus) and an eval set above [[DefaultMaxBroadcastGrams]]
+  * takes the shuffled path by default, so the 100 TB-safe behavior needs
+  * no opt-in. Threshold rationale in SCALE.md.
   */
 object Decontaminate {
+
+  /** Auto-switch threshold: distinct eval grams above this take the
+    * shuffled join. ~1M grams ≈ 50–100 MB as a broadcast hash table
+    * (40–60 byte strings + table overhead) — comfortably inside a
+    * multi-GB executor, an order of magnitude below the sizes that make
+    * broadcast OOM a risk. See SCALE.md.
+    */
+  val DefaultMaxBroadcastGrams: Long = 1000000L
 
   /** Per-train-doc count of distinct word n-grams also present anywhere in
     * the eval set. Only contaminated docs (count >= 1) are returned.
@@ -34,22 +46,35 @@ object Decontaminate {
     * dedup family (already distinct per doc), so "overlap" here means
     * distinct shared n-grams.
     *
-    * `broadcastEval = false` switches to the shuffled inverted-index join
-    * for eval gram sets that exceed broadcast capacity (executor memory,
-    * driver collect ceiling) — the 100 TB escape hatch.
+    * `broadcastEval` pins the join strategy; `None` (the default) probes
+    * the eval gram count against `maxBroadcastGrams` and picks
+    * automatically — oversized eval sets get the shuffled inverted-index
+    * join (the 100 TB escape hatch) without the caller having to know
+    * the knob exists. The probe costs one bounded scan of the EVAL side
+    * only (`limit(threshold+1).count()`), never of the corpus.
     */
   def overlapCounts(train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, n: Int,
-      broadcastEval: Boolean = true): DataFrame = {
+      broadcastEval: Option[Boolean] = None,
+      maxBroadcastGrams: Long = DefaultMaxBroadcastGrams): DataFrame = {
+    // shingle_rows GENERATOR, not explode(shingle_array(...)): nothing
+    // downstream needs the array VALUE (unlike Dedup, where signatures
+    // and the Jaccard verify consume it), so the per-doc gram array
+    // would be pure allocation — the generator streams each gram
+    // straight into the join/distinct. Same rows, same order (spec-
+    // pinned), and on the corpus side this runs once per training doc.
     val evalGrams = eval
-      .select(explode(Fns.shingles(Fns.tokens(col(textCol)), n)).as("gram"))
+      .select(Fns.shingleRows(Fns.tokens(col(textCol)), n).as("gram"))
       .distinct()
+    val useBroadcast = broadcastEval.getOrElse(
+      evalGrams.limit(math.min(maxBroadcastGrams + 1, Int.MaxValue).toInt)
+        .count() <= maxBroadcastGrams)
     val trainGrams = train.select(col(idCol).as("id"),
-      explode(Fns.shingles(Fns.tokens(col(textCol)), n)).as("gram"))
+      Fns.shingleRows(Fns.tokens(col(textCol)), n).as("gram"))
     // shuffle_hash (not merge): gram-keyed rows need no sort, and the
     // eval side stays the hash-table build side at any partition count
     val evalSide =
-      if (broadcastEval) broadcast(evalGrams) else evalGrams.hint("shuffle_hash")
+      if (useBroadcast) broadcast(evalGrams) else evalGrams.hint("shuffle_hash")
     trainGrams.join(evalSide, Seq("gram"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_overlap"))
@@ -62,8 +87,10 @@ object Decontaminate {
     */
   def clean(train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, n: Int, maxOverlap: Long = 1L,
-      broadcastEval: Boolean = true): DataFrame = {
-    val dirty = overlapCounts(train, eval, idCol, textCol, n, broadcastEval)
+      broadcastEval: Option[Boolean] = None,
+      maxBroadcastGrams: Long = DefaultMaxBroadcastGrams): DataFrame = {
+    val dirty = overlapCounts(train, eval, idCol, textCol, n, broadcastEval,
+        maxBroadcastGrams)
       .filter(col("n_overlap") >= maxOverlap)
       .select(col("id").as(idCol))
     // no broadcast hint: the dirty-id set is usually tiny (AQE will

@@ -57,7 +57,8 @@ object MergeSink {
     * Idempotent — safe to call again with the same (batch, batchId).
     */
   def upsertBatch(batch: DataFrame, tableDir: String, batchId: Long): Unit = {
-    if (currentVersion(tableDir).contains(s"v$batchId")) return // replayed after publish
+    val prev = currentVersion(tableDir)
+    if (prev.contains(s"v$batchId")) return // replayed after publish
     val spark = batch.sparkSession
     val latest = latestPerKey(batch)
     val merged = readCurrent(spark, tableDir) match {
@@ -72,6 +73,27 @@ object MergeSink {
     java.nio.file.Files.move(tmp, manifestPath(tableDir),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // GC: superseded version dirs would otherwise accumulate one full
+    // table copy per micro-batch for the stream's lifetime. Keep the
+    // just-published version plus the immediately-previous one as a
+    // grace window for concurrent readers that resolved the old
+    // manifest before the move; delete everything older (including
+    // orphans left by replays that crashed before publishing).
+    gcVersions(tableDir, keep = Set(s"v$batchId") ++ prev)
+  }
+
+  private def gcVersions(tableDir: String, keep: Set[String]): Unit = {
+    val dirs = Option(new java.io.File(tableDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
+        !keep.contains(f.getName))
+    dirs.foreach { d =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(d)
+    }
   }
 
   /** Start the streaming query: events stream → foreachBatch upsert. */

@@ -36,4 +36,26 @@ class CompactionSpec extends AnyFunSuite {
     assert(stats.filesAfter == 1, stats.toString)
     assert(spark.read.parquet(out).count() == 1000)
   }
+
+  test("compaction finds data files under hive-partition subdirectories") {
+    val in = java.nio.file.Files.createTempDirectory("graft-compact-in3").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-compact-out3").toString
+    spark.range(300).selectExpr("id", "id % 3 AS part")
+      .repartition(6).write.mode("overwrite")
+      .partitionBy("part").parquet(in)
+    // data files live in part=N/ subdirs — the recursive walk must see
+    // them (a flat listing saw zero files and failed spuriously)
+    val stats = Compaction.compact(spark, in, out, targetBytes = 1L << 30)
+    assert(stats.filesBefore >= 3, stats.toString)
+    assert(spark.read.parquet(out).count() == 300)
+  }
+
+  test("compaction refuses outDir == inDir (overwrite would destroy the input)") {
+    val in = java.nio.file.Files.createTempDirectory("graft-compact-in4").toString
+    spark.range(10).toDF("id").write.mode("overwrite").parquet(in)
+    val e = intercept[IllegalArgumentException] {
+      Compaction.compact(spark, in, in + "/", targetBytes = 1L << 20)
+    }
+    assert(e.getMessage.contains("outDir"), e.getMessage)
+  }
 }

@@ -93,6 +93,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("ANN recall sweep: monotone in tables (LSH) / nprobe (IVF), >=0.95 at the generous end") {
+    // p10/p13 are the registry's two no-oracle-by-design rows; this
+    // sweep characterizes their accuracy contract beyond a single
+    // fixed floor: recall vs exact brute force must be monotone
+    // non-decreasing in the quality knob (more tables / more probed
+    // cells only ADD candidates, and any candidate that displaces a
+    // true top-k member from the rerank is itself a true top-k member),
+    // and the generous end must be near-exact. At nprobe = nlist every
+    // cell is probed, so IVF degenerates to brute force exactly.
+    val queries = embs.filter($"vec_id" % 50 === 0)
+    val bf = Similarity.bruteForceTopK(queries, embs, k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    def recallOf(ann: org.apache.spark.sql.DataFrame) = {
+      val got = ann.select("qid", "nid").as[(Long, Long)].collect().toSet
+      (bf & got).size.toDouble / bf.size
+    }
+    val lshCurve = Seq(2, 6, 12).map(t =>
+      recallOf(Similarity.lshTopK(queries, embs, k = 5, tables = t)))
+    assert(lshCurve == lshCurve.sorted, s"LSH recall not monotone: $lshCurve")
+    assert(lshCurve.last >= 0.95, s"LSH recall curve: $lshCurve")
+    val ivfCurve = Seq(1, 4, 16).map(p =>
+      recallOf(Similarity.ivfTopK(queries, embs, k = 5, nlist = 16, nprobe = p)))
+    assert(ivfCurve == ivfCurve.sorted, s"IVF recall not monotone: $ivfCurve")
+    assert(ivfCurve.last >= 0.95, s"IVF recall curve: $ivfCurve")
+  }
+
   test("quantized top-k (int8 SQ) recall floor vs float brute force") {
     // uniform-random fixtures are the WORST case for quantized rank
     // fidelity: the true top-5 sit in a near-tie band (cos ~0.4, barely

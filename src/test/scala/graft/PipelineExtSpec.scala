@@ -54,18 +54,37 @@ class PipelineExtSpec extends AnyFunSuite {
     val bc = Decontaminate.overlapCounts(train, eval, "doc_id", "text", n = 3)
       .orderBy("id").as[(Long, Long)].collect().toSeq
     val sh = Decontaminate.overlapCounts(train, eval, "doc_id", "text", n = 3,
-        broadcastEval = false)
+        broadcastEval = Some(false))
       .orderBy("id").as[(Long, Long)].collect().toSeq
     assert(sh == bc && sh == Seq((1L, 2L), (3L, 2L)))
     val keptSh = Decontaminate.clean(train, eval, "doc_id", "text", n = 3,
-        broadcastEval = false)
+        broadcastEval = Some(false))
       .orderBy("doc_id").as[(Long, String)].collect().toSeq
     assert(keptSh.map(_._1) == Seq(2L, 4L))
   }
 
+  test("decontaminate: auto-switch picks each path by eval gram count, identical output at the boundary") {
+    // the eval fixture yields 6 distinct 3-grams; a threshold of exactly
+    // 6 sits ON the boundary (<= keeps broadcast), 5 tips it over to the
+    // shuffled join — same rows either way, strategy proven from the plan
+    val nGrams = eval.select(explode(graft.functions.Fns.shingles(
+        graft.functions.Fns.tokens(col("text")), 3)).as("g"))
+      .distinct().count()
+    val under = Decontaminate.overlapCounts(train, eval, "doc_id", "text",
+      n = 3, maxBroadcastGrams = nGrams)
+    val over = Decontaminate.overlapCounts(train, eval, "doc_id", "text",
+      n = 3, maxBroadcastGrams = nGrams - 1)
+    assert(under.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val overPlan = over.queryExecution.executedPlan.toString
+    assert(overPlan.contains("ShuffledHashJoin") &&
+      !overPlan.contains("BroadcastHashJoin"), overPlan)
+    assert(under.orderBy("id").as[(Long, Long)].collect().toSeq ==
+      over.orderBy("id").as[(Long, Long)].collect().toSeq)
+  }
+
   test("decontaminate: shuffled fallback plans a shuffled hash join, no broadcast of eval grams") {
     val plan = Decontaminate
-      .overlapCounts(train, eval, "doc_id", "text", n = 3, broadcastEval = false)
+      .overlapCounts(train, eval, "doc_id", "text", n = 3, broadcastEval = Some(false))
       .queryExecution.executedPlan.toString
     assert(plan.contains("ShuffledHashJoin"), plan)
     // the gram join must not smuggle the eval side in via broadcast —

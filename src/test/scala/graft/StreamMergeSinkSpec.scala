@@ -77,4 +77,29 @@ class StreamMergeSinkSpec extends AnyFunSuite {
     MergeSink.upsertBatch(older, table, 3L)
     assert(snapshot() == committed)
   }
+
+  test("merge sink GC: superseded version dirs are deleted, current + previous retained") {
+    val src = graft.api.Tables.t(spark, TestSpark.sf0001, "events")
+      .select("user_id", "event_id", "ts", "event_type", "value")
+    val table = tmpDir("graft-merge-gc")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(table))
+    for (b <- 0L to 4L)
+      MergeSink.upsertBatch(src.filter(col("event_id") % 5 === b), table, b)
+    def vDirs() = Option(new java.io.File(table).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName).toSet
+    // unbounded growth is the bug: one full table copy per micro-batch.
+    // After 5 batches only the published version and its predecessor
+    // (concurrent-reader grace window) may remain.
+    assert(vDirs() == Set("v4", "v3"), vDirs().toString)
+    assert(MergeSink.currentVersion(table).contains("v4"))
+    // the retained pair keeps the table readable and correct
+    val got = MergeSink.readCurrent(spark, table).get
+      .as[(Long, Long, java.sql.Timestamp, String, Double)].collect().toSet
+    val expected = graft.plans.TopKPerGroup.topK(src,
+        Seq("user_id"), Seq(col("ts").desc, col("event_id").desc), 1)
+      .as[(Long, Long, java.sql.Timestamp, String, Double)].collect().toSet
+    assert(got == expected)
+  }
 }

@@ -58,6 +58,59 @@ class TransformWithStateSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel pruning: completed stages evict unselectable candidates, replays dedup") {
+    import graft.streaming.FunnelStateOps.deriveAndPrune
+    // nothing qualifies yet: everything retained (a future earlier view
+    // could make any click the pick), but deduped + sorted
+    val (t1a, t2a, t3a, c1, p1) =
+      deriveAndPrune(Long.MaxValue, Seq(5L, 3L, 3L), Seq(9L, 9L))
+    assert((t1a, t2a, t3a) == (-1L, -1L, -1L))
+    assert(c1 == Seq(3L, 5L) && p1 == Seq(9L))
+    // completed funnel: candidates above the current pick can never be
+    // selected by any future arrival (t1 only decreases => t2, t3 only
+    // decrease) and are EVICTED
+    val (t1b, t2b, t3b, c2, p2) =
+      deriveAndPrune(2L, Seq(3L, 5L, 7L), Seq(4L, 6L, 8L))
+    assert((t1b, t2b, t3b) == (2L, 3L, 4L))
+    assert(c2 == Seq(3L) && p2 == Seq(4L))
+    // the retained state still supports revision by a late earlier view
+    val (t1c, t2c, t3c, _, _) = deriveAndPrune(1L, c2, p2)
+    assert((t1c, t2c, t3c) == (1L, 3L, 4L))
+  }
+
+  test("funnel pruning property: any arrival order + replays converge to the batch funnel") {
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 1 to 200) {
+      val events = Seq.fill(2 + rnd.nextInt(12))(
+        (Seq("view", "click", "purchase")(rnd.nextInt(3)),
+          1L + rnd.nextInt(20)))
+      // ground truth: derive once from the complete multiset
+      val allViews = events.collect { case ("view", t) => t }
+      val mvAll = if (allViews.isEmpty) Long.MaxValue else allViews.min
+      val truth = graft.streaming.FunnelStateOps.deriveAndPrune(mvAll,
+        events.collect { case ("click", t) => t },
+        events.collect { case ("purchase", t) => t })
+      // incremental: shuffled arrival, random replays, chunked batches,
+      // carrying only the PRUNED lists between batches
+      val arrivals = rnd.shuffle(events ++ events.filter(_ => rnd.nextBoolean()))
+      var mv = Long.MaxValue
+      var cs = Seq.empty[Long]; var ps = Seq.empty[Long]
+      var last = (-1L, -1L, -1L)
+      arrivals.grouped(1 + rnd.nextInt(4)).foreach { chunk =>
+        chunk.foreach {
+          case ("view", t) => if (t < mv) mv = t
+          case ("click", t) => cs = cs :+ t
+          case ("purchase", t) => ps = ps :+ t
+        }
+        val r = graft.streaming.FunnelStateOps.deriveAndPrune(mv, cs, ps)
+        cs = r._4; ps = r._5
+        last = (r._1, r._2, r._3)
+      }
+      assert(last == ((truth._1, truth._2, truth._3)),
+        s"trial $trial: events=$events arrivals=$arrivals got=$last")
+    }
+  }
+
   test("transformWithState user profiles converge to the batch aggregate") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
