@@ -10,7 +10,8 @@ object Registry {
       graft.queries.RelationalScale.defs ++
       graft.queries.RelationalAnalytics.defs ++
       graft.queries.PipelineQueries.defs ++
-      graft.queries.PipelineExt.defs
+      graft.queries.PipelineExt.defs ++
+      graft.queries.PipelineMore.defs
 
   lazy val byName: Map[String, QueryDef] = {
     val names = all.map(_.name)

@@ -138,13 +138,12 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Decode one WAV payload through the real `AudioSystem` parser:
-    * sample rate / channel count come from the parsed RIFF header, and
-    * the PCM statistics from the decoded 16-bit samples. `n_samples`
-    * counts frames (all channels of one instant = one frame);
-    * min/max/mean run over every sample of every channel.
+  /** Parse a WAV container through the real `AudioSystem` and return its
+    * format plus the decoded 16-bit samples — the shared front end of
+    * [[decodeWav]] and [[frameAudio]].
     */
-  private[graft] def decodeWavBytes(docId: Long, wav: Array[Byte]): WavFeatures = {
+  private def wavSamples(docId: Long, wav: Array[Byte])
+      : (javax.sound.sampled.AudioFormat, Array[Int]) = {
     val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(wav))
     try {
@@ -156,25 +155,79 @@ object Multimodal {
       val bytes = ais.readAllBytes()
       val n = bytes.length / 2
       require(n > 0, s"doc $docId: empty PCM payload")
-      var mn = Int.MaxValue; var mx = Int.MinValue; var sum = 0L
+      val samples = new Array[Int](n)
       var i = 0
       while (i < n) {
-        val v = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1).toInt << 8)).toShort.toInt
-        if (v < mn) mn = v
-        if (v > mx) mx = v
-        sum += v
+        samples(i) =
+          ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1).toInt << 8)).toShort.toInt
         i += 1
       }
-      val frames = n.toLong / fmt.getChannels
-      WavFeatures(docId, fmt.getSampleRate.toInt, fmt.getChannels, frames,
-        frames.toDouble / fmt.getSampleRate, mn, mx, sum.toDouble / n)
+      (fmt, samples)
     } finally ais.close()
+  }
+
+  /** Decode one WAV payload through the real `AudioSystem` parser:
+    * sample rate / channel count come from the parsed RIFF header, and
+    * the PCM statistics from the decoded 16-bit samples. `n_samples`
+    * counts frames (all channels of one instant = one frame);
+    * min/max/mean run over every sample of every channel.
+    */
+  private[graft] def decodeWavBytes(docId: Long, wav: Array[Byte]): WavFeatures = {
+    val (fmt, samples) = wavSamples(docId, wav)
+    var mn = Int.MaxValue; var mx = Int.MinValue; var sum = 0L
+    var i = 0
+    while (i < samples.length) {
+      val v = samples(i)
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      sum += v
+      i += 1
+    }
+    val frames = samples.length.toLong / fmt.getChannels
+    WavFeatures(docId, fmt.getSampleRate.toInt, fmt.getChannels, frames,
+      frames.toDouble / fmt.getSampleRate, mn, mx,
+      sum.toDouble / samples.length)
   }
 
   /** REAL audio decode over a Dataset of WAV payloads (p39). */
   def decodeWav(ds: Dataset[WavRow]): Dataset[WavFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.map(r => decodeWavBytes(r.doc_id, r.wav)))
+  }
+
+  case class AudioFrame(doc_id: Long, frame_idx: Int, rms: Double, zcr: Long)
+
+  /** Framed speech features over REAL decoded audio (p41): the PCM
+    * stream splits into fixed non-overlapping `frameLen`-sample frames
+    * (trailing partial frame dropped), and each frame reports RMS
+    * energy and the zero-crossing count (sign changes between
+    * consecutive samples within the frame) — the front end of every
+    * speech pipeline (VAD, energy gating, voicing estimates). flatMap
+    * keeps the 1-row-to-N-frames generator shape; per-row compute, no
+    * shuffle. Sample values are integers, so sum-of-squares is exact in
+    * a double at any summation order — the oracle recomputes RMS/ZCR
+    * bit-identically in SQL.
+    */
+  def frameAudio(ds: Dataset[WavRow], frameLen: Int): Dataset[AudioFrame] = {
+    require(frameLen >= 2, s"frameLen must be >= 2, got $frameLen")
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      val (_, samples) = wavSamples(r.doc_id, r.wav)
+      val nf = samples.length / frameLen
+      (0 until nf).map { f =>
+        var sumSq = 0.0
+        var zc = 0L
+        var i = f * frameLen
+        val end = (f + 1) * frameLen
+        while (i < end) {
+          val v = samples(i)
+          sumSq += v.toDouble * v
+          if (i + 1 < end && ((v < 0) != (samples(i + 1) < 0))) zc += 1
+          i += 1
+        }
+        AudioFrame(r.doc_id, f, math.sqrt(sumSq / frameLen), zc)
+      }
+    }
   }
 
   // ------------------------------------------------------------------

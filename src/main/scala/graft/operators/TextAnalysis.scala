@@ -115,6 +115,81 @@ object TextAnalysis {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Zipf's-law fit over the top-N token-frequency ranks: OLS of
+    * ln(count) on ln(rank) — slope near −1 is the natural-language
+    * signature; a synthetic/templated corpus bends it. Returns one row
+    * (n_ranks, zipf_slope, zipf_intercept, zipf_r2).
+    *
+    * Scale design: token counts are one partial-agg shuffle; the global
+    * top-N is a distributed sort + limit (never a full-vocabulary
+    * single-partition window — at 100 TB the vocabulary is tens of
+    * millions of rows, so ranking happens AFTER the limit, over topN
+    * rows). The regression itself is the q64 closed form over exact
+    * sums, identically mirrored in the oracle.
+    */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int = 500): DataFrame = {
+    require(topN >= 3, s"need at least 3 ranks to fit, got $topN")
+    val top = df.select(explode(Fns.tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("t")) // post-limit: topN rows, not vocab
+    val xy = top.withColumn("rank", row_number().over(w))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+    val m = xy.agg(count(lit(1)).cast("double").as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    // degenerate flat corpus (all counts equal): y-variance is 0, the
+    // horizontal line fits exactly — define r2 = 1 instead of dividing
+    // by zero (ANSI mode throws on 0/0)
+    val dy = col("n") * col("syy") - col("sy") * col("sy")
+    m.select(col("n").cast("long").as("n_ranks"),
+      round(slope, 6).as("zipf_slope"),
+      round((col("sy") - slope * col("sx")) / col("n"), 6).as("zipf_intercept"),
+      round(when(dy === 0, lit(1.0))
+        .otherwise(pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) * dy)), 6)
+        .as("zipf_r2"))
+  }
+
+  /** Bigram-LM cross-entropy quality score: mean −ln p(w_i | w_{i−1})
+    * per doc with add-one smoothing p = (c(w1,w2) + 1) / (c(w1) + V) —
+    * the order-sensitive upgrade of [[unigramLmScore]] (a shuffled
+    * bag of common words scores well under a unigram LM; only real
+    * phrase structure scores well under a bigram one). Docs with fewer
+    * than 2 tokens have no bigrams and emit no row.
+    *
+    * Scale design: per-doc bigrams come from a lead() window on the
+    * id-partitioned token stream (one exchange, reused by the final
+    * per-doc aggregate); the bigram/unigram count tables are
+    * vocabulary-sized partial aggs; their joins carry the stopword-pair
+    * skew AQE handles; V rides a broadcast 1-row cross join.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      posexplode(Fns.tokens(col(textCol))).as(Seq("pos", "w")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    val bg = tok.withColumn("w2", lead("w", 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("id"), col("w").as("w1"), col("w2"))
+    val bgCnt = bg.groupBy("w1", "w2").agg(count(lit(1)).cast("double").as("cb"))
+    val uniCnt = tok.groupBy(col("w").as("w1"))
+      .agg(count(lit(1)).cast("double").as("cu"))
+    val vocab = uniCnt.agg(count(lit(1)).cast("double").as("v"))
+    bg.join(bgCnt, Seq("w1", "w2")).join(uniCnt, "w1")
+      .crossJoin(broadcast(vocab))
+      .groupBy("id")
+      .agg(round(avg(-log((col("cb") + 1) / (col("cu") + col("v")))), 6)
+        .as("bigram_lm_score"))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** CCNet's actual quality-filter shape: score EVERY document's
     * cross-entropy under a unigram LM trained on a CURATED REFERENCE
     * slice (Wikipedia-like), not on the corpus itself — low scores read

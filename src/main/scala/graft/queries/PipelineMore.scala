@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.api.{QueryDef, Tables}
+import graft.operators.{Dedup, Multimodal, TextAnalysis}
+
+/** Round-6 additions: corpus-statistics fit (Zipf), framed audio
+  * features over real decoded WAV, order-sensitive bigram LM scoring,
+  * asymmetric containment dedup. Same conventions as PipelineQueries
+  * (total-order output, scalar columns, identical aliases both engines).
+  */
+object PipelineMore {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // --- Zipf's-law fit: OLS of ln(count) on ln(rank) over the top-500
+    //     token ranks — slope ~ -1 is the natural-language signature, a
+    //     corpus-health signal (templated/synthetic corpora bend it).
+    //     The top-N is a distributed sort+limit (ranking happens AFTER
+    //     the limit — never a full-vocabulary single-partition window);
+    //     the fit is q64's closed form over exact sums, identical on
+    //     both engines. ---
+    QueryDef(
+      "q73_zipf_fit",
+      (s, dir) => TextAnalysis.zipfFit(
+          Tables.t(s, dir, "documents"), "text", topN = 500)
+        .orderBy("n_ranks"),
+      Some(
+        """WITH cnt AS (
+          |  SELECT t, count(*)::DOUBLE AS c
+          |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+          |  GROUP BY t),
+          |top AS (SELECT t, c FROM cnt ORDER BY c DESC, t LIMIT 500),
+          |xy AS (SELECT ln(row_number() OVER (ORDER BY c DESC, t)) AS x,
+          |         ln(c) AS y FROM top),
+          |m AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+          |        sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+          |      FROM xy)
+          |SELECT n::BIGINT AS n_ranks,
+          |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS zipf_slope,
+          |  round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6)
+          |    AS zipf_intercept,
+          |  round(pow(n*sxy - sx*sy, 2) /
+          |    ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS zipf_r2
+          |FROM m ORDER BY n_ranks""".stripMargin)),
+
+    // --- framed audio features over REAL decoded WAV (the speech-
+    //     pipeline front end): p39's synthetic PCM split into 40-sample
+    //     frames, each reporting RMS energy + zero-crossing count. PCM
+    //     is lossless and sample values are integers (sum of squares
+    //     exact in a double at any order), so both features are pure
+    //     SQL arithmetic for the oracle. 1-row-to-N generator shape. ---
+    QueryDef(
+      "p41_audio_frames",
+      (s, dir) => {
+        import s.implicits._
+        val wavs = Tables.t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            Multimodal.WavRow(id,
+              Multimodal.synthWav(id, 8000, 100 + (id % 50).toInt))
+          })
+        Multimodal.frameAudio(wavs, frameLen = 40).toDF()
+          .select(col("doc_id"), col("frame_idx"),
+            round(col("rms"), 6).as("rms"), col("zcr"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some(
+        """WITH s AS (
+          |  SELECT doc_id,
+          |    unnest(range(0, ((100 + doc_id % 50) // 40) * 40)) AS i
+          |  FROM documents),
+          |v AS (SELECT doc_id, i, CAST(i // 40 AS INTEGER) AS f, i % 40 AS j,
+          |        ((doc_id*31 + i) % 65536 - 32768)::DOUBLE AS v
+          |      FROM s),
+          |p AS (SELECT doc_id, f, j, v,
+          |        lead(v) OVER (PARTITION BY doc_id ORDER BY i) AS nv
+          |      FROM v)
+          |SELECT doc_id, f AS frame_idx,
+          |  round(sqrt(avg(v*v)), 6) AS rms,
+          |  CAST(sum(CASE WHEN j < 39 AND ((v < 0) <> (nv < 0))
+          |           THEN 1 ELSE 0 END) AS BIGINT) AS zcr
+          |FROM p GROUP BY doc_id, f ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // --- bigram-LM cross-entropy (order-sensitive quality signal): a
+    //     shuffled bag of common words fools a unigram LM (p30); only
+    //     real phrase structure scores well under p(w_i | w_{i-1}).
+    //     Add-one smoothing over (history count + V); docs with < 2
+    //     tokens have no bigrams and emit no row — identical on both
+    //     engines. ---
+    QueryDef(
+      "p42_bigram_lm",
+      (s, dir) => TextAnalysis.bigramLmScore(
+          Tables.t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+          |           FROM documents),
+          |bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+          |       FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+          |             FROM t)),
+          |bc AS (SELECT w1, w2, count(*)::DOUBLE AS cb
+          |       FROM bg GROUP BY w1, w2),
+          |u AS (SELECT w1, count(*)::DOUBLE AS cu
+          |      FROM (SELECT unnest(tk) AS w1 FROM t) GROUP BY w1),
+          |vc AS (SELECT count(*)::DOUBLE AS v FROM u)
+          |SELECT doc_id,
+          |  round(avg(-ln((cb + 1) / (cu + v))), 6) AS bigram_lm_score
+          |FROM bg JOIN bc USING (w1, w2) JOIN u USING (w1) CROSS JOIN vc
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // --- asymmetric containment dedup: C(a->b) = |sh(a) n sh(b)| /
+    //     |sh(a)| — catches a short doc quoted wholesale inside a long
+    //     one, where Jaccard stays low because the union is dominated
+    //     by the long doc. Inverted-index equi-join (p03's shape): only
+    //     pairs sharing a shingle are scored. The oracle is the exact
+    //     all-pairs mirror (quadratic — exclude from bulk sf0.1
+    //     sweeps, certify individually like p03). ---
+    QueryDef(
+      "p43_containment",
+      (s, dir) => Dedup.containmentPairs(
+          Tables.t(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 5, threshold = 0.8)
+        .orderBy("id_a", "id_b"),
+      Some(
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+           |           FROM documents),
+           |g AS (SELECT doc_id,
+           |        list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+           |          || ' ' || tk[i+3] || ' ' || tk[i+4]
+           |          FOR i IN range(1, len(tk) - 3)]) AS s
+           |      FROM t WHERE len(tk) >= 5),
+           |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |            len(list_intersect(a.s, b.s))::DOUBLE / len(a.s)
+           |              AS containment
+           |          FROM g a JOIN g b ON a.doc_id <> b.doc_id)
+           |SELECT id_a, id_b, round(containment, 6) AS containment
+           |FROM pairs WHERE containment >= 0.8
+           |ORDER BY id_a, id_b""".stripMargin))
+  )
+}

@@ -34,6 +34,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(banded == brute)
   }
 
+  test("containment catches asymmetric duplication that Jaccard misses") {
+    // doc 2 is a verbatim quote from the middle of doc 1: every 3-gram
+    // of doc 2 appears in doc 1 (containment 1.0), while doc 1 has many
+    // grams of its own (reverse containment and Jaccard both low)
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val quote = (10 to 16).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, quote), (3L, "x y z q r s"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((2L, 1L, 1.0)), got.toString)
+    // the same pair under symmetric Jaccard sits far below any dedup cut
+    val j = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.0)
+      .as[(Long, Long, Double)].collect()
+      .find(p => p._1 == 1L && p._2 == 2L).map(_._3)
+    assert(j.exists(_ < 0.2), j.toString)
+  }
+
   test("exact dedup groups partition the corpus") {
     val g = Dedup.exactGroups(docs, "doc_id", "text")
     assert(g.agg(sum("n_copies")).head().getLong(0) == docs.count())

@@ -38,4 +38,49 @@ class LmScoreSpec extends AnyFunSuite {
       .orderBy("doc_id").as[(Long, Double)].collect().toSeq
     assert(a == b)
   }
+
+  test("bigram LM matches hand computation and is order-SENSITIVE where unigram is not") {
+    // corpus: doc 1 "a b a b", doc 2 "b a b a" — same bag of words,
+    // different bigram streams. bigrams: d1 = ab, ba, ab; d2 = ba, ab, ba
+    // counts: c(a,b)=3, c(b,a)=3 (corpus-wide), c(a)=4, c(b)=4, V=2
+    val docs = Seq((1L, "a b a b"), (2L, "b a b a")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Double)].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val p = (3.0 + 1) / (4.0 + 2) // every bigram here has the same prob
+    assert(got == Seq((1L, r6(-math.log(p))), (2L, r6(-math.log(p)))))
+
+    // order sensitivity: phrase-structured text vs its scrambled twin.
+    // The unigram LM cannot tell them apart; the bigram LM must.
+    val phrase = Seq.fill(30)("the quick brown fox jumps").mkString(" ")
+    val scrambled = new scala.util.Random(7)
+      .shuffle(phrase.split(" ").toSeq).mkString(" ")
+    val pair = Seq((10L, phrase), (11L, scrambled)).toDF("doc_id", "text")
+    val uni = TextAnalysis.unigramLmScore(pair, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    val bi = TextAnalysis.bigramLmScore(pair, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(uni(10L) - uni(11L)) < 1e-9, "unigram is order-blind")
+    assert(bi(10L) < bi(11L), s"bigram must prefer phrase structure: $bi")
+  }
+
+  test("zipf fit: slope ~ -1 on a harmonic corpus, r2 near 1, degenerate flat corpus slope 0") {
+    // token k appears floor(240/k) times, k = 1..40 — by construction
+    // count(rank k) ~ 240/k, so ln(count) ~ ln(240) - ln(rank)
+    val words = (1 to 40).flatMap(k => Seq.fill(240 / k)(s"w${"%02d".format(k)}"))
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val fit = TextAnalysis.zipfFit(docs, "text", topN = 40)
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(fit._1 == 40L)
+    assert(math.abs(fit._2 - (-1.0)) < 0.05, s"slope ${fit._2}")
+    assert(fit._4 > 0.99, s"r2 ${fit._4}")
+    // flat (uniform) frequencies: slope 0 exactly, by construction
+    val flat = (1 to 30).map(k => s"u$k").mkString(" ")
+    val fit2 = TextAnalysis.zipfFit(
+        Seq((1L, flat)).toDF("doc_id", "text"), "text", topN = 30)
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(fit2._2 == 0.0, s"flat corpus slope ${fit2._2}")
+    assert(fit2._4 == 1.0, s"flat corpus r2 convention ${fit2._4}")
+  }
 }

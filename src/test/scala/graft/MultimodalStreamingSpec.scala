@@ -62,6 +62,23 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
   }
 
+  test("multimodal: framed audio features match hand-computed RMS/ZCR") {
+    import graft.operators.Multimodal._
+    val rows = spark.createDataset(Seq(WavRow(3L, synthWav(3L, 8000, 100))))
+    val frames = frameAudio(rows, frameLen = 40).collect()
+      .sortBy(_.frame_idx)
+    assert(frames.length == 2) // 100 samples -> 2 full 40-sample frames
+    // recompute from the synth formula: sample(i) = (3*31 + i) % 65536 - 32768
+    def sample(i: Int) = ((3L * 31 + i) % 65536 - 32768).toInt
+    frames.foreach { fr =>
+      val idx = (fr.frame_idx * 40) until ((fr.frame_idx + 1) * 40)
+      val rms = math.sqrt(idx.map(i => sample(i).toDouble * sample(i)).sum / 40)
+      val zcr = idx.init.count(i => (sample(i) < 0) != (sample(i + 1) < 0))
+      assert(math.abs(fr.rms - rms) < 1e-9, s"frame ${fr.frame_idx}")
+      assert(fr.zcr == zcr.toLong, s"frame ${fr.frame_idx}")
+    }
+  }
+
   test("multimodal: frame sampling decodes every 2nd real GIF frame") {
     import graft.operators.Multimodal._
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
