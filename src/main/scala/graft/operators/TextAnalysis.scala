@@ -65,6 +65,41 @@ object TextAnalysis {
       dupFrac(3, "dup_3gram_frac"))
   }
 
+  /** Composite quality gate — the filter-chain decision a pre-training
+    * pipeline materializes (the C4/Gopher/FineWeb shape): every rule is
+    * evaluated per row and the doc carries keep = all-pass plus the
+    * FIRST failing rule's name for drop attribution (the pipeline
+    * operator teams actually debug with — "what killed my data" beats a
+    * bare boolean). Rules, in order:
+    *   too_short      n_tokens < minTokens
+    *   too_long       n_tokens > maxTokens
+    *   repetitive     dup word fraction (1 − distinct/total) > maxDupFrac
+    *   token_length   mean token length outside [2, 12]
+    * All per-row expressions over one scan; no shuffle — at 100 TB the
+    * gate fuses into whatever stage runs next.
+    */
+  def qualityGate(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 5, maxTokens: Int = 5000,
+      maxDupFrac: Double = 0.3): DataFrame = {
+    val toks = Fns.tokens(col(textCol))
+    val nToks = size(toks).cast("double")
+    val dupFrac = when(nToks > 0,
+      lit(1.0) - size(array_distinct(toks)).cast("double") / nToks)
+      .otherwise(0.0)
+    val meanLen = (length(col(textCol)) - (nToks - 1)) / nToks
+    val reason = when(nToks < minTokens, "too_short")
+      .when(nToks > maxTokens, "too_long")
+      .when(dupFrac > maxDupFrac, "repetitive")
+      .when(meanLen < 2 || meanLen > 12, "token_length")
+      .otherwise(null)
+    df.select(col(idCol),
+      nToks.cast("long").as("n_tokens"),
+      round(dupFrac, 6).as("dup_frac"),
+      round(meanLen, 6).as("mean_token_len"),
+      reason.isNull.as("keep"),
+      reason.as("fail_reason"))
+  }
+
   /** Canonical text normalization — the step every dedup/fingerprint
     * stage assumes has already happened: Unicode NFC composition (native
     * NormalizeNFC expression; Spark has no builtin), lowercasing, and

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.api.{QueryDef, Tables}
-import graft.operators.{Dedup, Multimodal, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, PageRank, TextAnalysis}
 
 /** Round-6 additions: corpus-statistics fit (Zipf), framed audio
   * features over real decoded WAV, order-sensitive bigram LM scoring,
@@ -135,6 +135,88 @@ object PipelineMore {
            |          FROM g a JOIN g b ON a.doc_id <> b.doc_id)
            |SELECT id_a, id_b, round(containment, 6) AS containment
            |FROM pairs WHERE containment >= 0.8
-           |ORDER BY id_a, id_b""".stripMargin))
+           |ORDER BY id_a, id_b""".stripMargin)),
+
+    // --- PageRank over the customer→supplier trade graph (who supplies
+    //     the best-connected customers): 10 fixed rounds of the
+    //     simplified model from the uniform vector — every value is a
+    //     closed-form function of the edge set, so the oracle UNROLLS
+    //     the same 10 iterations as chained CTEs. Supplier node ids are
+    //     offset by 2,000,000 (custkey/suppkey spaces overlap). The
+    //     per-round shape is one edges⋈ranks join + a partial-agg sum —
+    //     ConnectedComponents' shuffle-per-round contract. ---
+    QueryDef(
+      "q74_pagerank",
+      (s, dir) => {
+        val edges = Tables.t(s, dir, "orders")
+          .join(Tables.t(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + 2000000L).as("dst"))
+          .distinct()
+        PageRank.run(edges, iterations = 10, damping = 0.85)
+          .select(col("node"), round(col("rank"), 9).as("rank"))
+          .orderBy("node")
+      },
+      Some {
+        // identical arithmetic, iteration K unrolled as CTE prK; the
+        // (1 - 0.85) form (not a 0.15 literal) matches the engine's
+        // driver-side double op for op
+        val iters = (1 to 10).map { k =>
+          s"""pr$k AS (
+             |  SELECT nd.node,
+             |    (1 - 0.85) / nn.n + 0.85 * coalesce(f.fl, 0) AS r
+             |  FROM nodes nd CROSS JOIN nn
+             |  LEFT JOIN (SELECT e.dst AS node, sum(p.r / dg.deg) AS fl
+             |             FROM edges e JOIN pr${k - 1} p ON e.src = p.node
+             |             JOIN deg dg ON e.src = dg.src
+             |             GROUP BY e.dst) f USING (node))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH edges AS (
+           |  SELECT DISTINCT o_custkey AS src, 2000000 + l_suppkey AS dst
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+           |nodes AS (SELECT src AS node FROM edges
+           |          UNION SELECT dst FROM edges),
+           |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+           |pr0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+           |$iters
+           |SELECT node, round(r, 9) AS rank FROM pr10
+           |ORDER BY node""".stripMargin
+      }),
+
+    // --- composite quality gate (the C4/Gopher/FineWeb filter-chain
+    //     decision): every rule per row, keep = all-pass, plus the
+    //     FIRST failing rule's name for drop attribution. One scan, no
+    //     shuffle — the gate fuses into whatever stage runs next. ---
+    QueryDef(
+      "p44_quality_gate",
+      (s, dir) => TextAnalysis.qualityGate(
+          Tables.t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(
+        """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+          |           FROM documents),
+          |m AS (SELECT doc_id,
+          |        len(tk)::DOUBLE AS n,
+          |        CASE WHEN len(tk) > 0 THEN
+          |          1.0 - len(list_distinct(tk))::DOUBLE / len(tk)
+          |        ELSE 0.0 END AS dup,
+          |        (length(text) - (len(tk) - 1))::DOUBLE / len(tk) AS ml
+          |      FROM t)
+          |SELECT doc_id,
+          |  n::BIGINT AS n_tokens,
+          |  round(dup, 6) AS dup_frac,
+          |  round(ml, 6) AS mean_token_len,
+          |  (CASE WHEN n < 5 THEN 'too_short'
+          |        WHEN n > 5000 THEN 'too_long'
+          |        WHEN dup > 0.3 THEN 'repetitive'
+          |        WHEN ml < 2 OR ml > 12 THEN 'token_length' END) IS NULL
+          |    AS keep,
+          |  CASE WHEN n < 5 THEN 'too_short'
+          |       WHEN n > 5000 THEN 'too_long'
+          |       WHEN dup > 0.3 THEN 'repetitive'
+          |       WHEN ml < 2 OR ml > 12 THEN 'token_length' END AS fail_reason
+          |FROM m ORDER BY doc_id""".stripMargin))
   )
 }

@@ -70,4 +70,36 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       .as[(Long, Long, Boolean)].collect().toSet
     assert(got == Set((1L, 1L, true), (2L, 2L, true)))
   }
+
+  test("pagerank: 2-cycle is the exact fixed point, hubs outrank leaves, dangling rank leaks") {
+    import graft.operators.PageRank
+    // symmetric 2-cycle: uniform 0.5 IS the fixed point — every
+    // iteration returns it exactly (0.15/2 + 0.85*0.5 = 0.5)
+    val cyc = PageRank.run(Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"),
+        iterations = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(cyc(1L) - 0.5) < 1e-12 && math.abs(cyc(2L) - 0.5) < 1e-12)
+
+    // star: every leaf points at the hub, hub points back at leaf 2.
+    // The hub and its return target share the flow (their 2-cycle
+    // oscillates toward the fixed point); the pointed-at pair must
+    // dwarf the teleport-only leaves 3..6
+    val star = (2L to 6L).map(l => (l, 1L)) :+ (1L, 2L)
+    val ranks = PageRank.run(star.toDF("src", "dst"), iterations = 10)
+      .as[(Long, Double)].collect().toMap
+    (3L to 6L).foreach { l =>
+      assert(ranks(1L) > 5 * ranks(l) && ranks(2L) > 5 * ranks(l),
+        ranks.toString)
+    }
+    // conservation: no dangling nodes here, so total rank stays 1
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-9)
+
+    // dangling chain 1 -> 2 -> 3: node 3 absorbs nothing to pass on,
+    // so total rank leaks below 1 (the simplified-model contract)
+    val chain = PageRank.run(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"),
+        iterations = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(chain.values.sum < 1.0 - 1e-6, chain.toString)
+    assert(chain(3L) > chain(2L) && chain(2L) > chain(1L), chain.toString)
+  }
 }

@@ -20,6 +20,25 @@ class PipelineExtSpec extends AnyFunSuite {
     (4L, "fox jumps"))                             // too short for 3-grams
     .toDF("doc_id", "text")
 
+  test("quality gate: each rule fires on its fixture, first-failure attribution, clean doc keeps") {
+    val docs = Seq(
+      (1L, "a clean sentence with enough ordinary words here"), // keeps
+      (2L, "too short"),                                        // too_short
+      (3L, "spam spam spam spam spam spam ham eggs"),           // repetitive
+      (4L, "a bb cc " + "x" * 200 + " dd ee ff gg hh"),         // token_length
+      (5L, "no no no")                                          // short AND repetitive -> FIRST rule wins
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.qualityGate(docs, "doc_id", "text")
+      .select("doc_id", "keep", "fail_reason")
+      .as[(Long, Boolean, String)].collect()
+      .map { case (id, k, r) => id -> ((k, r)) }.toMap
+    assert(got(1L) == ((true, null)))
+    assert(got(2L) == ((false, "too_short")))
+    assert(got(3L) == ((false, "repetitive")))
+    assert(got(4L) == ((false, "token_length")))
+    assert(got(5L) == ((false, "too_short")), "attribution order: first failing rule")
+  }
+
   test("decontaminate: overlap counts = distinct shared n-grams per doc") {
     val got = Decontaminate
       .overlapCounts(train, eval, "doc_id", "text", n = 3)
