@@ -195,6 +195,31 @@ object Multimodal {
     ds.mapPartitions(_.map(r => decodeWavBytes(r.doc_id, r.wav)))
   }
 
+  case class WavFeaturesSafe(doc_id: Long, sample_rate: Int, channels: Int,
+      n_samples: Long, duration_s: Double, pcm_min: Int, pcm_max: Int,
+      pcm_mean: Double, decode_error: String)
+
+  /** Quarantine variant of [[decodeWav]] — [[decodePngSafe]]'s
+    * resilient-ingest shape for audio: a corrupt or non-PCM payload
+    * yields a row with `decode_error` set and −1 features instead of
+    * failing the task. Filter `decode_error IS NULL` for the clean
+    * side.
+    */
+  def decodeWavSafe(ds: Dataset[WavRow]): Dataset[WavFeaturesSafe] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      try {
+        val f = decodeWavBytes(r.doc_id, r.wav)
+        WavFeaturesSafe(f.doc_id, f.sample_rate, f.channels, f.n_samples,
+          f.duration_s, f.pcm_min, f.pcm_max, f.pcm_mean, null)
+      } catch {
+        case e: Exception =>
+          WavFeaturesSafe(r.doc_id, -1, -1, -1L, -1.0, -1, -1, -1.0,
+            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(200))
+      }
+    })
+  }
+
   case class AudioFrame(doc_id: Long, frame_idx: Int, rms: Double, zcr: Long)
 
   /** Framed speech features over REAL decoded audio (p41): the PCM

@@ -199,11 +199,17 @@ object TextAnalysis {
     * phrase structure scores well under a bigram one). Docs with fewer
     * than 2 tokens have no bigrams and emit no row.
     *
-    * Scale design: per-doc bigrams come from a lead() window on the
-    * id-partitioned token stream (one exchange, reused by the final
-    * per-doc aggregate); the bigram/unigram count tables are
-    * vocabulary-sized partial aggs; their joins carry the stopword-pair
-    * skew AQE handles; V rides a broadcast 1-row cross join.
+    * Scale design (plan-verified, PLANS.md round 6): per-doc bigrams
+    * come from a lead() window on the id-partitioned token stream; in
+    * the usual regime (count tables ≪ corpus → broadcast joins) the
+    * final per-doc aggregate REUSES that id partitioning — partial +
+    * final agg with no further corpus-wide exchange. Past broadcast
+    * size the score joins shuffle on gram keys and the final aggregate
+    * re-exchanges on id (inherent to scoring against global counts).
+    * The bigram subtree computes twice (scored + counted) — persist it
+    * at scale (p30/p33's documented debt). Count-table joins carry the
+    * stopword-pair skew AQE handles; V rides a broadcast 1-row cross
+    * join.
     */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("id"),

@@ -62,6 +62,21 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
   }
 
+  test("multimodal: WAV quarantine decode survives corrupt payloads") {
+    import graft.operators.Multimodal._
+    val good = synthWav(1L, 8000, 50)
+    val rows = spark.createDataset(Seq(
+      WavRow(1L, good),
+      WavRow(2L, Array[Byte](1, 2, 3, 4)),            // not a RIFF container
+      WavRow(3L, good.take(good.length / 2))))        // truncated container
+    val got = decodeWavSafe(rows).collect().map(f => f.doc_id -> f).toMap
+    assert(got(1L).decode_error == null && got(1L).n_samples == 50L)
+    assert(got(2L).decode_error != null && got(2L).sample_rate == -1)
+    // a truncated WAV either errors or decodes fewer samples — it must
+    // NOT kill the task either way
+    assert(got(3L).decode_error != null || got(3L).n_samples < 50L)
+  }
+
   test("multimodal: framed audio features match hand-computed RMS/ZCR") {
     import graft.operators.Multimodal._
     val rows = spark.createDataset(Seq(WavRow(3L, synthWav(3L, 8000, 100))))
