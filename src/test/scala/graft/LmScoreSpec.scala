@@ -83,4 +83,17 @@ class LmScoreSpec extends AnyFunSuite {
     assert(fit2._2 == 0.0, s"flat corpus slope ${fit2._2}")
     assert(fit2._4 == 1.0, s"flat corpus r2 convention ${fit2._4}")
   }
+
+  test("zipf plan: the rank window runs AFTER the top-N limit, never over the vocabulary") {
+    // the 100 TB trap this operator exists to avoid: a single-partition
+    // window over the full vocabulary. In the tree string parents print
+    // before children, so the Window node must appear ABOVE (before)
+    // the TakeOrderedAndProject that feeds it
+    val plan = graft.api.Registry.byName("q73_zipf_fit")
+      .run(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
+    val win = plan.indexOf("Window ")
+    val take = plan.indexOf("TakeOrderedAndProject")
+    assert(win >= 0 && take >= 0, plan)
+    assert(win < take, s"rank window must consume the LIMITED rows:\n$plan")
+  }
 }
