@@ -24,10 +24,15 @@ object Compaction {
   // Recursive: hive-partitioned layouts keep their data files in
   // partition SUBDIRECTORIES, which a top-level listing would miss
   // (yielding a misleading "no parquet files" on a perfectly readable
-  // table).
+  // table). Entries starting with '_' or '.' are skipped — Spark's own
+  // path filter ignores them on read (_temporary, _SUCCESS, .staging),
+  // so counting them would size the rewrite from bytes it never reads.
   private def parquetFiles(dir: String): Seq[java.io.File] = {
+    def visible(f: java.io.File) =
+      !f.getName.startsWith("_") && !f.getName.startsWith(".")
     def walk(d: java.io.File): Seq[java.io.File] = {
       val entries = Option(d.listFiles()).getOrElse(Array.empty).toSeq
+        .filter(visible)
       entries.filter(f => f.isFile && f.getName.endsWith(".parquet")) ++
         entries.filter(_.isDirectory).flatMap(walk)
     }
@@ -41,11 +46,16 @@ object Compaction {
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetBytes: Long): CompactionStats = {
     require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
-    // overwrite mode deletes the target before writing — pointing it at
-    // the directory being read would destroy the input mid-scan
-    require(new java.io.File(inDir).getCanonicalPath !=
-        new java.io.File(outDir).getCanonicalPath,
-      s"outDir must differ from inDir ($inDir)")
+    // overwrite mode deletes the target before writing — the target must
+    // not be the input, an ANCESTOR of it (the recursive delete would
+    // destroy the input mid-scan), or a DESCENDANT (the output would
+    // land inside the input and double-count on the next read)
+    val inP = new java.io.File(inDir).getCanonicalPath
+    val outP = new java.io.File(outDir).getCanonicalPath
+    val sep = java.io.File.separator
+    require(inP != outP && !inP.startsWith(outP + sep) &&
+        !outP.startsWith(inP + sep),
+      s"outDir ($outP) must not overlap inDir ($inP)")
     val files = parquetFiles(inDir)
     require(files.nonEmpty, s"no parquet files under $inDir")
     val totalBytes = files.map(_.length()).sum

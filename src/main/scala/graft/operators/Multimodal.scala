@@ -237,7 +237,12 @@ object Multimodal {
     require(frameLen >= 2, s"frameLen must be >= 2, got $frameLen")
     import ds.sparkSession.implicits._
     ds.flatMap { r =>
-      val (_, samples) = wavSamples(r.doc_id, r.wav)
+      val (fmt, samples) = wavSamples(r.doc_id, r.wav)
+      // mono only: the sample stream is channel-interleaved, so framing
+      // a stereo payload would mix channels and count a bogus zero
+      // crossing at every L/R sign difference — de-interleave upstream
+      require(fmt.getChannels == 1,
+        s"doc ${r.doc_id}: frameAudio needs mono PCM, got ${fmt.getChannels} channels")
       val nf = samples.length / frameLen
       (0 until nf).map { f =>
         var sumSq = 0.0
@@ -483,7 +488,11 @@ object Multimodal {
   /** Decode every `stride`-th stored frame of a multi-frame container
     * through the real ImageIO reader (`getNumImages(true)` / `read(i)`),
     * resolving each frame's palette before statistics (the p31
-    * indexed-raster lesson applies per frame).
+    * indexed-raster lesson applies per frame). Note `read(i)` returns
+    * the RAW STORED frame: [[synthGif]] writes full frames, so stored =
+    * rendered here; wild GIFs with partial-frame optimization + disposal
+    * would need compositing onto the logical screen first — a renderer
+    * concern, not a plumbing one.
     */
   private def gifFrameStats(bytes: Array[Byte], stride: Int): Seq[FrameStats] = {
     val iis = javax.imageio.ImageIO.createImageInputStream(

@@ -32,10 +32,14 @@ object PageRank {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     val e = edges.select(col("src"), col("dst"))
+    // deg and nodes are read EVERY round — checkpoint both, or each
+    // round's contribs job re-aggregates the full edge set (10 extra
+    // corpus-scale scans at 10 iterations)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint() // reused every round: compute once
+      .localCheckpoint()
     val n = nodes.count().toDouble
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iterations) {

@@ -71,6 +71,9 @@ object TextAnalysis {
     * FIRST failing rule's name for drop attribution (the pipeline
     * operator teams actually debug with — "what killed my data" beats a
     * bare boolean). Rules, in order:
+    *   empty          text IS NULL (every other predicate would be NULL
+    *                  and fall through the chain — a zero-information
+    *                  row must not read as all-pass)
     *   too_short      n_tokens < minTokens
     *   too_long       n_tokens > maxTokens
     *   repetitive     dup word fraction (1 − distinct/total) > maxDupFrac
@@ -87,7 +90,8 @@ object TextAnalysis {
       lit(1.0) - size(array_distinct(toks)).cast("double") / nToks)
       .otherwise(0.0)
     val meanLen = (length(col(textCol)) - (nToks - 1)) / nToks
-    val reason = when(nToks < minTokens, "too_short")
+    val reason = when(col(textCol).isNull, "empty")
+      .when(nToks < minTokens, "too_short")
       .when(nToks > maxTokens, "too_long")
       .when(dupFrac > maxDupFrac, "repetitive")
       .when(meanLen < 2 || meanLen > 12, "token_length")

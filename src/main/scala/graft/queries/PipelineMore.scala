@@ -40,8 +40,9 @@ object PipelineMore {
           |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS zipf_slope,
           |  round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6)
           |    AS zipf_intercept,
-          |  round(pow(n*sxy - sx*sy, 2) /
-          |    ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS zipf_r2
+          |  round(CASE WHEN n*syy - sy*sy = 0 THEN 1.0
+          |    ELSE pow(n*sxy - sx*sy, 2) /
+          |      ((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 6) AS zipf_r2
           |FROM m ORDER BY n_ranks""".stripMargin)),
 
     // --- framed audio features over REAL decoded WAV (the speech-
@@ -208,12 +209,14 @@ object PipelineMore {
           |  n::BIGINT AS n_tokens,
           |  round(dup, 6) AS dup_frac,
           |  round(ml, 6) AS mean_token_len,
-          |  (CASE WHEN n < 5 THEN 'too_short'
+          |  (CASE WHEN n IS NULL THEN 'empty'
+          |        WHEN n < 5 THEN 'too_short'
           |        WHEN n > 5000 THEN 'too_long'
           |        WHEN dup > 0.3 THEN 'repetitive'
           |        WHEN ml < 2 OR ml > 12 THEN 'token_length' END) IS NULL
           |    AS keep,
-          |  CASE WHEN n < 5 THEN 'too_short'
+          |  CASE WHEN n IS NULL THEN 'empty'
+          |       WHEN n < 5 THEN 'too_short'
           |       WHEN n > 5000 THEN 'too_long'
           |       WHEN dup > 0.3 THEN 'repetitive'
           |       WHEN ml < 2 OR ml > 12 THEN 'token_length' END AS fail_reason

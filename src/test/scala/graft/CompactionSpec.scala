@@ -58,4 +58,35 @@ class CompactionSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("outDir"), e.getMessage)
   }
+
+  test("compaction refuses overlapping outDir: ancestor (deletes input) and descendant (nests output)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-compact-in5").toString
+    val in = root + "/input"
+    spark.range(10).toDF("id").write.mode("overwrite").parquet(in)
+    // ancestor: overwrite of root would recursively delete root/input
+    val up = intercept[IllegalArgumentException] {
+      Compaction.compact(spark, in, root, targetBytes = 1L << 20)
+    }
+    assert(up.getMessage.contains("overlap"), up.getMessage)
+    // descendant: output inside the input double-counts on the next read
+    val down = intercept[IllegalArgumentException] {
+      Compaction.compact(spark, in, in + "/compacted", targetBytes = 1L << 20)
+    }
+    assert(down.getMessage.contains("overlap"), down.getMessage)
+  }
+
+  test("compaction ignores hidden/temporary entries, like Spark's own read path filter") {
+    val in = java.nio.file.Files.createTempDirectory("graft-compact-in6").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-compact-out6").toString
+    spark.range(100).toDF("id").coalesce(1).write.mode("overwrite").parquet(in)
+    // plant crashed-write litter Spark's reader would skip
+    val tmp = java.nio.file.Paths.get(in, "_temporary", "0")
+    java.nio.file.Files.createDirectories(tmp)
+    java.nio.file.Files.write(tmp.resolve("part-junk.parquet"),
+      Array.fill[Byte](1 << 20)(7))
+    val stats = Compaction.compact(spark, in, out, targetBytes = 1L << 30)
+    // the 1 MB of junk must not inflate the byte stats (real data ~ KBs)
+    assert(stats.bytesBefore < (1 << 19), stats.toString)
+    assert(spark.read.parquet(out).count() == 100)
+  }
 }

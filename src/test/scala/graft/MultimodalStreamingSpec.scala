@@ -94,6 +94,25 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: frameAudio rejects non-mono PCM (interleaved framing would be garbage)") {
+    import graft.operators.Multimodal._
+    // hand-build a stereo 16-bit WAV: framing its interleaved stream
+    // would count a bogus zero crossing at every L/R sign difference
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val pcm = Array.fill(200 * 4)(0.toByte)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 200L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val rows = spark.createDataset(Seq(WavRow(9L, bos.toByteArray)))
+    val e = intercept[org.apache.spark.SparkException] {
+      frameAudio(rows, frameLen = 40).collect()
+    }
+    assert(e.getMessage.contains("mono") ||
+      Option(e.getCause).exists(_.getMessage.contains("mono")), e.toString)
+  }
+
   test("multimodal: frame sampling decodes every 2nd real GIF frame") {
     import graft.operators.Multimodal._
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")

@@ -37,6 +37,20 @@ class PipelineExtSpec extends AnyFunSuite {
     assert(got(3L) == ((false, "repetitive")))
     assert(got(4L) == ((false, "token_length")))
     assert(got(5L) == ((false, "too_short")), "attribution order: first failing rule")
+
+    // NULL text: every other predicate is NULL and would fall through
+    // the chain — the explicit first rule must catch it as a drop
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(6L, null.asInstanceOf[String]))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    val nullRow = TextAnalysis.qualityGate(withNull, "doc_id", "text")
+      .select("keep", "fail_reason").as[(Boolean, String)].collect().head
+    assert(nullRow == ((false, "empty")), nullRow.toString)
   }
 
   test("decontaminate: overlap counts = distinct shared n-grams per doc") {
