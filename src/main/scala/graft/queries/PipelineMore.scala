@@ -220,6 +220,44 @@ object PipelineMore {
           |       WHEN n > 5000 THEN 'too_long'
           |       WHEN dup > 0.3 THEN 'repetitive'
           |       WHEN ml < 2 OR ml > 12 THEN 'token_length' END AS fail_reason
-          |FROM m ORDER BY doc_id""".stripMargin))
+          |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // --- quarantine decode, ORACLE-CHECKED (q56's resilient-ingest
+    //     shape on audio, upgraded from test-only to differential):
+    //     every 7th doc carries deterministic junk bytes instead of a
+    //     RIFF container; decodeWavSafe lands them as error rows while
+    //     the real WAVs decode losslessly — one pass, no task failures.
+    //     The oracle recomputes the clean side arithmetically and the
+    //     quarantine side by the id rule. ---
+    QueryDef(
+      "p45_wav_quarantine",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            Multimodal.WavRow(id,
+              if (id % 7 == 0) Array[Byte](74, 85, 78, 75) // not a RIFF container
+              else Multimodal.synthWav(id, 8000, 60 + (id % 20).toInt))
+          })
+        Multimodal.decodeWavSafe(media).toDF()
+          .select(col("doc_id"), col("decode_error").isNull.as("ok"),
+            col("n_samples"), round(col("pcm_mean"), 6).as("pcm_mean"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH smp AS (
+          |  SELECT doc_id, unnest(range(0, 60 + doc_id % 20)) AS i
+          |  FROM documents WHERE doc_id % 7 <> 0),
+          |good AS (
+          |  SELECT doc_id, CAST(60 + doc_id % 20 AS BIGINT) AS n_samples,
+          |    round(avg(((doc_id*31 + i) % 65536 - 32768)::DOUBLE), 6)
+          |      AS pcm_mean
+          |  FROM smp GROUP BY doc_id)
+          |SELECT doc_id, TRUE AS ok, n_samples, pcm_mean FROM good
+          |UNION ALL
+          |SELECT doc_id, FALSE AS ok, CAST(-1 AS BIGINT) AS n_samples,
+          |  -1.0 AS pcm_mean
+          |FROM documents WHERE doc_id % 7 = 0
+          |ORDER BY doc_id""".stripMargin))
   )
 }
