@@ -2,12 +2,13 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.api.{QueryDef, Tables}
-import graft.operators.{Dedup, Multimodal, PageRank, TextAnalysis}
+import graft.operators.{Dedup, IncrementalDedup, Multimodal, PageRank, TextAnalysis}
 
-/** Round-6 additions: corpus-statistics fit (Zipf), framed audio
+/** Rounds 6-7 additions: corpus-statistics fit (Zipf), framed audio
   * features over real decoded WAV, order-sensitive bigram LM scoring,
-  * asymmetric containment dedup. Same conventions as PipelineQueries
-  * (total-order output, scalar columns, identical aliases both engines).
+  * asymmetric containment dedup, incremental dedup against a persisted
+  * index. Same conventions as PipelineQueries (total-order output,
+  * scalar columns, identical aliases both engines).
   */
 object PipelineMore {
 
@@ -258,6 +259,46 @@ object PipelineMore {
           |SELECT doc_id, FALSE AS ok, CAST(-1 AS BIGINT) AS n_samples,
           |  -1.0 AS pcm_mean
           |FROM documents WHERE doc_id % 7 = 0
-          |ORDER BY doc_id""".stripMargin))
+          |ORDER BY doc_id""".stripMargin)),
+
+    // --- incremental near-dup against a PERSISTED MinHash band index:
+    //     the corpus (doc_id % 5 != 0) is indexed once to parquet, then
+    //     the batch (doc_id % 5 == 0) dedups against the index — no
+    //     corpus text is re-read (IncrementalDedupSpec asserts the batch
+    //     plan's scans). Same signature family as p02, so the result
+    //     equals the full recompute restricted to pairs touching the
+    //     batch — which is exactly what the exact all-pairs oracle
+    //     computes (quadratic oracle: certify individually at sf0.1,
+    //     like p02). The index build is an EAGER write job at
+    //     construction time — building an index IS a job. ---
+    QueryDef(
+      "p46_incremental_neardup",
+      (s, dir) => {
+        val p = IncrementalDedup.Params(shingleSize = 3, numHashes = 128,
+          bands = 32, threshold = 0.8)
+        val docs = Tables.t(s, dir, "documents")
+        // per-dataset index path: sf0.01 verify and sf0.1 bench runs must
+        // not read each other's index
+        val path = "/tmp/graft_p46_index/" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        IncrementalDedup.buildIndex(
+          docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", p, path)
+        IncrementalDedup.nearDupsAgainstIndex(
+            s, docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", p, path)
+          .orderBy("id_a", "id_b")
+      },
+      Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') tk FROM documents),
+          |sh AS (SELECT doc_id,
+          |         list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+          |                        FOR i IN range(1, len(tk) - 1)]) s
+          |       FROM t WHERE len(tk) >= 3),
+          |p AS (SELECT a.doc_id id_a, b.doc_id id_b,
+          |        len(list_intersect(a.s, b.s))::DOUBLE
+          |          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) j
+          |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+          |SELECT id_a, id_b, round(j, 6) AS jaccard
+          |FROM p WHERE j >= 0.8 AND (id_a % 5 = 0 OR id_b % 5 = 0)
+          |ORDER BY id_a, id_b""".stripMargin))
   )
 }
