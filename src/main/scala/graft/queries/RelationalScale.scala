@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.api.{QueryDef, Tables}
 import graft.functions.Fns
-import graft.operators.{BloomPrune, GapFill, HeavyHitters, IncrementalAgg, RangeJoin, SkewJoin, SnapshotDiff}
+import graft.operators.{BloomPrune, GapFill, HeavyHitters, IncrementalAgg, RangeJoin, SkewJoin, SkewRank, SnapshotDiff}
 
 /** Round-4 relational additions: scale-path joins/layout/maintenance
   * primitives whose naive plans stop working around the 100 TB mark
@@ -475,6 +475,30 @@ object RelationalScale {
           |  FROM orders GROUP BY 1)
           |SELECT a.k AS k, a.n AS n_a, b.n AS n_b
           |FROM g a JOIN g b ON a.k IS NOT DISTINCT FROM b.k
-          |ORDER BY k NULLS FIRST""".stripMargin))
+          |ORDER BY k NULLS FIRST""".stripMargin)),
+
+    // --- skew-safe salted two-phase top-k (SkewRank): top-5 events per
+    //     user in two exact phases — per-(user, salt) top-5, then an
+    //     exact merge of the ≤ salts·5 survivors — so no single reducer
+    //     ever holds more than salt-bounded state for a hot user. The
+    //     salt provably cancels (any salt assignment yields the unsalted
+    //     answer), which the plain-window DuckDB oracle pins — q55's
+    //     salt-invariance pattern, lifted from joins to ranking. ---
+    QueryDef(
+      "q75_salted_topk",
+      (s, dir) => SkewRank.topKSalted(
+          Tables.t(s, dir, "events")
+            .select(col("user_id"), col("event_id"), col("value")),
+          groupCols = Seq("user_id"),
+          orderCols = Seq(col("value").desc, col("event_id")),
+          k = 5, salts = 8, saltCols = Seq(col("event_id")))
+        .orderBy(col("user_id"), col("value").desc, col("event_id")),
+      Some(
+        """WITH r AS (SELECT user_id, event_id, value,
+          |    row_number() OVER (PARTITION BY user_id
+          |                       ORDER BY value DESC, event_id) AS rk
+          |  FROM events)
+          |SELECT user_id, event_id, value FROM r WHERE rk <= 5
+          |ORDER BY user_id, value DESC, event_id""".stripMargin))
   )
 }
