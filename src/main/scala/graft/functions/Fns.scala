@@ -123,6 +123,15 @@ object Fns {
   def shingleRows(toks: Column, n: Int): Column =
     toCol(ShingleRows(toExpr(toks), n))
 
+  /** WordPiece subword pieces as generator rows (tok_idx, piece_idx,
+    * piece) — greedy longest-match over a plan-literal vocab (see
+    * WordPieceRows). Not SQL-registered: the vocab is a Scala Seq, not a
+    * literal an expression parser can carry.
+    */
+  def wordpieceRows(toks: Column, vocab: Seq[String],
+      maxInputChars: Int): Column =
+    toCol(WordPieceRows(toExpr(toks), vocab, maxInputChars))
+
   /** HOF-composed formulation of [[shingles]] — kept as the independent
     * cross-check in tests (interpreted lambdas; ~10× slower).
     */

@@ -264,4 +264,16 @@ object TextAnalysis {
       .agg(round(avg(-log(p)), 6).as("ref_lm_score"))
       .withColumnRenamed("id", idCol)
   }
+
+  /** WordPiece subword tokenization (p47): one row per (doc, token,
+    * piece) via the [[graft.functions.WordPieceRows]] generator — greedy
+    * longest-match-first over a plan-literal vocabulary, continuation
+    * pieces "##"-prefixed, failed/oversized tokens -> [UNK]. Pure per-row
+    * generator: no join, no shuffle; the vocab ships in the task closure
+    * (the broadcast-vocab pattern at real BPE sizes).
+    */
+  def wordpiece(df: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[String], maxInputChars: Int = 16): DataFrame =
+    df.select(col(idCol),
+      Fns.wordpieceRows(Fns.tokens(col(textCol)), vocab, maxInputChars))
 }

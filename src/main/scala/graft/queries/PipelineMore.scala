@@ -12,6 +12,19 @@ import graft.operators.{Dedup, IncrementalDedup, Multimodal, PageRank, TextAnaly
   */
 object PipelineMore {
 
+  // p47's WordPiece vocabulary, shared verbatim with the DuckDB oracle:
+  // common English digraphs/trigraphs plus every lowercase letter and
+  // digit (initial and "##"-continuation forms), so alnum lowercase
+  // tokens always tokenize and anything else exercises the [UNK] path.
+  private val wpSingles = (('a' to 'z') ++ ('0' to '9')).map(_.toString)
+  private[graft] val wpVocab: Seq[String] =
+    Seq("the", "##the", "th", "##th", "ing", "##ing", "er", "##er", "an",
+      "##an", "re", "##re", "on", "##on", "at", "##at", "en", "##en", "nd",
+      "##nd", "ti", "##ti", "es", "##es", "or", "##or", "ed", "##ed", "is",
+      "##is", "it", "##it", "al", "##al", "ar", "##ar", "st", "##st", "to",
+      "##to", "nt", "##nt") ++ wpSingles ++ wpSingles.map("##" + _)
+  private val wpVocabSql = wpVocab.map(v => s"'$v'").mkString("[", ", ", "]")
+
   val defs: Seq[QueryDef] = Seq(
 
     // --- Zipf's-law fit: OLS of ln(count) on ln(rank) over the top-500
@@ -299,6 +312,66 @@ object PipelineMore {
           |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
           |SELECT id_a, id_b, round(j, 6) AS jaccard
           |FROM p WHERE j >= 0.8 AND (id_a % 5 = 0 OR id_b % 5 = 0)
-          |ORDER BY id_a, id_b""".stripMargin))
+          |ORDER BY id_a, id_b""".stripMargin)),
+
+    // --- WordPiece subword tokenization (the tokenizer-shape op a
+    //     training pipeline runs last): greedy longest-match-first over
+    //     a fixed vocab, "##" continuations, [UNK] on failure — a pure
+    //     per-row generator with the vocab as a plan literal (no join,
+    //     no shuffle; WordPieceSpec pins the exchange-free plan). The
+    //     oracle replays the same greedy automaton as a DuckDB RECURSIVE
+    //     CTE over the identical vocab literal: one recursive step per
+    //     emitted piece, longest match picked by list_filter+list_reduce
+    //     (q72 proved recursive CTEs portable). ---
+    QueryDef(
+      "p47_wordpiece",
+      (s, dir) => TextAnalysis.wordpiece(
+          Tables.t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", wpVocab, maxInputChars = 16)
+        .orderBy("doc_id", "tok_idx", "piece_idx"),
+      Some(
+        s"""WITH RECURSIVE
+           |t AS (SELECT doc_id, string_split(text, ' ') AS tk
+           |      FROM documents WHERE doc_id % 10 = 0),
+           |tok AS (SELECT doc_id, i AS tok_idx, tk[i+1] AS token
+           |        FROM (SELECT doc_id, tk, unnest(range(0, len(tk))) AS i
+           |              FROM t)),
+           |step AS (
+           |  SELECT doc_id, tok_idx, token, 0 AS pos, 0 AS pidx,
+           |         CAST(NULL AS VARCHAR) AS piece, len(token) > 16 AS failed
+           |  FROM tok WHERE len(token) > 0
+           |  UNION ALL
+           |  SELECT doc_id, tok_idx, token,
+           |    pos + CASE WHEN best = '' THEN 1
+           |               WHEN pos = 0 THEN len(best)
+           |               ELSE len(best) - 2 END,
+           |    pidx + 1,
+           |    CASE WHEN best = '' THEN NULL ELSE best END,
+           |    best = ''
+           |  FROM (SELECT doc_id, tok_idx, token, pos, pidx,
+           |          list_reduce(list_prepend('', list_filter($wpVocabSql,
+           |            p -> CASE WHEN pos = 0
+           |              THEN p NOT LIKE '##%'
+           |                   AND substr(token, pos + 1, len(p)) = p
+           |              ELSE p LIKE '##%'
+           |                   AND substr(token, pos + 1, len(p) - 2)
+           |                       = substr(p, 3) END)),
+           |            (a, b) -> CASE WHEN len(b) > len(a) THEN b ELSE a END)
+           |            AS best
+           |        FROM step WHERE pos < len(token) AND NOT failed)),
+           |fails AS (SELECT DISTINCT doc_id, tok_idx FROM step WHERE failed),
+           |pieces AS (SELECT doc_id, tok_idx, pidx - 1 AS piece_idx, piece
+           |           FROM step WHERE piece IS NOT NULL),
+           |up AS (
+           |  SELECT p.doc_id, p.tok_idx, p.piece_idx, p.piece
+           |  FROM pieces p
+           |  WHERE NOT EXISTS (SELECT 1 FROM fails f
+           |                    WHERE f.doc_id = p.doc_id
+           |                      AND f.tok_idx = p.tok_idx)
+           |  UNION ALL
+           |  SELECT doc_id, tok_idx, 0, '[UNK]' FROM fails)
+           |SELECT doc_id, CAST(tok_idx AS INTEGER) AS tok_idx,
+           |  CAST(piece_idx AS INTEGER) AS piece_idx, piece
+           |FROM up ORDER BY doc_id, tok_idx, piece_idx""".stripMargin))
   )
 }
