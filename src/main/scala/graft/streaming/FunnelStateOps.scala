@@ -39,14 +39,38 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   * scheduling time-advancing micro-batches — measured >1000 empty
   * batches in 120 s on a fully-drained source, so drain-to-quiesce
   * semantics (processAllAvailable / Trigger.AvailableNow) never
-  * terminate. The algebraic prune above, not wall-clock eviction, is
-  * this operator's scale contract.
+  * terminate.
+  *
+  * The WATERMARK prune (`watermarkDelay = Some("10 minutes")`) closes
+  * that gap without wall-clock eviction: with an event-time watermark W
+  * on the stream, any retained candidate with ts < W that is not the
+  * current pick can be dropped EXACTLY ([[watermarkPrune]]):
+  *   - a retained non-pick click c sits at or below t1 (the pick is the
+  *     unique retained click above t1); promoting it requires a future
+  *     view v < c < W — which the watermark drops;
+  *   - a retained non-pick purchase p sits at or below t2; promoting it
+  *     requires t2 to drop below p, i.e. a new click above the watermark
+  *     (> W > p — impossible) or an existing click promoted by a view
+  *     v < c < p < W — dropped again.
+  * So per-user state converges to the two scalars plus the pick
+  * timestamps — O(1) — once the watermark passes the funnel. Users
+  * silent after a batch are swept by an EVENT-TIME timer (registered
+  * just above the current watermark, re-armed only while non-pick
+  * candidates remain): event-time timers fire as data advances the
+  * watermark, so the query still quiesces under processAllAvailable /
+  * Trigger.AvailableNow — removing the TTL mode's caveat. This is the
+  * recommended production mode; the algebraic prune remains the
+  * always-on floor when no watermark is configured.
   */
 object FunnelStateOps {
 
   case class FEv(user_id: Long, ts: Long, event_type: String)
   /** -1 marks a stage not (yet) reached; n_seen is a monotone per-user
-    * counter so tests can select the converged update-mode row.
+    * DELIVERY counter — it increments for every arrival, including
+    * at-least-once replays (the replay-is-a-no-op property holds for
+    * the funnel picks, whose candidate lists are deduplicated, not for
+    * this counter). It exists so tests can select the converged
+    * update-mode row, not as a distinct-event count.
     */
   case class FunnelRow(user_id: Long, t1: Long, t2: Long, t3: Long, n_seen: Long)
 
@@ -69,7 +93,17 @@ object FunnelStateOps {
     (t1, t2, t3, keepC, keepP)
   }
 
-  class FunnelProcessor(listTtl: Option[java.time.Duration])
+  /** Exact watermark eviction for one candidate list (object scaladoc
+    * has the promotion argument): a non-pick candidate strictly below
+    * the watermark can only ever be selected after an arrival that the
+    * watermark already drops. `>=` (not `>`) keeps the boundary row,
+    * which stays safe even if the engine admits ts == W arrivals.
+    */
+  def watermarkPrune(pick: Long, xs: Seq[Long], wm: Long): Seq[Long] =
+    xs.filter(x => x >= wm || x == pick)
+
+  class FunnelProcessor(listTtl: Option[java.time.Duration],
+      watermarkSweep: Boolean = false)
       extends StatefulProcessor[Long, FEv, FunnelRow] {
     @transient private var minView: ValueState[Long] = _
     @transient private var clicks: ListState[Long] = _
@@ -106,35 +140,89 @@ object FunnelStateOps {
           case _ => ()
         }
       }
-      val (t1, t2, t3, keepC, keepP) = deriveAndPrune(mv,
+      val (t1, t2, t3, keepC0, keepP0) = deriveAndPrune(mv,
         clicks.get().toSeq ++ newClicks.result(),
         purchases.get().toSeq ++ newPurchases.result())
       minView.update(mv)
       seen.update(n)
+      val (keepC, keepP) = applyWatermark(t2, t3, keepC0, keepP0, timerValues)
+      writeLists(keepC, keepP, t2, t3, timerValues)
+      Iterator.single(FunnelRow(user, t1, t2, t3, n))
+    }
+
+    /** Event-time sweep for silent users: re-derive from state alone,
+      * evict what the (now higher) watermark proves unselectable, and
+      * re-arm only while non-pick candidates remain — so the timer
+      * chain self-extinguishes at the O(1) floor. Emits nothing: the
+      * funnel picks cannot have changed without an arrival.
+      */
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[FunnelRow] = {
+      val mv = if (minView.exists()) minView.get() else Long.MaxValue
+      val (_, t2, t3, keepC0, keepP0) = deriveAndPrune(mv,
+        clicks.get().toSeq, purchases.get().toSeq)
+      val (keepC, keepP) = applyWatermark(t2, t3, keepC0, keepP0, timerValues)
+      writeLists(keepC, keepP, t2, t3, timerValues)
+      Iterator.empty
+    }
+
+    private def applyWatermark(t2: Long, t3: Long, keepC: Seq[Long],
+        keepP: Seq[Long], timerValues: TimerValues): (Seq[Long], Seq[Long]) = {
+      val wmMs = if (watermarkSweep) timerValues.getCurrentWatermarkInMs else 0L
+      if (wmMs <= 0L) (keepC, keepP) // no watermark yet: algebraic floor only
+      else (watermarkPrune(t2, keepC, wmMs * 1000L),
+        watermarkPrune(t3, keepP, wmMs * 1000L))
+    }
+
+    private def writeLists(keepC: Seq[Long], keepP: Seq[Long],
+        t2: Long, t3: Long, timerValues: TimerValues): Unit = {
       // put() (not append) writes back the deduped, pruned lists
       if (keepC.isEmpty) clicks.clear() else clicks.put(keepC.toArray)
       if (keepP.isEmpty) purchases.clear() else purchases.put(keepP.toArray)
-      Iterator.single(FunnelRow(user, t1, t2, t3, n))
+      if (watermarkSweep) {
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+        val pending = keepC.exists(_ != t2) || keepP.exists(_ != t3)
+        // fire on the next watermark advance past "now"
+        if (pending) getHandle.registerTimer(
+          math.max(timerValues.getCurrentWatermarkInMs, 0L) + 1L)
+      }
     }
   }
 
   /** Per-user funnel state, one update-mode row per user per batch.
-    * `events` needs user_id, ts (timestamp), event_type. `listTtl =
-    * Some(d)` additionally evicts silent users' candidate lists after
-    * `d` of processing time — opt-in, continuous-trigger deployments
-    * only (see the object scaladoc for why it cannot be the default).
+    * `events` needs user_id, ts (timestamp), event_type.
+    *
+    * `watermarkDelay = Some("10 minutes")` is the recommended production
+    * mode: sets an event-time watermark on `ts` and enables the exact
+    * watermark prune + silent-user event-time sweep (object scaladoc) —
+    * per-user state converges to O(1) and the query still quiesces
+    * under drain-to-completion triggers. Correctness then carries the
+    * standard watermark contract: arrivals later than the delay are
+    * outside the guarantee.
+    *
+    * `listTtl = Some(d)` instead evicts silent users' candidate lists
+    * after `d` of processing time — opt-in, continuous-trigger
+    * deployments only (see the object scaladoc for why it cannot be
+    * the default). The two modes are mutually exclusive.
     */
   def userFunnels(events: DataFrame,
-      listTtl: Option[java.time.Duration] = None): Dataset[FunnelRow] = {
+      listTtl: Option[java.time.Duration] = None,
+      watermarkDelay: Option[String] = None): Dataset[FunnelRow] = {
     import events.sparkSession.implicits._
+    require(listTtl.isEmpty || watermarkDelay.isEmpty,
+      "listTtl (ProcessingTime TTL) and watermarkDelay (EventTime prune) are exclusive")
     val timeMode = // state TTL is only legal in ProcessingTime mode
-      if (listTtl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
-    events
+      if (watermarkDelay.isDefined) TimeMode.EventTime()
+      else if (listTtl.isDefined) TimeMode.ProcessingTime()
+      else TimeMode.None()
+    val src = watermarkDelay.map(events.withWatermark("ts", _)).getOrElse(events)
+    src
       .selectExpr("user_id", "unix_micros(ts) AS ts_us", "event_type")
       .select($"user_id".as[Long], $"ts_us".as[Long], $"event_type".as[String])
       .map { case (u, t, tpe) => FEv(u, t, tpe) }
       .groupByKey(_.user_id)
-      .transformWithState(new FunnelProcessor(listTtl),
+      .transformWithState(new FunnelProcessor(listTtl, watermarkDelay.isDefined),
         timeMode, OutputMode.Update())
   }
 }

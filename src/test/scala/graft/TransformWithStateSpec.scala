@@ -8,6 +8,55 @@ class TransformWithStateSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  /** Batch twin: q68's window cascade, reduced to per-user (t1,t2,t3). */
+  private def batchFunnelTruth: Set[(Long, Long, Long, Long)] = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts")
+    val marked = graft.api.Tables.t(spark, TestSpark.sf0001, "events")
+      .select($"user_id", unix_micros($"ts").as("ts"), $"event_type")
+      .withColumn("t1r", min(when($"event_type" === "view", $"ts")).over(w))
+      .withColumn("t2c", when($"event_type" === "click" && $"ts" > $"t1r", $"ts"))
+      .withColumn("t2r", min($"t2c").over(w))
+      .withColumn("t3c", when($"event_type" === "purchase" && $"ts" > $"t2r", $"ts"))
+    marked.groupBy("user_id")
+      .agg(coalesce(min(when($"event_type" === "view", $"ts")), lit(-1L)).as("t1"),
+        coalesce(min($"t2c"), lit(-1L)).as("t2"),
+        coalesce(min($"t3c"), lit(-1L)).as("t3"))
+      .select($"user_id", $"t1", $"t2", $"t3")
+      .as[(Long, Long, Long, Long)].collect().toSet
+  }
+
+  /** Stream the events fixture as 4 range-ordered files (1 per trigger,
+    * ascending mtimes so trigger order follows the ts ranges — with
+    * disjoint ranges even a 0-second watermark delay drops nothing),
+    * run userFunnels in the given mode, return converged per-user rows.
+    */
+  private def runFunnelStream(queryName: String,
+      watermarkDelay: Option[String]): Set[(Long, Long, Long, Long)] = {
+    val src = graft.api.Tables.t(spark, TestSpark.sf0001, "events")
+      .select("user_id", "ts", "event_type", "event_id", "value", "props")
+    val staged = java.nio.file.Files
+      .createTempDirectory("graft-funnel-src").toString
+    src.repartitionByRange(4, $"ts").write.mode("overwrite").parquet(staged)
+    val parts = new java.io.File(staged).listFiles()
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(f.lastModified() - 60000L + i * 1000L) }
+    val q = graft.streaming.FunnelStateOps.userFunnels(
+        spark.readStream.schema(src.schema)
+          .option("maxFilesPerTrigger", "1").parquet(staged),
+        watermarkDelay = watermarkDelay)
+      .toDF()
+      .writeStream.outputMode("update").format("memory")
+      .queryName(queryName).start()
+    try q.processAllAvailable() finally q.stop()
+    // converged row per user = the one with the highest n_seen
+    spark.table(queryName).groupBy("user_id")
+      .agg(max(struct($"n_seen", $"t1", $"t2", $"t3")).as("s"))
+      .select($"user_id", $"s.t1", $"s.t2", $"s.t3")
+      .as[(Long, Long, Long, Long)].collect().toSet
+  }
+
   test("transformWithState funnel converges to the batch window-cascade funnel") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -15,39 +64,30 @@ class TransformWithStateSpec extends AnyFunSuite {
     try {
       // multi-batch stream (4 files, 1 per trigger) so incremental state
       // maintenance — including cross-batch ordering — actually runs
-      val src = graft.api.Tables.t(spark, TestSpark.sf0001, "events")
-        .select("user_id", "ts", "event_type", "event_id", "value", "props")
-      val staged = java.nio.file.Files
-        .createTempDirectory("graft-funnel-src").toString
-      src.repartitionByRange(4, $"ts").write.mode("overwrite").parquet(staged)
-      val q = graft.streaming.FunnelStateOps.userFunnels(
-          spark.readStream.schema(src.schema)
-            .option("maxFilesPerTrigger", "1").parquet(staged))
-        .toDF()
-        .writeStream.outputMode("update").format("memory")
-        .queryName("t_funnel").start()
-      try q.processAllAvailable() finally q.stop()
-      // converged row per user = the one with the highest n_seen
-      val got = spark.table("t_funnel").groupBy("user_id")
-        .agg(max(struct($"n_seen", $"t1", $"t2", $"t3")).as("s"))
-        .select($"user_id", $"s.t1", $"s.t2", $"s.t3")
-        .as[(Long, Long, Long, Long)].collect().toSet
-      // batch twin: q68's window cascade, reduced to per-user (t1,t2,t3)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("ts")
-      val marked = graft.api.Tables.t(spark, TestSpark.sf0001, "events")
-        .select($"user_id", unix_micros($"ts").as("ts"), $"event_type")
-        .withColumn("t1r", min(when($"event_type" === "view", $"ts")).over(w))
-        .withColumn("t2c", when($"event_type" === "click" && $"ts" > $"t1r", $"ts"))
-        .withColumn("t2r", min($"t2c").over(w))
-        .withColumn("t3c", when($"event_type" === "purchase" && $"ts" > $"t2r", $"ts"))
-      val batch = marked.groupBy("user_id")
-        .agg(coalesce(min(when($"event_type" === "view", $"ts")), lit(-1L)).as("t1"),
-          coalesce(min($"t2c"), lit(-1L)).as("t2"),
-          coalesce(min($"t3c"), lit(-1L)).as("t3"))
-        .as[(Long, Long, Long, Long)].collect().toSet
+      val got = runFunnelStream("t_funnel", None)
+      val batch = batchFunnelTruth
       assert(got == batch)
       assert(batch.exists(_._4 >= 0), "fixture reaches the purchase stage")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("funnel watermark mode (EventTime prune + silent-user sweep) converges and quiesces") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the TTL mode hangs processAllAvailable forever here (see the
+      // FunnelStateOps scaladoc); EventTime mode must terminate AND
+      // match the batch truth exactly — the watermark prune is exact
+      val got = runFunnelStream("t_funnel_wm", Some("0 seconds"))
+      assert(got == batchFunnelTruth)
     } finally {
       prev match {
         case Some(p) => spark.conf.set(
@@ -108,6 +148,41 @@ class TransformWithStateSpec extends AnyFunSuite {
       }
       assert(last == ((truth._1, truth._2, truth._3)),
         s"trial $trial: events=$events arrivals=$arrivals got=$last")
+    }
+  }
+
+  test("watermark prune exactness: pruned state + any future (>= W) arrivals converge identically") {
+    import graft.streaming.FunnelStateOps.{deriveAndPrune, watermarkPrune}
+    // one per-batch state step, carrying the algebraically pruned lists
+    def fold(events: Seq[(String, Long)], mv0: Long, cs0: Seq[Long],
+        ps0: Seq[Long]): (Long, (Long, Long, Long, Seq[Long], Seq[Long])) = {
+      var mv = mv0; var cs = cs0; var ps = ps0
+      events.foreach {
+        case ("view", t) => if (t < mv) mv = t
+        case ("click", t) => cs = cs :+ t
+        case ("purchase", t) => ps = ps :+ t
+      }
+      (mv, deriveAndPrune(mv, cs, ps))
+    }
+    val rnd = new scala.util.Random(20260814L)
+    val W = 10L
+    for (trial <- 1 to 300) {
+      val kinds = Seq("view", "click", "purchase")
+      val past = Seq.fill(2 + rnd.nextInt(10))(
+        (kinds(rnd.nextInt(3)), 1L + rnd.nextInt(20)))
+      // the watermark contract: future arrivals are all at or above W
+      val future = Seq.fill(rnd.nextInt(8))(
+        (kinds(rnd.nextInt(3)), W + rnd.nextInt(15)))
+      val (mv1, r1) = fold(past, Long.MaxValue, Nil, Nil)
+      val prunedC = watermarkPrune(r1._2, r1._4, W)
+      val prunedP = watermarkPrune(r1._3, r1._5, W)
+      // the watermark prune is strictly an eviction...
+      assert(prunedC.toSet.subsetOf(r1._4.toSet) && prunedP.toSet.subsetOf(r1._5.toSet))
+      // ...that changes no future outcome
+      val (_, rA) = fold(future, mv1, r1._4, r1._5)
+      val (_, rB) = fold(future, mv1, prunedC, prunedP)
+      assert((rA._1, rA._2, rA._3) == ((rB._1, rB._2, rB._3)),
+        s"trial $trial: past=$past future=$future full=$rA pruned=$rB")
     }
   }
 
