@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (see /root/repo/FIXTURES.md).
   *
@@ -16,20 +16,32 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark refuses
-      // (PARQUET_TYPE_ILLEGAL). Read nanos as long, then truncate to the
-      // engine's native microsecond timestamps — the same truncation DuckDB
-      // applies when it casts ns parquet to its µs TIMESTAMP.
+    val raw = if (name == "events") {
+      // events.ts has been generated as parquet TIMESTAMP(NANOS), which
+      // vanilla Spark refuses (PARQUET_TYPE_ILLEGAL). Read nanos as long,
+      // then truncate to the engine's native microsecond timestamps — the
+      // same truncation DuckDB applies when it casts ns parquet to its µs
+      // TIMESTAMP.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      val r = spark.read.parquet(s"$dir/$name.parquet")
       // `div` = integer division: ts nanos exceed 2^53, so the `/` operator
       // (double arithmetic) rounds by up to 128 ns and lands 1 µs off
       // DuckDB's ns//1000 truncation for ~1.6% of values.
-      if (raw.schema("ts").dataType == LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+      if (r.schema("ts").dataType == LongType)
+        r.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else r
     } else spark.read.parquet(s"$dir/$name.parquet")
+    // Timestamps generated WITHOUT isAdjustedToUTC read as TIMESTAMP_NTZ
+    // under Spark's NTZ inference; the engine's contract (and DuckDB's
+    // naive-µs oracle arithmetic, with every session pinned to UTC) is
+    // the classic TIMESTAMP. Normalize at the source boundary so the µs
+    // values are byte-identical either way and strict-LTZ functions
+    // (unix_micros, watermarks-with-timers) keep working.
+    raw.schema.fields.foldLeft(raw) { (df, f) =>
+      if (f.dataType == TimestampNTZType)
+        df.withColumn(f.name, col(f.name).cast(TimestampType))
+      else df
+    }
   }
 
   // (session UUID, view name) -> dir it was registered for. Guards

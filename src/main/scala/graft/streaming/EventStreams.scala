@@ -18,19 +18,30 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events schema with ts as raw nanos (the parquet stores
-    * TIMESTAMP(NANOS); see Tables.t) — converted to µs timestamps.
+  /** The fixture generator has shipped events.ts as parquet
+    * TIMESTAMP(NANOS) (readable only as raw long nanos) and as µs
+    * timestamps without isAdjustedToUTC (NTZ under Spark's inference) —
+    * so the stream source PROBES the file's actual ts type with a batch
+    * footer read and adapts, mirroring Tables.t's source-boundary
+    * normalization: either way the stream carries the classic µs
+    * TIMESTAMP the batch twins (and watermarks/timers) expect.
     */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema)
+    // pre-3.4 semantics: µs-NTZ parquet reads directly as TIMESTAMP (the
+    // stored micros are the same instants Tables.t's NTZ cast produces
+    // under the UTC-pinned sessions)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val probed = spark.read.parquet(s"$dir/events.parquet").schema
+    val tsIsNanosLong = probed("ts").dataType == LongType
+    val schema = StructType(probed.map(f =>
+      if (f.name == "ts" && !tsIsNanosLong) f.copy(dataType = TimestampType)
+      else f))
+    val raw = spark.readStream.schema(schema)
       .parquet(streamableDir(s"$dir/events.parquet"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div: see Tables.t
+    if (tsIsNanosLong) // integer div: see Tables.t
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
   }
 
   /** The file stream source requires a directory; the fixtures ship
