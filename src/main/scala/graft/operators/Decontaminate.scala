@@ -69,15 +69,22 @@ object Decontaminate {
     val evalGrams = eval
       .select(Fns.shingleRows(Fns.tokens(col(textCol)), n).as("gram"))
       .distinct()
-    // the probe is a limit(threshold+1), so the threshold must fit an
-    // Int — past ~2B grams the broadcast table would be 100+ GB anyway,
-    // far beyond any sane executor, so reject rather than silently
-    // capping the probe and always choosing broadcast
-    require(maxBroadcastGrams < Int.MaxValue,
-      s"maxBroadcastGrams must be < ${Int.MaxValue} (a broadcast that " +
-        s"size is never viable), got $maxBroadcastGrams")
-    val useBroadcast = broadcastEval.getOrElse(
-      evalGrams.limit(maxBroadcastGrams.toInt + 1).count() <= maxBroadcastGrams)
+    // NOTE: when broadcastEval is None, plan CONSTRUCTION runs the probe
+    // (an eager limit+count Spark job over the eval side) before the
+    // DataFrame is returned — explain-only flows that must stay lazy
+    // should pin broadcastEval explicitly. When pinned, the probe (and
+    // its threshold) is unused, so the threshold is only validated on
+    // the probe path.
+    val useBroadcast = broadcastEval.getOrElse {
+      // the probe is a limit(threshold+1), so the threshold must fit an
+      // Int — past ~2B grams the broadcast table would be 100+ GB anyway,
+      // far beyond any sane executor, so reject rather than silently
+      // capping the probe and always choosing broadcast
+      require(maxBroadcastGrams < Int.MaxValue,
+        s"maxBroadcastGrams must be < ${Int.MaxValue} (a broadcast that " +
+          s"size is never viable), got $maxBroadcastGrams")
+      evalGrams.limit(maxBroadcastGrams.toInt + 1).count() <= maxBroadcastGrams
+    }
     val trainGrams = train.select(col(idCol).as("id"),
       Fns.shingleRows(Fns.tokens(col(textCol)), n).as("gram"))
     // shuffle_hash (not merge): gram-keyed rows need no sort, and the

@@ -89,7 +89,11 @@ object TextAnalysis {
     val dupFrac = when(nToks > 0,
       lit(1.0) - size(array_distinct(toks)).cast("double") / nToks)
       .otherwise(0.0)
-    val meanLen = (length(col(textCol)) - (nToks - 1)) / nToks
+    // summed from the token array itself, not (char_length - separators):
+    // the arithmetic shortcut assumes exactly one space between tokens
+    // and skews on multi-space/tab text
+    val meanLen = aggregate(transform(toks, t => length(t)),
+      lit(0L), (acc, x) => acc + x).cast("double") / nToks
     val reason = when(col(textCol).isNull, "empty")
       .when(nToks < minTokens, "too_short")
       .when(nToks > maxTokens, "too_long")

@@ -174,9 +174,12 @@ object PipelineMore {
           .orderBy("node")
       },
       Some {
-        // identical arithmetic, iteration K unrolled as CTE prK; the
-        // (1 - 0.85) form (not a 0.15 literal) matches the engine's
-        // driver-side double op for op
+        // iteration K unrolled as CTE prK. DuckDB folds (1 - 0.85) in
+        // DECIMAL to exactly 0.15 before the double division, while the
+        // engine's Scala-side (1 - damping) is double arithmetic
+        // (0.15000000000000002) — a 1-ulp seed discrepancy that the
+        // round(..., 9) on both sides absorbs; the rounding, not literal
+        // form, is what makes the comparison exact
         val iters = (1 to 10).map { k =>
           s"""pr$k AS (
              |  SELECT nd.node,
@@ -217,7 +220,8 @@ object PipelineMore {
           |        CASE WHEN len(tk) > 0 THEN
           |          1.0 - len(list_distinct(tk))::DOUBLE / len(tk)
           |        ELSE 0.0 END AS dup,
-          |        (length(text) - (len(tk) - 1))::DOUBLE / len(tk) AS ml
+          |        list_sum(list_transform(tk, x -> length(x)))::DOUBLE
+          |          / len(tk) AS ml
           |      FROM t)
           |SELECT doc_id,
           |  n::BIGINT AS n_tokens,

@@ -40,12 +40,35 @@ object MergeSink {
   private def manifestPath(tableDir: String) =
     java.nio.file.Paths.get(tableDir, "MANIFEST")
 
-  /** The published version name ("v<b>"), if any batch has committed. */
+  private def crc32Hex(s: String): String = {
+    val c = new java.util.zip.CRC32
+    c.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    f"${c.getValue}%08x"
+  }
+
+  /** Manifest payload: `v<b> <crc32-of-"v<b>">`. ATOMIC_MOVE already makes
+    * the publish all-or-nothing on POSIX; the checksum makes a TORN publish
+    * detectable on stores where rename is not atomic (object stores,
+    * some NFS) and catches on-disk corruption — a reader never silently
+    * follows a mangled version pointer.
+    */
+  private def manifestLine(version: String): String =
+    s"$version ${crc32Hex(version)}"
+
+  /** The published version name ("v<b>"), if any batch has committed.
+    * Throws IllegalStateException on a torn or corrupted manifest — the
+    * previous version dirs are still on disk (GC keeps current+previous),
+    * so an operator can repair by re-pointing the manifest rather than
+    * the reader silently treating the table as empty.
+    */
   def currentVersion(tableDir: String): Option[String] = {
     val m = manifestPath(tableDir)
-    if (java.nio.file.Files.exists(m))
-      Some(java.nio.file.Files.readString(m).trim)
-    else None
+    if (!java.nio.file.Files.exists(m)) None
+    else java.nio.file.Files.readString(m).trim.split("\\s+") match {
+      case Array(v, sum) if v.matches("v\\d+") && sum == crc32Hex(v) => Some(v)
+      case other => throw new IllegalStateException(
+        s"torn/corrupted MANIFEST at $m: ${other.mkString(" ")}")
+    }
   }
 
   /** The current table as of the last committed version. */
@@ -55,8 +78,21 @@ object MergeSink {
   /** Apply one micro-batch: fold latest-per-key into the current table,
     * write version v<batchId>, atomically publish the manifest.
     * Idempotent — safe to call again with the same (batch, batchId).
+    *
+    * CONCURRENT-READER CONTRACT: a reader resolves the manifest once,
+    * then scans `<table>/<version>`. GC keeps the just-published version
+    * plus the immediately-previous one, so a reader is safe as long as
+    * its scan finishes before the SECOND publish after it resolved the
+    * manifest. A reader slower than two publish intervals (or one that
+    * resolved a manifest two publishes ago) can have its version dir
+    * deleted mid-scan. `gcGraceMs` adds an age floor for that case:
+    * version dirs modified within the window are never deleted, so the
+    * grace bounds reader latency by wall-clock instead of publish
+    * cadence. Fixture-scale default is 0 (publish-cadence grace only);
+    * a production deployment should set it to its slowest-reader bound.
     */
-  def upsertBatch(batch: DataFrame, tableDir: String, batchId: Long): Unit = {
+  def upsertBatch(batch: DataFrame, tableDir: String, batchId: Long,
+      gcGraceMs: Long = 0L): Unit = {
     val prev = currentVersion(tableDir)
     if (prev.contains(s"v$batchId")) return // replayed after publish
     val spark = batch.sparkSession
@@ -69,24 +105,25 @@ object MergeSink {
     // tmp→ATOMIC_MOVE rename: readers see the old version or the new
     // one, never a partial manifest (mr/coordinator.go:37-53's protocol)
     val tmp = java.nio.file.Paths.get(tableDir, s".MANIFEST.v$batchId.tmp")
-    java.nio.file.Files.writeString(tmp, s"v$batchId")
+    java.nio.file.Files.writeString(tmp, manifestLine(s"v$batchId"))
     java.nio.file.Files.move(tmp, manifestPath(tableDir),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     // GC: superseded version dirs would otherwise accumulate one full
     // table copy per micro-batch for the stream's lifetime. Keep the
-    // just-published version plus the immediately-previous one as a
-    // grace window for concurrent readers that resolved the old
-    // manifest before the move; delete everything older (including
-    // orphans left by replays that crashed before publishing).
-    gcVersions(tableDir, keep = Set(s"v$batchId") ++ prev)
+    // just-published version plus the immediately-previous one (and
+    // anything younger than the grace window); delete everything older
+    // (including orphans left by replays that crashed before publishing).
+    gcVersions(tableDir, keep = Set(s"v$batchId") ++ prev, gcGraceMs)
   }
 
-  private def gcVersions(tableDir: String, keep: Set[String]): Unit = {
+  private def gcVersions(tableDir: String, keep: Set[String],
+      graceMs: Long): Unit = {
+    val cutoff = System.currentTimeMillis() - graceMs
     val dirs = Option(new java.io.File(tableDir).listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
-        !keep.contains(f.getName))
+        !keep.contains(f.getName) && f.lastModified() < cutoff)
     dirs.foreach { d =>
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)

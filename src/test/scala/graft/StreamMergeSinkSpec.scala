@@ -102,4 +102,50 @@ class StreamMergeSinkSpec extends AnyFunSuite {
       .as[(Long, Long, java.sql.Timestamp, String, Double)].collect().toSet
     assert(got == expected)
   }
+
+  test("merge sink manifest: torn or corrupted pointer is detected, not silently followed") {
+    val src = graft.api.Tables.t(spark, TestSpark.sf0001, "events")
+      .select("user_id", "event_id", "ts", "event_type", "value").limit(10)
+    val table = tmpDir("graft-merge-manifest")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(table))
+    MergeSink.upsertBatch(src, table, 0L)
+    assert(MergeSink.currentVersion(table).contains("v0"))
+    val m = java.nio.file.Paths.get(table, "MANIFEST")
+    val published = java.nio.file.Files.readString(m)
+    // a torn write on a non-atomic store: version name truncated mid-byte
+    java.nio.file.Files.writeString(m, published.dropRight(3))
+    assertThrows[IllegalStateException](MergeSink.currentVersion(table))
+    // bit-rot: pointer intact but checksum disagrees
+    java.nio.file.Files.writeString(m, "v0 00000000")
+    assertThrows[IllegalStateException](MergeSink.currentVersion(table))
+    // repair by re-pointing (the documented operator action: the version
+    // dirs are still on disk) restores the table
+    java.nio.file.Files.writeString(m, published)
+    assert(MergeSink.currentVersion(table).contains("v0"))
+    // the sink folds latest-per-user, so one row per distinct user
+    val users = src.select("user_id").distinct().count()
+    assert(MergeSink.readCurrent(spark, table).get.count() == users)
+  }
+
+  test("merge sink GC grace window: recent version dirs survive past the keep-two rule") {
+    val src = graft.api.Tables.t(spark, TestSpark.sf0001, "events")
+      .select("user_id", "event_id", "ts", "event_type", "value")
+    val table = tmpDir("graft-merge-grace")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(table))
+    // an hour-long grace: every version written in this test is younger,
+    // so a slow reader's dir is never deleted under it
+    for (b <- 0L to 4L)
+      MergeSink.upsertBatch(src.filter(col("event_id") % 5 === b), table, b,
+        gcGraceMs = 3600L * 1000L)
+    def vDirs() = Option(new java.io.File(table).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName).toSet
+    assert(vDirs() == Set("v0", "v1", "v2", "v3", "v4"), vDirs().toString)
+    // a zero-grace publish then collapses history back to the keep-two
+    // floor — the age check augments, never replaces, the version keep-set
+    MergeSink.upsertBatch(src.filter(col("event_id") % 7 === 0), table, 5L)
+    assert(vDirs() == Set("v4", "v5"), vDirs().toString)
+    assert(MergeSink.currentVersion(table).contains("v5"))
+  }
 }
