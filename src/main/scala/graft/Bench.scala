@@ -61,6 +61,45 @@ object Bench {
 
     val results = timeGroup(SparkEntry.benchQueries)
     val extResults = timeGroup(SparkEntry.benchQueriesExtended)
+
+    // ANN cost-recall group: p10/p13 have no SQL oracle (approximate by
+    // design), so their accuracy lives in spec-only recall sweeps —
+    // invisible round-over-round. This group makes the cost-recall
+    // frontier a diffable bench artifact: each knob setting is timed AND
+    // scored for recall@5 against the exact brute-force baseline (fixed
+    // seeds, so recall is deterministic; a recall regression is a code
+    // change, never noise). ~250 (qid, nid) pairs collect to the driver —
+    // calibration-scale, same as the probe.
+    val annJson = try {
+      import org.apache.spark.sql.functions.col
+      import graft.operators.Similarity
+      val e = graft.api.Tables.t(spark, sfDir, "embeddings")
+      val q = e.filter(col("vec_id") % 50 === 0)
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select("qid", "nid").collect()
+          .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+          .toSet
+      val exact = pairs(Similarity.bruteForceTopK(q, e, 5))
+      def setting(name: String, f: () => org.apache.spark.sql.DataFrame): String = {
+        val recall = (pairs(f()).intersect(exact).size.toDouble /
+          exact.size * 1e4).round / 1e4 // warm run doubles as recall probe
+        val secs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); f().count(); (System.nanoTime() - t0) / 1e9
+        }.min
+        s""""$name":{"sec":$secs,"recall":$recall}"""
+      }
+      val settings = Seq(
+        ("lsh_t2_p1", () => Similarity.lshTopK(q, e, 5, tables = 2, probeBits = 1)),
+        ("lsh_t4_p2", () => Similarity.lshTopK(q, e, 5, tables = 4, probeBits = 2)),
+        ("lsh_t6_p2", () => Similarity.lshTopK(q, e, 5)), // p10's defaults
+        ("ivf_np1", () => Similarity.ivfTopK(q, e, 5, nprobe = 1)),
+        ("ivf_np2", () => Similarity.ivfTopK(q, e, 5, nprobe = 2)),
+        ("ivf_np4", () => Similarity.ivfTopK(q, e, 5))) // p13's defaults
+      settings.map { case (n, f) => setting(n, f) }.mkString("{", ",", "}")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ann group FAILED: ${e.getMessage}")
+      "null"
+    }
     val probeEnd = probe()
     // a failed query reports null and is excluded from the total, so
     // totals stay comparable across rounds (a broken query must neither
@@ -92,7 +131,7 @@ object Bench {
     val normalizedTotal = normTotal(results)
     val extNormalizedTotal = normTotal(extResults)
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(results)(_._1)},"medians":${qJson(results)(_._2)},"probes":${qJson(results)(_._3)},"legacy_total":$total,"normalized_total":$normalizedTotal,"extended":${qJson(extResults)(_._1)},"extended_probes":${qJson(extResults)(_._3)},"extended_total":$extTotal,"extended_normalized_total":$extNormalizedTotal,"noise_floor":{"probe_start":$probeStart,"probe_end":$probeEnd},"failed":$failedJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(results)(_._1)},"medians":${qJson(results)(_._2)},"probes":${qJson(results)(_._3)},"legacy_total":$total,"normalized_total":$normalizedTotal,"extended":${qJson(extResults)(_._1)},"extended_probes":${qJson(extResults)(_._3)},"extended_total":$extTotal,"extended_normalized_total":$extNormalizedTotal,"ann":$annJson,"noise_floor":{"probe_start":$probeStart,"probe_end":$probeEnd},"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // belt-and-braces for the driver: also drop the line in a file, immune
     // to any log-prefixing of stdout. Stdout stays the primary channel —
