@@ -82,4 +82,32 @@ object ConnectedComponents {
         coalesce(col("label"), col(idCol)).as("group_id"))
       .withColumn("is_rep", col("doc_id") === col("group_id"))
   }
+
+  /** Canonical-document selection — the KEEP POLICY a pipeline runs after
+    * grouping: [[dedupGroups]] marks min-id representatives, but real
+    * dedup keeps the BEST copy of each group, not the lowest-numbered one
+    * (near-dup copies differ — truncation, boilerplate injection — and
+    * dropping the complete copy for an id accident throws data away).
+    * Picks argmax(`qualityCol`) per group, ties to min id, via the
+    * TopKPerGroup physical operator (k=1 streamed partials — no
+    * WindowExec sort-and-buffer; the group frame is near-dup-subgraph
+    * sized plus singletons, and the topK partial bounds per-task state
+    * at one row per group per partition).
+    *
+    * Output: one row per document — (doc_id, group_id, quality,
+    * is_canonical); a keep-one dedup retains the is_canonical rows.
+    */
+  def canonicalDocs(docs: DataFrame, idCol: String, pairs: DataFrame,
+      qualityCol: String, maxIter: Int = 20): DataFrame = {
+    val scored = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(qualityCol).as("quality"))
+    val grouped = dedupGroups(docs, idCol, pairs, maxIter)
+      .join(scored, Seq("doc_id"))
+    val canon = graft.plans.TopKPerGroup.topK(grouped, Seq("group_id"),
+        Seq(col("quality").desc, col("doc_id").asc), 1)
+      .select(col("group_id"), col("doc_id").as("canon_id"))
+    grouped.join(canon, Seq("group_id"))
+      .select(col("doc_id"), col("group_id"), col("quality"),
+        (col("doc_id") === col("canon_id")).as("is_canonical"))
+  }
 }

@@ -158,6 +158,37 @@ object TextAnalysis {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Per-document n-gram NOVELTY against the corpus, in id order: the
+    * fraction of a doc's distinct n-grams whose FIRST corpus occurrence
+    * (min doc id over all docs containing the gram) is this doc. A
+    * curation signal with two live uses: ingest ordering (docs adding
+    * near-zero novel content late in the corpus are dedup/boilerplate
+    * suspects even when no single pair crosses a near-dup threshold) and
+    * contribution attribution (how much genuinely new text a source
+    * added). Docs shorter than n tokens carry no grams → excluded.
+    *
+    * Scale design: per-doc distinct grams stream off the ShingleRows
+    * generator (no arrays); first occurrences are one partial-agg
+    * min(id) shuffle on the gram key (vocab-sized, stopword-gram skew =
+    * the AQE skew case since the min side is 1 row per gram); the
+    * join-back is a gram-keyed equi-join; the final per-doc fraction is
+    * a linear partial-agg on id. No all-pairs anything — novelty is a
+    * per-gram min, not a doc×doc comparison.
+    */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val grams = df.select(col(idCol).cast("long").as("id"),
+        Fns.shingleRows(Fns.tokens(col(textCol)), n).as("gram"))
+      .distinct()
+    val first = grams.groupBy("gram").agg(min("id").as("first_id"))
+    grams.join(first, "gram")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("id") === col("first_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("id").as(idCol), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+  }
+
   /** Zipf's-law fit over the top-N token-frequency ranks: OLS of
     * ln(count) on ln(rank) — slope near −1 is the natural-language
     * signature; a synthetic/templated corpus bends it. Returns one row

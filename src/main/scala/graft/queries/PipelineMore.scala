@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.api.{QueryDef, Tables}
-import graft.operators.{Dedup, IncrementalDedup, Multimodal, PageRank, TextAnalysis}
+import graft.operators.{ConnectedComponents, Dedup, IncrementalDedup, Multimodal, PageRank, TextAnalysis}
 
 /** Rounds 6-7 additions: corpus-statistics fit (Zipf), framed audio
   * features over real decoded WAV, order-sensitive bigram LM scoring,
@@ -376,6 +376,80 @@ object PipelineMore {
            |  SELECT doc_id, tok_idx, 0, '[UNK]' FROM fails)
            |SELECT doc_id, CAST(tok_idx AS INTEGER) AS tok_idx,
            |  CAST(piece_idx AS INTEGER) AS piece_idx, piece
-           |FROM up ORDER BY doc_id, tok_idx, piece_idx""".stripMargin))
+           |FROM up ORDER BY doc_id, tok_idx, piece_idx""".stripMargin)),
+
+    // --- canonical-doc selection (the KEEP POLICY after dedup): p14
+    //     groups near-dup components, but real dedup keeps the BEST copy
+    //     per group, not the min-id one — here quality = token count
+    //     (keep-the-most-complete-copy), argmax via TopKPerGroup (k=1,
+    //     no WindowExec), ties to min id. Oracle: p14's recursive-CTE
+    //     components + a plain window argmax. ---
+    QueryDef(
+      "p48_canonical_docs",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+          shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.8)
+        ConnectedComponents.canonicalDocs(
+            docs.withColumn("quality",
+              size(graft.functions.Fns.tokens(col("text"))).cast("long")),
+            "doc_id", pairs, "quality")
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH RECURSIVE
+          |t AS (SELECT doc_id, string_split(text, ' ') tk FROM documents),
+          |sh AS (SELECT doc_id,
+          |         list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+          |                        FOR i IN range(1, len(tk) - 1)]) s
+          |       FROM t WHERE len(tk) >= 3),
+          |p AS (SELECT a.doc_id id_a, b.doc_id id_b,
+          |        len(list_intersect(a.s, b.s))::DOUBLE
+          |          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) j
+          |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+          |e0 AS (SELECT id_a, id_b FROM p WHERE j >= 0.8),
+          |edges AS (SELECT id_a AS s, id_b AS d FROM e0
+          |          UNION SELECT id_b, id_a FROM e0),
+          |reach AS (
+          |  SELECT s, d FROM edges
+          |  UNION
+          |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+          |),
+          |comp AS (SELECT s AS doc_id, least(s, min(d)) AS group_id
+          |         FROM reach GROUP BY s),
+          |q AS (SELECT d.doc_id,
+          |        coalesce(c.group_id, d.doc_id) AS group_id,
+          |        len(string_split(d.text, ' '))::BIGINT AS quality
+          |      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY group_id
+          |        ORDER BY quality DESC, doc_id) AS rk FROM q)
+          |SELECT doc_id, group_id, quality, rk = 1 AS is_canonical
+          |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // --- per-doc n-gram novelty in ingest (id) order: the fraction of a
+    //     doc's distinct 3-grams whose first corpus occurrence is this
+    //     doc — near-zero novelty late in the corpus flags boilerplate
+    //     accretion no single near-dup pair catches. One gram-keyed
+    //     min(id) shuffle + join-back; no doc-pair comparison anywhere. ---
+    QueryDef(
+      "p49_ngram_novelty",
+      (s, dir) => TextAnalysis.ngramNovelty(
+          Tables.t(s, dir, "documents"), "doc_id", "text", n = 3)
+        .orderBy("doc_id"),
+      Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') tk FROM documents),
+          |sh AS (SELECT doc_id,
+          |         unnest(list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+          |                               FOR i IN range(1, len(tk) - 1)])) AS gram
+          |       FROM t WHERE len(tk) >= 3),
+          |f AS (SELECT gram, min(doc_id) AS first_id FROM sh GROUP BY gram)
+          |SELECT s.doc_id,
+          |  count(*)::BIGINT AS n_grams,
+          |  sum(CASE WHEN s.doc_id = f.first_id THEN 1 ELSE 0 END)::BIGINT
+          |    AS n_novel,
+          |  round(sum(CASE WHEN s.doc_id = f.first_id THEN 1 ELSE 0 END)::DOUBLE
+          |    / count(*), 6) AS novelty
+          |FROM sh s JOIN f USING (gram)
+          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin))
   )
 }

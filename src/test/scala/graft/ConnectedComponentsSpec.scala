@@ -42,6 +42,24 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(reps.forall(_ == 1))
   }
 
+  test("canonicalDocs keeps the argmax-quality copy per group, ties to min id") {
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L), // group 1: 2 and 3 tie on quality
+      (4L, 5L),                        // singleton
+      (7L, 9L), (8L, 11L)              // group 7: 8 wins outright
+    ).toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val got = ConnectedComponents.canonicalDocs(docs, "doc_id", pairs, "quality")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 10L, false), (2L, 1L, 30L, true), (3L, 1L, 30L, false),
+      (4L, 4L, 5L, true),
+      (7L, 7L, 9L, false), (8L, 7L, 11L, true)))
+    // invariant: exactly one canonical row per group, never zero
+    val perGroup = got.groupBy(_._2).map { case (_, rs) => rs.count(_._4) }
+    assert(perGroup.forall(_ == 1))
+  }
+
   test("giant skewed component: 20k-spoke hub + 512-node chain inside the log bound") {
     // the hub gives the neighbor-min groupBy one 20k-row key — the skew
     // shape of a boilerplate page at 100 TB; min is algebraic, so the

@@ -53,6 +53,30 @@ class PipelineExtSpec extends AnyFunSuite {
     assert(nullRow == ((false, "empty")), nullRow.toString)
   }
 
+  test("ngram novelty: first-occurrence fractions match hand computation") {
+    val docs = Seq(
+      (1L, "a b c d"),        // grams "a b c","b c d" — both first here
+      (2L, "a b c d e"),      // "a b c","b c d" seen; "c d e" novel -> 1/3
+      (3L, "a b c"),          // "a b c" seen -> 0
+      (4L, "z"),              // no grams: excluded from output
+      (5L, "x y z w")         // all novel -> 1.0
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNovelty(docs, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, g, nv, f) => id -> ((g, nv, f)) }.toMap
+    assert(got == Map(
+      1L -> ((2L, 2L, 1.0)),
+      2L -> ((3L, 1L, 0.333333)),
+      3L -> ((1L, 0L, 0.0)),
+      5L -> ((2L, 2L, 1.0))))
+    // duplicate grams inside one doc count once (distinct per doc)
+    val dup = TextAnalysis.ngramNovelty(
+      Seq((9L, "p q r p q r p q r")).toDF("doc_id", "text"),
+      "doc_id", "text", 3).as[(Long, Long, Long, Double)].collect().head
+    // 7 gram positions but only 3 distinct grams ("p q r","q r p","r p q")
+    assert(dup._2 == 3L, s"distinct grams of the repeated phrase: $dup")
+  }
+
   test("decontaminate: overlap counts = distinct shared n-grams per doc") {
     val got = Decontaminate
       .overlapCounts(train, eval, "doc_id", "text", n = 3)
