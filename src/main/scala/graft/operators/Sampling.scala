@@ -63,6 +63,58 @@ object Sampling {
       .drop(h, rn)
   }
 
+  /** Temperature-weighted mixture sampling — the GPT-3 / multilingual-
+    * BERT source-reweighting rule: stratum i receives quota
+    * floor(totalN · cᵢᵀ / Σⱼ cⱼᵀ) (min 1 per present stratum), with
+    * T ∈ (0, 1] the temperature — T = 1 is proportional allocation,
+    * smaller T flattens the mixture toward uniform (upsampling rare
+    * sources relative to their share). Unlike [[mixture]] the quotas are
+    * DERIVED FROM THE DATA, fully distributed: per-stratum counts are a
+    * partial-agg, the normalizer Z rides a 1-row broadcast, the quota
+    * table is stratum-sized and broadcast to the cut — no counts ever
+    * collect to the driver. Rows are selected in [[perStratum]]'s
+    * deterministic FNV hash order.
+    *
+    * The quota expression rounds to 9dp before floor on BOTH engines so
+    * a last-ulp pow/summation difference cannot flip the floor. Floor
+    * allocation can sum slightly under totalN (standard remainder loss);
+    * callers needing the exact total distribute the remainder by
+    * largest-fraction downstream.
+    *
+    * Scale design: same plan as [[mixture]] — one TopKPerGroup pass at
+    * k = totalN bounds map-side state at totalN rows per (stratum ×
+    * partition) and the exact quota cut's window runs over ≤ totalN rows
+    * per stratum, never the corpus.
+    */
+  def temperatureMixture(df: DataFrame, stratumCol: String, idCol: String,
+      temperature: Double, totalN: Int): DataFrame = {
+    require(temperature > 0 && temperature <= 1,
+      s"temperature must be in (0, 1], got $temperature")
+    require(totalN >= 1, s"totalN must be >= 1, got $totalN")
+    val h = "__samp_h"
+    val rn = "__samp_rn"
+    require(!df.columns.contains(h) && !df.columns.contains(rn),
+      s"column names $h/$rn are reserved by temperatureMixture")
+    val cnt = df.groupBy(stratumCol)
+      .agg(count(lit(1)).cast("double").as("__c"))
+    val z = cnt.agg(sum(pow(col("__c"), lit(temperature))).as("__z"))
+    val quotas = cnt.crossJoin(broadcast(z))
+      .select(col(stratumCol),
+        greatest(lit(1L),
+          floor(round(lit(totalN.toDouble) * pow(col("__c"), lit(temperature))
+            / col("__z"), 9)).cast("long")).as("quota"))
+    val order = Seq(col(h).asc, col(idCol).asc)
+    val pruned = graft.plans.TopKPerGroup.topK(
+      df.withColumn(h, Fns.fnv1a32(col(idCol).cast("string"))),
+      Seq(stratumCol), order, totalN)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol).orderBy(order: _*)
+    pruned.join(broadcast(quotas), Seq(stratumCol))
+      .withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= col("quota"))
+      .drop(h, rn)
+  }
+
   /** Deterministic weighted sampling (Efraimidis–Spirakis A-ES): each row
     * gets priority key ln(u)/w with u = (fnv1a32(id)+1)/2^31 ∈ (0,1] —
     * a pure function of the id, not an RNG — and the k largest keys win,

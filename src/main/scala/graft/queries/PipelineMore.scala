@@ -450,6 +450,43 @@ object PipelineMore {
           |  round(sum(CASE WHEN s.doc_id = f.first_id THEN 1 ELSE 0 END)::DOUBLE
           |    / count(*), 6) AS novelty
           |FROM sh s JOIN f USING (gram)
-          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin))
+          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)),
+
+    // --- temperature-weighted mixture sampling (GPT-3 / mBERT source
+    //     reweighting): quota_i = floor(totalN * c_i^T / Z) at T = 0.5,
+    //     DERIVED from the data (counts partial-agg, Z a 1-row
+    //     broadcast, quota table broadcast) — nothing collects. Same
+    //     deterministic FNV order + TopKPerGroup prune as p26; the 9dp
+    //     round before floor keeps the ulp-sensitive pow/sum from
+    //     flipping a quota on either engine. ---
+    QueryDef(
+      "p50_temperature_mixture",
+      (s, dir) => graft.operators.Sampling.temperatureMixture(
+          Tables.t(s, dir, "documents"), "source", "doc_id",
+          temperature = 0.5, totalN = 100)
+        .select("doc_id", "source", "quota")
+        .orderBy("source", "doc_id"),
+      Some(
+        """WITH c AS (SELECT source, count(*)::DOUBLE AS c
+          |           FROM documents GROUP BY source),
+          |z AS (SELECT sum(pow(c, 0.5)) AS z FROM c),
+          |q AS (SELECT source,
+          |        greatest(1, floor(round(100.0 * pow(c, 0.5) / z, 9))::BIGINT)
+          |          AS quota
+          |      FROM c CROSS JOIN z),
+          |h AS (SELECT doc_id, source,
+          |    (list_reduce(list_prepend(2166136261::BIGINT,
+          |       list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+          |         c -> unicode(c)::BIGINT)),
+          |       (h, c) -> (xor(h, c) * 16777619) % 4294967296)) % 2147483648
+          |      AS hv
+          |  FROM documents),
+          |r AS (SELECT doc_id, source,
+          |        row_number() OVER (PARTITION BY source ORDER BY hv, doc_id)
+          |          AS rn
+          |      FROM h)
+          |SELECT r.doc_id, r.source, q.quota
+          |FROM r JOIN q USING (source) WHERE rn <= q.quota
+          |ORDER BY r.source, r.doc_id""".stripMargin))
   )
 }

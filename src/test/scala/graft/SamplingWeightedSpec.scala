@@ -42,6 +42,40 @@ class SamplingWeightedSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange rangepartitioning"), plan)
   }
 
+  test("temperatureMixture: T=1 is proportional, smaller T flattens toward uniform") {
+    // 800 rows of src_big, 100 of src_mid, 4 of src_tiny
+    val df = ((0 until 800).map(i => (i.toLong, "src_big")) ++
+      (800 until 900).map(i => (i.toLong, "src_mid")) ++
+      (900 until 904).map(i => (i.toLong, "src_tiny")))
+      .toDF("id", "source")
+    def quotas(t: Double) = Sampling.temperatureMixture(df, "source", "id", t, 100)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    val q1 = quotas(1.0)
+    // proportional: floor(100*800/904)=88, floor(100*100/904)=11, tiny floors to 0 -> min 1
+    assert(q1 == Map("src_big" -> 88L, "src_mid" -> 11L, "src_tiny" -> 1L), q1.toString)
+    val qHalf = quotas(0.5)
+    // sqrt scaling: z = sqrt(800)+sqrt(100)+sqrt(4) = 28.28+10+2
+    // big: floor(100*28.28/40.28)=70, mid: floor(100*10/40.28)=24, tiny: floor(100*2/40.28)=4
+    assert(qHalf == Map("src_big" -> 70L, "src_mid" -> 24L, "src_tiny" -> 4L), qHalf.toString)
+    // flattening is monotone: the dominant source's share shrinks as T drops
+    assert(qHalf("src_big") < q1("src_big"))
+    assert(qHalf("src_tiny") > q1("src_tiny"))
+  }
+
+  test("temperatureMixture: deterministic across layouts; a stratum never exceeds its size") {
+    val df = ((0 until 30).map(i => (i.toLong, "a")) ++
+      (30 until 33).map(i => (i.toLong, "b"))).toDF("id", "source")
+    val x = Sampling.temperatureMixture(df, "source", "id", 0.5, 20)
+      .select("id").as[Long].collect().toSet
+    val y = Sampling.temperatureMixture(df.repartition(7), "source", "id", 0.5, 20)
+      .select("id").as[Long].collect().toSet
+    assert(x == y, "selection must be a pure function of the data")
+    // b has 3 rows; its quota can exceed 3 only nominally — selection caps at |b|
+    val perSrc = Sampling.temperatureMixture(df, "source", "id", 0.5, 20)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(perSrc("b") <= 3)
+  }
+
   test("leakageSafeSplit: near-dup groups never straddle splits") {
     val docs = (0L until 100L).toDF("doc_id")
     // chain pairs: {0,1,2} one group, {10,11} another, rest singletons
