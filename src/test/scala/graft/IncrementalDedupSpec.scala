@@ -89,6 +89,57 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert((r1 & r2).isEmpty)
   }
 
+  test("streaming ingest: kept set equals the batch-global greedy drop rule, any batch boundaries") {
+    import graft.streaming.DedupIngest
+    // expected: drop every id_b of the FULL near-dup pair set — the
+    // drop-against-all-seen rule the object scaladoc proves
+    // boundary-invariant (ids are monotone in ingest order here)
+    val dropIds = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        P.shingleSize, P.numHashes, P.bands, P.threshold)
+      .select($"id_b").as[Long].collect().toSet
+    val expected = docs.select($"doc_id").as[Long].collect().toSet -- dropIds
+    assert(dropIds.nonEmpty, "fixtures plant near-dups")
+
+    def runWith(nSplits: Int, tag: String): Set[Long] = {
+      val root = tmpDir(s"stream_$tag")
+      val src = s"$root/src"
+      // id-ranged files so ingest (file) order == id order
+      val ids = docs.select(max("doc_id")).as[Long].head() + 1
+      docs.withColumn("part",
+          floor($"doc_id" * nSplits / ids).cast("int"))
+        .repartition(1).write.partitionBy("part").parquet(src)
+      val idx = s"$root/idx"
+      val kept = s"$root/kept"
+      DedupIngest.initEmptyIndex(spark, "doc_id", "text", P, idx)
+      val stream = spark.readStream
+        .schema(docs.withColumn("part", lit(0)).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .drop("part")
+      val q = DedupIngest.ingestStream(stream, "doc_id", "text", P, idx,
+        kept, s"$root/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(kept).select($"doc_id").as[Long].collect().toSet
+    }
+
+    assert(runWith(4, "a") == expected)
+    // different batch boundaries, same answer
+    assert(runWith(2, "b") == expected)
+  }
+
+  test("streaming ingest: a replayed batch id is a committed no-op") {
+    import graft.streaming.DedupIngest
+    val root = tmpDir("replay")
+    val idx = s"$root/idx"
+    val kept = s"$root/kept"
+    DedupIngest.initEmptyIndex(spark, "doc_id", "text", P, idx)
+    val b = docs.limit(50)
+    DedupIngest.processBatch(b, 0L, "doc_id", "text", P, idx, kept)
+    val after = spark.read.parquet(kept).count()
+    // at-least-once replay of the same batch id: marker short-circuits
+    DedupIngest.processBatch(b, 0L, "doc_id", "text", P, idx, kept)
+    assert(spark.read.parquet(kept).count() == after)
+  }
+
   test("probing with a different MinHash family is rejected") {
     val idx = tmpDir("params")
     IncrementalDedup.buildIndex(docs.limit(20), "doc_id", "text", P, idx)
