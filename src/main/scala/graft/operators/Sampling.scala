@@ -145,6 +145,31 @@ object Sampling {
       .limit(k)
   }
 
+  /** Quantile (curriculum) binning: every row gets a bin in [1, nBins]
+    * by exact score quantiles — curriculum schedules and
+    * difficulty-stratified ablations order training data by exactly this.
+    * Cutoffs are ONE aggregate row (nBins−1 doubles) broadcast to a
+    * per-row comparison — the corpus is never sorted or windowed; at
+    * 100 TB swap the exact `percentile` for `approx_percentile` (same
+    * plan shape, sketch-merge aggregate) — the exact form here is the
+    * oracle-checkable baseline. Cutoffs are rounded to 6dp before the
+    * comparison so last-ulp interpolation differences between engines
+    * cannot flip a boundary row's bin.
+    */
+  def quantileBins(df: DataFrame, idCol: String, score: Column,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins must be in [2,1000], got $nBins")
+    val scored = df.select(col(idCol), score.cast("double").as("score"))
+    val qs = (1 until nBins).map(i => i.toDouble / nBins)
+    val cuts = scored
+      .agg(expr(s"percentile(score, array(${qs.mkString(", ")}))").as("p"))
+      .select(expr("transform(p, c -> round(c, 6))").as("cuts"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col(idCol), col("score"),
+        (lit(1) + size(filter(col("cuts"), c => col("score") > c)))
+          .cast("int").as("bin"))
+  }
+
   /** Near-dup-leakage-safe train/val/test split: documents are split by
     * the HASH OF THEIR DEDUP GROUP, not their own id, so every member of
     * a near-duplicate cluster lands in the same split — the standard

@@ -487,6 +487,28 @@ object PipelineMore {
           |      FROM h)
           |SELECT r.doc_id, r.source, q.quota
           |FROM r JOIN q USING (source) WHERE rn <= q.quota
-          |ORDER BY r.source, r.doc_id""".stripMargin))
+          |ORDER BY r.source, r.doc_id""".stripMargin)),
+
+    // --- quantile (curriculum) binning: per-doc quartile of token count
+    //     from EXACT percentile cutoffs (1-row broadcast, no sort/window
+    //     over the corpus; approx_percentile is the stated 100 TB swap).
+    //     Cutoffs rounded 6dp before comparison on both engines. ---
+    QueryDef(
+      "p51_curriculum_bins",
+      (s, dir) => graft.operators.Sampling.quantileBins(
+          Tables.t(s, dir, "documents"), "doc_id",
+          size(graft.functions.Fns.tokens(col("text"))), nBins = 4)
+        .orderBy("doc_id"),
+      Some(
+        """WITH s AS (SELECT doc_id,
+          |             len(string_split(text, ' '))::DOUBLE AS score
+          |           FROM documents),
+          |c AS (SELECT list_transform(
+          |        quantile_cont(score, [0.25, 0.5, 0.75]),
+          |        x -> round(x, 6)) AS cuts
+          |      FROM s)
+          |SELECT doc_id, score,
+          |  (1 + len(list_filter(cuts, x -> score > x)))::INT AS bin
+          |FROM s CROSS JOIN c ORDER BY doc_id""".stripMargin))
   )
 }

@@ -76,6 +76,26 @@ class SamplingWeightedSpec extends AnyFunSuite {
     assert(perSrc("b") <= 3)
   }
 
+  test("quantileBins: quartiles are balanced on a uniform score, boundaries go low") {
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "s")
+    val bins = Sampling.quantileBins(df, "id", col("s"), 4)
+      .as[(Long, Double, Int)].collect()
+    val byBin = bins.groupBy(_._3).view.mapValues(_.length).toMap
+    // exact quartile cuts on 1..100: 25.75 / 50.5 / 75.25 — 25-ish per bin
+    assert(byBin.keySet == Set(1, 2, 3, 4), byBin.toString)
+    assert(byBin.values.forall(n => n >= 24 && n <= 26), byBin.toString)
+    // score == cut lands in the LOWER bin (strict > against the cut)
+    val two = Sampling.quantileBins(
+      Seq((1L, 1.0), (2L, 1.0), (3L, 2.0), (4L, 2.0)).toDF("id", "s"),
+      "id", col("s"), 2).as[(Long, Double, Int)].collect().toSet
+    // cut (median) = 1.5: the 1.0s bin 1, the 2.0s bin 2
+    assert(two == Set((1L, 1.0, 1), (2L, 1.0, 1), (3L, 2.0, 2), (4L, 2.0, 2)))
+    // layout-invariant: cutoffs are a global aggregate, not per-partition
+    val re = Sampling.quantileBins(df.repartition(7), "id", col("s"), 4)
+      .as[(Long, Double, Int)].collect().toSet
+    assert(re == bins.toSet)
+  }
+
   test("leakageSafeSplit: near-dup groups never straddle splits") {
     val docs = (0L until 100L).toDF("doc_id")
     // chain pairs: {0,1,2} one group, {10,11} another, rest singletons
