@@ -16,6 +16,67 @@ case class GeoMeanBuf(var sumLog: Double, var n: Long)
   * exp/ln in double: cross-engine drift is far below the 6dp rounding
   * every consuming query applies.
   */
+/** One (key, exact-or-MG count) pair of a [[TopKFreq]] result. */
+case class KeyCount(key: String, cnt: Long)
+/** [[TopKFreq]] output wrapper (product encoder needs a named struct). */
+case class TopKOut(items: Seq[KeyCount])
+/** Bounded Misra-Gries counter map for [[TopKFreq]]. */
+case class MGBuf(var m: Map[String, Long])
+
+/** Per-GROUP approximate heavy hitters as a typed, constructor-
+  * parameterized Aggregator — the harder instance of the UDAF plugin
+  * ABI beside [[GeoMean]] (custom buffer encoder over a Map, mergeable-
+  * summary semantics, struct-array output consumed via posexplode).
+  *
+  * Each buffer is a `capacity`-entry Misra-Gries summary: reduce is the
+  * classic increment-or-decrement-all step; merge adds counts then
+  * subtracts the (capacity+1)-th largest total and drops non-positives —
+  * the standard mergeable-summaries result (Agarwal et al., PODS 2012),
+  * so partial aggregation stays map-side like built-in aggregates and
+  * the shuffle carries at most `capacity` entries per group per
+  * partition, regardless of group size.
+  *
+  * Exactness contract (q50's lesson, restated per group): if a group
+  * sees <= capacity distinct keys in every partial, no decrement ever
+  * fires and the counts — and therefore the top-k — are EXACT; that is
+  * the regime the q76 oracle certifies (bounded key domain). Beyond it
+  * the summary degrades gracefully to within-N_p/capacity
+  * underestimates. finish emits the top-k by (count desc, key asc) as
+  * an array of (key, cnt) structs.
+  */
+class TopKFreq(k: Int, capacity: Int)
+    extends Aggregator[String, MGBuf, TopKOut] {
+  require(k >= 1 && capacity >= k,
+    s"need capacity >= k >= 1, got k=$k capacity=$capacity")
+  override def zero: MGBuf = MGBuf(Map.empty)
+  override def reduce(b: MGBuf, key: String): MGBuf = {
+    if (key != null) b.m.get(key) match {
+      case Some(c) => b.m = b.m.updated(key, c + 1)
+      case None if b.m.size < capacity => b.m = b.m.updated(key, 1L)
+      case None => b.m = b.m.flatMap { case (kk, c) =>
+        if (c == 1L) None else Some(kk -> (c - 1L)) }
+    }
+    b
+  }
+  override def merge(a: MGBuf, b: MGBuf): MGBuf = {
+    var m = a.m
+    b.m.foreach { case (kk, c) => m = m.updated(kk, m.getOrElse(kk, 0L) + c) }
+    if (m.size > capacity) {
+      // (capacity+1)-th largest count; <= capacity keys exceed it strictly
+      val cut = m.values.toSeq.sorted(Ordering[Long].reverse).apply(capacity)
+      m = m.flatMap { case (kk, c) =>
+        if (c - cut <= 0L) None else Some(kk -> (c - cut)) }
+    }
+    a.m = m
+    a
+  }
+  override def finish(b: MGBuf): TopKOut =
+    TopKOut(b.m.toSeq.sortBy { case (kk, c) => (-c, kk) }.take(k)
+      .map { case (kk, c) => KeyCount(kk, c) })
+  override def bufferEncoder: Encoder[MGBuf] = Encoders.product[MGBuf]
+  override def outputEncoder: Encoder[TopKOut] = Encoders.product[TopKOut]
+}
+
 object GeoMean extends Aggregator[Double, GeoMeanBuf, Double] {
   override def zero: GeoMeanBuf = GeoMeanBuf(0.0, 0L)
   override def reduce(b: GeoMeanBuf, x: Double): GeoMeanBuf = {

@@ -499,6 +499,41 @@ object RelationalScale {
           |                       ORDER BY value DESC, event_id) AS rk
           |  FROM events)
           |SELECT user_id, event_id, value FROM r WHERE rk <= 5
-          |ORDER BY user_id, value DESC, event_id""".stripMargin))
+          |ORDER BY user_id, value DESC, event_id""".stripMargin)),
+
+    // --- per-group heavy hitters via the TopKFreq Misra-Gries UDAF (the
+    //     typed, constructor-parameterized plugin-ABI instance beside
+    //     q59's registered GeoMean): top-5 quantities per returnflag,
+    //     capacity 256 >> the 50-value quantity domain, so every partial
+    //     stays in the exact regime (q50's contract, per group) and the
+    //     oracle is a plain exact count window. Keys are strings by the
+    //     ABI, so the tie-break is STRING order — mirrored verbatim. ---
+    QueryDef(
+      "q76_group_heavy_hitters",
+      (s, dir) => {
+        val tf = udaf(new graft.functions.TopKFreq(5, 256),
+          org.apache.spark.sql.Encoders.STRING)
+        Tables.t(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            floor(col("l_quantity")).cast("int").cast("string").as("qkey"))
+          .groupBy("l_returnflag")
+          .agg(tf(col("qkey")).as("tk"))
+          .select(col("l_returnflag"),
+            posexplode(col("tk.items")).as(Seq("pos", "kc")))
+          .select(col("l_returnflag"), (col("pos") + 1).cast("int").as("rank"),
+            col("kc.key").as("qkey"), col("kc.cnt").as("cnt"))
+          .orderBy("l_returnflag", "rank")
+      },
+      Some(
+        """WITH k AS (SELECT l_returnflag,
+          |    CAST(CAST(floor(l_quantity) AS INT) AS VARCHAR) AS qkey
+          |  FROM lineitem),
+          |c AS (SELECT l_returnflag, qkey, count(*) AS cnt
+          |      FROM k GROUP BY 1, 2),
+          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY l_returnflag
+          |        ORDER BY cnt DESC, qkey) AS INT) AS rank
+          |      FROM c)
+          |SELECT l_returnflag, rank, qkey, cnt FROM r WHERE rank <= 5
+          |ORDER BY l_returnflag, rank""".stripMargin))
   )
 }

@@ -62,4 +62,43 @@ class HeavyHittersSpec extends AnyFunSuite {
       HeavyHitters.topK(Seq(1L).toDF("k"), "k", k = 10, capacity = 4)
     }
   }
+
+  test("TopKFreq UDAF: exact regime equals the exact per-group count window") {
+    import graft.functions.TopKFreq
+    val rnd = new scala.util.Random(17)
+    val rows = Seq.fill(10000)(
+        (rnd.nextInt(4).toString, rnd.nextInt(40).toString))
+      .toDF("g", "k").repartition(8)
+    val tf = udaf(new TopKFreq(5, 256), org.apache.spark.sql.Encoders.STRING)
+    val got = rows.groupBy("g").agg(tf(col("k")).as("tk"))
+      .select(col("g"), posexplode(col("tk.items")).as(Seq("pos", "kc")))
+      .select(col("g"), col("pos"), col("kc.key"), col("kc.cnt"))
+      .as[(String, Int, String, Long)].collect().toSet
+    val exact = rows.groupBy("g", "k").agg(count(lit(1)).as("cnt"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")
+          .orderBy(col("cnt").desc, col("k"))) - 1)
+      .filter(col("pos") < 5).select("g", "pos", "k", "cnt")
+      .as[(String, Int, String, Long)].collect().toSet
+    assert(got == exact)
+  }
+
+  test("TopKFreq UDAF: buffers stay capacity-bounded through skewed merges") {
+    import graft.functions.{MGBuf, TopKFreq}
+    val agg = new TopKFreq(3, 8)
+    // 100 distinct keys through capacity-8 buffers: every intermediate
+    // state must respect the bound (the shuffle-size contract)
+    val b1 = (0 until 100).map(_.toString)
+      .foldLeft(agg.zero)((b, k) => agg.reduce(b, k))
+    assert(b1.m.size <= 8, s"reduce bound violated: ${b1.m.size}")
+    val heavy = (0 until 500).map(_ => "HOT")
+      .foldLeft(agg.zero)((b, k) => agg.reduce(b, k))
+    val merged = agg.merge(b1, heavy)
+    assert(merged.m.size <= 8, s"merge bound violated: ${merged.m.size}")
+    // the genuinely heavy key survives decrements and wins
+    assert(agg.finish(merged).items.head.key == "HOT")
+    // null inputs are ignored, empty buffer finishes empty
+    assert(agg.finish(agg.reduce(agg.zero, null)) ==
+      graft.functions.TopKOut(Seq.empty))
+  }
 }
