@@ -527,4 +527,69 @@ object Multimodal {
       }
     }
   }
+
+  case class FrameDiff(doc_id: Long, frame_idx: Int, diff_mean: Double)
+
+  /** Mean |pixel delta| of each frame vs its predecessor, decoded
+    * through the real reader with ONE previous-raster buffer held per
+    * video (sequential decode, O(frame) memory — never all frames at
+    * once). Frame 0 has no predecessor and is not emitted.
+    */
+  private def gifFrameDiffs(bytes: Array[Byte]): Seq[(Int, Double)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    require(readers.hasNext, "payload is not a decodable image container")
+    val reader = readers.next()
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      var prev: Array[Int] = null
+      (0 until n).flatMap { f =>
+        val img = resolveIndexed(reader.read(f))
+        val r = img.getRaster
+        val (w, h, bands) = (img.getWidth, img.getHeight, r.getNumBands)
+        val cur = new Array[Int](w * h * bands)
+        var i = 0; var b = 0
+        while (b < bands) {
+          var p = 0
+          while (p < w * h) {
+            cur(i) = r.getSample(p % w, p / w, b); i += 1; p += 1
+          }
+          b += 1
+        }
+        val out = if (prev == null || prev.length != cur.length) None
+        else {
+          var sum = 0L; var j = 0
+          while (j < cur.length) { sum += math.abs(cur(j) - prev(j)); j += 1 }
+          Some(f -> sum.toDouble / cur.length)
+        }
+        prev = cur
+        out
+      }
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
+
+  /** Keyframe selection — the video-pipeline sampling step that beats
+    * fixed-stride frame grabs: the `k` frames per video with the LARGEST
+    * mean absolute pixel change from their predecessor (scene cuts and
+    * high-motion moments), ranked on the 6dp-ROUNDED diff (ties by frame
+    * index) so the cut is engine-invariant. Decode is per-row flatMap
+    * with one previous-frame buffer (no shuffle, bytes never leave the
+    * task); ranking rides TopKPerGroup (map-side k-row partials, no
+    * WindowExec) — at 100 TB the exchange carries ≤ k diff rows per
+    * video × partition, never pixels.
+    */
+  def keyFrames(ds: Dataset[MediaRow], k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import ds.sparkSession.implicits._
+    val diffs = ds.filter(_.kind == "video").flatMap { r =>
+      gifFrameDiffs(r.media).map { case (f, d) => FrameDiff(r.doc_id, f, d) }
+    }.toDF().withColumn("diff_mean", round(col("diff_mean"), 6))
+    graft.plans.TopKPerGroup.topK(diffs, Seq("doc_id"),
+      Seq(col("diff_mean").desc, col("frame_idx").asc), k)
+  }
 }

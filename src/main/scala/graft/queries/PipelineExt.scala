@@ -756,6 +756,37 @@ object PipelineExt {
           |  CAST(16 AS INTEGER) AS width,
           |  CAST(8 AS INTEGER) AS height,
           |  round(avg(((doc_id*31 + f*17 + i) % 256)::DOUBLE), 6) AS px_mean
-          |FROM px GROUP BY doc_id, f ORDER BY doc_id, frame_idx""".stripMargin))
+          |FROM px GROUP BY doc_id, f ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // --- keyframe selection: top-2 frames per video by mean |pixel
+    //     delta| vs the predecessor (scene-cut/high-motion sampling).
+    //     The synthetic frames advance every pixel by 17 mod 256, so
+    //     per-pixel deltas are 17 or 239 depending on wraparound and the
+    //     per-frame mix varies — a genuinely discriminative ranking,
+    //     fully SQL-recomputable because the GIF codec is lossless.
+    //     Rank on the 6dp-rounded diff, ties by frame index; gray
+    //     palettes resolve to 3 equal bands so band-mean == gray mean. ---
+    QueryDef(
+      "p52_keyframes",
+      (s, dir) => Multimodal.keyFrames(
+          Multimodal.mediaFromDocuments(Tables.t(s, dir, "documents")), k = 2)
+        .select(col("doc_id"), col("frame_idx"), col("diff_mean"))
+        .orderBy("doc_id", "frame_idx"),
+      Some(
+        """WITH vid AS (
+          |  SELECT doc_id, 2 + doc_id % 4 AS nf FROM documents
+          |  WHERE doc_id % 3 = 2),
+          |fr AS (SELECT doc_id, unnest(range(1, nf)) AS f FROM vid),
+          |px AS (SELECT doc_id, f, unnest(range(0, 128)) AS i FROM fr),
+          |d AS (SELECT doc_id, f,
+          |        round(avg(abs(
+          |          ((doc_id*31 + f*17 + i) % 256)
+          |          - ((doc_id*31 + (f-1)*17 + i) % 256))::DOUBLE), 6)
+          |          AS diff_mean
+          |      FROM px GROUP BY doc_id, f),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+          |        ORDER BY diff_mean DESC, f) AS rk FROM d)
+          |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx, diff_mean
+          |FROM r WHERE rk <= 2 ORDER BY doc_id, frame_idx""".stripMargin))
   )
 }

@@ -132,6 +132,30 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(math.abs(f0.px_mean - exp) < 1e-9, s"got ${f0.px_mean}, want $exp")
   }
 
+  test("multimodal: keyframes rank frames by hand-computed inter-frame pixel change") {
+    import graft.operators.Multimodal._
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val media = mediaFromDocuments(docs)
+    val got = keyFrames(media, k = 2)
+      .as[(Long, Int, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    assert(got.nonEmpty)
+    // recompute from the synth rule: pixel i of frame f is
+    // (id*31 + f*17 + i) % 256 — diff vs f-1 is 17 or 239 by wraparound
+    def diff(id: Long, f: Int): Double =
+      (0 until 128).map { i =>
+        math.abs((id * 31 + f * 17 + i) % 256 - (id * 31 + (f - 1) * 17 + i) % 256)
+      }.sum.toDouble / 128
+    got.foreach { case (id, frames) =>
+      val nf = 2 + (id % 4).toInt
+      val exp = (1 until nf).map(f => f -> (math.rint(diff(id, f) * 1e6) / 1e6))
+        .sortBy { case (f, d) => (-d, f) }.take(2).toSet
+      assert(frames == exp, s"doc $id: got $frames want $exp")
+    }
+    // the ranking is genuinely discriminative: some doc has unequal diffs
+    assert(got.exists { case (_, fs) => fs.map(_._2).size > 1 })
+  }
+
   test("streaming tumbling window equals oracle-checked batch twin (q23)") {
     val streamed = EventStreams.runToMemory(spark, TestSpark.sf0001, "t_tumbling")(
       EventStreams.tumblingCounts)
