@@ -302,6 +302,22 @@ object RelationalMore {
           |FROM g GROUP BY 1
           |ORDER BY bucket""".stripMargin)),
 
+    // --- DSv2 COMPLETE aggregate pushdown (SupportsPushDownAggregates):
+    //     ungrouped count/min/max over the virtual table answer from the
+    //     pushed id-range arithmetic — the executed plan contains NO
+    //     aggregate node and generates ZERO rows (GenSourceSpec asserts
+    //     both); the oracle recomputes the semantics from range(). ---
+    QueryDef(
+      "q77_source_agg_pushdown",
+      (s, _) => s.read.format("graft.sources.GenSource")
+        .option("rows", 500000).option("slices", 8).load()
+        .filter(col("id") >= 100000 && col("id") < 400000)
+        .agg(count(lit(1)).as("n"),
+          min("id").as("min_id"), max("id").as("max_id")),
+      Some(
+        """SELECT count(*) AS n, min(id) AS min_id, max(id) AS max_id
+          |FROM range(100000, 400000) t(id) ORDER BY n""".stripMargin)),
+
     // --- optimizer-rule extension (RankLimitRewrite): the DECLARATIVE
     //     row_number-filter formulation, planned through the custom
     //     TopKPerGroup operator by the injected rule — the oracle is the

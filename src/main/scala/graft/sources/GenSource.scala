@@ -4,9 +4,12 @@ import java.util
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation,
+  CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader,
-  PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters,
-  SupportsPushDownRequiredColumns}
+  PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates,
+  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
   GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -79,11 +82,13 @@ class GenTable(rows: Long, slices: Int) extends Table with SupportsRead {
   * filter; pruned columns narrow the emitted schema.
   */
 class GenScanBuilder(rows: Long, slices: Int) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var lo = 0L
   private var hi = rows
   private var accepted: Array[Filter] = Array.empty
   private var prunedSchema: StructType = GenSource.schema
+  private var pushedAgg: Option[Aggregation] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (push, remain) = filters.partition {
@@ -111,8 +116,84 @@ class GenScanBuilder(rows: Long, slices: Int) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     prunedSchema = requiredSchema
 
-  override def build(): Scan = new GenScan(math.min(lo, hi),
-    math.max(math.min(lo, hi), hi), slices, prunedSchema)
+  /** COMPLETE aggregate pushdown for ungrouped COUNT(*)/MIN(id)/MAX(id):
+    * every supported aggregate is a closed form over the pushed [lo, hi)
+    * id range (the generated ids are exactly lo..hi-1), so the source
+    * answers from arithmetic WITHOUT generating a single row — on the
+    * 3.4-billion-row virtual table a count is O(1), not O(n). Anything
+    * else (grouping, other columns, other functions) is declined and
+    * Spark falls back to the plain generate-and-aggregate plan — a
+    * declined pushdown must never change results, only cost.
+    */
+  private def aggSupported(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => isIdRef(m.column)
+        case m: Max => isIdRef(m.column)
+        case _ => false
+      }
+  private def isIdRef(e: org.apache.spark.sql.connector.expressions.Expression) =
+    e match {
+      case nr: NamedReference => nr.fieldNames.sameElements(Array("id"))
+      case _ => false
+    }
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    aggSupported(agg)
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (aggSupported(agg)) { pushedAgg = Some(agg); true } else false
+  }
+
+  override def build(): Scan = {
+    val l = math.min(lo, hi)
+    val h = math.max(l, hi)
+    pushedAgg match {
+      case Some(agg) => new GenAggScan(l, h, agg)
+      case None => new GenScan(l, h, slices, prunedSchema)
+    }
+  }
+}
+
+/** One-row, one-partition scan carrying the closed-form aggregate
+  * answers for the pushed id range (complete pushdown: Spark plans no
+  * aggregate on top). Empty range: COUNT = 0, MIN/MAX = null — the
+  * same semantics the generate-and-aggregate plan produces.
+  */
+class GenAggScan(lo: Long, hi: Long, agg: Aggregation) extends Scan with Batch {
+  private val n = math.max(0L, hi - lo)
+  override def readSchema(): StructType = StructType(
+    agg.aggregateExpressions.zipWithIndex.map {
+      case (_: CountStar, i) => StructField(s"agg$i", LongType, nullable = false)
+      case (_, i) => StructField(s"agg$i", LongType, nullable = true)
+    })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GenAggScan PushedRange: [$lo, $hi) PushedAggregates: " +
+      agg.aggregateExpressions.map(_.describe).mkString("[", ", ", "]")
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GenPartition(0, 1))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val values: Array[Any] = agg.aggregateExpressions.map {
+      case _: CountStar => n: Any
+      case _: Min => if (n == 0L) null else lo: Any
+      case _: Max => if (n == 0L) null else (hi - 1): Any
+      case other => throw new IllegalStateException(
+        s"unsupported pushed aggregate ${other.describe} — " +
+          "aggSupported must reject these")
+    }
+    new SingleRowReaderFactory(values)
+  }
+}
+
+class SingleRowReaderFactory(values: Array[Any])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = InternalRow.fromSeq(values.toSeq)
+      override def close(): Unit = ()
+    }
 }
 
 class GenScan(lo: Long, hi: Long, slices: Int, pruned: StructType)

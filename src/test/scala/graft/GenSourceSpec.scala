@@ -51,4 +51,39 @@ class GenSourceSpec extends AnyFunSuite {
   test("contradictory range yields an empty scan, not an error") {
     assert(gen(1000).filter($"id" >= 900L && $"id" < 100L).count() == 0)
   }
+
+  test("complete aggregate pushdown: count/min/max answer from range arithmetic") {
+    import org.apache.spark.sql.functions.{count => cnt, lit, max, min}
+    val df = gen(500000, 8).filter($"id" >= 100000L && $"id" < 400000L)
+      .agg(cnt(lit(1)).as("n"), min("id").as("min_id"), max("id").as("max_id"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GenAggScan"), s"aggregate not pushed:\n$plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"complete pushdown must leave no aggregate node:\n$plan")
+    assert(df.as[(Long, Long, Long)].head() == ((300000L, 100000L, 399999L)))
+  }
+
+  test("unsupported aggregates decline the pushdown and stay exact") {
+    import org.apache.spark.sql.functions.{round => rnd, sum}
+    // sum(val) is not a closed form over the range — the connector must
+    // refuse and the generate-and-aggregate plan must produce the truth
+    val df = gen(2000, 4).filter($"id" < 1000L)
+      .agg(rnd(sum("val"), 6).as("s"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("GenAggScan"), s"sum must not be pushed:\n$plan")
+    val exp = math.rint((0L until 1000L).map(GenSource.value).sum * 1e6) / 1e6
+    assert(df.as[Double].head() == exp)
+    // grouped aggregates likewise decline (grouping needs real rows)
+    val grouped = gen(1000, 4).groupBy("bucket").count()
+    assert(!grouped.queryExecution.executedPlan.toString.contains("GenAggScan"))
+  }
+
+  test("aggregate pushdown over an empty range: count 0, null min/max") {
+    import org.apache.spark.sql.functions.{count => cnt, lit, max, min}
+    val df = gen(1000, 4).filter($"id" >= 900L && $"id" < 100L)
+      .agg(cnt(lit(1)).as("n"), min("id").as("min_id"), max("id").as("max_id"))
+    val row = df.collect().head
+    assert(row.getLong(0) == 0L && row.isNullAt(1) && row.isNullAt(2),
+      row.toString)
+  }
 }
