@@ -75,6 +75,28 @@ object MergeSink {
   def readCurrent(spark: SparkSession, tableDir: String): Option[DataFrame] =
     currentVersion(tableDir).map(v => spark.read.parquet(s"$tableDir/$v"))
 
+  /** Time-travel read of a RETAINED version ("v<b>") — the previous
+    * version survives GC as the reader grace window (longer with
+    * `gcGraceMs`), so "what did the table say before this publish"
+    * stays answerable for exactly the window the deployment configured.
+    * Returns None for versions GC already reclaimed (or never published);
+    * listVersions() enumerates what is still on disk.
+    */
+  def readVersion(spark: SparkSession, tableDir: String,
+      version: String): Option[DataFrame] = {
+    require(version.matches("v\\d+"), s"bad version name: $version")
+    val d = java.nio.file.Paths.get(tableDir, version)
+    if (java.nio.file.Files.isDirectory(d))
+      Some(spark.read.parquet(d.toString))
+    else None
+  }
+
+  /** Version dirs still on disk, oldest first. */
+  def listVersions(tableDir: String): Seq[String] =
+    Option(new java.io.File(tableDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName).sortBy(_.drop(1).toLong).toSeq
+
   /** Apply one micro-batch: fold latest-per-key into the current table,
     * write version v<batchId>, atomically publish the manifest.
     * Idempotent — safe to call again with the same (batch, batchId).

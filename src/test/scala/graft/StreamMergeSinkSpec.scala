@@ -103,6 +103,28 @@ class StreamMergeSinkSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("merge sink time travel: the retained previous version reads back pre-publish state") {
+    val src = graft.api.Tables.t(spark, TestSpark.sf0001, "events")
+      .select("user_id", "event_id", "ts", "event_type", "value")
+    val table = tmpDir("graft-merge-travel")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(table))
+    MergeSink.upsertBatch(src.filter(col("event_id") % 2 === 0), table, 0L)
+    val v0Snapshot = MergeSink.readCurrent(spark, table).get
+      .as[(Long, Long, java.sql.Timestamp, String, Double)].collect().toSet
+    MergeSink.upsertBatch(src.filter(col("event_id") % 2 === 1), table, 1L)
+    assert(MergeSink.listVersions(table) == Seq("v0", "v1"))
+    // the grace-window version answers "before this publish" exactly
+    val travel = MergeSink.readVersion(spark, table, "v0").get
+      .as[(Long, Long, java.sql.Timestamp, String, Double)].collect().toSet
+    assert(travel == v0Snapshot)
+    assert(travel != MergeSink.readCurrent(spark, table).get
+      .as[(Long, Long, java.sql.Timestamp, String, Double)].collect().toSet)
+    // a reclaimed / never-published version is None, not an error
+    assert(MergeSink.readVersion(spark, table, "v99").isEmpty)
+    intercept[IllegalArgumentException](
+      MergeSink.readVersion(spark, table, "../etc"))
+  }
+
   test("merge sink manifest: torn or corrupted pointer is detected, not silently followed") {
     val src = graft.api.Tables.t(spark, TestSpark.sf0001, "events")
       .select("user_id", "event_id", "ts", "event_type", "value").limit(10)
