@@ -158,6 +158,34 @@ object TextAnalysis {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Encoding-quality gate — the ingest filter that runs BEFORE any text
+    * operator: mojibake and binary-contaminated docs poison every
+    * downstream stage (tokenizers explode, dedup hashes diverge, LMs
+    * learn garbage). Three per-row signals, all from codegen'd regex
+    * counts over one scan (no shuffle):
+    *   n_ctrl      C0 control characters except \t \n \r — binary
+    *               contamination / truncated multibyte sequences;
+    *   n_repl      U+FFFD replacement characters — a decoder already
+    *               lost data upstream;
+    *   ascii_ratio printable-ASCII fraction (diagnostic, not a rule —
+    *               legitimate non-Latin text scores low);
+    *   keep        n_ctrl == 0 AND n_repl == 0.
+    * Null text gates as keep = false with zeroed counts.
+    */
+  def encodingGate(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    def removed(pattern: String) =
+      (length(t) - length(regexp_replace(t, pattern, ""))).cast("long")
+    val nCtrl = removed("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")
+    val nRepl = removed("�")
+    val ascii = length(regexp_replace(t, "[^\\x20-\\x7E]", "")).cast("double")
+    df.select(col(idCol),
+      nCtrl.as("n_ctrl"), nRepl.as("n_repl"),
+      round(when(length(t) > 0, ascii / length(t)).otherwise(0.0), 6)
+        .as("ascii_ratio"),
+      (col(textCol).isNotNull && nCtrl === 0 && nRepl === 0).as("keep"))
+  }
+
   /** Per-document n-gram NOVELTY against the corpus, in id order: the
     * fraction of a doc's distinct n-grams whose FIRST corpus occurrence
     * (min doc id over all docs containing the gram) is this doc. A

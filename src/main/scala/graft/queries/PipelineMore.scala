@@ -509,6 +509,32 @@ object PipelineMore {
           |      FROM s)
           |SELECT doc_id, score,
           |  (1 + len(list_filter(cuts, x -> score > x)))::INT AS bin
-          |FROM s CROSS JOIN c ORDER BY doc_id""".stripMargin))
+          |FROM s CROSS JOIN c ORDER BY doc_id""".stripMargin)),
+
+    // --- encoding-quality gate (the filter BEFORE any text op): C0
+    //     control chars (minus \t\n\r), U+FFFD replacement chars, and
+    //     the printable-ASCII fraction, all from regex counts over one
+    //     scan. Both engines count by removed-length difference so the
+    //     arithmetic mirrors exactly. ---
+    QueryDef(
+      "p53_encoding_gate",
+      (s, dir) => TextAnalysis.encodingGate(
+          Tables.t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id,
+          |  (length(text) - length(regexp_replace(text,
+          |     '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g')))::BIGINT AS n_ctrl,
+          |  (length(text) - length(regexp_replace(text,
+          |     '\x{FFFD}', '', 'g')))::BIGINT AS n_repl,
+          |  round(CASE WHEN length(text) > 0 THEN
+          |      length(regexp_replace(text, '[^\x20-\x7e]', '', 'g'))::DOUBLE
+          |        / length(text)
+          |    ELSE 0.0 END, 6) AS ascii_ratio,
+          |  (length(regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]',
+          |     '', 'g')) = length(text)
+          |   AND length(regexp_replace(text, '\x{FFFD}', '', 'g'))
+          |     = length(text)) AS keep
+          |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

@@ -53,6 +53,44 @@ class PipelineExtSpec extends AnyFunSuite {
     assert(nullRow == ((false, "empty")), nullRow.toString)
   }
 
+  test("encoding gate: control chars, replacement chars and null text all trip the gate") {
+    val docs = Seq(
+      (1L, "clean ascii text"),                     // keeps
+      (2L, "tab\tand\nnewline are fine\r"),         // \t\n\r exempt: keeps
+      (3L, "binary \u0001junk\u0002 here"),           // C0 controls: drops
+      (4L, "decoder lost �� this"),       // replacement chars: drops
+      (5L, "naïve café — non-ascii but valid"),     // keeps, ratio < 1
+      (6L, "")                                      // empty: keeps (nothing wrong)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.encodingGate(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._5))).toMap
+    assert(got(1L) == ((0L, 0L, true)))
+    assert(got(2L) == ((0L, 0L, true)), "tab/newline/cr must not count as control")
+    assert(got(3L) == ((2L, 0L, false)))
+    assert(got(4L) == ((0L, 2L, false)))
+    assert(got(5L) == ((0L, 0L, true)))
+    assert(got(6L) == ((0L, 0L, true)))
+    // ratio: doc 5 has 4 non-ascii chars (ï, é, —, and none else)
+    val r5 = TextAnalysis.encodingGate(docs.filter($"doc_id" === 5), "doc_id", "text")
+      .select("ascii_ratio").as[Double].head()
+    val t5 = "naïve café — non-ascii but valid"
+    val exp = math.rint(t5.count(c => c >= 0x20 && c <= 0x7E).toDouble / t5.length * 1e6) / 1e6
+    assert(r5 == exp)
+    // null text: gated out, not NULL-propagated
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(7L, null.asInstanceOf[String]))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    val nr = TextAnalysis.encodingGate(withNull, "doc_id", "text")
+      .as[(Long, Long, Long, Double, Boolean)].collect().head
+    assert(nr == ((7L, 0L, 0L, 0.0, false)), nr.toString)
+  }
+
   test("ngram novelty: first-occurrence fractions match hand computation") {
     val docs = Seq(
       (1L, "a b c d"),        // grams "a b c","b c d" — both first here
