@@ -535,6 +535,63 @@ object PipelineMore {
           |     '', 'g')) = length(text)
           |   AND length(regexp_replace(text, '\x{FFFD}', '', 'g'))
           |     = length(text)) AS keep
-          |FROM documents ORDER BY doc_id""".stripMargin))
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // --- dedup telemetry: per-source doc counts, survivors of the p48
+    //     keep policy, and the dup rate — the "what did dedup cost each
+    //     source" report every pipeline run ships to its dashboard.
+    //     Composition: near-dup groups -> canonical picks -> source
+    //     rollup; the report side is one dimension-sized aggregate. ---
+    QueryDef(
+      "p54_dedup_report",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+          shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.8)
+        ConnectedComponents.canonicalDocs(
+            docs.withColumn("quality",
+              size(graft.functions.Fns.tokens(col("text"))).cast("long")),
+            "doc_id", pairs, "quality")
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("is_canonical"), 1L).otherwise(0L)).as("n_kept"))
+          .withColumn("dup_rate",
+            round(lit(1.0) - col("n_kept").cast("double") / col("n_docs"), 6))
+          .orderBy("source")
+      },
+      Some(
+        """WITH RECURSIVE
+          |t AS (SELECT doc_id, string_split(text, ' ') tk FROM documents),
+          |sh AS (SELECT doc_id,
+          |         list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+          |                        FOR i IN range(1, len(tk) - 1)]) s
+          |       FROM t WHERE len(tk) >= 3),
+          |p AS (SELECT a.doc_id id_a, b.doc_id id_b,
+          |        len(list_intersect(a.s, b.s))::DOUBLE
+          |          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) j
+          |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+          |e0 AS (SELECT id_a, id_b FROM p WHERE j >= 0.8),
+          |edges AS (SELECT id_a AS s, id_b AS d FROM e0
+          |          UNION SELECT id_b, id_a FROM e0),
+          |reach AS (
+          |  SELECT s, d FROM edges
+          |  UNION
+          |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+          |),
+          |comp AS (SELECT s AS doc_id, least(s, min(d)) AS group_id
+          |         FROM reach GROUP BY s),
+          |q AS (SELECT d.doc_id,
+          |        coalesce(c.group_id, d.doc_id) AS group_id,
+          |        len(string_split(d.text, ' '))::BIGINT AS quality,
+          |        d.source
+          |      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY group_id
+          |        ORDER BY quality DESC, doc_id) AS rk FROM q)
+          |SELECT source, count(*) AS n_docs,
+          |  sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+          |  round(1.0 - sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END)::DOUBLE
+          |    / count(*), 6) AS dup_rate
+          |FROM r GROUP BY source ORDER BY source""".stripMargin))
   )
 }
