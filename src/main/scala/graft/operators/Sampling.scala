@@ -154,7 +154,9 @@ object Sampling {
     * plan shape, sketch-merge aggregate) — the exact form here is the
     * oracle-checkable baseline. Cutoffs are rounded to 6dp before the
     * comparison so last-ulp interpolation differences between engines
-    * cannot flip a boundary row's bin.
+    * cannot flip a boundary row's bin. A NULL score compares NULL
+    * against every cutoff and lands in bin 1 (filter treats NULL as
+    * false) — gate nulls out upstream if that matters.
     */
   def quantileBins(df: DataFrame, idCol: String, score: Column,
       nBins: Int): DataFrame = {

@@ -328,6 +328,59 @@ object TextAnalysis {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Jelinek-Mercer INTERPOLATED bigram LM score — the smoothing real
+    * CCNet-family filters actually run (add-one alone over-penalizes
+    * plausible-but-unseen bigrams; interpolation backs off smoothly):
+    * per doc, the mean over bigram positions of
+    *   -ln( λ·P_bg(w|h) + (1−λ)·P_uni(w) )
+    * with MLE P_bg = c(h,w)/c(h) from a reference slice (0 when the
+    * history is unseen — pure backoff) and add-one-smoothed P_uni =
+    * (c(w)+1)/(N+V+1) (p38's family), so OOV stays finite without a
+    * bigram-level smoothing term. Docs with < 2 tokens carry no bigrams
+    * and are absent from the output.
+    *
+    * Scale design: count tables are (observed-bigram)- and vocab-sized
+    * partial aggs; the three score joins are LEFT joins on gram keys
+    * (stopword skew = the AQE case); (N, V) ride a 1-row broadcast; the
+    * final per-doc mean is a linear partial agg on id — p42's envelope
+    * with one extra vocab-sized join.
+    */
+  def interpolatedLmScore(docs: DataFrame, ref: DataFrame, idCol: String,
+      textCol: String, lambda: Double = 0.7): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
+    val w = org.apache.spark.sql.expressions.Window
+    def toks(df: DataFrame, as: String) = df.select(col(idCol).as(as),
+      posexplode(Fns.tokens(col(textCol))).as(Seq("pos", "w")))
+    def bigrams(tok: DataFrame, idAs: String) = tok
+      .withColumn("w2", lead("w", 1).over(
+        w.partitionBy(idAs).orderBy("pos")))
+      .filter(col("w2").isNotNull)
+      .select(col(idAs), col("w").as("w1"), col("w2"))
+    val rTok = toks(ref, "rid")
+    val bgCnt = bigrams(rTok, "rid")
+      .groupBy("w1", "w2").agg(count(lit(1)).cast("double").as("cb"))
+    val uniCnt = rTok.groupBy(col("w").as("w1"))
+      .agg(count(lit(1)).cast("double").as("cu"))
+    val totals = uniCnt.agg(sum("cu").as("n"),
+      count(lit(1)).cast("double").as("v"))
+    val dBg = bigrams(toks(docs, "id"), "id")
+    val pBg = when(col("cu_h").isNotNull && col("cb").isNotNull,
+      col("cb") / col("cu_h")).otherwise(0.0)
+    val pUni = (coalesce(col("cu_w"), lit(0.0)) + 1) /
+      (col("n") + col("v") + 1)
+    dBg
+      .join(bgCnt, Seq("w1", "w2"), "left_outer")
+      .join(uniCnt.select(col("w1"), col("cu").as("cu_h")),
+        Seq("w1"), "left_outer")
+      .join(uniCnt.select(col("w1").as("w2"), col("cu").as("cu_w")),
+        Seq("w2"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .groupBy("id")
+      .agg(round(avg(-log(lit(lambda) * pBg + lit(1.0 - lambda) * pUni)), 6)
+        .as("interp_lm_score"))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** WordPiece subword tokenization (p47): one row per (doc, token,
     * piece) via the [[graft.functions.WordPieceRows]] generator — greedy
     * longest-match-first over a plan-literal vocabulary, continuation

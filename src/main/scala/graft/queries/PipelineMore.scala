@@ -592,6 +592,57 @@ object PipelineMore {
           |  sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
           |  round(1.0 - sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END)::DOUBLE
           |    / count(*), 6) AS dup_rate
-          |FROM r GROUP BY source ORDER BY source""".stripMargin))
+          |FROM r GROUP BY source ORDER BY source""".stripMargin)),
+
+    // --- Jelinek-Mercer interpolated bigram LM (the smoothing real
+    //     CCNet-family filters run): λ·P_bg + (1−λ)·P_uni with MLE
+    //     bigrams from the doc_id % 4 = 0 reference slice and p38's
+    //     add-one unigram backoff. (1−λ) is written as a DOUBLE
+    //     subtraction in the oracle so DuckDB's DECIMAL constant folding
+    //     cannot produce a different seed than Scala's 1.0 - 0.7 (the
+    //     q74 lesson, applied up front). ---
+    QueryDef(
+      "p55_interp_lm",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        TextAnalysis.interpolatedLmScore(
+            docs, docs.filter(col("doc_id") % 4 === 0),
+            "doc_id", "text", lambda = 0.7)
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH ref AS (SELECT doc_id, string_split(text, ' ') tk
+          |             FROM documents WHERE doc_id % 4 = 0),
+          |rt AS (SELECT doc_id, i AS pos, tk[i+1] AS w
+          |       FROM (SELECT doc_id, tk, unnest(range(0, len(tk))) AS i
+          |             FROM ref)),
+          |rb AS (SELECT doc_id, w, pos,
+          |         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+          |       FROM rt),
+          |bg AS (SELECT w AS w1, w2, count(*)::DOUBLE AS cb
+          |       FROM rb WHERE w2 IS NOT NULL GROUP BY 1, 2),
+          |uni AS (SELECT w AS w1, count(*)::DOUBLE AS cu FROM rt GROUP BY 1),
+          |tot AS (SELECT sum(cu) AS n, count(*)::DOUBLE AS v FROM uni),
+          |dall AS (SELECT doc_id, string_split(text, ' ') tk FROM documents),
+          |dt AS (SELECT doc_id, i AS pos, tk[i+1] AS w
+          |       FROM (SELECT doc_id, tk, unnest(range(0, len(tk))) AS i
+          |             FROM dall)),
+          |db AS (SELECT doc_id, w AS w1, w2 FROM (
+          |         SELECT doc_id, w, pos,
+          |           lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+          |         FROM dt) WHERE w2 IS NOT NULL),
+          |j AS (SELECT db.doc_id,
+          |        CASE WHEN uh.cu IS NOT NULL AND b.cb IS NOT NULL
+          |             THEN b.cb / uh.cu ELSE 0.0 END AS pbg,
+          |        (coalesce(uw.cu, 0.0) + 1) / (t.n + t.v + 1) AS puni
+          |      FROM db
+          |      LEFT JOIN bg b ON db.w1 = b.w1 AND db.w2 = b.w2
+          |      LEFT JOIN uni uh ON db.w1 = uh.w1
+          |      LEFT JOIN uni uw ON db.w2 = uw.w1
+          |      CROSS JOIN tot t)
+          |SELECT doc_id,
+          |  round(avg(-ln(0.7::DOUBLE * pbg
+          |    + (1.0::DOUBLE - 0.7::DOUBLE) * puni)), 6) AS interp_lm_score
+          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

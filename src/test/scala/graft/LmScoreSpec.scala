@@ -65,6 +65,41 @@ class LmScoreSpec extends AnyFunSuite {
     assert(bi(10L) < bi(11L), s"bigram must prefer phrase structure: $bi")
   }
 
+  test("interpolated LM matches hand computation; backoff beats raw OOV; short docs absent") {
+    import org.apache.spark.sql.functions.col
+    // reference: one doc "a b a c" — bigrams ab, ba, ac; c(a)=2, c(b)=1,
+    // c(c)=1, N=4, V=3
+    val ref = Seq((0L, "a b a c")).toDF("doc_id", "text")
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def puni(c: Double) = (c + 1) / (4.0 + 3 + 1)
+    val lam = 0.7
+    // scored doc "a b": P = λ·(c(a,b)/c(a)) + (1−λ)·P_uni(b)
+    val docs = Seq(
+      (1L, "a b"),    // seen bigram: λ·(1/2) + .3·puni(1)
+      (2L, "b c"),    // seen words, unseen bigram: backoff only
+      (3L, "q w"),    // full OOV: history unseen -> pure smoothed backoff
+      (4L, "a")       // single token: no bigrams, absent
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.interpolatedLmScore(docs, ref, "doc_id", "text", lam)
+      .orderBy("doc_id").as[(Long, Double)].collect().toMap
+    assert(!got.contains(4L), "no-bigram docs must be absent")
+    assert(got(1L) == r6(-math.log(lam * 0.5 + (1 - lam) * puni(1))))
+    assert(got(2L) == r6(-math.log(0.0 + (1 - lam) * puni(1))))
+    assert(got(3L) == r6(-math.log(0.0 + (1 - lam) * puni(0))))
+    // smooth backoff ordering: seen bigram < seen-words-unseen-bigram < OOV
+    assert(got(1L) < got(2L) && got(2L) < got(3L), got.toString)
+
+    // interpolation tempers add-one's over-penalty: for a plausible
+    // unseen bigram of frequent words, the interpolated score must beat
+    // (score lower than) what OOV gets — the smoothing's entire point
+    val bigRef = Seq((0L, Seq.fill(50)("x y").mkString(" ") + " z")).toDF("doc_id", "text")
+    val probe = Seq((1L, "y x"), (2L, "qq ww")).toDF("doc_id", "text")
+    val s = TextAnalysis.interpolatedLmScore(probe, bigRef, "doc_id", "text", lam)
+      .as[(Long, Double)].collect().toMap
+    assert(s(1L) < s(2L), s"frequent-word unseen bigram must outrank OOV: $s")
+  }
+
   test("zipf fit: slope ~ -1 on a harmonic corpus, r2 near 1, degenerate flat corpus slope 0") {
     // token k appears floor(240/k) times, k = 1..40 — by construction
     // count(rank k) ~ 240/k, so ln(count) ~ ln(240) - ln(rank)
