@@ -42,12 +42,14 @@ class PlanHygieneSpec extends AnyFunSuite {
   //    broadcast aggregate — same p23/p30 pattern
   //  - p51_curriculum_bins: the quantile-cutoff array joins in as a
   //    ONE-ROW broadcast aggregate — same pattern
+  //  - p55_interp_lm: the (N, V) totals join in as a ONE-ROW broadcast
+  //    aggregate — same p30/p38/p42 pattern
   private val bnljAllowed = Set("q20_theta_join", "q54_bloom_prune",
     "p09_ann_bruteforce", "p13_ann_ivf", "p23_tfidf_topterms",
     "p29_cross_corpus_dedup", "p30_lm_score", "p33_collocations",
     "p34_ann_quantized", "p35_hard_negatives", "p37_corpus_drift",
     "p38_ref_lm_score", "p42_bigram_lm", "p50_temperature_mixture",
-    "p51_curriculum_bins")
+    "p51_curriculum_bins", "p55_interp_lm")
 
   test("no cartesian product or unexpected BNLJ in any registered query") {
     val offenders = Registry.all.flatMap { q =>
