@@ -81,8 +81,12 @@ object Bench {
           .toSet
       val exact = pairs(Similarity.bruteForceTopK(q, e, 5))
       def setting(name: String, f: () => org.apache.spark.sql.DataFrame): String = {
-        val recall = (pairs(f()).intersect(exact).size.toDouble /
-          exact.size * 1e4).round / 1e4 // warm run doubles as recall probe
+        // exact can only be empty on a degenerate fixture (no embeddings
+        // survive the query filter); recall 0.0 keeps the JSON parseable
+        // instead of interpolating NaN into the artifact
+        val recall = if (exact.isEmpty) 0.0
+          else (pairs(f()).intersect(exact).size.toDouble /
+            exact.size * 1e4).round / 1e4 // warm run doubles as recall probe
         val secs = (1 to 2).map { _ =>
           val t0 = System.nanoTime(); f().count(); (System.nanoTime() - t0) / 1e9
         }.min

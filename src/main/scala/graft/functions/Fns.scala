@@ -132,6 +132,18 @@ object Fns {
       maxInputChars: Int): Column =
     toCol(WordPieceRows(toExpr(toks), vocab, maxInputChars))
 
+  /** [[wordpieceRows]] with the vocab shipped as a Spark broadcast — one
+    * copy per executor instead of one per task closure; the transport for
+    * realistic (30k-piece) vocabularies. Validates the vocab driver-side
+    * before broadcasting (the executor-side expression cannot).
+    */
+  def wordpieceRowsBroadcast(spark: org.apache.spark.sql.SparkSession,
+      toks: Column, vocab: Seq[String], maxInputChars: Int): Column = {
+    WordPieceCore.requireValid(vocab, maxInputChars)
+    toCol(WordPieceRowsBc(toExpr(toks),
+      spark.sparkContext.broadcast(vocab.toArray), maxInputChars))
+  }
+
   /** HOF-composed formulation of [[shingles]] — kept as the independent
     * cross-check in tests (interpreted lambdas; ~10× slower).
     */

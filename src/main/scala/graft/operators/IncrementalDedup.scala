@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.sources.FsMeta
 
 /** Incremental near-duplicate detection against a PERSISTED MinHash band
   * index — the shape a real 100 TB ingest pipeline needs: the historical
@@ -12,44 +13,107 @@ import org.apache.spark.sql.functions._
   * only incremental artifact — shuffle files persisted across stages
   * (/root/reference/mr/coordinator.go:98-113) — to table granularity.
   *
-  * The index is two parquet tables under `path`:
-  *   - `bands/`    (id, band, bkey): the LSH bucket keys, exactly the
+  * The index is two BUCKETED parquet tables under `path`:
+  *   - `bands/`    (id, band, bkey), bucketed by `bkey` into
+  *     [[Params.numBuckets]] buckets: the LSH bucket keys, exactly the
   *     frame [[Dedup.lshCandidates]] self-joins — so an index row and a
   *     live batch row collide iff the full recompute would collide;
-  *   - `shingles/` (id, sh): the per-doc distinct shingle sets that the
-  *     exact-Jaccard verify consumes.
-  * Both carry the signature family's determinism: same RollingHash31 base
-  * hash, same affine permutations, same band hashing — which is what makes
-  * "batch vs index" provably hash-equal to "full recompute, filtered to
-  * pairs touching the batch" (IncrementalDedupSpec; driver oracle p46).
+  *   - `shingles/` (id, sh), bucketed by `id`: the per-doc distinct
+  *     shingle sets the exact-Jaccard verify consumes.
+  *
+  * WHY bucketed — the 100 TB probe cost model. The index is corpus-sized
+  * (×32 band rows per doc); a probe that shuffles it is a full-corpus
+  * shuffle PER INGEST BATCH. Bucketing by the join key makes the index
+  * side of both probe joins exchange-free (its files ARE the shuffle
+  * output, paid once at write — the same move as the reference persisting
+  * map-side shuffle files that reducers then read by bucket,
+  * mr/coordinator.go:98-113), and bucket PRUNING skips index files whose
+  * bkey bucket no batch row touches: a narrow batch reads a narrow slice
+  * of the index, not all of it ([[nearDupsAgainstIndex]] pushes the
+  * batch's distinct bkeys as an IN filter when they fit [[MaxProbeKeys]]).
+  *
+  * Both tables carry the signature family's determinism: same
+  * RollingHash31 base hash, same affine permutations, same band hashing —
+  * which is what makes "batch vs index" provably hash-equal to "full
+  * recompute, filtered to pairs touching the batch" (IncrementalDedupSpec;
+  * driver oracle p46). Metadata (params.json, schema sidecars) goes
+  * through [[FsMeta]] (Hadoop FileSystem), so the index lives on any
+  * Spark-reachable store, not just local disk.
   *
   * Scale (100 TB): the batch phase touches (a) the batch's own text —
-  * O(batch); (b) the index parquet — column-pruned scans of precomputed
-  * keys, no shingling, no signature hashing; the heavy per-byte compute is
-  * paid once per document EVER, not once per run. The candidate join is
-  * the same banded equi-join as the one-shot path (no all-pairs product),
-  * and appends are parquet file appends — no rewrite of existing index
-  * files. On a cluster, partition `bands/` by `band` (and bucket by
-  * `bkey`) so a batch's probe join prunes to the touched buckets.
+  * O(batch); (b) the index parquet — bucket-pruned, column-pruned scans of
+  * precomputed keys, no shingling, no signature hashing, NO index-side
+  * exchange; the heavy per-byte compute is paid once per document EVER,
+  * not once per run. Appends are bucketed parquet file appends — no
+  * rewrite of existing index files (multiple files per bucket are fine;
+  * compact periodically with [[Compaction]] if small files accumulate).
   */
 object IncrementalDedup {
 
-  /** MinHash family + verify threshold. Must match between buildIndex and
-    * every later batch run — persisted alongside the index as `params.json`
-    * and re-validated on read, because an index probed with a different
-    * family silently finds nothing.
+  /** MinHash family + verify threshold + index layout. Must match between
+    * buildIndex and every later batch run — persisted alongside the index
+    * as `params.json` and re-validated on read, because an index probed
+    * with a different family silently finds nothing (and a different
+    * bucket count would misroute the bucketed join).
     */
   final case class Params(shingleSize: Int = 3, numHashes: Int = 128,
-      bands: Int = 32, threshold: Double = 0.8) {
+      bands: Int = 32, threshold: Double = 0.8, numBuckets: Int = 32) {
     def json: String =
       s"""{"shingleSize":$shingleSize,"numHashes":$numHashes,""" +
-        s""""bands":$bands,"threshold":$threshold}"""
+        s""""bands":$bands,"threshold":$threshold,"numBuckets":$numBuckets}"""
   }
+
+  /** Cap on the collected batch bkey set used for index bucket pruning.
+    * The collect is batch-bounded (bands-per-doc × batch docs, distinct),
+    * the same driver-side scale as a dynamic-partition-pruning subquery;
+    * past the cap the filter is skipped — correctness never depends on it
+    * (a bkey absent from the batch cannot join).
+    */
+  val MaxProbeKeys: Int = 1 << 16
 
   private def bandsPath(path: String) = s"$path/bands"
   private def shinglesPath(path: String) = s"$path/shingles"
-  private def paramsPath(path: String) =
-    java.nio.file.Paths.get(path, "params.json")
+  private def paramsPath(path: String) = s"$path/params.json"
+  private def schemaPath(path: String, kind: String) = s"$path/_schema_$kind"
+
+  /** Catalog name for the bucketed table at `path` — deterministic in the
+    * path so a fresh session re-registers the same external table over the
+    * same files (the catalog entry is session-local; the files + sidecar
+    * schema/params are the durable truth).
+    */
+  private def tableId(prefix: String, path: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
+    s"graft_${prefix}_$md"
+  }
+
+  /** Bucketed write: repartition by the bucket column first with the SAME
+    * hash-mod layout bucketing uses, so each task holds exactly one
+    * bucket's rows and writes one file — without it, every task writes a
+    * file per bucket (tasks × buckets small files).
+    */
+  private def writeBucketed(df: DataFrame, mode: String, dataPath: String,
+      table: String, bucketCol: String, n: Int): Unit =
+    df.repartition(n, col(bucketCol))
+      .write.format("parquet").mode(mode).option("path", dataPath)
+      .bucketBy(n, bucketCol).saveAsTable(table)
+
+  /** The bucketed table at `dataPath`, registering the external-table
+    * catalog entry if this session has not seen it (schema from the
+    * sidecar DDL file — parquet inference would fail on a still-empty
+    * index). refreshTable drops stale file listings after appends.
+    */
+  private def bucketedTable(spark: SparkSession, path: String, kind: String,
+      dataPath: String, bucketCol: String, n: Int): DataFrame = {
+    val table = tableId(kind, path)
+    if (!spark.catalog.tableExists(table)) {
+      val ddl = FsMeta.readString(schemaPath(path, kind))
+      spark.sql(s"CREATE TABLE $table ($ddl) USING PARQUET " +
+        s"CLUSTERED BY ($bucketCol) INTO $n BUCKETS LOCATION '$dataPath'")
+    }
+    spark.catalog.refreshTable(table)
+    spark.table(table)
+  }
 
   /** Shingle + minhash + band `docs` once and persist the index at `path`
     * (overwriting any previous index there). Runs two write jobs eagerly —
@@ -57,34 +121,51 @@ object IncrementalDedup {
     */
   def buildIndex(corpus: DataFrame, idCol: String, textCol: String,
       p: Params, path: String): Unit = {
+    val spark = corpus.sparkSession
     val sh = Dedup.shingled(corpus, idCol, textCol, p.shingleSize)
-    sh.write.mode(SaveMode.Overwrite).parquet(shinglesPath(path))
+    FsMeta.writeString(schemaPath(path, "sh"), sh.schema.toDDL)
+    writeBucketed(sh, "overwrite", shinglesPath(path), tableId("sh", path),
+      "id", p.numBuckets)
     // re-derive from the persisted shingles (not the in-memory frame) so
     // the signature job reads the column-pruned parquet instead of
     // re-shingling the corpus text a second time
-    val persisted = corpus.sparkSession.read.parquet(shinglesPath(path))
-    Dedup.bandRows(Dedup.minhashSignatures(persisted, p.numHashes),
-        p.numHashes, p.bands)
-      .write.mode(SaveMode.Overwrite).parquet(bandsPath(path))
-    java.nio.file.Files.writeString(paramsPath(path), p.json)
+    val persisted = bucketedTable(spark, path, "sh", shinglesPath(path),
+      "id", p.numBuckets)
+    val bands = Dedup.bandRows(
+      Dedup.minhashSignatures(persisted, p.numHashes), p.numHashes, p.bands)
+    FsMeta.writeString(schemaPath(path, "bands"), bands.schema.toDDL)
+    writeBucketed(bands, "overwrite", bandsPath(path), tableId("bands", path),
+      "bkey", p.numBuckets)
+    FsMeta.writeString(paramsPath(path), p.json)
   }
 
   /** Fold an already-deduped batch into the index so subsequent batches
-    * dedup against it too: parquet APPENDs of the batch's shingle and band
-    * rows — existing index files are never rewritten.
+    * dedup against it too: bucketed parquet APPENDs of the batch's shingle
+    * and band rows — existing index files are never rewritten.
+    *
+    * At-least-once across crashes: a replay that re-appends the same batch
+    * leaves duplicate index rows. They are harmless downstream — candidate
+    * pairs are distinct()'d and the verify output is deduped — and they
+    * disappear at the next [[Compaction]]-style index rewrite.
     */
   def appendBatch(batch: DataFrame, idCol: String, textCol: String,
       p: Params, path: String): Unit = {
     requireSameParams(p, path)
+    val spark = batch.sparkSession
+    // ensure the catalog entries exist before appending through them
+    bucketedTable(spark, path, "sh", shinglesPath(path), "id", p.numBuckets)
+    bucketedTable(spark, path, "bands", bandsPath(path), "bkey", p.numBuckets)
     val sh = Dedup.shingled(batch, idCol, textCol, p.shingleSize)
-    sh.write.mode(SaveMode.Append).parquet(shinglesPath(path))
-    Dedup.bandRows(Dedup.minhashSignatures(sh, p.numHashes),
-        p.numHashes, p.bands)
-      .write.mode(SaveMode.Append).parquet(bandsPath(path))
+    writeBucketed(sh, "append", shinglesPath(path), tableId("sh", path),
+      "id", p.numBuckets)
+    writeBucketed(
+      Dedup.bandRows(Dedup.minhashSignatures(sh, p.numHashes),
+        p.numHashes, p.bands),
+      "append", bandsPath(path), tableId("bands", path), "bkey", p.numBuckets)
   }
 
   private def requireSameParams(p: Params, path: String): Unit = {
-    val stored = java.nio.file.Files.readString(paramsPath(path)).trim
+    val stored = FsMeta.readString(paramsPath(path)).trim
     require(stored == p.json,
       s"index at $path was built with $stored, probed with ${p.json} — " +
         "a mismatched MinHash family finds nothing; rebuild or fix params")
@@ -94,12 +175,28 @@ object IncrementalDedup {
     * exact-Jaccard verified — equals the full-corpus recompute restricted
     * to pairs with at least one batch member (canonical id_a < id_b).
     * The corpus side comes entirely from the persisted index; the plan
-    * contains no scan of corpus text (spec-asserted).
+    * contains no scan of corpus text, no exchange anywhere above an index
+    * scan, and bucket-prunes the band index to the batch's bkeys (all
+    * three spec-asserted).
+    *
+    * Probe shape: the batch's banded rows are shuffled ONCE by bkey (the
+    * bucketed index side needs no exchange — it is already laid out as the
+    * join wants), joined against (a) the pruned index for batch×corpus
+    * pairs and (b) themselves for batch-internal pairs; the verify then
+    * looks up shingle sets per pair side as `coalesce(batch, index)` left
+    * joins, so the bucketed shingle table is likewise never shuffled.
+    * SHUFFLE_HASH hints keep the planner from broadcasting a corpus-sized
+    * index side and make the batch subtree one reused exchange.
+    *
+    * Runs one batch-bounded collect at call time (the distinct bkeys that
+    * drive bucket pruning, capped at [[MaxProbeKeys]]) — the same
+    * driver-side footprint as a DPP subquery, never corpus-sized.
     *
     * Ordering contract: run this BEFORE [[appendBatch]] for the same
-    * batch — once the batch's ids are in the index, its shingle rows sit
-    * on both sides of the verify union and every surviving pair row would
-    * be emitted once per duplicate.
+    * batch — once the batch's ids are in the index, its rows sit on both
+    * probe sides. (A replay that violates this after a crashed append is
+    * still correct: self-pairs are excluded by id inequality and the
+    * final dedup collapses repeats.)
     */
   def nearDupsAgainstIndex(spark: SparkSession, batch: DataFrame,
       idCol: String, textCol: String, p: Params, path: String): DataFrame = {
@@ -107,23 +204,63 @@ object IncrementalDedup {
     val bSh = Dedup.shingled(batch, idCol, textCol, p.shingleSize)
     val bBands = Dedup.bandRows(
       Dedup.minhashSignatures(bSh, p.numHashes), p.numHashes, p.bands)
-    val iBands = spark.read.parquet(bandsPath(path))
-    // probe side = batch only; build side = index ∪ batch. This yields
-    // batch×corpus and batch×batch collisions but never corpus×corpus —
-    // exactly the "touching the batch" pair set. least/greatest
-    // canonicalizes (a batch id may sort before or after a corpus id) and
-    // distinct collapses multi-band + both-orientation hits. SHUFFLE_HASH
-    // for lshCandidates' reasons: no one-sided broadcast conversion, so
-    // the batch banding subtree is one exchange read twice.
-    val all = iBands.unionByName(bBands)
-    val cands = bBands.as("x").hint("SHUFFLE_HASH")
-      .join(all.as("y").hint("SHUFFLE_HASH"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.id") =!= col("y.id"))
+    val iBandsAll = bucketedTable(spark, path, "bands", bandsPath(path),
+      "bkey", p.numBuckets)
+    // bucket pruning: only index files whose bucket holds one of the
+    // batch's bkeys are read (FileSourceScan's SelectedBucketsCount)
+    val probeKeys = bBands.select("bkey").distinct()
+      .limit(MaxProbeKeys + 1).collect().map(_.getInt(0))
+    val iBands =
+      if (probeKeys.length > MaxProbeKeys) iBandsAll
+      else iBandsAll.filter(col("bkey").isin(probeKeys.toSeq: _*))
+    // batch×index collisions: hint on the BATCH side so it is the hash
+    // build side and the index is streamed (never broadcast, never
+    // shuffled). least/greatest canonicalizes — a batch id may sort
+    // before or after a corpus id.
+    val cross = bBands.as("x").hint("SHUFFLE_HASH")
+      .join(iBands.as("y"),
+        col("x.bkey") === col("y.bkey") && col("x.id") =!= col("y.id"))
       .select(least(col("x.id"), col("y.id")).as("id_a"),
         greatest(col("x.id"), col("y.id")).as("id_b"))
+    // batch-internal collisions: lshCandidates' symmetric self-join shape,
+    // reusing the same banding subtree (one exchange, read again)
+    val internal = bBands.as("x").hint("SHUFFLE_HASH")
+      .join(bBands.as("y").hint("SHUFFLE_HASH"),
+        col("x.bkey") === col("y.bkey") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    val cands = cross.unionByName(internal).distinct()
+    verifyAgainstIndex(spark, cands, bSh, p, path)
+  }
+
+  /** Exact-Jaccard verify where each pair side's shingle set is looked up
+    * as `coalesce(batch, index)`: two LEFT joins per side instead of one
+    * join against (index ∪ batch) — a union would destroy the index
+    * table's bucketing and force a corpus-sized shuffle. The batch copy
+    * wins the coalesce (relevant only in the crashed-append replay window,
+    * where both exist and are identical). The trailing distinct() is
+    * batch-bounded and collapses repeats from duplicate index rows left by
+    * replayed appends.
+    */
+  private def verifyAgainstIndex(spark: SparkSession, cands: DataFrame,
+      bSh: DataFrame, p: Params, path: String): DataFrame = {
+    val iSh = bucketedTable(spark, path, "sh", shinglesPath(path),
+      "id", p.numBuckets)
+    def lookup(c: DataFrame, idName: String, tag: String): DataFrame =
+      c.hint("SHUFFLE_HASH")
+        .join(iSh.select(col("id").as(idName), col("sh").as(s"i_$tag")),
+          Seq(idName), "left")
+        .hint("SHUFFLE_HASH")
+        .join(bSh.select(col("id").as(idName), col("sh").as(s"b_$tag"))
+          .hint("SHUFFLE_HASH"), Seq(idName), "left")
+        .withColumn(s"sh_$tag", coalesce(col(s"b_$tag"), col(s"i_$tag")))
+        .drop(s"i_$tag", s"b_$tag")
+    lookup(lookup(cands, "id_a", "a"), "id_b", "b")
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= p.threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .distinct()
-    val allSh = spark.read.parquet(shinglesPath(path)).unionByName(bSh)
-    Dedup.verifyJaccard(cands, allSh, p.threshold)
   }
 }

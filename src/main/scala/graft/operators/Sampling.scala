@@ -76,18 +76,28 @@ object Sampling {
     * deterministic FNV hash order.
     *
     * The quota expression rounds to 9dp before floor on BOTH engines so
-    * a last-ulp pow/summation difference cannot flip the floor. Floor
-    * allocation can sum slightly under totalN (standard remainder loss);
-    * callers needing the exact total distribute the remainder by
-    * largest-fraction downstream.
+    * a last-ulp pow/summation difference cannot flip the floor. totalN is
+    * a TARGET, not an exact bound, in both directions: floor allocation
+    * can sum slightly under totalN (standard remainder loss), and the
+    * min-1 bump can push the sum ABOVE totalN when many strata are rare
+    * enough that their floored share is 0 (up to one extra row per such
+    * stratum — with S strata the sum is ≤ totalN + S − 1). Callers
+    * needing an exact total distribute the remainder (or trim the
+    * bumped rows) by largest-fraction downstream.
     *
     * Scale design: same plan as [[mixture]] — one TopKPerGroup pass at
     * k = totalN bounds map-side state at totalN rows per (stratum ×
     * partition) and the exact quota cut's window runs over ≤ totalN rows
     * per stratum, never the corpus.
+    *
+    * Two branches consume the input (the per-stratum histogram and the
+    * TopKPerGroup cut); `persistInput = true` caches it (MEMORY_AND_DISK,
+    * TfIdf.scored's explicit-persist pattern) so an expensive upstream
+    * subquery — or a 100 TB scan — materializes once instead of twice.
     */
   def temperatureMixture(df: DataFrame, stratumCol: String, idCol: String,
-      temperature: Double, totalN: Int): DataFrame = {
+      temperature: Double, totalN: Int,
+      persistInput: Boolean = false): DataFrame = {
     require(temperature > 0 && temperature <= 1,
       s"temperature must be in (0, 1], got $temperature")
     require(totalN >= 1, s"totalN must be >= 1, got $totalN")
@@ -95,7 +105,10 @@ object Sampling {
     val rn = "__samp_rn"
     require(!df.columns.contains(h) && !df.columns.contains(rn),
       s"column names $h/$rn are reserved by temperatureMixture")
-    val cnt = df.groupBy(stratumCol)
+    val in = if (persistInput)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df
+    val cnt = in.groupBy(stratumCol)
       .agg(count(lit(1)).cast("double").as("__c"))
     val z = cnt.agg(sum(pow(col("__c"), lit(temperature))).as("__z"))
     val quotas = cnt.crossJoin(broadcast(z))
@@ -105,7 +118,7 @@ object Sampling {
             / col("__z"), 9)).cast("long")).as("quota"))
     val order = Seq(col(h).asc, col(idCol).asc)
     val pruned = graft.plans.TopKPerGroup.topK(
-      df.withColumn(h, Fns.fnv1a32(col(idCol).cast("string"))),
+      in.withColumn(h, Fns.fnv1a32(col(idCol).cast("string"))),
       Seq(stratumCol), order, totalN)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(stratumCol).orderBy(order: _*)

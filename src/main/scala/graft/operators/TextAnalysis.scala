@@ -167,10 +167,19 @@ object TextAnalysis {
     *               contamination / truncated multibyte sequences;
     *   n_repl      U+FFFD replacement characters — a decoder already
     *               lost data upstream;
-    *   ascii_ratio printable-ASCII fraction (diagnostic, not a rule —
-    *               legitimate non-Latin text scores low);
+    *   ascii_ratio printable-ASCII fraction of CODEPOINTS (diagnostic,
+    *               not a rule — legitimate non-Latin text scores low);
     *   keep        n_ctrl == 0 AND n_repl == 0.
     * Null text gates as keep = false with zeroed counts.
+    *
+    * ascii_ratio's denominator is the codepoint count, not Spark
+    * `length()`'s UTF-16 code units: supplementary-plane characters
+    * (emoji, rare CJK) occupy two units, and a unit-based ratio would
+    * diverge from any codepoint-based engine (DuckDB's length(), Python's
+    * len()) on exactly those documents. Codepoints = units − one per
+    * supplementary char (each is 2 units, counted via a \\x{10000}+
+    * regex removal). n_ctrl/n_repl need no adjustment — both count BMP
+    * single-unit characters, where units and codepoints coincide.
     */
   def encodingGate(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = coalesce(col(textCol), lit(""))
@@ -178,10 +187,12 @@ object TextAnalysis {
       (length(t) - length(regexp_replace(t, pattern, ""))).cast("long")
     val nCtrl = removed("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")
     val nRepl = removed("�")
+    val cpLen = (length(t) -
+      removed("[\\x{10000}-\\x{10FFFF}]") / 2).cast("double")
     val ascii = length(regexp_replace(t, "[^\\x20-\\x7E]", "")).cast("double")
     df.select(col(idCol),
       nCtrl.as("n_ctrl"), nRepl.as("n_repl"),
-      round(when(length(t) > 0, ascii / length(t)).otherwise(0.0), 6)
+      round(when(cpLen > 0, ascii / cpLen).otherwise(0.0), 6)
         .as("ascii_ratio"),
       (col(textCol).isNotNull && nCtrl === 0 && nRepl === 0).as("keep"))
   }
@@ -273,19 +284,28 @@ object TextAnalysis {
     * final agg with no further corpus-wide exchange. Past broadcast
     * size the score joins shuffle on gram keys and the final aggregate
     * re-exchanges on id (inherent to scoring against global counts).
-    * The bigram subtree computes twice (scored + counted) — persist it
-    * at scale (p30/p33's documented debt). Count-table joins carry the
-    * stopword-pair skew AQE handles; V rides a broadcast 1-row cross
-    * join.
+    * Count-table joins carry the stopword-pair skew AQE handles; V
+    * rides a broadcast 1-row cross join.
+    *
+    * Catalyst has no automatic common-subplan reuse, so by default the
+    * token stream computes twice (bigram branch + unigram counts) and
+    * the bigram subtree twice (score join + bigram counts).
+    * `persistGrams = true` caches both (MEMORY_AND_DISK, TfIdf.scored's
+    * explicit-persist pattern) so the corpus is scanned and windowed
+    * exactly once — the 100 TB setting. Caches are LRU-evicted; callers
+    * wanting deterministic release unpersist via lineage.
     */
-  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("id"),
-      posexplode(Fns.tokens(col(textCol))).as(Seq("pos", "w")))
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
+      persistGrams: Boolean = false): DataFrame = {
+    def keep(f: DataFrame) = if (persistGrams)
+      f.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else f
+    val tok = keep(df.select(col(idCol).as("id"),
+      posexplode(Fns.tokens(col(textCol))).as(Seq("pos", "w"))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("pos")
-    val bg = tok.withColumn("w2", lead("w", 1).over(w))
+    val bg = keep(tok.withColumn("w2", lead("w", 1).over(w))
       .filter(col("w2").isNotNull)
-      .select(col("id"), col("w").as("w1"), col("w2"))
+      .select(col("id"), col("w").as("w1"), col("w2")))
     val bgCnt = bg.groupBy("w1", "w2").agg(count(lit(1)).cast("double").as("cb"))
     val uniCnt = tok.groupBy(col("w").as("w1"))
       .agg(count(lit(1)).cast("double").as("cu"))
@@ -296,6 +316,52 @@ object TextAnalysis {
       .agg(round(avg(-log((col("cb") + 1) / (col("cu") + col("v")))), 6)
         .as("bigram_lm_score"))
       .withColumnRenamed("id", idCol)
+  }
+
+  /** Collocation extraction (p33) — corpus-level PMI of adjacent token
+    * pairs, the multi-word-expression / tokenizer-vocab-candidate
+    * primitive: pmi = ln(P(w1,w2) / (P(w1)·P(w2))), bigrams with count
+    * >= minCount, top k by pmi rounded to 6dp BEFORE ranking (so the cut
+    * is engine-invariant; ties break lexicographically).
+    *
+    * Scale shape: bigrams are zipped per row (slice + arrays_zip — no
+    * self-join, no extra shuffle); uni/bigram counts are partial aggs;
+    * the pmi join runs on vocabulary-sized frames; totals ride 1-row
+    * broadcasts. Three branches consume the tokenized corpus (unigram
+    * counts, bigram counts, the n_big total); `persistTokens = true`
+    * caches the token-array frame so the corpus is scanned and tokenized
+    * exactly once (TfIdf.scored's explicit-persist pattern) — without it
+    * each branch re-reads and re-tokenizes.
+    */
+  def collocationsPmi(df: DataFrame, textCol: String, minCount: Long = 5,
+      k: Int = 50, persistTokens: Boolean = false): DataFrame = {
+    val toks0 = df.select(Fns.tokens(col(textCol)).as("tk"))
+    val toks = if (persistTokens)
+      toks0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else toks0
+    val tk = col("tk")
+    val uni = toks.select(explode(tk).as("w"))
+      .groupBy("w").agg(count(lit(1)).cast("double").as("cw"))
+    val nTok = uni.agg(sum("cw").as("n_tok"))
+    val big = toks
+      .select(explode(arrays_zip(
+        slice(tk, lit(1), size(tk) - 1).as("w1"),
+        slice(tk, lit(2), size(tk) - 1).as("w2"))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).cast("double").as("c2"))
+      .filter(col("c2") >= minCount)
+    val nBig = toks.select(
+      sum(greatest(size(tk) - 1, lit(0))).cast("double").as("n_big"))
+    big
+      .join(uni.select(col("w").as("w1"), col("cw").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cw").as("c2w")), "w2")
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBig))
+      .select(col("w1"), col("w2"), col("c2").cast("long").as("n_pair"),
+        round(log((col("c2") / col("n_big")) /
+          ((col("c1") / col("n_tok")) * (col("c2w") / col("n_tok")))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
   }
 
   /** CCNet's actual quality-filter shape: score EVERY document's
@@ -344,10 +410,20 @@ object TextAnalysis {
     * (stopword skew = the AQE case); (N, V) ride a 1-row broadcast; the
     * final per-doc mean is a linear partial agg on id — p42's envelope
     * with one extra vocab-sized join.
+    *
+    * `persistCounts = true` caches the reference token stream (feeds
+    * both the bigram and unigram count branches) and the unigram count
+    * table (consumed three times: two score joins + the totals row) —
+    * [[bigramLmScore]]'s explicit-persist pattern; without it the
+    * reference corpus tokenizes twice and the vocab aggregate runs
+    * three times.
     */
   def interpolatedLmScore(docs: DataFrame, ref: DataFrame, idCol: String,
-      textCol: String, lambda: Double = 0.7): DataFrame = {
+      textCol: String, lambda: Double = 0.7,
+      persistCounts: Boolean = false): DataFrame = {
     require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
+    def keep(f: DataFrame) = if (persistCounts)
+      f.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else f
     val w = org.apache.spark.sql.expressions.Window
     def toks(df: DataFrame, as: String) = df.select(col(idCol).as(as),
       posexplode(Fns.tokens(col(textCol))).as(Seq("pos", "w")))
@@ -356,11 +432,11 @@ object TextAnalysis {
         w.partitionBy(idAs).orderBy("pos")))
       .filter(col("w2").isNotNull)
       .select(col(idAs), col("w").as("w1"), col("w2"))
-    val rTok = toks(ref, "rid")
+    val rTok = keep(toks(ref, "rid"))
     val bgCnt = bigrams(rTok, "rid")
       .groupBy("w1", "w2").agg(count(lit(1)).cast("double").as("cb"))
-    val uniCnt = rTok.groupBy(col("w").as("w1"))
-      .agg(count(lit(1)).cast("double").as("cu"))
+    val uniCnt = keep(rTok.groupBy(col("w").as("w1"))
+      .agg(count(lit(1)).cast("double").as("cu")))
     val totals = uniCnt.agg(sum("cu").as("n"),
       count(lit(1)).cast("double").as("v"))
     val dBg = bigrams(toks(docs, "id"), "id")
@@ -392,4 +468,19 @@ object TextAnalysis {
       vocab: Seq[String], maxInputChars: Int = 16): DataFrame =
     df.select(col(idCol),
       Fns.wordpieceRows(Fns.tokens(col(textCol)), vocab, maxInputChars))
+
+  /** [[wordpiece]] with the vocabulary shipped as a Spark BROADCAST
+    * instead of a plan literal — the transport for realistic BPE vocabs
+    * (30k pieces ≈ 300 KB): the literal form serializes the whole vocab
+    * into every task closure of every stage that plans the expression,
+    * while the broadcast moves it once per executor and tasks share the
+    * deserialized hash set. Output rows are bit-identical to [[wordpiece]]
+    * (WordPieceSpec pins parity on a 30k vocab) and the plan is the same
+    * exchange-free per-row generator.
+    */
+  def wordpieceBroadcast(df: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[String], maxInputChars: Int = 16): DataFrame =
+    df.select(col(idCol),
+      Fns.wordpieceRowsBroadcast(df.sparkSession,
+        Fns.tokens(col(textCol)), vocab, maxInputChars))
 }

@@ -475,32 +475,8 @@ object PipelineExt {
     //     ride 1-row broadcasts. ---
     QueryDef(
       "p33_collocations",
-      (s, dir) => {
-        val tk = graft.functions.Fns.tokens(col("text"))
-        val docs = Tables.t(s, dir, "documents")
-        val uni = docs.select(explode(tk).as("w"))
-          .groupBy("w").agg(count(lit(1)).cast("double").as("cw"))
-        val nTok = uni.agg(sum("cw").as("n_tok"))
-        val big = docs
-          .select(explode(arrays_zip(
-            slice(tk, lit(1), size(tk) - 1).as("w1"),
-            slice(tk, lit(2), size(tk) - 1).as("w2"))).as("p"))
-          .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-          .groupBy("w1", "w2").agg(count(lit(1)).cast("double").as("c2"))
-          .filter(col("c2") >= 5)
-        val nBig = docs.select(
-            sum(greatest(size(tk) - 1, lit(0))).cast("double").as("n_big"))
-        big
-          .join(uni.select(col("w").as("w1"), col("cw").as("c1")), "w1")
-          .join(uni.select(col("w").as("w2"), col("cw").as("c2w")), "w2")
-          .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBig))
-          .select(col("w1"), col("w2"), col("c2").cast("long").as("n_pair"),
-            round(log((col("c2") / col("n_big")) /
-              ((col("c1") / col("n_tok")) * (col("c2w") / col("n_tok")))), 6)
-              .as("pmi"))
-          .orderBy(col("pmi").desc, col("w1"), col("w2"))
-          .limit(50)
-      },
+      (s, dir) => graft.operators.TextAnalysis.collocationsPmi(
+        Tables.t(s, dir, "documents"), "text", minCount = 5, k = 50),
       Some(
         """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk
           |            FROM documents),

@@ -1,0 +1,117 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Small-file METADATA I/O (manifests, params, commit markers) through the
+  * Hadoop [[FileSystem]] API, so the persistence operators ([[graft.streaming.MergeSink]],
+  * [[graft.operators.IncrementalDedup]], [[graft.streaming.DedupIngest]]) run against any
+  * Spark-reachable store — `file:/`, `hdfs://`, object stores — not just
+  * the local POSIX filesystem `java.nio.file` is limited to. The DATA path
+  * was always store-agnostic (Spark readers/writers); this closes the gap
+  * for the sidecar files.
+  *
+  * Rename semantics by store (documented here once, relied on by callers):
+  *   - HDFS / local: `FileContext.rename(OVERWRITE)` is atomic — a reader
+  *     sees the old file or the new one, never a torn write (the
+  *     tmp→rename commit of /root/reference/mr/coordinator.go:37-53).
+  *   - Object stores (S3A, GCS): rename is copy+delete, NOT atomic. The
+  *     manifest payload carries a CRC precisely for this case: a reader
+  *     that catches a torn publish fails loudly instead of following a
+  *     mangled pointer (see MergeSink.currentVersion).
+  */
+object FsMeta {
+
+  /** Hadoop conf from the active session (so `spark.hadoop.*` settings and
+    * store credentials apply); a bare Configuration outside a session.
+    */
+  def hadoopConf(): Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  private def fsFor(p: String): (FileSystem, Path) = {
+    val path = new Path(p)
+    val fs = path.getFileSystem(hadoopConf())
+    // Metadata payloads carry their OWN integrity check (MergeSink's
+    // manifest CRC); Hadoop's client-side .crc sidecars (ChecksumFileSystem,
+    // e.g. local file:/) would additionally fail reads after the documented
+    // out-of-band operator repair ("re-point the manifest by hand"), so they
+    // are disabled for metadata I/O. No-ops on filesystems without sidecars.
+    fs.setVerifyChecksum(false)
+    fs.setWriteChecksum(false)
+    (fs, path)
+  }
+
+  def exists(p: String): Boolean = {
+    val (fs, path) = fsFor(p); fs.exists(path)
+  }
+
+  def isDirectory(p: String): Boolean = {
+    val (fs, path) = fsFor(p)
+    fs.exists(path) && fs.getFileStatus(path).isDirectory
+  }
+
+  def mkdirs(p: String): Unit = {
+    val (fs, path) = fsFor(p); fs.mkdirs(path): Unit
+  }
+
+  def readString(p: String): String = {
+    val (fs, path) = fsFor(p)
+    val in = fs.open(path)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** Overwriting write — NOT atomic on its own; use [[publishAtomic]] for
+    * pointer files readers race against.
+    */
+  def writeString(p: String, s: String): Unit = {
+    val (fs, path) = fsFor(p)
+    val out = fs.create(path, true)
+    try out.write(s.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Atomic-create of an empty marker file; false if it already exists —
+    * the create-if-absent the reference's done-file protocol needs.
+    */
+  def createMarker(p: String): Boolean = {
+    val (fs, path) = fsFor(p)
+    try { fs.create(path, false).close(); true }
+    catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+            case _: java.io.IOException if fs.exists(path) => false }
+  }
+
+  /** Publish `payload` at `finalP` via tmp-write + rename(OVERWRITE) — the
+    * reference's tmp→rename commit (mr/coordinator.go:37-53) on the Hadoop
+    * API. Atomic on HDFS/local; see the object-store caveat in the object
+    * scaladoc.
+    */
+  def publishAtomic(tmpP: String, finalP: String, payload: String): Unit = {
+    writeString(tmpP, payload)
+    val (fs, dst) = fsFor(finalP)
+    val src = fs.makeQualified(new Path(tmpP))
+    val qDst = fs.makeQualified(dst)
+    val fc = FileContext.getFileContext(qDst.toUri, hadoopConf())
+    fc.rename(src, qDst, Options.Rename.OVERWRITE)
+  }
+
+  /** Names of immediate subdirectories of `dir` (empty if `dir` absent). */
+  def listSubdirs(dir: String): Seq[String] = {
+    val (fs, path) = fsFor(dir)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).filter(_.isDirectory).map(_.getPath.getName).toSeq
+  }
+
+  def modificationTime(p: String): Long = {
+    val (fs, path) = fsFor(p); fs.getFileStatus(path).getModificationTime
+  }
+
+  def deleteRecursive(p: String): Unit = {
+    val (fs, path) = fsFor(p); fs.delete(path, true): Unit
+  }
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.operators.IncrementalDedup
+import graft.sources.FsMeta
 
 /** Streaming near-dup dedup ingest — the composition a 100 TB pipeline
   * actually runs: documents arrive as a stream, each micro-batch is
@@ -11,7 +12,7 @@ import graft.operators.IncrementalDedup
   * ([[IncrementalDedup]]), survivors land in a clean output table, and
   * the batch is folded into the index so the next batch sees it. The
   * corpus is never rescanned; per batch the work is O(batch) text
-  * compute plus column-pruned index probes.
+  * compute plus bucket-pruned, exchange-free index probes.
   *
   * KEEP RULE (and why it is batch-boundary INVARIANT): a doc is dropped
   * iff it near-dups ANY doc seen before it — where "before" is the id
@@ -30,22 +31,34 @@ import graft.operators.IncrementalDedup
   * per-component is the batch [[graft.operators.ConnectedComponents]]
   * path.)
   *
-  * EXACTLY-ONCE: [[processBatch]] is guarded by a per-batch commit
-  * marker in the index dir — a foreachBatch replay of a committed batch
-  * id is a no-op (MergeSink's manifest idea at batch granularity). The
-  * kept-table write and the two index appends are not atomic as a
-  * group: a crash between them can leave a committed-LOOKING partial
-  * state only if it lands exactly between the last append and the
-  * marker write, in which case the replay re-appends (duplicate index
-  * rows make later candidate generation redundant but pairs are
-  * distinct()'d; the kept table is written FIRST, so survivors are
-  * never duplicated). A production deployment would wrap the three
-  * writes in a table-format transaction.
+  * CRASH SEMANTICS, per artifact (all metadata via [[FsMeta]], so the
+  * same protocol runs on HDFS/object stores, not just local disk):
+  *   - KEPT TABLE — effectively exactly-once. Batch b's survivors land in
+  *     their own partition directory `kept/batch=b/`, written with
+  *     OVERWRITE: a replay of batch b (crash anywhere before the commit
+  *     marker) recomputes the same survivor set — drops are a
+  *     deterministic function of (batch, index-as-of-b), and duplicate
+  *     index rows from a crashed append cannot change the drop set, only
+  *     repeat pairs the probe dedups — and REPLACES the directory instead
+  *     of appending next to the first attempt. Readers of `kept/` see a
+  *     partial batch directory only between a mid-write crash and the
+  *     replay that overwrites it (Spark's _SUCCESS marker distinguishes).
+  *   - INDEX — at-least-once rows. A crash between the index appends and
+  *     the marker re-appends the batch's shingle/band rows on replay;
+  *     [[IncrementalDedup]]'s probe is insensitive to duplicate index
+  *     rows (candidates distinct()'d, verify output deduped), so later
+  *     batches still compute exact drop sets.
+  *   - MARKER — `_commit_<b>` under the index dir, created LAST; a
+  *     foreachBatch replay of a fully-committed batch is a no-op
+  *     (MergeSink's manifest idea at batch granularity).
+  * A table-format transaction would collapse the three artifacts into
+  * one atomic commit; this protocol gets the same effective result with
+  * plain parquet + rename-free idempotency.
   */
 object DedupIngest {
 
   private def markerPath(indexPath: String, batchId: Long) =
-    java.nio.file.Paths.get(indexPath, s"_commit_$batchId")
+    s"$indexPath/_commit_$batchId"
 
   /** Initialize an EMPTY index at `path` (schema-complete, zero rows) so
     * the first streaming batch has something to probe. Overwrites.
@@ -60,35 +73,38 @@ object DedupIngest {
     IncrementalDedup.buildIndex(empty, idCol, textCol, p, path)
   }
 
-  /** One micro-batch: dedup against the index, append survivors to
-    * `keptPath`, fold the WHOLE batch into the index (see object
-    * scaladoc for why kept-and-dropped both go in), mark the batch
-    * committed. Idempotent per (indexPath, batchId).
+  /** One micro-batch: dedup against the index, OVERWRITE survivors into
+    * `keptPath/batch=<batchId>`, fold the WHOLE batch into the index (see
+    * object scaladoc for why kept-and-dropped both go in), mark the batch
+    * committed. Idempotent per (indexPath, batchId) — see the crash-
+    * semantics contract in the object scaladoc.
     */
   def processBatch(batch: DataFrame, batchId: Long, idCol: String,
       textCol: String, p: IncrementalDedup.Params, indexPath: String,
       keptPath: String): Unit = {
-    if (java.nio.file.Files.exists(markerPath(indexPath, batchId))) return
-    val spark = batch.sparkSession
+    if (FsMeta.exists(markerPath(indexPath, batchId))) return
     if (batch.isEmpty) return
     batch.persist()
     try {
       val pairs = IncrementalDedup.nearDupsAgainstIndex(
-        spark, batch, idCol, textCol, p, indexPath)
+        batch.sparkSession, batch, idCol, textCol, p, indexPath)
       // monotone ids: the batch side of every pair is the greater id
       val drops = pairs.select(col("id_b").cast("long").as(idCol)).distinct()
       batch.join(drops, Seq(idCol), "left_anti")
-        .write.mode(SaveMode.Append).parquet(keptPath)
+        .write.mode(SaveMode.Overwrite).parquet(s"$keptPath/batch=$batchId")
       // MUST follow nearDupsAgainstIndex (its ordering contract): once
       // the batch is indexed, its rows would sit on both probe sides
       IncrementalDedup.appendBatch(batch, idCol, textCol, p, indexPath)
-      java.nio.file.Files.createFile(markerPath(indexPath, batchId))
-    } finally batch.unpersist()
+      FsMeta.createMarker(markerPath(indexPath, batchId)): Unit
+    } finally batch.unpersist(): Unit
   }
 
   /** Start the ingest stream: `docs` must carry (`idCol`, `textCol`)
     * with ids monotone in ingest order. The index at `indexPath` must
     * exist ([[initEmptyIndex]] or a prior [[IncrementalDedup.buildIndex]]).
+    * Read the kept table with `spark.read.parquet(keptPath)` — the
+    * per-batch directories surface as a `batch` partition column
+    * (provenance: which micro-batch admitted each row).
     */
   def ingestStream(docs: DataFrame, idCol: String, textCol: String,
       p: IncrementalDedup.Params, indexPath: String, keptPath: String,

@@ -1,8 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
+import graft.sources.FsMeta
 
 /** foreachBatch + MERGE — the streaming-upsert sink pattern: each
   * micro-batch folds its rows into a keyed "latest state per key"
@@ -23,6 +23,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *     leaves the previous version visible (never a torn table); a
   *     replay after publish short-circuits on the manifest.
   *
+  * All manifest/GC metadata goes through [[FsMeta]] (Hadoop FileSystem),
+  * so the sink runs against any Spark-reachable store: on HDFS and local
+  * disk the publish rename is atomic; on object stores it is copy+delete
+  * and the manifest CRC is what turns a torn publish into a loud reader
+  * error instead of a silently-followed mangled pointer.
+  *
   * Scale: the fold shuffles one row per (key × input partition) thanks
   * to TopKPerGroup's map-side partials; the version write is
   * table-sized — at 100 TB the same pattern writes only changed
@@ -33,12 +39,13 @@ object MergeSink {
 
   private val stateCols = Seq("user_id", "event_id", "ts", "event_type", "value")
 
-  private def latestPerKey(df: DataFrame): DataFrame =
+  private def latestPerKey(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
     graft.plans.TopKPerGroup.topK(df.select(stateCols.map(col): _*),
       Seq("user_id"), Seq(col("ts").desc, col("event_id").desc), 1)
+  }
 
-  private def manifestPath(tableDir: String) =
-    java.nio.file.Paths.get(tableDir, "MANIFEST")
+  private def manifestPath(tableDir: String) = s"$tableDir/MANIFEST"
 
   private def crc32Hex(s: String): String = {
     val c = new java.util.zip.CRC32
@@ -46,26 +53,30 @@ object MergeSink {
     f"${c.getValue}%08x"
   }
 
-  /** Manifest payload: `v<b> <crc32-of-"v<b>">`. ATOMIC_MOVE already makes
-    * the publish all-or-nothing on POSIX; the checksum makes a TORN publish
-    * detectable on stores where rename is not atomic (object stores,
-    * some NFS) and catches on-disk corruption — a reader never silently
-    * follows a mangled version pointer.
+  /** Manifest payload: `v<b> <crc32-of-"v<b>">`. The atomic rename already
+    * makes the publish all-or-nothing on HDFS/POSIX; the checksum makes a
+    * TORN publish detectable on stores where rename is not atomic (object
+    * stores, some NFS) and catches on-disk corruption — a reader never
+    * silently follows a mangled version pointer.
     */
   private def manifestLine(version: String): String =
     s"$version ${crc32Hex(version)}"
 
   /** The published version name ("v<b>"), if any batch has committed.
-    * Throws IllegalStateException on a torn or corrupted manifest — the
+    * Accepts both the checksummed `v<b> <crc>` form and the legacy bare
+    * `v<b>` form (manifests written before checksumming existed) — a
+    * legacy manifest is upgraded in place by the next publish. Throws
+    * IllegalStateException on a torn or corrupted manifest — the
     * previous version dirs are still on disk (GC keeps current+previous),
     * so an operator can repair by re-pointing the manifest rather than
     * the reader silently treating the table as empty.
     */
   def currentVersion(tableDir: String): Option[String] = {
     val m = manifestPath(tableDir)
-    if (!java.nio.file.Files.exists(m)) None
-    else java.nio.file.Files.readString(m).trim.split("\\s+") match {
+    if (!FsMeta.exists(m)) None
+    else FsMeta.readString(m).trim.split("\\s+") match {
       case Array(v, sum) if v.matches("v\\d+") && sum == crc32Hex(v) => Some(v)
+      case Array(v) if v.matches("v\\d+") => Some(v) // legacy pre-CRC form
       case other => throw new IllegalStateException(
         s"torn/corrupted MANIFEST at $m: ${other.mkString(" ")}")
     }
@@ -85,17 +96,14 @@ object MergeSink {
   def readVersion(spark: SparkSession, tableDir: String,
       version: String): Option[DataFrame] = {
     require(version.matches("v\\d+"), s"bad version name: $version")
-    val d = java.nio.file.Paths.get(tableDir, version)
-    if (java.nio.file.Files.isDirectory(d))
-      Some(spark.read.parquet(d.toString))
-    else None
+    val d = s"$tableDir/$version"
+    if (FsMeta.isDirectory(d)) Some(spark.read.parquet(d)) else None
   }
 
   /** Version dirs still on disk, oldest first. */
   def listVersions(tableDir: String): Seq[String] =
-    Option(new java.io.File(tableDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .map(_.getName).sortBy(_.drop(1).toLong).toSeq
+    FsMeta.listSubdirs(tableDir).filter(_.matches("v\\d+"))
+      .sortBy(_.drop(1).toLong)
 
   /** Apply one micro-batch: fold latest-per-key into the current table,
     * write version v<batchId>, atomically publish the manifest.
@@ -124,13 +132,11 @@ object MergeSink {
       case None => latest
     }
     merged.write.mode("overwrite").parquet(s"$tableDir/v$batchId")
-    // tmp→ATOMIC_MOVE rename: readers see the old version or the new
-    // one, never a partial manifest (mr/coordinator.go:37-53's protocol)
-    val tmp = java.nio.file.Paths.get(tableDir, s".MANIFEST.v$batchId.tmp")
-    java.nio.file.Files.writeString(tmp, manifestLine(s"v$batchId"))
-    java.nio.file.Files.move(tmp, manifestPath(tableDir),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // tmp→rename publish: readers see the old version or the new one,
+    // never a partial manifest (mr/coordinator.go:37-53's protocol;
+    // rename atomicity per store documented on FsMeta)
+    FsMeta.publishAtomic(s"$tableDir/.MANIFEST.v$batchId.tmp",
+      manifestPath(tableDir), manifestLine(s"v$batchId"))
     // GC: superseded version dirs would otherwise accumulate one full
     // table copy per micro-batch for the stream's lifetime. Keep the
     // just-published version plus the immediately-previous one (and
@@ -142,23 +148,17 @@ object MergeSink {
   private def gcVersions(tableDir: String, keep: Set[String],
       graceMs: Long): Unit = {
     val cutoff = System.currentTimeMillis() - graceMs
-    val dirs = Option(new java.io.File(tableDir).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
-        !keep.contains(f.getName) && f.lastModified() < cutoff)
-    dirs.foreach { d =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(): Unit
-      }
-      rm(d)
-    }
+    FsMeta.listSubdirs(tableDir)
+      .filter(n => n.matches("v\\d+") && !keep.contains(n))
+      .map(n => s"$tableDir/$n")
+      .filter(d => FsMeta.modificationTime(d) < cutoff)
+      .foreach(FsMeta.deleteRecursive)
   }
 
   /** Start the streaming query: events stream → foreachBatch upsert. */
   def latestPerUserSink(events: DataFrame, tableDir: String,
       checkpointDir: String): StreamingQuery = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tableDir))
+    FsMeta.mkdirs(tableDir)
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -140,6 +140,112 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(spark.read.parquet(kept).count() == after)
   }
 
+  test("probe: index side is never exchanged and the band index is bucket-pruned") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val idx = tmpDir("bucketed")
+    // 64 buckets + a ONE-doc batch: the batch contributes at most 32
+    // bkeys, so pigeonhole GUARANTEES at least half the band buckets are
+    // pruned — the assert cannot pass by luck
+    val p64 = P.copy(numBuckets = 64)
+    IncrementalDedup.buildIndex(
+      docs.filter($"doc_id" % 5 =!= 0), "doc_id", "text", p64, idx)
+    val probeId = docs.filter($"doc_id" % 5 === 0)
+      .select(min("doc_id")).as[Long].head()
+    val inc = IncrementalDedup.nearDupsAgainstIndex(
+      spark, docs.filter($"doc_id" === probeId), "doc_id", "text", p64, idx)
+
+    def flatten(pl: SparkPlan): Seq[SparkPlan] = pl match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val nodes = flatten(inc.queryExecution.executedPlan)
+    // THE 100 TB property: index bytes never enter an Exchange (shuffle OR
+    // broadcast) — every index scan reaches its consuming join with no
+    // exchange in between; its bucketed files ARE the shuffle output, paid
+    // once at write. (Rows ABOVE a join are batch-bounded pair rows and
+    // may shuffle freely — only the corpus-sized pre-join side is pinned.)
+    def nakedIndexScan(pl: SparkPlan): Boolean = pl match {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains(idx))
+      case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+      case other => other.children.exists(nakedIndexScan)
+    }
+    val offending = nodes.collect { case e: Exchange if nakedIndexScan(e.child) => e }
+    assert(offending.isEmpty,
+      s"index-rooted data passes through an exchange:\n${offending.mkString("\n")}")
+    // bucket pruning fired: strictly fewer band buckets selected than exist
+    val bandScans = nodes.collect {
+      case f: FileSourceScanExec if f.relation.location.rootPaths
+        .exists(_.toString.contains(s"$idx/bands")) => f
+    }
+    assert(bandScans.nonEmpty, "expected a bucketed scan of the band index")
+    val selected = bandScans.flatMap(_.optionalBucketSet).map(_.cardinality())
+    assert(selected.nonEmpty && selected.min <= 32,
+      s"expected <=32 of 64 band buckets selected, got $selected")
+    // the pruned, exchange-free plan still answers exactly: pairs between
+    // the probe doc and the INDEXED corpus (the rest of the probe doc's
+    // %5 partition is in neither the index nor this batch)
+    val full = pairSet(Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        P.shingleSize, P.numHashes, P.bands, P.threshold)
+      .filter(($"id_a" === probeId && $"id_b" % 5 =!= 0) ||
+        ($"id_b" === probeId && $"id_a" % 5 =!= 0)))
+    assert(pairSet(inc) == full)
+    assert(full.nonEmpty, "fixture must plant a near-dup for the probe doc")
+  }
+
+  test("crash replay before the commit marker does not duplicate kept rows") {
+    import graft.streaming.DedupIngest
+    val root = tmpDir("crash")
+    val idx = s"$root/idx"
+    val kept = s"$root/kept"
+    val mid = docs.select(max("doc_id")).as[Long].head() / 2
+    val b0 = docs.filter($"doc_id" <= mid)
+    val b1 = docs.filter($"doc_id" > mid)
+    DedupIngest.initEmptyIndex(spark, "doc_id", "text", P, idx)
+    DedupIngest.processBatch(b0, 0L, "doc_id", "text", P, idx, kept)
+    val after = spark.read.parquet(kept).count()
+    // crash window: every batch-0 write landed (kept rows AND both index
+    // appends) but the commit marker did not — the replay re-runs the
+    // whole batch against an index that already contains it
+    graft.sources.FsMeta.deleteRecursive(s"$idx/_commit_0")
+    DedupIngest.processBatch(b0, 0L, "doc_id", "text", P, idx, kept)
+    assert(spark.read.parquet(kept).count() == after,
+      "replayed batch must OVERWRITE its kept partition, not append a second copy")
+    // and later batches still compute the exact drop set over the
+    // duplicate index rows the replayed append left behind
+    DedupIngest.processBatch(b1, 1L, "doc_id", "text", P, idx, kept)
+    val dropIds = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        P.shingleSize, P.numHashes, P.bands, P.threshold)
+      .select($"id_b").as[Long].collect().toSet
+    val expected = docs.select($"doc_id").as[Long].collect().toSet -- dropIds
+    assert(spark.read.parquet(kept).select($"doc_id").as[Long].collect().toSet
+      == expected)
+  }
+
+  test("index + ingest run against scheme-qualified file:/ URIs") {
+    import graft.streaming.DedupIngest
+    val root = "file:" + tmpDir("uri")
+    val idx = s"$root/idx"
+    val kept = s"$root/kept"
+    val small = docs.filter($"doc_id" % 3 === 0)
+    DedupIngest.initEmptyIndex(spark, "doc_id", "text", P, idx)
+    DedupIngest.processBatch(small, 0L, "doc_id", "text", P, idx, kept)
+    // markers, params.json and the bucketed tables all resolved through
+    // the Hadoop FileSystem API — and the result matches the plain-path
+    // computation
+    val dropIds = Dedup.minhashNearDupPairs(small, "doc_id", "text",
+        P.shingleSize, P.numHashes, P.bands, P.threshold)
+      .select($"id_b").as[Long].collect().toSet
+    val expected = small.select($"doc_id").as[Long].collect().toSet -- dropIds
+    assert(spark.read.parquet(kept).select($"doc_id").as[Long].collect().toSet
+      == expected)
+    // replay short-circuits on the FS-API marker too
+    DedupIngest.processBatch(small, 0L, "doc_id", "text", P, idx, kept)
+    assert(spark.read.parquet(kept).count() == expected.size)
+  }
+
   test("probing with a different MinHash family is rejected") {
     val idx = tmpDir("params")
     IncrementalDedup.buildIndex(docs.limit(20), "doc_id", "text", P, idx)

@@ -131,4 +131,52 @@ class LmScoreSpec extends AnyFunSuite {
     assert(win >= 0 && take >= 0, plan)
     assert(win < take, s"rank window must consume the LIMITED rows:\n$plan")
   }
+
+  test("explicit-persist flags: every multi-branch consumer reads the cache, results unchanged") {
+    // TfIdf.scored(persistTf)'s pattern generalized (VERDICT r7 #3): each
+    // scorer's repeated subtree materializes once behind InMemoryTableScan
+    // on EVERY consuming branch, and the cached plan answers identically.
+    import graft.operators.{Sampling, TextAnalysis}
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 60L)
+      .map(i => (i, s"tok${i % 7} tok${i % 3} shared words tok${i % 5}"))
+      .toDF("doc_id", "text")
+    val ref = (1L to 30L)
+      .map(i => (i, s"tok${i % 4} shared words tok${i % 6}"))
+      .toDF("doc_id", "text")
+    def imts(df: org.apache.spark.sql.DataFrame): Int =
+      "InMemoryTableScan".r
+        .findAllIn(df.queryExecution.executedPlan.toString).size
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    try {
+      // p42: tok feeds 2 branches, bg feeds 2 branches → >= 3 cache reads
+      // (bg's own build reads tok's cache)
+      val bgOn = TextAnalysis.bigramLmScore(docs, "doc_id", "text",
+        persistGrams = true)
+      assert(imts(bgOn) >= 3, bgOn.queryExecution.executedPlan.toString)
+      assert(rows(bgOn) == rows(
+        TextAnalysis.bigramLmScore(docs, "doc_id", "text")))
+      // p55: rTok feeds 2 branches, uniCnt 3 consumers → >= 4 cache reads
+      val ipOn = TextAnalysis.interpolatedLmScore(docs, ref, "doc_id",
+        "text", persistCounts = true)
+      assert(imts(ipOn) >= 4, ipOn.queryExecution.executedPlan.toString)
+      assert(rows(ipOn) == rows(
+        TextAnalysis.interpolatedLmScore(docs, ref, "doc_id", "text")))
+      // p33: three branches off the tokenized corpus
+      val coOn = TextAnalysis.collocationsPmi(docs, "text", minCount = 2,
+        k = 20, persistTokens = true)
+      assert(imts(coOn) >= 3, coOn.queryExecution.executedPlan.toString)
+      assert(rows(coOn) == rows(
+        TextAnalysis.collocationsPmi(docs, "text", minCount = 2, k = 20)))
+      // p50: histogram + cut both read the cached input
+      val withSrc = docs.withColumn("source",
+        (col("doc_id") % 3).cast("string"))
+      val tmOn = Sampling.temperatureMixture(withSrc, "source", "doc_id",
+        0.5, 10, persistInput = true)
+      assert(imts(tmOn) >= 2, tmOn.queryExecution.executedPlan.toString)
+      assert(rows(tmOn) == rows(
+        Sampling.temperatureMixture(withSrc, "source", "doc_id", 0.5, 10)))
+    } finally spark.sharedState.cacheManager.clearCache()
+  }
 }

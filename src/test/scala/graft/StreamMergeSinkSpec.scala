@@ -149,6 +149,36 @@ class StreamMergeSinkSpec extends AnyFunSuite {
     assert(MergeSink.readCurrent(spark, table).get.count() == users)
   }
 
+  test("merge sink manifest: legacy bare-version manifests stay readable and upgrade on publish") {
+    val src = graft.api.Tables.t(spark, TestSpark.sf0001, "events")
+      .select("user_id", "event_id", "ts", "event_type", "value").limit(10)
+    val table = tmpDir("graft-merge-legacy")
+    MergeSink.upsertBatch(src, table, 0L)
+    val m = java.nio.file.Paths.get(table, "MANIFEST")
+    // a manifest written before checksumming existed: bare "v<b>"
+    java.nio.file.Files.writeString(m, "v0")
+    assert(MergeSink.currentVersion(table).contains("v0"),
+      "pre-CRC manifests must stay readable without hand-migration")
+    assert(MergeSink.readCurrent(spark, table).get.count() > 0)
+    // the next publish rewrites the checksummed form in place
+    MergeSink.upsertBatch(src, table, 1L)
+    assert(MergeSink.currentVersion(table).contains("v1"))
+    assert(java.nio.file.Files.readString(m).trim.split("\\s+").length == 2,
+      "publish should upgrade the manifest to the checksummed format")
+  }
+
+  test("merge sink runs against scheme-qualified file:/ URIs") {
+    val src = graft.api.Tables.t(spark, TestSpark.sf0001, "events")
+      .select("user_id", "event_id", "ts", "event_type", "value").limit(40)
+    val table = "file:" + tmpDir("graft-merge-uri")
+    MergeSink.upsertBatch(src.filter(col("event_id") % 2 === 0), table, 0L)
+    MergeSink.upsertBatch(src.filter(col("event_id") % 2 === 1), table, 1L)
+    assert(MergeSink.currentVersion(table).contains("v1"))
+    val users = src.select("user_id").distinct().count()
+    assert(MergeSink.readCurrent(spark, table).get.count() == users)
+    assert(MergeSink.listVersions(table) == Seq("v0", "v1"))
+  }
+
   test("merge sink GC grace window: recent version dirs survive past the keep-two rule") {
     val src = graft.api.Tables.t(spark, TestSpark.sf0001, "events")
       .select("user_id", "event_id", "ts", "event_type", "value")

@@ -82,5 +82,32 @@ class WordPieceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](pieces("a", vocab = Seq("a", "##")))
     intercept[IllegalArgumentException](pieces("a", vocab = Seq("a", "")))
     intercept[IllegalArgumentException](pieces("a", vocab = Nil))
+    // the broadcast transport validates driver-side too
+    intercept[IllegalArgumentException](
+      TextAnalysis.wordpieceBroadcast(
+        Seq((1L, "a")).toDF("doc_id", "text"), "doc_id", "text", Seq("##")))
+  }
+
+  test("broadcast-vocab transport: identical rows to the literal path on a 30k vocab, exchange-free plan") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .filter(col("doc_id") % 3 === 0) // thin WITHOUT a limit (its Exchange)
+    // a realistic-SIZED vocabulary: the fixture-covering vocab plus ~30k
+    // synthetic pieces (padding entries that can also genuinely match)
+    val vocab = (graft.queries.PipelineMore.wpVocab ++
+      (0 until 30000).map(i => s"zq${i}x") ++
+      (0 until 2000).map(i => s"##zq${i}x")).distinct
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "tok_idx", "piece_idx", "piece")
+        .as[(Long, Int, Int, String)].collect().toSeq.sorted
+    val lit = TextAnalysis.wordpiece(docs, "doc_id", "text", vocab)
+    val bc = TextAnalysis.wordpieceBroadcast(docs, "doc_id", "text", vocab)
+    assert(rows(bc) == rows(lit))
+    assert(rows(bc).nonEmpty)
+    val plan = bc.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), plan)
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+    // and the broadcast expression's plan footprint stays vocab-free: a
+    // 30k-literal plan would print its entries; the handle must not
+    assert(!plan.contains("zq29999x"), "vocab leaked into the plan/closure")
   }
 }
