@@ -63,13 +63,23 @@ object IncrementalDedup {
         s""""bands":$bands,"threshold":$threshold,"numBuckets":$numBuckets}"""
   }
 
-  /** Cap on the collected batch bkey set used for index bucket pruning.
-    * The collect is batch-bounded (bands-per-doc × batch docs, distinct),
-    * the same driver-side scale as a dynamic-partition-pruning subquery;
-    * past the cap the filter is skipped — correctness never depends on it
-    * (a bkey absent from the batch cannot join).
+  /** Cap on the collected key sets that drive NARROW-batch index
+    * pruning. A batch counts as narrow when it has at most
+    * MaxProbeKeys / bands documents (so its band-key set fits the cap);
+    * only then are its distinct bkeys — and the candidate pairs' doc
+    * ids — collected and pushed as IN filters onto the bucketed index
+    * scans. The collects are batch-bounded, the same driver-side scale
+    * as a dynamic-partition-pruning subquery.
+    *
+    * Why a LOW cap: Catalyst's planning cost for an IN-literal list is
+    * linear in its length (measured ~0.7 ms/key/query at sf0.1 — a 31k
+    * key list added >20 s per probe), while the filter's value — bucket
+    * file pruning — exists only when the key set is small relative to
+    * the bucket count anyway. Wide batches skip the filters AND the
+    * collects entirely; correctness never depends on them (a key absent
+    * from the batch cannot join).
     */
-  val MaxProbeKeys: Int = 1 << 16
+  val MaxProbeKeys: Int = 1024
 
   private def bandsPath(path: String) = s"$path/bands"
   private def shinglesPath(path: String) = s"$path/shingles"
@@ -181,16 +191,23 @@ object IncrementalDedup {
     *
     * Probe shape: the batch's banded rows are shuffled ONCE by bkey (the
     * bucketed index side needs no exchange — it is already laid out as the
-    * join wants), joined against (a) the pruned index for batch×corpus
-    * pairs and (b) themselves for batch-internal pairs; the verify then
-    * looks up shingle sets per pair side as `coalesce(batch, index)` left
-    * joins, so the bucketed shingle table is likewise never shuffled.
+    * join wants), joined against (a) the index for batch×corpus pairs and
+    * (b) themselves for batch-internal pairs; the verify then looks up
+    * shingle sets per pair side as `coalesce(batch, index)` left joins,
+    * so the bucketed shingle table is likewise never shuffled.
     * SHUFFLE_HASH hints keep the planner from broadcasting a corpus-sized
     * index side and make the batch subtree one reused exchange.
     *
-    * Runs one batch-bounded collect at call time (the distinct bkeys that
-    * drive bucket pruning, capped at [[MaxProbeKeys]]) — the same
-    * driver-side footprint as a DPP subquery, never corpus-sized.
+    * NARROW batches (≤ [[MaxProbeKeys]] / bands documents — the trickle-
+    * ingest regime bucketing exists for: a small batch probing a huge
+    * index) additionally get FILE pruning: the batch's distinct bkeys are
+    * collected and pushed as an IN filter onto the band table (bucket
+    * pruning — FileSourceScan reads only the touched buckets), the
+    * candidate pairs are materialized (localCheckpoint, batch-bounded)
+    * and their doc ids pushed the same way onto the shingle table. A
+    * narrow probe therefore reads a small SLICE of the index, not all of
+    * it. Wide batches skip the collects — planning cost of an IN list is
+    * linear in its size, and a wide batch touches every bucket anyway.
     *
     * Ordering contract: run this BEFORE [[appendBatch]] for the same
     * batch — once the batch's ids are in the index, its rows sit on both
@@ -204,15 +221,15 @@ object IncrementalDedup {
     val bSh = Dedup.shingled(batch, idCol, textCol, p.shingleSize)
     val bBands = Dedup.bandRows(
       Dedup.minhashSignatures(bSh, p.numHashes), p.numHashes, p.bands)
+    val maxProbeDocs = math.max(1, MaxProbeKeys / p.bands)
+    val narrow =
+      batch.select(idCol).limit(maxProbeDocs + 1).count() <= maxProbeDocs
     val iBandsAll = bucketedTable(spark, path, "bands", bandsPath(path),
       "bkey", p.numBuckets)
-    // bucket pruning: only index files whose bucket holds one of the
-    // batch's bkeys are read (FileSourceScan's SelectedBucketsCount)
-    val probeKeys = bBands.select("bkey").distinct()
-      .limit(MaxProbeKeys + 1).collect().map(_.getInt(0))
     val iBands =
-      if (probeKeys.length > MaxProbeKeys) iBandsAll
-      else iBandsAll.filter(col("bkey").isin(probeKeys.toSeq: _*))
+      if (!narrow) iBandsAll
+      else iBandsAll.filter(col("bkey").isin(
+        bBands.select("bkey").distinct().collect().map(_.get(0)).toSeq: _*))
     // batch×index collisions: hint on the BATCH side so it is the hash
     // build side and the index is streamed (never broadcast, never
     // shuffled). least/greatest canonicalizes — a batch id may sort
@@ -228,8 +245,19 @@ object IncrementalDedup {
       .join(bBands.as("y").hint("SHUFFLE_HASH"),
         col("x.bkey") === col("y.bkey") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-    val cands = cross.unionByName(internal).distinct()
-    verifyAgainstIndex(spark, cands, bSh, p, path)
+    val cands0 = cross.unionByName(internal).distinct()
+    val (cands, candIds) =
+      if (!narrow) (cands0, None)
+      else {
+        // materialize the (batch-bounded) pair set once so the pairs'
+        // doc ids can prune the shingle lookups; lineage-cut so the
+        // banding subtree does not replan under the verify
+        val c = cands0.localCheckpoint()
+        val ids = c.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+          .distinct().limit(MaxProbeKeys + 1).collect().map(_.get(0))
+        (c, if (ids.length > MaxProbeKeys) None else Some(ids.toSeq))
+      }
+    verifyAgainstIndex(spark, cands, bSh, candIds, p, path)
   }
 
   /** Exact-Jaccard verify where each pair side's shingle set is looked up
@@ -242,9 +270,17 @@ object IncrementalDedup {
     * replayed appends.
     */
   private def verifyAgainstIndex(spark: SparkSession, cands: DataFrame,
-      bSh: DataFrame, p: Params, path: String): DataFrame = {
-    val iSh = bucketedTable(spark, path, "sh", shinglesPath(path),
+      bSh: DataFrame, candIds: Option[Seq[Any]], p: Params,
+      path: String): DataFrame = {
+    val iShAll = bucketedTable(spark, path, "sh", shinglesPath(path),
       "id", p.numBuckets)
+    // narrow-batch probe: only shingle buckets holding a candidate id are
+    // read (the ids are batch-bounded; a missing filter is only a
+    // performance difference — ids outside the pair set cannot join)
+    val iSh = candIds match {
+      case Some(ids) => iShAll.filter(col("id").isin(ids: _*))
+      case None => iShAll
+    }
     def lookup(c: DataFrame, idName: String, tag: String): DataFrame =
       c.hint("SHUFFLE_HASH")
         .join(iSh.select(col("id").as(idName), col("sh").as(s"i_$tag")),

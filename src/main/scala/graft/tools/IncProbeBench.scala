@@ -1,17 +1,23 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, IncrementalDedup}
 
 /** Dev tool: A/B the p46 incremental-dedup PROBE formulations over the
-  * same persisted index files —
+  * same persisted index files, in BOTH regimes —
+  *   - WIDE batch (the p46 oracle split: 20% of the corpus) — here the
+  *     batch is index-scale, every bucket is touched, and the win is
+  *     bounded to exchange elimination;
+  *   - NARROW batch (trickle ingest: a handful of docs against the whole
+  *     corpus) — the regime the bucketed layout exists for: the probe
+  *     bucket-prunes both index tables to the touched slice.
+  * Shapes compared:
   *   - "r7 union probe": read the index dirs as plain parquet (bucketing
   *     ignored), union the index and batch band rows, symmetric
-  *     SHUFFLE_HASH self-join, union-side verify — the round-7 shape that
-  *     re-shuffles the whole corpus-sized index every batch;
-  *   - "r8 bucketed probe": [[IncrementalDedup.nearDupsAgainstIndex]] —
-  *     bucket-pruned, exchange-free index sides.
+  *     SHUFFLE_HASH self-join, union-side verify — re-shuffles the whole
+  *     corpus-sized index every batch;
+  *   - "r8 bucketed probe": [[IncrementalDedup.nearDupsAgainstIndex]].
   * (`runMain graft.tools.IncProbeBench [sfDir]`)
   */
 object IncProbeBench {
@@ -24,18 +30,10 @@ object IncProbeBench {
     s.sparkContext.setLogLevel("WARN")
     val docs = graft.api.Tables.t(s, dir, "documents")
     val p = IncrementalDedup.Params()
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_incprobe").toString
-    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
-    val batch = docs.filter(col("doc_id") % 5 === 0)
-    IncrementalDedup.buildIndex(corpus, "doc_id", "text", p, path)
-
-    val bucketed = () => IncrementalDedup.nearDupsAgainstIndex(
-      s, batch, "doc_id", "text", p, path).count()
 
     // round-7 shape reconstructed over the same files: plain-parquet read
     // (no bucketing metadata), index ∪ batch build side, one-join probe
-    val unionProbe = () => {
+    def unionProbe(batch: DataFrame, path: String): Long = {
       val bSh = Dedup.shingled(batch, "doc_id", "text", p.shingleSize)
       val bBands = Dedup.bandRows(
         Dedup.minhashSignatures(bSh, p.numHashes), p.numHashes, p.bands)
@@ -58,8 +56,26 @@ object IncProbeBench {
       }
       println(f"$label: rows $n0  min ${runs.min}%.3f s  median ${runs.sorted.apply(1)}%.3f s")
     }
-    time("r7 union probe   ", unionProbe)
-    time("r8 bucketed probe", bucketed)
+
+    // WIDE regime: p46's oracle split
+    val widePath = java.nio.file.Files
+      .createTempDirectory("graft_incprobe_w").toString
+    val wCorpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val wBatch = docs.filter(col("doc_id") % 5 === 0)
+    IncrementalDedup.buildIndex(wCorpus, "doc_id", "text", p, widePath)
+    time("WIDE   r7 union   ", () => unionProbe(wBatch, widePath))
+    time("WIDE   r8 bucketed", () => IncrementalDedup.nearDupsAgainstIndex(
+      s, wBatch, "doc_id", "text", p, widePath).count())
+
+    // NARROW regime: 20 docs against the WHOLE corpus as index
+    val narrowPath = java.nio.file.Files
+      .createTempDirectory("graft_incprobe_n").toString
+    val nBatch = docs.filter(col("doc_id") % 2500 === 0)
+    IncrementalDedup.buildIndex(
+      docs.filter(col("doc_id") % 2500 =!= 0), "doc_id", "text", p, narrowPath)
+    time("NARROW r7 union   ", () => unionProbe(nBatch, narrowPath))
+    time("NARROW r8 bucketed", () => IncrementalDedup.nearDupsAgainstIndex(
+      s, nBatch, "doc_id", "text", p, narrowPath).count())
     s.stop()
   }
 }

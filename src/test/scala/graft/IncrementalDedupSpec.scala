@@ -175,15 +175,18 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val offending = nodes.collect { case e: Exchange if nakedIndexScan(e.child) => e }
     assert(offending.isEmpty,
       s"index-rooted data passes through an exchange:\n${offending.mkString("\n")}")
-    // bucket pruning fired: strictly fewer band buckets selected than exist
-    val bandScans = nodes.collect {
+    // narrow-batch file pruning fired: the candidate ids are pushed onto
+    // the bucketed SHINGLE scans (the band scan ran inside the
+    // checkpointed candidate job), so strictly fewer shingle buckets are
+    // selected than exist — a narrow probe reads a slice of the index
+    val shScans = nodes.collect {
       case f: FileSourceScanExec if f.relation.location.rootPaths
-        .exists(_.toString.contains(s"$idx/bands")) => f
+        .exists(_.toString.contains(s"$idx/shingles")) => f
     }
-    assert(bandScans.nonEmpty, "expected a bucketed scan of the band index")
-    val selected = bandScans.flatMap(_.optionalBucketSet).map(_.cardinality())
-    assert(selected.nonEmpty && selected.min <= 32,
-      s"expected <=32 of 64 band buckets selected, got $selected")
+    assert(shScans.nonEmpty, "expected bucketed scans of the shingle index")
+    val selected = shScans.flatMap(_.optionalBucketSet).map(_.cardinality())
+    assert(selected.nonEmpty && selected.max < 64,
+      s"expected < 64 of 64 shingle buckets selected, got $selected")
     // the pruned, exchange-free plan still answers exactly: pairs between
     // the probe doc and the INDEXED corpus (the rest of the probe doc's
     // %5 partition is in neither the index nor this batch)
