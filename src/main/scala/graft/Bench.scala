@@ -71,35 +71,52 @@ object Bench {
     // change, never noise). ~250 (qid, nid) pairs collect to the driver —
     // calibration-scale, same as the probe.
     val annJson = try {
-      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.functions._
       import graft.operators.Similarity
-      val e = graft.api.Tables.t(spark, sfDir, "embeddings")
-      val q = e.filter(col("vec_id") % 50 === 0)
-      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
-        df.select("qid", "nid").collect()
-          .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
-          .toSet
-      val exact = pairs(Similarity.bruteForceTopK(q, e, 5))
-      def setting(name: String, f: () => org.apache.spark.sql.DataFrame): String = {
-        // exact can only be empty on a degenerate fixture (no embeddings
-        // survive the query filter); recall 0.0 keeps the JSON parseable
-        // instead of interpolating NaN into the artifact
-        val recall = if (exact.isEmpty) 0.0
-          else (pairs(f()).intersect(exact).size.toDouble /
-            exact.size * 1e4).round / 1e4 // warm run doubles as recall probe
-        val secs = (1 to 2).map { _ =>
-          val t0 = System.nanoTime(); f().count(); (System.nanoTime() - t0) / 1e9
-        }.min
-        s""""$name":{"sec":$secs,"recall":$recall}"""
+      val uniform = graft.api.Tables.t(spark, sfDir, "embeddings")
+      // second fixture: mixture of 16 Gaussians over the SAME ids/dims —
+      // the uniform-random testdata is the adversarial floor for any
+      // partition-based ANN (no cluster structure to exploit); real
+      // embedding spaces are clustered, so the ladder is reported on both
+      // geometries. Deterministic (murmur3-hash pseudo-noise keyed on
+      // (cluster|id, dim) — identical across runs and boxes).
+      val dims = uniform.select(size(col("embedding"))).first().getInt(0)
+      def h01(cols: org.apache.spark.sql.Column*) =
+        (pmod(hash(cols: _*), lit(20001)) - lit(10000)).cast("double") / 10000.0
+      val clustered = uniform.select(col("vec_id"),
+        transform(sequence(lit(0), lit(dims - 1)),
+          d => (h01(col("vec_id") % 16, d) +
+            h01(col("vec_id"), d, lit(7)) * lit(0.15)).cast("float"))
+          .as("embedding"))
+      def ladder(e: org.apache.spark.sql.DataFrame): String = {
+        val q = e.filter(col("vec_id") % 50 === 0)
+        def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+          df.select("qid", "nid").collect()
+            .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+            .toSet
+        val exact = pairs(Similarity.bruteForceTopK(q, e, 5))
+        def setting(name: String, f: () => org.apache.spark.sql.DataFrame): String = {
+          // exact can only be empty on a degenerate fixture (no embeddings
+          // survive the query filter); recall 0.0 keeps the JSON parseable
+          // instead of interpolating NaN into the artifact
+          val recall = if (exact.isEmpty) 0.0
+            else (pairs(f()).intersect(exact).size.toDouble /
+              exact.size * 1e4).round / 1e4 // warm run doubles as recall probe
+          val secs = (1 to 2).map { _ =>
+            val t0 = System.nanoTime(); f().count(); (System.nanoTime() - t0) / 1e9
+          }.min
+          s""""$name":{"sec":$secs,"recall":$recall}"""
+        }
+        Seq(
+          ("lsh_t2_p1", () => Similarity.lshTopK(q, e, 5, tables = 2, probeBits = 1)),
+          ("lsh_t4_p2", () => Similarity.lshTopK(q, e, 5, tables = 4, probeBits = 2)),
+          ("lsh_t6_p2", () => Similarity.lshTopK(q, e, 5)), // p10's defaults
+          ("ivf_np1", () => Similarity.ivfTopK(q, e, 5, nprobe = 1)),
+          ("ivf_np2", () => Similarity.ivfTopK(q, e, 5, nprobe = 2)),
+          ("ivf_np4", () => Similarity.ivfTopK(q, e, 5))) // p13's defaults
+          .map { case (n, f) => setting(n, f) }.mkString("{", ",", "}")
       }
-      val settings = Seq(
-        ("lsh_t2_p1", () => Similarity.lshTopK(q, e, 5, tables = 2, probeBits = 1)),
-        ("lsh_t4_p2", () => Similarity.lshTopK(q, e, 5, tables = 4, probeBits = 2)),
-        ("lsh_t6_p2", () => Similarity.lshTopK(q, e, 5)), // p10's defaults
-        ("ivf_np1", () => Similarity.ivfTopK(q, e, 5, nprobe = 1)),
-        ("ivf_np2", () => Similarity.ivfTopK(q, e, 5, nprobe = 2)),
-        ("ivf_np4", () => Similarity.ivfTopK(q, e, 5))) // p13's defaults
-      settings.map { case (n, f) => setting(n, f) }.mkString("{", ",", "}")
+      s"""{"uniform":${ladder(uniform)},"clustered":${ladder(clustered)}}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ann group FAILED: ${e.getMessage}")
       "null"

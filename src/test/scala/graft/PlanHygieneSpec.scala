@@ -51,6 +51,49 @@ class PlanHygieneSpec extends AnyFunSuite {
     "p38_ref_lm_score", "p42_bigram_lm", "p50_temperature_mixture",
     "p51_curriculum_bins", "p55_interp_lm")
 
+  // Pinned physical-plan node counts for the audited headline queries —
+  // the numeric form of PLANS.md's prose claims ("q68: one data exchange,
+  // two stacked windows"), so an edit that silently adds a shuffle or
+  // de-stacks a window fails HERE, not in a bench regression three rounds
+  // later. Counted with AQE off (static plans — AQE re-plans at runtime
+  // but from exactly this starting shape) via tools.PlanCounts; totals
+  // INCLUDE each query's deterministic output-sort range exchange.
+  // (query -> (shuffle, broadcast, reused-exchange, window))
+  private val pinnedCounts: Map[String, (Int, Int, Int, Int)] = Map(
+    "q01_pricing_summary" -> (2, 0, 0, 0), // agg + output sort
+    "q04_priority_revenue" -> (2, 1, 0, 0), // shuffle join by design
+    "q05_region_revenue" -> (2, 5, 0, 0), // 5 broadcast dims, fact never shuffled
+    "q09_topk_per_customer" -> (2, 0, 0, 1),
+    "q38_topk_physical" -> (2, 0, 0, 0), // TopKPerGroup: no WindowExec
+    "q53_compact_latest" -> (2, 0, 0, 0),
+    "q57_gap_fill" -> (3, 0, 0, 1),
+    "q62_scd2_build" -> (2, 0, 0, 1), // single window exchange
+    "q66_event_transitions" -> (3, 0, 0, 1),
+    "q68_funnel" -> (2, 0, 0, 2), // N-stage funnel stacked on ONE data exchange
+    "q69_time_weighted_avg" -> (2, 0, 0, 1),
+    "q70_retention_cohorts" -> (4, 1, 0, 0),
+    "q75_salted_topk" -> (3, 0, 0, 0), // two-phase salted TopK: no window
+    "p02_minhash_neardup" -> (7, 0, 2, 0), // shingle exchange reused twice
+    "p17_decontaminate" -> (3, 1, 0, 0), // eval side broadcast, corpus never shuffled
+    "p23_tfidf_topterms" -> (6, 2, 0, 0),
+    "p26_mixture_sample" -> (2, 0, 0, 1), // one corpus shuffle + quota window
+    "p32_token_entropy" -> (3, 0, 0, 0)) // single scan, stacked aggs, no join
+
+  test("headline-query exchange/window counts stay pinned (AQE-off static plans)") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val byName = Registry.all.map(q => q.name -> q).toMap
+    val drifted = pinnedCounts.toSeq.sortBy(_._1).flatMap { case (name, want) =>
+      val q = byName.getOrElse(name, fail(s"pinned query $name not registered"))
+      val got = graft.tools.PlanCounts.counts(
+        q.run(s, TestSpark.sf0001).queryExecution.executedPlan)
+      if (got != want) Some(s"$name: got $got, pinned $want") else None
+    }
+    assert(drifted.isEmpty,
+      "plan shape drifted (update the pin ONLY with a PLANS.md entry " +
+        "explaining why the new shape is right):\n" + drifted.mkString("\n"))
+  }
+
   test("no cartesian product or unexpected BNLJ in any registered query") {
     val offenders = Registry.all.flatMap { q =>
       val plan =
