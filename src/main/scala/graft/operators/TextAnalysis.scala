@@ -228,6 +228,68 @@ object TextAnalysis {
         round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
   }
 
+  /** Variable-length repeated-span mining — the ladder extension of the
+    * fixed-n p36 signal toward Lee et al.'s longest-match semantics
+    * ("Deduplicating Training Data Makes Language Models Better"):
+    * doubling span widths n = baseN, 2·baseN, 4·baseN, … report every
+    * span occurring in >= minDf distinct documents at every width, until
+    * a width yields none (or maxN is hit). Output one row per
+    * (span_len, span): (span_len, span, n_docs, first_doc).
+    *
+    * Termination and pruning are both EXACT by window monotonicity: any
+    * n-token sub-window of a 2n-token span appears in every document the
+    * 2n-span appears in, so df is non-increasing in width — an empty
+    * width implies all wider widths empty (safe stop), and a document
+    * with no surviving n-span can contain no surviving 2n-span (so it is
+    * pruned from the next pass without changing the result).
+    *
+    * Scale design: each pass is p36's shape — ShingleRows generator (one
+    * row per distinct span per doc, no arrays) into a partial-agg count —
+    * over a corpus that SHRINKS geometrically: pass k scans only documents
+    * that still held a surviving span at pass k−1 (semi-join on the
+    * surviving ids; boilerplate-heavy corpora converge in 2-3 passes).
+    * Survivors are localCheckpoint'ed: the per-pass emptiness probe,
+    * the prune join, and the final union all reuse one materialization,
+    * and driver-side lineage stays flat across passes (the PageRank
+    * pattern). O(log(maxN/baseN)) passes, each corpus-linear in the
+    * surviving slice.
+    */
+  def repeatedSpansLadder(df: DataFrame, idCol: String, textCol: String,
+      baseN: Int = 8, minDf: Long = 3, maxN: Int = 64): DataFrame = {
+    require(baseN >= 1 && maxN >= baseN, s"bad ladder [$baseN, $maxN]")
+    val empty = df.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "span_len INT NOT NULL, span STRING, n_docs BIGINT, first_doc BIGINT"))
+    var eligible = df.select(col(idCol).cast("long").as("id"),
+      col(textCol).as("t"))
+    var out = empty
+    var n = baseN
+    var exhausted = false
+    while (!exhausted && n <= maxN) {
+      val docSpans = eligible.select(col("id"),
+        Fns.shingleRows(Fns.tokens(col("t")), n).as("span"))
+      val survivors = docSpans.groupBy("span")
+        .agg(count(lit(1)).as("n_docs"), min("id").as("first_doc"))
+        .filter(col("n_docs") >= minDf)
+        .localCheckpoint() // one materialization: probe + prune + result
+      if (survivors.isEmpty) exhausted = true
+      else {
+        out = out.unionByName(survivors.select(
+          lit(n).as("span_len"), col("span"), col("n_docs"),
+          col("first_doc")))
+        // exact prune (see scaladoc): only docs holding a survivor can
+        // hold a wider survivor
+        val keep = docSpans.join(survivors.select("span"), "span")
+          .select("id").distinct().localCheckpoint()
+        eligible = eligible.join(keep, Seq("id"), "left_semi")
+          .localCheckpoint()
+        n *= 2
+      }
+    }
+    out
+  }
+
   /** Zipf's-law fit over the top-N token-frequency ranks: OLS of
     * ln(count) on ln(rank) — slope near −1 is the natural-language
     * signature; a synthetic/templated corpus bends it. Returns one row

@@ -643,6 +643,37 @@ object PipelineMore {
           |SELECT doc_id,
           |  round(avg(-ln(0.7::DOUBLE * pbg
           |    + (1.0::DOUBLE - 0.7::DOUBLE) * puni)), 6) AS interp_lm_score
-          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // --- variable-length repeated spans (Lee et al. longest-match
+    //     ladder): doubling widths 8→16→32→64, spans in >= 3 docs at
+    //     each width, pass k scanning only docs that survived pass k−1
+    //     (exact by window monotonicity — see repeatedSpansLadder). The
+    //     oracle UNIONs the same fixed widths: an empty Spark level
+    //     implies all wider levels empty, so the early stop and the
+    //     fixed enumeration agree row-for-row. Slice-based grams
+    //     (array_to_string over tk[i:i+n-1]) keep DuckDB's expression
+    //     depth O(1) in n — the nested-|| form binder-overflows at
+    //     n=64. ---
+    QueryDef(
+      "p56_repeated_spans_ladder",
+      (s, dir) => TextAnalysis.repeatedSpansLadder(
+          Tables.t(s, dir, "documents"), "doc_id", "text",
+          baseN = 8, minDf = 3, maxN = 64)
+        .orderBy("span_len", "span"),
+      Some {
+        def level(n: Int): String =
+          s"""SELECT CAST($n AS INT) AS span_len, span,
+             |  count(*) AS n_docs, min(doc_id) AS first_doc
+             |FROM (SELECT DISTINCT doc_id,
+             |        unnest(list_distinct([array_to_string(tk[i:i+${n - 1}],
+             |          ' ') FOR i IN range(1, len(tk) - ${n - 2})])) AS span
+             |      FROM tok WHERE len(tk) >= $n)
+             |GROUP BY span HAVING count(*) >= 3""".stripMargin
+        s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk
+           |             FROM documents)
+           |${Seq(8, 16, 32, 64).map(level).mkString("", "\nUNION ALL\n", "")}
+           |ORDER BY span_len, span""".stripMargin
+      })
   )
 }

@@ -318,6 +318,45 @@ object RelationalMore {
         """SELECT count(*) AS n, min(id) AS min_id, max(id) AS max_id
           |FROM range(100000, 400000) t(id) ORDER BY n""".stripMargin)),
 
+    // --- DSv2 WRITE path (sources.ManifestTable): per-nation customer
+    //     rollup written through the manifest-committed connector (4
+    //     executor-written data files, one atomic manifest publish —
+    //     the V2-layer heir of the reference's tmp→rename commit,
+    //     mr/coordinator.go:37-53), then read BACK through the same
+    //     connector's manifest-listed scan. The driver hash thus checks
+    //     the full write→commit→scan→parse loop; abort/CRC/vacuum
+    //     hygiene is pinned in ManifestTableSpec. Aggregates are chosen
+    //     order-independent-exact (counts, integer sums, min of a
+    //     double) so the round-trip is bit-identical to the direct
+    //     computation the oracle runs. ---
+    QueryDef(
+      "q78_dsv2_write_roundtrip",
+      (s, dir) => {
+        // per-dataset sink path (p46's convention): sf0.01 verify and
+        // sf0.1 bench runs must not read each other's table
+        val path = "/tmp/graft_q78_sink/" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        Tables.t(s, dir, "customer")
+          .join(Tables.t(s, dir, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n_cust"),
+            sum("c_custkey").as("sum_key"),
+            min("c_acctbal").as("min_bal"))
+          .repartition(4)
+          .write.format("graft.sources.ManifestTable")
+          .option("path", path).mode("overwrite").save()
+        s.read.format("graft.sources.ManifestTable")
+          .option("path", path).load()
+          .orderBy("n_name")
+      },
+      Some(
+        """SELECT n_name, count(*) AS n_cust,
+          |  CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+          |  min(c_acctbal) AS min_bal
+          |FROM customer JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
     // --- optimizer-rule extension (RankLimitRewrite): the DECLARATIVE
     //     row_number-filter formulation, planned through the custom
     //     TopKPerGroup operator by the injected rule — the oracle is the

@@ -100,6 +100,23 @@ object FsMeta {
     fc.rename(src, qDst, Options.Rename.OVERWRITE)
   }
 
+  /** The active session's Hadoop conf flattened to a serializable map —
+    * the executor side of a connector rebuilds a [[Configuration]] from it
+    * so `spark.hadoop.*` settings and store credentials reach task-side
+    * file I/O (driver-only: getActiveSession is unset on executors).
+    */
+  def confAsMap(): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    hadoopConf().iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+  }
+
+  /** Names of plain files directly under `dir` (empty if `dir` absent). */
+  def listFiles(dir: String): Seq[String] = {
+    val (fs, path) = fsFor(dir)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).filter(_.isFile).map(_.getPath.getName).toSeq
+  }
+
   /** Names of immediate subdirectories of `dir` (empty if `dir` absent). */
   def listSubdirs(dir: String): Seq[String] = {
     val (fs, path) = fsFor(dir)

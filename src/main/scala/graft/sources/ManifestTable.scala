@@ -1,0 +1,476 @@
+package graft.sources
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+import java.util
+import java.util.zip.CRC32
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite,
+  Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition,
+  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
+  SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
+  DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate,
+  Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{
+  StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Manifest-committed DSv2 table — the WRITE side of the connector surface
+  * (GenSource covers read-side pushdown), built around the commit protocol
+  * of /root/reference/mr/coordinator.go:37-53 (tmp-write then rename)
+  * lifted to where it scales: executors write data files under UNIQUE
+  * names directly to their final directory, and the only rename in the
+  * whole commit is the single manifest pointer swap on the driver.
+  *
+  * Why not rename per data file (the reference's per-task protocol, and
+  * Hadoop's FileOutputCommitter v1)? At 100 TB a job emits 10^5-10^6
+  * files; O(files) driver-side renames serialize the commit, and on object
+  * stores each "rename" is a full copy. Here visibility is governed SOLELY
+  * by the manifest — readers list the manifest, never the directory — so
+  * uncommitted or aborted task output is invisible garbage (collected by
+  * [[ManifestTable.vacuum]]), task/speculative attempts can't collide
+  * (file names carry the task id), and commit cost is O(1) renames +
+  * O(files) manifest lines. This is the log-structured commit of the
+  * Delta/Iceberg family, reduced to its load-bearing core.
+  *
+  * Crash/abort contract:
+  *   - a failed task calls [[DataWriter.abort]] → its file is deleted; even
+  *     if the executor dies first, the orphan is unlisted and invisible;
+  *   - a failed job calls [[BatchWrite.abort]] → all staged files deleted,
+  *     manifest untouched: readers keep seeing the previous version;
+  *   - commit publishes manifest v(N+1) atomically (HDFS/local rename;
+  *     CRC-validated on object stores — FsMeta's documented semantics), so
+  *     a reader sees version N or N+1, never a mix.
+  *
+  * Format: one UTF-8 line per row, fields tab-separated with
+  * backslash-escaping, `\N` for null (unambiguous: a literal backslash is
+  * escaped). Supported field types: boolean, int, long, double, string —
+  * validated at write-build time so an unsupported schema fails at plan
+  * time, not mid-job. Doubles round-trip via java.lang.Double parsing
+  * (shortest-repr toString is exact).
+  *
+  * Usage:
+  * {{{
+  *   df.write.format("graft.sources.ManifestTable")
+  *     .option("path", dir).mode("append" | "overwrite").save()
+  *   spark.read.format("graft.sources.ManifestTable")
+  *     .option("path", dir).load()
+  * }}}
+  */
+class ManifestTable extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ManifestTable.readManifest(ManifestTable.pathOf(options)) match {
+      case Some(m) => m.schema
+      case None => throw new IllegalArgumentException(
+        s"no committed manifest at ${ManifestTable.pathOf(options)} — " +
+          "write first, or pass an explicit schema")
+    }
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("option 'path' is required"))
+    new GTable(path, schema)
+  }
+}
+
+object ManifestTable {
+  private[sources] def pathOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("option 'path' is required"))
+
+  final case class Manifest(version: Long, schema: StructType,
+      files: Seq[FileEntry], epoch: Long = -1L)
+  final case class FileEntry(name: String, rows: Long, crc: Long)
+
+  /** Serialized manifest: header `gtab v<version> [epoch=<e>]
+    * crc=<crc32-of-body>`, body = schema DDL line + one `name\trows\tcrc`
+    * line per file. The body CRC is what lets an object-store reader
+    * detect a torn publish. `epoch` (present once a streaming write has
+    * committed) is the high-water epoch id — the one field that makes
+    * streaming epoch replays idempotent, carried IN the manifest so the
+    * dedup decision and the publish are a single atomic swap.
+    */
+  private def render(m: Manifest): String = {
+    val body = (m.schema.toDDL +: m.files.map(f =>
+      s"${f.name}\t${f.rows}\t${f.crc}")).mkString("\n")
+    val c = new CRC32; c.update(body.getBytes(StandardCharsets.UTF_8))
+    val ep = if (m.epoch >= 0) s" epoch=${m.epoch}" else ""
+    s"gtab v${m.version}$ep crc=${c.getValue}\n" + body
+  }
+
+  def manifestPath(dir: String): String = dir + "/_MANIFEST"
+
+  def readManifest(dir: String): Option[Manifest] = {
+    val mp = manifestPath(dir)
+    if (!FsMeta.exists(mp)) None
+    else {
+      val raw = FsMeta.readString(mp)
+      val ix = raw.indexOf('\n')
+      require(ix > 0, s"corrupt manifest at $mp: no header line")
+      val header = raw.substring(0, ix)
+      val body = raw.substring(ix + 1)
+      val hm = "^gtab v(\\d+)(?: epoch=(-?\\d+))? crc=(\\d+)$".r
+      header match {
+        case hm(v, ep, crc) =>
+          val c = new CRC32; c.update(body.getBytes(StandardCharsets.UTF_8))
+          if (c.getValue != crc.toLong) throw new IllegalStateException(
+            s"manifest at $mp failed its CRC — torn/corrupted publish " +
+              s"(expected $crc, got ${c.getValue})")
+          val lines = body.split("\n", -1).toSeq
+          val schema = StructType.fromDDL(lines.head)
+          val files = lines.tail.filter(_.nonEmpty).map { l =>
+            val p = l.split("\t")
+            FileEntry(p(0), p(1).toLong, p(2).toLong)
+          }
+          Some(Manifest(v.toLong, schema, files,
+            Option(ep).map(_.toLong).getOrElse(-1L)))
+        case _ => throw new IllegalStateException(
+          s"manifest at $mp has an unrecognized header: '$header'")
+      }
+    }
+  }
+
+  private def publish(dir: String, m: Manifest): Unit = {
+    FsMeta.mkdirs(dir)
+    FsMeta.publishAtomic(dir + "/_MANIFEST.tmp", manifestPath(dir), render(m))
+  }
+
+  /** Commit a new manifest version. `keepPrevious` = append semantics
+    * (previous files stay listed); false = overwrite semantics (previous
+    * files drop out of the manifest — data deletion is vacuum's job, so
+    * an in-flight reader of version N still finds its files).
+    */
+  private[graft] def commitVersion(dir: String, schema: StructType,
+      newFiles: Seq[FileEntry], keepPrevious: Boolean,
+      epoch: Long = -1L): Unit = {
+    val prev = readManifest(dir)
+    prev.foreach { p =>
+      require(p.schema == schema || !keepPrevious,
+        s"append schema ${schema.toDDL} != table schema ${p.schema.toDDL}")
+    }
+    // streaming epoch replay (checkpoint recovery re-runs a committed
+    // batch): the manifest already covers this epoch — drop the rerun's
+    // files instead of double-appending, and keep the published state
+    if (epoch >= 0 && prev.exists(_.epoch >= epoch)) {
+      newFiles.foreach(f => FsMeta.deleteRecursive(s"$dir/data/${f.name}"))
+      return
+    }
+    val base = if (keepPrevious) prev.map(_.files).getOrElse(Nil) else Nil
+    publish(dir, Manifest(prev.map(_.version + 1).getOrElse(1L), schema,
+      base ++ newFiles, math.max(epoch, prev.map(_.epoch).getOrElse(-1L))))
+  }
+
+  /** Delete data files not listed in the current manifest and older than
+    * `graceMs` (the grace window keeps a just-written uncommitted job and
+    * an in-flight reader of a just-overwritten version safe — MergeSink's
+    * gcGraceMs contract).
+    */
+  def vacuum(dir: String, graceMs: Long = 3600000L): Seq[String] = {
+    val listed = readManifest(dir).map(_.files.map(_.name).toSet)
+      .getOrElse(Set.empty)
+    val now = System.currentTimeMillis()
+    FsMeta.listFiles(dir + "/data").filterNot(f => listed.contains(f))
+      .filter(f => now - FsMeta.modificationTime(dir + "/data/" + f) >= graceMs)
+      .map { f => FsMeta.deleteRecursive(dir + "/data/" + f); f }
+  }
+
+  // ---- row codec (write side mirrors read side; both executor-local) ----
+  private[sources] val Null = "\\N"
+  private[sources] def escape(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\\' => b.append("\\\\")
+        case '\t' => b.append("\\t")
+        case '\n' => b.append("\\n")
+        case '\r' => b.append("\\r")
+        case c => b.append(c)
+      }
+      i += 1
+    }
+    b.toString
+  }
+  private[sources] def unescape(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '\\' => b.append('\\'); i += 1
+          case 't' => b.append('\t'); i += 1
+          case 'n' => b.append('\n'); i += 1
+          case 'r' => b.append('\r'); i += 1
+          case o => b.append(c); b.append(o); i += 1
+        }
+      } else b.append(c)
+      i += 1
+    }
+    b.toString
+  }
+
+  private[sources] def checkSupported(schema: StructType): Unit =
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case BooleanType | IntegerType | LongType | DoubleType | StringType =>
+        case other => throw new UnsupportedOperationException(
+          s"ManifestTable does not support column ${f.name}: ${other.sql} " +
+            "(supported: boolean, int, bigint, double, string)")
+      }
+    }
+}
+
+private[sources] class GTable(path: String, schema0: StructType)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"gtab($path)"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GTabScanBuilder(path)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    ManifestTable.checkSupported(info.schema())
+    new GTabWriteBuilder(path, info.schema(), info.queryId())
+  }
+}
+
+private[sources] class GTabWriteBuilder(path: String, schema: StructType,
+    queryId: String) extends WriteBuilder with SupportsTruncate {
+  private var keepPrevious = true
+  override def truncate(): WriteBuilder = { keepPrevious = false; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new GTabBatchWrite(path, schema, queryId, keepPrevious)
+    override def toStreaming: StreamingWrite =
+      new GTabStreamingWrite(path, schema, queryId, keepPrevious)
+  }
+}
+
+/** Streaming epochs are manifest versions: each epoch's files append (or
+  * replace, in complete/truncate mode) under one atomic manifest publish
+  * that also records the epoch id — so a checkpoint-recovery replay of an
+  * already-committed epoch is recognized INSIDE the same atomic swap and
+  * dropped. Exactly-once table state from at-least-once epoch delivery,
+  * with no side markers (contrast DedupIngest's marker files: here the
+  * pointer and the dedup ledger are one file).
+  */
+private[sources] class GTabStreamingWrite(path: String, schema: StructType,
+    queryId: String, keepPrevious: Boolean) extends StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new GTabStreamingWriterFactory(path, schema, queryId, FsMeta.confAsMap())
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    ManifestTable.commitVersion(path, schema,
+      messages.map { case GTabCommit(n, r, c) =>
+        ManifestTable.FileEntry(n, r, c) }.toSeq,
+      keepPrevious, epoch = epochId)
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GTabCommit(n, _, _) => FsMeta.deleteRecursive(s"$path/data/$n")
+      case _ =>
+    }
+}
+
+private[sources] class GTabStreamingWriterFactory(path: String,
+    schema: StructType, queryId: String, confMap: Map[String, String])
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = {
+    val conf = new Configuration(false)
+    confMap.foreach { case (k, v) => conf.set(k, v) }
+    new GTabWriter(path, schema,
+      s"part-e$epochId-$partitionId-$taskId-$queryId.gtab", conf)
+  }
+}
+
+private[sources] final case class GTabCommit(name: String, rows: Long,
+    crc: Long) extends WriterCommitMessage
+
+private[sources] class GTabBatchWrite(path: String, schema: StructType,
+    queryId: String, keepPrevious: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new GTabWriterFactory(path, schema, queryId, FsMeta.confAsMap())
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    ManifestTable.commitVersion(path, schema,
+      messages.map { case GTabCommit(n, r, c) =>
+        ManifestTable.FileEntry(n, r, c) }.toSeq,
+      keepPrevious)
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GTabCommit(n, _, _) => FsMeta.deleteRecursive(s"$path/data/$n")
+      case _ =>
+    }
+}
+
+private[sources] class GTabWriterFactory(path: String, schema: StructType,
+    queryId: String, confMap: Map[String, String]) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] = {
+    val conf = new Configuration(false)
+    confMap.foreach { case (k, v) => conf.set(k, v) }
+    // task id in the name makes speculative/retried attempts collision-free;
+    // only the attempt whose commit message reaches BatchWrite.commit is
+    // ever listed (useCommitCoordinator guarantees one winner per partition)
+    new GTabWriter(path, schema, s"part-$partitionId-$taskId-$queryId.gtab",
+      conf)
+  }
+}
+
+private[sources] class GTabWriter(dir: String, schema: StructType,
+    fileName: String, conf: Configuration) extends DataWriter[InternalRow] {
+  private val filePath = new HPath(s"$dir/data/$fileName")
+  private val fs = filePath.getFileSystem(conf)
+  fs.setWriteChecksum(false)
+  private val out = fs.create(filePath, true)
+  private val crc = new CRC32
+  private var rows = 0L
+
+  private val getters: Array[InternalRow => String] =
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      val g: InternalRow => String = f.dataType match {
+        case BooleanType => r => String.valueOf(r.getBoolean(i))
+        case IntegerType => r => String.valueOf(r.getInt(i))
+        case LongType => r => String.valueOf(r.getLong(i))
+        case DoubleType => r => String.valueOf(r.getDouble(i))
+        case StringType => r => ManifestTable.escape(r.getUTF8String(i).toString)
+        case other => throw new IllegalStateException(s"unreachable: $other")
+      }
+      (r: InternalRow) =>
+        if (r.isNullAt(i)) ManifestTable.Null else g(r)
+    }
+
+  override def write(row: InternalRow): Unit = {
+    val line = getters.map(_(row)).mkString("", "\t", "\n")
+    val bytes = line.getBytes(StandardCharsets.UTF_8)
+    crc.update(bytes)
+    out.write(bytes)
+    rows += 1
+  }
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    GTabCommit(fileName, rows, crc.getValue)
+  }
+  override def abort(): Unit = {
+    try out.close() catch { case _: Exception => }
+    fs.delete(filePath, false): Unit
+  }
+  override def close(): Unit = ()
+}
+
+// ---- read side: manifest-listed files, one partition per file ----
+
+private[sources] class GTabScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownRequiredColumns {
+  private val manifest = ManifestTable.readManifest(path).getOrElse(
+    throw new IllegalArgumentException(s"no committed manifest at $path"))
+  private var pruned: StructType = manifest.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    pruned = requiredSchema
+  override def build(): Scan =
+    new GTabScan(path, manifest, pruned, FsMeta.confAsMap())
+}
+
+private[sources] final case class GTabPartition(file: String, rows: Long,
+    crc: Long) extends InputPartition
+
+private[sources] class GTabScan(path: String,
+    manifest: ManifestTable.Manifest, pruned: StructType,
+    confMap: Map[String, String]) extends Scan with Batch {
+  override def readSchema(): StructType = pruned
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GTabScan $path v${manifest.version} files=${manifest.files.size} " +
+      s"ReadSchema: ${pruned.simpleString}"
+  override def planInputPartitions(): Array[InputPartition] =
+    manifest.files.map(f =>
+      GTabPartition(s"$path/data/${f.name}", f.rows, f.crc): InputPartition)
+      .toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GTabReaderFactory(manifest.schema, pruned, confMap)
+}
+
+private[sources] class GTabReaderFactory(full: StructType,
+    pruned: StructType, confMap: Map[String, String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val gp = p.asInstanceOf[GTabPartition]
+    val conf = new Configuration(false)
+    confMap.foreach { case (k, v) => conf.set(k, v) }
+    new GTabReader(gp, full, pruned, conf)
+  }
+}
+
+private[sources] class GTabReader(p: GTabPartition, full: StructType,
+    pruned: StructType, conf: Configuration)
+    extends PartitionReader[InternalRow] {
+  private val hp = new HPath(p.file)
+  private val fs = { val f = hp.getFileSystem(conf)
+    f.setVerifyChecksum(false); f }
+  private val reader = new BufferedReader(
+    new InputStreamReader(fs.open(hp), StandardCharsets.UTF_8))
+  private val crc = new CRC32
+  private var rows = 0L
+  private var current: InternalRow = _
+
+  // field index in the FULL schema for each pruned column
+  private val colIx: Array[Int] =
+    pruned.fieldNames.map(n => full.fieldIndex(n))
+  private val parsers: Array[String => Any] = colIx.map { i =>
+    full.fields(i).dataType match {
+      case BooleanType => (s: String) => java.lang.Boolean.parseBoolean(s)
+      case IntegerType => (s: String) => java.lang.Integer.parseInt(s)
+      case LongType => (s: String) => java.lang.Long.parseLong(s)
+      case DoubleType => (s: String) => java.lang.Double.parseDouble(s)
+      case StringType =>
+        (s: String) => UTF8String.fromString(ManifestTable.unescape(s))
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+  }
+
+  override def next(): Boolean = {
+    val line = reader.readLine()
+    if (line == null) {
+      // whole-file integrity: row count + CRC vs the manifest entry, so a
+      // truncated or bit-flipped data file fails the read instead of
+      // silently dropping rows (mirrors the manifest's own CRC contract)
+      if (rows != p.rows) throw new IllegalStateException(
+        s"${p.file}: read $rows rows, manifest says ${p.rows} — truncated?")
+      if (crc.getValue != p.crc) throw new IllegalStateException(
+        s"${p.file}: CRC mismatch vs manifest — corrupted data file")
+      false
+    } else {
+      crc.update((line + "\n").getBytes(StandardCharsets.UTF_8))
+      rows += 1
+      val parts = line.split("\t", -1)
+      val vals = new Array[Any](colIx.length)
+      var j = 0
+      while (j < colIx.length) {
+        val raw = parts(colIx(j))
+        vals(j) = if (raw == ManifestTable.Null) null else parsers(j)(raw)
+        j += 1
+      }
+      current = InternalRow.fromSeq(vals.toIndexedSeq)
+      true
+    }
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}

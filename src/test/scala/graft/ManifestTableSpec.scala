@@ -1,0 +1,197 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{FsMeta, ManifestTable}
+
+/** DSv2 WRITE path: manifest-committed visibility, append/overwrite
+  * versioning, abort hygiene, round-trip fidelity (incl. escaping and
+  * nulls), whole-file CRC, vacuum GC. The V2-layer mirror of the
+  * reference's tmp-then-rename commit (mr/coordinator.go:37-53), with the
+  * rename count reduced to one (the manifest) — see ManifestTable scaladoc.
+  */
+class ManifestTableSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Fmt = "graft.sources.ManifestTable"
+  private def tmp(): String =
+    Files.createTempDirectory("graft_mtab").toString
+
+  private def readBack(dir: String): DataFrame =
+    spark.read.format(Fmt).option("path", dir).load()
+
+  test("round-trip: append write then read back, all supported types") {
+    val dir = tmp()
+    val df = Seq(
+      (1L, 7, 0.25, "plain", true),
+      (2L, -3, -1.5e300, "tab\there\nand\\slash", false),
+      (3L, 0, 0.1, null.asInstanceOf[String], true),
+      (4L, 42, java.lang.Double.MIN_VALUE, "\\N literal", false))
+      .toDF("id", "k", "x", "s", "b")
+    df.write.format(Fmt).option("path", dir).mode(SaveMode.Append).save()
+    val back = readBack(dir)
+    assert(back.schema == df.schema)
+    assert(back.orderBy("id").collect().toSeq ==
+      df.orderBy("id").collect().toSeq)
+  }
+
+  test("append adds a manifest version keeping previous files; overwrite truncates") {
+    val dir = tmp()
+    def w(lo: Int, mode: SaveMode) =
+      (lo until lo + 10).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+        .write.format(Fmt).option("path", dir).mode(mode).save()
+    w(0, SaveMode.Append)
+    val m1 = ManifestTable.readManifest(dir).get
+    w(10, SaveMode.Append)
+    val m2 = ManifestTable.readManifest(dir).get
+    assert(m2.version == m1.version + 1)
+    assert(m1.files.toSet.subsetOf(m2.files.toSet))
+    assert(readBack(dir).count() == 20)
+    w(100, SaveMode.Overwrite)
+    val m3 = ManifestTable.readManifest(dir).get
+    assert(m3.version == m2.version + 1)
+    assert(m3.files.toSet.intersect(m2.files.toSet).isEmpty)
+    assert(readBack(dir).agg(min("id"), max("id")).as[(Long, Long)].head() ==
+      ((100L, 109L)))
+  }
+
+  test("a failed job leaves no committed output: manifest stays at previous version") {
+    val dir = tmp()
+    Seq((1L, "keep")).toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode(SaveMode.Append).save()
+    val m1 = ManifestTable.readManifest(dir).get
+    val boom = udf((i: Long) => {
+      if (i == 3L) throw new RuntimeException("injected task failure"); i
+    })
+    intercept[Exception] {
+      Seq(2L, 3L).toDF("id").repartition(2)
+        .withColumn("id", boom($"id")).withColumn("s", lit("junk"))
+        .write.format(Fmt).option("path", dir).mode(SaveMode.Append).save()
+    }
+    val m2 = ManifestTable.readManifest(dir).get
+    assert(m2 == m1, "manifest must be untouched by an aborted job")
+    assert(readBack(dir).as[(Long, String)].collect().toSeq ==
+      Seq((1L, "keep")))
+    // any orphaned task file is unlisted — invisible to readers, and
+    // vacuum(0) collects it
+    ManifestTable.vacuum(dir, graceMs = 0L)
+    assert(FsMeta.listFiles(dir + "/data").toSet ==
+      m1.files.map(_.name).toSet)
+  }
+
+  test("vacuum deletes only unlisted files past the grace window") {
+    val dir = tmp()
+    Seq((1L, "a")).toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode(SaveMode.Append).save()
+    FsMeta.writeString(dir + "/data/orphan.gtab", "9\tz\n")
+    assert(ManifestTable.vacuum(dir, graceMs = 3600000L).isEmpty,
+      "fresh orphan must survive the grace window")
+    assert(ManifestTable.vacuum(dir, graceMs = 0L) == Seq("orphan.gtab"))
+    assert(readBack(dir).count() == 1)
+  }
+
+  test("corrupted data file fails the read via the manifest CRC") {
+    val dir = tmp()
+    Seq((1L, "aaaa"), (2L, "bbbb")).toDF("id", "s")
+      .coalesce(1)
+      .write.format(Fmt).option("path", dir).mode(SaveMode.Append).save()
+    val f = ManifestTable.readManifest(dir).get.files.head.name
+    val raw = FsMeta.readString(dir + "/data/" + f)
+    FsMeta.writeString(dir + "/data/" + f, raw.replace("aaaa", "aaXa"))
+    val e = intercept[org.apache.spark.SparkException] {
+      readBack(dir).collect()
+    }
+    assert(e.getMessage.contains("CRC") ||
+      Option(e.getCause).exists(_.getMessage.contains("CRC")))
+  }
+
+  test("torn manifest publish fails loudly (CRC header)") {
+    val dir = tmp()
+    Seq((1L, "a")).toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode(SaveMode.Append).save()
+    val mp = ManifestTable.manifestPath(dir)
+    val raw = FsMeta.readString(mp)
+    FsMeta.writeString(mp, raw.dropRight(3))
+    val e = intercept[IllegalStateException] { ManifestTable.readManifest(dir) }
+    assert(e.getMessage.contains("CRC"))
+  }
+
+  test("column pruning reaches the reader schema; unsupported types fail at plan time") {
+    val dir = tmp()
+    (0 until 100).map(i => (i.toLong, i * 2, s"s$i")).toDF("id", "k", "s")
+      .write.format(Fmt).option("path", dir).mode(SaveMode.Append).save()
+    val df = readBack(dir).groupBy().sum("k")
+    assert(df.as[Long].head() == (0 until 100).map(_ * 2L).sum)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<k:int>"),
+      s"k-only read schema not pruned:\n$plan")
+    val bad = Seq((1L, Array(1.0f))).toDF("id", "emb")
+    val err = intercept[Exception] {
+      bad.write.format(Fmt).option("path", tmp()).mode(SaveMode.Append).save()
+    }
+    assert(err.getMessage.contains("does not support"))
+  }
+
+  test("streaming write: epochs append as manifest versions, content matches batch") {
+    val dir = tmp()
+    val src = (0 until 40).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+    val staged = tmp()
+    src.repartition(4).write.mode("overwrite").parquet(staged)
+    val q = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+      .writeStream.format(Fmt).option("path", dir)
+      .option("checkpointLocation", tmp())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val m = ManifestTable.readManifest(dir).get
+    assert(m.version > 1, "multiple epochs must publish multiple versions")
+    assert(m.epoch >= 0, "streaming commit must record its epoch")
+    assert(readBack(dir).as[(Long, String)].collect().toSet ==
+      src.as[(Long, String)].collect().toSet)
+  }
+
+  test("replayed epoch is dropped inside the manifest swap (exactly-once table state)") {
+    val dir = tmp()
+    import org.apache.spark.sql.types.StructType
+    val schema = StructType.fromDDL("id BIGINT, s STRING")
+    def fileFor(name: String, content: String) = {
+      FsMeta.writeString(s"$dir/data/$name", content)
+      val c = new java.util.zip.CRC32
+      c.update(content.getBytes("UTF-8"))
+      ManifestTable.FileEntry(name, content.count(_ == '\n').toLong,
+        c.getValue)
+    }
+    ManifestTable.commitVersion(dir, schema,
+      Seq(fileFor("e0.gtab", "1\ta\n")), keepPrevious = true, epoch = 0L)
+    ManifestTable.commitVersion(dir, schema,
+      Seq(fileFor("e1.gtab", "2\tb\n")), keepPrevious = true, epoch = 1L)
+    val m2 = ManifestTable.readManifest(dir).get
+    // checkpoint-recovery rerun of epoch 1 under a different task file
+    ManifestTable.commitVersion(dir, schema,
+      Seq(fileFor("e1-replay.gtab", "2\tb\n")), keepPrevious = true,
+      epoch = 1L)
+    val m3 = ManifestTable.readManifest(dir).get
+    assert(m3 == m2, "replayed epoch must not publish a new version")
+    assert(!FsMeta.exists(s"$dir/data/e1-replay.gtab"),
+      "the rerun's orphan file is deleted at the dedup point")
+    assert(readBack(dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+  }
+
+  test("one data file per input partition; empty write commits an empty readable table") {
+    val dir = tmp()
+    spark.range(0, 1000).withColumn("s", concat(lit("x"), $"id"))
+      .repartition(7)
+      .write.format(Fmt).option("path", dir).mode(SaveMode.Append).save()
+    assert(ManifestTable.readManifest(dir).get.files.size == 7)
+    assert(readBack(dir).count() == 1000)
+    val empty = tmp()
+    spark.range(0, 0).write.format(Fmt).option("path", empty)
+      .mode(SaveMode.Append).save()
+    assert(readBack(empty).count() == 0)
+  }
+}
