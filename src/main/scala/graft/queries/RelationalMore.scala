@@ -357,6 +357,43 @@ object RelationalMore {
           |FROM customer JOIN nation ON c_nationkey = n_nationkey
           |GROUP BY n_name ORDER BY n_name""".stripMargin)),
 
+    // --- manifest zone maps (per-file min/max collected at write, file
+    //     skipping at read — the Delta/Iceberg data-skipping shape, and
+    //     the layout ZOrderKey/repartitionByRange exists to feed): a
+    //     range-clustered write through ManifestTable, then a selective
+    //     range read that touches only the overlapping files
+    //     (files=k/8 with k<=2, spec-asserted; every filter stays
+    //     residual so exactness never depends on the maps). The driver
+    //     hash checks the skipped read equals the direct computation. ---
+    QueryDef(
+      "q80_sink_zone_skipping",
+      (s, dir) => {
+        val path = "/tmp/graft_q80_sink/" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"))
+          .repartitionByRange(8, col("l_orderkey"))
+          .write.format("graft.sources.ManifestTable")
+          .option("path", path).mode("overwrite").save()
+        s.read.format("graft.sources.ManifestTable")
+          .option("path", path).load()
+          .filter(col("l_orderkey") >= 1000L && col("l_orderkey") < 2000L)
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_lines"),
+            sum("l_linenumber").as("sum_line"),
+            min("l_extendedprice").as("min_price"),
+            max("l_extendedprice").as("max_price"))
+          .orderBy("l_orderkey")
+      },
+      Some(
+        """SELECT l_orderkey, count(*) AS n_lines,
+          |  CAST(sum(l_linenumber) AS BIGINT) AS sum_line,
+          |  min(l_extendedprice) AS min_price,
+          |  max(l_extendedprice) AS max_price
+          |FROM lineitem WHERE l_orderkey >= 1000 AND l_orderkey < 2000
+          |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
+
     // --- optimizer-rule extension (RankLimitRewrite): the DECLARATIVE
     //     row_number-filter formulation, planned through the custom
     //     TopKPerGroup operator by the injected rule — the oracle is the

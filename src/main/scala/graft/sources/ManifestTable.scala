@@ -11,14 +11,19 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite,
   Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation,
+  CountStar}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
+  SupportsPushDownAggregates, SupportsPushDownFilters,
   SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
   DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate,
   Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{
   StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
+  GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -89,7 +94,16 @@ object ManifestTable {
 
   final case class Manifest(version: Long, schema: StructType,
       files: Seq[FileEntry], epoch: Long = -1L)
-  final case class FileEntry(name: String, rows: Long, crc: Long)
+
+  /** One committed data file. `stats` are per-column zone maps (min, max
+    * as the codec's string form) collected by the writer for NUMERIC
+    * columns only — string collation differs between UTF8String's binary
+    * order and codepoint/locale orders, so string zone maps are a
+    * correctness trap deliberately left out. A column absent from the map
+    * (string col, or all-null file) is simply never pruned on.
+    */
+  final case class FileEntry(name: String, rows: Long, crc: Long,
+      stats: Map[String, (String, String)] = Map.empty)
 
   /** Serialized manifest: header `gtab v<version> [epoch=<e>]
     * crc=<crc32-of-body>`, body = schema DDL line + one `name\trows\tcrc`
@@ -100,8 +114,11 @@ object ManifestTable {
     * dedup decision and the publish are a single atomic swap.
     */
   private def render(m: Manifest): String = {
-    val body = (m.schema.toDDL +: m.files.map(f =>
-      s"${f.name}\t${f.rows}\t${f.crc}")).mkString("\n")
+    val body = (m.schema.toDDL +: m.files.map { f =>
+      val stats = f.stats.toSeq.sortBy(_._1).flatMap { case (c, (lo, hi)) =>
+        Seq(escape(c), escape(lo), escape(hi)) }
+      (Seq(f.name, f.rows.toString, f.crc.toString) ++ stats).mkString("\t")
+    }).mkString("\n")
     val c = new CRC32; c.update(body.getBytes(StandardCharsets.UTF_8))
     val ep = if (m.epoch >= 0) s" epoch=${m.epoch}" else ""
     s"gtab v${m.version}$ep crc=${c.getValue}\n" + body
@@ -128,8 +145,12 @@ object ManifestTable {
           val lines = body.split("\n", -1).toSeq
           val schema = StructType.fromDDL(lines.head)
           val files = lines.tail.filter(_.nonEmpty).map { l =>
-            val p = l.split("\t")
-            FileEntry(p(0), p(1).toLong, p(2).toLong)
+            val p = l.split("\t", -1)
+            val stats = p.drop(3).grouped(3).collect {
+              case Array(c, lo, hi) =>
+                unescape(c) -> (unescape(lo), unescape(hi))
+            }.toMap
+            FileEntry(p(0), p(1).toLong, p(2).toLong, stats)
           }
           Some(Manifest(v.toLong, schema, files,
             Option(ep).map(_.toLong).getOrElse(-1L)))
@@ -275,13 +296,12 @@ private[sources] class GTabStreamingWrite(path: String, schema: StructType,
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
     ManifestTable.commitVersion(path, schema,
-      messages.map { case GTabCommit(n, r, c) =>
-        ManifestTable.FileEntry(n, r, c) }.toSeq,
+      messages.map { case m: GTabCommit => m.toEntry }.toSeq,
       keepPrevious, epoch = epochId)
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case GTabCommit(n, _, _) => FsMeta.deleteRecursive(s"$path/data/$n")
+      case GTabCommit(n, _, _, _) => FsMeta.deleteRecursive(s"$path/data/$n")
       case _ =>
     }
 }
@@ -299,7 +319,11 @@ private[sources] class GTabStreamingWriterFactory(path: String,
 }
 
 private[sources] final case class GTabCommit(name: String, rows: Long,
-    crc: Long) extends WriterCommitMessage
+    crc: Long, stats: Map[String, (String, String)])
+    extends WriterCommitMessage {
+  def toEntry: ManifestTable.FileEntry =
+    ManifestTable.FileEntry(name, rows, crc, stats)
+}
 
 private[sources] class GTabBatchWrite(path: String, schema: StructType,
     queryId: String, keepPrevious: Boolean) extends BatchWrite {
@@ -309,13 +333,11 @@ private[sources] class GTabBatchWrite(path: String, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     ManifestTable.commitVersion(path, schema,
-      messages.map { case GTabCommit(n, r, c) =>
-        ManifestTable.FileEntry(n, r, c) }.toSeq,
-      keepPrevious)
+      messages.map { case m: GTabCommit => m.toEntry }.toSeq, keepPrevious)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case GTabCommit(n, _, _) => FsMeta.deleteRecursive(s"$path/data/$n")
+      case GTabCommit(n, _, _, _) => FsMeta.deleteRecursive(s"$path/data/$n")
       case _ =>
     }
 }
@@ -343,6 +365,58 @@ private[sources] class GTabWriter(dir: String, schema: StructType,
   private val crc = new CRC32
   private var rows = 0L
 
+  // zone maps: per-NUMERIC-column running min/max (see FileEntry scaladoc
+  // for why strings are excluded); all-null columns end absent
+  private val statIx: Array[Int] = schema.fields.zipWithIndex.collect {
+    case (f, i) if f.dataType == IntegerType || f.dataType == LongType ||
+      f.dataType == DoubleType => i
+  }
+  // integral bounds tracked as Long, floating as Double — NOT a shared
+  // Double (a Long above 2^53 rounded to Double can shrink the interval
+  // and wrongly prune a file)
+  private val statSeen = new Array[Boolean](statIx.length)
+  private val statPoisoned = new Array[Boolean](statIx.length)
+  private val statLoL = new Array[Long](statIx.length)
+  private val statHiL = new Array[Long](statIx.length)
+  private val statLoD = new Array[Double](statIx.length)
+  private val statHiD = new Array[Double](statIx.length)
+  private def trackStats(row: InternalRow): Unit = {
+    var j = 0
+    while (j < statIx.length) {
+      val i = statIx(j)
+      if (!row.isNullAt(i)) {
+        schema.fields(i).dataType match {
+          case DoubleType =>
+            val v = row.getDouble(i)
+            // a NaN POISONS the column's stats for this file: in Spark's
+            // ordering NaN is greater than every double, so any finite hi
+            // bound would wrongly prune files whose NaN rows match x > hi
+            if (v.isNaN) statPoisoned(j) = true
+            else {
+              if (!statSeen(j) || v < statLoD(j)) statLoD(j) = v
+              if (!statSeen(j) || v > statHiD(j)) statHiD(j) = v
+              statSeen(j) = true
+            }
+          case dt =>
+            val v = if (dt == IntegerType) row.getInt(i).toLong
+              else row.getLong(i)
+            if (!statSeen(j) || v < statLoL(j)) statLoL(j) = v
+            if (!statSeen(j) || v > statHiL(j)) statHiL(j) = v
+            statSeen(j) = true
+        }
+      }
+      j += 1
+    }
+  }
+  private def statsMap: Map[String, (String, String)] =
+    statIx.indices.collect {
+      case j if statSeen(j) && !statPoisoned(j) =>
+        val isD = schema.fields(statIx(j)).dataType == DoubleType
+        schema.fields(statIx(j)).name -> (
+          if (isD) (statLoD(j).toString, statHiD(j).toString)
+          else (statLoL(j).toString, statHiL(j).toString))
+    }.toMap
+
   private val getters: Array[InternalRow => String] =
     schema.fields.zipWithIndex.map { case (f, i) =>
       val g: InternalRow => String = f.dataType match {
@@ -362,11 +436,12 @@ private[sources] class GTabWriter(dir: String, schema: StructType,
     val bytes = line.getBytes(StandardCharsets.UTF_8)
     crc.update(bytes)
     out.write(bytes)
+    trackStats(row)
     rows += 1
   }
   override def commit(): WriterCommitMessage = {
     out.close()
-    GTabCommit(fileName, rows, crc.getValue)
+    GTabCommit(fileName, rows, crc.getValue, statsMap)
   }
   override def abort(): Unit = {
     try out.close() catch { case _: Exception => }
@@ -378,14 +453,150 @@ private[sources] class GTabWriter(dir: String, schema: StructType,
 // ---- read side: manifest-listed files, one partition per file ----
 
 private[sources] class GTabScanBuilder(path: String) extends ScanBuilder
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   private val manifest = ManifestTable.readManifest(path).getOrElse(
     throw new IllegalArgumentException(s"no committed manifest at $path"))
   private var pruned: StructType = manifest.schema
+  private var skipping: Array[Filter] = Array.empty
+  private var sawFilters = false
+  private var pushedCount = false
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     pruned = requiredSchema
+
+  /** File skipping, not row filtering: every filter stays RESIDUAL (Spark
+    * re-evaluates row-level — exactness never depends on the zone maps),
+    * but range/equality/in predicates on stats-carrying columns
+    * additionally prune whole manifest entries whose [min, max] cannot
+    * satisfy them. The Delta/Iceberg data-skipping shape; with a
+    * range-clustered layout (repartitionByRange / ZOrderKey before the
+    * write) a selective predicate reads O(matching files), not O(table).
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    sawFilters = filters.nonEmpty
+    skipping = filters.filter(GTabSkip.usable(_, manifest.schema))
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = skipping
+
+  /** Metadata-only COUNT(*): the manifest already carries exact per-file
+    * row counts (they double as the truncation check), so an unfiltered
+    * ungrouped count is answered in O(1) without opening a data file.
+    * Declined when any filter reached the scan — a residual filter means
+    * the count must see rows — or for any other aggregate.
+    */
+  private def countOk(agg: Aggregation): Boolean =
+    !sawFilters && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head.isInstanceOf[CountStar]
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    countOk(agg)
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (countOk(agg)) { pushedCount = true; true } else false
+  }
+
   override def build(): Scan =
-    new GTabScan(path, manifest, pruned, FsMeta.confAsMap())
+    if (pushedCount) new GTabCountScan(path, manifest)
+    else new GTabScan(path, manifest, pruned, skipping, FsMeta.confAsMap())
+}
+
+/** Conservative zone-map evaluation: `keep` answers "could this file
+  * hold a matching row?" — unknown filter shapes, missing stats, and
+  * unparseable literals all answer TRUE (never prune on uncertainty).
+  * Bounds compare in exact BigDecimal arithmetic: integral stats stay
+  * exact past 2^53 and double stats use the exact binary expansion, so
+  * no rounding can shrink an interval and skip a matching file.
+  */
+private[sources] object GTabSkip {
+
+  def usable(f: Filter, schema: StructType): Boolean = f match {
+    case EqualTo(c, v) => numeric(c, schema) && lit(v).isDefined
+    case GreaterThan(c, v) => numeric(c, schema) && lit(v).isDefined
+    case GreaterThanOrEqual(c, v) => numeric(c, schema) && lit(v).isDefined
+    case LessThan(c, v) => numeric(c, schema) && lit(v).isDefined
+    case LessThanOrEqual(c, v) => numeric(c, schema) && lit(v).isDefined
+    case In(c, vs) => numeric(c, schema) && vs.nonEmpty &&
+      vs.forall(v => v != null && lit(v).isDefined)
+    case _ => false
+  }
+
+  private def numeric(c: String, schema: StructType): Boolean =
+    schema.fields.find(_.name == c).exists(f =>
+      f.dataType == IntegerType || f.dataType == LongType ||
+        f.dataType == DoubleType)
+
+  private def lit(v: Any): Option[BigDecimal] = v match {
+    case n: java.lang.Integer => Some(BigDecimal(n.intValue))
+    case n: java.lang.Long => Some(BigDecimal(n.longValue))
+    case n: java.lang.Short => Some(BigDecimal(n.intValue))
+    case n: java.lang.Byte => Some(BigDecimal(n.intValue))
+    case n: java.lang.Double if !n.isNaN =>
+      Some(BigDecimal(new java.math.BigDecimal(n.doubleValue)))
+    case n: java.lang.Float if !n.isNaN =>
+      Some(BigDecimal(new java.math.BigDecimal(n.doubleValue)))
+    case n: java.math.BigDecimal => Some(BigDecimal(n))
+    case n: BigDecimal => Some(n)
+    case _ => None
+  }
+
+  def keep(e: ManifestTable.FileEntry, filters: Seq[Filter],
+      schema: StructType): Boolean = filters.forall(keepOne(e, _, schema))
+
+  private def bounds(e: ManifestTable.FileEntry, c: String,
+      schema: StructType): Option[(BigDecimal, BigDecimal)] =
+    e.stats.get(c).flatMap { case (lo, hi) =>
+      schema.fields.find(_.name == c).map(_.dataType) match {
+        case Some(DoubleType) =>
+          val (l, h) = (lo.toDouble, hi.toDouble)
+          // an infinite bound has no BigDecimal form; a ±Infinity row
+          // makes the file unboundable on that side — don't prune on it
+          if (l.isInfinite || h.isInfinite) None
+          else Some((BigDecimal(new java.math.BigDecimal(l)),
+            BigDecimal(new java.math.BigDecimal(h))))
+        case Some(IntegerType) | Some(LongType) =>
+          Some((BigDecimal(lo.toLong), BigDecimal(hi.toLong)))
+        case _ => None
+      }
+    }
+
+  private def keepOne(e: ManifestTable.FileEntry, f: Filter,
+      schema: StructType): Boolean = f match {
+    case EqualTo(c, v) => check(e, c, schema, v)(
+      (lo, hi, x) => lo <= x && x <= hi)
+    case GreaterThan(c, v) => check(e, c, schema, v)((_, hi, x) => hi > x)
+    case GreaterThanOrEqual(c, v) =>
+      check(e, c, schema, v)((_, hi, x) => hi >= x)
+    case LessThan(c, v) => check(e, c, schema, v)((lo, _, x) => lo < x)
+    case LessThanOrEqual(c, v) =>
+      check(e, c, schema, v)((lo, _, x) => lo <= x)
+    case In(c, vs) => vs.exists(v => check(e, c, schema, v)(
+      (lo, hi, x) => lo <= x && x <= hi))
+    case _ => true
+  }
+
+  private def check(e: ManifestTable.FileEntry, c: String,
+      schema: StructType, v: Any)(
+      p: (BigDecimal, BigDecimal, BigDecimal) => Boolean): Boolean =
+    (bounds(e, c, schema), lit(v)) match {
+      case (Some((lo, hi)), Some(x)) => p(lo, hi, x)
+      case _ => true
+    }
+}
+
+/** One-row scan answering an unfiltered COUNT(*) from manifest metadata. */
+private[sources] class GTabCountScan(path: String,
+    manifest: ManifestTable.Manifest) extends Scan with Batch {
+  private val n = manifest.files.map(_.rows).sum
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("agg0", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GTabCountScan $path v${manifest.version} ManifestCount: $n"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GTabPartition("", 1, 0))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SingleRowReaderFactory(Array(n))
 }
 
 private[sources] final case class GTabPartition(file: String, rows: Long,
@@ -393,14 +604,19 @@ private[sources] final case class GTabPartition(file: String, rows: Long,
 
 private[sources] class GTabScan(path: String,
     manifest: ManifestTable.Manifest, pruned: StructType,
-    confMap: Map[String, String]) extends Scan with Batch {
+    skipping: Seq[Filter], confMap: Map[String, String])
+    extends Scan with Batch {
+  private val kept = manifest.files.filter(
+    GTabSkip.keep(_, skipping, manifest.schema))
   override def readSchema(): StructType = pruned
   override def toBatch: Batch = this
   override def description(): String =
-    s"GTabScan $path v${manifest.version} files=${manifest.files.size} " +
+    s"GTabScan $path v${manifest.version} " +
+      s"files=${kept.size}/${manifest.files.size} " +
+      s"SkippingFilters: ${skipping.mkString("[", ", ", "]")} " +
       s"ReadSchema: ${pruned.simpleString}"
   override def planInputPartitions(): Array[InputPartition] =
-    manifest.files.map(f =>
+    kept.map(f =>
       GTabPartition(s"$path/data/${f.name}", f.rows, f.crc): InputPartition)
       .toArray
   override def createReaderFactory(): PartitionReaderFactory =

@@ -182,6 +182,70 @@ class ManifestTableSpec extends AnyFunSuite {
       Set((1L, "a"), (2L, "b")))
   }
 
+  test("zone maps: range-clustered write skips files outside the predicate's range") {
+    val dir = tmp()
+    spark.range(0, 4000).select($"id", ($"id" * 2.5).as("x"),
+        concat(lit("s"), $"id").as("s"))
+      .repartitionByRange(8, $"id")
+      .write.format(Fmt).option("path", dir).mode(SaveMode.Append).save()
+    val m = ManifestTable.readManifest(dir).get
+    assert(m.files.size == 8)
+    assert(m.files.forall(f => f.stats.contains("id") &&
+      f.stats.contains("x") && !f.stats.contains("s")),
+      "numeric columns carry zone maps, strings never do")
+    val df = readBack(dir).filter($"id" >= 1000L && $"id" < 1100L)
+    assert(df.count() == 100)
+    val plan = df.queryExecution.executedPlan.toString
+    val m8 = "files=(\\d+)/8".r.findFirstMatchIn(plan)
+    assert(m8.exists(_.group(1).toInt <= 2),
+      s"range predicate must prune to the overlapping file(s):\n$plan")
+    // double-column range + IN on the clustered key also skip
+    val df2 = readBack(dir).filter($"x" <= 50.0)
+    assert(df2.count() == 21)
+    assert("files=(\\d+)/8".r.findFirstMatchIn(
+      df2.queryExecution.executedPlan.toString).exists(_.group(1).toInt <= 1))
+    val df3 = readBack(dir).filter($"id".isin(17L, 3900L))
+    assert(df3.count() == 2)
+    assert("files=(\\d+)/8".r.findFirstMatchIn(
+      df3.queryExecution.executedPlan.toString).exists(_.group(1).toInt <= 2))
+    // non-stats (string) predicate prunes nothing and stays exact
+    val df4 = readBack(dir).filter($"s" === "s42")
+    assert(df4.count() == 1)
+    assert(df4.queryExecution.executedPlan.toString.contains("files=8/8"))
+  }
+
+  test("NaN rows poison the file's zone map (Spark orders NaN above every double)") {
+    val dir = tmp()
+    Seq((1L, 1.0), (2L, Double.NaN), (3L, 2.0)).toDF("id", "x")
+      .coalesce(1)
+      .write.format(Fmt).option("path", dir).mode(SaveMode.Append).save()
+    val m = ManifestTable.readManifest(dir).get
+    assert(!m.files.head.stats.contains("x"),
+      "a NaN-containing file must not publish finite x bounds")
+    assert(m.files.head.stats.contains("id"))
+    // NaN > 1e300 is TRUE under Spark's ordering — the file must be read
+    val hit = readBack(dir).filter($"x" > 1e300).collect()
+    assert(hit.map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("unfiltered COUNT(*) answers from manifest metadata, no aggregate node") {
+    val dir = tmp()
+    spark.range(0, 12345).select($"id")
+      .repartition(5)
+      .write.format(Fmt).option("path", dir).mode(SaveMode.Append).save()
+    val df = readBack(dir).agg(count(lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ManifestCount: 12345"), s"not metadata-answered:\n$plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"complete pushdown must leave no aggregate node:\n$plan")
+    assert(df.as[Long].head() == 12345L)
+    // any filter declines the pushdown (rows must be seen)
+    val filtered = readBack(dir).filter($"id" > 100L).agg(count(lit(1)))
+    assert(!filtered.queryExecution.executedPlan.toString
+      .contains("ManifestCount"))
+    assert(filtered.as[Long].head() == 12244L)
+  }
+
   test("one data file per input partition; empty write commits an empty readable table") {
     val dir = tmp()
     spark.range(0, 1000).withColumn("s", concat(lit("x"), $"id"))
