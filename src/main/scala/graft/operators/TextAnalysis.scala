@@ -86,26 +86,48 @@ object TextAnalysis {
       maxDupFrac: Double = 0.3): DataFrame = {
     val toks = Fns.tokens(col(textCol))
     val nToks = size(toks).cast("double")
-    val dupFrac = when(nToks > 0,
-      lit(1.0) - size(array_distinct(toks)).cast("double") / nToks)
-      .otherwise(0.0)
-    // summed from the token array itself, not (char_length - separators):
-    // the arithmetic shortcut assumes exactly one space between tokens
-    // and skews on multi-space/tab text
-    val meanLen = aggregate(transform(toks, t => length(t)),
-      lit(0L), (acc, x) => acc + x).cast("double") / nToks
-    val reason = when(col(textCol).isNull, "empty")
-      .when(nToks < minTokens, "too_short")
-      .when(nToks > maxTokens, "too_long")
-      .when(dupFrac > maxDupFrac, "repetitive")
-      .when(meanLen < 2 || meanLen > 12, "token_length")
-      .otherwise(null)
+    val dupFrac = qualityDupFrac(col(textCol))
+    val meanLen = qualityMeanTokenLen(col(textCol))
+    val reason = qualityFailReason(col(textCol), minTokens, maxTokens,
+      maxDupFrac)
     df.select(col(idCol),
       nToks.cast("long").as("n_tokens"),
       round(dupFrac, 6).as("dup_frac"),
       round(meanLen, 6).as("mean_token_len"),
       reason.isNull.as("keep"),
       reason.as("fail_reason"))
+  }
+
+  private[operators] def qualityDupFrac(text: Column): Column = {
+    val toks = Fns.tokens(text)
+    val nToks = size(toks).cast("double")
+    when(nToks > 0,
+      lit(1.0) - size(array_distinct(toks)).cast("double") / nToks)
+      .otherwise(0.0)
+  }
+
+  // summed from the token array itself, not (char_length - separators):
+  // the arithmetic shortcut assumes exactly one space between tokens
+  // and skews on multi-space/tab text
+  private[operators] def qualityMeanTokenLen(text: Column): Column = {
+    val toks = Fns.tokens(text)
+    aggregate(transform(toks, t => length(t)),
+      lit(0L), (acc, x) => acc + x).cast("double") / size(toks).cast("double")
+  }
+
+  /** The gate's decision chain as a reusable expression: null = all-pass,
+    * else the FIRST failing rule's name (see [[qualityGate]]).
+    */
+  private[operators] def qualityFailReason(text: Column, minTokens: Int,
+      maxTokens: Int, maxDupFrac: Double): Column = {
+    val nToks = size(Fns.tokens(text)).cast("double")
+    when(text.isNull, "empty")
+      .when(nToks < minTokens, "too_short")
+      .when(nToks > maxTokens, "too_long")
+      .when(qualityDupFrac(text) > maxDupFrac, "repetitive")
+      .when(qualityMeanTokenLen(text) < 2 || qualityMeanTokenLen(text) > 12,
+        "token_length")
+      .otherwise(null)
   }
 
   /** Canonical text normalization — the step every dedup/fingerprint

@@ -674,6 +674,53 @@ object PipelineMore {
            |             FROM documents)
            |${Seq(8, 16, 32, 64).map(level).mkString("", "\nUNION ALL\n", "")}
            |ORDER BY span_len, span""".stripMargin
-      })
+      }),
+
+    // --- end-to-end curation funnel (the composition a data team ships):
+    //     quality gate → exact-dedup canonical keep → per-source report
+    //     of documents and tokens surviving each stage. One narrow
+    //     projection per doc (text dropped at the scan, never shuffled);
+    //     the oracle chains p44's gate mirror and p01's min-id dedup
+    //     into the same funnel arithmetic. ---
+    QueryDef(
+      "p57_curation_funnel",
+      (s, dir) => graft.operators.CurationPipeline.funnelReport(
+          Tables.t(s, dir, "documents"), "doc_id", "text", "source")
+        .orderBy("source"),
+      Some(
+        """WITH base AS (
+          |  SELECT doc_id, source, md5(text) AS content_md5,
+          |    len(string_split(text, ' ')) AS n,
+          |    CASE WHEN len(string_split(text, ' ')) > 0 THEN
+          |      1.0 - len(list_distinct(string_split(text, ' ')))::DOUBLE
+          |        / len(string_split(text, ' '))
+          |    ELSE 0.0 END AS dup,
+          |    list_sum(list_transform(string_split(text, ' '),
+          |      x -> length(x)))::DOUBLE
+          |      / len(string_split(text, ' ')) AS ml
+          |  FROM documents),
+          |g AS (SELECT *,
+          |        (CASE WHEN n IS NULL THEN 'empty'
+          |              WHEN n < 5 THEN 'too_short'
+          |              WHEN n > 5000 THEN 'too_long'
+          |              WHEN dup > 0.3 THEN 'repetitive'
+          |              WHEN ml < 2 OR ml > 12 THEN 'token_length' END)
+          |          IS NULL AS keep
+          |      FROM base),
+          |c AS (SELECT content_md5, min(doc_id) AS id
+          |      FROM g WHERE keep GROUP BY content_md5),
+          |canon AS (SELECT g.* FROM g JOIN c ON g.doc_id = c.id),
+          |s1 AS (SELECT source, count(*) AS n_in,
+          |         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+          |           AS n_quality
+          |       FROM g GROUP BY source),
+          |s2 AS (SELECT source, count(*) AS n_canonical,
+          |         CAST(sum(n) AS BIGINT) AS tokens_kept
+          |       FROM canon GROUP BY source)
+          |SELECT s1.source AS source, n_in, n_quality,
+          |  coalesce(n_canonical, 0) AS n_canonical,
+          |  coalesce(tokens_kept, 0) AS tokens_kept
+          |FROM s1 LEFT JOIN s2 ON s1.source = s2.source
+          |ORDER BY s1.source""".stripMargin))
   )
 }
