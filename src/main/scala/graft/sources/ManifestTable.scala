@@ -95,15 +95,20 @@ object ManifestTable {
   final case class Manifest(version: Long, schema: StructType,
       files: Seq[FileEntry], epoch: Long = -1L)
 
-  /** One committed data file. `stats` are per-column zone maps (min, max
-    * as the codec's string form) collected by the writer for NUMERIC
-    * columns only — string collation differs between UTF8String's binary
-    * order and codepoint/locale orders, so string zone maps are a
-    * correctness trap deliberately left out. A column absent from the map
-    * (string col, or all-null file) is simply never pruned on.
+  /** One committed data file. `cols` is the column list THIS file was
+    * written with — the unit of schema evolution: the table schema may
+    * grow (or an append may carry a subset), and readers resolve each
+    * requested column BY NAME against the file's own list, yielding null
+    * where the file predates the column. `stats` are per-column zone
+    * maps (min, max as the codec's string form) collected by the writer
+    * for NUMERIC columns only — string collation differs between
+    * UTF8String's binary order and codepoint/locale orders, so string
+    * zone maps are a correctness trap deliberately left out. A column
+    * absent from the map (string col, all-null file, or pre-evolution
+    * file) is simply never pruned on.
     */
   final case class FileEntry(name: String, rows: Long, crc: Long,
-      stats: Map[String, (String, String)] = Map.empty)
+      cols: Seq[String], stats: Map[String, (String, String)] = Map.empty)
 
   /** Serialized manifest: header `gtab v<version> [epoch=<e>]
     * crc=<crc32-of-body>`, body = schema DDL line + one `name\trows\tcrc`
@@ -117,7 +122,9 @@ object ManifestTable {
     val body = (m.schema.toDDL +: m.files.map { f =>
       val stats = f.stats.toSeq.sortBy(_._1).flatMap { case (c, (lo, hi)) =>
         Seq(escape(c), escape(lo), escape(hi)) }
-      (Seq(f.name, f.rows.toString, f.crc.toString) ++ stats).mkString("\t")
+      (Seq(f.name, f.rows.toString, f.crc.toString,
+        f.cols.length.toString) ++ f.cols.map(escape) ++ stats)
+        .mkString("\t")
     }).mkString("\n")
     val c = new CRC32; c.update(body.getBytes(StandardCharsets.UTF_8))
     val ep = if (m.epoch >= 0) s" epoch=${m.epoch}" else ""
@@ -146,11 +153,27 @@ object ManifestTable {
           val schema = StructType.fromDDL(lines.head)
           val files = lines.tail.filter(_.nonEmpty).map { l =>
             val p = l.split("\t", -1)
-            val stats = p.drop(3).grouped(3).collect {
-              case Array(c, lo, hi) =>
-                unescape(c) -> (unescape(lo), unescape(hi))
-            }.toMap
-            FileEntry(p(0), p(1).toLong, p(2).toLong, stats)
+            // legacy (pre-evolution) lines lack the column-count field:
+            // field 4 is then a stats column NAME, not an integer — those
+            // files were written with the table schema of their day,
+            // which this manifest still carries
+            val k = if (p.length > 3) p(3).toIntOption else None
+            k match {
+              case Some(n) =>
+                val cols = p.slice(4, 4 + n).map(unescape).toSeq
+                val stats = p.drop(4 + n).grouped(3).collect {
+                  case Array(c, lo, hi) =>
+                    unescape(c) -> (unescape(lo), unescape(hi))
+                }.toMap
+                FileEntry(p(0), p(1).toLong, p(2).toLong, cols, stats)
+              case None =>
+                val stats = p.drop(3).grouped(3).collect {
+                  case Array(c, lo, hi) =>
+                    unescape(c) -> (unescape(lo), unescape(hi))
+                }.toMap
+                FileEntry(p(0), p(1).toLong, p(2).toLong,
+                  schema.fieldNames.toSeq, stats)
+            }
           }
           Some(Manifest(v.toLong, schema, files,
             Option(ep).map(_.toLong).getOrElse(-1L)))
@@ -170,14 +193,34 @@ object ManifestTable {
     * files drop out of the manifest — data deletion is vacuum's job, so
     * an in-flight reader of version N still finds its files).
     */
+  /** Schema evolution on append: the incoming schema may ADD columns
+    * (table schema becomes the union) or OMIT existing ones (the batch's
+    * files just don't carry them) — but a column present on both sides
+    * must keep its type. Once any file lacks a column, every field goes
+    * nullable: readers fill the gaps with null. Overwrite resets the
+    * schema to the write's exactly.
+    */
+  private def evolve(prev: StructType, next: StructType): StructType = {
+    val prevByName = prev.fields.map(f => f.name -> f).toMap
+    next.fields.foreach { f =>
+      prevByName.get(f.name).foreach { pf =>
+        require(pf.dataType == f.dataType,
+          s"column ${f.name}: append type ${f.dataType.sql} != " +
+            s"table type ${pf.dataType.sql} — evolution may add or omit " +
+            "columns, never retype them")
+      }
+    }
+    if (prev == next) prev
+    else {
+      val added = next.fields.filterNot(f => prevByName.contains(f.name))
+      StructType((prev.fields ++ added).map(_.copy(nullable = true)))
+    }
+  }
+
   private[graft] def commitVersion(dir: String, schema: StructType,
       newFiles: Seq[FileEntry], keepPrevious: Boolean,
       epoch: Long = -1L): Unit = {
     val prev = readManifest(dir)
-    prev.foreach { p =>
-      require(p.schema == schema || !keepPrevious,
-        s"append schema ${schema.toDDL} != table schema ${p.schema.toDDL}")
-    }
     // streaming epoch replay (checkpoint recovery re-runs a committed
     // batch): the manifest already covers this epoch — drop the rerun's
     // files instead of double-appending, and keep the published state
@@ -185,8 +228,12 @@ object ManifestTable {
       newFiles.foreach(f => FsMeta.deleteRecursive(s"$dir/data/${f.name}"))
       return
     }
+    val published =
+      if (keepPrevious) prev.map(p => evolve(p.schema, schema))
+        .getOrElse(schema)
+      else schema
     val base = if (keepPrevious) prev.map(_.files).getOrElse(Nil) else Nil
-    publish(dir, Manifest(prev.map(_.version + 1).getOrElse(1L), schema,
+    publish(dir, Manifest(prev.map(_.version + 1).getOrElse(1L), published,
       base ++ newFiles, math.max(epoch, prev.map(_.epoch).getOrElse(-1L))))
   }
 
@@ -301,7 +348,7 @@ private[sources] class GTabStreamingWrite(path: String, schema: StructType,
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case GTabCommit(n, _, _, _) => FsMeta.deleteRecursive(s"$path/data/$n")
+      case c: GTabCommit => FsMeta.deleteRecursive(s"$path/data/${c.name}")
       case _ =>
     }
 }
@@ -319,10 +366,10 @@ private[sources] class GTabStreamingWriterFactory(path: String,
 }
 
 private[sources] final case class GTabCommit(name: String, rows: Long,
-    crc: Long, stats: Map[String, (String, String)])
+    crc: Long, cols: Seq[String], stats: Map[String, (String, String)])
     extends WriterCommitMessage {
   def toEntry: ManifestTable.FileEntry =
-    ManifestTable.FileEntry(name, rows, crc, stats)
+    ManifestTable.FileEntry(name, rows, crc, cols, stats)
 }
 
 private[sources] class GTabBatchWrite(path: String, schema: StructType,
@@ -337,7 +384,7 @@ private[sources] class GTabBatchWrite(path: String, schema: StructType,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case GTabCommit(n, _, _, _) => FsMeta.deleteRecursive(s"$path/data/$n")
+      case c: GTabCommit => FsMeta.deleteRecursive(s"$path/data/${c.name}")
       case _ =>
     }
 }
@@ -441,7 +488,8 @@ private[sources] class GTabWriter(dir: String, schema: StructType,
   }
   override def commit(): WriterCommitMessage = {
     out.close()
-    GTabCommit(fileName, rows, crc.getValue, statsMap)
+    GTabCommit(fileName, rows, crc.getValue, schema.fieldNames.toSeq,
+      statsMap)
   }
   override def abort(): Unit = {
     try out.close() catch { case _: Exception => }
@@ -600,7 +648,7 @@ private[sources] class GTabCountScan(path: String,
 }
 
 private[sources] final case class GTabPartition(file: String, rows: Long,
-    crc: Long) extends InputPartition
+    crc: Long, cols: Seq[String] = Nil) extends InputPartition
 
 private[sources] class GTabScan(path: String,
     manifest: ManifestTable.Manifest, pruned: StructType,
@@ -617,7 +665,8 @@ private[sources] class GTabScan(path: String,
       s"ReadSchema: ${pruned.simpleString}"
   override def planInputPartitions(): Array[InputPartition] =
     kept.map(f =>
-      GTabPartition(s"$path/data/${f.name}", f.rows, f.crc): InputPartition)
+      GTabPartition(s"$path/data/${f.name}", f.rows, f.crc,
+        f.cols): InputPartition)
       .toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new GTabReaderFactory(manifest.schema, pruned, confMap)
@@ -646,11 +695,13 @@ private[sources] class GTabReader(p: GTabPartition, full: StructType,
   private var rows = 0L
   private var current: InternalRow = _
 
-  // field index in the FULL schema for each pruned column
+  // field index in THIS FILE's layout for each pruned column; -1 = the
+  // file predates (or omitted) the column -> constant null (schema
+  // evolution: resolution is by NAME, types come from the table schema)
   private val colIx: Array[Int] =
-    pruned.fieldNames.map(n => full.fieldIndex(n))
-  private val parsers: Array[String => Any] = colIx.map { i =>
-    full.fields(i).dataType match {
+    pruned.fieldNames.map(n => p.cols.indexOf(n))
+  private val parsers: Array[String => Any] = pruned.fieldNames.map { n =>
+    full.fields(full.fieldIndex(n)).dataType match {
       case BooleanType => (s: String) => java.lang.Boolean.parseBoolean(s)
       case IntegerType => (s: String) => java.lang.Integer.parseInt(s)
       case LongType => (s: String) => java.lang.Long.parseLong(s)
@@ -679,8 +730,12 @@ private[sources] class GTabReader(p: GTabPartition, full: StructType,
       val vals = new Array[Any](colIx.length)
       var j = 0
       while (j < colIx.length) {
-        val raw = parts(colIx(j))
-        vals(j) = if (raw == ManifestTable.Null) null else parsers(j)(raw)
+        vals(j) =
+          if (colIx(j) < 0) null
+          else {
+            val raw = parts(colIx(j))
+            if (raw == ManifestTable.Null) null else parsers(j)(raw)
+          }
         j += 1
       }
       current = InternalRow.fromSeq(vals.toIndexedSeq)

@@ -163,7 +163,7 @@ class ManifestTableSpec extends AnyFunSuite {
       val c = new java.util.zip.CRC32
       c.update(content.getBytes("UTF-8"))
       ManifestTable.FileEntry(name, content.count(_ == '\n').toLong,
-        c.getValue)
+        c.getValue, Seq("id", "s"))
     }
     ManifestTable.commitVersion(dir, schema,
       Seq(fileFor("e0.gtab", "1\ta\n")), keepPrevious = true, epoch = 0L)
@@ -244,6 +244,40 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(!filtered.queryExecution.executedPlan.toString
       .contains("ManifestCount"))
     assert(filtered.as[Long].head() == 12244L)
+  }
+
+  test("schema evolution: appended columns read as null from old files; omitted columns as null from new") {
+    val dir = tmp()
+    Seq((1L, "a")).toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode(SaveMode.Append).save()
+    // append ADDS column x -> table schema becomes the union
+    Seq((2L, "b", 2.5)).toDF("id", "s", "x")
+      .write.format(Fmt).option("path", dir).mode(SaveMode.Append).save()
+    // append OMITS column s -> new file just doesn't carry it
+    Seq((3L, 3.5)).toDF("id", "x")
+      .write.format(Fmt).option("path", dir).mode(SaveMode.Append).save()
+    val back = readBack(dir)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "s", "x"))
+    val rows = back.orderBy("id")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)), Option(r.get(2)))).toSeq
+    assert(rows == Seq(
+      (1L, Some("a"), None),
+      (2L, Some("b"), Some(2.5)),
+      (3L, None, Some(3.5))))
+    // zone maps still prune on the evolved column where files carry it;
+    // the pre-evolution file has no x stats so it is conservatively KEPT
+    // (its rows read x as null and fail the filter at row level)
+    val df = back.filter($"x" >= 3.0)
+    assert(df.count() == 1)
+    assert(df.queryExecution.executedPlan.toString.contains("files=2/3"))
+    // retyping an existing column is rejected at commit
+    val err = intercept[Exception] {
+      Seq((9L, 9)).toDF("id", "x") // x: int, table says double
+        .write.format(Fmt).option("path", dir).mode(SaveMode.Append).save()
+    }
+    assert(err.getMessage.contains("never retype") ||
+      Option(err.getCause).exists(_.getMessage.contains("never retype")))
   }
 
   test("one data file per input partition; empty write commits an empty readable table") {
