@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+import graft.sources.FsMeta
+
+/** PERSISTED IVF ANN index — the similarity-search twin of
+  * [[IncrementalDedup]]: the expensive global work (k-means coarse
+  * quantization + corpus assignment) runs once at build time and lands
+  * on disk; queries and appended batches pay only their own cost
+  * against the stored layout.
+  *
+  * Layout under `path`:
+  *   - `postings/` — parquet PARTITIONED BY cell id: a probe reading
+  *     nprobe cells prunes to those directories at the SCAN
+  *     (PartitionFilters — no job touches the other nlist − nprobe
+  *     cells' files);
+  *   - `centroids.json` + `params.json` — the coarse quantizer (nlist ×
+  *     dims doubles; tiny) and the index parameters, via the Hadoop FS
+  *     API (FsMeta) like every persistence operator here. Appends and
+  *     probes REJECT a params mismatch instead of silently mixing
+  *     index families (IncrementalDedup's contract).
+  *
+  * Metric discipline: cell ASSIGNMENT (build and append) and cell
+  * PROBE selection both use squared euclidean distance — the k-means
+  * training metric — so an appended vector lands exactly where the
+  * build would have put it, and a query's nprobe cells are the cells
+  * whose members the quantizer considers closest. Final ranking inside
+  * the probed cells is exact 6dp-rounded cosine (the corpus-wide
+  * contract of the Similarity family). With nprobe = nlist the probe
+  * is EXHAUSTIVE and the result provably equals brute-force top-k —
+  * which is what the p58 oracle checks; recall at nprobe < nlist is
+  * spec-measured.
+  *
+  * Scale design: build = one k-means over a sampled/full corpus + one
+  * assignment pass + one partitioned write. Append = per-batch
+  * assignment against broadcast centroids, appended into the existing
+  * partition dirs (dynamic overwrite not needed — postings are
+  * add-only; dedup/TTL is the caller's policy). Probe = centroids are
+  * O(nlist · dims) driver-side (the ONE collect, bounded by the
+  * parameter, not the data), probed cell ids become partition-pruning
+  * literals, and the per-cell join carries only probed slices. No
+  * all-pairs node anywhere.
+  */
+object AnnIndex {
+
+  final case class Params(nlist: Int = 16, dims: Int = 64)
+
+  private def paramsJson(p: Params): String =
+    s"""{"nlist": ${p.nlist}, "dims": ${p.dims}}"""
+
+  private def centroidsJson(cents: Seq[(Int, Array[Double])]): String =
+    cents.sortBy(_._1).map { case (i, v) =>
+      s"""[${v.mkString(",")}]""" }.mkString("[", ",", "]")
+
+  private def readCentroids(path: String): Seq[(Int, Array[Double])] = {
+    val raw = FsMeta.readString(s"$path/centroids.json").trim
+    // [[a,b,...],[...]] — fixed shape written by us; split on "],["
+    val inner = raw.stripPrefix("[").stripSuffix("]")
+    inner.split("\\],\\[").zipWithIndex.map { case (s, i) =>
+      (i, s.replaceAll("[\\[\\]]", "").split(",").map(_.toDouble))
+    }.toSeq
+  }
+
+  private def checkParams(path: String, p: Params): Unit = {
+    val stored = FsMeta.readString(s"$path/params.json")
+    require(stored == paramsJson(p),
+      s"index at $path was built with $stored, caller passed " +
+        s"${paramsJson(p)} — refusing to mix index families")
+  }
+
+  /** Nearest-centroid assignment by squared euclidean distance (the
+    * k-means metric): explode the (tiny, broadcast) centroid table per
+    * row, keep rank 1. `tieCell` breaks exact-distance ties toward the
+    * smaller cell id, matching k-means transform's argmin order.
+    */
+  private def assignCells(df: DataFrame, embCol: String,
+      cents: DataFrame): DataFrame = {
+    val dist = aggregate(
+      zip_with(col(embCol).cast("array<double>"), col("centroid"),
+        (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    df.crossJoin(broadcast(cents))
+      .withColumn("dist", dist)
+      .withColumn("cr", row_number().over(
+        Window.partitionBy(col("__aid")).orderBy(col("dist"), col("cell"))))
+      .filter(col("cr") === 1)
+      .drop("dist", "cr", "centroid")
+  }
+
+  /** Fit the coarse quantizer and write the whole index. An EAGER write
+    * job at call time — building an index IS a job.
+    */
+  def buildIndex(corpus: DataFrame, idCol: String, embCol: String,
+      p: Params, path: String): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).cast("long").as("nid"),
+      col(embCol).as("nv"),
+      array_to_vector(col(embCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(p.nlist).setSeed(42).setMaxIter(10)
+      .fit(c.select("features"))
+    val cents = model.clusterCenters.zipWithIndex.map {
+      case (v, i) => (i, v.toArray) }.toSeq
+    val centsDf = spark.createDataFrame(cents).toDF("cell", "centroid")
+    assignCells(
+        c.select(col("nid").as("__aid"), col("nid"), col("nv")), "nv",
+        centsDf)
+      .select("cell", "nid", "nv")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/postings")
+    FsMeta.writeString(s"$path/centroids.json", centroidsJson(cents))
+    FsMeta.writeString(s"$path/params.json", paramsJson(p))
+  }
+
+  /** Assign a new batch against the STORED centroids and append its
+    * postings — no refit, no corpus rescan: the index contract.
+    */
+  def appendBatch(batch: DataFrame, idCol: String, embCol: String,
+      p: Params, path: String): Unit = {
+    checkParams(path, p)
+    val spark = batch.sparkSession
+    val centsDf = spark.createDataFrame(readCentroids(path))
+      .toDF("cell", "centroid")
+    assignCells(
+        batch.select(col(idCol).cast("long").as("__aid"),
+          col(idCol).cast("long").as("nid"), col(embCol).as("nv")),
+        "nv", centsDf)
+      .select("cell", "nid", "nv")
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$path/postings")
+  }
+
+  /** Top-k cosine neighbors per query against the stored index, probing
+    * each query's `nprobe` euclidean-nearest cells. The postings scan is
+    * filtered to the union of probed cell ids (collected driver-side —
+    * O(nlist), a parameter not a data size), so partition pruning reads
+    * only those cell directories. nprobe = nlist ⇒ exact brute-force
+    * equality (oracle-checked as p58).
+    */
+  def topKAgainstIndex(spark: SparkSession, queries: DataFrame,
+      idCol: String, embCol: String, k: Int, nprobe: Int, p: Params,
+      path: String): DataFrame = {
+    checkParams(path, p)
+    require(nprobe >= 1 && nprobe <= p.nlist,
+      s"nprobe must be in [1, ${p.nlist}], got $nprobe")
+    val centsDf = spark.createDataFrame(readCentroids(path))
+      .toDF("cell", "centroid")
+    val q = queries.select(col(idCol).cast("long").as("qid"),
+      col(embCol).as("qv"))
+    val qCells = assignCellsTopN(q.withColumn("__aid", col("qid")), "qv",
+      centsDf, nprobe).select("qid", "qv", "cell")
+    val probedCells = qCells.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("cell").isin(probedCells: _*))
+    val scored = postings.join(broadcast(qCells), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(Fns.cosineSimilarity(col("qv"), col("nv")), 6).as("cos"))
+      .dropDuplicates("qid", "nid")
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Like [[assignCells]] but keeping the `n` nearest cells per row. */
+  private def assignCellsTopN(df: DataFrame, embCol: String,
+      cents: DataFrame, n: Int): DataFrame = {
+    val dist = aggregate(
+      zip_with(col(embCol).cast("array<double>"), col("centroid"),
+        (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    df.crossJoin(broadcast(cents))
+      .withColumn("dist", dist)
+      .withColumn("cr", row_number().over(
+        Window.partitionBy(col("__aid")).orderBy(col("dist"), col("cell"))))
+      .filter(col("cr") <= n)
+      .drop("dist", "cr", "centroid", "__aid")
+  }
+}

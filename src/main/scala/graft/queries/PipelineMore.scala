@@ -721,6 +721,48 @@ object PipelineMore {
           |  coalesce(n_canonical, 0) AS n_canonical,
           |  coalesce(tokens_kept, 0) AS tokens_kept
           |FROM s1 LEFT JOIN s2 ON s1.source = s2.source
-          |ORDER BY s1.source""".stripMargin))
+          |ORDER BY s1.source""".stripMargin)),
+
+    // --- persisted IVF ANN index, EXHAUSTIVELY probed (the similarity
+    //     twin of p46): k-means build over the %7!=0 slice, the %7==0
+    //     slice APPENDED against the stored centroids (no refit), then
+    //     nprobe = nlist probes every cell — which provably equals
+    //     brute-force top-k over the whole corpus, so the same exact
+    //     oracle as p09 applies. Partition pruning at nprobe < nlist and
+    //     append-assignment fidelity are AnnIndexSpec's job. ---
+    QueryDef(
+      "p58_ann_index_exhaustive",
+      (s, dir) => {
+        val p = graft.operators.AnnIndex.Params(nlist = 16, dims = 64)
+        val e = Tables.t(s, dir, "embeddings")
+        val path = "/tmp/graft_p58_index/" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        graft.operators.AnnIndex.buildIndex(
+          e.filter(col("vec_id") % 7 =!= 0), "vec_id", "embedding", p, path)
+        graft.operators.AnnIndex.appendBatch(
+          e.filter(col("vec_id") % 7 === 0), "vec_id", "embedding", p, path)
+        graft.operators.AnnIndex.topKAgainstIndex(
+            s, e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+            k = 5, nprobe = 16, p, path)
+          .orderBy("qid", "rank")
+      },
+      Some(
+        """WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings
+          |           WHERE vec_id % 50 = 0),
+          |c AS (SELECT vec_id nid, embedding nv FROM embeddings),
+          |s AS (SELECT qid, nid,
+          |  round(
+          |    list_sum(list_transform(range(1, 65),
+          |      i -> CAST(qv[i] AS DOUBLE) * CAST(nv[i] AS DOUBLE)))
+          |    / (sqrt(list_sum(list_transform(range(1, 65),
+          |         i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+          |     * sqrt(list_sum(list_transform(range(1, 65),
+          |         i -> CAST(nv[i] AS DOUBLE) * CAST(nv[i] AS DOUBLE))))), 6) cos
+          |  FROM q JOIN c ON qid <> nid),
+          |r AS (SELECT *, CAST(row_number() OVER
+          |        (PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rank
+          |      FROM s)
+          |SELECT qid, nid, cos, rank FROM r WHERE rank <= 5
+          |ORDER BY qid, rank""".stripMargin))
   )
 }

@@ -49,7 +49,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     "p29_cross_corpus_dedup", "p30_lm_score", "p33_collocations",
     "p34_ann_quantized", "p35_hard_negatives", "p37_corpus_drift",
     "p38_ref_lm_score", "p42_bigram_lm", "p50_temperature_mixture",
-    "p51_curriculum_bins", "p55_interp_lm")
+    "p51_curriculum_bins", "p55_interp_lm",
+    // p58: the only BNLJ is queries × the parameter-sized centroid
+    // table (nlist rows, broadcast) — p13's shape against a stored index
+    "p58_ann_index_exhaustive")
 
   // Pinned physical-plan node counts for the audited headline queries —
   // the numeric form of PLANS.md's prose claims ("q68: one data exchange,
