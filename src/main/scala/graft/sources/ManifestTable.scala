@@ -237,6 +237,32 @@ object ManifestTable {
       base ++ newFiles, math.max(epoch, prev.map(_.epoch).getOrElse(-1L))))
   }
 
+  /** Rewrite the table's current contents into `targetFiles` files and
+    * publish the result as the next manifest version — small-file
+    * compaction for an append-heavy (especially streaming) table, the
+    * third leg of the maintenance triad beside [[vacuum]] and schema
+    * evolution. Readers are never blocked: data files are add-only and
+    * uniquely named, a read plans against whichever manifest version it
+    * saw, and the swap is the usual atomic publish. The replaced
+    * fragments stay on disk for in-flight readers until a later
+    * [[vacuum]] passes their grace window. Single-writer discipline
+    * applies (as for every publish): an append racing the compaction
+    * loses whichever manifest lands first. Returns (filesBefore,
+    * filesAfter).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetFiles: Int): (Int, Int) = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    val before = readManifest(dir).getOrElse(throw new IllegalArgumentException(
+      s"no committed manifest at $dir")).files.size
+    spark.read.format("graft.sources.ManifestTable").option("path", dir)
+      .load()
+      .repartition(targetFiles)
+      .write.format("graft.sources.ManifestTable").option("path", dir)
+      .mode("overwrite").save()
+    (before, readManifest(dir).get.files.size)
+  }
+
   /** Delete data files not listed in the current manifest and older than
     * `graceMs` (the grace window keeps a just-written uncommitted job and
     * an in-flight reader of a just-overwritten version safe — MergeSink's

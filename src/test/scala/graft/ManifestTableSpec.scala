@@ -280,6 +280,26 @@ class ManifestTableSpec extends AnyFunSuite {
       Option(err.getCause).exists(_.getMessage.contains("never retype")))
   }
 
+  test("compaction rewrites to fewer files, preserves data, leaves fragments for in-flight readers") {
+    val dir = tmp()
+    val src = (0 until 500).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+    src.repartition(9)
+      .write.format(Fmt).option("path", dir).mode(SaveMode.Append).save()
+    val vBefore = ManifestTable.readManifest(dir).get.version
+    // an in-flight reader planned against the pre-compaction manifest
+    val inFlight = readBack(dir)
+    val (before, after) = ManifestTable.compact(spark, dir, targetFiles = 2)
+    assert(before == 9 && after == 2)
+    assert(ManifestTable.readManifest(dir).get.version > vBefore)
+    assert(readBack(dir).as[(Long, String)].collect().toSet ==
+      src.as[(Long, String)].collect().toSet)
+    // fragments still on disk: the in-flight reader completes; vacuum
+    // with an elapsed grace window then reclaims exactly the 9
+    assert(inFlight.count() == 500)
+    assert(ManifestTable.vacuum(dir, graceMs = 0L).size == 9)
+    assert(readBack(dir).count() == 500)
+  }
+
   test("one data file per input partition; empty write commits an empty readable table") {
     val dir = tmp()
     spark.range(0, 1000).withColumn("s", concat(lit("x"), $"id"))
