@@ -277,7 +277,11 @@ object TextAnalysis {
     * surviving slice.
     */
   def repeatedSpansLadder(df: DataFrame, idCol: String, textCol: String,
-      baseN: Int = 8, minDf: Long = 3, maxN: Int = 64): DataFrame = {
+      baseN: Int = 8, minDf: Long = 3, maxN: Int = 64,
+      pruneDocs: Boolean = true): DataFrame = {
+    // pruneDocs=false disables the (exact) doc prune — an A/B knob for
+    // measuring the prune, never a semantics switch (RepeatedSpansSpec
+    // pins equality; tools.LadderBench records the numbers)
     require(baseN >= 1 && maxN >= baseN, s"bad ladder [$baseN, $maxN]")
     val empty = df.sparkSession.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -302,10 +306,12 @@ object TextAnalysis {
           col("first_doc")))
         // exact prune (see scaladoc): only docs holding a survivor can
         // hold a wider survivor
-        val keep = docSpans.join(survivors.select("span"), "span")
-          .select("id").distinct().localCheckpoint()
-        eligible = eligible.join(keep, Seq("id"), "left_semi")
-          .localCheckpoint()
+        if (pruneDocs) {
+          val keep = docSpans.join(survivors.select("span"), "span")
+            .select("id").distinct().localCheckpoint()
+          eligible = eligible.join(keep, Seq("id"), "left_semi")
+            .localCheckpoint()
+        }
         n *= 2
       }
     }

@@ -59,4 +59,13 @@ class RepeatedSpansSpec extends AnyFunSuite {
     }
     assert(ladder == brute)
   }
+
+  test("pruneDocs=false (the A/B measurement knob) is row-identical") {
+    val d = graft.api.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    def run(prune: Boolean) = TextAnalysis.repeatedSpansLadder(
+        d, "doc_id", "text", baseN = 8, minDf = 3, maxN = 32,
+        pruneDocs = prune)
+      .orderBy("span_len", "span").collect().toSeq
+    assert(run(prune = true) == run(prune = false))
+  }
 }
