@@ -107,14 +107,31 @@ object Bench {
           }.min
           s""""$name":{"sec":$secs,"recall":$recall}"""
         }
-        Seq(
+        // persisted-index probes (p58): build once per fixture, then time
+        // the stored-layout path at each nprobe — the round-over-round
+        // ledger for the index family, beside the transient LSH/IVF paths
+        val idxPath = java.nio.file.Files
+          .createTempDirectory("graft_bench_annidx").toString
+        val ip = graft.operators.AnnIndex.Params(nlist = 16, dims = dims)
+        val tb0 = System.nanoTime()
+        graft.operators.AnnIndex.buildIndex(e, "vec_id", "embedding", ip,
+          idxPath)
+        val buildSec = (System.nanoTime() - tb0) / 1e9
+        def idxProbe(np: Int) = () => graft.operators.AnnIndex
+          .topKAgainstIndex(spark, q, "vec_id", "embedding", 5, np, ip,
+            idxPath)
+        val settings = Seq(
           ("lsh_t2_p1", () => Similarity.lshTopK(q, e, 5, tables = 2, probeBits = 1)),
           ("lsh_t4_p2", () => Similarity.lshTopK(q, e, 5, tables = 4, probeBits = 2)),
           ("lsh_t6_p2", () => Similarity.lshTopK(q, e, 5)), // p10's defaults
           ("ivf_np1", () => Similarity.ivfTopK(q, e, 5, nprobe = 1)),
           ("ivf_np2", () => Similarity.ivfTopK(q, e, 5, nprobe = 2)),
-          ("ivf_np4", () => Similarity.ivfTopK(q, e, 5))) // p13's defaults
-          .map { case (n, f) => setting(n, f) }.mkString("{", ",", "}")
+          ("ivf_np4", () => Similarity.ivfTopK(q, e, 5)), // p13's defaults
+          ("ivfidx_np1", idxProbe(1)),
+          ("ivfidx_np2", idxProbe(2)),
+          ("ivfidx_np4", idxProbe(4)))
+          .map { case (n, f) => setting(n, f) }.mkString(",")
+        s"""{$settings,"ivfidx_build_sec":$buildSec}"""
       }
       s"""{"uniform":${ladder(uniform)},"clustered":${ladder(clustered)}}"""
     } catch { case e: Throwable =>
