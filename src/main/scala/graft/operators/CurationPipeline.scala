@@ -24,20 +24,42 @@ import graft.functions.Fns
   * hygiene, on at scale where the rescan is the cost.
   */
 object CurationPipeline {
-  def funnelReport(docs: DataFrame, idCol: String, textCol: String,
-      srcCol: String, minTokens: Int = 5, maxTokens: Int = 5000,
-      maxDupFrac: Double = 0.3, persistBase: Boolean = false): DataFrame = {
-    val base0 = docs.select(
+  private def baseProjection(docs: DataFrame, idCol: String,
+      textCol: String, srcCol: String, minTokens: Int, maxTokens: Int,
+      maxDupFrac: Double): DataFrame =
+    docs.select(
       col(idCol).cast("long").as("id"),
       col(srcCol).as("source"),
       md5(col(textCol)).as("content_md5"),
       size(Fns.tokens(col(textCol))).cast("long").as("n_tokens"),
       TextAnalysis.qualityFailReason(col(textCol), minTokens, maxTokens,
         maxDupFrac).isNull.as("keep"))
+
+  private def canonicalOf(base: DataFrame): DataFrame =
+    base.join(
+      base.filter(col("keep")).groupBy("content_md5")
+        .agg(min("id").as("id"))
+        .select("id"),
+      "id")
+
+  /** The curated corpus itself — one row per surviving canonical doc
+    * (id, source, n_tokens): what a pipeline WRITES downstream (see the
+    * p59 composition: curatedDocs → ManifestTable → skipped read).
+    */
+  def curatedDocs(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, minTokens: Int = 5, maxTokens: Int = 5000,
+      maxDupFrac: Double = 0.3): DataFrame =
+    canonicalOf(baseProjection(docs, idCol, textCol, srcCol, minTokens,
+      maxTokens, maxDupFrac))
+      .select("id", "source", "n_tokens")
+
+  def funnelReport(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, minTokens: Int = 5, maxTokens: Int = 5000,
+      maxDupFrac: Double = 0.3, persistBase: Boolean = false): DataFrame = {
+    val base0 = baseProjection(docs, idCol, textCol, srcCol, minTokens,
+      maxTokens, maxDupFrac)
     val base = if (persistBase) base0.persist() else base0
-    val canonIds = base.filter(col("keep"))
-      .groupBy("content_md5").agg(min("id").as("id"))
-    val canon = base.join(canonIds.select("id"), "id")
+    val canon = canonicalOf(base)
     val perSource = base.groupBy("source").agg(
       count(lit(1)).as("n_in"),
       sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality"))

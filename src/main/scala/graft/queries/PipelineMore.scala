@@ -763,6 +763,58 @@ object PipelineMore {
           |        (PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rank
           |      FROM s)
           |SELECT qid, nid, cos, rank FROM r WHERE rank <= 5
-          |ORDER BY qid, rank""".stripMargin))
+          |ORDER BY qid, rank""".stripMargin)),
+
+    // --- curate-and-write composition (p57's funnel × q78's sink ×
+    //     q80's skipping, end-to-end under one driver hash): the
+    //     canonical curated corpus is WRITTEN through the
+    //     manifest-committed connector range-clustered on doc id, then
+    //     a selective id-window read — file-skipped via the manifest
+    //     zone maps — rolls tokens up per source. The oracle rebuilds
+    //     the same funnel and window directly. ---
+    QueryDef(
+      "p59_curate_to_sink",
+      (s, dir) => {
+        val path = "/tmp/graft_p59_sink/" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        graft.operators.CurationPipeline.curatedDocs(
+            Tables.t(s, dir, "documents"), "doc_id", "text", "source")
+          .repartitionByRange(4, col("id"))
+          .write.format("graft.sources.ManifestTable")
+          .option("path", path).mode("overwrite").save()
+        s.read.format("graft.sources.ManifestTable")
+          .option("path", path).load()
+          .filter(col("id") >= 100 && col("id") < 300)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT doc_id, source, md5(text) AS content_md5,
+          |    len(string_split(text, ' ')) AS n,
+          |    CASE WHEN len(string_split(text, ' ')) > 0 THEN
+          |      1.0 - len(list_distinct(string_split(text, ' ')))::DOUBLE
+          |        / len(string_split(text, ' '))
+          |    ELSE 0.0 END AS dup,
+          |    list_sum(list_transform(string_split(text, ' '),
+          |      x -> length(x)))::DOUBLE
+          |      / len(string_split(text, ' ')) AS ml
+          |  FROM documents),
+          |g AS (SELECT *,
+          |        (CASE WHEN n IS NULL THEN 'empty'
+          |              WHEN n < 5 THEN 'too_short'
+          |              WHEN n > 5000 THEN 'too_long'
+          |              WHEN dup > 0.3 THEN 'repetitive'
+          |              WHEN ml < 2 OR ml > 12 THEN 'token_length' END)
+          |          IS NULL AS keep
+          |      FROM base),
+          |c AS (SELECT content_md5, min(doc_id) AS id
+          |      FROM g WHERE keep GROUP BY content_md5),
+          |canon AS (SELECT g.* FROM g JOIN c ON g.doc_id = c.id)
+          |SELECT source, count(*) AS n_docs,
+          |  CAST(sum(n) AS BIGINT) AS n_tokens
+          |FROM canon WHERE doc_id >= 100 AND doc_id < 300
+          |GROUP BY source ORDER BY source""".stripMargin))
   )
 }
