@@ -11,7 +11,8 @@ object Registry {
       graft.queries.RelationalAnalytics.defs ++
       graft.queries.PipelineQueries.defs ++
       graft.queries.PipelineExt.defs ++
-      graft.queries.PipelineMore.defs
+      graft.queries.PipelineMore.defs ++
+      graft.queries.PipelineRecent.defs
 
   lazy val byName: Map[String, QueryDef] = {
     val names = all.map(_.name)

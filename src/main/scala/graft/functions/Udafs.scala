@@ -90,3 +90,82 @@ object GeoMean extends Aggregator[Double, GeoMeanBuf, Double] {
   override def bufferEncoder: Encoder[GeoMeanBuf] = Encoders.product[GeoMeanBuf]
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
+
+/** Bounded min-hash set for [[KmvDistinct]]: `hs` holds UNSIGNED-ORDER
+  * representations (hash XOR sign bit, so signed sort == unsigned sort)
+  * of observed hashes; kept un-compacted between prunes for O(1) inserts.
+  */
+case class KmvBuf(var hs: Seq[Long])
+
+/** Distinct-count estimation via a K-Minimum-Values sketch (Bar-Yossef
+  * et al. 2002 / Beyer et al. 2007) — mergeable-summaries plugin-ABI
+  * instance #3 beside [[GeoMean]] and [[TopKFreq]], with one property
+  * the Misra-Gries summary cannot offer: the result is fully LAYOUT-
+  * INVARIANT. A KMV buffer is "the `capacity` smallest distinct hash
+  * values seen", and the k smallest elements of a multiset do not depend
+  * on arrival order or partition boundaries — so partials merge to the
+  * same sketch under any repartitioning, exact regime or not
+  * (spec-pinned; contrast MG's layout-dependent approximate regime).
+  *
+  * Exactness contract (q50's contract, instance #3): while a group's
+  * distinct count stays BELOW `capacity`, the sketch holds every distinct
+  * hash and `finish` returns the exact distinct count (modulo 64-bit
+  * hash collisions: P < n^2 / 2^65, ~1e-13 at n = 4096 — far below any
+  * other nondeterminism tolerated in this repo). At and past saturation
+  * it returns the standard unbiased estimator (capacity-1) / u_k, where
+  * u_k is the capacity-th smallest hash normalized to (0,1) — relative
+  * stderr ~ 1/sqrt(capacity-2).
+  *
+  * Scale: the shuffle carries at most `capacity` longs per group per
+  * partition (8 KB at the default 1024), map-side partials like built-in
+  * approx_count_distinct — but exact-when-small and deterministic, which
+  * HLL++ is not across implementations. Inserts append and amortize the
+  * sort: the buffer compacts (sort unsigned, distinct, truncate) only on
+  * overflow past 4x capacity.
+  */
+class KmvDistinct(capacity: Int)
+    extends Aggregator[String, KmvBuf, Long] {
+  require(capacity >= 2, s"capacity must be >= 2, got $capacity")
+
+  /** FNV-1a 64 + splitmix64 finalizer: FNV alone is too structured for
+    * the saturated estimator (low bits correlate on short keys); the
+    * avalanche makes the hash behave uniform in the unsigned unit
+    * interval, which the (capacity-1)/u_k estimator assumes.
+    */
+  private def h64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
+    h ^= h >>> 27; h *= 0x94d049bb133111ebL
+    (h ^ (h >>> 31)) ^ Long.MinValue // unsigned-order representation
+  }
+
+  private def compact(hs: Seq[Long]): Seq[Long] =
+    hs.distinct.sorted.take(capacity)
+
+  override def zero: KmvBuf = KmvBuf(Vector.empty)
+  override def reduce(b: KmvBuf, key: String): KmvBuf = {
+    if (key != null) {
+      b.hs = b.hs :+ h64(key)
+      if (b.hs.size > 4 * capacity) b.hs = compact(b.hs)
+    }
+    b
+  }
+  override def merge(a: KmvBuf, b: KmvBuf): KmvBuf = {
+    a.hs = compact(a.hs ++ b.hs)
+    a
+  }
+  override def finish(b: KmvBuf): Long = {
+    val hs = compact(b.hs)
+    if (hs.size < capacity) hs.size.toLong
+    else {
+      // u_k in (0,1): shift the unsigned-order rep back to unsigned value
+      val uk = (hs.last.toDouble + 9.223372036854775808e18) /
+        1.8446744073709552e19
+      math.round((capacity - 1).toDouble / uk)
+    }
+  }
+  override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}

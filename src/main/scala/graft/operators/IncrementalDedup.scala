@@ -46,7 +46,9 @@ import graft.sources.FsMeta
   * exchange; the heavy per-byte compute is paid once per document EVER,
   * not once per run. Appends are bucketed parquet file appends — no
   * rewrite of existing index files (multiple files per bucket are fine;
-  * compact periodically with [[Compaction]] if small files accumulate).
+  * compact periodically with [[compactIndex]] when small files or
+  * replay-duplicate rows accumulate — NOT with [[Compaction]], whose
+  * plain-parquet rewrite would destroy the bucketing).
   */
 object IncrementalDedup {
 
@@ -61,6 +63,23 @@ object IncrementalDedup {
     def json: String =
       s"""{"shingleSize":$shingleSize,"numHashes":$numHashes,""" +
         s""""bands":$bands,"threshold":$threshold,"numBuckets":$numBuckets}"""
+  }
+
+  object Params {
+    private val Re =
+      ("""\{"shingleSize":(\d+),"numHashes":(\d+),"bands":(\d+),""" +
+        """"threshold":([0-9.Ee+-]+),"numBuckets":(\d+)\}""").r
+
+    /** Inverse of [[Params.json]] — lets maintenance ops ([[compactIndex]])
+      * recover the family from the index itself instead of trusting a
+      * caller-supplied copy that could silently disagree with the files.
+      */
+    def parse(s: String): Params = s.trim match {
+      case Re(ss, nh, b, t, nb) =>
+        Params(ss.toInt, nh.toInt, b.toInt, t.toDouble, nb.toInt)
+      case other => throw new IllegalArgumentException(
+        s"not a persisted-index params.json payload: $other")
+    }
   }
 
   /** Cap on the collected key sets that drive NARROW-batch index
@@ -102,11 +121,18 @@ object IncrementalDedup {
     * bucket's rows and writes one file — without it, every task writes a
     * file per bucket (tasks × buckets small files).
     */
+  /** `preAligned = true` skips the repartition for inputs whose
+    * partitioning already IS the bucket layout (a bucketed scan of the
+    * same column and count — [[compactIndex]]): repartitioning there
+    * would re-shuffle rows into the very layout they arrived in.
+    */
   private def writeBucketed(df: DataFrame, mode: String, dataPath: String,
-      table: String, bucketCol: String, n: Int): Unit =
-    df.repartition(n, col(bucketCol))
-      .write.format("parquet").mode(mode).option("path", dataPath)
+      table: String, bucketCol: String, n: Int,
+      preAligned: Boolean = false): Unit = {
+    val aligned = if (preAligned) df else df.repartition(n, col(bucketCol))
+    aligned.write.format("parquet").mode(mode).option("path", dataPath)
       .bucketBy(n, bucketCol).saveAsTable(table)
+  }
 
   /** The bucketed table at `dataPath`, registering the external-table
     * catalog entry if this session has not seen it (schema from the
@@ -298,5 +324,60 @@ object IncrementalDedup {
       .filter(col("jaccard") >= p.threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .distinct()
+  }
+
+  /** Per-table parquet file counts before/after an index rewrite. */
+  final case class IndexCompactionStats(bandFilesBefore: Long,
+      bandFilesAfter: Long, shingleFilesBefore: Long, shingleFilesAfter: Long)
+
+  /** Offline index maintenance: rewrite the index at `inPath` into a fresh
+    * index at `outPath`, collapsing the duplicate rows replayed appends
+    * leave behind ([[appendBatch]]'s at-least-once contract) and merging
+    * each bucket's accumulated files into one — appends never rewrite
+    * existing files, so a long-lived index accretes one file set per
+    * batch, and every file costs a probe-side task and footer read.
+    *
+    * [[Compaction]] cannot do this job: its plain-parquet coalesce rewrite
+    * would DESTROY the bucketed layout the exchange-free probe rides on.
+    * This rewrite is the bucketed twin of that operator's "runs at scan
+    * speed" contract: each table is read through its bucketed scan (one
+    * task per bucket regardless of file count), distinct()'d — the
+    * grouping keys contain the bucket column, so the aggregation needs no
+    * exchange — and written back pre-aligned (each task holds exactly one
+    * bucket, writes exactly one file). The whole compaction plans ZERO
+    * Exchange nodes (spec-pinned in IncrementalDedupSpec).
+    *
+    * Crash-safe by construction: `outPath` is garbage until every file and
+    * sidecar lands, and the input index is never touched — callers swap
+    * paths (or point the next ingest at `outPath`) after this returns.
+    * The family params are read from the INDEX's own params.json, not a
+    * caller argument, so a compacted index can never disagree with its
+    * source about the MinHash family.
+    */
+  def compactIndex(spark: SparkSession, inPath: String,
+      outPath: String): IndexCompactionStats = {
+    require(inPath != outPath, "compactIndex writes a fresh index; " +
+      "outPath must differ from inPath (the input is never rewritten)")
+    val p = Params.parse(FsMeta.readString(paramsPath(inPath)))
+    def parquetCount(dir: String): Long =
+      FsMeta.listFiles(dir).count(_.endsWith(".parquet")).toLong
+    val bandsBefore = parquetCount(bandsPath(inPath))
+    val shBefore = parquetCount(shinglesPath(inPath))
+    val sh = bucketedTable(spark, inPath, "sh", shinglesPath(inPath),
+      "id", p.numBuckets)
+    FsMeta.writeString(schemaPath(outPath, "sh"),
+      FsMeta.readString(schemaPath(inPath, "sh")))
+    writeBucketed(sh.distinct(), "overwrite", shinglesPath(outPath),
+      tableId("sh", outPath), "id", p.numBuckets, preAligned = true)
+    val bands = bucketedTable(spark, inPath, "bands", bandsPath(inPath),
+      "bkey", p.numBuckets)
+    FsMeta.writeString(schemaPath(outPath, "bands"),
+      FsMeta.readString(schemaPath(inPath, "bands")))
+    writeBucketed(bands.distinct(), "overwrite", bandsPath(outPath),
+      tableId("bands", outPath), "bkey", p.numBuckets, preAligned = true)
+    FsMeta.writeString(paramsPath(outPath),
+      FsMeta.readString(paramsPath(inPath)).trim)
+    IndexCompactionStats(bandsBefore, parquetCount(bandsPath(outPath)),
+      shBefore, parquetCount(shinglesPath(outPath)))
   }
 }

@@ -31,6 +31,13 @@ object Bridge {
   def sessionId(spark: SparkSession): String =
     spark.asInstanceOf[classic.SparkSession].sessionUUID
 
+  /** Drain the async listener bus — lets tests assert on
+    * QueryExecutionListener-collected plan facts deterministically
+    * (the bus is `private[spark]`, hence the shim placement).
+    */
+  def waitForListeners(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Idempotently add a planner strategy to the session (the public
     * `experimental.extraStrategies` hook; GraftExtensions injects the
     * same strategy at session build time for the extensions path).

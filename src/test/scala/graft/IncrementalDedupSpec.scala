@@ -249,6 +249,75 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(spark.read.parquet(kept).count() == expected.size)
   }
 
+  test("compactIndex collapses replay duplicates and file counts, exchange-free, same answers") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val root = tmpDir("compact")
+    val idx = s"$root/idx"
+    val out = s"$root/idx_compacted"
+    val corpus = docs.filter($"doc_id" % 5 =!= 0)
+    val b = docs.filter($"doc_id" % 10 === 0)
+    IncrementalDedup.buildIndex(corpus, "doc_id", "text", P, idx)
+    // a crashed-append replay: the same batch folded in twice
+    IncrementalDedup.appendBatch(b, "doc_id", "text", P, idx)
+    IncrementalDedup.appendBatch(b, "doc_id", "text", P, idx)
+    val bandsDir = s"$idx/bands"
+    val dupRows = spark.read.parquet(bandsDir).count()
+    val distinctRows = spark.read.parquet(bandsDir).distinct().count()
+    assert(dupRows > distinctRows, "replayed append must leave duplicate rows " +
+      "for this test to exercise the collapse")
+
+    // pin the maintenance plans themselves: zero Exchange nodes — the
+    // bucketed scan (one task per bucket) feeds the distinct and the
+    // pre-aligned write with no shuffle anywhere
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      var exchanges = 0
+      def flatten(pl: SparkPlan): Seq[SparkPlan] = pl match {
+        case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+        case other => other +: other.children.flatMap(flatten)
+      }
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        exchanges += flatten(qe.executedPlan).count(_.isInstanceOf[Exchange])
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val stats = try {
+      val s = IncrementalDedup.compactIndex(spark, idx, out)
+      org.apache.spark.sql.graftshim.Bridge.waitForListeners(spark)
+      s
+    } finally spark.listenerManager.unregister(listener)
+    assert(listener.exchanges == 0,
+      s"compaction must be exchange-free, saw ${listener.exchanges}")
+
+    // duplicates gone; per-table file count down to one per bucket
+    assert(spark.read.parquet(s"$out/bands").count() == distinctRows)
+    assert(stats.bandFilesAfter == P.numBuckets.toLong &&
+      stats.shingleFilesAfter == P.numBuckets.toLong,
+      s"expected one file per bucket, got $stats")
+    assert(stats.bandFilesBefore > stats.bandFilesAfter &&
+      stats.shingleFilesBefore > stats.shingleFilesAfter,
+      s"three write jobs must have accreted files to merge: $stats")
+
+    // the compacted index answers identically (next batch probes it)
+    val b2 = docs.filter($"doc_id" % 10 === 5)
+    val viaOld = pairSet(IncrementalDedup.nearDupsAgainstIndex(
+      spark, b2, "doc_id", "text", P, idx))
+    val viaNew = pairSet(IncrementalDedup.nearDupsAgainstIndex(
+      spark, b2, "doc_id", "text", P, out))
+    assert(viaNew == viaOld)
+    assert(viaNew.nonEmpty, "fixtures plant near-dups touching this batch")
+    // and the family survives verbatim — a mismatched probe still rejects
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.nearDupsAgainstIndex(spark, b2, "doc_id", "text",
+        P.copy(bands = 16), out)
+    }
+    assert(e.getMessage.contains("family"))
+  }
+
   test("probing with a different MinHash family is rejected") {
     val idx = tmpDir("params")
     IncrementalDedup.buildIndex(docs.limit(20), "doc_id", "text", P, idx)
