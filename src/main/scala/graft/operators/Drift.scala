@@ -20,12 +20,29 @@ import graft.functions.Fns
   */
 object Drift {
 
+  /** Per-token counts of a slice: (w, `as`) with the count as double —
+    * the sufficient statistic every KL variant consumes. Exposed so the
+    * streaming monitor ([[graft.streaming.DriftMonitor]]) can persist
+    * and accumulate exactly this frame.
+    */
+  def tokenCounts(df: DataFrame, textCol: String, as: String): DataFrame =
+    df.select(explode(Fns.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).cast("double").as(as))
+
   /** One row: (n_vocab, kl_ref_cand, kl_cand_ref), 6dp. */
-  def tokenKl(ref: DataFrame, cand: DataFrame, textCol: String): DataFrame = {
-    def counts(df: DataFrame, as: String) =
-      df.select(explode(Fns.tokens(col(textCol))).as("w"))
-        .groupBy("w").agg(count(lit(1)).cast("double").as(as))
-    val u = counts(ref, "cr").join(counts(cand, "cc"), Seq("w"), "full_outer")
+  def tokenKl(ref: DataFrame, cand: DataFrame, textCol: String): DataFrame =
+    tokenKlFromCounts(tokenCounts(ref, textCol, "cr"),
+      tokenCounts(cand, textCol, "cc"))
+
+  /** The KL computation over PRE-AGGREGATED counts — (w, cr) and (w, cc)
+    * frames. [[tokenKl]] delegates here, and the streaming monitor calls
+    * this directly on its accumulated counts table: batch and streaming
+    * share one formula code path by construction, so their agreement is
+    * structural, not numerical luck.
+    */
+  def tokenKlFromCounts(refCounts: DataFrame,
+      candCounts: DataFrame): DataFrame = {
+    val u = refCounts.join(candCounts, Seq("w"), "full_outer")
       .select(col("w"), coalesce(col("cr"), lit(0.0)).as("cr"),
         coalesce(col("cc"), lit(0.0)).as("cc"))
     val tot = u.agg(sum("cr").as("nr"), sum("cc").as("nc"),

@@ -5,10 +5,11 @@ import graft.api.{QueryDef, Tables}
 import graft.operators.LineDedup
 
 /** Round-8 additions beyond the judge's carry-over list: line-level
-  * boilerplate dedup (the CCNet/RefinedWeb filter) and KMV distinct-count
-  * sketching (mergeable-summaries ABI instance #3). Same conventions as
-  * PipelineQueries — total-order output, scalar columns, identical
-  * aliases on both engines.
+  * boilerplate dedup (the CCNet/RefinedWeb filter), KMV distinct-count
+  * sketching (mergeable-summaries ABI instance #3), and SemDeDup
+  * cluster-scoped semantic dedup. Same conventions as PipelineQueries —
+  * total-order output, scalar columns, identical aliases on both
+  * engines.
   */
 object PipelineRecent {
 
@@ -83,6 +84,98 @@ object PipelineRecent {
           |    AS n_dropped,
           |  coalesce(string_agg(CASE WHEN NOT is_boiler THEN line END,
           |    chr(10) ORDER BY pos), '') AS clean_text
-          |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+          |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // --- semantic dedup (SemDeDup): cluster-scoped embedding near-dup
+    //     groups with the paper's keep policy — one doc per component,
+    //     the FARTHEST from its cluster centroid (ties to min id).
+    //     Registered at nlist = 1, where cluster-scoped degenerates to
+    //     provably-global semantic dedup and the exact SQL oracle exists
+    //     (p58's nprobe = nlist fidelity move); the multi-cluster scale
+    //     path is spec-covered on a planted well-separated mixture.
+    //     quality is the 6dp distance-to-centroid, ranked AFTER rounding
+    //     so the keeper choice is engine-invariant. ---
+    QueryDef(
+      "p61_semantic_dedup",
+      (s, dir) => graft.operators.SemanticDedup.dedupReport(
+          Tables.t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4, nlist = 1)
+        .orderBy("doc_id"),
+      Some(
+        """WITH RECURSIVE
+          |e AS (SELECT vec_id, embedding FROM embeddings),
+          |cent AS (SELECT i, avg(CAST(embedding[i] AS DOUBLE)) AS c
+          |         FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+          |         GROUP BY i),
+          |q AS (SELECT vec_id, round(sqrt(sum(
+          |         pow(CAST(embedding[i] AS DOUBLE) - c, 2))), 6) AS quality
+          |      FROM e CROSS JOIN cent GROUP BY vec_id),
+          |p AS (SELECT a.vec_id id_a, b.vec_id id_b,
+          |  round(
+          |    list_sum(list_transform(range(1, 65),
+          |      i -> CAST(a.embedding[i] AS DOUBLE)
+          |        * CAST(b.embedding[i] AS DOUBLE)))
+          |    / (sqrt(list_sum(list_transform(range(1, 65),
+          |         i -> CAST(a.embedding[i] AS DOUBLE)
+          |           * CAST(a.embedding[i] AS DOUBLE))))
+          |     * sqrt(list_sum(list_transform(range(1, 65),
+          |         i -> CAST(b.embedding[i] AS DOUBLE)
+          |           * CAST(b.embedding[i] AS DOUBLE))))), 6) cs
+          |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+          |e0 AS (SELECT id_a, id_b FROM p WHERE cs >= 0.4),
+          |edges AS (SELECT id_a AS s, id_b AS d FROM e0
+          |          UNION SELECT id_b, id_a FROM e0),
+          |reach AS (
+          |  SELECT s, d FROM edges
+          |  UNION
+          |  SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s),
+          |comp AS (SELECT s AS vec_id, least(s, min(d)) AS group_id
+          |         FROM reach GROUP BY s),
+          |g AS (SELECT q.vec_id AS doc_id,
+          |        coalesce(c.group_id, q.vec_id) AS group_id, q.quality
+          |      FROM q LEFT JOIN comp c ON q.vec_id = c.vec_id),
+          |k AS (SELECT group_id, doc_id AS canon_id FROM (
+          |        SELECT group_id, doc_id, row_number() OVER (
+          |          PARTITION BY group_id
+          |          ORDER BY quality DESC, doc_id) rn FROM g)
+          |      WHERE rn = 1)
+          |SELECT g.doc_id, g.group_id, g.quality,
+          |  g.doc_id = k.canon_id AS is_canonical
+          |FROM g JOIN k USING (group_id) ORDER BY doc_id""".stripMargin)),
+
+    // --- winnowing overlap report (Schleimer-Wilkerson-Aiken / MOSS):
+    //     per-doc fingerprints = the min RollingHash31 of every
+    //     4-window of token 4-gram hashes (distinct), then pairs
+    //     sharing >= 2 fingerprints with the shared count — the
+    //     guaranteed-detection local fingerprinting that p06's whole-doc
+    //     hash cannot give. The oracle replays the identical hash,
+    //     window minima, and join. ---
+    QueryDef(
+      "p62_winnowing",
+      (s, dir) => graft.operators.Winnowing.overlapPairs(
+          Tables.t(s, dir, "documents"), "doc_id", "text",
+          k = 4, w = 4, minShared = 2)
+        .orderBy("id_a", "id_b"),
+      Some {
+        val rh = "list_reduce(list_prepend(0::BIGINT, " +
+          "list_transform(string_split(array_to_string(ts[i+1:i+4], ' '), " +
+          "''), c -> unicode(c)::BIGINT)), " +
+          "(h, c) -> (h*31 + c) % 2147483648)"
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+           |           FROM documents),
+           |hs AS (SELECT doc_id, list_transform(range(0, len(ts) - 4 + 1),
+           |         i -> $rh) AS h
+           |       FROM t WHERE len(ts) >= 4),
+           |fps AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           |          range(0, greatest(len(h) - 4, 0) + 1),
+           |          j -> list_min(h[j+1:j+4])))) AS fp
+           |        FROM hs),
+           |p AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) AS n_shared
+           |      FROM fps a JOIN fps b
+           |        ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |      GROUP BY 1, 2)
+           |SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 2
+           |ORDER BY id_a, id_b""".stripMargin
+      })
   )
 }
