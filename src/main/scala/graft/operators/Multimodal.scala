@@ -340,6 +340,99 @@ object Multimodal {
     RasterStats(w, h, bands, mn, mx, sum)
   }
 
+  /** Noise-textured synthetic grayscale PNG for SIMILARITY fixtures:
+    * [[synthPng]]'s linear ramp makes every image the same gradient
+    * (degenerate for a near-dup fixture — all hashes collide), so this
+    * variant scrambles the value per pixel: v = ((docId·31 + p)·161 +
+    * (p·p) mod 251) mod 256 at linear index p = y·w + x. Still pure
+    * integer arithmetic, so an SQL oracle recomputes any pixel statistic
+    * without decoding (the p31/p41 fixture trick).
+    */
+  def synthPngNoise(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var p = 0
+    while (p < w * h) {
+      val v = (((docId * 31 + p) * 161 + (p.toLong * p) % 251) % 256).toInt
+      raster.setSample(p % w, p / w, 0, v)
+      p += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** One image's perceptual average-hash: grid² bits, bit (by, bx) set
+    * iff that block's pixel mean exceeds the whole image's pixel mean.
+    */
+  case class ImageHash(doc_id: Long, width: Int, height: Int, ahash: Long)
+
+  /** Perceptual average-hash (aHash) over REAL decoded images — the
+    * image-modality member of the signature-dedup family: visually-
+    * similar images (rescaled, re-encoded, lightly edited copies) land
+    * within small hamming distance, so image near-dup detection becomes
+    * [[Dedup.hammingNearDupPairs]] over this column — the same banded
+    * pigeonhole join text SimHash rides, no pixels ever shuffled.
+    *
+    * The hash is defined in EXACT integer arithmetic so it is
+    * bit-reproducible across engines and summation orders: block
+    * (bx, by) covers pixels with x·grid/width == bx (integer floor;
+    * width >= grid makes every block non-empty), the per-pixel value is
+    * the SUM of channel samples (no division), and bit = blockSum ·
+    * (width·height) > imageSum · blockPixelCount — the block-mean vs
+    * image-mean comparison cross-multiplied into integers, immune to
+    * the float-tie flips a mean-of-means formulation invites. Layout:
+    * bit index by·grid + bx, grid² <= 63 bits total.
+    */
+  def aHash(ds: Dataset[PngRow], grid: Int = 4): Dataset[ImageHash] = {
+    require(grid >= 1 && grid * grid <= 63,
+      s"need 1 <= grid and grid^2 <= 63 hash bits, got $grid")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val img0 = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.png))
+        require(img0 != null,
+          s"doc ${r.doc_id}: payload is not a decodable image")
+        val img = resolveIndexed(img0)
+        val raster = img.getRaster
+        val w = img.getWidth; val h = img.getHeight
+        require(w >= grid && h >= grid,
+          s"doc ${r.doc_id}: ${w}x$h image below the ${grid}x$grid grid")
+        val bands = raster.getNumBands
+        val sums = new Array[Long](grid * grid)
+        val cnts = new Array[Long](grid * grid)
+        var imageSum = 0L
+        var y = 0
+        while (y < h) {
+          val by = y * grid / h
+          var x = 0
+          while (x < w) {
+            val bx = x * grid / w
+            var px = 0L
+            var b = 0
+            while (b < bands) { px += raster.getSample(x, y, b); b += 1 }
+            sums(by * grid + bx) += px
+            cnts(by * grid + bx) += 1
+            imageSum += px
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        var hash = 0L
+        var i = 0
+        while (i < grid * grid) {
+          if (sums(i) * n > imageSum * cnts(i)) hash |= 1L << i
+          i += 1
+        }
+        ImageHash(r.doc_id, w, h, hash)
+      }
+    }
+  }
+
   /** REAL decode: `javax.imageio` parses the image bytes (format sniffed
     * from the container — PNG, BMP, GIF, JPEG all ride the same path)
     * and the features come from the decoded raster — width, height,

@@ -176,6 +176,55 @@ object PipelineRecent {
            |      GROUP BY 1, 2)
            |SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 2
            |ORDER BY id_a, id_b""".stripMargin
-      })
+      }),
+
+    // --- image near-dup via perceptual average-hash: REAL ImageIO
+    //     decode of noise-textured synthetic PNGs -> exact-integer
+    //     16-bit aHash -> the generalized banded pigeonhole hamming
+    //     join (maxDist 2). The oracle never decodes a byte: the
+    //     fixture's pixels are pure arithmetic (p31/p41's trick), so
+    //     DuckDB recomputes block sums, the cross-multiplied bit rule,
+    //     and all-pairs popcount directly. ---
+    QueryDef(
+      "p63_image_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val pngs = Tables.t(s, dir, "documents").select(col("doc_id"))
+          .as[Long]
+          .mapPartitions(_.map { id =>
+            graft.operators.Multimodal.PngRow(id,
+              graft.operators.Multimodal.synthPngNoise(id,
+                4 + (id % 13).toInt, 4 + (id % 7).toInt))
+          })
+        val hashes = graft.operators.Multimodal.aHash(pngs, grid = 4)
+          .toDF().select(col("doc_id").as("id"), col("ahash"))
+        graft.operators.Dedup.hammingNearDupPairs(hashes, "ahash",
+            totalBits = 16, maxDist = 2)
+          .orderBy("id_a", "id_b")
+      },
+      Some(
+        """WITH d AS (SELECT doc_id, 4 + (doc_id % 13) AS w,
+          |             4 + (doc_id % 7) AS h
+          |           FROM documents),
+          |px AS (SELECT doc_id, w, h, p % w AS x, p // w AS y,
+          |         ((doc_id * 31 + p) * 161 + (p * p) % 251) % 256 AS v
+          |       FROM (SELECT doc_id, w, h, unnest(range(0, w * h)) AS p
+          |             FROM d)),
+          |blk AS (SELECT doc_id, w, h, (y * 4) // h AS by,
+          |          (x * 4) // w AS bx, sum(v) AS bsum, count(*) AS bcnt
+          |        FROM px GROUP BY 1, 2, 3, 4, 5),
+          |tot AS (SELECT doc_id, sum(v) AS isum FROM px GROUP BY 1),
+          |bits AS (SELECT b.doc_id,
+          |          CASE WHEN b.bsum * (b.w * b.h) > t.isum * b.bcnt
+          |            THEN (1::BIGINT << (b.by * 4 + b.bx)::INT)
+          |            ELSE 0 END AS bit
+          |         FROM blk b JOIN tot t USING (doc_id)),
+          |hs AS (SELECT doc_id AS id, sum(bit)::BIGINT AS ahash
+          |       FROM bits GROUP BY 1),
+          |p AS (SELECT a.id id_a, b.id id_b,
+          |        CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+          |      FROM hs a JOIN hs b ON a.id < b.id)
+          |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 2
+          |ORDER BY id_a, id_b""".stripMargin))
   )
 }
