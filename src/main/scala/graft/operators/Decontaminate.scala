@@ -115,4 +115,49 @@ object Decontaminate {
     // decontamination matters most
     train.join(dirty, Seq(idCol), "left_anti")
   }
+
+  /** Semantic (embedding-space) decontamination — the vector twin of
+    * [[overlapCounts]]: a train example is contaminated when its
+    * embedding's cosine against ANY eval embedding reaches `threshold`.
+    * This is the leakage n-gram overlap cannot see — a benchmark item
+    * paraphrased, translated, or re-templated into the crawl shares few
+    * 4-grams with its source but sits next to it in embedding space.
+    * Returns contaminated train rows only: (id, max_cos, n_hits).
+    *
+    * Scale design mirrors the lexical path's asymmetry argument: the
+    * eval side is benchmarks — thousands of vectors, KBs-to-MBs — and
+    * is BROADCAST; the train side streams through one codegen'd native
+    * cosine per (train, eval) pair with NO shuffle of the train side
+    * (p09's brute-force envelope: linear in |train| x |eval|,
+    * embarrassingly parallel). The only wide operation is the per-id
+    * partial-agg max/count — one row per contaminated doc. For an eval
+    * side too big to broadcast, prefilter candidates with sign-LSH
+    * buckets (Similarity.lshTopK's machinery) and verify exactly;
+    * recall then follows the LSH S-curve, which is why the EXACT
+    * brute-force form is the one registered under an oracle (p64).
+    */
+  def semanticOverlap(train: DataFrame, eval: DataFrame, idCol: String,
+      embCol: String, threshold: Double): DataFrame = {
+    val t = train.select(col(idCol).cast("long").as("id"),
+      col(embCol).as("tv"))
+    val e = eval.select(col(embCol).as("ev"))
+    t.crossJoin(broadcast(e))
+      .select(col("id"),
+        round(Fns.cosineSimilarity(col("tv"), col("ev")), 6).as("cs"))
+      .groupBy("id")
+      .agg(max("cs").as("max_cos"),
+        sum(when(col("cs") >= threshold, 1L).otherwise(0L)).as("n_hits"))
+      .filter(col("n_hits") >= 1)
+  }
+
+  /** Train rows with every semantically-contaminated doc removed —
+    * [[clean]]'s contract on the embedding path (left anti on the
+    * contaminated id set; train columns pass through untouched).
+    */
+  def semanticClean(train: DataFrame, eval: DataFrame, idCol: String,
+      embCol: String, threshold: Double): DataFrame =
+    train.join(
+      semanticOverlap(train, eval, idCol, embCol, threshold)
+        .select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
 }

@@ -353,27 +353,41 @@ object IncrementalDedup {
     * The family params are read from the INDEX's own params.json, not a
     * caller argument, so a compacted index can never disagree with its
     * source about the MinHash family.
+    *
+    * `dropIds` is the right-to-be-forgotten hook: deletion from an
+    * append-only index IS a retention-filtered compaction — the listed
+    * docs' shingle and band rows (their derived text features, the
+    * content a deletion request actually covers) are excluded from the
+    * rewrite, so the compacted index provably equals one built without
+    * those docs (spec-pinned), and later probes can neither pair with
+    * nor verify against them. The filter rides the same bucketed scans,
+    * so the zero-exchange contract is unchanged. Sized for operator
+    * requests (a driver-known id list, pushed as a literal filter);
+    * corpus-scale purges should rebuild instead.
     */
   def compactIndex(spark: SparkSession, inPath: String,
-      outPath: String): IndexCompactionStats = {
+      outPath: String, dropIds: Seq[Long] = Nil): IndexCompactionStats = {
     require(inPath != outPath, "compactIndex writes a fresh index; " +
       "outPath must differ from inPath (the input is never rewritten)")
     val p = Params.parse(FsMeta.readString(paramsPath(inPath)))
     def parquetCount(dir: String): Long =
       FsMeta.listFiles(dir).count(_.endsWith(".parquet")).toLong
+    def retained(df: DataFrame): DataFrame =
+      if (dropIds.isEmpty) df
+      else df.filter(!col("id").isin(dropIds: _*))
     val bandsBefore = parquetCount(bandsPath(inPath))
     val shBefore = parquetCount(shinglesPath(inPath))
     val sh = bucketedTable(spark, inPath, "sh", shinglesPath(inPath),
       "id", p.numBuckets)
     FsMeta.writeString(schemaPath(outPath, "sh"),
       FsMeta.readString(schemaPath(inPath, "sh")))
-    writeBucketed(sh.distinct(), "overwrite", shinglesPath(outPath),
+    writeBucketed(retained(sh).distinct(), "overwrite", shinglesPath(outPath),
       tableId("sh", outPath), "id", p.numBuckets, preAligned = true)
     val bands = bucketedTable(spark, inPath, "bands", bandsPath(inPath),
       "bkey", p.numBuckets)
     FsMeta.writeString(schemaPath(outPath, "bands"),
       FsMeta.readString(schemaPath(inPath, "bands")))
-    writeBucketed(bands.distinct(), "overwrite", bandsPath(outPath),
+    writeBucketed(retained(bands).distinct(), "overwrite", bandsPath(outPath),
       tableId("bands", outPath), "bkey", p.numBuckets, preAligned = true)
     FsMeta.writeString(paramsPath(outPath),
       FsMeta.readString(paramsPath(inPath)).trim)

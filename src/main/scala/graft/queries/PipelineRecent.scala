@@ -225,6 +225,47 @@ object PipelineRecent {
           |        CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
           |      FROM hs a JOIN hs b ON a.id < b.id)
           |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 2
-          |ORDER BY id_a, id_b""".stripMargin))
+          |ORDER BY id_a, id_b""".stripMargin)),
+
+    // --- semantic decontamination: the vector twin of p17 — train docs
+    //     whose embedding cosine reaches 0.4 against ANY eval embedding
+    //     (vec_id % 20 == 0 stands in for the benchmark set, p17's
+    //     split convention). Eval broadcast, train streamed through the
+    //     native cosine, per-id partial-agg max/count — p09's
+    //     brute-force envelope, exact by construction, hence
+    //     oracle-able where an LSH-prefiltered variant would not be. ---
+    QueryDef(
+      "p64_semantic_decontaminate",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        graft.operators.Decontaminate.semanticOverlap(
+            e.filter(col("vec_id") % 20 =!= 0),
+            e.filter(col("vec_id") % 20 === 0),
+            "vec_id", "embedding", threshold = 0.4)
+          .orderBy("id")
+      },
+      Some(
+        """WITH tr AS (SELECT vec_id, embedding FROM embeddings
+          |            WHERE vec_id % 20 <> 0),
+          |ev AS (SELECT vec_id, embedding FROM embeddings
+          |       WHERE vec_id % 20 = 0),
+          |s AS (SELECT tr.vec_id AS id,
+          |  round(
+          |    list_sum(list_transform(range(1, 65),
+          |      i -> CAST(tr.embedding[i] AS DOUBLE)
+          |        * CAST(ev.embedding[i] AS DOUBLE)))
+          |    / (sqrt(list_sum(list_transform(range(1, 65),
+          |         i -> CAST(tr.embedding[i] AS DOUBLE)
+          |           * CAST(tr.embedding[i] AS DOUBLE))))
+          |     * sqrt(list_sum(list_transform(range(1, 65),
+          |         i -> CAST(ev.embedding[i] AS DOUBLE)
+          |           * CAST(ev.embedding[i] AS DOUBLE))))), 6) cs
+          |  FROM tr CROSS JOIN ev),
+          |m AS (SELECT id, max(cs) AS max_cos,
+          |        CAST(sum(CASE WHEN cs >= 0.4 THEN 1 ELSE 0 END)
+          |          AS BIGINT) AS n_hits
+          |      FROM s GROUP BY id)
+          |SELECT id, max_cos, n_hits FROM m WHERE n_hits >= 1
+          |ORDER BY id""".stripMargin))
   )
 }

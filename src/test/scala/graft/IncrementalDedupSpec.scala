@@ -318,6 +318,43 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("family"))
   }
 
+  test("compactIndex(dropIds) forgets docs: equals an index built without them") {
+    val root = tmpDir("forget")
+    val idx = s"$root/idx"
+    val out = s"$root/idx_forgotten"
+    val rebuilt = s"$root/idx_rebuilt"
+    val corpus = docs.filter($"doc_id" % 5 =!= 0)
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    IncrementalDedup.buildIndex(corpus, "doc_id", "text", P, idx)
+    // forget docs that actually participate in near-dup pairs, so the
+    // assertion below cannot pass vacuously
+    val baseline = IncrementalDedup.nearDupsAgainstIndex(
+      spark, batch, "doc_id", "text", P, idx)
+    val victims = pairSet(baseline).flatMap(p => Seq(p._1, p._2))
+      .filter(_ % 5 != 0).take(2).toSeq
+    assert(victims.nonEmpty, "fixtures plant batch x corpus pairs")
+    IncrementalDedup.compactIndex(spark, idx, out, dropIds = victims)
+    // ground truth: the index built from scratch without the victims
+    IncrementalDedup.buildIndex(
+      corpus.filter(!$"doc_id".isin(victims: _*)), "doc_id", "text", P,
+      rebuilt)
+    val afterForget = pairSet(IncrementalDedup.nearDupsAgainstIndex(
+      spark, batch, "doc_id", "text", P, out))
+    val groundTruth = pairSet(IncrementalDedup.nearDupsAgainstIndex(
+      spark, batch, "doc_id", "text", P, rebuilt))
+    assert(afterForget == groundTruth)
+    assert(!afterForget.exists(p =>
+      victims.contains(p._1) || victims.contains(p._2)),
+      "a forgotten doc must appear in no pair")
+    assert(afterForget != pairSet(baseline),
+      "forgetting a pair participant must change the result")
+    // the forgotten docs' rows are physically gone from both tables
+    assert(spark.read.parquet(s"$out/bands")
+      .filter(col("id").isin(victims: _*)).count() == 0)
+    assert(spark.read.parquet(s"$out/shingles")
+      .filter(col("id").isin(victims: _*)).count() == 0)
+  }
+
   test("probing with a different MinHash family is rejected") {
     val idx = tmpDir("params")
     IncrementalDedup.buildIndex(docs.limit(20), "doc_id", "text", P, idx)

@@ -52,7 +52,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     "p51_curriculum_bins", "p55_interp_lm",
     // p58: the only BNLJ is queries × the parameter-sized centroid
     // table (nlist rows, broadcast) — p13's shape against a stored index
-    "p58_ann_index_exhaustive")
+    "p58_ann_index_exhaustive",
+    // p64: eval-side broadcast brute force by design — p09's envelope
+    // with the decontamination asymmetry argument (eval is benchmarks)
+    "p64_semantic_decontaminate")
 
   // Pinned physical-plan node counts for the audited headline queries —
   // the numeric form of PLANS.md's prose claims ("q68: one data exchange,

@@ -96,6 +96,30 @@ class SemanticDedupSpec extends AnyFunSuite {
       s"cluster-scoped dedup must stay equi-join shaped:\n$plan")
   }
 
+  test("semantic decontamination: clean() removes exactly the overlap set, eval broadcast") {
+    import graft.operators.Decontaminate
+    val train = embeddings.filter($"vec_id" % 20 =!= 0)
+    val eval = embeddings.filter($"vec_id" % 20 === 0)
+    val overlap = Decontaminate.semanticOverlap(train, eval, "vec_id",
+      "embedding", threshold = 0.4)
+    val hitIds = overlap.select("id").as[Long].collect().toSet
+    assert(hitIds.nonEmpty, "fixtures plant embedding near-dups that " +
+      "straddle the %20 split")
+    val cleanIds = Decontaminate.semanticClean(train, eval, "vec_id",
+      "embedding", threshold = 0.4).select("vec_id").as[Long].collect().toSet
+    val trainIds = train.select("vec_id").as[Long].collect().toSet
+    assert(cleanIds == trainIds -- hitIds)
+    // a stricter threshold can only shrink the contaminated set
+    val strict = Decontaminate.semanticOverlap(train, eval, "vec_id",
+        "embedding", threshold = 0.9).select("id").as[Long].collect().toSet
+    assert(strict.subsetOf(hitIds))
+    // eval rides a broadcast; the train side reaches the cosine with no
+    // exchange below the aggregation
+    val plan = overlap.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"))
+  }
+
   test("nlist < 1 is rejected") {
     val e = intercept[IllegalArgumentException] {
       SemanticDedup.dedupReport(embeddings, "vec_id", "embedding", 0.4,
