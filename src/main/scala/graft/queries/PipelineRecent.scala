@@ -266,6 +266,57 @@ object PipelineRecent {
           |          AS BIGINT) AS n_hits
           |      FROM s GROUP BY id)
           |SELECT id, max_cos, n_hits FROM m WHERE n_hits >= 1
-          |ORDER BY id""".stripMargin))
+          |ORDER BY id""".stripMargin)),
+
+    // --- greedy k-center coreset (farthest-point-first): 6 diverse
+    //     exemplars covering the embedding space — geometry-driven data
+    //     selection beside the frequency-driven sampling family. The
+    //     oracle UNROLLS the same 6 rounds as chained CTEs (q74's
+    //     unrolled-iteration move): every distance 6dp-rounded before
+    //     comparison, argmax ties to min id, so the greedy trajectory
+    //     is engine-invariant step by step. ---
+    QueryDef(
+      "p65_coreset_kcenter",
+      (s, dir) => graft.operators.Coreset.kCenter(
+          Tables.t(s, dir, "embeddings"), "vec_id", "embedding", k = 6)
+        .orderBy("sel_round"),
+      Some(coresetOracle(6)))
   )
+
+  /** p65's oracle, generated for any k: round 1 = min id; round r picks
+    * the max min-distance point from d(r-1) and d(r) folds the new
+    * center into the running minimum — the exact unrolled mirror of
+    * Coreset.kCenter's driver loop.
+    */
+  private def coresetOracle(k: Int): String = {
+    def dist(a: String, b: String) =
+      s"round(sqrt(list_sum(list_transform(range(1, 65), " +
+        s"i -> pow(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE), 2)))), 6)"
+    val ctes = Seq(
+      "e AS (SELECT vec_id, embedding FROM embeddings)",
+      "c1 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1)",
+      s"d1 AS (SELECT e.vec_id, e.embedding, " +
+        s"${dist("e.embedding", "c1.embedding")} AS md " +
+        // each d excludes the center just folded in, so every c picks
+        // from the UNSELECTED points — mirrors the operator's
+        // already-selected exclusion under all-zero distance tails
+        "FROM e CROSS JOIN c1 WHERE e.vec_id <> c1.vec_id)") ++
+      (2 to k).flatMap { r =>
+        val pick = s"c$r AS (SELECT vec_id, embedding, md FROM d${r - 1} " +
+          "ORDER BY md DESC, vec_id LIMIT 1)"
+        if (r == k) Seq(pick)
+        else Seq(pick,
+          s"d$r AS (SELECT d${r - 1}.vec_id, d${r - 1}.embedding, " +
+            s"least(d${r - 1}.md, " +
+            s"${dist(s"d${r - 1}.embedding", s"c$r.embedding")}) AS md " +
+            s"FROM d${r - 1} CROSS JOIN c$r " +
+            s"WHERE d${r - 1}.vec_id <> c$r.vec_id)")
+      }
+    val branches =
+      Seq("SELECT 1 AS sel_round, vec_id AS id, CAST(0.0 AS DOUBLE) AS dist" +
+        " FROM c1") ++
+        (2 to k).map(r => s"SELECT $r, vec_id, md FROM c$r")
+    "WITH " + ctes.mkString(",\n") + "\n" +
+      branches.mkString("\nUNION ALL ") + "\nORDER BY sel_round"
+  }
 }
