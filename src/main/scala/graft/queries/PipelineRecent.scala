@@ -280,7 +280,43 @@ object PipelineRecent {
       (s, dir) => graft.operators.Coreset.kCenter(
           Tables.t(s, dir, "embeddings"), "vec_id", "embedding", k = 6)
         .orderBy("sel_round"),
-      Some(coresetOracle(6)))
+      Some(coresetOracle(6))),
+
+    // --- Spark 4 declarative SQL-function surface: a SQL-defined scalar
+    //     function (CREATE TEMPORARY FUNCTION ... RETURN expr — the
+    //     fourth plugin-ABI shape beside the typed Aggregator, the
+    //     registered UDAF, and the native Expression; Catalyst INLINES
+    //     the body, so it costs nothing vs writing the expression by
+    //     hand) driven through a PARAMETERIZED query (named-parameter
+    //     sql(text, args) — no string splicing). The oracle inlines the
+    //     same arithmetic. ---
+    QueryDef(
+      "q82_sql_udf",
+      (s, dir) => {
+        graft.api.Tables.register(s, dir, "lineitem")
+        s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_margin(" +
+          "p DOUBLE, d DOUBLE, t DOUBLE) RETURNS DOUBLE " +
+          "RETURN p * (1.0 - d) * (1.0 + t)")
+        s.sql(
+          """SELECT l_returnflag,
+            |  round(sum(graft_margin(l_extendedprice, l_discount, l_tax)),
+            |    2) AS gross,
+            |  count(*) AS n
+            |FROM lineitem
+            |WHERE l_quantity < :qmax
+            |GROUP BY l_returnflag
+            |ORDER BY l_returnflag""".stripMargin,
+          Map("qmax" -> 25))
+      },
+      Some(
+        """SELECT l_returnflag,
+          |  round(sum(l_extendedprice * (1.0 - l_discount)
+          |    * (1.0 + l_tax)), 2) AS gross,
+          |  count(*) AS n
+          |FROM lineitem
+          |WHERE l_quantity < 25
+          |GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin))
   )
 
   /** p65's oracle, generated for any k: round 1 = min id; round r picks

@@ -100,6 +100,18 @@ class PlanHygieneSpec extends AnyFunSuite {
         "explaining why the new shape is right):\n" + drifted.mkString("\n"))
   }
 
+  test("q82's SQL-defined function is INLINED — no function-call node survives analysis") {
+    val q = Registry.byName("q82_sql_udf")
+    val plan = q.run(spark, TestSpark.sf0001).queryExecution.executedPlan
+    val s = plan.toString
+    assert(!s.contains("graft_margin"),
+      s"the SQL UDF body must be inlined by the analyzer, not invoked:\n$s")
+    // the bound :qmax parameter reaches the scan as a pushed filter —
+    // parameterization costs no pushdown
+    assert(s.contains("LessThan(l_quantity,25.0)"),
+      s"the parameterized predicate must push into the parquet scan:\n$s")
+  }
+
   test("no cartesian product or unexpected BNLJ in any registered query") {
     val offenders = Registry.all.flatMap { q =>
       val plan =
