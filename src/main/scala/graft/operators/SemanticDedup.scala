@@ -53,8 +53,21 @@ object SemanticDedup {
       threshold: Double, nlist: Int = 1, blocks: Int = 16,
       maxIter: Int = 20): DataFrame = {
     require(nlist >= 1, s"nlist must be >= 1, got $nlist")
-    val cents = fitCentroids(embeddings, embCol, nlist)
-    val scored = withCellAndDist(embeddings, idCol, embCol, cents)
+    dedupReportWithCentroids(embeddings, idCol, embCol, threshold,
+      fitCentroids(embeddings, embCol, nlist), blocks)
+  }
+
+  /** [[dedupReport]] against CALLER-SUPPLIED centroids — the 100 TB
+    * entry point: at scale the quantizer is fit on a SAMPLE (or reused
+    * from an existing [[AnnIndex]]), not on the full corpus, and this
+    * overload is what lets that happen — the full-data pass only ever
+    * scores against the centroids it is handed.
+    */
+  def dedupReportWithCentroids(embeddings: DataFrame, idCol: String,
+      embCol: String, threshold: Double, centroids: Seq[Array[Double]],
+      blocks: Int = 16): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val scored = withCellAndDist(embeddings, idCol, embCol, centroids)
     val pairs = inCellPairs(scored, threshold, blocks)
     ConnectedComponents.canonicalDocs(
       scored.select(col("vid"), col("dist")), "vid", pairs, "dist")

@@ -26,9 +26,10 @@ import graft.functions.Fns
   * sharing >= 1 selected hash are ever formed, and the fingerprint
   * stream is ~2/(w+1) the size of the gram stream the n-gram Jaccard
   * join (p03) would shuffle. A hot fingerprint (ubiquitous boilerplate
-  * gram) is the standard skew key; at the extreme, drop fingerprints
-  * with corpus df above a cap first — the same move as [[LineDedup]]'s
-  * dictionary, composable upstream of the join.
+  * gram) is the standard skew key; the built-in fuse is
+  * [[overlapPairs]]' `maxDf` cap — drop fingerprints above a
+  * document-frequency ceiling before the join ([[LineDedup]]'s
+  * dictionary move), with the one-sided recall trade documented there.
   */
 object Winnowing {
 
@@ -55,10 +56,31 @@ object Winnowing {
 
   /** Document pairs sharing >= `minShared` fingerprints, with the shared
     * count — the MOSS overlap report (id_a < id_b).
+    *
+    * `maxDf` is the hot-fingerprint fuse for boilerplate-heavy corpora:
+    * a fingerprint present in more than maxDf documents is dropped
+    * BEFORE the join (one dimension-sized partial-agg df pass —
+    * [[LineDedup]]'s dictionary move), bounding any single join key's
+    * contribution at maxDf² pair rows. The trade is explicit and
+    * one-sided: dropped fingerprints can only LOWER n_shared (pairs may
+    * fall below minShared; none can appear), which is MOSS's own
+    * stance — a gram shared by thousands of documents identifies
+    * boilerplate, not copying. None (the default) keeps exactness.
     */
   def overlapPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, w: Int, minShared: Int = 1): DataFrame = {
-    val fps = fingerprints(docs, idCol, textCol, k, w)
+      k: Int, w: Int, minShared: Int = 1,
+      maxDf: Option[Int] = None): DataFrame = {
+    val fps0 = fingerprints(docs, idCol, textCol, k, w)
+    val fps = maxDf match {
+      case None => fps0
+      case Some(cap) =>
+        require(cap >= 2, s"maxDf must be >= 2, got $cap — a cap below 2 " +
+          "would drop every shareable fingerprint")
+        val hot = fps0.groupBy("fp")
+          .agg(count(lit(1)).as("__df")).filter(col("__df") > cap)
+          .select("fp")
+        fps0.join(broadcast(hot), Seq("fp"), "left_anti")
+    }
     fps.select(col("id").as("id_a"), col("fp"))
       .join(fps.select(col("id").as("id_b"), col("fp")), Seq("fp"))
       .filter(col("id_a") < col("id_b"))

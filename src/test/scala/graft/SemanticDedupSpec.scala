@@ -96,6 +96,30 @@ class SemanticDedupSpec extends AnyFunSuite {
       s"cluster-scoped dedup must stay equi-join shaped:\n$plan")
   }
 
+  test("caller-supplied centroids (the fit-on-a-sample path) match the fitted path") {
+    val m = mixture()
+    val fitted = SemanticDedup.dedupReport(m, "vec_id", "embedding",
+        threshold = 0.995, nlist = 3)
+      .select("doc_id", "group_id")
+      .as[(Long, Long)].collect().toSet
+    // hand the operator the IDEAL centroids for the planted mixture —
+    // axis spikes at the three cluster centers; the scoring pass must
+    // produce the same cells, pairs, and GROUPS without ever calling
+    // the ML fit (the keeper may legitimately differ — distance ranks
+    // depend on where the centroid sits, so only grouping is compared)
+    val ideal = (0 until 3).map { c =>
+      val v = Array.fill(8)(0.0)
+      v(c) = 10.0; v
+    }
+    val supplied = SemanticDedup.dedupReportWithCentroids(m, "vec_id",
+        "embedding", threshold = 0.995, centroids = ideal)
+      .select("doc_id", "group_id")
+      .as[(Long, Long)].collect().toSet
+    assert(supplied == fitted)
+    assert(supplied.groupBy(_._2).values.count(_.size == 2) == 3,
+      "the three planted pairs must group under supplied centroids too")
+  }
+
   test("semantic decontamination: clean() removes exactly the overlap set, eval broadcast") {
     import graft.operators.Decontaminate
     val train = embeddings.filter($"vec_id" % 20 =!= 0)

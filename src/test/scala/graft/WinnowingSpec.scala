@@ -87,6 +87,27 @@ class WinnowingSpec extends AnyFunSuite {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
   }
 
+  test("maxDf cap drops hot fingerprints; effect is one-sided (never adds pairs)") {
+    val boiler = filler("hot", 10) // shared by EVERY doc -> hot fingerprints
+    val rows = (1L to 5L).map(i =>
+      i -> (boiler ++ filler(s"u$i", 12)).mkString(" ")) :+
+      (6L -> (filler("u1", 12) ++ filler("z", 3)).mkString(" ")) // real overlap with doc 1
+    def pairs(cap: Option[Int]) =
+      Winnowing.overlapPairs(rows.toDF("id", "text"), "id", "text", K, W,
+          minShared = 1, maxDf = cap)
+        .as[(Long, Long, Long)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    val exact = pairs(None)
+    val capped = pairs(Some(3))
+    // capping can only remove pairs or lower counts
+    assert(capped.keySet.subsetOf(exact.keySet))
+    assert(capped.forall { case (k2, v) => v <= exact(k2) })
+    // the all-docs boilerplate pairs vanish; the genuine 1-6 overlap
+    // (df = 2 <= cap) survives with its count intact
+    assert(exact.contains((1L, 2L)) && !capped.contains((1L, 2L)))
+    assert(capped.get((1L, 6L)) == exact.get((1L, 6L)) &&
+      capped.contains((1L, 6L)))
+  }
+
   test("degenerate parameters are rejected") {
     val e = intercept[IllegalArgumentException] {
       Winnowing.fingerprints(Seq(1L -> "a").toDF("id", "text"), "id",
