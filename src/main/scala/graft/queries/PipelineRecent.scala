@@ -316,7 +316,68 @@ object PipelineRecent {
           |FROM lineitem
           |WHERE l_quantity < 25
           |GROUP BY l_returnflag
-          |ORDER BY l_returnflag""".stripMargin))
+          |ORDER BY l_returnflag""".stripMargin)),
+
+    // --- entity resolution (record linkage): customers matched against
+    //     a deterministically-dirtied second source (names uppercased
+    //     and perturbed for every 7th id, phones stripped to digits,
+    //     balances rounded) via blocking on (nation, phone-prefix) and
+    //     Fellegi-Sunter-style weighted field scores. The decision
+    //     boundary is visible in the output: perturbed-name records
+    //     score 3 < 4 and drop out. Candidates come ONLY from the
+    //     block equi-join — never |A| x |B|. ---
+    QueryDef(
+      "p66_record_linkage",
+      (s, dir) => {
+        import graft.operators.RecordLinkage
+        val c = Tables.t(s, dir, "customer")
+        // nm2 = two digits from inside the name — stable under the
+        // uppercase normalization AND the end-of-name perturbation, so
+        // it blocks without leaking the decision
+        val a = c.select(col("c_custkey").as("rid"),
+          upper(col("c_name")).as("name_n"),
+          col("c_mktsegment").as("seg"),
+          col("c_acctbal").as("bal"),
+          col("c_nationkey").as("nation"),
+          substring(upper(col("c_name")), 10, 2).as("nm2"))
+        val b = c.select((col("c_custkey") + 1000000).as("rid"),
+          concat(upper(col("c_name")),
+            when(col("c_custkey") % 7 === 0, " X").otherwise(""))
+            .as("name_n"),
+          col("c_mktsegment").as("seg"),
+          round(col("c_acctbal"), 0).as("bal"),
+          col("c_nationkey").as("nation"),
+          substring(upper(col("c_name")), 10, 2).as("nm2"))
+        RecordLinkage.scoredPairs(a, b, "rid", Seq("nation", "nm2"),
+            Seq(RecordLinkage.exactRule("name_n", 3.0),
+              RecordLinkage.exactRule("seg", 2.0),
+              RecordLinkage.withinRule("bal", 0.5, 1.0)),
+            threshold = 4.0)
+          .orderBy("id_a", "id_b")
+      },
+      Some(
+        """WITH a AS (SELECT c_custkey AS rid, upper(c_name) AS name_n,
+          |    c_mktsegment AS seg, c_acctbal AS bal,
+          |    c_nationkey AS nation,
+          |    substr(upper(c_name), 10, 2) AS nm2
+          |  FROM customer),
+          |b AS (SELECT c_custkey + 1000000 AS rid,
+          |    upper(c_name) || CASE WHEN c_custkey % 7 = 0 THEN ' X'
+          |      ELSE '' END AS name_n,
+          |    c_mktsegment AS seg, round(c_acctbal, 0) AS bal,
+          |    c_nationkey AS nation,
+          |    substr(upper(c_name), 10, 2) AS nm2
+          |  FROM customer),
+          |p AS (SELECT a.rid AS id_a, b.rid AS id_b,
+          |    CAST(round(3.0 * (CASE WHEN a.name_n = b.name_n
+          |        THEN 1.0 ELSE 0.0 END)
+          |      + 2.0 * (CASE WHEN a.seg = b.seg
+          |        THEN 1.0 ELSE 0.0 END)
+          |      + 1.0 * (CASE WHEN abs(a.bal - b.bal) <= 0.5
+          |        THEN 1.0 ELSE 0.0 END), 6) AS DOUBLE) AS score
+          |  FROM a JOIN b ON a.nation = b.nation AND a.nm2 = b.nm2)
+          |SELECT id_a, id_b, score FROM p WHERE score >= 4.0
+          |ORDER BY id_a, id_b""".stripMargin))
   )
 
   /** p65's oracle, generated for any k: round 1 = min id; round r picks
