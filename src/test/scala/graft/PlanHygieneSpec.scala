@@ -83,7 +83,17 @@ class PlanHygieneSpec extends AnyFunSuite {
     "p17_decontaminate" -> (3, 1, 0, 0), // eval side broadcast, corpus never shuffled
     "p23_tfidf_topterms" -> (6, 2, 0, 0),
     "p26_mixture_sample" -> (2, 0, 0, 1), // one corpus shuffle + quota window
-    "p32_token_entropy" -> (3, 0, 0, 0)) // single scan, stacked aggs, no join
+    "p32_token_entropy" -> (3, 0, 0, 0), // single scan, stacked aggs, no join
+    // round-8 additions (fixture-scale static shapes; the small sides
+    // that auto-broadcast here become shuffle joins at corpus scale,
+    // which AQE re-picks at runtime)
+    "q81_kmv_distinct" -> (3, 0, 0, 0), // scatter + partial/final sketch + sort
+    "p60_line_dedup" -> (4, 1, 0, 0), // dict branch aggs + broadcast-back + rewrite
+    "p61_semantic_dedup" -> (5, 1, 3, 0), // banded subtree reused 3x, no window
+    "p62_winnowing" -> (2, 1, 0, 0), // per-row selection: join + pair agg only
+    "p63_image_neardup" -> (2, 1, 0, 0), // hashes move, pixels never do
+    "p64_semantic_decontaminate" -> (2, 1, 0, 0), // eval broadcast, train unshuffled
+    "p66_record_linkage" -> (1, 1, 0, 0)) // block join + output sort only
 
   test("headline-query exchange/window counts stay pinned (AQE-off static plans)") {
     val s = spark.newSession()
