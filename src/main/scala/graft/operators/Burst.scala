@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Burst detection over an event stream — the time-axis data-quality
+  * monitor beside [[Drift]]'s distribution axis: a per-key daily count
+  * whose z-score against its own TRAILING window spikes past the
+  * threshold marks a burst (scraper gone rogue, a source flooding the
+  * ingest, a bot campaign) the moment it enters the data. The trailing
+  * frame (ROWS BETWEEN -k AND -1) deliberately EXCLUDES the current
+  * day, so a burst cannot suppress its own baseline, and days with
+  * fewer than `minWindow` trailing observations or zero variance are
+  * unscored rather than divided by zero.
+  *
+  * Scale: one partial-agg count per (key, day) — the shuffle carries
+  * day-granular aggregates, never events — then one window pass
+  * partitioned by key (frames are at most `trailing` rows, state is
+  * O(trailing) per key regardless of event volume). Hot keys are the
+  * standard window-skew case; day-granular rows make even a
+  * billion-event key a ~365-row frame problem.
+  */
+object Burst {
+
+  /** Burst rows: (keyCol, day, n, z) for days whose z-score >=
+    * `zThreshold` against the trailing `trailing`-day frame (needs >=
+    * `minWindow` trailing days and positive variance; z rounded 6dp).
+    */
+  def dailyBursts(events: DataFrame, keyCol: String, tsCol: String,
+      trailing: Int = 7, minWindow: Int = 3,
+      zThreshold: Double = 2.0): DataFrame = {
+    require(trailing >= minWindow && minWindow >= 2,
+      s"need trailing >= minWindow >= 2 (stddev of one point is " +
+        s"undefined), got $trailing/$minWindow")
+    val d = events
+      .groupBy(col(keyCol), col(tsCol).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(keyCol).orderBy("day")
+      .rowsBetween(-trailing, -1)
+    d.select(col(keyCol), col("day"), col("n"),
+        avg("n").over(w).as("__mu"),
+        stddev_samp("n").over(w).as("__sd"),
+        count(lit(1)).over(w).as("__nw"))
+      .filter(col("__nw") >= minWindow && col("__sd") > 0)
+      .withColumn("z", round((col("n") - col("__mu")) / col("__sd"), 6))
+      .filter(col("z") >= zThreshold)
+      .select(col(keyCol), col("day"), col("n"), col("z"))
+  }
+}

@@ -377,7 +377,34 @@ object PipelineRecent {
           |        THEN 1.0 ELSE 0.0 END), 6) AS DOUBLE) AS score
           |  FROM a JOIN b ON a.nation = b.nation AND a.nm2 = b.nm2)
           |SELECT id_a, id_b, score FROM p WHERE score >= 4.0
-          |ORDER BY id_a, id_b""".stripMargin))
+          |ORDER BY id_a, id_b""".stripMargin)),
+
+    // --- burst detection (time-axis data-quality monitor beside p37's
+    //     distribution axis): per-type daily event counts whose z-score
+    //     against the TRAILING 7-day frame reaches 2 — the frame
+    //     excludes the current day so a burst cannot suppress its own
+    //     baseline; thin windows (< 3 days) and zero variance are
+    //     unscored, not divided by. ---
+    QueryDef(
+      "p67_burst_detection",
+      (s, dir) => graft.operators.Burst.dailyBursts(
+          Tables.t(s, dir, "events"), "event_type", "ts",
+          trailing = 7, minWindow = 3, zThreshold = 2.0)
+        .orderBy("event_type", "day"),
+      Some(
+        """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+          |             count(*) AS n
+          |           FROM events GROUP BY 1, 2),
+          |z AS (SELECT event_type, day, n,
+          |        avg(n) OVER w AS mu, stddev_samp(n) OVER w AS sd,
+          |        count(*) OVER w AS nw
+          |      FROM d
+          |      WINDOW w AS (PARTITION BY event_type ORDER BY day
+          |                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+          |SELECT event_type, day, n, round((n - mu) / sd, 6) AS z
+          |FROM z
+          |WHERE nw >= 3 AND sd > 0 AND round((n - mu) / sd, 6) >= 2.0
+          |ORDER BY event_type, day""".stripMargin))
   )
 
   /** p65's oracle, generated for any k: round 1 = min id; round r picks
