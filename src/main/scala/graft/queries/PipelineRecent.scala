@@ -404,8 +404,56 @@ object PipelineRecent {
           |SELECT event_type, day, n, round((n - mu) / sd, 6) AS z
           |FROM z
           |WHERE nw >= 3 AND sd > 0 AND round((n - mu) / sd, 6) >= 2.0
-          |ORDER BY event_type, day""".stripMargin))
+          |ORDER BY event_type, day""".stripMargin)),
+
+    // --- BPE tokenizer TRAINING (Sennrich et al.): learn 8 merges from
+    //     the corpus — the step upstream of p47's WordPiece inference.
+    //     The corpus is scanned once (word-frequency aggregate); each
+    //     round runs on the vocab-sized table. The oracle UNROLLS the
+    //     same 8 rounds (p65's move), with merge application as the
+    //     identical whole-token left-to-right list fold on both engines
+    //     — so even the merge-interaction rounds (a later merge joining
+    //     an EARLIER merge's output, e.g. m+er) are hash-pinned. ---
+    QueryDef(
+      "p68_bpe_merges",
+      (s, dir) => graft.operators.BpeTrainer.learnMerges(
+          Tables.t(s, dir, "documents"), "text", numMerges = 8)
+        .orderBy("merge_rank"),
+      Some(bpeOracle(8)))
   )
+
+  /** p68's oracle for any merge count — round r counts adjacent pairs
+    * over w(r-1), c(r) is the argmax with lexicographic ties, and w(r)
+    * applies the merge via the whole-token list_reduce fold.
+    */
+  private def bpeOracle(n: Int): String = {
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      """wf AS (SELECT t AS word, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS t
+        |        FROM documents)
+        |  GROUP BY t)""".stripMargin,
+      "w0 AS (SELECT cnt, string_split(word, '') AS ts FROM wf)")
+    for (r <- 1 to n) {
+      ctes += (s"p$r AS (SELECT pr[1] AS lhs, pr[2] AS rhs, " +
+        "CAST(sum(cnt) AS BIGINT) AS c\n" +
+        "  FROM (SELECT cnt, unnest(list_transform(range(1, len(ts)), " +
+        s"i -> [ts[i], ts[i+1]])) AS pr FROM w${r - 1})\n" +
+        "  GROUP BY 1, 2)")
+      ctes += s"c$r AS (SELECT lhs, rhs, c FROM p$r " +
+        "ORDER BY c DESC, lhs, rhs LIMIT 1)"
+      if (r < n)
+        ctes += (s"w$r AS (SELECT cnt,\n" +
+          "  list_reduce(list_transform(ts, t -> [t]), (acc, x) ->\n" +
+          s"    CASE WHEN acc[len(acc)] = c$r.lhs AND x[1] = c$r.rhs\n" +
+          "      THEN acc[1:len(acc)-1] || [acc[len(acc)] || x[1]]\n" +
+          "      ELSE acc || x END) AS ts\n" +
+          s"  FROM w${r - 1} CROSS JOIN c$r)")
+    }
+    val branches = (1 to n).map(r =>
+      s"SELECT $r AS merge_rank, lhs, rhs, c AS freq FROM c$r")
+    "WITH " + ctes.mkString(",\n") + "\n" +
+      branches.mkString("\nUNION ALL ") + "\nORDER BY merge_rank"
+  }
 
   /** p65's oracle, generated for any k: round 1 = min id; round r picks
     * the max min-distance point from d(r-1) and d(r) folds the new
