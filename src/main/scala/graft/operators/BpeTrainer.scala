@@ -37,6 +37,26 @@ object BpeTrainer {
     */
   def learnMerges(docs: DataFrame, textCol: String,
       numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    train(docs, textCol, numMerges)._1
+      .toDF("merge_rank", "lhs", "rhs", "freq")
+  }
+
+  /** The corpus's subword vocabulary AFTER applying the learned merges —
+    * what the trainer exists to produce: (token, freq), frequencies
+    * weighted by word counts. Same single-corpus-pass bill as
+    * [[learnMerges]]; the vocabulary aggregate runs on the vocab-sized
+    * merged table.
+    */
+  def subwordVocab(docs: DataFrame, textCol: String,
+      numMerges: Int): DataFrame =
+    train(docs, textCol, numMerges)._2
+      .select(col("cnt"), explode(col("ts")).as("token"))
+      .groupBy("token").agg(sum("cnt").as("freq"))
+
+  private def train(docs: DataFrame, textCol: String, numMerges: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -68,7 +88,7 @@ object BpeTrainer {
           .localCheckpoint()
       }
     }
-    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "freq")
+    (merges.toSeq, cur)
   }
 
   /** One BPE merge applied to a token array: left-to-right fold that

@@ -419,8 +419,38 @@ object PipelineRecent {
       (s, dir) => graft.operators.BpeTrainer.learnMerges(
           Tables.t(s, dir, "documents"), "text", numMerges = 8)
         .orderBy("merge_rank"),
-      Some(bpeOracle(8)))
+      Some(bpeOracle(8))),
+
+    // --- BPE application: the corpus's subword vocabulary after the 8
+    //     learned merges — what the trainer exists to produce. Same
+    //     unrolled oracle, one more fold round plus the weighted vocab
+    //     aggregate. ---
+    QueryDef(
+      "p69_bpe_vocab",
+      (s, dir) => graft.operators.BpeTrainer.subwordVocab(
+          Tables.t(s, dir, "documents"), "text", numMerges = 8)
+        .orderBy(col("freq").desc, col("token")),
+      Some(bpeVocabOracle(8)))
   )
+
+  /** p69's oracle: p68's rounds INCLUDING the final merge application
+    * (w_n), then the frequency-weighted subword rollup.
+    */
+  private def bpeVocabOracle(n: Int): String = {
+    val base = bpeOracle(n)
+    val ctes = base.substring("WITH ".length, base.indexOf("\nSELECT 1 AS merge_rank"))
+    val lastFold =
+      s"w$n AS (SELECT cnt,\n" +
+        "  list_reduce(list_transform(ts, t -> [t]), (acc, x) ->\n" +
+        s"    CASE WHEN acc[len(acc)] = c$n.lhs AND x[1] = c$n.rhs\n" +
+        "      THEN acc[1:len(acc)-1] || [acc[len(acc)] || x[1]]\n" +
+        "      ELSE acc || x END) AS ts\n" +
+        s"  FROM w${n - 1} CROSS JOIN c$n)"
+    s"WITH $ctes,\n$lastFold\n" +
+      "SELECT token, CAST(sum(cnt) AS BIGINT) AS freq\n" +
+      s"FROM (SELECT cnt, unnest(ts) AS token FROM w$n)\n" +
+      "GROUP BY token ORDER BY freq DESC, token"
+  }
 
   /** p68's oracle for any merge count — round r counts adjacent pairs
     * over w(r-1), c(r) is the argmax with lexicographic ties, and w(r)

@@ -52,6 +52,20 @@ class BpeTrainerSpec extends AnyFunSuite {
       "one merge exhausts the corpus; later rounds must stop")
   }
 
+  test("subwordVocab: mass conservation and token-count reduction") {
+    val texts = Seq("low low lower", "low lower lowest")
+    val vocab = BpeTrainer.subwordVocab(texts.toDF("text"), "text", 3)
+      .as[(String, Long)].collect().toMap
+    // character-mass conservation: total characters across weighted
+    // subwords == total characters in the corpus words
+    val chars = texts.flatMap(_.split(" ")).map(_.length.toLong).sum
+    assert(vocab.map { case (t, f) => t.length * f }.sum == chars)
+    // after (l,o), (lo,w), (low,e): "low" is ONE token
+    assert(vocab("low") >= 3L)
+    // token-count reduction vs characters: merging strictly shrinks
+    assert(vocab.values.sum < chars)
+  }
+
   test("tie-break is lexicographic on (lhs, rhs)") {
     // (z,y) and (b,a) both occur once: (b,a) wins the tie
     val out = learn(Seq("zy ba"), 1)
