@@ -6,8 +6,13 @@ import graft.operators.LineDedup
 
 /** Round-8 additions beyond the judge's carry-over list: line-level
   * boilerplate dedup (the CCNet/RefinedWeb filter), KMV distinct-count
-  * sketching (mergeable-summaries ABI instance #3), and SemDeDup
-  * cluster-scoped semantic dedup. Same conventions as PipelineQueries —
+  * sketching (mergeable-summaries ABI instance #3), SemDeDup
+  * cluster-scoped semantic dedup, winnowing fingerprints (MOSS),
+  * perceptual image near-dup (aHash + generalized banded hamming),
+  * semantic decontamination, greedy k-center coreset selection, the
+  * SQL-defined-function + parameterized-SQL surface, entity resolution
+  * via blocked record linkage, event burst detection, and BPE tokenizer
+  * training/application. Same conventions as PipelineQueries —
   * total-order output, scalar columns, identical aliases on both
   * engines.
   */
@@ -430,7 +435,58 @@ object PipelineRecent {
       (s, dir) => graft.operators.BpeTrainer.subwordVocab(
           Tables.t(s, dir, "documents"), "text", numMerges = 8)
         .orderBy(col("freq").desc, col("token")),
-      Some(bpeVocabOracle(8)))
+      Some(bpeVocabOracle(8))),
+
+    // --- DSIR data selection (Xie et al. 2023): raw docs ranked by
+    //     target-likeness under hashed-bigram bag models — target =
+    //     the 'de' slice, so the top-k should be dominated by de docs
+    //     (distribution matching, not label lookup: the lang column
+    //     never enters the score). Deterministic top-k stands in for
+    //     the paper's Gumbel resampling — the oracle-able variant. ---
+    QueryDef(
+      "p70_dsir_selection",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        graft.operators.Dsir.selectTopK(
+            docs, docs.filter(col("lang") === "de"), "doc_id", "text",
+            n = 2, buckets = 4096, k = 100)
+          .orderBy(col("dsir_score").desc, col("id"))
+      },
+      Some {
+        val rh = "list_reduce(list_prepend(0::BIGINT, " +
+          "list_transform(string_split(g, ''), " +
+          "c -> unicode(c)::BIGINT)), " +
+          "(h, c) -> (h*31 + c) % 2147483648) % 4096"
+        s"""WITH rawg AS (
+           |  SELECT doc_id AS id,
+           |    unnest(list_transform(
+           |      list_distinct(list_transform(range(1, len(ts)),
+           |        i -> ts[i] || ' ' || ts[i+1])),
+           |      g -> $rh)) AS g
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS ts
+           |        FROM documents)),
+           |tgtg AS (
+           |  SELECT doc_id AS id,
+           |    unnest(list_transform(
+           |      list_distinct(list_transform(range(1, len(ts)),
+           |        i -> ts[i] || ' ' || ts[i+1])),
+           |      g -> $rh)) AS g
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS ts
+           |        FROM documents WHERE lang = 'de')),
+           |tm AS (SELECT g, count(*)::DOUBLE AS ct FROM tgtg GROUP BY g),
+           |rm AS (SELECT g, count(*)::DOUBLE AS cr FROM rawg GROUP BY g),
+           |tot AS (SELECT (SELECT sum(ct) FROM tm) AS nt,
+           |               (SELECT sum(cr) FROM rm) AS nr),
+           |sc AS (SELECT id, round(avg(
+           |        ln((coalesce(ct, 0) + 1) / (nt + 4096)) -
+           |        ln((coalesce(cr, 0) + 1) / (nr + 4096))), 6)
+           |          AS dsir_score
+           |      FROM rawg LEFT JOIN tm USING (g) LEFT JOIN rm USING (g)
+           |      CROSS JOIN tot
+           |      GROUP BY id)
+           |SELECT id, dsir_score FROM sc
+           |ORDER BY dsir_score DESC, id LIMIT 100""".stripMargin
+      })
   )
 
   /** p69's oracle: p68's rounds INCLUDING the final merge application
