@@ -29,16 +29,28 @@ object Burst {
     */
   def dailyBursts(events: DataFrame, keyCol: String, tsCol: String,
       trailing: Int = 7, minWindow: Int = 3,
+      zThreshold: Double = 2.0): DataFrame =
+    burstsFromDailyCounts(
+      events.groupBy(col(keyCol), col(tsCol).cast("date").as("day"))
+        .agg(count(lit(1)).as("n")),
+      keyCol, trailing, minWindow, zThreshold)
+
+  /** The scoring stage over PRE-AGGREGATED daily counts (keyCol, day,
+    * n) — [[dailyBursts]] delegates here, and the streaming monitor
+    * ([[graft.streaming.BurstMonitor]]) calls it on its accumulated
+    * counts table: batch and streaming share one formula code path, so
+    * their agreement is structural (DriftMonitor's contract, time
+    * axis).
+    */
+  def burstsFromDailyCounts(counts: DataFrame, keyCol: String,
+      trailing: Int = 7, minWindow: Int = 3,
       zThreshold: Double = 2.0): DataFrame = {
     require(trailing >= minWindow && minWindow >= 2,
       s"need trailing >= minWindow >= 2 (stddev of one point is " +
         s"undefined), got $trailing/$minWindow")
-    val d = events
-      .groupBy(col(keyCol), col(tsCol).cast("date").as("day"))
-      .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(keyCol).orderBy("day")
       .rowsBetween(-trailing, -1)
-    d.select(col(keyCol), col("day"), col("n"),
+    counts.select(col(keyCol), col("day"), col("n"),
         avg("n").over(w).as("__mu"),
         stddev_samp("n").over(w).as("__sd"),
         count(lit(1)).over(w).as("__nw"))

@@ -55,7 +55,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     "p58_ann_index_exhaustive",
     // p64: eval-side broadcast brute force by design — p09's envelope
     // with the decontamination asymmetry argument (eval is benchmarks)
-    "p64_semantic_decontaminate")
+    "p64_semantic_decontaminate",
+    // p70: the (nt, nr) totals join in as a ONE-ROW broadcast
+    // aggregate — the p23/p30/p37 pattern
+    "p70_dsir_selection")
 
   // Pinned physical-plan node counts for the audited headline queries —
   // the numeric form of PLANS.md's prose claims ("q68: one data exchange,
