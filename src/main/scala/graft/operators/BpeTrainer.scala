@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
   * TakeOrdered, and applies the chosen merge as a per-row aggregate()
   * fold over each word's token array (a codegen HOF — no UDF). Driver
   * state per round is ONE collected (pair, count) row; lineage is cut
-  * per round (localCheckpoint on the vocab-sized frame), so round r
-  * does not replan rounds 1..r-1.
+  * per round (localCheckpoint on the vocab-sized frame — on a cluster
+  * use a reliable checkpoint dir, the p14/q74 iterative convention), so
+  * round r does not replan rounds 1..r-1.
   *
   * Determinism contract (what makes an exact SQL oracle possible —
   * DuckDB unrolls the same rounds with the same list_reduce fold):

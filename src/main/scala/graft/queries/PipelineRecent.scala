@@ -486,7 +486,35 @@ object PipelineRecent {
            |      GROUP BY id)
            |SELECT id, dsir_score FROM sc
            |ORDER BY dsir_score DESC, id LIMIT 100""".stripMargin
-      })
+      }),
+
+    // --- SQL pipe syntax (Spark 4's |> operator chain): the same
+    //     pricing rollup written as a linear pipeline — scan |> filter
+    //     |> aggregate |> sort. Pure syntax over the same analyzer
+    //     output, which is exactly what the oracle certifies: the
+    //     DuckDB mirror is the CLASSIC formulation, so the hash-match
+    //     proves pipe syntax changes nothing but the spelling. ---
+    QueryDef(
+      "q83_pipe_syntax",
+      (s, dir) => {
+        graft.api.Tables.register(s, dir, "lineitem")
+        s.sql(
+          """FROM lineitem
+            ||> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            ||> AGGREGATE round(sum(l_extendedprice * (1.0 - l_discount)),
+            |     2) AS revenue, count(*) AS n
+            |   GROUP BY l_returnflag, l_linestatus
+            ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+      },
+      Some(
+        """SELECT l_returnflag, l_linestatus,
+          |  round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+          |    AS revenue,
+          |  count(*) AS n
+          |FROM lineitem
+          |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin))
   )
 
   /** p69's oracle: p68's rounds INCLUDING the final merge application
