@@ -134,6 +134,40 @@ object AnnIndex {
       .parquet(s"$path/postings")
   }
 
+  /** Index maintenance: rewrite the index at `inPath` into a fresh index
+    * at `outPath`, preserving the cell-partitioned layout partition
+    * pruning depends on and collapsing the per-append file accretion to
+    * one file set per cell (every posting file costs a probe-side task
+    * and footer read — the same wear pattern
+    * [[IncrementalDedup.compactIndex]] resets for the dedup index; the
+    * generic [[Compaction]] would FLATTEN the cell directories and break
+    * pruning). `dropIds` is the right-to-be-forgotten hook: the listed
+    * vectors' postings are excluded from the rewrite, so the compacted
+    * index provably equals one built from the retained vectors against
+    * the SAME stored centroids (spec-pinned — deletion never refits the
+    * quantizer, so surviving assignments cannot shift). Centroids and
+    * params are copied verbatim; `outPath` is garbage until complete and
+    * the input is never touched.
+    */
+  def compactIndex(spark: SparkSession, inPath: String, outPath: String,
+      dropIds: Seq[Long] = Nil): Unit = {
+    require(inPath != outPath, "compactIndex writes a fresh index; " +
+      "outPath must differ from inPath (the input is never rewritten)")
+    val postings0 = spark.read.parquet(s"$inPath/postings")
+    val postings =
+      if (dropIds.isEmpty) postings0
+      else postings0.filter(!col("nid").isin(dropIds: _*))
+    // one file per cell: repartition by the partition column so each
+    // task writes exactly its own cell directory
+    postings.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$outPath/postings")
+    FsMeta.writeString(s"$outPath/centroids.json",
+      FsMeta.readString(s"$inPath/centroids.json"))
+    FsMeta.writeString(s"$outPath/params.json",
+      FsMeta.readString(s"$inPath/params.json"))
+  }
+
   /** Top-k cosine neighbors per query against the stored index, probing
     * each query's `nprobe` euclidean-nearest cells. The postings scan is
     * filtered to the union of probed cell ids (collected driver-side —

@@ -113,4 +113,50 @@ class AnnIndexSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("index families"))
   }
+
+  test("compactIndex: cell layout preserved, files collapsed, deletion equals retained rebuild") {
+    val path = builtIndex() // build + one append -> 2 file sets per cell
+    val out = tmp() + "/compacted"
+    val queries = emb.filter(col("vec_id") % 40 === 0)
+    def exhaustive(idx: String, q: org.apache.spark.sql.DataFrame) =
+      AnnIndex.topKAgainstIndex(spark, q, "vec_id", "embedding",
+          k = 5, nprobe = p.nlist, p, idx)
+        .select("qid", "nid", "cos", "rank")
+        .orderBy("qid", "rank").collect().toSeq
+
+    // plain compaction: same answers, fewer files, cell dirs intact
+    val before = exhaustive(path, queries)
+    AnnIndex.compactIndex(spark, path, out)
+    assert(exhaustive(out, queries) == before)
+    def files(idx: String) =
+      spark.read.parquet(s"$idx/postings").inputFiles.length
+    assert(files(out) < files(path),
+      s"append-accreted files must collapse: ${files(path)} -> ${files(out)}")
+    assert(graft.sources.FsMeta.listSubdirs(s"$out/postings")
+      .count(_.startsWith("cell=")) == p.nlist,
+      "the cell partition layout must survive compaction")
+
+    // deletion: drop each query's rank-1 neighbor; the probe against the
+    // forgotten index equals an index REBUILT from the retained vectors
+    // against the same stored centroids
+    val victims = before.filter(_.getInt(3) == 1)
+      .map(_.getLong(1)).distinct.take(3).toSeq
+    assert(victims.nonEmpty)
+    val forgotten = tmp() + "/forgotten"
+    AnnIndex.compactIndex(spark, path, forgotten, dropIds = victims)
+    val got = exhaustive(forgotten, queries)
+    assert(!got.exists(r => victims.contains(r.getLong(1))),
+      "a forgotten vector must appear in no result")
+    assert(got != before, "dropping rank-1 neighbors must change top-k")
+    // ground truth: retained vectors re-appended against the SAME
+    // centroids (a fresh build would refit the quantizer)
+    val rebuilt = tmp() + "/rebuilt"
+    AnnIndex.compactIndex(spark, path, rebuilt,
+      dropIds = spark.read.parquet(s"$path/postings")
+        .select("nid").distinct().collect().map(_.getLong(0)).toSeq)
+    AnnIndex.appendBatch(
+      emb.filter(!col("vec_id").isin(victims: _*)), "vec_id",
+      "embedding", p, rebuilt)
+    assert(exhaustive(rebuilt, queries) == got)
+  }
 }
