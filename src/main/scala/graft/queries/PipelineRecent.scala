@@ -514,7 +514,38 @@ object PipelineRecent {
           |FROM lineitem
           |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
           |GROUP BY l_returnflag, l_linestatus
-          |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // --- one-scan table profiler: null counts, distinct cardinality
+    //     (KMV, exact regime), and the modal value (Misra-Gries k=1,
+    //     exact regime) for three documents columns, all from ONE pass
+    //     — the repo's sketches composed into the trust-a-new-source
+    //     report. The oracle recomputes each column's facts exactly;
+    //     modal ties break on the string value, mirrored. ---
+    QueryDef(
+      "p71_table_profile",
+      (s, dir) => graft.operators.Profiler.profile(
+          Tables.t(s, dir, "documents"), Seq("lang", "source", "n_chars"))
+        .orderBy("column_name"),
+      Some {
+        def block(c: String) =
+          s"""SELECT '$c' AS column_name,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows,
+             |  (SELECT CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)
+             |     AS BIGINT) FROM documents) AS n_nulls,
+             |  (SELECT CAST(count(DISTINCT $c) AS BIGINT)
+             |   FROM documents) AS n_distinct,
+             |  (SELECT v FROM (
+             |     SELECT CAST($c AS VARCHAR) AS v, count(*) AS cnt
+             |     FROM documents WHERE $c IS NOT NULL GROUP BY 1
+             |     ORDER BY cnt DESC, v LIMIT 1)) AS top_value,
+             |  (SELECT cnt FROM (
+             |     SELECT CAST($c AS VARCHAR) AS v, count(*) AS cnt
+             |     FROM documents WHERE $c IS NOT NULL GROUP BY 1
+             |     ORDER BY cnt DESC, v LIMIT 1)) AS top_count""".stripMargin
+        Seq("lang", "source", "n_chars").map(block)
+          .mkString("", "\nUNION ALL ", "\nORDER BY column_name")
+      })
   )
 
   /** p69's oracle: p68's rounds INCLUDING the final merge application
