@@ -86,6 +86,52 @@ class DedupFamilyFuzzSpec extends AnyFunSuite {
         s"planted shared run missed for pair ($a, $b)")
   }
 
+  test("BPE merge learning matches an in-JVM reference on random corpora") {
+    import graft.operators.BpeTrainer
+    val rnd = new Random(31337L)
+    for (trial <- 1 to 3) {
+      val alphabet = "abcd"
+      val texts = (0 until 6).map { _ =>
+        Seq.fill(8 + rnd.nextInt(10))(
+          Seq.fill(2 + rnd.nextInt(5))(
+            alphabet(rnd.nextInt(alphabet.length))).mkString).mkString(" ")
+      }
+      // reference: classic BPE over the word-frequency table
+      var vocab = texts.flatMap(_.split(" ")).groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+        .map { case (w, c) => w.map(_.toString).toVector -> c }
+      val ref = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, String, Long)]
+      var r = 0
+      var done = false
+      while (r < 6 && !done) {
+        val pairs = scala.collection.mutable.Map
+          .empty[(String, String), Long]
+        vocab.foreach { case (ts, c) =>
+          ts.zip(ts.drop(1)).foreach { pr =>
+            pairs(pr) = pairs.getOrElse(pr, 0L) + c }
+        }
+        if (pairs.isEmpty) done = true
+        else {
+          val ((l, rr), c) = pairs.minBy { case ((a, b), n) => (-n, a, b) }
+          r += 1
+          ref += ((r, l, rr, c))
+          vocab = vocab.groupBy { case (ts, _) =>
+            ts.foldLeft(Vector.empty[String]) { (acc, x) =>
+              if (acc.nonEmpty && acc.last == l && x == rr)
+                acc.init :+ (acc.last + x)
+              else acc :+ x
+            }
+          }.view.mapValues(_.values.sum).toMap
+        }
+      }
+      val got = BpeTrainer.learnMerges(texts.toDF("text"), "text", 6)
+        .orderBy("merge_rank")
+        .as[(Int, String, String, Long)].collect().toSeq
+      assert(got == ref.toSeq, s"trial $trial")
+    }
+  }
+
   test("KMV stays exact below capacity on random data under random layouts") {
     val rnd = new Random(5150L)
     val kmv = org.apache.spark.sql.functions.udaf(
