@@ -21,18 +21,43 @@ import org.apache.spark.sql.functions._
   * nothing positive remains — the selection degrades deterministically,
   * never fails.
   *
-  * Scale: round r scans the corpus once with a per-row expression over
-  * the r PLAN-LITERAL centers picked so far (SemanticDedup's
-  * centroids-as-literals move — no join, no shuffle; the only wide op
-  * per round is a TakeOrdered of ONE row). Total cost O(k · corpus)
-  * distance evaluations, the canonical FPF bill; driver state is the
-  * O(k · dims) center list, a parameter not a data size. The corpus
-  * projection is persisted for the k passes and unpersisted before
-  * returning (the operator is EAGER — selection is inherently
-  * sequential). For k beyond the literal-plan comfort zone (~hundreds),
-  * the standard scale-out is hierarchical FPF over a pre-sample.
+  * Scale — INCREMENTAL min-distance (the canonical FPF formulation):
+  * the state is (id, v, md) where md = min distance to the selected set
+  * so far. Each round computes exactly ONE new distance per surviving
+  * row — `least(md, distTo(newCenter))` — instead of rebuilding
+  * `least` over all r centers, so the total bill is O(k · corpus)
+  * distance evaluations and the per-round plan carries exactly one
+  * center literal regardless of r (round r of a rescan formulation
+  * would carry r literals and cost O(k²/2 · corpus) total; the
+  * equivalence `least(md_{r-1}, d_r) = least(d_1..d_r)` holds EXACTLY
+  * under 6dp rounding because `round` is monotone, so min-of-rounded =
+  * rounded-min — selection is bit-identical to the rescan path, which
+  * CoresetSpec asserts). State is `localCheckpoint`ed per round to
+  * truncate lineage (plan depth stays O(1), a task retry replays one
+  * round, not the whole history); superseded checkpoints drop out of
+  * scope and are reclaimed by Spark's ContextCleaner. The only wide op
+  * per round is a TakeOrdered of ONE row; driver state is the
+  * O(k · dims) center list, a parameter not a data size. For k beyond
+  * the sequential-round comfort zone (~thousands), the standard
+  * scale-out is hierarchical FPF over a pre-sample.
   */
 object Coreset {
+
+  private def distTo(center: Array[Double]): Column =
+    round(sqrt(aggregate(
+      zip_with(col("v"), array(center.map(lit): _*),
+        (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)), 6)
+
+  /** One FPF round's state transition: drop the just-selected center,
+    * fold ONE new distance into the running min-distance column.
+    * Exposed for the plan assert in CoresetSpec (exactly one distance
+    * expression per round, independent of how many centers precede it).
+    */
+  private[graft] def nextState(state: DataFrame, centerId: Long,
+      center: Array[Double]): DataFrame =
+    state.filter(col("id") =!= centerId)
+      .withColumn("md", least(col("md"), distTo(center)))
 
   /** The k selected points as (sel_round, id, dist): sel_round = 1-based
     * selection order, dist = the point's min-distance to the previously
@@ -50,26 +75,23 @@ object Coreset {
     try {
       val n = base.count()
       require(n >= k, s"cannot select $k centers from $n points")
-      def distTo(center: Array[Double]): Column =
-        round(sqrt(aggregate(
-          zip_with(col("v"), array(center.map(lit): _*),
-            (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x)), 6)
       val seed = base.orderBy("id").limit(1)
         .select(col("id"), col("v")).as[(Long, Seq[Double])].head()
       var centers = Vector((seed._1, seed._2.toArray, 0.0))
-      while (centers.size < k) {
-        val ds = centers.map(c => distTo(c._2))
-        val md = if (ds.size == 1) ds.head else least(ds: _*)
-        // already-selected ids are excluded explicitly: a duplicate
-        // embedding's md hits 0 once its twin is picked, and an
-        // all-zero tail must still select k DISTINCT points
-        val next = base
-          .filter(!col("id").isin(centers.map(_._1): _*))
-          .select(col("id"), col("v"), md.as("md"))
-          .orderBy(col("md").desc, col("id").asc).limit(1)
-          .as[(Long, Seq[Double], Double)].head()
-        centers = centers :+ ((next._1, next._2.toArray, next._3))
+      if (k > 1) {
+        // initial state: md = distance to the seed (one scan, one center)
+        var state = base.filter(col("id") =!= seed._1)
+          .select(col("id"), col("v"), distTo(seed._2.toArray).as("md"))
+          .localCheckpoint()
+        while (centers.size < k) {
+          val next = state
+            .orderBy(col("md").desc, col("id").asc).limit(1)
+            .as[(Long, Seq[Double], Double)].head()
+          centers = centers :+ ((next._1, next._2.toArray, next._3))
+          if (centers.size < k)
+            state = nextState(state, next._1, next._2.toArray)
+              .localCheckpoint()
+        }
       }
       centers.zipWithIndex
         .map { case ((id, _, d), i) => (i + 1, id, d) }

@@ -59,6 +59,54 @@ class CoresetSpec extends AnyFunSuite {
     assert(out == Seq(3L, 9L, 7L))
   }
 
+  /** In-JVM reference: the RESCAN formulation (round r rebuilds min over
+    * all r selected centers, 6dp-rounded before comparison) — the path
+    * the operator used before going incremental. Selection must be
+    * bit-identical: least(md, d_new) == least(d_1..d_new) exactly,
+    * because round(·, 6) is monotone.
+    */
+  private def referenceFpf(rows: Seq[(Long, Array[Double])], k: Int): Seq[(Int, Long, Double)] = {
+    def d(a: Array[Double], b: Array[Double]): Double = {
+      val s = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      BigDecimal(math.sqrt(s)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val seed = rows.minBy(_._1)
+    var centers = Vector((seed._1, seed._2, 0.0))
+    while (centers.size < k) {
+      val cand = rows.filterNot(r => centers.exists(_._1 == r._1))
+        .map { case (id, v) => (id, v, centers.map(c => d(v, c._2)).min) }
+      val next = cand.minBy { case (id, _, md) => (-md, id) }
+      centers = centers :+ next
+    }
+    centers.zipWithIndex.map { case ((id, _, dist), i) => (i + 1, id, dist) }
+  }
+
+  test("incremental path is selection-identical to the rescan reference (k = 12)") {
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val rows = e.select($"vec_id".cast("long"), $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq.map { case (id, v) => (id, v.toArray) }
+    val expected = referenceFpf(rows, k = 12)
+    val got = Coreset.kCenter(e, "vec_id", "embedding", k = 12)
+      .orderBy("sel_round").as[(Int, Long, Double)].collect().toSeq
+    assert(got == expected,
+      s"incremental FPF must match the rescan formulation exactly\ngot      $got\nexpected $expected")
+  }
+
+  test("per-round plan carries exactly ONE distance expression, independent of r") {
+    // the incremental claim made concrete: nextState folds one
+    // distTo(newCenter) into md — a rescan formulation at round r would
+    // show r zip_with distance kernels in the plan
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val state = e.select($"vec_id".cast("long").as("id"),
+        $"embedding".cast("array<double>").as("v"))
+      .withColumn("md", org.apache.spark.sql.functions.lit(1.0))
+    val round9 = Coreset.nextState(state, 42L, Array.fill(64)(0.5))
+    val plan = round9.queryExecution.analyzed.toString
+    val kernels = "zip_with".r.findAllIn(plan.toLowerCase).length
+    assert(kernels == 1,
+      s"expected exactly 1 distance kernel in the round plan, found $kernels")
+  }
+
   test("k beyond the corpus is rejected; k = 1 returns just the seed") {
     val rows = Seq((5L, vec(0, 0.0)), (2L, vec(1, 0.0)))
     val e = intercept[IllegalArgumentException] {
