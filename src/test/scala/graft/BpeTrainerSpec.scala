@@ -66,6 +66,35 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(vocab.values.sum < chars)
   }
 
+  test("driver finish and distributed rounds are selection-identical across the threshold") {
+    // driverMaxWords = 0 forces the distributed path; the default takes
+    // the driver finish — merges AND final vocab must match exactly on
+    // a corpus with ties, merge interaction, and early-exhausting words
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val viaDriver = BpeTrainer.learnMerges(docs, "text", numMerges = 8)
+      .orderBy("merge_rank").as[(Int, String, String, Long)].collect().toSeq
+    val viaDist = BpeTrainer.learnMerges(docs, "text", numMerges = 8,
+        driverMaxWords = 0L)
+      .orderBy("merge_rank").as[(Int, String, String, Long)].collect().toSeq
+    assert(viaDriver == viaDist, "merge tables diverged across the threshold")
+    val vocabDriver = BpeTrainer.subwordVocab(docs, "text", numMerges = 8)
+      .orderBy($"freq".desc, $"token").as[(String, Long)].collect().toSeq
+    val vocabDist = BpeTrainer.subwordVocab(docs, "text", numMerges = 8,
+        driverMaxWords = 0L)
+      .orderBy($"freq".desc, $"token").as[(String, Long)].collect().toSeq
+    assert(vocabDriver == vocabDist, "vocabularies diverged across the threshold")
+  }
+
+  test("driver finish preserves the exhaustion and tie contracts") {
+    val out = learn(Seq("a b c a"), 5)
+    assert(out.isEmpty)
+    // zy/ba tie -> (b, a) under byte order, same as the distributed path
+    val tie = BpeTrainer.learnMerges(Seq("zy ba").toDF("text"), "text", 1,
+        driverMaxWords = 0L)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(tie == learn(Seq("zy ba"), 1))
+  }
+
   test("tie-break is lexicographic on (lhs, rhs)") {
     // (z,y) and (b,a) both occur once: (b,a) wins the tie
     val out = learn(Seq("zy ba"), 1)

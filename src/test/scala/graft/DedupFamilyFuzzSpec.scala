@@ -125,10 +125,17 @@ class DedupFamilyFuzzSpec extends AnyFunSuite {
           }.view.mapValues(_.values.sum).toMap
         }
       }
+      // both finish strategies against the reference: the driver loop
+      // (default threshold) and the distributed rounds (threshold 0)
       val got = BpeTrainer.learnMerges(texts.toDF("text"), "text", 6)
         .orderBy("merge_rank")
         .as[(Int, String, String, Long)].collect().toSeq
-      assert(got == ref.toSeq, s"trial $trial")
+      assert(got == ref.toSeq, s"trial $trial (driver finish)")
+      val gotDist = BpeTrainer.learnMerges(texts.toDF("text"), "text", 6,
+          driverMaxWords = 0L)
+        .orderBy("merge_rank")
+        .as[(Int, String, String, Long)].collect().toSeq
+      assert(gotDist == ref.toSeq, s"trial $trial (distributed rounds)")
     }
   }
 
