@@ -134,6 +134,38 @@ object AnnIndex {
       .parquet(s"$path/postings")
   }
 
+  /** EXACTLY-ONCE twin of [[appendBatch]] for streaming ingest
+    * ([[graft.streaming.AnnIngest]]): the batch's postings are STAGED
+    * under `path/staging/<tag>/` (overwrite — a replay rewrites the
+    * stage), then PUBLISHED into the live cell-partitioned directories
+    * by deterministic-name renames that skip already-published files
+    * ([[graft.sources.StagedAppend]]) — so a crash anywhere between
+    * staging and the caller's batch marker replays to the same file
+    * set with zero duplicate postings. The staged write repartitions
+    * by cell (deterministic hash layout, and one file per (task, cell)
+    * keeps publish renames bounded); cell assignment is against the
+    * STORED centroids, identical to [[appendBatch]].
+    */
+  def appendBatchExactlyOnce(batch: DataFrame, idCol: String,
+      embCol: String, p: Params, path: String, tag: String): Unit = {
+    checkParams(path, p)
+    val spark = batch.sparkSession
+    val stage = s"$path/staging/$tag"
+    val centsDf = spark.createDataFrame(readCentroids(path))
+      .toDF("cell", "centroid")
+    assignCells(
+        batch.select(col(idCol).cast("long").as("__aid"),
+          col(idCol).cast("long").as("nid"), col(embCol).as("nv")),
+        "nv", centsDf)
+      .select("cell", "nid", "nv")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$stage/postings")
+    graft.sources.StagedAppend.publish(s"$stage/postings",
+      s"$path/postings", tag, bucketed = false)
+    FsMeta.deleteRecursive(stage)
+  }
+
   /** Index maintenance: rewrite the index at `inPath` into a fresh index
     * at `outPath`, preserving the cell-partitioned layout partition
     * pruning depends on and collapsing the per-append file accretion to

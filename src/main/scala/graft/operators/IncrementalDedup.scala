@@ -200,6 +200,45 @@ object IncrementalDedup {
       "append", bandsPath(path), tableId("bands", path), "bkey", p.numBuckets)
   }
 
+  /** EXACTLY-ONCE twin of [[appendBatch]] for streaming ingest: the
+    * batch's shingle and band rows are STAGED under
+    * `path/staging/<tag>/` (overwrite — a replay rewrites the stage),
+    * then PUBLISHED into the live bucketed directories by
+    * deterministic-name renames that skip already-published files
+    * ([[graft.sources.StagedAppend]]). A crash anywhere in the window —
+    * mid-stage, mid-publish, or after publish but before the caller's
+    * batch marker — replays to the SAME file set with zero duplicate
+    * index rows (spec-pinned in IncrementalDedupSpec), closing the
+    * at-least-once window [[appendBatch]] documents.
+    *
+    * The staged writes repartition on the bucket columns with the
+    * index's bucket count — the same hash-mod layout `bucketBy` uses —
+    * so each published file is bucket-correct and carries its bucket id
+    * in the published name where the bucketed reader parses it; the
+    * bucket-pruned, exchange-free probe contract is unchanged. `tag`
+    * must be unique per logical batch and stable across replays (the
+    * streaming batch id).
+    */
+  def appendBatchExactlyOnce(batch: DataFrame, idCol: String,
+      textCol: String, p: Params, path: String, tag: String): Unit = {
+    requireSameParams(p, path)
+    val stage = s"$path/staging/$tag"
+    val sh = Dedup.shingled(batch, idCol, textCol, p.shingleSize)
+    sh.repartition(p.numBuckets, col("id"))
+      .write.mode("overwrite").parquet(s"$stage/sh")
+    Dedup.bandRows(Dedup.minhashSignatures(sh, p.numHashes),
+        p.numHashes, p.bands)
+      .repartition(p.numBuckets, col("bkey"))
+      .write.mode("overwrite").parquet(s"$stage/bands")
+    // both tables fully staged before the first rename: a mid-stage
+    // crash leaves only staging garbage, never a half-published table
+    graft.sources.StagedAppend.publish(s"$stage/sh", shinglesPath(path),
+      tag, bucketed = true)
+    graft.sources.StagedAppend.publish(s"$stage/bands", bandsPath(path),
+      tag, bucketed = true)
+    FsMeta.deleteRecursive(stage)
+  }
+
   private def requireSameParams(p: Params, path: String): Unit = {
     val stored = FsMeta.readString(paramsPath(path)).trim
     require(stored == p.json,

@@ -110,6 +110,41 @@ object FsMeta {
     hadoopConf().iterator().asScala.map(e => e.getKey -> e.getValue).toMap
   }
 
+  /** Rename `src` to `dst` ONLY if `dst` does not already exist; returns
+    * whether this call performed the rename. The idempotent-publish
+    * primitive of [[StagedAppend]]: destinations carry deterministic
+    * names, so a replay that finds its destination occupied knows an
+    * earlier attempt already published that file and skips it. The
+    * exists-check + rename pair is not atomic, but the callers are
+    * single-writer per (path, tag) by construction — a streaming sink's
+    * serialized foreachBatch.
+    */
+  def renameIfAbsent(src: String, dst: String): Boolean = {
+    val (fs, s) = fsFor(src)
+    val d = fs.makeQualified(new Path(dst))
+    if (fs.exists(d)) false
+    else fs.rename(fs.makeQualified(s), d)
+  }
+
+  /** Every DATA file under `dir`, recursively, as (relative subdirectory
+    * path — "" at the root — , file name); metadata names (leading `_`
+    * or `.`: _SUCCESS, _temporary, checksums) are skipped at every
+    * level, matching Spark's own leaf-file filter.
+    */
+  def listDataFilesRecursive(dir: String): Seq[(String, String)] = {
+    val (fs, root) = fsFor(dir)
+    if (!fs.exists(root)) return Seq.empty
+    def hidden(name: String) = name.startsWith("_") || name.startsWith(".")
+    def walk(p: Path, rel: String): Seq[(String, String)] =
+      fs.listStatus(p).toSeq.filterNot(st => hidden(st.getPath.getName))
+        .flatMap { st =>
+          if (st.isFile) Seq((rel, st.getPath.getName))
+          else walk(st.getPath,
+            if (rel.isEmpty) st.getPath.getName else s"$rel/${st.getPath.getName}")
+        }
+    walk(root, "")
+  }
+
   /** Names of plain files directly under `dir` (empty if `dir` absent). */
   def listFiles(dir: String): Seq[String] = {
     val (fs, path) = fsFor(dir)

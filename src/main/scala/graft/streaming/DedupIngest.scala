@@ -43,11 +43,15 @@ import graft.sources.FsMeta
   *     of appending next to the first attempt. Readers of `kept/` see a
   *     partial batch directory only between a mid-write crash and the
   *     replay that overwrites it (Spark's _SUCCESS marker distinguishes).
-  *   - INDEX — at-least-once rows. A crash between the index appends and
-  *     the marker re-appends the batch's shingle/band rows on replay;
-  *     [[IncrementalDedup]]'s probe is insensitive to duplicate index
-  *     rows (candidates distinct()'d, verify output deduped), so later
-  *     batches still compute exact drop sets.
+  *   - INDEX — exactly-once rows. Batch rows are staged then published
+  *     by deterministic renames ([[IncrementalDedup.appendBatchExactlyOnce]]
+  *     / [[graft.sources.StagedAppend]]): a replay of any crash window —
+  *     mid-stage, mid-publish, or published-but-unmarked — converges to
+  *     the same file set with zero duplicate index rows (spec-pinned).
+  *     [[IncrementalDedup]]'s probe would tolerate duplicates anyway
+  *     (candidates distinct()'d, verify output deduped), so the
+  *     guarantee saves index bytes and probe work rather than
+  *     correctness.
   *   - MARKER — `_commit_<b>` under the index dir, created LAST; a
   *     foreachBatch replay of a fully-committed batch is a no-op
   *     (MergeSink's manifest idea at batch granularity).
@@ -94,7 +98,8 @@ object DedupIngest {
         .write.mode(SaveMode.Overwrite).parquet(s"$keptPath/batch=$batchId")
       // MUST follow nearDupsAgainstIndex (its ordering contract): once
       // the batch is indexed, its rows would sit on both probe sides
-      IncrementalDedup.appendBatch(batch, idCol, textCol, p, indexPath)
+      IncrementalDedup.appendBatchExactlyOnce(batch, idCol, textCol, p,
+        indexPath, s"b$batchId")
       FsMeta.createMarker(markerPath(indexPath, batchId)): Unit
     } finally batch.unpersist(): Unit
   }

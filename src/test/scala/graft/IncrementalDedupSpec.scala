@@ -213,9 +213,21 @@ class IncrementalDedupSpec extends AnyFunSuite {
     // appends) but the commit marker did not — the replay re-runs the
     // whole batch against an index that already contains it
     graft.sources.FsMeta.deleteRecursive(s"$idx/_commit_0")
+    val bandRowsBefore = spark.read.parquet(s"$idx/bands").count()
     DedupIngest.processBatch(b0, 0L, "doc_id", "text", P, idx, kept)
     assert(spark.read.parquet(kept).count() == after,
       "replayed batch must OVERWRITE its kept partition, not append a second copy")
+    // exactly-once index rows: the replayed staged-publish finds every
+    // destination occupied and renames nothing — zero duplicates, not
+    // merely harmless ones
+    val bands = spark.read.parquet(s"$idx/bands")
+    assert(bands.count() == bandRowsBefore,
+      "replayed append must not add index rows")
+    assert(bands.count() == bands.distinct().count(),
+      "index must contain zero duplicate band rows after replay")
+    val shRows = spark.read.parquet(s"$idx/shingles")
+    assert(shRows.count() == shRows.dropDuplicates("id").count(),
+      "index must contain zero duplicate shingle rows after replay")
     // and later batches still compute the exact drop set over the
     // duplicate index rows the replayed append left behind
     DedupIngest.processBatch(b1, 1L, "doc_id", "text", P, idx, kept)
