@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Fns
 import graft.sources.FsMeta
@@ -73,22 +72,17 @@ object AnnIndex {
 
   /** Nearest-centroid assignment by squared euclidean distance (the
     * k-means metric): explode the (tiny, broadcast) centroid table per
-    * row, keep rank 1. `tieCell` breaks exact-distance ties toward the
-    * smaller cell id, matching k-means transform's argmin order.
+    * row, keep the argmin via [[graft.plans.TopKPerGroup]] — map-side
+    * heaps drop nlist − 1 of every row's candidates BEFORE the
+    * exchange, where the previous window formulation shuffled the full
+    * corpus × nlist expansion and sorted it (round 9; the probe plans
+    * pin window = 0 in PlanHygieneSpec). Exact-distance ties break
+    * toward the smaller cell id, matching k-means transform's argmin
+    * order.
     */
   private def assignCells(df: DataFrame, embCol: String,
-      cents: DataFrame): DataFrame = {
-    val dist = aggregate(
-      zip_with(col(embCol).cast("array<double>"), col("centroid"),
-        (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
-    df.crossJoin(broadcast(cents))
-      .withColumn("dist", dist)
-      .withColumn("cr", row_number().over(
-        Window.partitionBy(col("__aid")).orderBy(col("dist"), col("cell"))))
-      .filter(col("cr") === 1)
-      .drop("dist", "cr", "centroid")
-  }
+      cents: DataFrame): DataFrame =
+    assignCellsTopN(df, embCol, cents, 1).drop("__aid")
 
   /** Fit the coarse quantizer and write the whole index. An EAGER write
     * job at call time — building an index IS a job.
@@ -228,23 +222,39 @@ object AnnIndex {
       .select(col("qid"), col("nid"),
         round(Fns.cosineSimilarity(col("qv"), col("nv")), 6).as("cos"))
       .dropDuplicates("qid", "nid")
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // rank WITHOUT WindowExec: TopKPerGroup prunes to k rows per query
+    // with map-side heaps (partial filter before the exchange — a window
+    // would shuffle and sort EVERY scored candidate), then the rank
+    // numbers are minted from a per-query k-element array: collect the
+    // survivors, comparator-sort (deterministic regardless of arrival
+    // order), posexplode. The aggregate rides TopKPerGroup's existing
+    // qid partitioning; the array is k elements — a parameter, not a
+    // data size.
+    val pruned = graft.plans.TopKPerGroup.topK(scored, Seq("qid"),
+      Seq(col("cos").desc, col("nid").asc), k)
+    val byRank = array_sort(
+      collect_list(struct(col("cos"), col("nid"))),
+      (a, b) => when(a("cos") > b("cos"), -1).when(a("cos") < b("cos"), 1)
+        .when(a("nid") < b("nid"), -1).when(a("nid") > b("nid"), 1)
+        .otherwise(0))
+    pruned.groupBy("qid").agg(byRank.as("arr"))
+      .select(col("qid"), posexplode(col("arr")))
+      .select(col("qid"), col("col.nid").as("nid"), col("col.cos").as("cos"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
-  /** Like [[assignCells]] but keeping the `n` nearest cells per row. */
+  /** Like [[assignCells]] but keeping the `n` nearest cells per row
+    * (and the `__aid` group key — [[assignCells]] drops it).
+    */
   private def assignCellsTopN(df: DataFrame, embCol: String,
       cents: DataFrame, n: Int): DataFrame = {
     val dist = aggregate(
       zip_with(col(embCol).cast("array<double>"), col("centroid"),
         (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, x) => acc + x)
-    df.crossJoin(broadcast(cents))
-      .withColumn("dist", dist)
-      .withColumn("cr", row_number().over(
-        Window.partitionBy(col("__aid")).orderBy(col("dist"), col("cell"))))
-      .filter(col("cr") <= n)
-      .drop("dist", "cr", "centroid", "__aid")
+    val scored = df.crossJoin(broadcast(cents)).withColumn("dist", dist)
+    graft.plans.TopKPerGroup.topK(scored, Seq("__aid"),
+        Seq(col("dist").asc, col("cell").asc), n)
+      .drop("dist", "centroid")
   }
 }

@@ -113,6 +113,140 @@ class PlanHygieneSpec extends AnyFunSuite {
         "explaining why the new shape is right):\n" + drifted.mkString("\n"))
   }
 
+  // The persistence PROBES — the plans that carry the 100 TB story: a
+  // narrow batch against the bucketed dedup index, a pruned query
+  // against the cell-partitioned IVF index, and manifest-listed reads
+  // of the DSv2 sink (full + zone-map-skipped). Pinned as (shuffle,
+  // broadcast, reused, window) AND scanned-file fractions, so a
+  // regression that silently un-prunes a scan or adds an exchange to a
+  // probe fails here by number, not in a bench three rounds later.
+  test("persistence probes: exchange and scanned-file counts stay pinned") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions._
+    import graft.operators.{AnnIndex, IncrementalDedup}
+    import graft.tools.PlanCounts
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val root = java.nio.file.Files.createTempDirectory("graft_probe_pins").toString
+    val drifted = scala.collection.mutable.ArrayBuffer.empty[String]
+    def pin(name: String, got: Any, want: Any): Unit =
+      if (got != want) drifted += s"$name: got $got, pinned $want"
+    def scanFiles(df: org.apache.spark.sql.DataFrame, dirPart: String): Long =
+      df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains(dirPart)) => f
+      }.map(_.metrics("numFiles").value).sum
+
+    // --- p46's narrow-batch probe: bucket-pruned, index never shuffled.
+    //     The candidate phase runs inside the probe's own localCheckpoint
+    //     job, so its band scan is observed through a QueryExecutionListener
+    //     rather than the returned frame's (post-checkpoint) plan.
+    val seen = new java.util.concurrent.CopyOnWriteArrayList[
+      org.apache.spark.sql.execution.SparkPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { seen.add(qe.executedPlan); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    s.listenerManager.register(listener)
+    val docs = s.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    // 64 buckets + a ONE-doc batch (32 band keys) so bucket pruning has
+    // room to show: at most 32 of 64 buckets can be selected
+    val dedupP = IncrementalDedup.Params(shingleSize = 3, numHashes = 128,
+      bands = 32, threshold = 0.8, numBuckets = 64)
+    IncrementalDedup.buildIndex(docs.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", dedupP, s"$root/dedup")
+    seen.clear()
+    import spark.implicits._
+    val probeId = docs.filter(col("doc_id") % 5 === 0)
+      .select(min("doc_id")).as[Long].head()
+    val batch = docs.filter(col("doc_id") === probeId)
+    val dedupProbe = IncrementalDedup.nearDupsAgainstIndex(s, batch,
+      "doc_id", "text", dedupP, s"$root/dedup")
+    dedupProbe.collect()
+    pin("p46_narrow_probe verify-phase counts",
+      PlanCounts.counts(dedupProbe.queryExecution.executedPlan), (4, 0, 1, 0))
+    // the listener bus is asynchronous: poll until the candidate phase's
+    // band scan shows up (bounded — fail after 10 s, never hang)
+    def bandScans(): Seq[FileSourceScanExec] = {
+      import scala.jdk.CollectionConverters._
+      seen.asScala.toSeq.flatMap(_.collect {
+        case f: FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("/bands")) => f
+      })
+    }
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (bandScans().isEmpty && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    val scans = bandScans()
+    assert(scans.nonEmpty, "candidate phase's band scan never observed")
+    val selectedBuckets = scans.flatMap(_.optionalBucketSet)
+      .map(_.cardinality())
+    assert(selectedBuckets.nonEmpty && selectedBuckets.max <= 32,
+      s"one-doc probe must bucket-prune the 64-bucket band index to <= 32 " +
+        s"selected buckets, got $selectedBuckets")
+    s.listenerManager.unregister(listener)
+
+    // --- p58's pruned probe: nprobe=1 of 8 cells, no WindowExec
+    val e = s.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val annP = AnnIndex.Params(nlist = 8, dims = 64)
+    AnnIndex.buildIndex(e, "vec_id", "embedding", annP, s"$root/ann")
+    val annProbe = AnnIndex.topKAgainstIndex(s,
+      e.filter(col("vec_id") === 0), "vec_id", "embedding", 5, 1, annP,
+      s"$root/ann")
+    annProbe.collect()
+    pin("p58_pruned_probe counts",
+      PlanCounts.counts(annProbe.queryExecution.executedPlan), (3, 2, 0, 0))
+    val cellFilesTotal = s.read.parquet(s"$root/ann/postings").inputFiles.length
+    val cellFilesRead = scanFiles(annProbe, "/postings")
+    assert(cellFilesRead < cellFilesTotal && cellFilesRead >= 1,
+      s"nprobe=1 must partition-prune the postings " +
+        s"($cellFilesRead of $cellFilesTotal)")
+
+    // --- q78's manifest read: full-table scan through the connector
+    s.range(0, 4000).select(col("id"),
+        (col("id") % 97).cast("double").as("x"))
+      .repartition(4)
+      .write.format("graft.sources.ManifestTable")
+      .option("path", s"$root/sink").mode("overwrite").save()
+    val fullRead = s.read.format("graft.sources.ManifestTable")
+      .option("path", s"$root/sink").load()
+      .groupBy().agg(count(lit(1)).as("n"), sum("id").as("s"))
+    fullRead.collect()
+    pin("q78_manifest_read counts",
+      PlanCounts.counts(fullRead.queryExecution.executedPlan), (1, 0, 0, 0))
+    pin("q78_manifest_read files",
+      "files=(\\d+)/(\\d+)".r.findFirstMatchIn(
+        fullRead.queryExecution.executedPlan.toString).map(_.matched),
+      Some("files=4/4"))
+
+    // --- q80's zone-map-skipped manifest read: range-clustered write,
+    //     selective range read touches <= 2 of 8 files
+    s.range(0, 4000).select(col("id"),
+        (col("id") % 97).cast("double").as("x"))
+      .repartitionByRange(8, col("id"))
+      .write.format("graft.sources.ManifestTable")
+      .option("path", s"$root/sink80").mode("overwrite").save()
+    val skipRead = s.read.format("graft.sources.ManifestTable")
+      .option("path", s"$root/sink80").load()
+      .filter(col("id") >= 1000L && col("id") < 1500L)
+      .groupBy().agg(count(lit(1)).as("n"), sum("id").as("s"))
+    skipRead.collect()
+    pin("q80_manifest_skip counts",
+      PlanCounts.counts(skipRead.queryExecution.executedPlan), (1, 0, 0, 0))
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(
+      skipRead.queryExecution.executedPlan.toString)
+    assert(m.exists(mm => mm.group(2).toInt == 8 && mm.group(1).toInt <= 2),
+      s"zone maps must skip to <=2 of 8 files, got ${m.map(_.matched)}")
+
+    assert(drifted.isEmpty,
+      "persistence-probe plan shape drifted (update the pin ONLY with a " +
+        "PLANS.md entry explaining why):\n" + drifted.mkString("\n"))
+  }
+
   test("q82's SQL-defined function is INLINED — no function-call node survives analysis") {
     val q = Registry.byName("q82_sql_udf")
     val plan = q.run(spark, TestSpark.sf0001).queryExecution.executedPlan
