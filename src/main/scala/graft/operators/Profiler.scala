@@ -2,29 +2,41 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
 
 /** One-scan column profiler — the "what is in this table" report every
   * ingest pipeline runs before trusting a new source, composed from the
   * repo's own mergeable sketches: null counts (plain aggregate),
   * distinct cardinality ([[graft.functions.KmvDistinct]] — exact below
-  * capacity, layout-invariant), and the modal value
+  * capacity, layout-invariant), the modal value
   * ([[graft.functions.TopKFreq]] k=1 — exact in the bounded-domain
-  * regime). ALL columns profile in ONE pass: the aggregate computes
-  * every column's three summaries side by side, so the table is
-  * scanned once regardless of how many columns are profiled, and every
-  * summary is a mergeable partial (map-side combined, bounded state —
-  * the same contract as the sketches it reuses).
+  * regime), and — for NUMERIC columns — quartiles (q25/q50/q75) via
+  * Spark's exact `percentile` aggregate, whose partial state is a
+  * value→count map: mergeable and map-side combined like the other
+  * summaries, with state bounded by the column's DISTINCT count — the
+  * same bounded-domain contract, and exact inside it (the round-8
+  * verdict's ask #7). For truly continuous columns at corpus scale the
+  * stated swap is `approx_percentile` (Greenwald-Khanna, mergeable,
+  * state bounded by the accuracy parameter instead) — same plan shape,
+  * bounded-error instead of bounded-domain. ALL columns profile in ONE
+  * pass: the aggregate computes every column's summaries side by side,
+  * so the table is scanned once regardless of how many columns are
+  * profiled, and every summary is a mergeable partial.
   *
   * Exactness contract (q50's, inherited twice): n_distinct is exact
   * while a column's cardinality stays below `kmvCapacity`; top_value /
-  * top_count are exact while it stays below `mgCapacity`. Values are
-  * profiled as strings (the sketch ABI's key type); ties on the modal
-  * value break to the lexicographically smallest, engine-invariant.
+  * top_count are exact while it stays below `mgCapacity`; quartiles
+  * are exact (interpolated at rank p·(n−1), nulls excluded — the
+  * quantile_cont definition, 6dp-rounded for engine invariance) with
+  * aggregation state O(distinct). Values are profiled as strings (the
+  * sketch ABI's key type); ties on the modal value break to the
+  * lexicographically smallest, engine-invariant. Non-numeric columns
+  * report null quartiles.
   */
 object Profiler {
 
   /** One row per profiled column: (column_name, n_rows, n_nulls,
-    * n_distinct, top_value, top_count).
+    * n_distinct, top_value, top_count, q25, q50, q75).
     */
   def profile(df: DataFrame, columns: Seq[String],
       kmvCapacity: Int = 4096, mgCapacity: Int = 4096): DataFrame = {
@@ -35,15 +47,24 @@ object Profiler {
       org.apache.spark.sql.Encoders.STRING)
     val tf = udaf(new graft.functions.TopKFreq(1, mgCapacity),
       org.apache.spark.sql.Encoders.STRING)
+    def numeric(c: String) =
+      df.schema(c).dataType.isInstanceOf[NumericType]
     val exprs = columns.flatMap { c =>
       val sc = col(c).cast("string")
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
         kmv(sc).as(s"${c}__distinct"),
-        tf(sc).as(s"${c}__top"))
+        tf(sc).as(s"${c}__top")) ++
+      (if (numeric(c))
+        Seq(percentile(col(c).cast("double"),
+          array(lit(0.25), lit(0.5), lit(0.75))).as(s"${c}__q"))
+      else Nil)
     } :+ count(lit(1)).as("__rows")
     val one = df.agg(exprs.head, exprs.tail: _*)
     val rows = array(columns.map { c =>
+      def q(i: Int) =
+        if (numeric(c)) round(element_at(col(s"${c}__q"), i), 6)
+        else lit(null).cast("double")
       struct(
         lit(c).as("column_name"),
         col("__rows").as("n_rows"),
@@ -52,7 +73,8 @@ object Profiler {
         try_element_at(col(s"${c}__top.items"), lit(1))
           .getField("key").as("top_value"),
         try_element_at(col(s"${c}__top.items"), lit(1))
-          .getField("cnt").as("top_count"))
+          .getField("cnt").as("top_count"),
+        q(1).as("q25"), q(2).as("q50"), q(3).as("q75"))
     }: _*)
     one.select(explode(rows).as("p")).select("p.*")
   }

@@ -528,7 +528,20 @@ object PipelineRecent {
           Tables.t(s, dir, "documents"), Seq("lang", "source", "n_chars"))
         .orderBy("column_name"),
       Some {
-        def block(c: String) =
+        // quartiles: exact-quantile recompute for the numeric column
+        // (quantile_cont == Spark's exact percentile: interpolation at
+        // rank p·(n−1), nulls excluded; 6dp round on both engines),
+        // typed NULL for the string columns
+        def qBlock(c: String, numeric: Boolean) =
+          if (numeric)
+            Seq(0.25, 0.5, 0.75).zip(Seq("q25", "q50", "q75")).map {
+              case (p, n) =>
+                s"""  (SELECT round(quantile_cont(CAST($c AS DOUBLE), $p), 6)
+                   |   FROM documents WHERE $c IS NOT NULL) AS $n""".stripMargin
+            }.mkString(",\n")
+          else Seq("q25", "q50", "q75")
+            .map(n => s"  CAST(NULL AS DOUBLE) AS $n").mkString(",\n")
+        def block(c: String, numeric: Boolean) =
           s"""SELECT '$c' AS column_name,
              |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows,
              |  (SELECT CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)
@@ -542,8 +555,10 @@ object PipelineRecent {
              |  (SELECT cnt FROM (
              |     SELECT CAST($c AS VARCHAR) AS v, count(*) AS cnt
              |     FROM documents WHERE $c IS NOT NULL GROUP BY 1
-             |     ORDER BY cnt DESC, v LIMIT 1)) AS top_count""".stripMargin
-        Seq("lang", "source", "n_chars").map(block)
+             |     ORDER BY cnt DESC, v LIMIT 1)) AS top_count,
+             |${qBlock(c, numeric)}""".stripMargin
+        Seq("lang" -> false, "source" -> false, "n_chars" -> true)
+          .map { case (c, num) => block(c, num) }
           .mkString("", "\nUNION ALL ", "\nORDER BY column_name")
       })
   )
