@@ -9,10 +9,19 @@ import org.apache.spark.sql.functions._
   * whose z-score against its own TRAILING window spikes past the
   * threshold marks a burst (scraper gone rogue, a source flooding the
   * ingest, a bot campaign) the moment it enters the data. The trailing
-  * frame (ROWS BETWEEN -k AND -1) deliberately EXCLUDES the current
-  * day, so a burst cannot suppress its own baseline, and days with
-  * fewer than `minWindow` trailing observations or zero variance are
-  * unscored rather than divided by zero.
+  * frame is a day-bounded RANGE frame over the CALENDAR (epoch-day
+  * ordering, RANGE BETWEEN -trailing AND -1): only counts from the
+  * last `trailing` calendar days enter the baseline, so a source that
+  * pauses and resumes is never scored against an arbitrarily stale
+  * baseline (a ROWS frame over observed rows would reach back across
+  * the gap — the round-8 ADVICE finding, closed in round 9). The frame
+  * deliberately EXCLUDES the current day, so a burst cannot suppress
+  * its own baseline, and days with fewer than `minWindow` OBSERVED
+  * (non-zero-event) days inside the calendar window or zero variance
+  * are unscored rather than divided by zero — zero-event days are
+  * absent from the counts, not zero-valued observations; a freshly
+  * resumed source therefore warms up for `minWindow` active days
+  * before it can be scored again, by design.
   *
   * Scale: one partial-agg count per (key, day) — the shuffle carries
   * day-granular aggregates, never events — then one window pass
@@ -48,8 +57,12 @@ object Burst {
     require(trailing >= minWindow && minWindow >= 2,
       s"need trailing >= minWindow >= 2 (stddev of one point is " +
         s"undefined), got $trailing/$minWindow")
-    val w = Window.partitionBy(keyCol).orderBy("day")
-      .rowsBetween(-trailing, -1)
+    // RANGE frame over epoch days: the baseline is the last `trailing`
+    // CALENDAR days, not the last `trailing` observed rows — a quiet
+    // gap empties the frame instead of letting stale days leak in
+    val w = Window.partitionBy(keyCol)
+      .orderBy(datediff(col("day"), lit("1970-01-01")))
+      .rangeBetween(-trailing, -1)
     counts.select(col(keyCol), col("day"), col("n"),
         avg("n").over(w).as("__mu"),
         stddev_samp("n").over(w).as("__sd"),

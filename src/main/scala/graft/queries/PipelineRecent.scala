@@ -386,10 +386,12 @@ object PipelineRecent {
 
     // --- burst detection (time-axis data-quality monitor beside p37's
     //     distribution axis): per-type daily event counts whose z-score
-    //     against the TRAILING 7-day frame reaches 2 — the frame
-    //     excludes the current day so a burst cannot suppress its own
-    //     baseline; thin windows (< 3 days) and zero variance are
-    //     unscored, not divided by. ---
+    //     against the trailing 7 CALENDAR days reaches 2 — a RANGE
+    //     frame over epoch days (round 9: a ROWS frame would let a
+    //     quiet gap leak arbitrarily stale days into the baseline); the
+    //     frame excludes the current day so a burst cannot suppress its
+    //     own baseline; thin windows (< 3 observed days) and zero
+    //     variance are unscored, not divided by. ---
     QueryDef(
       "p67_burst_detection",
       (s, dir) => graft.operators.Burst.dailyBursts(
@@ -398,14 +400,16 @@ object PipelineRecent {
         .orderBy("event_type", "day"),
       Some(
         """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+          |             CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+          |               AS BIGINT) AS ed,
           |             count(*) AS n
-          |           FROM events GROUP BY 1, 2),
+          |           FROM events GROUP BY 1, 2, 3),
           |z AS (SELECT event_type, day, n,
           |        avg(n) OVER w AS mu, stddev_samp(n) OVER w AS sd,
           |        count(*) OVER w AS nw
           |      FROM d
-          |      WINDOW w AS (PARTITION BY event_type ORDER BY day
-          |                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+          |      WINDOW w AS (PARTITION BY event_type ORDER BY ed
+          |                   RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
           |SELECT event_type, day, n, round((n - mu) / sd, 6) AS z
           |FROM z
           |WHERE nw >= 3 AND sd > 0 AND round((n - mu) / sd, 6) >= 2.0

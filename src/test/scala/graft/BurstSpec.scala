@@ -59,6 +59,33 @@ class BurstSpec extends AnyFunSuite {
     assert(Burst.dailyBursts(flat, "event_type", "ts").count() == 0)
   }
 
+  test("a paused-and-resumed source is not scored against its stale baseline") {
+    // active days 1-7, quiet days 8-19, spike on day 20: a ROWS frame
+    // would reach back across the gap and score the spike against the
+    // 12-day-old baseline; the calendar-day RANGE frame holds zero
+    // trailing observations and leaves the day unscored (round-8 ADVICE)
+    val gap = (events("s", Seq(5, 6, 5, 6, 5, 6, 5)) ++
+        Seq.fill(50)(("s", day(20)))).toDF("event_type", "ts")
+    assert(Burst.dailyBursts(gap, "event_type", "ts",
+      trailing = 7, minWindow = 3, zThreshold = 2.0).count() == 0)
+    // the same spike WITH a live trailing window still flags: days
+    // 14-19 re-warm the baseline, day 20 is scored against them only
+    val resumed = (events("s", Seq(5, 6, 5, 6, 5, 6, 5)) ++
+        Seq(14, 15, 16, 17, 18, 19).flatMap(d =>
+          Seq.fill(5 + d % 2)(("s", day(d)))) ++
+        Seq.fill(50)(("s", day(20)))).toDF("event_type", "ts")
+    val out = Burst.dailyBursts(resumed, "event_type", "ts",
+        trailing = 7, minWindow = 3, zThreshold = 2.0)
+      .as[(String, java.sql.Date, Long, Double)].collect()
+    assert(out.map(_._2.toString).toSeq == Seq("2024-02-20"))
+    // and its z is computed from the POST-GAP days alone
+    val base = Seq(14, 15, 16, 17, 18, 19).map(d => (5 + d % 2).toDouble)
+    val mu = base.sum / base.size
+    val sd = math.sqrt(base.map(x => (x - mu) * (x - mu)).sum / (base.size - 1))
+    assert(out.head._4 == BigDecimal((50 - mu) / sd)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("degenerate window parameters are rejected") {
     val rows = events("x", Seq(1)).toDF("event_type", "ts")
     intercept[IllegalArgumentException] {
