@@ -564,8 +564,74 @@ object PipelineRecent {
         Seq("lang" -> false, "source" -> false, "n_chars" -> true)
           .map { case (c, num) => block(c, num) }
           .mkString("", "\nUNION ALL ", "\nORDER BY column_name")
-      })
+      }),
+
+    // --- trainable quality classifier (the GPT-3-style learned quality
+    //     filter): linear model over RollingHash31-bucketed token
+    //     counts, trained by 3 rounds of full-batch squared-loss GD
+    //     INSIDE the engine, then scoring + top-k. Labels = the 'de'
+    //     slice (any trusted/untrusted split works). The oracle unrolls
+    //     the IDENTICAL weight trajectory as chained CTEs (p65/q74's
+    //     move): integer features make round 1's gradient exact, and
+    //     6dp rounds on every gradient AND weight pin the trajectory
+    //     across engines. ---
+    QueryDef(
+      "p72_quality_classifier",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        graft.operators.QualityClassifier.scoreTopK(
+          docs.withColumn("is_target", col("lang") === "de"),
+          "doc_id", "text", "is_target",
+          buckets = 8, rounds = 3, lr = 0.001, k = 100)
+      },
+      Some(qualityClassifierOracle(buckets = 8, rounds = 3,
+        lr = "0.001", k = 100)))
   )
+
+  /** p72's oracle: the identical GD weight trajectory unrolled as
+    * chained CTEs. Round 1 runs against w0 = 0 (pred = 0, so the
+    * gradient is an exact integer sum scaled by 1/n); every later round
+    * joins the previous weight table for predictions, recomputes the
+    * 6dp-rounded gradient, and 6dp-rounds the update — bit-identical to
+    * the Spark driver's BigDecimal HALF_UP arithmetic. Buckets never
+    * touched by a feature row stay at weight 0 on both engines (they
+    * cannot enter any prediction), so the weight tables only carry
+    * observed buckets.
+    */
+  private def qualityClassifierOracle(buckets: Int, rounds: Int,
+      lr: String, k: Int): String = {
+    val rh = "list_reduce(list_prepend(0::BIGINT, " +
+      "list_transform(string_split(t, ''), " +
+      "c -> unicode(c)::BIGINT)), " +
+      s"(h, c) -> (h*31 + c) % 2147483648) % $buckets"
+    val nn = "(SELECT count(*)::DOUBLE FROM documents)"
+    val head =
+      s"""f AS (
+         |  SELECT id, y, $rh AS b, count(*)::DOUBLE AS cnt
+         |  FROM (SELECT doc_id AS id,
+         |          CASE WHEN lang = 'de' THEN 1.0 ELSE -1.0 END AS y,
+         |          unnest(string_split(text, ' ')) AS t
+         |        FROM documents)
+         |  GROUP BY 1, 2, 3),
+         |g1 AS (SELECT b, round(sum((0.0 - y) * cnt) / $nn, 6) AS g
+         |       FROM f GROUP BY b),
+         |w1 AS (SELECT b, round(0.0 - $lr * g, 6) AS w FROM g1)""".stripMargin
+    val laterRounds = (2 to rounds).map { r =>
+      s"""p$r AS (SELECT f.id, sum(f.cnt * w${r - 1}.w) AS pred
+         |       FROM f JOIN w${r - 1} USING (b) GROUP BY f.id),
+         |g$r AS (SELECT f.b,
+         |         round(sum((p$r.pred - f.y) * f.cnt) / $nn, 6) AS g
+         |       FROM f JOIN p$r USING (id) GROUP BY f.b),
+         |w$r AS (SELECT b, round(w${r - 1}.w - $lr * g$r.g, 6) AS w
+         |       FROM w${r - 1} JOIN g$r USING (b))""".stripMargin
+    }
+    s"""WITH $head,
+       |${laterRounds.mkString(",\n")},
+       |sc AS (SELECT f.id, round(sum(f.cnt * w$rounds.w), 6) AS score
+       |       FROM f JOIN w$rounds USING (b) GROUP BY f.id)
+       |SELECT id, score FROM sc
+       |ORDER BY score DESC, id LIMIT $k""".stripMargin
+  }
 
   /** p69's oracle: p68's rounds INCLUDING the final merge application
     * (w_n), then the frequency-weighted subword rollup.
