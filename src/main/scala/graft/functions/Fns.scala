@@ -144,6 +144,24 @@ object Fns {
       spark.sparkContext.broadcast(vocab.toArray), maxInputChars))
   }
 
+  /** BPE-encoded subword pieces as generator rows (tok_idx, piece_idx,
+    * piece) — the learned merge table applied sequentially in rank
+    * order (see BpeEncodeRows). Merge table as a plan literal; use the
+    * broadcast form for realistic table sizes.
+    */
+  def bpeEncodeRows(toks: Column, merges: Seq[(String, String)]): Column =
+    toCol(BpeEncodeRows(toExpr(toks), merges))
+
+  /** [[bpeEncodeRows]] with the merge table shipped as a Spark
+    * broadcast — one copy per executor; validated driver-side.
+    */
+  def bpeEncodeRowsBroadcast(spark: org.apache.spark.sql.SparkSession,
+      toks: Column, merges: Seq[(String, String)]): Column = {
+    BpeEncodeCore.requireValid(merges)
+    toCol(BpeEncodeRowsBc(toExpr(toks),
+      spark.sparkContext.broadcast(merges.toArray)))
+  }
+
   /** HOF-composed formulation of [[shingles]] — kept as the independent
     * cross-check in tests (interpreted lambdas; ~10× slower).
     */

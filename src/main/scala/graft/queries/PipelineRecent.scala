@@ -585,7 +585,33 @@ object PipelineRecent {
           buckets = 8, rounds = 3, lr = 0.001, k = 100)
       },
       Some(qualityClassifierOracle(buckets = 8, rounds = 3,
-        lr = "0.001", k = 100)))
+        lr = "0.001", k = 100))),
+
+    // --- BPE ENCODING (the inference twin of p68's training): learn 8
+    //     merges, encode every document with the native generator
+    //     (merge table applied sequentially in rank order — Sennrich's
+    //     "apply the operations in the order they were learned"; the
+    //     same whole-token fold as training, so the oracle unrolls the
+    //     identical 8 folds over the DISTINCT-word table and joins back
+    //     to doc word occurrences), report per-doc piece counts. ---
+    QueryDef(
+      "p73_bpe_encode",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.t(s, dir, "documents")
+        val merges = graft.operators.BpeTrainer
+          .learnMerges(docs, "text", numMerges = 8)
+          .orderBy("merge_rank").select("lhs", "rhs")
+          .as[(String, String)].collect().toSeq
+        docs.select(col("doc_id").cast("long").as("id"),
+            graft.functions.Fns.bpeEncodeRows(
+              graft.functions.Fns.tokens(col("text")), merges))
+          .groupBy("id")
+          .agg(count(lit(1)).cast("long").as("n_pieces"),
+            countDistinct(col("piece")).as("n_distinct_pieces"))
+          .orderBy("id")
+      },
+      Some(bpeEncodeOracle(8)))
   )
 
   /** p72's oracle: the identical GD weight trajectory unrolled as
@@ -650,6 +676,39 @@ object PipelineRecent {
       "SELECT token, CAST(sum(cnt) AS BIGINT) AS freq\n" +
       s"FROM (SELECT cnt, unnest(ts) AS token FROM w$n)\n" +
       "GROUP BY token ORDER BY freq DESC, token"
+  }
+
+  /** p73's oracle: p68's learning CTEs (through c_n), then the SAME n
+    * folds applied to the distinct-WORD table (encoding is a pure
+    * function of the word string), joined back to per-doc word
+    * occurrences for the piece rollups.
+    */
+  private def bpeEncodeOracle(n: Int): String = {
+    val base = bpeOracle(n)
+    val ctes = base.substring("WITH ".length, base.indexOf("\nSELECT 1 AS merge_rank"))
+    val encodeCtes = ("e0 AS (SELECT word, string_split(word, '') AS ts " +
+      "FROM (SELECT DISTINCT word FROM dw))") +:
+      (1 to n).map { r =>
+        s"e$r AS (SELECT word,\n" +
+          "  list_reduce(list_transform(ts, t -> [t]), (acc, x) ->\n" +
+          s"    CASE WHEN acc[len(acc)] = c$r.lhs AND x[1] = c$r.rhs\n" +
+          "      THEN acc[1:len(acc)-1] || [acc[len(acc)] || x[1]]\n" +
+          "      ELSE acc || x END) AS ts\n" +
+          s"  FROM e${r - 1} CROSS JOIN c$r)"
+      }
+    s"""WITH $ctes,
+       |dw AS (SELECT doc_id AS id, t AS word
+       |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |             FROM documents)),
+       |${encodeCtes.mkString(",\n")},
+       |sc AS (SELECT dw.id, e$n.ts FROM dw JOIN e$n USING (word)),
+       |np AS (SELECT id, CAST(sum(len(ts)) AS BIGINT) AS n_pieces
+       |       FROM sc GROUP BY id),
+       |nd AS (SELECT id, CAST(count(DISTINCT piece) AS BIGINT)
+       |         AS n_distinct_pieces
+       |       FROM (SELECT id, unnest(ts) AS piece FROM sc) GROUP BY id)
+       |SELECT id, n_pieces, n_distinct_pieces
+       |FROM np JOIN nd USING (id) ORDER BY id""".stripMargin
   }
 
   /** p68's oracle for any merge count — round r counts adjacent pairs
