@@ -27,4 +27,48 @@ object Anonymize {
   /** Generalize a numeric to the floor of its `width`-sized bucket. */
   def generalize(c: Column, width: Long): Column =
     (floor(c / width.toDouble) * width).cast("long")
+
+  // --- structured-PII detection + scrubbing (round 9) ---
+  // Patterns are deliberately lookaround-free so the SAME source text
+  // matches identically under Java regex (Spark) and RE2 (DuckDB, the
+  // oracle) — the p74 parity contract. Detection counts run on the
+  // ORIGINAL text; the scrub replaces in a fixed class order.
+
+  /** RFC-shaped email addresses. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 literals. */
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Standalone long digit runs (account / ticket / SSN-shaped ids). */
+  val IdNumRe = "\\b\\d{6,}\\b"
+
+  /** Occurrences of `re` in `c` — codegen'd regexp_count, no UDF. */
+  def countPattern(c: Column, re: String): Column =
+    regexp_count(c, lit(re))
+
+  /** All three PII classes replaced by typed placeholders, email →
+    * ip → id order (an email's local part can contain digit runs; the
+    * earlier classes' placeholders contain no digits, so later passes
+    * never re-match inside them).
+    */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, lit(EmailRe), lit("[EMAIL]")),
+        lit(Ipv4Re), lit("[IP]")),
+      lit(IdNumRe), lit("[ID]"))
+
+  /** Per-doc PII audit + scrub in ONE text pass: (id, n_email, n_ip,
+    * n_idnum, clean_text). Counts are measured on the original text;
+    * `clean_text` is [[scrubPii]]'s output. Pure per-row expressions —
+    * the pass fuses into the corpus scan, no shuffle, no UDF.
+    */
+  def piiReport(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol).cast("long").as("id"),
+      countPattern(col(textCol), EmailRe).cast("long").as("n_email"),
+      countPattern(col(textCol), Ipv4Re).cast("long").as("n_ip"),
+      countPattern(col(textCol), IdNumRe).cast("long").as("n_idnum"),
+      scrubPii(col(textCol)).as("clean_text"))
 }

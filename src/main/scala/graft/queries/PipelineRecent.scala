@@ -611,7 +611,50 @@ object PipelineRecent {
             countDistinct(col("piece")).as("n_distinct_pieces"))
           .orderBy("id")
       },
-      Some(bpeEncodeOracle(8)))
+      Some(bpeEncodeOracle(8))),
+
+    // --- structured-PII audit + scrub (the redaction pass upstream of
+    //     any public corpus release): emails / IPv4s / long id runs
+    //     counted on the original text and replaced by typed
+    //     placeholders, one fused per-row pass. The fixture corpus
+    //     carries no PII, so the query plants deterministic PII derived
+    //     from doc_id on BOTH engines — the oracle then proves count
+    //     AND scrub parity under Java-regex vs RE2 on text where every
+    //     row has matches. ---
+    QueryDef(
+      "p74_pii_scrub",
+      (s, dir) => {
+        val planted = Tables.t(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"),
+            concat(col("text"),
+              lit(" contact user"), col("doc_id"),
+              lit("@example.com from 10.0."), col("doc_id") % 256,
+              lit("."), col("doc_id") % 7,
+              lit(" ref "), col("doc_id") * 1000003L + 123456L).as("text"))
+        graft.operators.Anonymize.piiReport(planted, "doc_id", "text")
+          .orderBy("id")
+      },
+      Some {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        val idn = "\\b\\d{6,}\\b"
+        s"""WITH w AS (
+           |  SELECT doc_id AS id,
+           |    text || ' contact user' || doc_id || '@example.com from 10.0.'
+           |      || (doc_id % 256) || '.' || (doc_id % 7) || ' ref '
+           |      || (doc_id * 1000003 + 123456) AS text
+           |  FROM documents)
+           |SELECT id,
+           |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT)
+           |    AS n_email,
+           |  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ip,
+           |  CAST(len(regexp_extract_all(text, '$idn')) AS BIGINT)
+           |    AS n_idnum,
+           |  regexp_replace(regexp_replace(regexp_replace(text,
+           |    '$email', '[EMAIL]', 'g'), '$ip', '[IP]', 'g'),
+           |    '$idn', '[ID]', 'g') AS clean_text
+           |FROM w ORDER BY id""".stripMargin
+      })
   )
 
   /** p72's oracle: the identical GD weight trajectory unrolled as

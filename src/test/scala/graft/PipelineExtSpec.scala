@@ -300,6 +300,31 @@ class PipelineExtSpec extends AnyFunSuite {
     assert(got.map(_._4) == Seq(2000L, -1000L)) // floor, not truncate
   }
 
+  test("pii: detection counts on original text, class-ordered scrub, no cross-class rematch") {
+    val df = Seq(
+      (1L, "mail a.b+c@test.org and x@y.io, host 10.0.0.1, acct 12345678"),
+      (2L, "no pii here, short num 12345, bad ip 10.0.0"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = Anonymize.piiReport(df, "doc_id", "text")
+      .orderBy("id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got(0) == ((1L, 2L, 1L, 1L,
+      "mail [EMAIL] and [EMAIL], host [IP], acct [ID]")))
+    // 5-digit run is below the id floor; a 3-octet dotted pair is not an
+    // IPv4 — near-misses must not scrub
+    assert(got(1) == ((2L, 0L, 0L, 0L,
+      "no pii here, short num 12345, bad ip 10.0.0")))
+    assert(got(2) == ((3L, 0L, 0L, 0L, "")))
+    // a digit run embedded in an email's local part has no leading word
+    // boundary (letter->digit is word-internal), so the id pattern never
+    // fires inside it — the whole address is consumed by the EMAIL pass
+    val leak = Anonymize.piiReport(
+        Seq((9L, "user1234567@test.org")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(Long, Long, Long, Long, String)].collect().head
+    assert(leak == ((9L, 1L, 0L, 0L, "[EMAIL]")))
+  }
+
   test("NFC normalization: decomposed accents compose, fast path intact") {
     import graft.functions.{Fns, NormalizeNFC}
     import org.apache.spark.unsafe.types.UTF8String
