@@ -109,4 +109,154 @@ object Embeddings {
       aggregate(weighted, lit(0.0), (acc, x) => acc + x)
         .cast("long").as("code_checksum"))
   }
+
+  // --- PCA whitening (round 9) ---
+
+  /** The corpus's (n, mean, sample covariance) in ONE pass: per
+    * partition an imperative dims²-sized accumulator (the genuine
+    * per-partition-state case mapPartitions exists for — a per-row
+    * expression would explode dims² columns or rows), then a
+    * treeReduce of O(dims²) partials. Driver state is dims² doubles —
+    * a parameter, not a data size. Covariance = (Σxxᵀ − n·μμᵀ)/(n−1),
+    * the sample (covar_samp) convention.
+    */
+  def covarianceStats(df: DataFrame, vecCol: String, dims: Int)
+      : (Long, Array[Double], Array[Array[Double]]) = {
+    require(dims >= 1, "dims >= 1")
+    val parts = df.select(col(vecCol).cast("array<double>")).rdd
+      .mapPartitions { it =>
+        val s = Array.fill(dims)(0.0)
+        val ss = Array.fill(dims * dims)(0.0)
+        var n = 0L
+        it.foreach { row =>
+          val x = row.getSeq[Double](0)
+          require(x.length == dims, s"expected $dims dims, got ${x.length}")
+          var i = 0
+          while (i < dims) {
+            val xi = x(i)
+            s(i) += xi
+            var j = 0
+            while (j < dims) { ss(i * dims + j) += xi * x(j); j += 1 }
+            i += 1
+          }
+          n += 1
+        }
+        Iterator.single((n, s, ss))
+      }
+      .treeReduce { case ((n1, s1, ss1), (n2, s2, ss2)) =>
+        var i = 0
+        while (i < dims) { s1(i) += s2(i); i += 1 }
+        i = 0
+        while (i < dims * dims) { ss1(i) += ss2(i); i += 1 }
+        (n1 + n2, s1, ss1)
+      }
+    val (n, s, ss) = parts
+    require(n >= 2, s"covariance needs >= 2 rows, got $n")
+    val mean = s.map(_ / n)
+    // n * (mean_i * mean_j): the inner product is commutative, so the
+    // matrix is symmetric to the LAST BIT (left-associated
+    // n*mean_i*mean_j would differ across the diagonal by an ulp)
+    val cov = Array.tabulate(dims, dims) { (i, j) =>
+      (ss(i * dims + j) - n * (mean(i) * mean(j))) / (n - 1).toDouble
+    }
+    (n, mean, cov)
+  }
+
+  /** The covariance UPPER TRIANGLE as rows (i, j, cov) rounded 6dp —
+    * the exactly-oracle-able sufficient statistic of the whitening pass
+    * (DuckDB recomputes it as covar_samp per dimension pair).
+    */
+  def covarianceDf(df: DataFrame, idCol: String, vecCol: String,
+      dims: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (_, _, cov) = covarianceStats(df, vecCol, dims)
+    val rows = for (i <- 0 until dims; j <- i until dims) yield
+      (i.toLong, j.toLong, BigDecimal(cov(i)(j))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    rows.toDF("i", "j", "cov")
+  }
+
+  /** Deterministic cyclic Jacobi eigendecomposition of a symmetric
+    * matrix: returns (eigenvalues, eigenvectors-as-rows) sorted by
+    * eigenvalue DESC, each vector sign-fixed so its largest-magnitude
+    * component is positive (ties to the lower index) — the two
+    * conventions that make the decomposition a pure function of the
+    * input matrix. O(dims³) per sweep on the DRIVER: dims is a model
+    * parameter (64 here), never a data size.
+    */
+  def jacobiEigen(m: Array[Array[Double]], maxSweeps: Int = 100,
+      tol: Double = 1e-12): (Array[Double], Array[Array[Double]]) = {
+    val n = m.length
+    val a = Array.tabulate(n, n)((i, j) => m(i)(j))
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < maxSweeps && off > tol) {
+      off = 0.0
+      for (p <- 0 until n - 1; q <- p + 1 until n) {
+        off = math.max(off, math.abs(a(p)(q)))
+        if (math.abs(a(p)(q)) > tol) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          val t =
+            if (theta == 0.0) 1.0 // tan(2φ) = ∞ → the 45° rotation
+            else math.signum(theta) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          for (k <- 0 until n) {
+            val akp = a(k)(p); val akq = a(k)(q)
+            a(k)(p) = c * akp - s * akq
+            a(k)(q) = s * akp + c * akq
+          }
+          for (k <- 0 until n) {
+            val apk = a(p)(k); val aqk = a(q)(k)
+            a(p)(k) = c * apk - s * aqk
+            a(q)(k) = s * apk + c * aqk
+          }
+          for (k <- 0 until n) {
+            val vkp = v(k)(p); val vkq = v(k)(q)
+            v(k)(p) = c * vkp - s * vkq
+            v(k)(q) = s * vkp + c * vkq
+          }
+        }
+      }
+      sweep += 1
+    }
+    val pairs = (0 until n).map { j =>
+      val vec = Array.tabulate(n)(i => v(i)(j))
+      // sign convention: largest-|component| positive, ties to lower idx
+      val m0 = vec.indices.maxBy(i => (math.abs(vec(i)), -i))
+      (a(j)(j), if (vec(m0) < 0) vec.map(-_) else vec)
+    }.sortBy { case (ev, _) => -ev }
+    (pairs.map(_._1).toArray, pairs.map(_._2).toArray)
+  }
+
+  /** PCA-whitened projection to the top `k` components: one stats pass
+    * (covarianceStats), a driver-side Jacobi eigendecomposition of the
+    * dims×dims covariance, then a pure per-row plan-literal projection
+    * out_j = Σ_i (x_i − μ_i)·v_ji / sqrt(λ_j) — SemanticDedup's
+    * centroids-as-literals move, fused into the corpus scan. Components
+    * with eigenvalue ≤ `minVariance` are rejected (whitening divides by
+    * sqrt(λ); a near-null direction would amplify noise unboundedly).
+    * Output: (id, w0..w{k−1}) rounded 6dp.
+    */
+  def pcaWhiten(df: DataFrame, idCol: String, vecCol: String, dims: Int,
+      k: Int, minVariance: Double = 1e-9): DataFrame = {
+    require(k >= 1 && k <= dims, s"need 1 <= k <= $dims, got $k")
+    val (_, mean, cov) = covarianceStats(df, vecCol, dims)
+    val (evals, evecs) = jacobiEigen(cov)
+    require(evals(k - 1) > minVariance,
+      s"component ${k - 1} has variance ${evals(k - 1)} <= $minVariance — " +
+        "whitening would divide by ~zero; lower k")
+    val centered = zip_with(transform(col(vecCol), x => x.cast("double")),
+      typedLit(mean.toSeq), (x, mu) => x - mu)
+    val outs = (0 until k).map { j =>
+      val dot = aggregate(
+        zip_with(centered, typedLit(evecs(j).toSeq), (x, w) => x * w),
+        lit(0.0), (acc, t) => acc + t)
+      round(dot / math.sqrt(evals(j)), 6).as(s"w$j")
+    }
+    df.select(col(idCol) +: outs: _*)
+  }
 }

@@ -654,7 +654,28 @@ object PipelineRecent {
            |    '$email', '[EMAIL]', 'g'), '$ip', '[IP]', 'g'),
            |    '$idn', '[ID]', 'g') AS clean_text
            |FROM w ORDER BY id""".stripMargin
-      })
+      }),
+
+    // --- embedding covariance (the sufficient statistic of PCA
+    //     whitening, p75): n/mean/Σxxᵀ accumulated in ONE pass with
+    //     dims²-sized per-partition state, upper triangle emitted as
+    //     rows. The eigen step itself is driver-side Jacobi (not SQL-
+    //     expressible — its contracts live in EmbeddingsPcaSpec); the
+    //     matrix it consumes is what the oracle certifies, as exact
+    //     covar_samp recompute per dimension pair. ---
+    QueryDef(
+      "p75_embedding_covariance",
+      (s, dir) => graft.operators.Embeddings.covarianceDf(
+          Tables.t(s, dir, "embeddings"), "vec_id", "embedding", 64)
+        .orderBy("i", "j"),
+      Some(
+        """WITH x AS (SELECT vec_id AS id, CAST(t.i AS BIGINT) AS i,
+          |             CAST(embedding[t.i] AS DOUBLE) AS x
+          |           FROM embeddings CROSS JOIN range(1, 65) t(i))
+          |SELECT a.i - 1 AS i, b.i - 1 AS j,
+          |  round(covar_samp(a.x, b.x), 6) AS cov
+          |FROM x a JOIN x b USING (id) WHERE a.i <= b.i
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   /** p72's oracle: the identical GD weight trajectory unrolled as
