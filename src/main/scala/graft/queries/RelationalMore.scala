@@ -318,6 +318,30 @@ object RelationalMore {
         """SELECT count(*) AS n, min(id) AS min_id, max(id) AS max_id
           |FROM range(100000, 400000) t(id) ORDER BY n""".stripMargin)),
 
+    // --- DSv2 PARTIAL grouped aggregate pushdown (q77's grouped twin):
+    //     GROUP BY bucket cannot be answered in closed form (the key is
+    //     a hash of the id), so the source folds each slice into
+    //     per-group PARTIALS and Spark plans only the final merge —
+    //     groups × partitions rows cross the source boundary instead of
+    //     n (GenSourceSpec asserts the scan node and the row
+    //     reduction). The oracle recomputes the same hash arithmetic
+    //     from range(). ---
+    QueryDef(
+      "q84_source_group_pushdown",
+      (s, _) => s.read.format("graft.sources.GenSource")
+        .option("rows", 500000).option("slices", 8).load()
+        .filter(col("id") >= 100000 && col("id") < 400000)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("id").as("min_id"), max("id").as("max_id"))
+        .orderBy("bucket"),
+      Some(
+        """SELECT CAST((id * 2654435761 % 4294967296) % 100 AS INT)
+          |    AS bucket,
+          |  count(*) AS n, min(id) AS min_id, max(id) AS max_id
+          |FROM range(100000, 400000) t(id)
+          |GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     // --- DSv2 WRITE path (sources.ManifestTable): per-nation customer
     //     rollup written through the manifest-committed connector (4
     //     executor-written data files, one atomic manifest publish —

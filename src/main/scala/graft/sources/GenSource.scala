@@ -120,19 +120,40 @@ class GenScanBuilder(rows: Long, slices: Int) extends ScanBuilder
     * every supported aggregate is a closed form over the pushed [lo, hi)
     * id range (the generated ids are exactly lo..hi-1), so the source
     * answers from arithmetic WITHOUT generating a single row — on the
-    * 3.4-billion-row virtual table a count is O(1), not O(n). Anything
-    * else (grouping, other columns, other functions) is declined and
-    * Spark falls back to the plain generate-and-aggregate plan — a
-    * declined pushdown must never change results, only cost.
+    * 3.4-billion-row virtual table a count is O(1), not O(n).
+    *
+    * PARTIAL grouped pushdown (round 9) for GROUP BY bucket|tag over the
+    * same three functions: the source cannot answer groups in closed
+    * form (the group key is a hash of the id), but it CAN fold its
+    * slice into per-group partials — `supportCompletePushDown` returns
+    * false, so Spark plans its own FINAL aggregate over the scan's
+    * (group, partials) rows (count merged by sum, min by min, max by
+    * max — the V2ScanRelationPushDown partial contract, the same shape
+    * parquet footer-stats pushdown uses). What crosses the
+    * source→engine boundary shrinks from n rows to
+    * groups × partitions rows. Anything else (other group keys, other
+    * functions) is declined and Spark falls back to the plain
+    * generate-and-aggregate plan — a declined pushdown must never
+    * change results, only cost.
     */
   private def aggSupported(agg: Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+    agg.groupByExpressions.isEmpty && supportedFns(agg)
+  private def supportedFns(agg: Aggregation): Boolean =
+    agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall {
         case _: CountStar => true
         case m: Min => isIdRef(m.column)
         case m: Max => isIdRef(m.column)
         case _ => false
       }
+  private def groupAggSupported(agg: Aggregation): Boolean =
+    agg.groupByExpressions.length == 1 && supportedFns(agg) &&
+      (agg.groupByExpressions.head match {
+        case nr: NamedReference =>
+          nr.fieldNames.sameElements(Array("bucket")) ||
+            nr.fieldNames.sameElements(Array("tag"))
+        case _ => false
+      })
   private def isIdRef(e: org.apache.spark.sql.connector.expressions.Expression) =
     e match {
       case nr: NamedReference => nr.fieldNames.sameElements(Array("id"))
@@ -141,14 +162,18 @@ class GenScanBuilder(rows: Long, slices: Int) extends ScanBuilder
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     aggSupported(agg)
   override def pushAggregation(agg: Aggregation): Boolean = {
-    if (aggSupported(agg)) { pushedAgg = Some(agg); true } else false
+    if (aggSupported(agg) || groupAggSupported(agg)) {
+      pushedAgg = Some(agg); true
+    } else false
   }
 
   override def build(): Scan = {
     val l = math.min(lo, hi)
     val h = math.max(l, hi)
     pushedAgg match {
-      case Some(agg) => new GenAggScan(l, h, agg)
+      case Some(agg) if agg.groupByExpressions.isEmpty =>
+        new GenAggScan(l, h, agg)
+      case Some(agg) => new GenGroupAggScan(l, h, slices, agg)
       case None => new GenScan(l, h, slices, prunedSchema)
     }
   }
@@ -182,6 +207,85 @@ class GenAggScan(lo: Long, hi: Long, agg: Aggregation) extends Scan with Batch {
           "aggSupported must reject these")
     }
     new SingleRowReaderFactory(values)
+  }
+}
+
+/** PARTIAL grouped pushdown scan: same slice partitioning as the plain
+  * scan, but each reader folds its slice into per-group partial
+  * aggregates and emits groups × 1 rows instead of its slice — Spark's
+  * final aggregate (planned because `supportCompletePushDown` said
+  * false) merges the partials. Groups are emitted in key order, so the
+  * scan output is deterministic per partition.
+  */
+class GenGroupAggScan(lo: Long, hi: Long, slices: Int, agg: Aggregation)
+    extends Scan with Batch {
+  private val groupCol = agg.groupByExpressions.head
+    .asInstanceOf[NamedReference].fieldNames.head
+  override def readSchema(): StructType = StructType(
+    StructField(groupCol,
+      if (groupCol == "bucket") IntegerType else StringType,
+      nullable = false) +:
+    agg.aggregateExpressions.zipWithIndex.map {
+      case (_: CountStar, i) =>
+        StructField(s"agg$i", LongType, nullable = false)
+      case (_, i) => StructField(s"agg$i", LongType, nullable = true)
+    })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GenGroupAggScan PushedRange: [$lo, $hi) PushedGroupBy: [$groupCol] " +
+      "PushedAggregates: " +
+      agg.aggregateExpressions.map(_.describe).mkString("[", ", ", "]")
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = hi - lo
+    if (n <= 0) Array.empty
+    else {
+      val per = math.max(1L, (n + slices - 1) / slices)
+      (lo until hi by per).map(s =>
+        GenPartition(s, math.min(s + per, hi)): InputPartition).toArray
+    }
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GroupAggReaderFactory(groupCol, agg.aggregateExpressions.map {
+      case _: CountStar => 'c'
+      case _: Min => 'n'
+      case _: Max => 'x'
+      case other => throw new IllegalStateException(
+        s"unsupported pushed aggregate ${other.describe}")
+    })
+}
+
+class GroupAggReaderFactory(groupCol: String, fns: Array[Char])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val gp = p.asInstanceOf[GenPartition]
+    // fold the slice: group key -> (count, min id, max id)
+    val acc = scala.collection.mutable.TreeMap.empty[Any, (Long, Long, Long)](
+      Ordering.by(_.toString))
+    var id = gp.start
+    while (id < gp.end) {
+      val key: Any =
+        if (groupCol == "bucket") GenSource.bucket(id) else GenSource.tag(id)
+      val (c, mn, mx) = acc.getOrElse(key, (0L, Long.MaxValue, Long.MinValue))
+      acc(key) = (c + 1, math.min(mn, id), math.max(mx, id))
+      id += 1
+    }
+    val rows = acc.iterator.map { case (k, (c, mn, mx)) =>
+      val kv: Any = if (groupCol == "bucket") k
+        else UTF8String.fromString(k.asInstanceOf[String])
+      InternalRow.fromSeq(kv +: fns.toSeq.map {
+        case 'c' => c: Any
+        case 'n' => mn: Any
+        case 'x' => mx: Any
+      })
+    }
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        if (rows.hasNext) { cur = rows.next(); true } else false
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
   }
 }
 

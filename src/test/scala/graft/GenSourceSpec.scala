@@ -32,7 +32,9 @@ class GenSourceSpec extends AnyFunSuite {
   }
 
   test("column pruning reaches the reader schema") {
-    val df = gen(1000, 4).groupBy("bucket").count()
+    // a plain projection (grouped aggregates now take the pushdown
+    // scan, which has no row-reader schema to prune)
+    val df = gen(1000, 4).select("bucket")
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("ReadSchema: struct<bucket:int>"),
@@ -73,9 +75,55 @@ class GenSourceSpec extends AnyFunSuite {
     assert(!plan.contains("GenAggScan"), s"sum must not be pushed:\n$plan")
     val exp = math.rint((0L until 1000L).map(GenSource.value).sum * 1e6) / 1e6
     assert(df.as[Double].head() == exp)
-    // grouped aggregates likewise decline (grouping needs real rows)
+    // grouped COMPLETE pushdown is never claimed (grouping needs real
+    // rows): grouped queries take the PARTIAL scan, not GenAggScan
     val grouped = gen(1000, 4).groupBy("bucket").count()
-    assert(!grouped.queryExecution.executedPlan.toString.contains("GenAggScan"))
+    assert(!grouped.queryExecution.executedPlan.toString.contains(" GenAggScan"))
+  }
+
+  test("partial grouped pushdown: per-slice group partials + engine final merge") {
+    import org.apache.spark.sql.functions.{count => cnt, lit, max, min}
+    val df = gen(100000, 8).filter($"id" >= 20000L && $"id" < 80000L)
+      .groupBy("bucket")
+      .agg(cnt(lit(1)).as("n"), min("id").as("min_id"), max("id").as("max_id"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GenGroupAggScan"),
+      s"grouped aggregate not pushed as partials:\n$plan")
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      s"partial pushdown must keep the engine's FINAL aggregate:\n$plan")
+    // exact answers vs a driver recompute over the generator functions
+    val ids = 20000L until 80000L
+    val exp = ids.groupBy(GenSource.bucket).map { case (b, g) =>
+      (b, (g.size.toLong, g.min, g.max)) }
+    val got = df.collect().map(r =>
+      r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == exp)
+    // the boundary-crossing claim: the scan emits at most
+    // groups x partitions rows, not the 60k generated ids
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => q +: allNodes(q.plan)
+      case other => other +: other.children.flatMap(allNodes)
+    }
+    val scanRows = allNodes(df.queryExecution.executedPlan)
+      .collect { case b: BatchScanExec => b.metrics("numOutputRows").value }
+      .sum
+    assert(scanRows <= 100L * 8 && scanRows > 0,
+      s"scan must emit group partials, got $scanRows rows")
+    // tag grouping pushes too; val grouping declines and stays exact
+    val byTag = gen(1000, 4).groupBy("tag").count()
+    assert(byTag.queryExecution.executedPlan.toString
+      .contains("GenGroupAggScan"))
+    assert(byTag.as[(String, Long)].collect().toMap ==
+      (0L until 1000L).groupBy(GenSource.tag).view.mapValues(_.size.toLong).toMap)
+    val byVal = gen(1000, 4).groupBy("val").count()
+    assert(!byVal.queryExecution.executedPlan.toString
+      .contains("GenGroupAggScan"))
+    assert(byVal.count() ==
+      (0L until 1000L).map(GenSource.value).distinct.size)
   }
 
   test("aggregate pushdown over an empty range: count 0, null min/max") {
