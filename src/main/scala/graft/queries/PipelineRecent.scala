@@ -675,7 +675,37 @@ object PipelineRecent {
           |SELECT a.i - 1 AS i, b.i - 1 AS j,
           |  round(covar_samp(a.x, b.x), 6) AS cov
           |FROM x a JOIN x b USING (id) WHERE a.i <= b.i
-          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // --- pad-free sequence packing (GPT-style document packing): the
+    //     corpus concatenated in id order and sliced into 64-token
+    //     training sequences; output = the exact packing map (which
+    //     doc tokens land in which sequence at which offset). The
+    //     global running sum runs as the two-phase scan (per-partition
+    //     window + broadcast offsets), never a one-partition window;
+    //     the oracle's single window is the semantic definition. ---
+    QueryDef(
+      "p76_sequence_packing",
+      (s, dir) => graft.operators.Packing.packChunks(
+          Tables.t(s, dir, "documents"), "doc_id", "text", seqLen = 64)
+        .orderBy("seq_id", "id"),
+      Some(
+        """WITH c AS (SELECT doc_id AS id,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+          |  FROM documents),
+          |s AS (SELECT id, n,
+          |    CAST(sum(n) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING) - n
+          |      AS BIGINT) AS start
+          |  FROM c WHERE n > 0),
+          |x AS (SELECT id, n, start,
+          |    unnest(range(start // 64, (start + n - 1) // 64 + 1)) AS seq
+          |  FROM s)
+          |SELECT seq AS seq_id, id,
+          |  greatest(0, seq * 64 - start) AS doc_from,
+          |  greatest(0, start - seq * 64) AS seq_from,
+          |  least(start + n, (seq + 1) * 64)
+          |    - greatest(start, seq * 64) AS n_toks
+          |FROM x ORDER BY seq_id, id""".stripMargin))
   )
 
   /** p72's oracle: the identical GD weight trajectory unrolled as
