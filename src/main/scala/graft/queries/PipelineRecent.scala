@@ -705,8 +705,72 @@ object PipelineRecent {
           |  greatest(0, start - seq * 64) AS seq_from,
           |  least(start + n, (seq + 1) * 64)
           |    - greatest(start, seq * 64) AS n_toks
-          |FROM x ORDER BY seq_id, id""".stripMargin))
+          |FROM x ORDER BY seq_id, id""".stripMargin)),
+
+    // --- k-means (Lloyd) clustering, the loop itself as an operator
+    //     (AnnIndex uses a black-box fit; here every round is
+    //     hash-checkable): k=4 from the 4 lowest-id seeds, 2 rounds,
+    //     6dp rounds on distances AND centroid coordinates pin the
+    //     whole trajectory; per-cell (n, inertia, centroid checksum)
+    //     is the registered shape. The oracle unrolls the identical
+    //     rounds (p65/q74/p72's move). ---
+    QueryDef(
+      "p77_kmeans_lloyd",
+      (s, dir) => graft.operators.Clustering.lloydSummary(
+          Tables.t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 4, iters = 2)
+        .orderBy("cell"),
+      Some(kmeansOracle(k = 4, iters = 2)))
   )
+
+  /** p77's oracle: Lloyd unrolled — assignment by 6dp-rounded squared
+    * euclidean argmin (ties to lower cell), per-coordinate 6dp-rounded
+    * means as the next round's centroids (empty cells keep the old
+    * centroid via the LEFT JOIN coalesce), then the final assignment's
+    * per-cell rollup.
+    */
+  private def kmeansOracle(k: Int, iters: Int): String = {
+    def dist(c: String) =
+      "round(list_sum(list_transform(range(1, 65), " +
+        s"i -> pow(e.v[i] - $c.cen[i], 2))), 6)"
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      """e AS (SELECT vec_id AS id,
+        |  list_transform(embedding, y -> CAST(y AS DOUBLE)) AS v
+        |  FROM embeddings)""".stripMargin,
+      """xv AS (SELECT vec_id AS id, CAST(t.i AS BIGINT) AS i,
+        |  CAST(embedding[t.i] AS DOUBLE) AS x
+        |  FROM embeddings CROSS JOIN range(1, 65) t(i))""".stripMargin,
+      s"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+         |    AS INT) AS cell,
+         |  list_transform(embedding, y -> CAST(y AS DOUBLE)) AS cen
+         |  FROM embeddings ORDER BY vec_id LIMIT $k)""".stripMargin)
+    for (r <- 1 to iters) {
+      ctes += s"""a$r AS (SELECT id, cell FROM (
+         |  SELECT e.id, c.cell, row_number() OVER (PARTITION BY e.id
+         |      ORDER BY ${dist("c")}, c.cell) AS rn
+         |  FROM e CROSS JOIN c${r - 1} c) WHERE rn = 1)""".stripMargin
+      ctes += s"""m$r AS (SELECT a.cell, x.i, round(avg(x.x), 6) AS mu
+         |  FROM a$r a JOIN xv x USING (id) GROUP BY 1, 2)""".stripMargin
+      ctes += s"""c$r AS (SELECT p.cell, COALESCE(l.cen, p.cen) AS cen
+         |  FROM c${r - 1} p LEFT JOIN (
+         |    SELECT cell, list(mu ORDER BY i) AS cen
+         |    FROM m$r GROUP BY cell) l USING (cell))""".stripMargin
+    }
+    ctes += s"""af AS (SELECT id, cell, d FROM (
+       |  SELECT e.id, c.cell, ${dist("c")} AS d,
+       |    row_number() OVER (PARTITION BY e.id
+       |      ORDER BY ${dist("c")}, c.cell) AS rn
+       |  FROM e CROSS JOIN c$iters c) WHERE rn = 1)""".stripMargin
+    ctes += s"""ck AS (SELECT cell,
+       |  round(list_sum(list_transform(range(1, 65),
+       |    i -> i * cen[i])), 6) AS centroid_checksum
+       |  FROM c$iters)""".stripMargin
+    "WITH " + ctes.mkString(",\n") + "\n" +
+      """SELECT cell, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(d), 6) AS inertia, centroid_checksum
+        |FROM af JOIN ck USING (cell)
+        |GROUP BY cell, centroid_checksum ORDER BY cell""".stripMargin
+  }
 
   /** p72's oracle: the identical GD weight trajectory unrolled as
     * chained CTEs. Round 1 runs against w0 = 0 (pred = 0, so the
