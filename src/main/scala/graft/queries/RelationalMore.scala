@@ -342,6 +342,36 @@ object RelationalMore {
           |FROM range(100000, 400000) t(id)
           |GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
+    // --- storage-partitioned join (the Iceberg bucket-join mechanism):
+    //     two GenKeyedSource tables report KeyGroupedPartitioning on
+    //     `bucket`, so the join AND the grouped aggregate plan with
+    //     ZERO shuffle exchanges — Spark aligns the co-partitioned
+    //     scans directly (KeyedSourceSpec pins the exchange-free plan
+    //     and the mismatched-layout fallback). The oracle recomputes
+    //     the join from range() hash arithmetic. ---
+    QueryDef(
+      "q85_storage_partitioned_join",
+      (s, _) => {
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        def t(rows: Long) = s.read.format("graft.sources.GenKeyedSource")
+          .option("rows", rows).option("buckets", 16).load()
+        t(2000).as("a").join(t(1000).as("b"), "bucket")
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            sum(col("a.id") + col("b.id")).as("sid"))
+          .orderBy("bucket")
+      },
+      Some(
+        """WITH a AS (SELECT id, (id * 2654435761 % 4294967296) % 16
+          |             AS bucket FROM range(0, 2000) t(id)),
+          |b AS (SELECT id, (id * 2654435761 % 4294967296) % 16
+          |        AS bucket FROM range(0, 1000) t(id))
+          |SELECT CAST(a.bucket AS INT) AS bucket,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(a.id + b.id) AS BIGINT) AS sid
+          |FROM a JOIN b USING (bucket)
+          |GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     // --- DSv2 WRITE path (sources.ManifestTable): per-nation customer
     //     rollup written through the manifest-committed connector (4
     //     executor-written data files, one atomic manifest publish —
