@@ -29,4 +29,14 @@ object SparkEntry {
     */
   def benchQueriesExtended: Seq[String] =
     Registry.all.filter(_.benchExt).map(_.name)
+
+  /** Round-9 additions timed as their OWN group, so the legacy and
+    * extended totals stay comparable round-over-round (the r8
+    * convention, one generation later).
+    */
+  def benchQueriesR9: Seq[String] = Seq(
+    "p72_quality_classifier", "p73_bpe_encode",
+    "p75_embedding_covariance", "p76_sequence_packing",
+    "p77_kmeans_lloyd", "q84_source_group_pushdown",
+    "q85_storage_partitioned_join")
 }
