@@ -96,7 +96,19 @@ class PlanHygieneSpec extends AnyFunSuite {
     "p62_winnowing" -> (2, 1, 0, 0), // per-row selection: join + pair agg only
     "p63_image_neardup" -> (2, 1, 0, 0), // hashes move, pixels never do
     "p64_semantic_decontaminate" -> (2, 1, 0, 0), // eval broadcast, train unshuffled
-    "p66_record_linkage" -> (1, 1, 0, 0)) // block join + output sort only
+    "p66_record_linkage" -> (1, 1, 0, 0), // block join + output sort only
+    // round-9 additions
+    "q84_source_group_pushdown" -> (2, 0, 0, 0), // final-merge agg + output sort
+    "q85_storage_partitioned_join" -> (1, 0, 0, 0), // the STORAGE-PARTITIONED
+    //   join: the ONLY exchange is the output sort — join and grouped agg
+    //   both ride the source-reported key layout
+    "p72_quality_classifier" -> (1, 0, 0, 0), // scoring agg on the
+    //   checkpointed features; TakeOrdered cut, no sort exchange
+    "p75_embedding_covariance" -> (1, 0, 0, 0), // driver matrix re-emitted;
+    //   the stats pass is an RDD treeReduce outside this plan
+    "p76_sequence_packing" -> (2, 1, 0, 1)) // range repartition + output
+    //   sort; offsets broadcast; the ONE window is per-pid (never
+    //   SinglePartition — PackingSpec pins that separately)
 
   test("headline-query exchange/window counts stay pinned (AQE-off static plans)") {
     val s = spark.newSession()
