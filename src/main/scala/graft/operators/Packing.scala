@@ -46,9 +46,16 @@ object Packing {
         size(split(col(textCol), " ")).cast("long").as("n")),
       seqLen)
 
-  /** Same, over pre-computed (id, n) token counts. */
-  def packCounts(counts: DataFrame, seqLen: Int): DataFrame = {
+  /** Same, over pre-computed (id, n) token counts. `baseOffset` shifts
+    * the global stream origin — the streaming twin
+    * ([[graft.streaming.PackIngest]]) packs each micro-batch from the
+    * offset its predecessor committed, so batch maps concatenate into
+    * exactly the one-shot corpus map.
+    */
+  def packCounts(counts: DataFrame, seqLen: Int,
+      baseOffset: Long = 0L): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    require(baseOffset >= 0, s"baseOffset must be >= 0, got $baseOffset")
     val spark = counts.sparkSession
     import spark.implicits._
     val parted = counts.select(col("id"), col("n"))
@@ -70,7 +77,8 @@ object Packing {
     }
     val offsetDf = offsetRows.toSeq.toDF("pid", "offset")
     val glob = local.join(broadcast(offsetDf), Seq("pid"))
-      .withColumn("start", col("offset") + col("local_end") - col("n"))
+      .withColumn("start",
+        col("offset") + col("local_end") - col("n") + lit(baseOffset))
     val L = lit(seqLen.toLong)
     glob
       .withColumn("seq_id", explode(sequence(
