@@ -720,8 +720,62 @@ object PipelineRecent {
           Tables.t(s, dir, "embeddings"), "vec_id", "embedding",
           k = 4, iters = 2)
         .orderBy("cell"),
-      Some(kmeansOracle(k = 4, iters = 2)))
+      Some(kmeansOracle(k = 4, iters = 2))),
+
+    // --- MMR diverse selection (Carbonell-Goldstein): 6 picks that
+    //     balance relevance to the lowest-id query vector against
+    //     redundancy with prior picks (λ=0.7). Incremental running
+    //     max-similarity + 6dp rounds make the greedy trajectory a
+    //     pure function of the corpus; the oracle unrolls the same 6
+    //     rounds (the p65/p72/p77 move). ---
+    QueryDef(
+      "p78_mmr_selection",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.t(s, dir, "embeddings")
+        val q = e.orderBy("vec_id").limit(1)
+          .select(col("embedding").cast("array<double>"))
+          .as[Seq[Double]].head().toArray
+        graft.operators.Mmr.select(e, "vec_id", "embedding", q,
+            k = 6, lambda = 0.7)
+          .orderBy("sel_round")
+      },
+      Some(mmrOracle(k = 6, lambda = "0.7")))
   )
+
+  /** p78's oracle: the MMR greedy unrolled — rel once, then per round a
+    * 1-row argmax over the 6dp-rounded objective and a running-max fold
+    * of the picked item's cosine.
+    */
+  private def mmrOracle(k: Int, lambda: String): String = {
+    def cos(a: String, b: String) =
+      s"round(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))" +
+        s" / (sqrt(list_sum(list_transform(range(1, 65)," +
+        s" i -> $a[i] * $a[i])))" +
+        s" * sqrt(list_sum(list_transform(range(1, 65)," +
+        s" i -> $b[i] * $b[i])))), 6)"
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      """e AS (SELECT vec_id AS id,
+        |  list_transform(embedding, y -> CAST(y AS DOUBLE)) AS v
+        |  FROM embeddings)""".stripMargin,
+      "q AS (SELECT v FROM e ORDER BY id LIMIT 1)",
+      s"""s0 AS (SELECT e.id, e.v, ${cos("e.v", "q.v")} AS rel,
+         |  -1.0 AS ms FROM e CROSS JOIN q)""".stripMargin)
+    for (r <- 1 to k) {
+      ctes += s"""p$r AS (SELECT id, v, score FROM (
+         |  SELECT id, v, round($lambda * rel - (1 - $lambda) * ms, 6)
+         |    AS score FROM s${r - 1})
+         |  ORDER BY score DESC, id LIMIT 1)""".stripMargin
+      if (r < k)
+        ctes += s"""s$r AS (SELECT s.id, s.v, s.rel,
+           |  greatest(s.ms, ${cos("s.v", "p.v")}) AS ms
+           |  FROM s${r - 1} s CROSS JOIN p$r p WHERE s.id <> p.id)""".stripMargin
+    }
+    val branches = (1 to k).map(r =>
+      s"SELECT $r AS sel_round, id, score FROM p$r")
+    "WITH " + ctes.mkString(",\n") + "\n" +
+      branches.mkString("\nUNION ALL ") + "\nORDER BY sel_round"
+  }
 
   /** p77's oracle: Lloyd unrolled — assignment by 6dp-rounded squared
     * euclidean argmin (ties to lower cell), per-coordinate 6dp-rounded
