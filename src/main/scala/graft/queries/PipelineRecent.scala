@@ -740,7 +740,74 @@ object PipelineRecent {
             k = 6, lambda = 0.7)
           .orderBy("sel_round")
       },
-      Some(mmrOracle(k = 6, lambda = "0.7")))
+      Some(mmrOracle(k = 6, lambda = "0.7"))),
+
+    // --- curate→pack composition (the round-9 capstone, p57/p59's
+    //     lineage): PII scrub → quality gate → exact dedup (canonical
+    //     min id per clean text) → pad-free sequence packing, rolled
+    //     up per training sequence. A constant PII suffix is planted
+    //     on BOTH engines so the scrub is load-bearing without
+    //     breaking the dedup fixture (a doc_id-derived suffix would
+    //     make every text unique). One driver hash certifies the whole
+    //     funnel: scrub regexes, gate thresholds, canonical keep,
+    //     global token offsets, and the per-sequence rollup. ---
+    QueryDef(
+      "p79_curate_pack",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val clean = docs.select(col("doc_id").cast("long").as("id"),
+          graft.operators.Anonymize.scrubPii(concat(col("text"),
+            lit(" contact admin@example.com ref 1234567"))).as("txt"))
+        val kept = graft.operators.TextAnalysis
+          .qualityGate(clean, "id", "txt")
+          .filter(col("keep")).select("id")
+        val canon = clean.join(kept, Seq("id"))
+          .groupBy("txt").agg(min("id").as("id"))
+        val counts = canon.select(col("id"),
+          size(split(col("txt"), " ")).cast("long").as("n"))
+        graft.operators.Packing.packCounts(counts, seqLen = 64)
+          .groupBy("seq_id")
+          .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_toks"))
+          .orderBy("seq_id")
+      },
+      Some {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        val idn = "\\b\\d{6,}\\b"
+        s"""WITH w AS (SELECT doc_id AS id,
+           |    text || ' contact admin@example.com ref 1234567' AS raw
+           |  FROM documents),
+           |c AS (SELECT id, regexp_replace(regexp_replace(regexp_replace(
+           |    raw, '$email', '[EMAIL]', 'g'), '$ip', '[IP]', 'g'),
+           |    '$idn', '[ID]', 'g') AS txt FROM w),
+           |m AS (SELECT id, txt, string_split(txt, ' ') AS tk FROM c),
+           |g AS (SELECT id, txt FROM (
+           |    SELECT id, txt, len(tk)::DOUBLE AS n,
+           |      CASE WHEN len(tk) > 0 THEN
+           |        1.0 - len(list_distinct(tk))::DOUBLE / len(tk)
+           |      ELSE 0.0 END AS dup,
+           |      list_sum(list_transform(tk, x -> length(x)))::DOUBLE
+           |        / len(tk) AS ml
+           |    FROM m)
+           |  WHERE NOT (n IS NULL OR n < 5 OR n > 5000 OR dup > 0.3
+           |    OR ml < 2 OR ml > 12)),
+           |d AS (SELECT min(id) AS id, txt FROM g GROUP BY txt),
+           |cnt AS (SELECT id,
+           |    CAST(len(string_split(txt, ' ')) AS BIGINT) AS n FROM d),
+           |s AS (SELECT id, n,
+           |    CAST(sum(n) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING)
+           |      - n AS BIGINT) AS start
+           |  FROM cnt WHERE n > 0),
+           |x AS (SELECT id, n, start,
+           |    unnest(range(start // 64, (start + n - 1) // 64 + 1)) AS seq
+           |  FROM s),
+           |sp AS (SELECT seq AS seq_id, id,
+           |    least(start + n, (seq + 1) * 64)
+           |      - greatest(start, seq * 64) AS n_toks FROM x)
+           |SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_toks) AS BIGINT) AS n_toks
+           |FROM sp GROUP BY seq_id ORDER BY seq_id""".stripMargin
+      })
   )
 
   /** p78's oracle: the MMR greedy unrolled — rel once, then per round a

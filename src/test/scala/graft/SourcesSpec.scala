@@ -40,6 +40,17 @@ class SourcesSpec extends AnyFunSuite {
       region.orderBy("r_regionkey").collect().toSeq)
   }
 
+  test("xml round-trip preserves region table (Spark 4 built-in source)") {
+    val region = spark.read.parquet(s"${TestSpark.sf0001}/region.parquet")
+    region.write.mode("overwrite").option("rootTag", "regions")
+      .option("rowTag", "region").xml(s"$tmp/region_xml")
+    val back = spark.read.option("rowTag", "region")
+      .xml(s"$tmp/region_xml")
+      .select(region.columns.map(org.apache.spark.sql.functions.col): _*)
+    assert(back.orderBy("r_regionkey").collect().toSeq ==
+      region.orderBy("r_regionkey").collect().toSeq)
+  }
+
   test("partitionBy write lays out hive dirs and reads prune partitions") {
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
       .select("doc_id", "lang", "n_chars")
