@@ -54,4 +54,41 @@ object Drift {
         round(sum(p * log(p / q)), 6).as("kl_ref_cand"),
         round(sum(q * log(q / p)), 6).as("kl_cand_ref"))
   }
+
+  /** EMBEDDING-space drift between two corpus slices — the vector-
+    * modality member of the drift family (token KL covers text,
+    * [[Burst]] covers time): per-dimension reference-vs-candidate
+    * means and variances plus the standardized mean difference
+    * smd = (mean_cand − mean_ref) / sqrt((var_ref + var_cand) / 2)
+    * (Cohen's d with pooled variance — the classic per-feature
+    * shift score), 6dp-rounded. A retrained embedder, a corrupted
+    * encoder shard, or a modality mix-shift moves these before any
+    * downstream ANN/cluster quality metric notices.
+    *
+    * Scale: one pass per slice through [[Embeddings.covarianceStats]]'
+    * per-partition accumulators (O(dims²) partials — the diagonal is
+    * what this consumes; the full matrix costs nothing extra at the
+    * accumulator sizes dims permits), zero shuffles, output dims rows.
+    * Zero-variance dimensions yield null smd (no division by zero).
+    */
+  def embeddingDrift(ref: DataFrame, cand: DataFrame, embCol: String,
+      dims: Int): DataFrame = {
+    val spark = ref.sparkSession
+    import spark.implicits._
+    def stats(df: DataFrame) = {
+      val (_, mean, cov) = Embeddings.covarianceStats(df, embCol, dims)
+      (mean, (0 until dims).map(i => cov(i)(i)))
+    }
+    val (mr, vr) = stats(ref)
+    val (mc, vc) = stats(cand)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (0 until dims).map { i =>
+      val pooled = (vr(i) + vc(i)) / 2.0
+      val smd = if (pooled > 0) Some(r6((mc(i) - mr(i)) / math.sqrt(pooled)))
+        else None
+      (i.toLong, r6(mr(i)), r6(mc(i)), r6(vr(i)), r6(vc(i)), smd)
+    }.toDF("dim", "mean_ref", "mean_cand", "var_ref", "var_cand", "smd")
+  }
+
 }

@@ -807,7 +807,37 @@ object PipelineRecent {
            |SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
            |  CAST(sum(n_toks) AS BIGINT) AS n_toks
            |FROM sp GROUP BY seq_id ORDER BY seq_id""".stripMargin
-      })
+      }),
+
+    // --- embedding-space drift (the vector-modality member of the
+    //     drift family): per-dimension ref-vs-cand means/variances and
+    //     the standardized mean difference, between the %3!=0 and
+    //     %3==0 slices. One accumulator pass per slice, zero shuffles;
+    //     the oracle recomputes per-dim avg/var_samp exactly. ---
+    QueryDef(
+      "p80_embedding_drift",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        graft.operators.Drift.embeddingDrift(
+            e.filter(col("vec_id") % 3 =!= 0),
+            e.filter(col("vec_id") % 3 === 0), "embedding", 64)
+          .orderBy("dim")
+      },
+      Some(
+        """WITH x AS (SELECT vec_id AS id, CAST(t.i AS BIGINT) - 1 AS dim,
+          |    CAST(embedding[t.i] AS DOUBLE) AS v
+          |  FROM embeddings CROSS JOIN range(1, 65) t(i)),
+          |r AS (SELECT dim, avg(v) AS m, var_samp(v) AS va FROM x
+          |      WHERE id % 3 <> 0 GROUP BY dim),
+          |c AS (SELECT dim, avg(v) AS m, var_samp(v) AS va FROM x
+          |      WHERE id % 3 = 0 GROUP BY dim)
+          |SELECT r.dim AS dim,
+          |  round(r.m, 6) AS mean_ref, round(c.m, 6) AS mean_cand,
+          |  round(r.va, 6) AS var_ref, round(c.va, 6) AS var_cand,
+          |  CASE WHEN (r.va + c.va) / 2 > 0 THEN
+          |    round((c.m - r.m) / sqrt((r.va + c.va) / 2), 6)
+          |  END AS smd
+          |FROM r JOIN c USING (dim) ORDER BY dim""".stripMargin))
   )
 
   /** p78's oracle: the MMR greedy unrolled — rel once, then per round a

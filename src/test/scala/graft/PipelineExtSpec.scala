@@ -300,6 +300,39 @@ class PipelineExtSpec extends AnyFunSuite {
     assert(got.map(_._4) == Seq(2000L, -1000L)) // floor, not truncate
   }
 
+  test("embedding drift: identical slices read zero; a planted mean shift reads its exact smd") {
+    import graft.operators.Drift
+    val base = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(4)(d => ((i * 7 + d * 3) % 11 - 5).toFloat))
+    }
+    val ref = base.toDF("vec_id", "embedding")
+    // self-drift: every smd is exactly 0, means/vars agree
+    val self = Drift.embeddingDrift(ref, ref, "embedding", 4)
+      .as[(Long, Double, Double, Double, Double, Option[Double])].collect()
+    assert(self.length == 4)
+    self.foreach { r =>
+      assert(r._2 == r._3 && r._4 == r._5 && r._6.contains(0.0))
+    }
+    // shift dim 0 by +2.0 in the candidate: smd = 2 / sqrt(var) there,
+    // exactly 0 elsewhere (variance unchanged by a constant shift)
+    val cand = base.map { case (id, v) =>
+      (id, v.zipWithIndex.map { case (x, d) => if (d == 0) x + 2.0f else x })
+    }.toDF("vec_id", "embedding")
+    val got = Drift.embeddingDrift(ref, cand, "embedding", 4)
+      .orderBy("dim")
+      .as[(Long, Double, Double, Double, Double, Option[Double])].collect()
+    assert(got(0)._3 == got(0)._2 + 2.0)
+    val exp = BigDecimal(2.0 / math.sqrt(got(0)._4))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0)._6.contains(exp))
+    (1 until 4).foreach(d => assert(got(d)._6.contains(0.0), s"dim $d"))
+    // zero-variance dimension -> null smd, no crash
+    val flat = Seq((1L, Array(1.0f)), (2L, Array(1.0f))).toDF("vec_id", "embedding")
+    val z = Drift.embeddingDrift(flat, flat, "embedding", 1)
+      .as[(Long, Double, Double, Double, Double, Option[Double])].collect()
+    assert(z.head._6.isEmpty)
+  }
+
   test("pii: detection counts on original text, class-ordered scrub, no cross-class rematch") {
     val df = Seq(
       (1L, "mail a.b+c@test.org and x@y.io, host 10.0.0.1, acct 12345678"),
