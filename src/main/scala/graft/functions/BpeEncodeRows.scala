@@ -18,14 +18,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * fold the trainer uses, so encoding the training corpus reproduces
   * the trainer's final state EXACTLY (spec-pinned against
   * `subwordVocab`), and an SQL oracle can unroll the identical folds.
-  * A pair formed by a LATER merge never resurrects an earlier rank
-  * (rank r strictly increases), which is what the efficient
-  * implementation exploits: a word's applicable ranks sit in a sorted
-  * set, each applied merge costs O(len) to fold and O(adjacent) map
-  * probes for newly-formed pairs, and ranks below the cursor are
-  * discarded — O(applied · len · log) per word, NOT O(numMerges) per
-  * word, so a 30k-merge table costs only the merges that actually
-  * fire.
+  * (A later merge CAN form a pair whose rank already passed — e.g.
+  * when two different merges share an output string; sequential
+  * semantics BY DEFINITION never revisits it, which is exactly what
+  * the candidate floor below encodes. The priority-queue
+  * lowest-rank-first formulation some libraries use WOULD apply it —
+  * the two differ only in that corner, and the fuzz spec pins this
+  * implementation to the sequential reference.) The efficient form:
+  * a word's applicable ranks sit in a sorted set, each applied merge
+  * costs O(len) to fold and O(adjacent) map probes for newly-formed
+  * pairs, and pairs whose rank is at or below the cursor are not
+  * re-admitted — O(applied · len · log) per word, NOT O(numMerges)
+  * per word, so a 30k-merge table costs only the merges that
+  * actually fire.
   */
 private[functions] object BpeEncodeCore {
 

@@ -41,14 +41,15 @@ object Clustering {
         (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, x) => acc + x), 6)
 
-  /** The argmin cell under the current centroids, ties to lower cell. */
-  private def cellOf(cents: Seq[Array[Double]]): Column = {
-    val ds = cents.map(distTo)
-    val best = ds.reduce(least(_, _))
-    ds.zipWithIndex.foldLeft(lit(-1)) { case (acc, (d, i)) =>
-      when(acc === -1 && d === best, lit(i)).otherwise(acc)
-    }
-  }
+  /** All k distances as one array column — evaluated ONCE per row; the
+    * argmin cell is `array_position` of the min (first index wins, so
+    * exact-distance ties go to the lower cell id).
+    */
+  private def distArr(cents: Seq[Array[Double]]): Column =
+    array(cents.map(distTo): _*)
+
+  private def cellOf(dArr: Column): Column =
+    (array_position(dArr, array_min(dArr)) - 1).cast("int")
 
   /** `iters` Lloyd rounds from `init` (default: the k lowest-id
     * vectors); returns (assignments, centroids) — assignments as
@@ -75,7 +76,9 @@ object Clustering {
       val dims = cents.head.length
       for (_ <- 1 to iters) {
         // one scan: assign + per-cell (sum per coordinate, count)
-        val sums = base.select(cellOf(cents).as("cell"), col("v"))
+        val sums = base
+          .withColumn("__d", distArr(cents))
+          .select(cellOf(col("__d")).as("cell"), col("v"))
           .groupBy("cell")
           .agg(count(lit(1)).as("n"),
             array((0 until dims).map(d =>
@@ -89,8 +92,9 @@ object Clustering {
           }
         }
       }
-      val assigned = base.select(col("id"), cellOf(cents).as("cell"),
-        cents.map(distTo).reduce(least(_, _)).as("dist"))
+      val assigned = base.withColumn("__d", distArr(cents))
+        .select(col("id"), cellOf(col("__d")).as("cell"),
+          array_min(col("__d")).as("dist"))
       (assigned, cents)
     } finally base.unpersist(): Unit
   }
