@@ -152,7 +152,11 @@ object AnnIndex {
           col(idCol).cast("long").as("nid"), col(embCol).as("nv")),
         "nv", centsDf)
       .select("cell", "nid", "nv")
-      .repartition(col("cell"))
+      // partition count pinned to the INDEX PARAMETER, never the session
+      // default: a replay under a different spark.sql.shuffle.partitions
+      // would otherwise renumber the staged tasks and break the
+      // deterministic-rename dedup
+      .repartition(p.nlist, col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$stage/postings")
     graft.sources.StagedAppend.publish(s"$stage/postings",
