@@ -837,63 +837,7 @@ object PipelineRecent {
           |  CASE WHEN (r.va + c.va) / 2 > 0 THEN
           |    round((c.m - r.m) / sqrt((r.va + c.va) / 2), 6)
           |  END AS smd
-          |FROM r JOIN c USING (dim) ORDER BY dim""".stripMargin)),
-
-    // --- leakage-safe splits (the contamination guard naive hash
-    //     splits miss): near-dup COMPONENTS assigned atomically to
-    //     train/val/test by the FNV hash of the group id — every
-    //     member of a component, including transitive near-dups, lands
-    //     in one split by construction. Oracle = p14's recursive-CTE
-    //     components + q32's FNV mirror + the rollup. ---
-    QueryDef(
-      "p81_leakage_safe_splits",
-      (s, dir) => {
-        val docs = Tables.t(s, dir, "documents")
-        val pairs = graft.operators.Dedup.minhashNearDupPairs(docs,
-          "doc_id", "text", shingleSize = 3, numHashes = 128,
-          bands = 32, threshold = 0.8)
-        graft.operators.Splits.leakageSafeSummary(docs, "doc_id", pairs,
-            trainPct = 80, valPct = 10)
-          .orderBy("split")
-      },
-      Some {
-        val fnv = "(list_reduce(list_prepend(2166136261::BIGINT, " +
-          "list_transform(string_split(CAST(group_id AS VARCHAR), ''), " +
-          "c -> unicode(c)::BIGINT)), " +
-          "(h, c) -> (xor(h, c) * 16777619) % 4294967296)) " +
-          "% 2147483648 % 100"
-        s"""WITH RECURSIVE
-           |t AS (SELECT doc_id, string_split(text, ' ') tk FROM documents),
-           |sh AS (SELECT doc_id,
-           |         list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
-           |                        FOR i IN range(1, len(tk) - 1)]) s
-           |       FROM t WHERE len(tk) >= 3),
-           |p AS (SELECT a.doc_id id_a, b.doc_id id_b,
-           |        len(list_intersect(a.s, b.s))::DOUBLE
-           |          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) j
-           |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
-           |e0 AS (SELECT id_a, id_b FROM p WHERE j >= 0.8),
-           |edges AS (SELECT id_a AS s, id_b AS d FROM e0
-           |          UNION SELECT id_b, id_a FROM e0),
-           |reach AS (
-           |  SELECT s, d FROM edges
-           |  UNION
-           |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
-           |),
-           |comp AS (SELECT s AS doc_id, least(s, min(d)) AS group_id
-           |         FROM reach GROUP BY s),
-           |asg AS (SELECT d.doc_id,
-           |    coalesce(c.group_id, d.doc_id) AS group_id
-           |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
-           |sp AS (SELECT doc_id, group_id,
-           |    CASE WHEN $fnv < 80 THEN 'train'
-           |         WHEN $fnv < 90 THEN 'val'
-           |         ELSE 'test' END AS split
-           |  FROM asg)
-           |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
-           |  CAST(count(DISTINCT group_id) AS BIGINT) AS n_groups
-           |FROM sp GROUP BY split ORDER BY split""".stripMargin
-      })
+          |FROM r JOIN c USING (dim) ORDER BY dim""".stripMargin))
   )
 
   /** p78's oracle: the MMR greedy unrolled — rel once, then per round a
