@@ -12,6 +12,10 @@ import org.apache.spark.sql.functions._
   * MAP — one row per (sequence, document) overlap with exact token
   * spans — which is what a training loader actually needs: which bytes
   * of which doc land in which sequence at which offset.
+  * ([[Chunking.withSequenceIds]] is this operator's coarse sibling:
+  * per-stratum, it only assigns each doc to the sequence its FIRST
+  * token lands in — no spans, straddling docs left to the tokenizer.
+  * This one produces the exact global map.)
   *
   * Scale design — the global running sum WITHOUT a one-partition
   * window: a naive `Window.orderBy(id)` (no partition) serializes the
