@@ -352,7 +352,14 @@ object RelationalMore {
     QueryDef(
       "q85_storage_partitioned_join",
       (s, _) => {
-        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        // spark.sql.sources.v2.bucketing.enabled is a SESSION conf, set
+        // once in every harness builder (Verify/Bench/TestSpark) rather
+        // than mutated here: an in-body set would silently change the
+        // planner for every query that runs after q85 in the same
+        // session, and an in-body restore would undo it before this
+        // lazy plan is even compiled. Without the flag the join still
+        // answers correctly — it just degrades to the shuffle plan
+        // (the spec-pinned fallback).
         def t(rows: Long) = s.read.format("graft.sources.GenKeyedSource")
           .option("rows", rows).option("buckets", 16).load()
         t(2000).as("a").join(t(1000).as("b"), "bucket")

@@ -118,12 +118,26 @@ object FsMeta {
     * exists-check + rename pair is not atomic, but the callers are
     * single-writer per (path, tag) by construction — a streaming sink's
     * serialized foreachBatch.
+    *
+    * `false` means exactly one thing: the destination already exists (a
+    * replay skip). A rename FAILURE — Hadoop's `FileSystem.rename`
+    * reports missing sources, crossed mount points, and many transient
+    * store errors as `false`, not exceptions — must NOT be conflated
+    * with that skip: callers delete the staging directory and write the
+    * batch marker on return, so a swallowed failure would silently and
+    * permanently drop the file's rows from an "exactly-once" table.
+    * When the rename fails and the destination is still absent, this
+    * throws instead.
     */
   def renameIfAbsent(src: String, dst: String): Boolean = {
     val (fs, s) = fsFor(src)
     val d = fs.makeQualified(new Path(dst))
     if (fs.exists(d)) false
-    else fs.rename(fs.makeQualified(s), d)
+    else if (fs.rename(fs.makeQualified(s), d)) true
+    else if (fs.exists(d)) false // rename lost to a concurrent publish of dst
+    else throw new java.io.IOException(
+      s"rename $src -> $dst failed with no destination present; " +
+        "refusing to treat a filesystem failure as a replay skip")
   }
 
   /** Every DATA file under `dir`, recursively, as (relative subdirectory

@@ -51,13 +51,23 @@ object StagedAppend {
     * (e.g. the streaming batch id). `bucketed` switches the destination
     * naming to carry the bucket id (staged-by-repartition contract
     * above); partition subdirectories (`cell=3/...`) are preserved.
+    *
+    * Replay contract, ENFORCED: exactly-once holds only if a replay
+    * stages the SAME file set (callers guarantee it by pinning the
+    * staged write's partition count to an index parameter — p.nlist /
+    * p.numBuckets). Rather than trusting that invariant, the first
+    * publish records the planned destination list in a `_stage-<tag>`
+    * sidecar (atomic tmp→rename publish, skipped by Spark's leaf-file
+    * filter); every later publish under the same tag asserts its staged
+    * set matches the recorded one and THROWS on divergence — a caller
+    * that forgets the pinned repartition gets an error, not silent
+    * duplicate rows.
     */
   def publish(stagingDir: String, finalDir: String, tag: String,
       bucketed: Boolean): Int = {
     require(tag.matches("[A-Za-z0-9=_-]+"),
       s"tag must be filesystem-safe, got '$tag'")
-    var moved = 0
-    FsMeta.listDataFilesRecursive(stagingDir).foreach { case (rel, name) =>
+    val planned = FsMeta.listDataFilesRecursive(stagingDir).map { case (rel, name) =>
       val task = name match {
         case PartFile(t) => t
         case other => throw new IllegalStateException(
@@ -66,10 +76,29 @@ object StagedAppend {
       val destName =
         if (bucketed) s"part-$task-$tag-pub_$task.c000.snappy.parquet"
         else s"part-$task-$tag-pub.c000.snappy.parquet"
-      val destDir = if (rel.isEmpty) finalDir else s"$finalDir/$rel"
-      FsMeta.mkdirs(destDir)
       val src = if (rel.isEmpty) s"$stagingDir/$name" else s"$stagingDir/$rel/$name"
-      if (FsMeta.renameIfAbsent(src, s"$destDir/$destName")) moved += 1
+      (src, if (rel.isEmpty) destName else s"$rel/$destName")
+    }
+    val manifest = planned.map(_._2).sorted.mkString("\n")
+    val sidecar = s"$finalDir/_stage-$tag"
+    FsMeta.mkdirs(finalDir)
+    if (FsMeta.exists(sidecar)) {
+      val recorded = FsMeta.readString(sidecar)
+      if (recorded != manifest) throw new IllegalStateException(
+        s"replay of stage tag '$tag' staged a different file set than the " +
+          s"recorded publish (recorded ${recorded.linesIterator.size} files, " +
+          s"staged ${planned.size}); the caller's staged partitioning is not " +
+          "replay-stable — duplicates would result. Recorded:\n" + recorded +
+          "\nStaged:\n" + manifest)
+    } else {
+      FsMeta.publishAtomic(s"$finalDir/._stage-$tag.tmp", sidecar, manifest)
+    }
+    var moved = 0
+    planned.foreach { case (src, destRel) =>
+      val dest = s"$finalDir/$destRel"
+      val destDir = dest.substring(0, dest.lastIndexOf('/'))
+      FsMeta.mkdirs(destDir)
+      if (FsMeta.renameIfAbsent(src, dest)) moved += 1
     }
     moved
   }

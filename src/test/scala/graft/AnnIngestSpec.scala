@@ -116,4 +116,45 @@ class AnnIngestSpec extends AnyFunSuite {
     assert(StagedAppend.publish(stage, live, "b7", bucketed = false) == 1)
     assert(spark.read.parquet(live).count() == 100)
   }
+
+  test("a replay staging a different file set throws instead of silently duplicating") {
+    val root = tmpDir("staged_drift")
+    val stage = s"$root/stage"
+    val live = s"$root/live"
+    def writeStage(parts: Int): Unit =
+      spark.range(100).select(($"id" % parts).cast("int").as("k"), $"id")
+        .repartition(parts, $"k")
+        .write.mode("overwrite").parquet(stage)
+    writeStage(4)
+    assert(StagedAppend.publish(stage, live, "b9", bucketed = false) > 0)
+    // a caller that forgets the pinned repartition re-stages 8 parts:
+    // the recorded _stage-b9 sidecar catches the divergence
+    writeStage(8)
+    val e = intercept[IllegalStateException] {
+      StagedAppend.publish(stage, live, "b9", bucketed = false)
+    }
+    assert(e.getMessage.contains("replay-stable"))
+    assert(spark.read.parquet(live).count() == 100) // live table untouched
+    // the SAME set under a NEW tag is a fresh batch, not a replay
+    assert(StagedAppend.publish(stage, live, "b10", bucketed = false) > 0)
+    assert(spark.read.parquet(live).count() == 200)
+  }
+
+  test("renameIfAbsent: dst-exists is a skip, rename failure with no dst throws") {
+    val root = tmpDir("rename_sem")
+    FsMeta.mkdirs(root)
+    FsMeta.writeString(s"$root/a.txt", "x")
+    FsMeta.writeString(s"$root/b.txt", "y")
+    // dst exists -> false (replay skip), src untouched
+    assert(!FsMeta.renameIfAbsent(s"$root/a.txt", s"$root/b.txt"))
+    assert(FsMeta.readString(s"$root/a.txt") == "x")
+    // missing src + absent dst: Hadoop reports this as rename()==false;
+    // it must surface as an error, not read as a replay skip
+    intercept[java.io.IOException] {
+      FsMeta.renameIfAbsent(s"$root/missing.txt", s"$root/c.txt")
+    }
+    // the happy path still renames
+    assert(FsMeta.renameIfAbsent(s"$root/a.txt", s"$root/c.txt"))
+    assert(FsMeta.readString(s"$root/c.txt") == "x")
+  }
 }

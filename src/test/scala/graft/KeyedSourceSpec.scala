@@ -14,11 +14,11 @@ class KeyedSourceSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def keyed(rows: Long, buckets: Int = 16) = {
-    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+  // v2.bucketing.enabled is set once in TestSpark's builder (the same
+  // harness-level home Verify/Bench use) — no per-call session mutation
+  private def keyed(rows: Long, buckets: Int = 16) =
     spark.read.format("graft.sources.GenKeyedSource")
       .option("rows", rows).option("buckets", buckets).load()
-  }
 
   private def expected(aRows: Long, bRows: Long, buckets: Int) = {
     def bucket(id: Long) = (GenSource.h(id) % buckets).toInt
