@@ -12,7 +12,8 @@ object Registry {
       graft.queries.PipelineQueries.defs ++
       graft.queries.PipelineExt.defs ++
       graft.queries.PipelineMore.defs ++
-      graft.queries.PipelineRecent.defs
+      graft.queries.PipelineRecent.defs ++
+      graft.queries.PipelineLatest.defs
 
   lazy val byName: Map[String, QueryDef] = {
     val names = all.map(_.name)

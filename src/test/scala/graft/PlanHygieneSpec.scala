@@ -106,9 +106,15 @@ class PlanHygieneSpec extends AnyFunSuite {
     //   checkpointed features; TakeOrdered cut, no sort exchange
     "p75_embedding_covariance" -> (1, 0, 0, 0), // driver matrix re-emitted;
     //   the stats pass is an RDD treeReduce outside this plan
-    "p76_sequence_packing" -> (2, 1, 0, 1)) // range repartition + output
+    "p76_sequence_packing" -> (2, 1, 0, 1), // range repartition + output
     //   sort; offsets broadcast; the ONE window is per-pid (never
     //   SinglePartition — PackingSpec pins that separately)
+    // round-10 additions
+    "p82_exact_substr_dedup" -> (4, 3, 1, 0)) // the only corpus-sized
+    //   shuffle is the 16-byte (hash,count) partial agg; candidate-hash
+    //   broadcast REUSED by the exact-confirm branch; span-string and
+    //   matched-starts aggs touch only the candidate slice; island merge
+    //   is a HOF fold, no WindowExec
 
   test("headline-query exchange/window counts stay pinned (AQE-off static plans)") {
     val s = spark.newSession()
