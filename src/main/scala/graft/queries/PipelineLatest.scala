@@ -68,6 +68,60 @@ object PipelineLatest {
           |  coalesce(k.ct, '') AS cleaned_text
           |FROM tok LEFT JOIN agg a USING (doc_id)
           |  LEFT JOIN kept k USING (doc_id)
-          |ORDER BY doc_id""".stripMargin))
+          |ORDER BY doc_id""".stripMargin)),
+
+    // --- BM25 ranked retrieval: queries = tokens 3..6 of docs 0..4
+    //     (deduplicated), top-5 docs per query by 6dp-rounded score.
+    //     Every floating constant is interpolated from the SAME Scala
+    //     double the engine uses (k1+1 computed once, not re-parsed), and
+    //     avgdl is exact-sum/count on both engines, so per-row contribs
+    //     are bit-identical and only the (rounded) sum order differs —
+    //     p55's regime. df is computed over the query-vocabulary slice
+    //     (exact: the cut keeps every (doc,term) row for query terms). ---
+    QueryDef(
+      "p83_bm25_topk",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val queries = docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"),
+            array_distinct(slice(split(col("text"), " "), 3, 4)).as("qterms"))
+        graft.operators.Bm25.topK(docs, "doc_id", "text",
+            queries, "query_id", "qterms", k = 5)
+          .select(col("qid").as("query_id"), col("id").as("doc_id"),
+            col("score"))
+          .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+      },
+      Some {
+        val k1 = 1.2; val b = 0.75
+        val k1p1 = k1 + 1.0
+        s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk
+           |             FROM documents),
+           |q AS (SELECT doc_id AS query_id,
+           |        unnest(list_distinct(tk[3:6])) AS term
+           |      FROM tok WHERE doc_id < 5),
+           |tfg AS (SELECT doc_id, len(tk) AS dl, term, count(*) AS tf
+           |        FROM (SELECT doc_id, tk, unnest(tk) AS term FROM tok)
+           |        GROUP BY 1, 2, 3),
+           |cand AS (SELECT tfg.* FROM tfg
+           |         JOIN (SELECT DISTINCT term FROM q) USING (term)),
+           |dfx AS (SELECT term, count(*) AS df FROM cand GROUP BY 1),
+           |tot AS (SELECT count(*) AS n_docs,
+           |          sum(len(tk))::DOUBLE / count(*) AS avgdl
+           |        FROM tok),
+           |sc AS (SELECT q.query_id, c.doc_id,
+           |         round(sum(
+           |           ln(1.0::DOUBLE + (t.n_docs - d.df + 0.5::DOUBLE)
+           |             / (d.df + 0.5::DOUBLE))
+           |           * c.tf * $k1p1::DOUBLE
+           |           / (c.tf + $k1::DOUBLE * (1.0::DOUBLE - $b::DOUBLE
+           |               + $b::DOUBLE * c.dl / t.avgdl))), 6) AS score
+           |       FROM cand c JOIN q USING (term) JOIN dfx d USING (term)
+           |       CROSS JOIN tot t
+           |       GROUP BY 1, 2),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           |        ORDER BY score DESC, doc_id) AS rn FROM sc)
+           |SELECT query_id, doc_id, score FROM r WHERE rn <= 5
+           |ORDER BY query_id, score DESC, doc_id""".stripMargin
+      })
   )
 }

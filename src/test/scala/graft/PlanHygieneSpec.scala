@@ -58,7 +58,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     "p64_semantic_decontaminate",
     // p70: the (nt, nr) totals join in as a ONE-ROW broadcast
     // aggregate — the p23/p30/p37 pattern
-    "p70_dsir_selection")
+    "p70_dsir_selection",
+    // p83: the (n_docs, avgdl) totals join in as a ONE-ROW broadcast
+    // aggregate — same pattern
+    "p83_bm25_topk")
 
   // Pinned physical-plan node counts for the audited headline queries —
   // the numeric form of PLANS.md's prose claims ("q68: one data exchange,
@@ -110,11 +113,16 @@ class PlanHygieneSpec extends AnyFunSuite {
     //   sort; offsets broadcast; the ONE window is per-pid (never
     //   SinglePartition — PackingSpec pins that separately)
     // round-10 additions
-    "p82_exact_substr_dedup" -> (4, 3, 1, 0)) // the only corpus-sized
+    "p82_exact_substr_dedup" -> (4, 3, 1, 0), // the only corpus-sized
     //   shuffle is the 16-byte (hash,count) partial agg; candidate-hash
     //   broadcast REUSED by the exact-confirm branch; span-string and
     //   matched-starts aggs touch only the candidate slice; island merge
     //   is a HOF fold, no WindowExec
+    "p83_bm25_topk" -> (8, 4, 1, 0)) // the corpus pays ONE shuffle (the
+    //   (id,dl,term) tf partial agg); the rest are query-vocabulary-sized
+    //   (qterms distinct/join, df over the candidate slice, per-(q,doc)
+    //   score agg, TopKPerGroup final, output sort); totals is the 1-row
+    //   broadcast cross-join (bnljAllowed); no WindowExec
 
   test("headline-query exchange/window counts stay pinned (AQE-off static plans)") {
     val s = spark.newSession()
