@@ -122,6 +122,43 @@ object PipelineLatest {
            |        ORDER BY score DESC, doc_id) AS rn FROM sc)
            |SELECT query_id, doc_id, score FROM r WHERE rn <= 5
            |ORDER BY query_id, score DESC, doc_id""".stripMargin
-      })
+      }),
+
+    // --- DSv2 TIME TRAVEL (the 7th connector dimension): overwrite a
+    //     per-mktsegment customer rollup (version N), append poison rows
+    //     that would corrupt every aggregate (version N+1), then read
+    //     `versionAsOf` N back through the connector — the driver hash
+    //     certifies that a pinned snapshot read sees EXACTLY the
+    //     pre-append table. Rollback/expiry/vacuum-protection semantics
+    //     are pinned in ManifestTableSpec. ---
+    QueryDef(
+      "q86_time_travel",
+      (s, dir) => {
+        val path = "/tmp/graft_q86_sink/" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        val rollup = Tables.t(s, dir, "customer")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_cust"),
+            sum("c_custkey").as("sum_key"),
+            min("c_acctbal").as("min_bal"))
+        rollup.repartition(2).write.format("graft.sources.ManifestTable")
+          .option("path", path).mode("overwrite").save()
+        val v = graft.sources.ManifestTable.readManifest(path).get.version
+        // poison append: same schema, values that would change every column
+        s.range(1).select(lit("POISON").as("c_mktsegment"),
+            lit(-1L).as("n_cust"), lit(-1L).as("sum_key"),
+            lit(-1e9).as("min_bal"))
+          .write.format("graft.sources.ManifestTable")
+          .option("path", path).mode("append").save()
+        s.read.format("graft.sources.ManifestTable")
+          .option("path", path).option("versionAsOf", v).load()
+          .orderBy("c_mktsegment")
+      },
+      Some(
+        """SELECT c_mktsegment,
+          |  CAST(count(*) AS BIGINT) AS n_cust,
+          |  CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+          |  min(c_acctbal) AS min_bal
+          |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin))
   )
 }

@@ -73,11 +73,15 @@ import org.apache.spark.unsafe.types.UTF8String
 class ManifestTable extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ManifestTable.readManifest(ManifestTable.pathOf(options)) match {
-      case Some(m) => m.schema
-      case None => throw new IllegalArgumentException(
-        s"no committed manifest at ${ManifestTable.pathOf(options)} — " +
-          "write first, or pass an explicit schema")
+    ManifestTable.versionAsOf(options) match {
+      case Some(v) =>
+        ManifestTable.readManifestAsOf(ManifestTable.pathOf(options), v).schema
+      case None => ManifestTable.readManifest(ManifestTable.pathOf(options)) match {
+        case Some(m) => m.schema
+        case None => throw new IllegalArgumentException(
+          s"no committed manifest at ${ManifestTable.pathOf(options)} — " +
+            "write first, or pass an explicit schema")
+      }
     }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -91,6 +95,16 @@ object ManifestTable {
   private[sources] def pathOf(options: CaseInsensitiveStringMap): String =
     Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("option 'path' is required"))
+
+  /** TIME-TRAVEL read option: `.option("versionAsOf", n)` pins the scan
+    * (file list AND schema) to manifest version n's snapshot.
+    */
+  private[sources] def versionAsOf(
+      options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("versionAsOf")).map { v =>
+      v.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"versionAsOf must be a version number, got '$v'"))
+    }
 
   final case class Manifest(version: Long, schema: StructType,
       files: Seq[FileEntry], epoch: Long = -1L)
@@ -133,11 +147,47 @@ object ManifestTable {
 
   def manifestPath(dir: String): String = dir + "/_MANIFEST"
 
+  /** Immutable per-version snapshot manifest — the time-travel ledger.
+    * Written (atomically) BEFORE the `_MANIFEST` pointer swap, so the
+    * current pointer never references a missing snapshot; a crash
+    * between the two leaves an orphan snapshot, which a later publish
+    * of the same version simply overwrites.
+    */
+  def snapshotPath(dir: String, version: Long): String =
+    dir + s"/_MANIFEST.v$version"
+
+  /** The manifest as of `version` (a `versionAsOf` read). Fails with a
+    * clear message when the snapshot is gone — either never written
+    * (table predates time travel) or expired by [[expireSnapshots]].
+    */
+  def readManifestAsOf(dir: String, version: Long): Manifest = {
+    val sp = snapshotPath(dir, version)
+    if (FsMeta.exists(sp)) parse(FsMeta.readString(sp), sp)
+    else readManifest(dir) match {
+      // legacy table (pre-snapshot): the current version is still readable
+      case Some(m) if m.version == version => m
+      case Some(m) => throw new IllegalArgumentException(
+        s"no snapshot for version $version at $dir (current ${m.version}) — " +
+          "expired by expireSnapshots, or the table predates time travel")
+      case None => throw new IllegalArgumentException(
+        s"no committed manifest at $dir")
+    }
+  }
+
+  /** Versions whose snapshots are still present, ascending. */
+  def snapshotVersions(dir: String): Seq[Long] =
+    FsMeta.listFiles(dir).collect {
+      case n if n.startsWith("_MANIFEST.v") => n.drop(11).toLong
+    }.sorted
+
   def readManifest(dir: String): Option[Manifest] = {
     val mp = manifestPath(dir)
     if (!FsMeta.exists(mp)) None
-    else {
-      val raw = FsMeta.readString(mp)
+    else Some(parse(FsMeta.readString(mp), mp))
+  }
+
+  private def parse(raw: String, mp: String): Manifest = {
+    {
       val ix = raw.indexOf('\n')
       require(ix > 0, s"corrupt manifest at $mp: no header line")
       val header = raw.substring(0, ix)
@@ -175,8 +225,8 @@ object ManifestTable {
                   schema.fieldNames.toSeq, stats)
             }
           }
-          Some(Manifest(v.toLong, schema, files,
-            Option(ep).map(_.toLong).getOrElse(-1L)))
+          Manifest(v.toLong, schema, files,
+            Option(ep).map(_.toLong).getOrElse(-1L))
         case _ => throw new IllegalStateException(
           s"manifest at $mp has an unrecognized header: '$header'")
       }
@@ -185,7 +235,43 @@ object ManifestTable {
 
   private def publish(dir: String, m: Manifest): Unit = {
     FsMeta.mkdirs(dir)
-    FsMeta.publishAtomic(dir + "/_MANIFEST.tmp", manifestPath(dir), render(m))
+    val payload = render(m)
+    // snapshot first, pointer second (see snapshotPath scaladoc)
+    FsMeta.publishAtomic(dir + s"/_MANIFEST.v${m.version}.tmp",
+      snapshotPath(dir, m.version), payload)
+    FsMeta.publishAtomic(dir + "/_MANIFEST.tmp", manifestPath(dir), payload)
+  }
+
+  /** TIME TRAVEL maintenance: republish version `version`'s contents as
+    * the NEXT version (current + 1) — history is never mutated, a
+    * rollback is itself a versioned commit (Iceberg's rollback model),
+    * so a rollback of a rollback works and readers pinned to any
+    * snapshot are unaffected. The streaming epoch high-water is carried
+    * forward from the CURRENT version (not the target's), so a later
+    * checkpoint-recovery replay of an already-committed epoch is still
+    * recognized. Returns the newly published version.
+    */
+  def rollback(dir: String, version: Long): Long = {
+    val cur = readManifest(dir).getOrElse(throw new IllegalArgumentException(
+      s"no committed manifest at $dir"))
+    val target = readManifestAsOf(dir, version)
+    val next = cur.version + 1
+    publish(dir, Manifest(next, target.schema, target.files, cur.epoch))
+    next
+  }
+
+  /** Drop snapshot manifests older than the last `keepLast` versions
+    * (the current version always survives). Expired versions stop being
+    * time-travelable, and their exclusively-referenced data files become
+    * reclaimable by the next [[vacuum]]. Returns the versions expired.
+    */
+  def expireSnapshots(dir: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val cur = readManifest(dir).map(_.version).getOrElse(return Seq.empty)
+    val cutoff = cur - keepLast + 1
+    snapshotVersions(dir).filter(v => v < cutoff && v != cur).map { v =>
+      FsMeta.deleteRecursive(snapshotPath(dir, v)); v
+    }
   }
 
   /** Commit a new manifest version. `keepPrevious` = append semantics
@@ -263,14 +349,18 @@ object ManifestTable {
     (before, readManifest(dir).get.files.size)
   }
 
-  /** Delete data files not listed in the current manifest and older than
-    * `graceMs` (the grace window keeps a just-written uncommitted job and
-    * an in-flight reader of a just-overwritten version safe — MergeSink's
-    * gcGraceMs contract).
+  /** Delete data files not listed in the current manifest — nor in ANY
+    * retained version snapshot (time-travel readers of a live snapshot
+    * must keep finding their files; run [[expireSnapshots]] first to
+    * actually reclaim history) — and older than `graceMs` (the grace
+    * window keeps a just-written uncommitted job and an in-flight reader
+    * of a just-overwritten version safe — MergeSink's gcGraceMs
+    * contract).
     */
   def vacuum(dir: String, graceMs: Long = 3600000L): Seq[String] = {
-    val listed = readManifest(dir).map(_.files.map(_.name).toSet)
-      .getOrElse(Set.empty)
+    val listed = (readManifest(dir).toSeq ++
+        snapshotVersions(dir).map(readManifestAsOf(dir, _)))
+      .flatMap(_.files.map(_.name)).toSet
     val now = System.currentTimeMillis()
     FsMeta.listFiles(dir + "/data").filterNot(f => listed.contains(f))
       .filter(f => now - FsMeta.modificationTime(dir + "/data/" + f) >= graceMs)
@@ -333,7 +423,7 @@ private[sources] class GTable(path: String, schema0: StructType)
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GTabScanBuilder(path)
+    new GTabScanBuilder(path, ManifestTable.versionAsOf(options))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     ManifestTable.checkSupported(info.schema())
@@ -526,11 +616,17 @@ private[sources] class GTabWriter(dir: String, schema: StructType,
 
 // ---- read side: manifest-listed files, one partition per file ----
 
-private[sources] class GTabScanBuilder(path: String) extends ScanBuilder
+private[sources] class GTabScanBuilder(path: String, asOf: Option[Long])
+    extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
-  private val manifest = ManifestTable.readManifest(path).getOrElse(
-    throw new IllegalArgumentException(s"no committed manifest at $path"))
+  // a versionAsOf scan plans against that version's snapshot manifest —
+  // same pruning, skipping, and metadata-count machinery, older file list
+  private val manifest = asOf match {
+    case Some(v) => ManifestTable.readManifestAsOf(path, v)
+    case None => ManifestTable.readManifest(path).getOrElse(
+      throw new IllegalArgumentException(s"no committed manifest at $path"))
+  }
   private var pruned: StructType = manifest.schema
   private var skipping: Array[Filter] = Array.empty
   private var sawFilters = false

@@ -94,6 +94,78 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(readBack(dir).count() == 1)
   }
 
+  test("time travel: versionAsOf pins file list and schema; history is immutable") {
+    val dir = tmp()
+    def w(lo: Int, mode: SaveMode) =
+      (lo until lo + 5).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+        .write.format(Fmt).option("path", dir).mode(mode).save()
+    w(0, SaveMode.Append)     // v1: ids 0..4
+    w(10, SaveMode.Append)    // v2: ids 0..4 + 10..14
+    w(100, SaveMode.Overwrite) // v3: ids 100..104
+    val cur = ManifestTable.readManifest(dir).get.version
+    def asOf(v: Long) = spark.read.format(Fmt).option("path", dir)
+      .option("versionAsOf", v).load()
+    assert(asOf(cur - 2).select("id").as[Long].collect().sorted.toSeq ==
+      (0L to 4L))
+    assert(asOf(cur - 1).select("id").as[Long].collect().sorted.toSeq ==
+      (0L to 4L) ++ (10L to 14L))
+    assert(asOf(cur).select("id").as[Long].collect().sorted.toSeq ==
+      (100L to 104L))
+    assert(readBack(dir).count() == 5) // unpinned read = current
+    // the as-of scan keeps the metadata COUNT(*) and zone-map machinery
+    assert(asOf(cur - 1).count() == 10)
+    assert(asOf(cur - 1).filter(col("id") >= 10).count() == 5)
+    // schema as of an older version predates evolution
+    (0 until 3).map(i => (i.toLong, s"x$i", i * 2))
+      .toDF("id", "s", "extra")
+      .write.format(Fmt).option("path", dir).mode(SaveMode.Append).save()
+    assert(readBack(dir).schema.fieldNames.toSeq == Seq("id", "s", "extra"))
+    assert(asOf(cur).schema.fieldNames.toSeq == Seq("id", "s"))
+  }
+
+  test("rollback republishes an old version as the next version; snapshots stay intact") {
+    val dir = tmp()
+    Seq((1L, "keep")).toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode(SaveMode.Append).save()
+    val v1 = ManifestTable.readManifest(dir).get.version
+    Seq((2L, "bad")).toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode(SaveMode.Overwrite).save()
+    val v2 = ManifestTable.readManifest(dir).get.version
+    val v3 = ManifestTable.rollback(dir, v1)
+    assert(v3 == v2 + 1)
+    assert(readBack(dir).select("s").as[String].collect().toSeq == Seq("keep"))
+    // the rolled-back-over version remains time-travelable (history append)
+    assert(spark.read.format(Fmt).option("path", dir)
+      .option("versionAsOf", v2).load()
+      .select("s").as[String].collect().toSeq == Seq("bad"))
+    // a rollback of a rollback returns to "bad"
+    ManifestTable.rollback(dir, v2)
+    assert(readBack(dir).select("s").as[String].collect().toSeq == Seq("bad"))
+  }
+
+  test("expireSnapshots gates vacuum: live snapshots protect their files, expired ones release them") {
+    val dir = tmp()
+    Seq((1L, "old")).toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode(SaveMode.Append).save()
+    val v1 = ManifestTable.readManifest(dir).get.version
+    Seq((2L, "new")).toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode(SaveMode.Overwrite).save()
+    // v1's file is out of the CURRENT manifest but protected by its snapshot
+    assert(ManifestTable.vacuum(dir, graceMs = 0L).isEmpty)
+    assert(spark.read.format(Fmt).option("path", dir)
+      .option("versionAsOf", v1).load()
+      .select("s").as[String].collect().toSeq == Seq("old"))
+    assert(ManifestTable.expireSnapshots(dir, keepLast = 1) == Seq(v1))
+    // expired version: clear error, then vacuum reclaims its file
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format(Fmt).option("path", dir)
+        .option("versionAsOf", v1).load().collect()
+    }
+    assert(e.getMessage.contains("no snapshot"))
+    assert(ManifestTable.vacuum(dir, graceMs = 0L).nonEmpty)
+    assert(readBack(dir).select("s").as[String].collect().toSeq == Seq("new"))
+  }
+
   test("corrupted data file fails the read via the manifest CRC") {
     val dir = tmp()
     Seq((1L, "aaaa"), (2L, "bbbb")).toDF("id", "s")
@@ -293,9 +365,12 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ManifestTable.readManifest(dir).get.version > vBefore)
     assert(readBack(dir).as[(Long, String)].collect().toSet ==
       src.as[(Long, String)].collect().toSet)
-    // fragments still on disk: the in-flight reader completes; vacuum
-    // with an elapsed grace window then reclaims exactly the 9
+    // fragments still on disk: the in-flight reader completes, and the
+    // pre-compaction SNAPSHOT protects them from vacuum until expired —
+    // expireSnapshots then vacuum reclaims exactly the 9
     assert(inFlight.count() == 500)
+    assert(ManifestTable.vacuum(dir, graceMs = 0L).isEmpty)
+    assert(ManifestTable.expireSnapshots(dir, keepLast = 1).nonEmpty)
     assert(ManifestTable.vacuum(dir, graceMs = 0L).size == 9)
     assert(readBack(dir).count() == 500)
   }
