@@ -159,6 +159,42 @@ object PipelineLatest {
           |  CAST(count(*) AS BIGINT) AS n_cust,
           |  CAST(sum(c_custkey) AS BIGINT) AS sum_key,
           |  min(c_acctbal) AS min_bal
-          |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin))
+          |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin)),
+
+    // --- dynamic partition pruning over a month-partitioned fact: the
+    //     fact is written PARTITIONED BY ship_month (the layout a 100 TB
+    //     fact table actually has), the dim side arrives with a
+    //     selective filter, and Spark injects a runtime pruning subquery
+    //     into the fact scan — only January partitions are READ, not
+    //     just filtered (DppSpec asserts the dynamicpruning expression
+    //     and the pruned partition count). Aggregates are exact-in-fp
+    //     (counts + small-integer-valued quantity sums). ---
+    QueryDef(
+      "q87_dynamic_partition_pruning",
+      (s, dir) => {
+        val path = "/tmp/graft_q87_fact/" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        Tables.t(s, dir, "lineitem")
+          .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+          .write.mode("overwrite").partitionBy("ship_month").parquet(path)
+        val fact = s.read.parquet(path)
+        val dim = Tables.t(s, dir, "orders")
+          .filter(month(col("o_orderdate")) === 1)
+          .select(date_format(col("o_orderdate"), "yyyy-MM").as("ship_month"))
+          .distinct()
+        fact.join(dim, "ship_month")
+          .groupBy("ship_month")
+          .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+          .orderBy("ship_month")
+      },
+      Some(
+        """WITH f AS (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+          |             l_quantity FROM lineitem),
+          |d AS (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS ship_month
+          |      FROM orders WHERE month(o_orderdate) = 1)
+          |SELECT ship_month, CAST(count(*) AS BIGINT) AS n,
+          |  sum(l_quantity) AS sum_qty
+          |FROM f JOIN d USING (ship_month)
+          |GROUP BY 1 ORDER BY ship_month""".stripMargin))
   )
 }
