@@ -195,6 +195,87 @@ object PipelineLatest {
           |SELECT ship_month, CAST(count(*) AS BIGINT) AS n,
           |  sum(l_quantity) AS sum_qty
           |FROM f JOIN d USING (ship_month)
-          |GROUP BY 1 ORDER BY ship_month""".stripMargin))
+          |GROUP BY 1 ORDER BY ship_month""".stripMargin)),
+
+    // --- copy-on-write MERGE (q88): customer lands key-clustered in 8
+    //     files, sparse updates (every 10th key, whole-row) + 3 inserts
+    //     beyond the key range merge in, and the read-back must equal
+    //     the plain SQL merge — while CowSpec separately pins that only
+    //     key-overlapping files were rewritten. Update arithmetic is
+    //     exact (same double + same constant on both engines). ---
+    QueryDef(
+      "q88_cow_merge",
+      (s, dir) => {
+        import s.implicits._
+        val path = "/tmp/graft_q88_sink/" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        graft.sources.FsMeta.deleteRecursive(path)
+        val cust = Tables.t(s, dir, "customer")
+        cust.repartitionByRange(8, col("c_custkey"))
+          .sortWithinPartitions("c_custkey")
+          .write.format("graft.sources.ManifestTable")
+          .option("path", path).mode("append").save()
+        val updates = cust.filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey"),
+            concat(lit("upd-"), col("c_name")).as("c_name"),
+            col("c_nationkey"),
+            (col("c_acctbal") + lit(1000.0)).as("c_acctbal"),
+            col("c_mktsegment"))
+          .unionByName((0 until 3).map(i =>
+              (1000000000L + i, s"new-$i", i, 0.0, "MACHINERY"))
+            .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+              "c_mktsegment")
+            .select(col("c_custkey"), col("c_name"),
+              col("c_nationkey").cast("int").as("c_nationkey"),
+              col("c_acctbal"), col("c_mktsegment")))
+        graft.sources.CowOps.merge(s, path, updates, "c_custkey")
+        s.read.format("graft.sources.ManifestTable").option("path", path)
+          .load().orderBy("c_custkey")
+      },
+      Some(
+        """WITH ins AS (SELECT * FROM (VALUES
+          |    (1000000000, 'new-0', 0, 0.0, 'MACHINERY'),
+          |    (1000000001, 'new-1', 1, 0.0, 'MACHINERY'),
+          |    (1000000002, 'new-2', 2, 0.0, 'MACHINERY'))
+          |  t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)),
+          |merged AS (
+          |  SELECT c_custkey, 'upd-' || c_name AS c_name, c_nationkey,
+          |    c_acctbal + 1000.0::DOUBLE AS c_acctbal, c_mktsegment
+          |  FROM customer WHERE c_custkey % 10 = 0
+          |  UNION ALL
+          |  SELECT CAST(c_custkey AS BIGINT), c_name,
+          |    CAST(c_nationkey AS INT), CAST(c_acctbal AS DOUBLE),
+          |    c_mktsegment FROM ins
+          |  UNION ALL
+          |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+          |  FROM customer WHERE c_custkey % 10 <> 0)
+          |SELECT * FROM merged ORDER BY c_custkey""".stripMargin)),
+
+    // --- copy-on-write DELETE (q89): the right-to-be-forgotten table
+    //     primitive — every 7th customer key is deleted from the same
+    //     key-clustered layout; partially-hit files rewrite, fully-hit
+    //     files drop, untouched files carry over (CowSpec). The read
+    //     back must equal the plain anti-join. ---
+    QueryDef(
+      "q89_cow_delete",
+      (s, dir) => {
+        val path = "/tmp/graft_q89_sink/" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        graft.sources.FsMeta.deleteRecursive(path)
+        val cust = Tables.t(s, dir, "customer")
+        cust.repartitionByRange(8, col("c_custkey"))
+          .sortWithinPartitions("c_custkey")
+          .write.format("graft.sources.ManifestTable")
+          .option("path", path).mode("append").save()
+        graft.sources.CowOps.delete(s, path,
+          cust.filter(col("c_custkey") % 7 === 0).select("c_custkey"),
+          "c_custkey")
+        s.read.format("graft.sources.ManifestTable").option("path", path)
+          .load().orderBy("c_custkey")
+      },
+      Some(
+        """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+          |FROM customer WHERE c_custkey % 7 <> 0
+          |ORDER BY c_custkey""".stripMargin))
   )
 }

@@ -1,0 +1,152 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** COPY-ON-WRITE row-level operations on the manifest-committed table —
+  * MERGE (upsert) and DELETE that rewrite O(affected files), not
+  * O(table): the Delta/Iceberg copy-on-write shape, built from the
+  * repo's own parts (zone maps find the affected files, the `files`
+  * read option reads exactly those, MergeUpsert supplies the row
+  * semantics, commitReplace swaps file references atomically).
+  *
+  * Protocol, per operation:
+  *   1. AFFECTED SET: the manifest's per-file zone maps on the key
+  *      column ([lo, hi], exact integer strings) join against the
+  *      DISTINCT operation keys — a file is affected iff some key lands
+  *      in its range (files without key stats are conservatively
+  *      affected). The ranges table is O(files) driver metadata,
+  *      broadcast; the range join is key-rows × files worst case, with
+  *      the usual interval-index upgrade path when both are huge.
+  *   2. REWRITE: ONLY affected files are read (the `files` scan option —
+  *      pruning by construction, not by filter), merged/filtered, and
+  *      staged through the connector's own write path into a private
+  *      stage table; staged data files then MOVE (O(1) renames) into
+  *      the live data directory under their collision-free names.
+  *   3. COMMIT: one manifest publish drops the affected entries and adds
+  *      the staged ones; untouched files carry over by reference —
+  *      never opened, never moved. Crash before the publish leaves only
+  *      unlisted (invisible) files for vacuum; the previous version
+  *      remains time-travelable (CowSpec pins both).
+  *
+  * At 100 TB the bill is proportional to the rows you touch IF the
+  * layout cooperates: a key-clustered table (ClusteredWrite / the
+  * compact-then-cluster pattern) localizes any key set to few files,
+  * while a random layout degrades to table-rewrite — the same
+  * layout-as-contract story as q85/q87, here for writes.
+  *
+  * Keys must be integral (int/long) and non-null: zone-map strings for
+  * integral columns are exact at any magnitude, while double stats
+  * could round an interval inward and wrongly skip a file.
+  */
+object CowOps {
+
+  final case class CowResult(version: Long, filesRewritten: Int,
+      filesUntouched: Int, filesAdded: Int)
+
+  private val Fmt = "graft.sources.ManifestTable"
+
+  private def requireIntegralKey(df: DataFrame, keyCol: String): Unit = {
+    val dt = df.schema(keyCol).dataType
+    require(dt == LongType || dt == IntegerType,
+      s"copy-on-write key '$keyCol' must be integral, got ${dt.sql}")
+  }
+
+  /** Names of manifest files some key could live in (see step 1). */
+  private def affectedFiles(spark: SparkSession,
+      m: ManifestTable.Manifest, keys: DataFrame,
+      keyCol: String): Seq[String] = {
+    import spark.implicits._
+    val (statted, statless) = m.files.partition(_.stats.contains(keyCol))
+    val hit = if (statted.isEmpty) Seq.empty[String] else {
+      val ranges = statted.map { f =>
+        val (lo, hi) = f.stats(keyCol)
+        (f.name, lo.toLong, hi.toLong)
+      }.toDF("name", "lo", "hi")
+      keys.select(col(keyCol).cast("long").as("k")).distinct()
+        .join(broadcast(ranges),
+          col("k") >= col("lo") && col("k") <= col("hi"))
+        .select("name").distinct().as[String].collect().toSeq
+    }
+    hit ++ statless.map(_.name)
+  }
+
+  private def readOnly(spark: SparkSession, dir: String,
+      names: Seq[String], schema: org.apache.spark.sql.types.StructType) =
+    if (names.isEmpty)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    else spark.read.format(Fmt).option("path", dir)
+      .option("files", names.mkString(",")).load()
+
+  /** Stage `rows` through the connector, adopt the staged data files
+    * into `dir`, and return their manifest entries (step 2).
+    */
+  private def stageAndAdopt(spark: SparkSession, dir: String,
+      rows: DataFrame): Seq[ManifestTable.FileEntry] = {
+    val stage = s"$dir/_cow-stage-${java.util.UUID.randomUUID}"
+    rows.write.format(Fmt).option("path", stage).mode(SaveMode.Append).save()
+    // empty partitions stage 0-row files — drop them instead of adopting
+    // stat-less dead weight into the manifest
+    val entries = ManifestTable.readManifest(stage).get.files
+      .filter(_.rows > 0)
+    entries.foreach { e =>
+      if (!FsMeta.renameIfAbsent(s"$stage/data/${e.name}",
+          s"$dir/data/${e.name}"))
+        throw new IllegalStateException(
+          s"staged file ${e.name} collides with an existing data file")
+    }
+    FsMeta.deleteRecursive(stage)
+    entries
+  }
+
+  private def checkSchema(m: ManifestTable.Manifest, df: DataFrame,
+      what: String): Unit =
+    require(df.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        m.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"$what schema ${df.schema.toDDL} must match table ${m.schema.toDDL}")
+
+  /** MERGE (upsert): rows of `updates` replace same-key rows (whole-row
+    * semantics — MergeUpsert's contract) and new keys insert; every row
+    * in an UNAFFECTED file is byte-untouched. Single-writer discipline
+    * per table applies (every publish's contract).
+    */
+  def merge(spark: SparkSession, dir: String, updates: DataFrame,
+      keyCol: String): CowResult = {
+    val m = ManifestTable.readManifest(dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed manifest at $dir"))
+    checkSchema(m, updates, "updates")
+    requireIntegralKey(updates, keyCol)
+    val affected = affectedFiles(spark, m, updates, keyCol)
+    val merged = graft.operators.MergeUpsert.merge(
+      readOnly(spark, dir, affected, m.schema)
+        .select(m.schema.fieldNames.map(col).toSeq: _*),
+      updates.select(m.schema.fieldNames.map(col).toSeq: _*),
+      Seq(keyCol))
+    val added = stageAndAdopt(spark, dir, merged)
+    val v = ManifestTable.commitReplace(dir, affected.toSet, added)
+    CowResult(v, affected.size, m.files.size - affected.size, added.size)
+  }
+
+  /** DELETE by key set (the right-to-be-forgotten table primitive —
+    * IncrementalDedup's deletion story at the table layer): affected
+    * files are rewritten without the keys, files emptied by the delete
+    * are dropped (not rewritten as empty), untouched files carry over.
+    */
+  def delete(spark: SparkSession, dir: String, keys: DataFrame,
+      keyCol: String): CowResult = {
+    val m = ManifestTable.readManifest(dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed manifest at $dir"))
+    requireIntegralKey(keys, keyCol)
+    val affected = affectedFiles(spark, m, keys, keyCol)
+    val kept = readOnly(spark, dir, affected, m.schema)
+      .join(broadcast(keys.select(col(keyCol).cast("long").as("__k"))
+        .distinct()),
+        col(keyCol).cast("long") === col("__k"), "left_anti")
+      .select(m.schema.fieldNames.map(col).toSeq: _*)
+    val added = if (kept.isEmpty) Seq.empty else stageAndAdopt(spark, dir, kept)
+    val v = ManifestTable.commitReplace(dir, affected.toSet, added)
+    CowResult(v, affected.size, m.files.size - affected.size, added.size)
+  }
+}

@@ -106,6 +106,16 @@ object ManifestTable {
         s"versionAsOf must be a version number, got '$v'"))
     }
 
+  /** Internal read option restricting the scan to an explicit subset of
+    * the manifest's files (comma-separated names — data file names are
+    * filesystem-safe by construction). The copy-on-write row-level ops
+    * ([[CowOps]]) use it to read ONLY the affected files; a name not in
+    * the manifest is an error (never a silent empty scan).
+    */
+  private[sources] def filesOf(
+      options: CaseInsensitiveStringMap): Option[Set[String]] =
+    Option(options.get("files")).map(_.split(",").filter(_.nonEmpty).toSet)
+
   final case class Manifest(version: Long, schema: StructType,
       files: Seq[FileEntry], epoch: Long = -1L)
 
@@ -323,6 +333,29 @@ object ManifestTable {
       base ++ newFiles, math.max(epoch, prev.map(_.epoch).getOrElse(-1L))))
   }
 
+  /** Publish the next version with `removeNames` dropped from the file
+    * list and `added` appended — the commit primitive of the
+    * copy-on-write row-level operations ([[CowOps]]): untouched files
+    * carry over BY REFERENCE (never reread, never rewritten), removed
+    * files stay on disk for in-flight/time-travel readers until
+    * expireSnapshots + vacuum. Schema and streaming epoch high-water
+    * carry over unchanged. Returns the published version.
+    */
+  private[sources] def commitReplace(dir: String, removeNames: Set[String],
+      added: Seq[FileEntry]): Long = {
+    val cur = readManifest(dir).getOrElse(throw new IllegalArgumentException(
+      s"no committed manifest at $dir"))
+    val unknown = removeNames.diff(cur.files.map(_.name).toSet)
+    require(unknown.isEmpty,
+      s"commitReplace removing files absent from the manifest: " +
+        unknown.mkString(","))
+    val next = cur.version + 1
+    publish(dir, Manifest(next, cur.schema,
+      cur.files.filterNot(f => removeNames.contains(f.name)) ++ added,
+      cur.epoch))
+    next
+  }
+
   /** Rewrite the table's current contents into `targetFiles` files and
     * publish the result as the next manifest version — small-file
     * compaction for an append-heavy (especially streaming) table, the
@@ -423,7 +456,8 @@ private[sources] class GTable(path: String, schema0: StructType)
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GTabScanBuilder(path, ManifestTable.versionAsOf(options))
+    new GTabScanBuilder(path, ManifestTable.versionAsOf(options),
+      ManifestTable.filesOf(options))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     ManifestTable.checkSupported(info.schema())
@@ -616,16 +650,29 @@ private[sources] class GTabWriter(dir: String, schema: StructType,
 
 // ---- read side: manifest-listed files, one partition per file ----
 
-private[sources] class GTabScanBuilder(path: String, asOf: Option[Long])
+private[sources] class GTabScanBuilder(path: String, asOf: Option[Long],
+    only: Option[Set[String]] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
   // a versionAsOf scan plans against that version's snapshot manifest —
   // same pruning, skipping, and metadata-count machinery, older file list
-  private val manifest = asOf match {
-    case Some(v) => ManifestTable.readManifestAsOf(path, v)
-    case None => ManifestTable.readManifest(path).getOrElse(
-      throw new IllegalArgumentException(s"no committed manifest at $path"))
+  private val manifest = {
+    val m = asOf match {
+      case Some(v) => ManifestTable.readManifestAsOf(path, v)
+      case None => ManifestTable.readManifest(path).getOrElse(
+        throw new IllegalArgumentException(s"no committed manifest at $path"))
+    }
+    only match {
+      case None => m
+      case Some(names) =>
+        val listed = m.files.map(_.name).toSet
+        val missing = names.diff(listed)
+        require(missing.isEmpty,
+          s"files option names entries absent from the manifest: " +
+            missing.mkString(","))
+        m.copy(files = m.files.filter(f => names.contains(f.name)))
+    }
   }
   private var pruned: StructType = manifest.schema
   private var skipping: Array[Filter] = Array.empty

@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{CowOps, ManifestTable}
+
+/** Copy-on-write MERGE/DELETE (q88/q89): affected files are found via
+  * zone maps and rewritten; untouched files carry over byte-identically
+  * (same name, same CRC); results equal the full-table row semantics;
+  * the pre-op version stays time-travelable.
+  */
+class CowSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Fmt = "graft.sources.ManifestTable"
+  private def tmp(): String =
+    Files.createTempDirectory("graft_cow").toString
+
+  /** 100 rows, key-clustered into 5 files of 20 (tight zone maps). */
+  private def build(dir: String): Unit =
+    spark.range(0, 100).select(col("id").as("k"),
+        concat(lit("v"), col("id")).as("s"))
+      .repartitionByRange(5, col("k")).sortWithinPartitions("k")
+      .write.format(Fmt).option("path", dir).mode(SaveMode.Append).save()
+
+  private def readAll(dir: String) =
+    spark.read.format(Fmt).option("path", dir).load()
+      .as[(Long, String)].collect().toMap
+
+  test("merge rewrites only key-overlapping files; untouched entries carry name AND crc") {
+    val dir = tmp()
+    build(dir)
+    val before = ManifestTable.readManifest(dir).get
+    val v0 = before.version
+    // keys 5 and 17 live in file [0,19]; 97 in [80,99]; 2 files affected
+    val updates = Seq((5L, "U5"), (17L, "U17"), (97L, "U97"))
+      .toDF("k", "s")
+    val r = CowOps.merge(spark, dir, updates, "k")
+    assert(r.filesRewritten == 2 && r.filesUntouched == 3)
+    val after = ManifestTable.readManifest(dir).get
+    val untouchedBefore = before.files.filter { f =>
+      val lo = f.stats("k")._1.toLong
+      lo >= 20 && lo < 80
+    }.toSet
+    assert(untouchedBefore.subsetOf(after.files.toSet),
+      "untouched files must carry over by reference (same entry, same crc)")
+    val got = readAll(dir)
+    assert(got.size == 100)
+    assert(got(5L) == "U5" && got(17L) == "U17" && got(97L) == "U97")
+    assert(got(6L) == "v6" && got(50L) == "v50")
+    // pre-merge version still time-travelable
+    val old = spark.read.format(Fmt).option("path", dir)
+      .option("versionAsOf", v0).load().as[(Long, String)].collect().toMap
+    assert(old(5L) == "v5" && old.size == 100)
+  }
+
+  test("merge inserts keys outside every file range without touching any file") {
+    val dir = tmp()
+    build(dir)
+    val r = CowOps.merge(spark, dir,
+      Seq((1000L, "new"), (2000L, "new2")).toDF("k", "s"), "k")
+    assert(r.filesRewritten == 0 && r.filesUntouched == 5 && r.filesAdded >= 1)
+    val got = readAll(dir)
+    assert(got.size == 102 && got(1000L) == "new" && got(0L) == "v0")
+  }
+
+  test("merge equals the full-table MergeUpsert row semantics") {
+    val dir = tmp()
+    build(dir)
+    val updates = Seq((0L, "z"), (41L, "z41"), (999L, "ins")).toDF("k", "s")
+    val expect = graft.operators.MergeUpsert.merge(
+      spark.range(0, 100).select(col("id").as("k"),
+        concat(lit("v"), col("id")).as("s")),
+      updates, Seq("k")).as[(Long, String)].collect().toMap
+    CowOps.merge(spark, dir, updates, "k")
+    assert(readAll(dir) == expect)
+  }
+
+  test("delete rewrites partially-hit files, drops fully-deleted files, keeps the rest") {
+    val dir = tmp()
+    build(dir)
+    // file [20,39] fully deleted; file [0,19] partially (keys 0..4)
+    val keys = ((20L to 39L) ++ (0L to 4L)).toDF("k")
+    val r = CowOps.delete(spark, dir, keys, "k")
+    assert(r.filesRewritten == 2 && r.filesUntouched == 3)
+    val got = readAll(dir)
+    assert(got.size == 75)
+    assert(!got.contains(25L) && !got.contains(0L) && got(5L) == "v5")
+    // the fully-deleted range produced no replacement rows for [20,39]
+    assert(ManifestTable.readManifest(dir).get.files.forall { f =>
+      val (lo, hi) = f.stats("k")
+      !(lo.toLong >= 20 && hi.toLong <= 39)
+    })
+  }
+
+  test("delete of every key leaves a readable empty table") {
+    val dir = tmp()
+    build(dir)
+    val r = CowOps.delete(spark, dir, spark.range(0, 100).toDF("k"), "k")
+    assert(r.filesRewritten == 5 && r.filesAdded == 0)
+    assert(spark.read.format(Fmt).option("path", dir).load().count() == 0)
+  }
+
+  test("schema and key-type guards") {
+    val dir = tmp()
+    build(dir)
+    intercept[IllegalArgumentException] {
+      CowOps.merge(spark, dir, Seq((1L, "x", 2)).toDF("k", "s", "extra"), "k")
+    }
+    intercept[IllegalArgumentException] {
+      CowOps.delete(spark, dir, Seq("a").toDF("k"), "k")
+    }
+  }
+}
