@@ -65,6 +65,7 @@ object Bench {
     val results = timeGroup(SparkEntry.benchQueries)
     val extResults = timeGroup(SparkEntry.benchQueriesExtended)
     val r9Results = timeGroup(SparkEntry.benchQueriesR9)
+    val r10Results = timeGroup(SparkEntry.benchQueriesR10)
 
     // ANN cost-recall group: p10/p13 have no SQL oracle (approximate by
     // design), so their accuracy lives in spec-only recall sweeps —
@@ -155,6 +156,7 @@ object Bench {
     val total = rawTotal(results)
     val extTotal = rawTotal(extResults)
     val r9Total = rawTotal(r9Results)
+    val r10Total = rawTotal(r10Results)
     // normalized_total: each query's min scaled by (cleanest probe this
     // run / its nearest probe) — a query timed while the box was loaded
     // is deflated by the probe's own slowdown, so a loaded run no longer
@@ -174,7 +176,7 @@ object Bench {
     val normalizedTotal = normTotal(results)
     val extNormalizedTotal = normTotal(extResults)
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(results)(_._1)},"medians":${qJson(results)(_._2)},"probes":${qJson(results)(_._3)},"legacy_total":$total,"normalized_total":$normalizedTotal,"extended":${qJson(extResults)(_._1)},"extended_probes":${qJson(extResults)(_._3)},"extended_total":$extTotal,"extended_normalized_total":$extNormalizedTotal,"r9":${qJson(r9Results)(_._1)},"r9_total":$r9Total,"ann":$annJson,"noise_floor":{"probe_start":$probeStart,"probe_end":$probeEnd},"failed":$failedJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(results)(_._1)},"medians":${qJson(results)(_._2)},"probes":${qJson(results)(_._3)},"legacy_total":$total,"normalized_total":$normalizedTotal,"extended":${qJson(extResults)(_._1)},"extended_probes":${qJson(extResults)(_._3)},"extended_total":$extTotal,"extended_normalized_total":$extNormalizedTotal,"r9":${qJson(r9Results)(_._1)},"r9_total":$r9Total,"r10":${qJson(r10Results)(_._1)},"r10_total":$r10Total,"ann":$annJson,"noise_floor":{"probe_start":$probeStart,"probe_end":$probeEnd},"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // belt-and-braces for the driver: also drop the line in a file, immune
     // to any log-prefixing of stdout. Stdout stays the primary channel —

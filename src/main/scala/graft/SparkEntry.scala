@@ -39,4 +39,9 @@ object SparkEntry {
     "p75_embedding_covariance", "p76_sequence_packing",
     "p77_kmeans_lloyd", "q84_source_group_pushdown",
     "q85_storage_partitioned_join")
+
+  /** Round-10 additions, timed as their own group (same convention). */
+  def benchQueriesR10: Seq[String] = Seq(
+    "p82_exact_substr_dedup", "p83_bm25_topk", "q86_time_travel",
+    "q87_dynamic_partition_pruning", "q88_cow_merge", "q89_cow_delete")
 }

@@ -276,6 +276,34 @@ object PipelineLatest {
       Some(
         """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
           |FROM customer WHERE c_custkey % 7 <> 0
+          |ORDER BY c_custkey""".stripMargin)),
+
+    // --- bloom point-lookup file skipping (q90): customer lands
+    //     HASH-SCATTERED (every file's key range spans the table — zone
+    //     maps prune nothing by construction) with per-file blooms on
+    //     the key; an IN point lookup reads only bloom-positive files.
+    //     BloomSkipSpec pins the files-read counts (incl. the string
+    //     column zone maps can never cover); the oracle is the plain
+    //     filter — skipping must be invisible. ---
+    QueryDef(
+      "q90_bloom_skip",
+      (s, dir) => {
+        val path = "/tmp/graft_q90_sink/" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        graft.sources.FsMeta.deleteRecursive(path)
+        Tables.t(s, dir, "customer")
+          .repartition(8, col("c_custkey"))
+          .write.format("graft.sources.ManifestTable")
+          .option("path", path).option("bloomColumns", "c_custkey")
+          .mode("append").save()
+        s.read.format("graft.sources.ManifestTable").option("path", path)
+          .load()
+          .filter(col("c_custkey").isin(1L, 7L, 500L, 1203L))
+          .orderBy("c_custkey")
+      },
+      Some(
+        """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+          |FROM customer WHERE c_custkey IN (1, 7, 500, 1203)
           |ORDER BY c_custkey""".stripMargin))
   )
 }

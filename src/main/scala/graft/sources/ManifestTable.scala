@@ -461,19 +461,40 @@ private[sources] class GTable(path: String, schema0: StructType)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     ManifestTable.checkSupported(info.schema())
-    new GTabWriteBuilder(path, info.schema(), info.queryId())
+    val opts = info.options()
+    val bloomCols = Option(opts.get("bloomColumns"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    bloomCols.foreach { c =>
+      val f = info.schema().fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"bloomColumns names absent column '$c'"))
+      require(GTabBloom.supported(f.dataType),
+        s"bloomColumns: '$c' is ${f.dataType.sql} — blooms support " +
+          "int/long/string")
+    }
+    val bloomBits = Option(opts.get("bloomBits")).map(_.toInt)
+      .getOrElse(GTabBloom.DefaultBits)
+    require(bloomBits >= 64 && bloomBits % 64 == 0,
+      s"bloomBits must be a positive multiple of 64, got $bloomBits")
+    new GTabWriteBuilder(path, info.schema(), info.queryId(), bloomCols,
+      bloomBits)
   }
 }
 
 private[sources] class GTabWriteBuilder(path: String, schema: StructType,
-    queryId: String) extends WriteBuilder with SupportsTruncate {
+    queryId: String, bloomCols: Seq[String] = Seq.empty,
+    bloomBits: Int = GTabBloom.DefaultBits)
+    extends WriteBuilder with SupportsTruncate {
   private var keepPrevious = true
   override def truncate(): WriteBuilder = { keepPrevious = false; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new GTabBatchWrite(path, schema, queryId, keepPrevious)
+      new GTabBatchWrite(path, schema, queryId, keepPrevious, bloomCols,
+        bloomBits)
     override def toStreaming: StreamingWrite =
-      new GTabStreamingWrite(path, schema, queryId, keepPrevious)
+      new GTabStreamingWrite(path, schema, queryId, keepPrevious, bloomCols,
+        bloomBits)
   }
 }
 
@@ -486,10 +507,13 @@ private[sources] class GTabWriteBuilder(path: String, schema: StructType,
   * pointer and the dedup ledger are one file).
   */
 private[sources] class GTabStreamingWrite(path: String, schema: StructType,
-    queryId: String, keepPrevious: Boolean) extends StreamingWrite {
+    queryId: String, keepPrevious: Boolean,
+    bloomCols: Seq[String] = Seq.empty,
+    bloomBits: Int = GTabBloom.DefaultBits) extends StreamingWrite {
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new GTabStreamingWriterFactory(path, schema, queryId, FsMeta.confAsMap())
+    new GTabStreamingWriterFactory(path, schema, queryId, FsMeta.confAsMap(),
+      bloomCols, bloomBits)
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
     ManifestTable.commitVersion(path, schema,
@@ -504,14 +528,17 @@ private[sources] class GTabStreamingWrite(path: String, schema: StructType,
 }
 
 private[sources] class GTabStreamingWriterFactory(path: String,
-    schema: StructType, queryId: String, confMap: Map[String, String])
+    schema: StructType, queryId: String, confMap: Map[String, String],
+    bloomCols: Seq[String] = Seq.empty,
+    bloomBits: Int = GTabBloom.DefaultBits)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] = {
     val conf = new Configuration(false)
     confMap.foreach { case (k, v) => conf.set(k, v) }
     new GTabWriter(path, schema,
-      s"part-e$epochId-$partitionId-$taskId-$queryId.gtab", conf)
+      s"part-e$epochId-$partitionId-$taskId-$queryId.gtab", conf,
+      bloomCols, bloomBits)
   }
 }
 
@@ -523,10 +550,13 @@ private[sources] final case class GTabCommit(name: String, rows: Long,
 }
 
 private[sources] class GTabBatchWrite(path: String, schema: StructType,
-    queryId: String, keepPrevious: Boolean) extends BatchWrite {
+    queryId: String, keepPrevious: Boolean,
+    bloomCols: Seq[String] = Seq.empty,
+    bloomBits: Int = GTabBloom.DefaultBits) extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new GTabWriterFactory(path, schema, queryId, FsMeta.confAsMap())
+    new GTabWriterFactory(path, schema, queryId, FsMeta.confAsMap(),
+      bloomCols, bloomBits)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     ManifestTable.commitVersion(path, schema,
@@ -540,7 +570,9 @@ private[sources] class GTabBatchWrite(path: String, schema: StructType,
 }
 
 private[sources] class GTabWriterFactory(path: String, schema: StructType,
-    queryId: String, confMap: Map[String, String]) extends DataWriterFactory {
+    queryId: String, confMap: Map[String, String],
+    bloomCols: Seq[String] = Seq.empty,
+    bloomBits: Int = GTabBloom.DefaultBits) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] = {
     val conf = new Configuration(false)
@@ -549,12 +581,14 @@ private[sources] class GTabWriterFactory(path: String, schema: StructType,
     // only the attempt whose commit message reaches BatchWrite.commit is
     // ever listed (useCommitCoordinator guarantees one winner per partition)
     new GTabWriter(path, schema, s"part-$partitionId-$taskId-$queryId.gtab",
-      conf)
+      conf, bloomCols, bloomBits)
   }
 }
 
 private[sources] class GTabWriter(dir: String, schema: StructType,
-    fileName: String, conf: Configuration) extends DataWriter[InternalRow] {
+    fileName: String, conf: Configuration,
+    bloomCols: Seq[String] = Seq.empty,
+    bloomBits: Int = GTabBloom.DefaultBits) extends DataWriter[InternalRow] {
   private val filePath = new HPath(s"$dir/data/$fileName")
   private val fs = filePath.getFileSystem(conf)
   fs.setWriteChecksum(false)
@@ -612,7 +646,33 @@ private[sources] class GTabWriter(dir: String, schema: StructType,
         schema.fields(statIx(j)).name -> (
           if (isD) (statLoD(j).toString, statHiD(j).toString)
           else (statLoL(j).toString, statHiL(j).toString))
-    }.toMap
+    }.toMap ++ bloomIx.indices.map { j =>
+      GTabBloom.statKey(bloomCols(j)) ->
+        (GTabBloom.NumHashes.toString, GTabBloom.encode(bloomWords(j)))
+    }
+
+  // per-file point-lookup blooms (GTabBloom scaladoc); nulls never set
+  // bits — IsNull filters are not bloom-skippable
+  private val bloomIx: Array[Int] =
+    bloomCols.map(c => schema.fieldIndex(c)).toArray
+  private val bloomWords: Array[Array[Long]] =
+    bloomIx.map(_ => new Array[Long](bloomBits / 64))
+  private def trackBloom(row: InternalRow): Unit = {
+    var j = 0
+    while (j < bloomIx.length) {
+      val i = bloomIx(j)
+      if (!row.isNullAt(i)) {
+        val key = schema.fields(i).dataType match {
+          case IntegerType => row.getInt(i).toLong
+          case LongType => row.getLong(i)
+          case _ => GTabBloom.hashString(row.getUTF8String(i).toString)
+        }
+        graft.functions.BloomUtil.set(bloomWords(j), key,
+          GTabBloom.NumHashes)
+      }
+      j += 1
+    }
+  }
 
   private val getters: Array[InternalRow => String] =
     schema.fields.zipWithIndex.map { case (f, i) =>
@@ -634,6 +694,7 @@ private[sources] class GTabWriter(dir: String, schema: StructType,
     crc.update(bytes)
     out.write(bytes)
     trackStats(row)
+    trackBloom(row)
     rows += 1
   }
   override def commit(): WriterCommitMessage = {
@@ -725,18 +786,129 @@ private[sources] class GTabScanBuilder(path: String, asOf: Option[Long],
   * exact past 2^53 and double stats use the exact binary expansion, so
   * no rounding can shrink an interval and skip a matching file.
   */
+/** Per-file BLOOM point-lookup skipping — the zone maps' complement:
+  * range stats prune range predicates on CLUSTERED layouts, blooms prune
+  * equality/IN predicates on ANY layout (including hash-scattered tables
+  * where every file's [min,max] spans the full range) and on STRING
+  * columns (which zone maps deliberately exclude). A definite bloom miss
+  * proves the file holds no matching row; a positive proves nothing and
+  * keeps the file — pruning is always conservative, exactness never
+  * depends on it (BloomPrune's contract at the file level, Delta's bloom
+  * index shape).
+  *
+  * Blooms ride INSIDE the existing per-file stats map under reserved
+  * `#bloom:<col>` keys — `#` cannot start a real pushed-filter column
+  * name, older readers treat the entries as stats for a column no filter
+  * references, and the manifest format needs no version bump. Written
+  * only when the writer is asked (`.option("bloomColumns", "c1,c2")`,
+  * int/long/string columns; `.option("bloomBits", n)` sizes the filter,
+  * default 4096 bits ≈ 0.5 KB/file/column — at ~3k rows/file that is
+  * ~1% FPP with 6 hashes; size up for bigger files).
+  */
+private[sources] object GTabBloom {
+  val KeyPrefix = "#bloom:"
+  val NumHashes = 6
+  val DefaultBits = 4096
+
+  def statKey(col: String): String = KeyPrefix + col
+
+  /** FNV-1a 64 + avalanche for strings (KmvDistinct's construction);
+    * integral values feed BloomUtil (which mixes) directly.
+    */
+  def hashString(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
+    h ^= h >>> 27; h *= 0x94d049bb133111ebL
+    h ^ (h >>> 31)
+  }
+
+  def supported(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt == IntegerType || dt == LongType || dt == StringType
+
+  /** Filter-literal → bloom key, honoring the writer's type dispatch;
+    * None = unprobeable literal (never prune on it).
+    */
+  def keyOf(dt: org.apache.spark.sql.types.DataType, v: Any): Option[Long] =
+    (dt, v) match {
+      case (LongType, n: java.lang.Long) => Some(n.longValue)
+      case (LongType, n: java.lang.Integer) => Some(n.longValue)
+      case (IntegerType, n: java.lang.Integer) => Some(n.longValue)
+      case (IntegerType, n: java.lang.Long)
+        if n.longValue == n.intValue => Some(n.longValue)
+      case (StringType, s: String) => Some(hashString(s))
+      case (StringType, s: org.apache.spark.unsafe.types.UTF8String) =>
+        Some(hashString(s.toString))
+      case _ => None
+    }
+
+  def encode(words: Array[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(words.length * 8)
+    words.foreach(bb.putLong)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  def decode(b64: String): Array[Long] = {
+    val bytes = java.util.Base64.getDecoder.decode(b64)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  def mightContainWords(words: Array[Long], key: Long, k: Int): Boolean = {
+    val numBits = words.length * 64
+    val h1 = graft.functions.BloomUtil.mix64(key)
+    val h2 = graft.functions.BloomUtil.mix64(h1) | 1L
+    var i = 0
+    while (i < k) {
+      val idx = java.lang.Long.remainderUnsigned(h1 + i * h2, numBits).toInt
+      if ((words(idx >>> 6) & (1L << (idx & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Could file `e` hold a row with `c` equal to SOME of `vs`? True when
+    * no bloom was written for `c` or a literal is unprobeable.
+    */
+  def mightMatch(e: ManifestTable.FileEntry, c: String, schema: StructType,
+      vs: Seq[Any]): Boolean =
+    e.stats.get(statKey(c)) match {
+      case None => true
+      case Some((kStr, b64)) =>
+        val k = kStr.toIntOption.getOrElse(return true)
+        val words = decode(b64)
+        val dt = schema.fields.find(_.name == c).map(_.dataType)
+          .getOrElse(return true)
+        vs.exists(v => keyOf(dt, v) match {
+          case Some(key) => mightContainWords(words, key, k)
+          case None => true // unprobeable literal: cannot prove a miss
+        })
+    }
+}
+
 private[sources] object GTabSkip {
 
   def usable(f: Filter, schema: StructType): Boolean = f match {
-    case EqualTo(c, v) => numeric(c, schema) && lit(v).isDefined
+    // equality/IN are additionally bloom-skippable on int/long/STRING
+    // columns (keep() is conservative when a file carries no bloom)
+    case EqualTo(c, v) => (numeric(c, schema) && lit(v).isDefined) ||
+      bloomable(c, schema, Seq(v))
     case GreaterThan(c, v) => numeric(c, schema) && lit(v).isDefined
     case GreaterThanOrEqual(c, v) => numeric(c, schema) && lit(v).isDefined
     case LessThan(c, v) => numeric(c, schema) && lit(v).isDefined
     case LessThanOrEqual(c, v) => numeric(c, schema) && lit(v).isDefined
-    case In(c, vs) => numeric(c, schema) && vs.nonEmpty &&
-      vs.forall(v => v != null && lit(v).isDefined)
+    case In(c, vs) => (numeric(c, schema) && vs.nonEmpty &&
+      vs.forall(v => v != null && lit(v).isDefined)) ||
+      (vs.nonEmpty && vs.forall(v => v != null) && bloomable(c, schema, vs))
     case _ => false
   }
+
+  private def bloomable(c: String, schema: StructType,
+      vs: Seq[Any]): Boolean =
+    schema.fields.find(_.name == c).exists(f =>
+      GTabBloom.supported(f.dataType) &&
+        vs.forall(v => GTabBloom.keyOf(f.dataType, v).isDefined))
 
   private def numeric(c: String, schema: StructType): Boolean =
     schema.fields.find(_.name == c).exists(f =>
@@ -779,8 +951,11 @@ private[sources] object GTabSkip {
 
   private def keepOne(e: ManifestTable.FileEntry, f: Filter,
       schema: StructType): Boolean = f match {
+    // equality/IN: zone-map range check AND bloom check — both
+    // conservative, so their conjunction is too
     case EqualTo(c, v) => check(e, c, schema, v)(
-      (lo, hi, x) => lo <= x && x <= hi)
+      (lo, hi, x) => lo <= x && x <= hi) &&
+      GTabBloom.mightMatch(e, c, schema, Seq(v))
     case GreaterThan(c, v) => check(e, c, schema, v)((_, hi, x) => hi > x)
     case GreaterThanOrEqual(c, v) =>
       check(e, c, schema, v)((_, hi, x) => hi >= x)
@@ -788,7 +963,8 @@ private[sources] object GTabSkip {
     case LessThanOrEqual(c, v) =>
       check(e, c, schema, v)((lo, _, x) => lo <= x)
     case In(c, vs) => vs.exists(v => check(e, c, schema, v)(
-      (lo, hi, x) => lo <= x && x <= hi))
+      (lo, hi, x) => lo <= x && x <= hi)) &&
+      GTabBloom.mightMatch(e, c, schema, vs)
     case _ => true
   }
 
