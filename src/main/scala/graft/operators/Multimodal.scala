@@ -138,6 +138,84 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Near-dup WAV fixture — [[synthPngNoise]]'s trick for audio: docs in
+    * the same FAMILY (id/3) share one base signal plus a tiny per-doc
+    * perturbation (±2 on ~10k-amplitude samples), so family members are
+    * perceptual near-duplicates while families differ. All-integer
+    * arithmetic, no clamping (base stays in [−10000, 9999], noise ±2),
+    * so the DuckDB oracle recomputes every sample exactly (p63's
+    * never-decode-a-byte contract).
+    */
+  def synthWavNoise(docId: Long, sampleRate: Int, nSamples: Int): Array[Byte] = {
+    require(sampleRate >= 1 && nSamples >= 1,
+      s"need positive rate/samples, got $sampleRate/$nSamples")
+    val fam = docId / 3
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val base = ((fam * 31 + i) * 161 + (i.toLong * i) % 251) % 20000 - 10000
+      val noise = (docId * 7 + i.toLong * 13) % 5 - 2
+      val v = (base + noise).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  case class AudioHash(doc_id: Long, n_samples: Long, afp: Long)
+
+  /** Perceptual audio fingerprint — [[aHash]]'s construction on the 1-D
+    * signal: the decoded PCM splits into `frames` contiguous frames
+    * (sample i lands in frame i·frames/nSamples, integer floor), the
+    * per-frame ENERGY is the sum of |sample| (no division, no floats),
+    * and bit f compares the frame's mean energy against the clip's by
+    * exact cross-multiplication: frameSum · n > clipSum · frameCount.
+    * Small perturbations move energies a little and flip few bits, so
+    * near-duplicate clips land within a small hamming distance — feed
+    * [[graft.operators.Dedup.hammingNearDupPairs]], the same banded
+    * join the image hashes ride (p63). Per-row mapPartitions decode
+    * (JDK codec — the legitimate mapPartitions use), zero shuffles.
+    */
+  def audioFingerprint(ds: Dataset[WavRow], frames: Int = 16)
+      : Dataset[AudioHash] = {
+    require(frames >= 1 && frames <= 63,
+      s"need 1 <= frames <= 63 hash bits, got $frames")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      val (_, samples) = wavSamples(r.doc_id, r.wav)
+      val n = samples.length
+      require(n >= frames,
+        s"doc ${r.doc_id}: $n samples below the $frames-frame grid")
+      val sums = new Array[Long](frames)
+      val cnts = new Array[Long](frames)
+      var total = 0L
+      var i = 0
+      while (i < n) {
+        val f = (i.toLong * frames / n).toInt
+        val e = math.abs(samples(i)).toLong
+        sums(f) += e
+        cnts(f) += 1
+        total += e
+        i += 1
+      }
+      var hash = 0L
+      var f = 0
+      while (f < frames) {
+        if (sums(f) * n > total * cnts(f)) hash |= 1L << f
+        f += 1
+      }
+      AudioHash(r.doc_id, n.toLong, hash)
+    })
+  }
+
   /** Parse a WAV container through the real `AudioSystem` and return its
     * format plus the decoded 16-bit samples — the shared front end of
     * [[decodeWav]] and [[frameAudio]].

@@ -304,6 +304,57 @@ object PipelineLatest {
       Some(
         """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
           |FROM customer WHERE c_custkey IN (1, 7, 500, 1203)
-          |ORDER BY c_custkey""".stripMargin))
+          |ORDER BY c_custkey""".stripMargin)),
+
+    // --- audio perceptual near-dup (p84): the WAV twin of p63 — docs in
+    //     a family (id/3) share a base signal ±2-amplitude noise; the
+    //     16-frame |PCM|-energy fingerprint (aHash's cross-multiplied
+    //     integer rule on the 1-D signal) runs through the REAL
+    //     javax.sound decode, then the SAME banded hamming join as
+    //     images. The oracle never decodes a byte: samples are pure
+    //     integer arithmetic recomputed in SQL. ---
+    QueryDef(
+      "p84_audio_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val wavs = Tables.t(s, dir, "documents").select(col("doc_id"))
+          .as[Long]
+          .mapPartitions(_.map { id =>
+            val fam = id / 3
+            graft.operators.Multimodal.WavRow(id,
+              graft.operators.Multimodal.synthWavNoise(id, 8000,
+                64 + (fam % 17).toInt * 4))
+          })
+        val hashes = graft.operators.Multimodal.audioFingerprint(wavs,
+            frames = 16)
+          .toDF().select(col("doc_id").as("id"), col("afp"))
+        graft.operators.Dedup.hammingNearDupPairs(hashes, "afp",
+            totalBits = 16, maxDist = 2)
+          .orderBy("id_a", "id_b")
+      },
+      Some(
+        """WITH d AS (SELECT doc_id, doc_id // 3 AS fam,
+          |             64 + ((doc_id // 3) % 17) * 4 AS n
+          |           FROM documents),
+          |sm AS (SELECT doc_id, n, i,
+          |         ((fam * 31 + i) * 161 + (i * i) % 251) % 20000 - 10000
+          |           + (doc_id * 7 + i * 13) % 5 - 2 AS v
+          |       FROM (SELECT doc_id, fam, n, unnest(range(0, n)) AS i
+          |             FROM d)),
+          |fr AS (SELECT doc_id, n, (i * 16) // n AS f,
+          |         sum(abs(v)) AS fsum, count(*) AS fcnt
+          |       FROM sm GROUP BY 1, 2, 3),
+          |tot AS (SELECT doc_id, sum(abs(v)) AS tsum FROM sm GROUP BY 1),
+          |bits AS (SELECT fr.doc_id,
+          |          CASE WHEN fr.fsum * fr.n > t.tsum * fr.fcnt
+          |            THEN (1::BIGINT << f::INT) ELSE 0 END AS bit
+          |         FROM fr JOIN tot t USING (doc_id)),
+          |hs AS (SELECT doc_id AS id, sum(bit)::BIGINT AS afp
+          |       FROM bits GROUP BY 1),
+          |p AS (SELECT a.id id_a, b.id id_b,
+          |        CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+          |      FROM hs a JOIN hs b ON a.id < b.id)
+          |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 2
+          |ORDER BY id_a, id_b""".stripMargin))
   )
 }
