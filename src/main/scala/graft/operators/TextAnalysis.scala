@@ -573,4 +573,49 @@ object TextAnalysis {
     df.select(col(idCol),
       Fns.wordpieceRowsBroadcast(df.sparkSession,
         Fns.tokens(col(textCol)), vocab, maxInputChars))
+
+  /** CORPUS-level distinct-n diversity (Li et al. 2016's distinct-1/2/3,
+    * the synthetic-data mode-collapse detector) per slice: for each
+    * (slice, n) the total number of stride-1 n-gram OCCURRENCES, the
+    * number of DISTINCT n-grams across the whole slice, and their ratio.
+    * Complements the per-document diversity family — p32's entropy and
+    * p18's within-doc repetition see one document at a time and cannot
+    * distinguish "every doc is internally varied" from "every doc is the
+    * same varied doc"; a slice whose distinct-2 craters is templated or
+    * model-generated even when each member looks fine alone.
+    *
+    * Scale design: occurrence totals need no gram materialization at all
+    * (len−n+1 summed per row — a metadata-cheap partial agg); only the
+    * DISTINCT side ships grams, and those feed straight into a
+    * per-(slice, gram) distinct partial agg (map-side combine collapses
+    * every within-partition repeat, the wordcount shape). One pass per
+    * width; widths are a 3-element literal family, so the union is 3
+    * scans of a 2-column projection — no joins, no windows.
+    */
+  def distinctNgramDiversity(df: DataFrame, sliceCol: String,
+      textCol: String, ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"bad widths $ns")
+    val perN = ns.map { n =>
+      val tk = Fns.tokens(col(textCol))
+      val grams = transform(
+        sequence(lit(0), size(tk) - lit(n)),
+        i => array_join(slice(tk, i + lit(1), lit(n)), " "))
+      val base = df.select(col(sliceCol).as("slice"),
+        when(size(tk) >= n, grams)
+          .otherwise(array().cast("array<string>")).as("g"))
+      val totals = base.groupBy("slice")
+        .agg(sum(size(col("g"))).as("n_grams"))
+      val distincts = base.select(col("slice"), explode(col("g")).as("gram"))
+        .distinct()
+        .groupBy("slice").agg(count(lit(1)).as("n_distinct"))
+      totals.join(distincts, Seq("slice"), "left")
+        .select(col("slice"), lit(n).as("n"), col("n_grams"),
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
+    }
+    perN.reduce(_ unionByName _)
+      .withColumn("distinct_ratio",
+        when(col("n_grams") > 0,
+          round(col("n_distinct").cast("double") / col("n_grams"), 6))
+          .otherwise(lit(null)))
+  }
 }

@@ -355,6 +355,42 @@ object PipelineLatest {
           |        CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
           |      FROM hs a JOIN hs b ON a.id < b.id)
           |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 2
-          |ORDER BY id_a, id_b""".stripMargin))
+          |ORDER BY id_a, id_b""".stripMargin)),
+
+    // --- corpus-level distinct-n diversity per language (p85): the
+    //     mode-collapse detector per-doc metrics (p18/p32) cannot see —
+    //     occurrence totals are metadata-cheap (len−n+1 per row), only
+    //     distinct grams ship. Oracle mirrors the slice-comprehension
+    //     windows (p56's trick) with DISTINCT over the slice. ---
+    QueryDef(
+      "p85_distinct_ngram_diversity",
+      (s, dir) => graft.operators.TextAnalysis.distinctNgramDiversity(
+          Tables.t(s, dir, "documents"), "lang", "text")
+        .orderBy("slice", "n"),
+      Some {
+        def level(n: Int): String =
+          s"""SELECT t.lang AS slice, CAST($n AS INT) AS n,
+             |  t.n_grams, coalesce(d.n_distinct, 0) AS n_distinct
+             |FROM (SELECT lang, CAST(sum(CASE WHEN len(tk) >= $n
+             |        THEN len(tk) - ${n - 1} ELSE 0 END) AS BIGINT)
+             |        AS n_grams
+             |      FROM tok GROUP BY lang) t
+             |LEFT JOIN (
+             |  SELECT lang, CAST(count(DISTINCT g) AS BIGINT) AS n_distinct
+             |  FROM (SELECT lang,
+             |          unnest([array_to_string(tk[i:i+${n - 1}], ' ')
+             |            FOR i IN range(1, len(tk) - ${n - 2})]) AS g
+             |        FROM tok WHERE len(tk) >= $n)
+             |  GROUP BY lang) d ON t.lang = d.lang""".stripMargin
+        s"""WITH tok AS (SELECT lang, string_split(text, ' ') AS tk
+           |             FROM documents),
+           |u AS (
+           |${Seq(1, 2, 3).map(level).mkString("\nUNION ALL\n")})
+           |SELECT slice, n, n_grams, n_distinct,
+           |  CASE WHEN n_grams > 0
+           |    THEN round(n_distinct::DOUBLE / n_grams, 6) END
+           |    AS distinct_ratio
+           |FROM u ORDER BY slice, n""".stripMargin
+      })
   )
 }

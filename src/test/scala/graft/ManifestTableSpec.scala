@@ -224,6 +224,23 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(m.epoch >= 0, "streaming commit must record its epoch")
     assert(readBack(dir).as[(Long, String)].collect().toSet ==
       src.as[(Long, String)].collect().toSet)
+    // streaming epochs ARE versions — so time travel replays the ingest:
+    // every snapshot is a prefix of the final state, strictly growing,
+    // and the last snapshot equals the live table
+    val versions = ManifestTable.snapshotVersions(dir)
+    assert(versions.size == m.version)
+    val sets = versions.map { v =>
+      spark.read.format(Fmt).option("path", dir)
+        .option("versionAsOf", v).load()
+        .as[(Long, String)].collect().toSet
+    }
+    val fin = src.as[(Long, String)].collect().toSet
+    sets.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.subsetOf(b) && a.size < b.size,
+        "each epoch's snapshot must strictly grow the prefix")
+    case _ => ()
+    }
+    assert(sets.last == fin)
   }
 
   test("replayed epoch is dropped inside the manifest swap (exactly-once table state)") {
