@@ -53,7 +53,15 @@ object CowOps {
       s"copy-on-write key '$keyCol' must be integral, got ${dt.sql}")
   }
 
-  /** Names of manifest files some key could live in (see step 1). */
+  /** Names of manifest files some key could live in (see step 1). When a
+    * file carries a bloom on the key column (q90's
+    * `.option("bloomColumns", keyCol)` at write time), its definite-miss
+    * test is ANDed into the range check through the codegen'd
+    * BloomMightContain probe — on a hash-scattered layout, where every
+    * file's range spans the table and zone maps alone would rewrite
+    * everything, the bloom cuts the affected set back to the files that
+    * could actually hold a key (CowSpec pins it).
+    */
   private def affectedFiles(spark: SparkSession,
       m: ManifestTable.Manifest, keys: DataFrame,
       keyCol: String): Seq[String] = {
@@ -62,11 +70,18 @@ object CowOps {
     val hit = if (statted.isEmpty) Seq.empty[String] else {
       val ranges = statted.map { f =>
         val (lo, hi) = f.stats(keyCol)
-        (f.name, lo.toLong, hi.toLong)
-      }.toDF("name", "lo", "hi")
+        val bloom = f.stats.get(GTabBloom.statKey(keyCol))
+          .flatMap { case (kStr, b64) =>
+            kStr.toIntOption.map(_ => GTabBloom.decode(b64))
+          }.orNull
+        (f.name, lo.toLong, hi.toLong, bloom)
+      }.toDF("name", "lo", "hi", "bloom")
+      val inBloom = col("bloom").isNull ||
+        graft.operators.BloomPrune.mightContain(col("bloom"), col("k"),
+          GTabBloom.NumHashes)
       keys.select(col(keyCol).cast("long").as("k")).distinct()
         .join(broadcast(ranges),
-          col("k") >= col("lo") && col("k") <= col("hi"))
+          col("k") >= col("lo") && col("k") <= col("hi") && inBloom)
         .select("name").distinct().as[String].collect().toSeq
     }
     hit ++ statless.map(_.name)

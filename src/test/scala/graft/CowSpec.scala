@@ -105,6 +105,25 @@ class CowSpec extends AnyFunSuite {
     assert(spark.read.format(Fmt).option("path", dir).load().count() == 0)
   }
 
+  test("blooms tighten the affected set on a hash-scattered layout where ranges cannot") {
+    val dir = tmp()
+    spark.range(0, 4000).select(col("id").as("k"),
+        concat(lit("v"), col("id")).as("s"))
+      .repartition(8, col("k"))
+      .write.format(Fmt).option("path", dir)
+      .option("bloomColumns", "k").mode(SaveMode.Append).save()
+    // every file's range spans ~the whole table: zone maps alone would
+    // mark all 8 files affected; blooms cut it to the true holders
+    val r = CowOps.merge(spark, dir,
+      Seq((123L, "U"), (3210L, "U2")).toDF("k", "s"), "k")
+    assert(r.filesRewritten <= 3 && r.filesUntouched >= 5,
+      s"bloomed hash layout must localize the merge, got $r")
+    val got = spark.read.format(Fmt).option("path", dir).load()
+      .as[(Long, String)].collect().toMap
+    assert(got.size == 4000 && got(123L) == "U" && got(3210L) == "U2" &&
+      got(124L) == "v124")
+  }
+
   test("schema and key-type guards") {
     val dir = tmp()
     build(dir)
