@@ -391,6 +391,48 @@ object PipelineLatest {
            |    THEN round(n_distinct::DOUBLE / n_grams, 6) END
            |    AS distinct_ratio
            |FROM u ORDER BY slice, n""".stripMargin
-      })
+      }),
+
+    // --- exact distributed AUC-ROC (p86): does mean token length
+    //     separate English docs? The score is an exact int/int division
+    //     (bit-identical both engines), the U statistic stays in exact
+    //     integer arithmetic through the two-phase global scan (p76's
+    //     pattern — no SinglePartition window), and the ONE final
+    //     division is the only float op. Single-row result, total
+    //     order trivial. ---
+    QueryDef(
+      "p86_exact_auc",
+      (s, dir) => {
+        val scored = Tables.t(s, dir, "documents").select(
+          round(aggregate(transform(split(col("text"), " "),
+              t => length(t)), lit(0), (a, x) => a + x).cast("double") /
+            size(split(col("text"), " ")), 6).as("mean_tok_len"),
+          (col("lang") === "en").as("is_en"))
+        graft.operators.EvalMetrics.aucRoc(scored, "mean_tok_len", "is_en")
+      },
+      Some(
+        """WITH s AS (SELECT round(list_sum(list_transform(
+          |      string_split(text, ' '), x -> length(x)))::DOUBLE
+          |      / len(string_split(text, ' ')), 6) AS score,
+          |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          |  FROM documents),
+          |g AS (SELECT score, CAST(sum(y) AS BIGINT) AS np,
+          |        CAST(count(*) - sum(y) AS BIGINT) AS nn
+          |      FROM s GROUP BY score),
+          |c AS (SELECT score, np, nn,
+          |        CAST(sum(nn) OVER (ORDER BY score
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |          AS BIGINT) AS cum
+          |      FROM g),
+          |u AS (SELECT CAST(sum(np * (2 * (cum - nn) + nn)) AS BIGINT)
+          |        AS u2,
+          |        CAST(sum(np) AS BIGINT) AS p,
+          |        CAST(sum(nn) AS BIGINT) AS n,
+          |        CAST(count(*) AS BIGINT) AS n_scores
+          |      FROM c)
+          |SELECT p AS n_pos, n AS n_neg, n_scores,
+          |  CASE WHEN p > 0 AND n > 0
+          |    THEN round(u2::DOUBLE / (2.0::DOUBLE * p * n), 6) END AS auc
+          |FROM u""".stripMargin))
   )
 }
