@@ -61,4 +61,62 @@ object EvalMetrics {
             (lit(2.0) * col("n_pos") * col("n_neg")), 6))
           .as("auc"))
   }
+
+  /** Discount weight 1/log2(r+1) per rank, and its prefix sums (IDCG for
+    * n relevant), computed ONCE in Scala — both the engine plan and the
+    * DuckDB oracle embed these very doubles as literals, so the only
+    * float ops at query time are a deterministic left fold and one
+    * division (the p83 shared-constant discipline).
+    */
+  def dcgWeights(k: Int): Seq[Double] =
+    (1 to k).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+  def idcgPrefix(k: Int): Seq[Double] = dcgWeights(k).scanLeft(0.0)(_ + _)
+
+  /** Per-query ranked-retrieval metrics — recall@k, MRR, nDCG@k — for a
+    * label-match relevance model: a result is relevant iff it carries
+    * the query's label, and a query's total relevant count is its
+    * label's corpus frequency minus itself. `ranked` carries
+    * (qid, nid, rank) with rank 1-based and <= k per query (p09's
+    * brute-force output, or any ANN path's); `labels` carries
+    * (vec_id, label).
+    *
+    * Scale shape: two broadcast label joins onto the ranked rows (k·|Q|
+    * rows — results-sized, not corpus-sized), one per-query partial agg
+    * whose only list state is the k-bounded (rank, rel) array, and the
+    * label-frequency table rides in as a broadcast. DCG folds the
+    * SORTED array left-to-right against the literal weights, so the
+    * metric is bit-stable across engines and partitionings.
+    */
+  def labelRetrievalMetrics(ranked: DataFrame, labels: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 63, s"need 1 <= k <= 63, got $k")
+    val lab = labels.select(col("vec_id"), col("label"))
+    val cnt = lab.groupBy("label").agg(count(lit(1)).as("lab_n"))
+    val t = ranked.select(col("qid"), col("nid"), col("rank"))
+      .join(broadcast(lab.select(col("vec_id").as("qid"),
+        col("label").as("qlab"))), "qid")
+      .join(broadcast(lab.select(col("vec_id").as("nid"),
+        col("label").as("nlab"))), "nid")
+      .withColumn("rel", (col("qlab") === col("nlab")).cast("int"))
+    val wArr = array(dcgWeights(k).map(lit): _*)
+    val idcgArr = array(idcgPrefix(k).map(lit): _*)
+    val g = t.groupBy("qid", "qlab")
+      .agg(sort_array(collect_list(struct(col("rank"), col("rel"))))
+          .as("rr"),
+        sum("rel").as("hits"),
+        min(when(col("rel") === 1, col("rank"))).as("first_rel"))
+      .join(broadcast(cnt.withColumnRenamed("label", "qlab")), "qlab")
+      .withColumn("n_rel", col("lab_n") - 1)
+    val dcg = aggregate(col("rr"), lit(0.0), (a, x) =>
+      a + x.getField("rel") * element_at(wArr, x.getField("rank")))
+    val idcg = element_at(idcgArr,
+      least(col("n_rel"), lit(k.toLong)).cast("int") + 1)
+    g.select(col("qid"), col("n_rel"), col("hits"),
+      when(col("n_rel") > 0,
+        round(col("hits").cast("double") / col("n_rel"), 6))
+        .as(s"recall_at_$k"),
+      coalesce(round(lit(1.0) / col("first_rel"), 6), lit(0.0)).as("mrr"),
+      when(least(col("n_rel"), lit(k.toLong)) > 0,
+        round(dcg / idcg, 6)).as(s"ndcg_at_$k"))
+  }
 }

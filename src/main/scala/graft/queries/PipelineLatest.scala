@@ -433,6 +433,79 @@ object PipelineLatest {
           |SELECT p AS n_pos, n AS n_neg, n_scores,
           |  CASE WHEN p > 0 AND n > 0
           |    THEN round(u2::DOUBLE / (2.0::DOUBLE * p * n), 6) END AS auc
-          |FROM u""".stripMargin))
+          |FROM u""".stripMargin)),
+
+    // --- ranked-retrieval metrics (p87): recall@10 / MRR / nDCG@10 of
+    //     exact cosine retrieval under label-match relevance — the
+    //     evaluation loop every ANN/retrieval knob (p10/p13/p58's
+    //     ladders, p83's BM25) should be tuned against. DCG discounts
+    //     and IDCG prefixes are ONE Scala-computed literal table shared
+    //     by both plans; the only per-query float ops are a
+    //     deterministic fold and one division. ---
+    QueryDef(
+      "p87_retrieval_metrics",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val ranked = graft.operators.Similarity.bruteForceTopK(
+          e.filter(col("vec_id") % 50 === 0), e, k = 10)
+        graft.operators.EvalMetrics.labelRetrievalMetrics(
+            ranked, e.select("vec_id", "label"), k = 10)
+          .orderBy("qid")
+      },
+      Some {
+        val w = graft.operators.EvalMetrics.dcgWeights(10)
+        val pre = graft.operators.EvalMetrics.idcgPrefix(10)
+        val pivots = (1 to 10).map(r =>
+          s"coalesce(max(CASE WHEN rank = $r THEN rel END), 0) AS r$r")
+          .mkString(",\n           ")
+        val dcg = (1 to 10).map(r => s"r$r * ${w(r - 1)}::DOUBLE")
+          .mkString(" + ")
+        val preList = pre.map(p => s"$p::DOUBLE").mkString("[", ", ", "]")
+        s"""WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings
+           |           WHERE vec_id % 50 = 0),
+           |c AS (SELECT vec_id nid, embedding nv FROM embeddings),
+           |s AS (SELECT qid, nid,
+           |  round(
+           |    list_sum(list_transform(range(1, 65),
+           |      i -> CAST(qv[i] AS DOUBLE) * CAST(nv[i] AS DOUBLE)))
+           |    / (sqrt(list_sum(list_transform(range(1, 65),
+           |         i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+           |     * sqrt(list_sum(list_transform(range(1, 65),
+           |         i -> CAST(nv[i] AS DOUBLE) * CAST(nv[i] AS DOUBLE))))), 6) cos
+           |  FROM q JOIN c ON qid <> nid),
+           |r AS (SELECT *, CAST(row_number() OVER
+           |        (PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rank
+           |      FROM s),
+           |top AS (SELECT qid, nid, rank FROM r WHERE rank <= 10),
+           |lab AS (SELECT vec_id, label FROM embeddings),
+           |cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS lab_n
+           |        FROM lab GROUP BY 1),
+           |t AS (SELECT top.qid, top.rank,
+           |        CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END AS rel
+           |      FROM top
+           |      JOIN lab ql ON top.qid = ql.vec_id
+           |      JOIN lab nl ON top.nid = nl.vec_id),
+           |piv AS (SELECT qid,
+           |           $pivots,
+           |           CAST(sum(rel) AS BIGINT) AS hits,
+           |           CAST(min(CASE WHEN rel = 1 THEN rank END) AS INT)
+           |             AS first_rel
+           |        FROM t GROUP BY qid),
+           |nr AS (SELECT ql.vec_id AS qid, cnt.lab_n - 1 AS n_rel
+           |       FROM (SELECT vec_id, label FROM embeddings
+           |             WHERE vec_id % 50 = 0) ql
+           |       JOIN cnt USING (label))
+           |SELECT p.qid, nr.n_rel, p.hits,
+           |  CASE WHEN nr.n_rel > 0
+           |    THEN round(p.hits::DOUBLE / nr.n_rel, 6) END AS recall_at_10,
+           |  coalesce(round(1.0::DOUBLE / p.first_rel, 6), 0.0::DOUBLE)
+           |    AS mrr,
+           |  CASE WHEN least(nr.n_rel, 10) > 0
+           |    THEN round(($dcg)
+           |      / ($preList[CAST(least(nr.n_rel, 10) AS INT) + 1]), 6)
+           |    END AS ndcg_at_10
+           |FROM piv p JOIN nr USING (qid)
+           |ORDER BY qid""".stripMargin
+      })
   )
 }

@@ -45,4 +45,33 @@ class EvalMetricsSpec extends AnyFunSuite {
   test("single-class input yields null AUC, not a division blowup") {
     assert(auc(Seq((0.5, true), (0.7, true))).isEmpty)
   }
+
+  test("retrieval metrics hand case: recall, MRR, and nDCG at k=3") {
+    // corpus labels: q0 has label A; corpus A = {0, 10, 11, 12} -> n_rel 3
+    val labels = Seq((0L, "A"), (10L, "A"), (11L, "A"), (12L, "A"),
+      (20L, "B"), (21L, "B")).toDF("vec_id", "label")
+    // ranked for q0: rank1=B(miss), rank2=A(hit), rank3=A(hit)
+    val ranked = Seq((0L, 20L, 1), (0L, 10L, 2), (0L, 11L, 3))
+      .toDF("qid", "nid", "rank")
+    val got = EvalMetrics.labelRetrievalMetrics(ranked, labels, k = 3)
+      .as[(Long, Long, Long, Option[Double], Double, Option[Double])]
+      .head()
+    val w = EvalMetrics.dcgWeights(3)
+    val ndcg = BigDecimal((w(1) + w(2)) / (w(0) + w(1) + w(2)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == ((0L, 3L, 2L, Some(0.666667), 0.5, Some(ndcg))))
+  }
+
+  test("retrieval edges: perfect ranking scores nDCG 1.0; no hits score 0 with positive n_rel") {
+    val labels = Seq((0L, "A"), (1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"))
+      .toDF("vec_id", "label")
+    val perfect = Seq((0L, 1L, 1), (0L, 2L, 2)).toDF("qid", "nid", "rank")
+    val p = EvalMetrics.labelRetrievalMetrics(perfect, labels, k = 2)
+      .as[(Long, Long, Long, Option[Double], Double, Option[Double])].head()
+    assert(p._4.contains(1.0) && p._5 == 1.0 && p._6.contains(1.0))
+    val misses = Seq((0L, 3L, 1), (0L, 4L, 2)).toDF("qid", "nid", "rank")
+    val m = EvalMetrics.labelRetrievalMetrics(misses, labels, k = 2)
+      .as[(Long, Long, Long, Option[Double], Double, Option[Double])].head()
+    assert(m._4.contains(0.0) && m._5 == 0.0 && m._6.contains(0.0))
+  }
 }
