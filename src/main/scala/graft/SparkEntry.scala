@@ -43,6 +43,8 @@ object SparkEntry {
   /** Round-10 additions, timed as their own group (same convention). */
   def benchQueriesR10: Seq[String] = Seq(
     "p82_exact_substr_dedup", "p83_bm25_topk", "p84_audio_neardup",
-    "q86_time_travel", "q87_dynamic_partition_pruning",
-    "q88_cow_merge", "q89_cow_delete", "q90_bloom_skip")
+    "p85_distinct_ngram_diversity", "p86_exact_auc",
+    "p87_retrieval_metrics", "q86_time_travel",
+    "q87_dynamic_partition_pruning", "q88_cow_merge", "q89_cow_delete",
+    "q90_bloom_skip")
 }
