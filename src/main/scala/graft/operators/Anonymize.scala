@@ -71,4 +71,39 @@ object Anonymize {
       countPattern(col(textCol), Ipv4Re).cast("long").as("n_ip"),
       countPattern(col(textCol), IdNumRe).cast("long").as("n_idnum"),
       scrubPii(col(textCol)).as("clean_text"))
+
+  // --- k-anonymity (round 10): the GROUP-level privacy check the
+  // row-level tools above cannot make — scrubbed text is still
+  // re-identifiable when its quasi-identifier combination is rare.
+
+  /** Per-quasi-identifier-group audit: (quasi..., n, compliant) where
+    * compliant = the group reaches size `k` — Sweeney's k-anonymity
+    * criterion. One hash partial agg over the quasi projection; group
+    * cardinality is the product of quasi-column cardinalities, not the
+    * corpus.
+    */
+  def kAnonymityReport(df: org.apache.spark.sql.DataFrame,
+      quasi: Seq[String], k: Long): org.apache.spark.sql.DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("compliant", col("n") >= k)
+  }
+
+  /** Enforcement by SUPPRESSION (the standard release model): rows in
+    * groups below `k` are dropped, so every surviving quasi combination
+    * is shared by >= k released rows. The group sizes re-enter as a
+    * broadcast-or-shuffle join on the quasi key — no window, and the
+    * released table provably satisfies [[kAnonymityReport]]. Pair with
+    * [[generalize]] on the quasi columns first when suppression cost is
+    * too high: wider buckets are monotonically easier to release
+    * (spec-pinned).
+    */
+  def suppressSmallGroups(df: org.apache.spark.sql.DataFrame,
+      quasi: Seq[String], k: Long): org.apache.spark.sql.DataFrame = {
+    val ok = kAnonymityReport(df, quasi, k)
+      .filter(col("compliant")).select(quasi.map(col): _*)
+    df.join(ok, quasi, "left_semi")
+  }
 }

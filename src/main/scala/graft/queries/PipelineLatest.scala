@@ -506,6 +506,37 @@ object PipelineLatest {
            |    END AS ndcg_at_10
            |FROM piv p JOIN nr USING (qid)
            |ORDER BY qid""".stripMargin
-      })
+      }),
+
+    // --- k-anonymity audit + suppression (p88): the group-level privacy
+    //     release check (Sweeney) — per (nation, segment) quasi group,
+    //     its size, compliance at k=5, and the count of rows the
+    //     suppression release would keep. The suppressed-release row
+    //     count is recomputed per group so ONE query certifies both the
+    //     audit and the enforcement join. ---
+    QueryDef(
+      "p88_k_anonymity",
+      (s, dir) => {
+        val cust = Tables.t(s, dir, "customer")
+        val quasi = Seq("c_nationkey", "c_mktsegment")
+        val report = graft.operators.Anonymize.kAnonymityReport(
+          cust, quasi, k = 5)
+        val kept = graft.operators.Anonymize.suppressSmallGroups(
+            cust, quasi, k = 5)
+          .groupBy(quasi.map(col): _*)
+          .agg(count(lit(1)).as("n_released"))
+        report.join(kept, quasi, "left")
+          .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+            col("compliant"),
+            coalesce(col("n_released"), lit(0L)).as("n_released"))
+          .orderBy("c_nationkey", "c_mktsegment")
+      },
+      Some(
+        """WITH g AS (SELECT c_nationkey, c_mktsegment,
+          |             CAST(count(*) AS BIGINT) AS n
+          |           FROM customer GROUP BY 1, 2)
+          |SELECT c_nationkey, c_mktsegment, n, n >= 5 AS compliant,
+          |  CASE WHEN n >= 5 THEN n ELSE 0 END AS n_released
+          |FROM g ORDER BY c_nationkey, c_mktsegment""".stripMargin))
   )
 }
