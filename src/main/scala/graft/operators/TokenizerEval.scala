@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+
+/** Tokenizer evaluation — fertility and compression per corpus slice,
+  * the acceptance metrics a tokenizer change ships against: FERTILITY
+  * (subword pieces per whitespace word — rising fertility on a language
+  * means the vocab underserves it, inflating sequence lengths and
+  * training cost for that slice) and CHARS-PER-PIECE (how much text a
+  * piece carries — the compression the context window actually buys).
+  * Closes the tokenization family's loop: p68 trains, p73 encodes, this
+  * MEASURES — per slice, so a vocab retrain can be gated on "no
+  * language's fertility regresses" instead of a corpus-blind average.
+  *
+  * Scale shape: the piece side is the [[graft.functions.BpeEncodeRows]]
+  * generator fused into the text scan (merge table broadcast, rank-
+  * cursor cost — p73's plan) feeding a slice-sized count partial agg;
+  * the word side never materializes tokens (counts and char sums are
+  * per-row HOF arithmetic). Two scans, one slice-keyed join, no
+  * windows. Ratios are exact-integer divisions rounded at 6dp — the
+  * engine-invariance rule.
+  */
+object TokenizerEval {
+
+  /** Per-slice (slice, n_words, n_word_chars, n_pieces, fertility,
+    * chars_per_piece) under the given BPE merge table (lowest rank
+    * first — [[graft.operators.BpeTrainer.learnMerges]]'s output order).
+    */
+  def fertilityReport(docs: DataFrame, textCol: String, sliceCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val tk = Fns.tokens(col(textCol))
+    val pieces = docs
+      .select(col(sliceCol).as("slice"), Fns.bpeEncodeRows(tk, merges))
+      .groupBy("slice").agg(count(lit(1)).as("n_pieces"))
+    val words = docs
+      .select(col(sliceCol).as("slice"), size(tk).as("nw"),
+        aggregate(transform(tk, t => length(t)), lit(0),
+          (a, x) => a + x).as("nc"))
+      .groupBy("slice")
+      .agg(sum(col("nw")).as("n_words"), sum(col("nc")).as("n_word_chars"))
+    words.join(pieces, "slice")
+      .select(col("slice"), col("n_words"), col("n_word_chars"),
+        col("n_pieces"),
+        round(col("n_pieces").cast("double") / col("n_words"), 6)
+          .as("fertility"),
+        round(col("n_word_chars").cast("double") / col("n_pieces"), 6)
+          .as("chars_per_piece"))
+  }
+}

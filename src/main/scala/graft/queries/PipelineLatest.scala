@@ -537,6 +537,57 @@ object PipelineLatest {
           |           FROM customer GROUP BY 1, 2)
           |SELECT c_nationkey, c_mktsegment, n, n >= 5 AS compliant,
           |  CASE WHEN n >= 5 THEN n ELSE 0 END AS n_released
-          |FROM g ORDER BY c_nationkey, c_mktsegment""".stripMargin))
+          |FROM g ORDER BY c_nationkey, c_mktsegment""".stripMargin)),
+
+    // --- tokenizer fertility/compression report (p89): the tokenization
+    //     family's measurement loop — p68 trains, p73 encodes, this
+    //     gates: per-language pieces-per-word and chars-per-piece under
+    //     the corpus-trained 8-merge BPE. The oracle replays the SAME
+    //     training and encoding folds (p68/p73's CTE machinery) and
+    //     rolls them up per lang. ---
+    QueryDef(
+      "p89_tokenizer_fertility",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.t(s, dir, "documents")
+        val merges = graft.operators.BpeTrainer
+          .learnMerges(docs, "text", numMerges = 8)
+          .orderBy("merge_rank").select("lhs", "rhs")
+          .as[(String, String)].collect().toSeq
+        graft.operators.TokenizerEval.fertilityReport(
+            docs, "text", "lang", merges)
+          .orderBy("slice")
+      },
+      Some {
+        val base = PipelineRecent.bpeOracle(8)
+        val ctes = base.substring("WITH ".length,
+          base.indexOf("\nSELECT 1 AS merge_rank"))
+        val encodeCtes = ("e0 AS (SELECT word, string_split(word, '') " +
+          "AS ts FROM (SELECT DISTINCT word FROM dw))") +:
+          (1 to 8).map { r =>
+            s"e$r AS (SELECT word,\n" +
+              "  list_reduce(list_transform(ts, t -> [t]), (acc, x) ->\n" +
+              s"    CASE WHEN acc[len(acc)] = c$r.lhs AND x[1] = c$r.rhs\n" +
+              "      THEN acc[1:len(acc)-1] || [acc[len(acc)] || x[1]]\n" +
+              "      ELSE acc || x END) AS ts\n" +
+              s"  FROM e${r - 1} CROSS JOIN c$r)"
+          }
+        s"""WITH $ctes,
+           |dw AS (SELECT lang, t AS word
+           |       FROM (SELECT lang, unnest(string_split(text, ' ')) AS t
+           |             FROM documents)),
+           |${encodeCtes.mkString(",\n")},
+           |sc AS (SELECT dw.lang, e8.ts FROM dw JOIN e8 USING (word)),
+           |pc AS (SELECT lang AS slice,
+           |         CAST(sum(len(ts)) AS BIGINT) AS n_pieces
+           |       FROM sc GROUP BY 1),
+           |wd AS (SELECT lang AS slice, CAST(count(*) AS BIGINT) AS n_words,
+           |         CAST(sum(length(word)) AS BIGINT) AS n_word_chars
+           |       FROM dw GROUP BY 1)
+           |SELECT slice, n_words, n_word_chars, n_pieces,
+           |  round(n_pieces::DOUBLE / n_words, 6) AS fertility,
+           |  round(n_word_chars::DOUBLE / n_pieces, 6) AS chars_per_piece
+           |FROM wd JOIN pc USING (slice) ORDER BY slice""".stripMargin
+      })
   )
 }

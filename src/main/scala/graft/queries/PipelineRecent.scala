@@ -992,7 +992,7 @@ object PipelineRecent {
     * function of the word string), joined back to per-doc word
     * occurrences for the piece rollups.
     */
-  private def bpeEncodeOracle(n: Int): String = {
+  private[queries] def bpeEncodeOracle(n: Int): String = {
     val base = bpeOracle(n)
     val ctes = base.substring("WITH ".length, base.indexOf("\nSELECT 1 AS merge_rank"))
     val encodeCtes = ("e0 AS (SELECT word, string_split(word, '') AS ts " +
@@ -1024,7 +1024,7 @@ object PipelineRecent {
     * over w(r-1), c(r) is the argmax with lexicographic ties, and w(r)
     * applies the merge via the whole-token list_reduce fold.
     */
-  private def bpeOracle(n: Int): String = {
+  private[queries] def bpeOracle(n: Int): String = {
     val ctes = scala.collection.mutable.ArrayBuffer(
       """wf AS (SELECT t AS word, CAST(count(*) AS BIGINT) AS cnt
         |  FROM (SELECT unnest(string_split(text, ' ')) AS t
