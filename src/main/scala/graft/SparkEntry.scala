@@ -44,7 +44,8 @@ object SparkEntry {
   def benchQueriesR10: Seq[String] = Seq(
     "p82_exact_substr_dedup", "p83_bm25_topk", "p84_audio_neardup",
     "p85_distinct_ngram_diversity", "p86_exact_auc",
-    "p87_retrieval_metrics", "p88_k_anonymity", "q86_time_travel",
+    "p87_retrieval_metrics", "p88_k_anonymity",
+    "p89_tokenizer_fertility", "q86_time_travel",
     "q87_dynamic_partition_pruning", "q88_cow_merge", "q89_cow_delete",
     "q90_bloom_skip")
 }

@@ -176,6 +176,10 @@ object PipelineLatest {
           java.lang.Integer.toHexString(dir.hashCode)
         Tables.t(s, dir, "lineitem")
           .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+          // one file per month partition (ClusteredWrite's file-sizing
+          // discipline): without this, tasks × months tiny files dominate
+          // both the write and every subsequent listing
+          .repartition(col("ship_month"))
           .write.mode("overwrite").partitionBy("ship_month").parquet(path)
         val fact = s.read.parquet(path)
         val dim = Tables.t(s, dir, "orders")

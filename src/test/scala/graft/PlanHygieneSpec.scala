@@ -61,7 +61,11 @@ class PlanHygieneSpec extends AnyFunSuite {
     "p70_dsir_selection",
     // p83: the (n_docs, avgdl) totals join in as a ONE-ROW broadcast
     // aggregate — same pattern
-    "p83_bm25_topk")
+    "p83_bm25_topk",
+    // p87: scores exact cosine retrieval via bruteForceTopK — p09's
+    // brute-force-by-design envelope; the metrics themselves are
+    // broadcast equi-joins
+    "p87_retrieval_metrics")
 
   // Pinned physical-plan node counts for the audited headline queries —
   // the numeric form of PLANS.md's prose claims ("q68: one data exchange,
