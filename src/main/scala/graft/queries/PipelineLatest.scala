@@ -592,6 +592,52 @@ object PipelineLatest {
            |  round(n_pieces::DOUBLE / n_words, 6) AS fertility,
            |  round(n_word_chars::DOUBLE / n_pieces, 6) AS chars_per_piece
            |FROM wd JOIN pc USING (slice) ORDER BY slice""".stripMargin
+      }),
+
+    // --- quality-aware canonical keep (p90): the RefinedWeb release
+    //     rule — each SimHash near-dup cluster keeps its HIGHEST-QUALITY
+    //     member (distinct-token ratio, 6dp, id ties) instead of p48's
+    //     arbitrary min-id. Clusters are hamming-0 signature buckets:
+    //     the pairs feed the SAME generic component machinery
+    //     (ConnectedComponents via qualityCanonicalKeep), but an
+    //     EQUALITY relation is its own transitive closure, so the
+    //     oracle is a plain signature group-by — affordable at any
+    //     scale, where a positive-radius closure is not (a 1-bit radius
+    //     on this shared-vocabulary fixture chains a 2800-member
+    //     component whose recursive-CTE closure runs for hours; p14
+    //     carries that regime, at sf0.01 only). ---
+    QueryDef(
+      "p90_quality_canonical_keep",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val tk = split(col("text"), " ")
+        val pairs = graft.operators.Dedup.simhashNearDupPairs(
+          graft.operators.Dedup.simhashSignatures(docs, "doc_id", "text"),
+          maxDist = 0)
+        graft.operators.Dedup.qualityCanonicalKeep(docs, "doc_id", pairs,
+            round(size(array_distinct(tk)).cast("double") / size(tk), 6))
+          .orderBy("group_id")
+      },
+      Some {
+        s"""${PipelineQueries.duckSimhashCte},
+           |grp AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY sh)
+           |          AS group_id
+           |        FROM sig),
+           |qy AS (SELECT doc_id,
+           |         round(len(list_distinct(tk))::DOUBLE / len(tk), 6) AS q
+           |       FROM (SELECT doc_id, string_split(text, ' ') AS tk
+           |             FROM documents)),
+           |j AS (SELECT grp.group_id, grp.doc_id, qy.q
+           |      FROM grp JOIN qy ON grp.doc_id = qy.doc_id),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY group_id
+           |        ORDER BY q DESC, doc_id) AS rn FROM j),
+           |sz AS (SELECT group_id, CAST(count(*) AS BIGINT) AS n_members
+           |       FROM j GROUP BY 1)
+           |SELECT r.group_id, sz.n_members, r.doc_id AS kept_id,
+           |  r.q AS kept_quality
+           |FROM r JOIN sz USING (group_id) WHERE rn = 1
+           |ORDER BY group_id""".stripMargin
       })
+
   )
 }

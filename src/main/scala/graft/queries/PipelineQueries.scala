@@ -21,7 +21,7 @@ object PipelineQueries {
   // hash -> 32 affine-permutation parity contributions -> signature).
   // Single source: p04 and p05 both splice this, so the permutation
   // formula can never drift between the two oracles.
-  private val duckSimhashCte: String =
+  private[queries] val duckSimhashCte: String =
     s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
        |            FROM documents),
        |h AS (SELECT doc_id, ${duckRollingHash("t")} AS th FROM tok),

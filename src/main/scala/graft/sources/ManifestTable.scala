@@ -270,6 +270,17 @@ object ManifestTable {
     next
   }
 
+  /** Table history from the retained snapshots — Delta's DESCRIBE
+    * HISTORY shape, answered ENTIRELY from manifest metadata (no data
+    * file is opened): one (version, n_files, n_rows, epoch) tuple per
+    * retained version, ascending. O(retained versions) driver work.
+    */
+  def history(dir: String): Seq[(Long, Int, Long, Long)] =
+    snapshotVersions(dir).map { v =>
+      val m = readManifestAsOf(dir, v)
+      (m.version, m.files.size, m.files.map(_.rows).sum, m.epoch)
+    }
+
   /** Drop snapshot manifests older than the last `keepLast` versions
     * (the current version always survives). Expired versions stop being
     * time-travelable, and their exclusively-referenced data files become

@@ -123,6 +123,21 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(asOf(cur).schema.fieldNames.toSeq == Seq("id", "s"))
   }
 
+  test("history answers from metadata: one row per retained version, rows/files exact") {
+    val dir = tmp()
+    (0 until 10).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+      .repartition(2)
+      .write.format(Fmt).option("path", dir).mode(SaveMode.Append).save()
+    (10 until 13).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+      .repartition(1)
+      .write.format(Fmt).option("path", dir).mode(SaveMode.Append).save()
+    val h = ManifestTable.history(dir)
+    assert(h.map(x => (x._1, x._2, x._3)) ==
+      Seq((1L, 2, 10L), (2L, 3, 13L)))
+    ManifestTable.expireSnapshots(dir, keepLast = 1)
+    assert(ManifestTable.history(dir).map(_._1) == Seq(2L))
+  }
+
   test("rollback republishes an old version as the next version; snapshots stay intact") {
     val dir = tmp()
     Seq((1L, "keep")).toDF("id", "s")
