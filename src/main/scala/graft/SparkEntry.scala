@@ -47,5 +47,6 @@ object SparkEntry {
     "p87_retrieval_metrics", "p88_k_anonymity",
     "p89_tokenizer_fertility", "q86_time_travel",
     "q87_dynamic_partition_pruning", "q88_cow_merge", "q89_cow_delete",
-    "q90_bloom_skip", "p90_quality_canonical_keep")
+    "q90_bloom_skip", "p90_quality_canonical_keep",
+    "p91_calibration_bins")
 }

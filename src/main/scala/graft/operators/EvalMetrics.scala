@@ -62,6 +62,43 @@ object EvalMetrics {
           .as("auc"))
   }
 
+  /** Calibration report — the reliability-diagram bins behind Expected
+    * Calibration Error: rows binned by score over the OBSERVED score
+    * range (the [min, max] pair rides in as a 1-row broadcast — exact
+    * values, so bin edges are bit-identical on every engine), and each
+    * bin reports size, mean score ("confidence"), and positive fraction
+    * ("accuracy"). A well-calibrated scorer tracks the diagonal; the
+    * quality/difficulty scorers the engine trains (p72) and the
+    * heuristic signals it gates on should be CHECKED here before their
+    * thresholds ship. Scores pre-rounded 6dp; the only order-sensitive
+    * float op is the per-bin mean, rounded after the sum (p55's
+    * regime). Output: (bin, lo, hi, n, mean_score, frac_pos).
+    */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"need >= 2 bins, got $bins")
+    val s = df.select(round(col(scoreCol).cast("double"), 6).as("s"),
+      when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("y"))
+    val mm = s.agg(min("s").as("mn"), max("s").as("mx"))
+    val b = bins.toDouble
+    s.crossJoin(broadcast(mm))
+      .withColumn("bin",
+        when(col("mx") === col("mn"), lit(0))
+          .otherwise(least(
+            floor((col("s") - col("mn")) / (col("mx") - col("mn")) * b),
+            lit(b - 1)).cast("int")))
+      .groupBy("bin", "mn", "mx")
+      .agg(count(lit(1)).as("n"),
+        round(sum("s") / count(lit(1)), 6).as("mean_score"),
+        round(sum("y").cast("double") / count(lit(1)), 6).as("frac_pos"))
+      .select(col("bin"),
+        round(col("mn") + col("bin") * (col("mx") - col("mn")) / b, 6)
+          .as("lo"),
+        round(col("mn") + (col("bin") + 1) * (col("mx") - col("mn")) / b, 6)
+          .as("hi"),
+        col("n"), col("mean_score"), col("frac_pos"))
+  }
+
   /** Discount weight 1/log2(r+1) per rank, and its prefix sums (IDCG for
     * n relevant), computed ONCE in Scala — both the engine plan and the
     * DuckDB oracle embed these very doubles as literals, so the only

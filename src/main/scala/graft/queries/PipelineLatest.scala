@@ -637,7 +637,46 @@ object PipelineLatest {
            |  r.q AS kept_quality
            |FROM r JOIN sz USING (group_id) WHERE rn = 1
            |ORDER BY group_id""".stripMargin
-      })
+      }),
 
+    // --- calibration bins (p91): the reliability diagram behind ECE —
+    //     the same mean-token-length/is-English pairing p86 scores by
+    //     AUC, binned over the observed score range (min/max ride in as
+    //     a 1-row broadcast, so bin edges are bit-identical on both
+    //     engines). Bin means round after the sum (p55's regime);
+    //     every other column is exact-integer arithmetic. ---
+    QueryDef(
+      "p91_calibration_bins",
+      (s, dir) => {
+        val scored = Tables.t(s, dir, "documents").select(
+          round(aggregate(transform(split(col("text"), " "),
+              t => length(t)), lit(0), (a, x) => a + x).cast("double") /
+            size(split(col("text"), " ")), 6).as("mean_tok_len"),
+          (col("lang") === "en").as("is_en"))
+        graft.operators.EvalMetrics.calibrationBins(
+            scored, "mean_tok_len", "is_en", bins = 10)
+          .orderBy("bin")
+      },
+      Some(
+        """WITH s AS (SELECT round(list_sum(list_transform(
+          |      string_split(text, ' '), x -> length(x)))::DOUBLE
+          |      / len(string_split(text, ' ')), 6) AS s,
+          |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          |  FROM documents),
+          |mm AS (SELECT min(s) AS mn, max(s) AS mx FROM s),
+          |bx AS (SELECT s.s, s.y, mn, mx,
+          |         CASE WHEN mx = mn THEN 0
+          |           ELSE CAST(least(floor((s.s - mn) / (mx - mn)
+          |             * 10.0::DOUBLE), 9.0::DOUBLE) AS INT) END AS bin
+          |       FROM s CROSS JOIN mm),
+          |g AS (SELECT bin, mn, mx, CAST(count(*) AS BIGINT) AS n,
+          |        round(sum(s) / count(*), 6) AS mean_score,
+          |        round(sum(y)::DOUBLE / count(*), 6) AS frac_pos
+          |      FROM bx GROUP BY 1, 2, 3)
+          |SELECT bin,
+          |  round(mn + bin * (mx - mn) / 10.0::DOUBLE, 6) AS lo,
+          |  round(mn + (bin + 1) * (mx - mn) / 10.0::DOUBLE, 6) AS hi,
+          |  n, mean_score, frac_pos
+          |FROM g ORDER BY bin""".stripMargin))
   )
 }

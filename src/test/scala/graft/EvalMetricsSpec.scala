@@ -46,6 +46,34 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(auc(Seq((0.5, true), (0.7, true))).isEmpty)
   }
 
+  test("calibration bins: a perfectly calibrated scorer sits on the diagonal") {
+    // bin centers k/10 with exactly k positives per 10 rows -> each
+    // bin's frac_pos equals its (single) score
+    val rows = for {
+      k <- 0 to 9
+      i <- 0 until 10
+    } yield (k / 10.0 + 0.005, i < k) // +0.005 keeps each k in its own bin
+    val got = EvalMetrics.calibrationBins(rows.toDF("s", "y"), "s", "y")
+      .orderBy("bin")
+      .as[(Int, Double, Double, Long, Double, Double)].collect().toSeq
+    assert(got.size == 10)
+    got.foreach { case (bin, _, _, n, mean, frac) =>
+      val want = BigDecimal(bin / 10.0 + 0.005)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(n == 10 && mean == want && frac == bin / 10.0,
+        s"bin $bin drifted: n=$n mean=$mean frac=$frac")
+    }
+    // range edges: first lo = min score, last hi = max score
+    assert(got.head._2 == 0.005 && got.last._3 == 0.905)
+  }
+
+  test("calibration bins: constant scores collapse to one bin, no division blowup") {
+    val got = EvalMetrics.calibrationBins(
+        Seq((0.5, true), (0.5, false)).toDF("s", "y"), "s", "y")
+      .as[(Int, Double, Double, Long, Double, Double)].collect().toSeq
+    assert(got == Seq((0, 0.5, 0.5, 2L, 0.5, 0.5)))
+  }
+
   test("retrieval metrics hand case: recall, MRR, and nDCG at k=3") {
     // corpus labels: q0 has label A; corpus A = {0, 10, 11, 12} -> n_rel 3
     val labels = Seq((0L, "A"), (10L, "A"), (11L, "A"), (12L, "A"),
