@@ -65,7 +65,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     // p87: scores exact cosine retrieval via bruteForceTopK — p09's
     // brute-force-by-design envelope; the metrics themselves are
     // broadcast equi-joins
-    "p87_retrieval_metrics")
+    "p87_retrieval_metrics",
+    // p91: the (min, max) score-range pair joins in as a ONE-ROW
+    // broadcast aggregate — the p23/p30/p70/p83 pattern
+    "p91_calibration_bins")
 
   // Pinned physical-plan node counts for the audited headline queries —
   // the numeric form of PLANS.md's prose claims ("q68: one data exchange,
