@@ -48,5 +48,5 @@ object SparkEntry {
     "p89_tokenizer_fertility", "q86_time_travel",
     "q87_dynamic_partition_pruning", "q88_cow_merge", "q89_cow_delete",
     "q90_bloom_skip", "p90_quality_canonical_keep",
-    "p91_calibration_bins")
+    "p91_calibration_bins", "q91_layout_capstone")
 }

@@ -677,6 +677,61 @@ object PipelineLatest {
           |  round(mn + bin * (mx - mn) / 10.0::DOUBLE, 6) AS lo,
           |  round(mn + (bin + 1) * (mx - mn) / 10.0::DOUBLE, 6) AS hi,
           |  n, mean_score, frac_pos
-          |FROM g ORDER BY bin""".stripMargin))
+          |FROM g ORDER BY bin""".stripMargin)),
+
+    // --- layout capstone (q91): the storage-side twin of p79's curate
+    //     capstone — ONE table carries every skipping structure the
+    //     engine writes (range-clustered layout -> tight zone maps on
+    //     the cluster key, per-file blooms on the string key), and ONE
+    //     read exercises both: a range predicate prunes to the
+    //     overlapping cluster files, an equality on a STRING prunes by
+    //     bloom inside them (zone maps cannot see strings at all).
+    //     LayoutCapstoneSpec pins the files-read counts for each
+    //     predicate alone and combined; the oracle is the plain filter
+    //     — all skipping must be invisible. ---
+    QueryDef(
+      "q91_layout_capstone",
+      (s, dir) => {
+        val path = "/tmp/graft_q91_sink/" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        graft.sources.FsMeta.deleteRecursive(path)
+        Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice"),
+            col("o_orderpriority"))
+          .repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey")
+          .write.format("graft.sources.ManifestTable")
+          .option("path", path)
+          .option("bloomColumns", "o_orderpriority,o_custkey")
+          .mode("append").save()
+        // scale-relative predicate literals (key spaces grow with sf):
+        // range = [max/100, max/10), customer = owner of the first
+        // in-range order — collected once, pushed as literals (the
+        // plan-literal move), mirrored as scalar subqueries in SQL
+        val orders = Tables.t(s, dir, "orders")
+        val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+        val (kLo, kHi) = (mx / 100, mx / 10)
+        val cust = orders.filter(col("o_orderkey") >= kLo)
+          .orderBy("o_orderkey").limit(1)
+          .select("o_custkey").head().getLong(0)
+        s.read.format("graft.sources.ManifestTable").option("path", path)
+          .load()
+          .filter(col("o_orderkey") >= kLo && col("o_orderkey") < kHi &&
+            col("o_custkey") === cust)
+          .orderBy("o_orderkey")
+      },
+      Some(
+        """WITH b AS (SELECT max(o_orderkey) // 100 AS klo,
+          |             max(o_orderkey) // 10 AS khi FROM orders),
+          |pick AS (SELECT o_custkey FROM orders, b
+          |         WHERE o_orderkey >= b.klo
+          |         ORDER BY o_orderkey LIMIT 1)
+          |SELECT o_orderkey, orders.o_custkey AS o_custkey,
+          |  o_orderstatus, o_totalprice, o_orderpriority
+          |FROM orders, b, pick
+          |WHERE o_orderkey >= b.klo AND o_orderkey < b.khi
+          |  AND orders.o_custkey = pick.o_custkey
+          |ORDER BY o_orderkey""".stripMargin))
   )
 }
