@@ -112,19 +112,38 @@ object Embeddings {
 
   // --- PCA whitening (round 9) ---
 
+  private type CovPartial = (Long, Array[Double], Array[Double])
+
   /** The corpus's (n, mean, sample covariance) in ONE pass: per
     * partition an imperative dims²-sized accumulator (the genuine
     * per-partition-state case mapPartitions exists for — a per-row
     * expression would explode dims² columns or rows), then a
-    * treeReduce of O(dims²) partials. Driver state is dims² doubles —
-    * a parameter, not a data size. Covariance = (Σxxᵀ − n·μμᵀ)/(n−1),
-    * the sample (covar_samp) convention.
+    * DETERMINISTIC two-level fold of the O(dims²) partials. A plain
+    * treeReduce combines partials in task-completion order, so the
+    * float sums (and their 6 dp roundings downstream) would depend on
+    * scheduler timing; instead each group of 64 partition partials is
+    * left-folded in partition-index order inside one task, and the
+    * driver left-folds the group results in group-index order — the
+    * result is a pure function of the input partitioning, bit-stable
+    * across runs. Driver state is O(P/64 · dims²) doubles — at 100 TB
+    * with 100k scan partitions and dims=64 that is ~1.6k groups ×
+    * 32 KB ≈ 50 MB, a parameter-bounded collect. Covariance =
+    * (Σxxᵀ − n·μμᵀ)/(n−1), the sample (covar_samp) convention.
     */
   def covarianceStats(df: DataFrame, vecCol: String, dims: Int)
       : (Long, Array[Double], Array[Array[Double]]) = {
     require(dims >= 1, "dims >= 1")
-    val parts = df.select(col(vecCol).cast("array<double>")).rdd
-      .mapPartitions { it =>
+    def combine(a: CovPartial, b: CovPartial): CovPartial = {
+      val (n1, s1, ss1) = a; val (n2, s2, ss2) = b
+      var i = 0
+      while (i < dims) { s1(i) += s2(i); i += 1 }
+      i = 0
+      while (i < dims * dims) { ss1(i) += ss2(i); i += 1 }
+      (n1 + n2, s1, ss1)
+    }
+    val groupSize = 64
+    val partials = df.select(col(vecCol).cast("array<double>")).rdd
+      .mapPartitionsWithIndex { (idx, it) =>
         val s = Array.fill(dims)(0.0)
         val ss = Array.fill(dims * dims)(0.0)
         var n = 0L
@@ -141,16 +160,16 @@ object Embeddings {
           }
           n += 1
         }
-        Iterator.single((n, s, ss))
+        if (n == 0L) Iterator.empty
+        else Iterator.single((idx / groupSize, (idx, (n, s, ss))))
       }
-      .treeReduce { case ((n1, s1, ss1), (n2, s2, ss2)) =>
-        var i = 0
-        while (i < dims) { s1(i) += s2(i); i += 1 }
-        i = 0
-        while (i < dims * dims) { ss1(i) += ss2(i); i += 1 }
-        (n1 + n2, s1, ss1)
-      }
-    val (n, s, ss) = parts
+    val groups = partials
+      .groupByKey()
+      .mapValues(ps => ps.toSeq.sortBy(_._1).map(_._2).reduceLeft(combine))
+      .collect()
+      .sortBy(_._1)
+    require(groups.nonEmpty, "covariance needs >= 2 rows, got 0")
+    val (n, s, ss) = groups.map(_._2).reduceLeft(combine)
     require(n >= 2, s"covariance needs >= 2 rows, got $n")
     val mean = s.map(_ / n)
     // n * (mean_i * mean_j): the inner product is commutative, so the

@@ -97,6 +97,21 @@ def main(sf_dir, out_dir):
         e = exp.reset_index(drop=True)
         try:
             pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+            # -0.0 == 0.0 passes every value comparator but the driver
+            # hashes BYTES — a signed-zero skew is a red row there (the
+            # r9/r10 p75 red: DuckDB round(-3.5e-7, 6) = -0.0, Spark's
+            # BigDecimal rounding = +0.0). Compare sign bits explicitly.
+            import numpy as _np
+            for c in g.columns:
+                if g[c].dtype.kind == "f" and e[c].dtype.kind == "f":
+                    gz = _np.signbit(g[c].to_numpy()) & (g[c].to_numpy() == 0)
+                    ez = _np.signbit(e[c].to_numpy()) & (e[c].to_numpy() == 0)
+                    if (gz != ez).any():
+                        k = int(_np.argmax(gz != ez))
+                        raise AssertionError(
+                            f"signed-zero skew in column {c} at row {k}: "
+                            f"spark {'-0.0' if gz[k] else '0.0'} vs "
+                            f"oracle {'-0.0' if ez[k] else '0.0'}")
             print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
         except AssertionError as err:
             msg = str(err).split("\n")[0:6]
