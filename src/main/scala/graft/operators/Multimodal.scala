@@ -141,10 +141,14 @@ object Multimodal {
   /** Near-dup WAV fixture — [[synthPngNoise]]'s trick for audio: docs in
     * the same FAMILY (id/3) share one base signal plus a tiny per-doc
     * perturbation (±2 on ~10k-amplitude samples), so family members are
-    * perceptual near-duplicates while families differ. All-integer
-    * arithmetic, no clamping (base stays in [−10000, 9999], noise ±2),
-    * so the DuckDB oracle recomputes every sample exactly (p63's
-    * never-decode-a-byte contract).
+    * perceptual near-duplicates while families differ. The base mixes a
+    * NONLINEAR term (x² mod a prime, x = fam·31+i) so distinct families
+    * produce decorrelated energy profiles — a pure sawtooth here (the
+    * pre-round-12 form) collapsed 5000 docs onto 43 distinct 16-bit
+    * fingerprints and made the banded hamming join quasi-all-pairs.
+    * All-integer arithmetic, no clamping (base stays in [−10000, 9999],
+    * noise ±2), so the DuckDB oracle recomputes every sample exactly
+    * (p63's never-decode-a-byte contract).
     */
   def synthWavNoise(docId: Long, sampleRate: Int, nSamples: Int): Array[Byte] = {
     require(sampleRate >= 1 && nSamples >= 1,
@@ -153,7 +157,8 @@ object Multimodal {
     val pcm = new Array[Byte](nSamples * 2)
     var i = 0
     while (i < nSamples) {
-      val base = ((fam * 31 + i) * 161 + (i.toLong * i) % 251) % 20000 - 10000
+      val x = fam * 31 + i
+      val base = (x * x % 99991 * 7919 + x * 104729) % 20000 - 10000
       val noise = (docId * 7 + i.toLong * 13) % 5 - 2
       val v = (base + noise).toInt
       pcm(2 * i) = (v & 0xff).toByte

@@ -312,11 +312,15 @@ object PipelineLatest {
 
     // --- audio perceptual near-dup (p84): the WAV twin of p63 — docs in
     //     a family (id/3) share a base signal ±2-amplitude noise; the
-    //     16-frame |PCM|-energy fingerprint (aHash's cross-multiplied
+    //     48-frame |PCM|-energy fingerprint (aHash's cross-multiplied
     //     integer rule on the 1-D signal) runs through the REAL
     //     javax.sound decode, then the SAME banded hamming join as
-    //     images. The oracle never decodes a byte: samples are pure
-    //     integer arithmetic recomputed in SQL. ---
+    //     images. 48 bits / 3 bands of 16 gives 65536-value band keys,
+    //     so band buckets track family count instead of saturating at
+    //     64 values (the 16-bit r10 form's O(n²) scale-killer); at
+    //     sf0.1 the output is exactly the 4999 planted family pairs.
+    //     The oracle never decodes a byte: samples are pure integer
+    //     arithmetic recomputed in SQL. ---
     QueryDef(
       "p84_audio_neardup",
       (s, dir) => {
@@ -330,10 +334,10 @@ object PipelineLatest {
                 64 + (fam % 17).toInt * 4))
           })
         val hashes = graft.operators.Multimodal.audioFingerprint(wavs,
-            frames = 16)
+            frames = 48)
           .toDF().select(col("doc_id").as("id"), col("afp"))
         graft.operators.Dedup.hammingNearDupPairs(hashes, "afp",
-            totalBits = 16, maxDist = 2)
+            totalBits = 48, maxDist = 2)
           .orderBy("id_a", "id_b")
       },
       Some(
@@ -341,11 +345,12 @@ object PipelineLatest {
           |             64 + ((doc_id // 3) % 17) * 4 AS n
           |           FROM documents),
           |sm AS (SELECT doc_id, n, i,
-          |         ((fam * 31 + i) * 161 + (i * i) % 251) % 20000 - 10000
+          |         ((fam * 31 + i) * (fam * 31 + i) % 99991 * 7919
+          |            + (fam * 31 + i) * 104729) % 20000 - 10000
           |           + (doc_id * 7 + i * 13) % 5 - 2 AS v
           |       FROM (SELECT doc_id, fam, n, unnest(range(0, n)) AS i
           |             FROM d)),
-          |fr AS (SELECT doc_id, n, (i * 16) // n AS f,
+          |fr AS (SELECT doc_id, n, (i * 48) // n AS f,
           |         sum(abs(v)) AS fsum, count(*) AS fcnt
           |       FROM sm GROUP BY 1, 2, 3),
           |tot AS (SELECT doc_id, sum(abs(v)) AS tsum FROM sm GROUP BY 1),

@@ -44,15 +44,40 @@ class AudioHashSpec extends AnyFunSuite {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     val rows = (0L until 30L).map(id => WavRow(id,
       Multimodal.synthWavNoise(id, 8000, 64 + (id / 3 % 17).toInt * 4)))
-    val h = Multimodal.audioFingerprint(spark.createDataset(rows), 16)
+    val h = Multimodal.audioFingerprint(spark.createDataset(rows), 48)
       .collect().map(x => x.doc_id -> x.afp).toMap
     (0L until 30L by 3L).foreach { base =>
       assert(ham(h(base), h(base + 1)) <= 2 && ham(h(base), h(base + 2)) <= 2,
         s"family ${base / 3} members drifted beyond hamming 2")
     }
-    val h2 = Multimodal.audioFingerprint(spark.createDataset(rows), 16)
+    val h2 = Multimodal.audioFingerprint(spark.createDataset(rows), 48)
       .collect().map(x => x.doc_id -> x.afp).toMap
     assert(h == h2)
+  }
+
+  test("48-bit fingerprint spreads the banded join: band-bucket cardinality >> 64, buckets stay small") {
+    // The r10 16-bit form saturated at <= 64 band-key values, making the
+    // banded hamming join quasi-all-pairs at scale (2.19M result pairs
+    // at sf0.1). At 48 bits / 3 bands of 16 the sf0.01-scale corpus
+    // (500 docs, 167 families) must spread over hundreds of buckets
+    // with no bucket above family-noise size — the join's scale
+    // contract: per-bucket work tracks family size, not corpus size.
+    val rows = (0L until 500L).map(id => WavRow(id,
+      Multimodal.synthWavNoise(id, 8000, 64 + (id / 3 % 17).toInt * 4)))
+    val hs = Multimodal.audioFingerprint(spark.createDataset(rows), 48)
+      .collect().map(_.afp)
+    val buckets = scala.collection.mutable.Map.empty[(Int, Long), Int]
+    hs.foreach { sig =>
+      (0 until 3).foreach { b =>
+        val start = b * 16
+        val key = (sig >> start) & 0xffffL
+        buckets((b, key)) = buckets.getOrElse((b, key), 0) + 1
+      }
+    }
+    assert(buckets.size >= 400,
+      s"expected >=400 distinct (band, key) buckets, got ${buckets.size}")
+    assert(buckets.values.max <= 10,
+      s"expected max bucket <= 10 members, got ${buckets.values.max}")
   }
 
   test("guards: sub-frame clips and out-of-range frame counts fail fast") {
