@@ -42,9 +42,13 @@ object Verify {
     } + "\""
     // with a name filter (iteration mode), scope the oracle file to the
     // filtered set so tools/check.py doesn't FAIL on unwritten outputs
+    // uniform signed-zero normalization (see graft.api.OracleSql):
+    // applied here, the one place oracle SQL leaves the library
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.isEmpty || only(k) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(graft.api.OracleSql.normalizeSignedZeros(v))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

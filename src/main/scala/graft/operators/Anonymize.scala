@@ -102,8 +102,16 @@ object Anonymize {
     */
   def suppressSmallGroups(df: org.apache.spark.sql.DataFrame,
       quasi: Seq[String], k: Long): org.apache.spark.sql.DataFrame = {
+    // null-safe (<=>) semi join: kAnonymityReport's groupBy puts all
+    // NULL quasi values in one group, so enforcement must match it —
+    // a plain equality join would silently suppress every NULL-quasi
+    // row even when its group is compliant (report and release would
+    // disagree). Renamed right side keeps the self-join unambiguous.
     val ok = kAnonymityReport(df, quasi, k)
-      .filter(col("compliant")).select(quasi.map(col): _*)
-    df.join(ok, quasi, "left_semi")
+      .filter(col("compliant"))
+      .select(quasi.map(c => col(c).as(s"__ok_$c")): _*)
+    df.join(ok,
+      quasi.map(c => col(c) <=> col(s"__ok_$c")).reduce(_ && _),
+      "left_semi")
   }
 }

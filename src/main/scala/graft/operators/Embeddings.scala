@@ -133,6 +133,11 @@ object Embeddings {
   def covarianceStats(df: DataFrame, vecCol: String, dims: Int)
       : (Long, Array[Double], Array[Array[Double]]) = {
     require(dims >= 1, "dims >= 1")
+    // Mutation contract: combine OWNS its left operand and accumulates
+    // the right into it in place. Safe because every left operand is a
+    // freshly-deserialized shuffle partial or a collect() copy consumed
+    // exactly once by the fold below — never cache the partials RDD or
+    // reuse a partial after folding.
     def combine(a: CovPartial, b: CovPartial): CovPartial = {
       val (n1, s1, ss1) = a; val (n2, s2, ss2) = b
       var i = 0
@@ -163,8 +168,14 @@ object Embeddings {
         if (n == 0L) Iterator.empty
         else Iterator.single((idx / groupSize, (idx, (n, s, ss))))
       }
+    // Reducer count tracks the GROUP key space (ceil(P/64)), not the
+    // upstream partition count — without it groupByKey inherits P
+    // partitions and schedules ~100k near-empty reduce tasks at the
+    // 100k-scan-partition scale for only ~1.6k keys.
+    val numGroups = math.max(1,
+      (partials.getNumPartitions + groupSize - 1) / groupSize)
     val groups = partials
-      .groupByKey()
+      .groupByKey(numGroups)
       .mapValues(ps => ps.toSeq.sortBy(_._1).map(_._2).reduceLeft(combine))
       .collect()
       .sortBy(_._1)

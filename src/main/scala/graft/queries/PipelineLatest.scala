@@ -522,31 +522,44 @@ object PipelineLatest {
     //     its size, compliance at k=5, and the count of rows the
     //     suppression release would keep. The suppressed-release row
     //     count is recomputed per group so ONE query certifies both the
-    //     audit and the enforcement join. ---
+    //     audit and the enforcement join. The BUILDING segment is
+    //     nullified so one quasi value per nation is NULL — exercising
+    //     the null-safe (<=>) enforcement join end-to-end: with a plain
+    //     equality join every NULL-quasi row would be suppressed and
+    //     this query's n_released would disagree with the oracle's
+    //     group count (ADVICE r10, Anonymize.suppressSmallGroups). ---
     QueryDef(
       "p88_k_anonymity",
       (s, dir) => {
         val cust = Tables.t(s, dir, "customer")
-        val quasi = Seq("c_nationkey", "c_mktsegment")
+          .withColumn("seg", nullif(col("c_mktsegment"), lit("BUILDING")))
+        val quasi = Seq("c_nationkey", "seg")
         val report = graft.operators.Anonymize.kAnonymityReport(
           cust, quasi, k = 5)
         val kept = graft.operators.Anonymize.suppressSmallGroups(
             cust, quasi, k = 5)
           .groupBy(quasi.map(col): _*)
           .agg(count(lit(1)).as("n_released"))
-        report.join(kept, quasi, "left")
-          .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+          .select(col("c_nationkey").as("__r_nat"), col("seg").as("__r_seg"),
+            col("n_released"))
+        report.join(kept,
+            col("c_nationkey") <=> col("__r_nat") &&
+              col("seg") <=> col("__r_seg"), "left")
+          .select(col("c_nationkey"), col("seg"), col("n"),
             col("compliant"),
             coalesce(col("n_released"), lit(0L)).as("n_released"))
-          .orderBy("c_nationkey", "c_mktsegment")
+          .orderBy("c_nationkey", "seg")
       },
       Some(
-        """WITH g AS (SELECT c_nationkey, c_mktsegment,
-          |             CAST(count(*) AS BIGINT) AS n
-          |           FROM customer GROUP BY 1, 2)
-          |SELECT c_nationkey, c_mktsegment, n, n >= 5 AS compliant,
+        """WITH c AS (SELECT c_nationkey,
+          |             nullif(c_mktsegment, 'BUILDING') AS seg
+          |           FROM customer),
+          |g AS (SELECT c_nationkey, seg, CAST(count(*) AS BIGINT) AS n
+          |      FROM c GROUP BY 1, 2)
+          |SELECT c_nationkey, seg, n, n >= 5 AS compliant,
           |  CASE WHEN n >= 5 THEN n ELSE 0 END AS n_released
-          |FROM g ORDER BY c_nationkey, c_mktsegment""".stripMargin)),
+          |FROM g
+          |ORDER BY c_nationkey, seg NULLS FIRST""".stripMargin)),
 
     // --- tokenizer fertility/compression report (p89): the tokenization
     //     family's measurement loop — p68 trains, p73 encodes, this

@@ -662,12 +662,11 @@ object PipelineRecent {
     //     rows. The eigen step itself is driver-side Jacobi (not SQL-
     //     expressible — its contracts live in EmbeddingsPcaSpec); the
     //     matrix it consumes is what the oracle certifies, as exact
-    //     covar_samp recompute per dimension pair. The CASE normalizes
-    //     DuckDB's round(-tiny, 6) = -0.0 to +0.0: Spark's BigDecimal
-    //     rounding has no signed zero, and the driver's hash compares
-    //     BYTES, so -0.0 vs 0.0 is a red row even though every value
-    //     comparator calls them equal (the r9/r10 p75 red, mechanism
-    //     found round 11: cell (5,9) covar_samp = -3.5e-7). ---
+    //     covar_samp recompute per dimension pair. DuckDB's
+    //     round(-tiny, 6) = -0.0 (cell (5,9) covar_samp = -3.5e-7,
+    //     the r9/r10 red) is collapsed to +0.0 by the UNIFORM
+    //     emission-time rule in graft.api.OracleSql — no per-query
+    //     CASE needed since round 12. ---
     QueryDef(
       "p75_embedding_covariance",
       (s, dir) => graft.operators.Embeddings.covarianceDf(
@@ -678,8 +677,7 @@ object PipelineRecent {
           |             CAST(embedding[t.i] AS DOUBLE) AS x
           |           FROM embeddings CROSS JOIN range(1, 65) t(i))
           |SELECT a.i - 1 AS i, b.i - 1 AS j,
-          |  CASE WHEN round(covar_samp(a.x, b.x), 6) = 0 THEN 0.0
-          |       ELSE round(covar_samp(a.x, b.x), 6) END AS cov
+          |  round(covar_samp(a.x, b.x), 6) AS cov
           |FROM x a JOIN x b USING (id) WHERE a.i <= b.i
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 

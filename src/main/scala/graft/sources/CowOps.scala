@@ -53,6 +53,22 @@ object CowOps {
       s"copy-on-write key '$keyCol' must be integral, got ${dt.sql}")
   }
 
+  /** The TABLE side of the key contract — validated upfront in both
+    * merge and delete: on a double-keyed table the files carry double
+    * zone-map stats and affectedFiles' lo.toLong would otherwise throw
+    * NumberFormatException mid-operation (merge happened to be fenced
+    * by checkSchema; delete, whose keys frame shares only the key
+    * column, was not).
+    */
+  private def requireTableKey(m: ManifestTable.Manifest,
+      keyCol: String): Unit = {
+    require(m.schema.fieldNames.contains(keyCol),
+      s"table has no column '$keyCol' (schema ${m.schema.toDDL})")
+    val dt = m.schema(keyCol).dataType
+    require(dt == LongType || dt == IntegerType,
+      s"table key '$keyCol' must be integral, got ${dt.sql}")
+  }
+
   /** Names of manifest files some key could live in (see step 1). When a
     * file carries a bloom on the key column (q90's
     * `.option("bloomColumns", keyCol)` at write time), its definite-miss
@@ -95,13 +111,40 @@ object CowOps {
     else spark.read.format(Fmt).option("path", dir)
       .option("files", names.mkString(",")).load()
 
+  /** The table's bloom configuration, recovered from the per-file stats
+    * the writers already persist (`#bloom:<col>` keys): which columns
+    * carry blooms, sized to the largest filter seen. COW rewrites pass
+    * this to the staged write so a merge/delete does not silently strip
+    * blooms from rewritten files — correctness would survive (bloom
+    * absence is conservative) but q90 point-lookup skipping and COW's
+    * own bloom-localized affected set would degrade permanently after
+    * the first rewrite.
+    */
+  private def bloomConfig(
+      m: ManifestTable.Manifest): (Seq[String], Option[Int]) = {
+    val cols = m.files.flatMap(_.stats.keys)
+      .filter(_.startsWith(GTabBloom.KeyPrefix))
+      .map(_.stripPrefix(GTabBloom.KeyPrefix)).distinct.sorted
+    val bits = (for {
+      f <- m.files; c <- cols
+      (_, b64) <- f.stats.get(GTabBloom.statKey(c))
+    } yield GTabBloom.decode(b64).length * 64).maxOption
+    (cols, bits)
+  }
+
   /** Stage `rows` through the connector, adopt the staged data files
     * into `dir`, and return their manifest entries (step 2).
     */
   private def stageAndAdopt(spark: SparkSession, dir: String,
-      rows: DataFrame): Seq[ManifestTable.FileEntry] = {
+      rows: DataFrame, m: ManifestTable.Manifest)
+      : Seq[ManifestTable.FileEntry] = {
     val stage = s"$dir/_cow-stage-${java.util.UUID.randomUUID}"
-    rows.write.format(Fmt).option("path", stage).mode(SaveMode.Append).save()
+    val (bloomCols, bloomBits) = bloomConfig(m)
+    val w0 = rows.write.format(Fmt).option("path", stage)
+    val w1 = if (bloomCols.isEmpty) w0
+      else w0.option("bloomColumns", bloomCols.mkString(","))
+    val w = bloomBits.fold(w1)(b => w1.option("bloomBits", b))
+    w.mode(SaveMode.Append).save()
     // empty partitions stage 0-row files — drop them instead of adopting
     // stat-less dead weight into the manifest
     val entries = ManifestTable.readManifest(stage).get.files
@@ -133,13 +176,14 @@ object CowOps {
       throw new IllegalArgumentException(s"no committed manifest at $dir"))
     checkSchema(m, updates, "updates")
     requireIntegralKey(updates, keyCol)
+    requireTableKey(m, keyCol)
     val affected = affectedFiles(spark, m, updates, keyCol)
     val merged = graft.operators.MergeUpsert.merge(
       readOnly(spark, dir, affected, m.schema)
         .select(m.schema.fieldNames.map(col).toSeq: _*),
       updates.select(m.schema.fieldNames.map(col).toSeq: _*),
       Seq(keyCol))
-    val added = stageAndAdopt(spark, dir, merged)
+    val added = stageAndAdopt(spark, dir, merged, m)
     val v = ManifestTable.commitReplace(dir, affected.toSet, added)
     CowResult(v, affected.size, m.files.size - affected.size, added.size)
   }
@@ -154,13 +198,14 @@ object CowOps {
     val m = ManifestTable.readManifest(dir).getOrElse(
       throw new IllegalArgumentException(s"no committed manifest at $dir"))
     requireIntegralKey(keys, keyCol)
+    requireTableKey(m, keyCol)
     val affected = affectedFiles(spark, m, keys, keyCol)
     val kept = readOnly(spark, dir, affected, m.schema)
       .join(broadcast(keys.select(col(keyCol).cast("long").as("__k"))
         .distinct()),
         col(keyCol).cast("long") === col("__k"), "left_anti")
       .select(m.schema.fieldNames.map(col).toSeq: _*)
-    val added = if (kept.isEmpty) Seq.empty else stageAndAdopt(spark, dir, kept)
+    val added = if (kept.isEmpty) Seq.empty else stageAndAdopt(spark, dir, kept, m)
     val v = ManifestTable.commitReplace(dir, affected.toSet, added)
     CowResult(v, affected.size, m.files.size - affected.size, added.size)
   }

@@ -184,10 +184,16 @@ object ManifestTable {
     }
   }
 
-  /** Versions whose snapshots are still present, ascending. */
+  /** Versions whose snapshots are still present, ascending. Only names
+    * of the exact form `_MANIFEST.v<digits>` count: a crash between
+    * publishAtomic's tmp write and its rename leaves `_MANIFEST.vN.tmp`
+    * behind (and a concurrent lister can see it transiently during any
+    * normal publish) — toLongOption skips those instead of throwing
+    * NumberFormatException out of history/vacuum/expireSnapshots.
+    */
   def snapshotVersions(dir: String): Seq[Long] =
-    FsMeta.listFiles(dir).collect {
-      case n if n.startsWith("_MANIFEST.v") => n.drop(11).toLong
+    FsMeta.listFiles(dir).flatMap { n =>
+      if (n.startsWith("_MANIFEST.v")) n.drop(11).toLongOption else None
     }.sorted
 
   def readManifest(dir: String): Option[Manifest] = {
@@ -400,8 +406,18 @@ object ManifestTable {
     * window keeps a just-written uncommitted job and an in-flight reader
     * of a just-overwritten version safe — MergeSink's gcGraceMs
     * contract).
+    *
+    * `keepLast` is the retention policy in the same call: snapshots
+    * beyond the most recent `keepLast` versions are expired FIRST, so a
+    * periodic `vacuum(dir, grace, keepLast = n)` actually reclaims
+    * space. Without it (the default retains everything), every commit's
+    * permanent snapshot protects its files forever and vacuum alone
+    * reclaims only uncommitted stragglers — fine for audit tables,
+    * a disk leak on a streaming sink committing every epoch.
     */
-  def vacuum(dir: String, graceMs: Long = 3600000L): Seq[String] = {
+  def vacuum(dir: String, graceMs: Long = 3600000L,
+      keepLast: Int = Int.MaxValue): Seq[String] = {
+    expireSnapshots(dir, keepLast)
     val listed = (readManifest(dir).toSeq ++
         snapshotVersions(dir).map(readManifestAsOf(dir, _)))
       .flatMap(_.files.map(_.name)).toSet

@@ -134,4 +134,46 @@ class CowSpec extends AnyFunSuite {
       CowOps.delete(spark, dir, Seq("a").toDF("k"), "k")
     }
   }
+
+  test("double-keyed TABLE fails upfront with a clear error, not mid-operation (ADVICE r10)") {
+    val dir = tmp()
+    spark.range(0, 10).select((col("id") * 1.5).as("k"),
+        concat(lit("v"), col("id")).as("s"))
+      .write.format(Fmt).option("path", dir).mode(SaveMode.Append).save()
+    // keys frame is integral, so only the table-side guard can catch it
+    // — without it affectedFiles' lo.toLong throws NumberFormatException
+    val e = intercept[IllegalArgumentException] {
+      CowOps.delete(spark, dir, Seq(3L).toDF("k"), "k")
+    }
+    assert(e.getMessage.contains("must be integral"))
+  }
+
+  test("blooms survive a COW rewrite: config recovered from file stats (ADVICE r10)") {
+    val dir = tmp()
+    spark.range(0, 100).select(col("id").as("k"),
+        concat(lit("v"), col("id")).as("s"))
+      .repartitionByRange(5, col("k")).sortWithinPartitions("k")
+      .write.format(Fmt).option("path", dir)
+      .option("bloomColumns", "k").option("bloomBits", "1024")
+      .mode(SaveMode.Append).save()
+    def bloomB64s(): Seq[String] =
+      ManifestTable.readManifest(dir).get.files
+        .flatMap(_.stats.get("#bloom:k")).map(_._2)
+    val bitsBefore = bloomB64s().map(b64 =>
+      java.util.Base64.getDecoder.decode(b64).length * 8L).distinct
+    assert(bitsBefore == Seq(1024L))
+    val r = CowOps.merge(spark, dir, Seq((5L, "U5")).toDF("k", "s"), "k")
+    assert(r.filesRewritten == 1)
+    val files = ManifestTable.readManifest(dir).get.files
+    assert(files.forall(_.stats.contains("#bloom:k")),
+      "rewritten files must keep the table's bloom column")
+    val bitsAfter = bloomB64s().map(b64 =>
+      java.util.Base64.getDecoder.decode(b64).length * 8L).distinct
+    assert(bitsAfter == Seq(1024L),
+      s"rewritten blooms must keep the 1024-bit sizing, got $bitsAfter")
+    // the rewritten file's bloom is live: a follow-up delete still
+    // localizes to one file through it
+    val r2 = CowOps.delete(spark, dir, Seq(5L).toDF("k"), "k")
+    assert(r2.filesRewritten == 1 && r2.filesUntouched == 4)
+  }
 }

@@ -38,4 +38,19 @@ class KAnonymitySpec extends AnyFunSuite {
     // y-row can never reach k=3 alone at any width
     assert(releasedAt(100L) == 21) // 80-'x' merges into bucket 0 with the rest
   }
+
+  test("NULL quasi values: enforcement agrees with the report's NULL group (null-safe join)") {
+    // 5 rows with NULL zip (compliant at k=3), 3 with 'a' (compliant),
+    // 1 with 'b' (suppressed). A plain-equality semi join would drop
+    // every NULL row even though the report marks the group compliant.
+    val df = ((1 to 5).map(i => (i.toLong, Option.empty[String])) ++
+      Seq((10L, Some("a")), (11L, Some("a")), (12L, Some("a")),
+        (20L, Some("b")))).toDF("id", "zip")
+    val released = Anonymize.suppressSmallGroups(df, Seq("zip"), 3)
+    assert(released.select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L),
+      "the compliant NULL group must be released, sub-k 'b' suppressed")
+    val audit = Anonymize.kAnonymityReport(released, Seq("zip"), 3)
+    assert(audit.filter(!col("compliant")).count() == 0)
+  }
 }

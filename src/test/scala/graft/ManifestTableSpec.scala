@@ -419,4 +419,34 @@ class ManifestTableSpec extends AnyFunSuite {
       .mode(SaveMode.Append).save()
     assert(readBack(empty).count() == 0)
   }
+
+  test("stray _MANIFEST.v*.tmp (crashed publish) is ignored by snapshotVersions/history/vacuum") {
+    val dir = tmp()
+    Seq((1L, "a")).toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode(SaveMode.Append).save()
+    val versions = ManifestTable.snapshotVersions(dir)
+    // a crash between publishAtomic's tmp write and rename leaves these
+    Files.writeString(java.nio.file.Paths.get(dir, "_MANIFEST.v99.tmp"),
+      "torn junk")
+    Files.writeString(java.nio.file.Paths.get(dir, "_MANIFEST.vnope"),
+      "not a version")
+    assert(ManifestTable.snapshotVersions(dir) == versions,
+      "non-numeric _MANIFEST.v* names must not surface as versions")
+    assert(ManifestTable.vacuum(dir, graceMs = 0L).isEmpty) // no throw
+    assert(readBack(dir).count() == 1)
+  }
+
+  test("vacuum(keepLast=) is retention + reclaim in one call") {
+    val dir = tmp()
+    Seq((1L, "old")).toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode(SaveMode.Append).save()
+    Seq((2L, "new")).toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode(SaveMode.Overwrite).save()
+    // default retention keeps every snapshot: nothing reclaimable
+    assert(ManifestTable.vacuum(dir, graceMs = 0L).isEmpty)
+    // one call: expire beyond the last version, then reclaim its file
+    assert(ManifestTable.vacuum(dir, graceMs = 0L, keepLast = 1).nonEmpty)
+    assert(readBack(dir).select("s").as[String].collect().toSeq ==
+      Seq("new"))
+  }
 }
