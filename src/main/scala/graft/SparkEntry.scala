@@ -24,29 +24,31 @@ object SparkEntry {
   /** Headline queries timed by Bench at sf0.1 (legacy-12 anchor group). */
   def benchQueries: Seq[String] = Registry.all.filter(_.bench).map(_.name)
 
-  /** Extended bench group: newer-surface representatives timed separately
-    * so the legacy total stays comparable round-over-round.
+  /** Extended bench group: everything newer than the legacy 12, ONE
+    * stable set going forward. Round 12 folded the former r9/r10 anchor
+    * groups in here (mapping note in PLANS.md round-12 entry) — four
+    * generations of per-round groups had made round-over-round
+    * comparison a bookkeeping exercise. Storage-layout queries are NOT
+    * here: they get build/read-split accounting in their own group.
     */
   def benchQueriesExtended: Seq[String] =
-    Registry.all.filter(_.benchExt).map(_.name)
+    Registry.all.filter(_.benchExt).map(_.name) ++ Seq(
+      // former r9 group
+      "p72_quality_classifier", "p73_bpe_encode",
+      "p75_embedding_covariance", "p76_sequence_packing",
+      "p77_kmeans_lloyd", "q84_source_group_pushdown",
+      "q85_storage_partitioned_join",
+      // former r10 group, minus the storage-layout queries
+      "p82_exact_substr_dedup", "p83_bm25_topk", "p84_audio_neardup",
+      "p85_distinct_ngram_diversity", "p86_exact_auc",
+      "p87_retrieval_metrics", "p88_k_anonymity",
+      "p89_tokenizer_fertility", "p90_quality_canonical_keep",
+      "p91_calibration_bins")
 
-  /** Round-9 additions timed as their OWN group, so the legacy and
-    * extended totals stay comparable round-over-round (the r8
-    * convention, one generation later).
+  /** Storage-layout queries, timed with build/read SPLIT accounting
+    * ([[graft.queries.StorageLayout]]): tables build once per bench
+    * process, the pruned read is the timed signal.
     */
-  def benchQueriesR9: Seq[String] = Seq(
-    "p72_quality_classifier", "p73_bpe_encode",
-    "p75_embedding_covariance", "p76_sequence_packing",
-    "p77_kmeans_lloyd", "q84_source_group_pushdown",
-    "q85_storage_partitioned_join")
-
-  /** Round-10 additions, timed as their own group (same convention). */
-  def benchQueriesR10: Seq[String] = Seq(
-    "p82_exact_substr_dedup", "p83_bm25_topk", "p84_audio_neardup",
-    "p85_distinct_ngram_diversity", "p86_exact_auc",
-    "p87_retrieval_metrics", "p88_k_anonymity",
-    "p89_tokenizer_fertility", "q86_time_travel",
-    "q87_dynamic_partition_pruning", "q88_cow_merge", "q89_cow_delete",
-    "q90_bloom_skip", "p90_quality_canonical_keep",
-    "p91_calibration_bins", "q91_layout_capstone")
+  def benchQueriesStorage: Seq[String] =
+    graft.queries.StorageLayout.benchPairs.map(_._1)
 }

@@ -133,27 +133,7 @@ object PipelineLatest {
     //     are pinned in ManifestTableSpec. ---
     QueryDef(
       "q86_time_travel",
-      (s, dir) => {
-        val path = "/tmp/graft_q86_sink/" +
-          java.lang.Integer.toHexString(dir.hashCode)
-        val rollup = Tables.t(s, dir, "customer")
-          .groupBy("c_mktsegment")
-          .agg(count(lit(1)).as("n_cust"),
-            sum("c_custkey").as("sum_key"),
-            min("c_acctbal").as("min_bal"))
-        rollup.repartition(2).write.format("graft.sources.ManifestTable")
-          .option("path", path).mode("overwrite").save()
-        val v = graft.sources.ManifestTable.readManifest(path).get.version
-        // poison append: same schema, values that would change every column
-        s.range(1).select(lit("POISON").as("c_mktsegment"),
-            lit(-1L).as("n_cust"), lit(-1L).as("sum_key"),
-            lit(-1e9).as("min_bal"))
-          .write.format("graft.sources.ManifestTable")
-          .option("path", path).mode("append").save()
-        s.read.format("graft.sources.ManifestTable")
-          .option("path", path).option("versionAsOf", v).load()
-          .orderBy("c_mktsegment")
-      },
+      (s, dir) => StorageLayout.q86TimeTravel(s, dir)(),
       Some(
         """SELECT c_mktsegment,
           |  CAST(count(*) AS BIGINT) AS n_cust,
@@ -171,26 +151,7 @@ object PipelineLatest {
     //     (counts + small-integer-valued quantity sums). ---
     QueryDef(
       "q87_dynamic_partition_pruning",
-      (s, dir) => {
-        val path = "/tmp/graft_q87_fact/" +
-          java.lang.Integer.toHexString(dir.hashCode)
-        Tables.t(s, dir, "lineitem")
-          .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
-          // one file per month partition (ClusteredWrite's file-sizing
-          // discipline): without this, tasks × months tiny files dominate
-          // both the write and every subsequent listing
-          .repartition(col("ship_month"))
-          .write.mode("overwrite").partitionBy("ship_month").parquet(path)
-        val fact = s.read.parquet(path)
-        val dim = Tables.t(s, dir, "orders")
-          .filter(month(col("o_orderdate")) === 1)
-          .select(date_format(col("o_orderdate"), "yyyy-MM").as("ship_month"))
-          .distinct()
-        fact.join(dim, "ship_month")
-          .groupBy("ship_month")
-          .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
-          .orderBy("ship_month")
-      },
+      (s, dir) => StorageLayout.q87Dpp(s, dir)(),
       Some(
         """WITH f AS (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
           |             l_quantity FROM lineitem),
@@ -209,33 +170,7 @@ object PipelineLatest {
     //     exact (same double + same constant on both engines). ---
     QueryDef(
       "q88_cow_merge",
-      (s, dir) => {
-        import s.implicits._
-        val path = "/tmp/graft_q88_sink/" +
-          java.lang.Integer.toHexString(dir.hashCode)
-        graft.sources.FsMeta.deleteRecursive(path)
-        val cust = Tables.t(s, dir, "customer")
-        cust.repartitionByRange(8, col("c_custkey"))
-          .sortWithinPartitions("c_custkey")
-          .write.format("graft.sources.ManifestTable")
-          .option("path", path).mode("append").save()
-        val updates = cust.filter(col("c_custkey") % 10 === 0)
-          .select(col("c_custkey"),
-            concat(lit("upd-"), col("c_name")).as("c_name"),
-            col("c_nationkey"),
-            (col("c_acctbal") + lit(1000.0)).as("c_acctbal"),
-            col("c_mktsegment"))
-          .unionByName((0 until 3).map(i =>
-              (1000000000L + i, s"new-$i", i, 0.0, "MACHINERY"))
-            .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
-              "c_mktsegment")
-            .select(col("c_custkey"), col("c_name"),
-              col("c_nationkey").cast("int").as("c_nationkey"),
-              col("c_acctbal"), col("c_mktsegment")))
-        graft.sources.CowOps.merge(s, path, updates, "c_custkey")
-        s.read.format("graft.sources.ManifestTable").option("path", path)
-          .load().orderBy("c_custkey")
-      },
+      (s, dir) => StorageLayout.q88CowMerge(s, dir)(),
       Some(
         """WITH ins AS (SELECT * FROM (VALUES
           |    (1000000000, 'new-0', 0, 0.0, 'MACHINERY'),
@@ -262,21 +197,7 @@ object PipelineLatest {
     //     back must equal the plain anti-join. ---
     QueryDef(
       "q89_cow_delete",
-      (s, dir) => {
-        val path = "/tmp/graft_q89_sink/" +
-          java.lang.Integer.toHexString(dir.hashCode)
-        graft.sources.FsMeta.deleteRecursive(path)
-        val cust = Tables.t(s, dir, "customer")
-        cust.repartitionByRange(8, col("c_custkey"))
-          .sortWithinPartitions("c_custkey")
-          .write.format("graft.sources.ManifestTable")
-          .option("path", path).mode("append").save()
-        graft.sources.CowOps.delete(s, path,
-          cust.filter(col("c_custkey") % 7 === 0).select("c_custkey"),
-          "c_custkey")
-        s.read.format("graft.sources.ManifestTable").option("path", path)
-          .load().orderBy("c_custkey")
-      },
+      (s, dir) => StorageLayout.q89CowDelete(s, dir)(),
       Some(
         """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
           |FROM customer WHERE c_custkey % 7 <> 0
@@ -291,20 +212,7 @@ object PipelineLatest {
     //     filter — skipping must be invisible. ---
     QueryDef(
       "q90_bloom_skip",
-      (s, dir) => {
-        val path = "/tmp/graft_q90_sink/" +
-          java.lang.Integer.toHexString(dir.hashCode)
-        graft.sources.FsMeta.deleteRecursive(path)
-        Tables.t(s, dir, "customer")
-          .repartition(8, col("c_custkey"))
-          .write.format("graft.sources.ManifestTable")
-          .option("path", path).option("bloomColumns", "c_custkey")
-          .mode("append").save()
-        s.read.format("graft.sources.ManifestTable").option("path", path)
-          .load()
-          .filter(col("c_custkey").isin(1L, 7L, 500L, 1203L))
-          .orderBy("c_custkey")
-      },
+      (s, dir) => StorageLayout.q90BloomSkip(s, dir)(),
       Some(
         """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
           |FROM customer WHERE c_custkey IN (1, 7, 500, 1203)
@@ -709,36 +617,7 @@ object PipelineLatest {
     //     — all skipping must be invisible. ---
     QueryDef(
       "q91_layout_capstone",
-      (s, dir) => {
-        val path = "/tmp/graft_q91_sink/" +
-          java.lang.Integer.toHexString(dir.hashCode)
-        graft.sources.FsMeta.deleteRecursive(path)
-        Tables.t(s, dir, "orders")
-          .select(col("o_orderkey"), col("o_custkey"),
-            col("o_orderstatus"), col("o_totalprice"),
-            col("o_orderpriority"))
-          .repartitionByRange(8, col("o_orderkey"))
-          .sortWithinPartitions("o_orderkey")
-          .write.format("graft.sources.ManifestTable")
-          .option("path", path)
-          .option("bloomColumns", "o_orderpriority,o_custkey")
-          .mode("append").save()
-        // scale-relative predicate literals (key spaces grow with sf):
-        // range = [max/100, max/10), customer = owner of the first
-        // in-range order — collected once, pushed as literals (the
-        // plan-literal move), mirrored as scalar subqueries in SQL
-        val orders = Tables.t(s, dir, "orders")
-        val mx = orders.agg(max("o_orderkey")).head().getLong(0)
-        val (kLo, kHi) = (mx / 100, mx / 10)
-        val cust = orders.filter(col("o_orderkey") >= kLo)
-          .orderBy("o_orderkey").limit(1)
-          .select("o_custkey").head().getLong(0)
-        s.read.format("graft.sources.ManifestTable").option("path", path)
-          .load()
-          .filter(col("o_orderkey") >= kLo && col("o_orderkey") < kHi &&
-            col("o_custkey") === cust)
-          .orderBy("o_orderkey")
-      },
+      (s, dir) => StorageLayout.q91LayoutCapstone(s, dir)(),
       Some(
         """WITH b AS (SELECT max(o_orderkey) // 100 AS klo,
           |             max(o_orderkey) // 10 AS khi FROM orders),

@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.api.Tables
+
+/** The storage-layout queries (q86–q91), factored into BUILD → READ
+  * pairs: each `qNN(spark, dir)` builds (or rebuilds) the table at its
+  * fixed /tmp sink and returns the READ as a thunk.
+  *
+  * Two consumers share these so they cannot drift apart:
+  *   - the QueryDefs in [[PipelineLatest]] run build + read every time
+  *     (the correctness contract: one self-contained oracle-checked
+  *     query per operator);
+  *   - [[graft.Bench]] builds ONCE per process and times the read
+  *     min-of-3, reporting `{build_s, read_s}` per query — the r10/r11
+  *     bench totals mixed table-rebuild time into every timed run,
+  *     which buried the pruned-read signal (the repo's actual 100 TB
+  *     argument: at scale you write once and read many; read latency
+  *     is the number that must stay flat round-over-round).
+  */
+object StorageLayout {
+
+  private val Fmt = "graft.sources.ManifestTable"
+
+  private def sink(tag: String, dir: String): String =
+    s"/tmp/graft_${tag}_sink/" + java.lang.Integer.toHexString(dir.hashCode)
+
+  /** q86: overwrite a per-segment rollup (version N), append poison rows
+    * (N+1), read `versionAsOf` N — a pinned snapshot must see exactly
+    * the pre-append table.
+    */
+  def q86TimeTravel(s: SparkSession, dir: String): () => DataFrame = {
+    val path = sink("q86", dir)
+    val rollup = Tables.t(s, dir, "customer")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"),
+        sum("c_custkey").as("sum_key"),
+        min("c_acctbal").as("min_bal"))
+    rollup.repartition(2).write.format(Fmt)
+      .option("path", path).mode("overwrite").save()
+    val v = graft.sources.ManifestTable.readManifest(path).get.version
+    // poison append: same schema, values that would change every column
+    s.range(1).select(lit("POISON").as("c_mktsegment"),
+        lit(-1L).as("n_cust"), lit(-1L).as("sum_key"),
+        lit(-1e9).as("min_bal"))
+      .write.format(Fmt).option("path", path).mode("append").save()
+    () => s.read.format(Fmt).option("path", path)
+      .option("versionAsOf", v).load()
+      .orderBy("c_mktsegment")
+  }
+
+  /** q87: month-partitioned fact + selectively-filtered dim → Spark
+    * injects a runtime partition-pruning subquery into the fact scan.
+    */
+  def q87Dpp(s: SparkSession, dir: String): () => DataFrame = {
+    val path = "/tmp/graft_q87_fact/" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    Tables.t(s, dir, "lineitem")
+      .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+      // one file per month partition (ClusteredWrite's file-sizing
+      // discipline): without this, tasks × months tiny files dominate
+      // both the write and every subsequent listing
+      .repartition(col("ship_month"))
+      .write.mode("overwrite").partitionBy("ship_month").parquet(path)
+    () => {
+      val fact = s.read.parquet(path)
+      val dim = Tables.t(s, dir, "orders")
+        .filter(month(col("o_orderdate")) === 1)
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("ship_month"))
+        .distinct()
+      fact.join(dim, "ship_month")
+        .groupBy("ship_month")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+        .orderBy("ship_month")
+    }
+  }
+
+  /** q88: key-clustered customer + copy-on-write MERGE (sparse updates +
+    * inserts); the build INCLUDES the merge — the read is the
+    * manifest-committed post-merge scan.
+    */
+  def q88CowMerge(s: SparkSession, dir: String): () => DataFrame = {
+    import s.implicits._
+    val path = sink("q88", dir)
+    graft.sources.FsMeta.deleteRecursive(path)
+    val cust = Tables.t(s, dir, "customer")
+    cust.repartitionByRange(8, col("c_custkey"))
+      .sortWithinPartitions("c_custkey")
+      .write.format(Fmt).option("path", path).mode("append").save()
+    val updates = cust.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"),
+        concat(lit("upd-"), col("c_name")).as("c_name"),
+        col("c_nationkey"),
+        (col("c_acctbal") + lit(1000.0)).as("c_acctbal"),
+        col("c_mktsegment"))
+      .unionByName((0 until 3).map(i =>
+          (1000000000L + i, s"new-$i", i, 0.0, "MACHINERY"))
+        .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+          "c_mktsegment")
+        .select(col("c_custkey"), col("c_name"),
+          col("c_nationkey").cast("int").as("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment")))
+    graft.sources.CowOps.merge(s, path, updates, "c_custkey")
+    () => s.read.format(Fmt).option("path", path).load()
+      .orderBy("c_custkey")
+  }
+
+  /** q89: same layout + copy-on-write DELETE of every 7th key; read =
+    * post-delete scan, which must equal the plain anti-join.
+    */
+  def q89CowDelete(s: SparkSession, dir: String): () => DataFrame = {
+    val path = sink("q89", dir)
+    graft.sources.FsMeta.deleteRecursive(path)
+    val cust = Tables.t(s, dir, "customer")
+    cust.repartitionByRange(8, col("c_custkey"))
+      .sortWithinPartitions("c_custkey")
+      .write.format(Fmt).option("path", path).mode("append").save()
+    graft.sources.CowOps.delete(s, path,
+      cust.filter(col("c_custkey") % 7 === 0).select("c_custkey"),
+      "c_custkey")
+    () => s.read.format(Fmt).option("path", path).load()
+      .orderBy("c_custkey")
+  }
+
+  /** q90: hash-scattered layout (zone maps prune nothing by
+    * construction) + per-file key blooms; the read is an IN point
+    * lookup that may open only bloom-positive files.
+    */
+  def q90BloomSkip(s: SparkSession, dir: String): () => DataFrame = {
+    val path = sink("q90", dir)
+    graft.sources.FsMeta.deleteRecursive(path)
+    Tables.t(s, dir, "customer")
+      .repartition(8, col("c_custkey"))
+      .write.format(Fmt)
+      .option("path", path).option("bloomColumns", "c_custkey")
+      .mode("append").save()
+    () => s.read.format(Fmt).option("path", path).load()
+      .filter(col("c_custkey").isin(1L, 7L, 500L, 1203L))
+      .orderBy("c_custkey")
+  }
+
+  /** q91: one table carrying every skipping structure (range clustering
+    * → zone maps on the key, blooms on the string + customer columns);
+    * the read combines a range predicate with a bloom-only equality.
+    */
+  def q91LayoutCapstone(s: SparkSession, dir: String): () => DataFrame = {
+    val path = sink("q91", dir)
+    graft.sources.FsMeta.deleteRecursive(path)
+    Tables.t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.format(Fmt).option("path", path)
+      .option("bloomColumns", "o_orderpriority,o_custkey")
+      .mode("append").save()
+    // scale-relative predicate literals (key spaces grow with sf):
+    // range = [max/100, max/10), customer = owner of the first
+    // in-range order — collected once, pushed as literals (the
+    // plan-literal move), mirrored as scalar subqueries in SQL
+    val orders = Tables.t(s, dir, "orders")
+    val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+    val (kLo, kHi) = (mx / 100, mx / 10)
+    val cust = orders.filter(col("o_orderkey") >= kLo)
+      .orderBy("o_orderkey").limit(1)
+      .select("o_custkey").head().getLong(0)
+    () => s.read.format(Fmt).option("path", path).load()
+      .filter(col("o_orderkey") >= kLo && col("o_orderkey") < kHi &&
+        col("o_custkey") === cust)
+      .orderBy("o_orderkey")
+  }
+
+  /** Bench's storage group: name → build-once/read-thunk factory. */
+  val benchPairs: Seq[(String, (SparkSession, String) => () => DataFrame)] =
+    Seq(
+      "q86_time_travel" -> (q86TimeTravel _),
+      "q87_dynamic_partition_pruning" -> (q87Dpp _),
+      "q88_cow_merge" -> (q88CowMerge _),
+      "q89_cow_delete" -> (q89CowDelete _),
+      "q90_bloom_skip" -> (q90BloomSkip _),
+      "q91_layout_capstone" -> (q91LayoutCapstone _))
+}
