@@ -47,6 +47,51 @@ object CowOps {
 
   private val Fmt = "graft.sources.ManifestTable"
 
+  /** Test seam: runs right before each commitReplace attempt (after the
+    * rewrite is staged), so a spec can interleave a competing commit
+    * deterministically. No-op in production.
+    */
+  private[graft] var beforeCommitHook: () => Unit = () => ()
+
+  /** Optimistic-concurrency driver for merge/delete: run `body` against
+    * the current manifest; when the commit loses the version CAS
+    * ([[ManifestTable.ConcurrentCommitException]]), delete the attempt's
+    * adopted-but-unreferenced files and RECOMPUTE against the new
+    * current version — the affected set, the rewrite, everything (the
+    * winner may have touched the same files). Bounded attempts: under
+    * genuine write contention a table needs a coordinator, not an
+    * unbounded spin.
+    */
+  private def withCommitRetry(dir: String)(
+      body: ManifestTable.Manifest => CowResult): CowResult = {
+    val maxAttempts = 3
+    var last: ManifestTable.ConcurrentCommitException = null
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val m = ManifestTable.readManifest(dir).getOrElse(
+        throw new IllegalArgumentException(s"no committed manifest at $dir"))
+      try return body(m)
+      catch { case e: ManifestTable.ConcurrentCommitException =>
+        last = e; attempt += 1
+      }
+    }
+    throw last
+  }
+
+  /** Commit `added` replacing `affected`, cleaning up the staged files
+    * if the commit loses the CAS (they are unreferenced; deleting keeps
+    * the data dir free of loser debris rather than waiting on vacuum).
+    */
+  private def commitOrCleanup(dir: String, m: ManifestTable.Manifest,
+      affected: Seq[String], added: Seq[ManifestTable.FileEntry]): Long = {
+    beforeCommitHook()
+    try ManifestTable.commitReplace(dir, m.version, affected.toSet, added)
+    catch { case e: ManifestTable.ConcurrentCommitException =>
+      added.foreach(a => FsMeta.deleteRecursive(s"$dir/data/${a.name}"))
+      throw e
+    }
+  }
+
   private def requireIntegralKey(df: DataFrame, keyCol: String): Unit = {
     val dt = df.schema(keyCol).dataType
     require(dt == LongType || dt == IntegerType,
@@ -171,9 +216,7 @@ object CowOps {
     * per table applies (every publish's contract).
     */
   def merge(spark: SparkSession, dir: String, updates: DataFrame,
-      keyCol: String): CowResult = {
-    val m = ManifestTable.readManifest(dir).getOrElse(
-      throw new IllegalArgumentException(s"no committed manifest at $dir"))
+      keyCol: String): CowResult = withCommitRetry(dir) { m =>
     checkSchema(m, updates, "updates")
     requireIntegralKey(updates, keyCol)
     requireTableKey(m, keyCol)
@@ -184,7 +227,7 @@ object CowOps {
       updates.select(m.schema.fieldNames.map(col).toSeq: _*),
       Seq(keyCol))
     val added = stageAndAdopt(spark, dir, merged, m)
-    val v = ManifestTable.commitReplace(dir, affected.toSet, added)
+    val v = commitOrCleanup(dir, m, affected, added)
     CowResult(v, affected.size, m.files.size - affected.size, added.size)
   }
 
@@ -194,9 +237,7 @@ object CowOps {
     * are dropped (not rewritten as empty), untouched files carry over.
     */
   def delete(spark: SparkSession, dir: String, keys: DataFrame,
-      keyCol: String): CowResult = {
-    val m = ManifestTable.readManifest(dir).getOrElse(
-      throw new IllegalArgumentException(s"no committed manifest at $dir"))
+      keyCol: String): CowResult = withCommitRetry(dir) { m =>
     requireIntegralKey(keys, keyCol)
     requireTableKey(m, keyCol)
     val affected = affectedFiles(spark, m, keys, keyCol)
@@ -206,7 +247,7 @@ object CowOps {
         col(keyCol).cast("long") === col("__k"), "left_anti")
       .select(m.schema.fieldNames.map(col).toSeq: _*)
     val added = if (kept.isEmpty) Seq.empty else stageAndAdopt(spark, dir, kept, m)
-    val v = ManifestTable.commitReplace(dir, affected.toSet, added)
+    val v = commitOrCleanup(dir, m, affected, added)
     CowResult(v, affected.size, m.files.size - affected.size, added.size)
   }
 }

@@ -249,13 +249,58 @@ object ManifestTable {
     }
   }
 
+  /** Thrown when a commit loses the version CAS to a concurrent writer:
+    * version `version` at `dir` was published by someone else first. The
+    * loser's state is untouched (its data files are unreferenced and
+    * vacuum-able); callers retry by re-reading the current manifest and
+    * recomputing — [[CowOps]] does so automatically, appends retry
+    * inside [[commitVersion]].
+    */
+  final class ConcurrentCommitException(val dir: String, val version: Long,
+      val foundVersion: Long) extends RuntimeException(
+    s"concurrent commit at $dir: expected to publish version $version " +
+      s"but another writer got there first (current version $foundVersion)")
+
+  /** Publish `m` with optimistic concurrency: the VERSION SNAPSHOT is
+    * the CAS — `_MANIFEST.v<N>` is create-once (renameIfAbsent), so
+    * exactly one writer can publish version N; the loser gets a typed
+    * [[ConcurrentCommitException]] instead of silently overwriting the
+    * winner (the lost-update mode the pre-round-12 overwrite-rename
+    * had). The `_MANIFEST` pointer is a CACHE of the max snapshot,
+    * republished after each win; if a winner crashes between its
+    * snapshot and pointer writes, the next loser rolls the pointer
+    * forward from the orphan snapshot, so the table never wedges. On a
+    * store with atomic rename this is exactly Iceberg's
+    * commit-by-create model minus the metastore.
+    */
   private def publish(dir: String, m: Manifest): Unit = {
     FsMeta.mkdirs(dir)
     val payload = render(m)
-    // snapshot first, pointer second (see snapshotPath scaladoc)
-    FsMeta.publishAtomic(dir + s"/_MANIFEST.v${m.version}.tmp",
-      snapshotPath(dir, m.version), payload)
+    // unique tmp per writer: a shared tmp name would let writer B's
+    // payload be renamed by writer A
+    val tmp = dir + s"/_MANIFEST.v${m.version}.tmp-" +
+      java.util.UUID.randomUUID
+    FsMeta.writeString(tmp, payload)
+    if (!FsMeta.renameIfAbsent(tmp, snapshotPath(dir, m.version))) {
+      FsMeta.deleteRecursive(tmp)
+      // roll-forward: heal a crashed winner's lagging pointer before
+      // surfacing the conflict, so retries can make progress
+      val ptr = readManifest(dir).map(_.version).getOrElse(0L)
+      if (ptr < m.version)
+        FsMeta.publishAtomic(dir + "/_MANIFEST.tmp", manifestPath(dir),
+          FsMeta.readString(snapshotPath(dir, m.version)))
+      throw new ConcurrentCommitException(dir, m.version,
+        math.max(ptr, m.version))
+    }
     FsMeta.publishAtomic(dir + "/_MANIFEST.tmp", manifestPath(dir), payload)
+    // self-heal pointer monotonicity: a slow writer's pointer write can
+    // land after a faster successor's — detect and republish from the
+    // max snapshot (each subsequent commit heals again, so a transient
+    // interleaving converges)
+    val maxSnap = snapshotVersions(dir).lastOption.getOrElse(m.version)
+    if (maxSnap > m.version)
+      FsMeta.publishAtomic(dir + "/_MANIFEST.tmp", manifestPath(dir),
+        FsMeta.readString(snapshotPath(dir, maxSnap)))
   }
 
   /** TIME TRAVEL maintenance: republish version `version`'s contents as
@@ -333,21 +378,36 @@ object ManifestTable {
   private[graft] def commitVersion(dir: String, schema: StructType,
       newFiles: Seq[FileEntry], keepPrevious: Boolean,
       epoch: Long = -1L): Unit = {
-    val prev = readManifest(dir)
-    // streaming epoch replay (checkpoint recovery re-runs a committed
-    // batch): the manifest already covers this epoch — drop the rerun's
-    // files instead of double-appending, and keep the published state
-    if (epoch >= 0 && prev.exists(_.epoch >= epoch)) {
-      newFiles.foreach(f => FsMeta.deleteRecursive(s"$dir/data/${f.name}"))
-      return
+    // bounded CAS-retry: appends (and overwrite-truncates) are safe to
+    // replan against whoever won — re-read, re-derive, re-publish. The
+    // epoch-replay check re-runs per attempt: the concurrent winner may
+    // have been exactly this epoch's other attempt.
+    var attempts = 0
+    while (true) {
+      val prev = readManifest(dir)
+      // streaming epoch replay (checkpoint recovery re-runs a committed
+      // batch): the manifest already covers this epoch — drop the rerun's
+      // files instead of double-appending, and keep the published state
+      if (epoch >= 0 && prev.exists(_.epoch >= epoch)) {
+        newFiles.foreach(f => FsMeta.deleteRecursive(s"$dir/data/${f.name}"))
+        return
+      }
+      val published =
+        if (keepPrevious) prev.map(p => evolve(p.schema, schema))
+          .getOrElse(schema)
+        else schema
+      val base = if (keepPrevious) prev.map(_.files).getOrElse(Nil) else Nil
+      try {
+        publish(dir, Manifest(prev.map(_.version + 1).getOrElse(1L),
+          published, base ++ newFiles,
+          math.max(epoch, prev.map(_.epoch).getOrElse(-1L))))
+        return
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempts += 1
+          if (attempts >= 5) throw e
+      }
     }
-    val published =
-      if (keepPrevious) prev.map(p => evolve(p.schema, schema))
-        .getOrElse(schema)
-      else schema
-    val base = if (keepPrevious) prev.map(_.files).getOrElse(Nil) else Nil
-    publish(dir, Manifest(prev.map(_.version + 1).getOrElse(1L), published,
-      base ++ newFiles, math.max(epoch, prev.map(_.epoch).getOrElse(-1L))))
   }
 
   /** Publish the next version with `removeNames` dropped from the file
@@ -358,10 +418,18 @@ object ManifestTable {
     * expireSnapshots + vacuum. Schema and streaming epoch high-water
     * carry over unchanged. Returns the published version.
     */
-  private[sources] def commitReplace(dir: String, removeNames: Set[String],
-      added: Seq[FileEntry]): Long = {
+  private[sources] def commitReplace(dir: String, expectedVersion: Long,
+      removeNames: Set[String], added: Seq[FileEntry]): Long = {
     val cur = readManifest(dir).getOrElse(throw new IllegalArgumentException(
       s"no committed manifest at $dir"))
+    // snapshot-isolation validation: the replacement was computed
+    // against `expectedVersion`'s file set — if ANY commit landed since
+    // (even a pure append), the affected-set/bloom/zone-map reasoning
+    // may be stale; surface the typed conflict so the caller recomputes
+    // against the new current version (CowOps retries automatically)
+    if (cur.version != expectedVersion)
+      throw new ConcurrentCommitException(dir, expectedVersion + 1,
+        cur.version)
     val unknown = removeNames.diff(cur.files.map(_.name).toSet)
     require(unknown.isEmpty,
       s"commitReplace removing files absent from the manifest: " +
