@@ -629,6 +629,39 @@ object PipelineLatest {
           |FROM orders, b, pick
           |WHERE o_orderkey >= b.klo AND o_orderkey < b.khi
           |  AND orders.o_custkey = pick.o_custkey
-          |ORDER BY o_orderkey""".stripMargin))
+          |ORDER BY o_orderkey""".stripMargin)),
+
+    // --- merge-on-read DELETE (q92): q89's delete without rewriting a
+    //     single data file — deletion-vector sidecars land in the
+    //     manifest entries' reserved #dv: stats keys and the connector's
+    //     read path subtracts them row-level (Iceberg-v2/Delta-DV
+    //     shape, keyed by value since the text codec has no stable row
+    //     ordinals). CowSpec pins filesRewritten == 0, sidecar union
+    //     across stacked deletes, vacuum protection, and that
+    //     compaction materializes the vectors away; the oracle is the
+    //     plain anti-join — the merge must be invisible. ---
+    QueryDef(
+      "q92_mor_delete",
+      (s, dir) => StorageLayout.q92MorDelete(s, dir)(),
+      Some(
+        """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+          |FROM customer WHERE c_custkey % 7 <> 0
+          |ORDER BY c_custkey""".stripMargin)),
+
+    // --- schema evolution across manifest versions (q93): v1 lands
+    //     (c_custkey, c_name) for even keys, v2 appends the EVOLVED
+    //     (c_custkey, c_name, c_acctbal) for odd keys; the live read
+    //     projects the union schema with nulls for pre-evolution rows —
+    //     resolution is by NAME, types from the table schema. Time
+    //     travel returns each version's OWN schema (v1 has two columns
+    //     — ManifestTableSpec pins both directions); the oracle is the
+    //     CASE-projected plain table. ---
+    QueryDef(
+      "q93_schema_evolution",
+      (s, dir) => StorageLayout.q93SchemaEvolution(s, dir)(),
+      Some(
+        """SELECT c_custkey, c_name,
+          |  CASE WHEN c_custkey % 2 = 1 THEN c_acctbal END AS c_acctbal
+          |FROM customer ORDER BY c_custkey""".stripMargin))
   )
 }

@@ -173,6 +173,48 @@ object StorageLayout {
       .orderBy("o_orderkey")
   }
 
+  /** q92: same key-clustered layout and delete set as q89, but
+    * MERGE-ON-READ — the delete writes deletion-vector sidecars and
+    * rewrites ZERO data files (CowSpec pins filesRewritten == 0); the
+    * read path subtracts the vectors row-level and must equal the plain
+    * anti-join. Read cost carries the binary-search merge until
+    * compaction materializes it away — the deliberate MOR trade.
+    */
+  def q92MorDelete(s: SparkSession, dir: String): () => DataFrame = {
+    val path = sink("q92", dir)
+    graft.sources.FsMeta.deleteRecursive(path)
+    val cust = Tables.t(s, dir, "customer")
+    cust.repartitionByRange(8, col("c_custkey"))
+      .sortWithinPartitions("c_custkey")
+      .write.format(Fmt).option("path", path).mode("append").save()
+    graft.sources.CowOps.deleteMor(s, path,
+      cust.filter(col("c_custkey") % 7 === 0).select("c_custkey"),
+      "c_custkey")
+    () => s.read.format(Fmt).option("path", path).load()
+      .orderBy("c_custkey")
+  }
+
+  /** q93: schema evolution across manifest versions — v1 lands a
+    * two-column slice (even keys), v2 appends an evolved three-column
+    * slice (odd keys, + c_acctbal); the LIVE read projects the union
+    * schema with nulls for the pre-evolution rows. Each version's
+    * snapshot keeps its OWN schema for time travel
+    * (ManifestTableSpec pins both directions).
+    */
+  def q93SchemaEvolution(s: SparkSession, dir: String): () => DataFrame = {
+    val path = sink("q93", dir)
+    graft.sources.FsMeta.deleteRecursive(path)
+    val cust = Tables.t(s, dir, "customer")
+    cust.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), col("c_name"))
+      .write.format(Fmt).option("path", path).mode("append").save()
+    cust.filter(col("c_custkey") % 2 === 1)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .write.format(Fmt).option("path", path).mode("append").save()
+    () => s.read.format(Fmt).option("path", path).load()
+      .orderBy("c_custkey")
+  }
+
   /** Bench's storage group: name → build-once/read-thunk factory. */
   val benchPairs: Seq[(String, (SparkSession, String) => () => DataFrame)] =
     Seq(
@@ -181,5 +223,7 @@ object StorageLayout {
       "q88_cow_merge" -> (q88CowMerge _),
       "q89_cow_delete" -> (q89CowDelete _),
       "q90_bloom_skip" -> (q90BloomSkip _),
-      "q91_layout_capstone" -> (q91LayoutCapstone _))
+      "q91_layout_capstone" -> (q91LayoutCapstone _),
+      "q92_mor_delete" -> (q92MorDelete _),
+      "q93_schema_evolution" -> (q93SchemaEvolution _))
 }

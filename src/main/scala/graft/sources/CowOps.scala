@@ -236,6 +236,68 @@ object CowOps {
     * files are rewritten without the keys, files emptied by the delete
     * are dropped (not rewritten as empty), untouched files carry over.
     */
+  /** DELETE, merge-on-read: instead of rewriting affected files, their
+    * manifest entries gain a DELETION-VECTOR sidecar reference
+    * (`#dv:<keyCol>` stats key) holding the deleted key set; the
+    * connector's read path subtracts those keys row-level, and the next
+    * [[ManifestTable.compact]] (or any COW rewrite of the file) reads
+    * through the merge and materializes the deletes away. ZERO data
+    * files are rewritten — the write cost is O(affected manifest
+    * entries + key set), which is why engines choose MOR when deletes
+    * are frequent and small relative to file sizes (Iceberg v2
+    * deletes, Delta deletion vectors); the read pays a binary-search
+    * per row on affected files until compaction. Repeated MOR deletes
+    * on a file UNION into one sidecar (entries reference exactly one).
+    *
+    * The distinct key set collects to the driver (it authors the
+    * sidecar) — parameter-bounded exactly like [[delete]]'s broadcast
+    * of the same set. Sidecars are manifest-referenced, so vacuum
+    * protects them while any retaining snapshot lives, and time-travel
+    * readers of pre-delete versions never see the `#dv:` entry.
+    */
+  def deleteMor(spark: SparkSession, dir: String, keys: DataFrame,
+      keyCol: String): CowResult = withCommitRetry(dir) { m =>
+    import spark.implicits._
+    requireIntegralKey(keys, keyCol)
+    requireTableKey(m, keyCol)
+    val affected = affectedFiles(spark, m, keys, keyCol).toSet
+    if (affected.isEmpty) {
+      CowResult(m.version, 0, m.files.size, 0)
+    } else {
+      val keyArr = keys.select(col(keyCol).cast("long")).distinct()
+        .as[Long].collect().sorted
+      val dvKey = ManifestTable.dvStatKey(keyCol)
+      // one sidecar per distinct PRIOR sidecar (None for first deletes):
+      // entries sharing a prior share the unioned successor
+      val affectedEntries = m.files.filter(f => affected.contains(f.name))
+      val byPrior = affectedEntries.groupBy(_.stats.get(dvKey).map(_._1))
+      val written = scala.collection.mutable.ListBuffer.empty[String]
+      try {
+        val successor: Map[Option[String], (String, Int)] =
+          byPrior.keys.map { prior =>
+            val existing = prior.map(p => ManifestTable.readDv(
+                FsMeta.hadoopConf(), s"$dir/data/$p"))
+              .getOrElse(Array.empty[Long])
+            val merged = (existing ++ keyArr).distinct.sorted
+            val name = s"dv-${java.util.UUID.randomUUID}.gdv"
+            ManifestTable.writeDv(dir, name, merged)
+            written += name
+            prior -> (name, merged.length)
+          }.toMap
+        val updated = affectedEntries.map { f =>
+          val (name, n) = successor(f.stats.get(dvKey).map(_._1))
+          f.copy(stats = f.stats + (dvKey -> (name, n.toString)))
+        }
+        beforeCommitHook()
+        val v = ManifestTable.commitReplace(dir, m.version, affected, updated)
+        CowResult(v, 0, m.files.size - affected.size, 0)
+      } catch { case e: ManifestTable.ConcurrentCommitException =>
+        written.foreach(n => FsMeta.deleteRecursive(s"$dir/data/$n"))
+        throw e
+      }
+    }
+  }
+
   def delete(spark: SparkSession, dir: String, keys: DataFrame,
       keyCol: String): CowResult = withCommitRetry(dir) { m =>
     requireIntegralKey(keys, keyCol)

@@ -273,6 +273,52 @@ object ManifestTable {
     * store with atomic rename this is exactly Iceberg's
     * commit-by-create model minus the metastore.
     */
+  // ---- merge-on-read deletion vectors ----
+  // A DELETE can avoid rewriting data files entirely: the deleted key
+  // set lands in a SIDECAR file and affected manifest entries reference
+  // it under a reserved `#dv:<keyCol>` stats key (the `#bloom:` trick —
+  // no format version bump, older readers see stats for a column no
+  // filter names). The read path subtracts sidecar keys row-level; a
+  // later compaction (or COW rewrite) reads THROUGH the merge and
+  // materializes the deletes away. Iceberg v2's position-delete shape,
+  // keyed by value instead of position (the text codec has no stable
+  // row ordinals). See [[CowOps.deleteMor]].
+
+  private[sources] val DvPrefix = "#dv:"
+  private[sources] def dvStatKey(col: String): String = DvPrefix + col
+
+  /** Write a deletion-vector sidecar (sorted distinct keys, one per
+    * line — the table's own text-codec discipline) and return nothing;
+    * the caller references `name` from the manifest entry stats.
+    */
+  private[sources] def writeDv(dir: String, name: String,
+      keys: Array[Long]): Unit =
+    FsMeta.writeString(s"$dir/data/$name", keys.mkString("", "\n", "\n"))
+
+  /** Read a deletion-vector sidecar back as a sorted array (driver or
+    * executor side — takes an explicit Hadoop conf for the latter).
+    */
+  private[sources] def readDv(conf: Configuration, path: String)
+      : Array[Long] = {
+    val hp = new HPath(path)
+    val fs = hp.getFileSystem(conf)
+    val in = new BufferedReader(
+      new InputStreamReader(fs.open(hp), StandardCharsets.UTF_8))
+    try Iterator.continually(in.readLine()).takeWhile(_ != null)
+      .filter(_.nonEmpty).map(java.lang.Long.parseLong).toArray.sorted
+    finally in.close()
+  }
+
+  /** Every file name version `m` references: data files plus their
+    * deletion-vector sidecars — the set vacuum must protect.
+    */
+  private[sources] def referencedNames(m: Manifest): Seq[String] =
+    m.files.flatMap { f =>
+      f.name +: f.stats.collect {
+        case (k, (sidecar, _)) if k.startsWith(DvPrefix) => sidecar
+      }.toSeq
+    }
+
   private def publish(dir: String, m: Manifest): Unit = {
     FsMeta.mkdirs(dir)
     val payload = render(m)
@@ -488,7 +534,7 @@ object ManifestTable {
     expireSnapshots(dir, keepLast)
     val listed = (readManifest(dir).toSeq ++
         snapshotVersions(dir).map(readManifestAsOf(dir, _)))
-      .flatMap(_.files.map(_.name)).toSet
+      .flatMap(referencedNames).toSet
     val now = System.currentTimeMillis()
     FsMeta.listFiles(dir + "/data").filterNot(f => listed.contains(f))
       .filter(f => now - FsMeta.modificationTime(dir + "/data/" + f) >= graceMs)
@@ -862,7 +908,12 @@ private[sources] class GTabScanBuilder(path: String, asOf: Option[Long],
   private def countOk(agg: Aggregation): Boolean =
     !sawFilters && agg.groupByExpressions.isEmpty &&
       agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions.head.isInstanceOf[CountStar]
+      agg.aggregateExpressions.head.isInstanceOf[CountStar] &&
+      // manifest row counts are PHYSICAL; a deletion-vector file's
+      // logical count needs the row-level merge — decline and scan
+      // (compaction restores the metadata-count fast path)
+      !manifest.files.exists(
+        _.stats.keys.exists(_.startsWith(ManifestTable.DvPrefix)))
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     countOk(agg)
   override def pushAggregation(agg: Aggregation): Boolean = {
@@ -1087,8 +1138,13 @@ private[sources] class GTabCountScan(path: String,
     new SingleRowReaderFactory(Array(n))
 }
 
+/** `dvs`: deletion-vector sidecars this file's read must subtract, as
+  * (sidecar path, index of the key column in THIS FILE's layout); -1
+  * index (pre-evolution file without the column) means no row matches.
+  */
 private[sources] final case class GTabPartition(file: String, rows: Long,
-    crc: Long, cols: Seq[String] = Nil) extends InputPartition
+    crc: Long, cols: Seq[String] = Nil,
+    dvs: Seq[(String, Int)] = Nil) extends InputPartition
 
 private[sources] class GTabScan(path: String,
     manifest: ManifestTable.Manifest, pruned: StructType,
@@ -1104,10 +1160,15 @@ private[sources] class GTabScan(path: String,
       s"SkippingFilters: ${skipping.mkString("[", ", ", "]")} " +
       s"ReadSchema: ${pruned.simpleString}"
   override def planInputPartitions(): Array[InputPartition] =
-    kept.map(f =>
+    kept.map { f =>
+      val dvs = f.stats.collect {
+        case (k, (sidecar, _)) if k.startsWith(ManifestTable.DvPrefix) =>
+          (s"$path/data/$sidecar",
+            f.cols.indexOf(k.stripPrefix(ManifestTable.DvPrefix)))
+      }.toSeq
       GTabPartition(s"$path/data/${f.name}", f.rows, f.crc,
-        f.cols): InputPartition)
-      .toArray
+        f.cols, dvs): InputPartition
+    }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new GTabReaderFactory(manifest.schema, pruned, confMap)
 }
@@ -1152,35 +1213,62 @@ private[sources] class GTabReader(p: GTabPartition, full: StructType,
     }
   }
 
+  // merge-on-read: deletion-vector sidecars loaded once per partition
+  // (sorted arrays, binarySearch per row); a deleted row still counts
+  // toward the PHYSICAL row count and CRC — integrity checks see the
+  // file as written, the query just never receives the row
+  private val dvs: Array[(Array[Long], Int)] =
+    p.dvs.map { case (f, ix) => (ManifestTable.readDv(conf, f), ix) }
+      .toArray
+
+  private def dvDeleted(parts: Array[String]): Boolean = {
+    var d = 0
+    while (d < dvs.length) {
+      val (keys, ix) = dvs(d)
+      if (ix >= 0) {
+        val raw = parts(ix)
+        if (raw != ManifestTable.Null &&
+            java.util.Arrays.binarySearch(keys,
+              java.lang.Long.parseLong(raw)) >= 0) return true
+      }
+      d += 1
+    }
+    false
+  }
+
   override def next(): Boolean = {
-    val line = reader.readLine()
-    if (line == null) {
-      // whole-file integrity: row count + CRC vs the manifest entry, so a
-      // truncated or bit-flipped data file fails the read instead of
-      // silently dropping rows (mirrors the manifest's own CRC contract)
-      if (rows != p.rows) throw new IllegalStateException(
-        s"${p.file}: read $rows rows, manifest says ${p.rows} — truncated?")
-      if (crc.getValue != p.crc) throw new IllegalStateException(
-        s"${p.file}: CRC mismatch vs manifest — corrupted data file")
-      false
-    } else {
+    while (true) {
+      val line = reader.readLine()
+      if (line == null) {
+        // whole-file integrity: row count + CRC vs the manifest entry, so a
+        // truncated or bit-flipped data file fails the read instead of
+        // silently dropping rows (mirrors the manifest's own CRC contract)
+        if (rows != p.rows) throw new IllegalStateException(
+          s"${p.file}: read $rows rows, manifest says ${p.rows} — truncated?")
+        if (crc.getValue != p.crc) throw new IllegalStateException(
+          s"${p.file}: CRC mismatch vs manifest — corrupted data file")
+        return false
+      }
       crc.update((line + "\n").getBytes(StandardCharsets.UTF_8))
       rows += 1
       val parts = line.split("\t", -1)
-      val vals = new Array[Any](colIx.length)
-      var j = 0
-      while (j < colIx.length) {
-        vals(j) =
-          if (colIx(j) < 0) null
-          else {
-            val raw = parts(colIx(j))
-            if (raw == ManifestTable.Null) null else parsers(j)(raw)
-          }
-        j += 1
+      if (dvs.isEmpty || !dvDeleted(parts)) {
+        val vals = new Array[Any](colIx.length)
+        var j = 0
+        while (j < colIx.length) {
+          vals(j) =
+            if (colIx(j) < 0) null
+            else {
+              val raw = parts(colIx(j))
+              if (raw == ManifestTable.Null) null else parsers(j)(raw)
+            }
+          j += 1
+        }
+        current = InternalRow.fromSeq(vals.toIndexedSeq)
+        return true
       }
-      current = InternalRow.fromSeq(vals.toIndexedSeq)
-      true
     }
+    false // unreachable
   }
   override def get(): InternalRow = current
   override def close(): Unit = reader.close()

@@ -148,6 +148,83 @@ class CowSpec extends AnyFunSuite {
     assert(e.getMessage.contains("must be integral"))
   }
 
+  test("deleteMor: zero data files rewritten, read path subtracts the deletion vector") {
+    val dir = tmp()
+    build(dir)
+    val before = ManifestTable.readManifest(dir).get
+    val v0 = before.version
+    val r = CowOps.deleteMor(spark, dir,
+      spark.range(0, 100).filter($"id" % 7 === 0).select($"id".as("k")),
+      "k")
+    assert(r.filesRewritten == 0 && r.filesAdded == 0,
+      s"merge-on-read must rewrite nothing, got $r")
+    // the data files are BYTE-IDENTICAL entries (same name, same crc);
+    // only their stats gained the #dv: reference
+    val after = ManifestTable.readManifest(dir).get
+    assert(after.files.map(f => (f.name, f.crc)).toSet ==
+      before.files.map(f => (f.name, f.crc)).toSet)
+    assert(after.files.forall(_.stats.contains("#dv:k")))
+    // read-back equals the anti-join
+    val got = readAll(dir)
+    assert(got.size == 100 - 15 && !got.contains(0L) && !got.contains(98L)
+      && got(1L) == "v1")
+    // count(*) is exact: the metadata-count fast path must DECLINE on a
+    // dv table (manifest rows are physical) and scan instead
+    val cnt = spark.read.format(Fmt).option("path", dir).load()
+    assert(cnt.count() == 85)
+    assert(!cnt.groupBy().count().queryExecution.executedPlan.toString
+      .contains("ManifestCount"), "metadata count must decline under dvs")
+    // pre-delete version still sees every row
+    assert(spark.read.format(Fmt).option("path", dir)
+      .option("versionAsOf", v0).load().count() == 100)
+  }
+
+  test("stacked MOR deletes union into one sidecar; compaction materializes them away") {
+    val dir = tmp()
+    build(dir)
+    CowOps.deleteMor(spark, dir, Seq(1L, 2L).toDF("k"), "k")
+    CowOps.deleteMor(spark, dir, Seq(2L, 3L, 50L).toDF("k"), "k")
+    val m = ManifestTable.readManifest(dir).get
+    // each AFFECTED entry references exactly ONE sidecar (the union),
+    // never a chain; untouched files carry none. Keys 1,2,3 live in
+    // file [0,19], key 50 in [40,59] — exactly 2 of 5 files have dvs.
+    m.files.foreach { f =>
+      assert(f.stats.keys.count(_.startsWith("#dv:")) <= 1)
+    }
+    assert(m.files.count(_.stats.contains("#dv:k")) == 2)
+    assert(readAll(dir).size == 96)
+    // a dv sidecar is manifest-referenced: vacuum must not reap it while
+    // a retaining snapshot lives
+    assert(ManifestTable.vacuum(dir, graceMs = 0L).isEmpty)
+    assert(readAll(dir).size == 96)
+    // compaction reads THROUGH the merge and drops every dv reference
+    ManifestTable.compact(spark, dir, targetFiles = 2)
+    val compacted = ManifestTable.readManifest(dir).get
+    assert(compacted.files.forall(
+      !_.stats.keys.exists(_.startsWith("#dv:"))))
+    val df = spark.read.format(Fmt).option("path", dir).load()
+    assert(df.count() == 96)
+    // the metadata-count fast path is restored post-compaction
+    assert(df.groupBy().count().queryExecution.executedPlan.toString
+      .contains("ManifestCount"))
+    // expire + vacuum now reclaims the obsolete sidecars and fragments
+    ManifestTable.expireSnapshots(dir, keepLast = 1)
+    assert(ManifestTable.vacuum(dir, graceMs = 0L).nonEmpty)
+    assert(readAll(dir).size == 96)
+  }
+
+  test("a COW merge on a dv-carrying file reads through the merge (no resurrection)") {
+    val dir = tmp()
+    build(dir)
+    CowOps.deleteMor(spark, dir, Seq(5L, 6L).toDF("k"), "k")
+    // rewrite the file holding keys 0..19: deleted rows must NOT come
+    // back, and the rewritten file carries no dv reference
+    CowOps.merge(spark, dir, Seq((7L, "U7")).toDF("k", "s"), "k")
+    val got = readAll(dir)
+    assert(!got.contains(5L) && !got.contains(6L) && got(7L) == "U7" &&
+      got.size == 98)
+  }
+
   test("blooms survive a COW rewrite: config recovered from file stats (ADVICE r10)") {
     val dir = tmp()
     spark.range(0, 100).select(col("id").as("k"),

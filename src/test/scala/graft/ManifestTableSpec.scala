@@ -420,6 +420,28 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(readBack(empty).count() == 0)
   }
 
+  test("time travel returns each version's OWN schema, both directions across an evolution") {
+    val dir = tmp()
+    Seq((2L, "even")).toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode(SaveMode.Append).save()
+    val v1 = ManifestTable.readManifest(dir).get.version
+    Seq((3L, "odd", 9.5)).toDF("id", "s", "x")
+      .write.format(Fmt).option("path", dir).mode(SaveMode.Append).save()
+    val v2 = ManifestTable.readManifest(dir).get.version
+    // pre-evolution snapshot: two columns, no ghost of x
+    val old = spark.read.format(Fmt).option("path", dir)
+      .option("versionAsOf", v1).load()
+    assert(old.schema.fieldNames.toSeq == Seq("id", "s"))
+    assert(old.count() == 1)
+    // post-evolution snapshot (and live): union schema with null x for
+    // the pre-evolution file
+    val now = spark.read.format(Fmt).option("path", dir)
+      .option("versionAsOf", v2).load()
+    assert(now.schema.fieldNames.toSeq == Seq("id", "s", "x"))
+    assert(now.orderBy("id").collect().map(r => Option(r.get(2))).toSeq ==
+      Seq(None, Some(9.5)))
+  }
+
   test("stray _MANIFEST.v*.tmp (crashed publish) is ignored by snapshotVersions/history/vacuum") {
     val dir = tmp()
     Seq((1L, "a")).toDF("id", "s")
