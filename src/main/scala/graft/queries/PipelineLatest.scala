@@ -662,6 +662,39 @@ object PipelineLatest {
       Some(
         """SELECT c_custkey, c_name,
           |  CASE WHEN c_custkey % 2 = 1 THEN c_acctbal END AS c_acctbal
-          |FROM customer ORDER BY c_custkey""".stripMargin))
+          |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // --- change data feed across a COW-merge hop (q94): Delta CDF's
+    //     shape from the MANIFEST DIFF alone — entries whose
+    //     (name, crc, stats) changed are read under each version's own
+    //     manifest and the row-level symmetric difference is the feed;
+    //     unchanged entries are never opened (O(changed files), the CDC
+    //     scale contract). Updates appear as delete+insert, unchanged
+    //     rows inside rewritten files cancel; the oracle recomputes the
+    //     merge's delta from the base table. ---
+    QueryDef(
+      "q94_change_feed",
+      (s, dir) => StorageLayout.q94ChangeFeed(s, dir)(),
+      Some(
+        """WITH ins AS (SELECT * FROM (VALUES
+          |    (1000000000, 'new-0', 0, 0.0, 'MACHINERY'),
+          |    (1000000001, 'new-1', 1, 0.0, 'MACHINERY'),
+          |    (1000000002, 'new-2', 2, 0.0, 'MACHINERY'))
+          |  t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)),
+          |feed AS (
+          |  SELECT 'delete' AS _change_type, c_custkey, c_name,
+          |    c_nationkey, c_acctbal, c_mktsegment
+          |  FROM customer WHERE c_custkey % 10 = 0
+          |  UNION ALL
+          |  SELECT 'insert', c_custkey, 'upd-' || c_name, c_nationkey,
+          |    c_acctbal + 1000.0::DOUBLE, c_mktsegment
+          |  FROM customer WHERE c_custkey % 10 = 0
+          |  UNION ALL
+          |  SELECT 'insert', CAST(c_custkey AS BIGINT), c_name,
+          |    CAST(c_nationkey AS INT), CAST(c_acctbal AS DOUBLE),
+          |    c_mktsegment FROM ins)
+          |SELECT _change_type, c_custkey, c_name, c_nationkey,
+          |  c_acctbal, c_mktsegment
+          |FROM feed ORDER BY _change_type, c_custkey""".stripMargin))
   )
 }

@@ -77,19 +77,13 @@ object StorageLayout {
     }
   }
 
-  /** q88: key-clustered customer + copy-on-write MERGE (sparse updates +
-    * inserts); the build INCLUDES the merge — the read is the
-    * manifest-committed post-merge scan.
+  /** The q88/q94 update set: whole-row updates for every 10th key plus
+    * three inserts beyond the key range.
     */
-  def q88CowMerge(s: SparkSession, dir: String): () => DataFrame = {
+  private def mergeUpdates(s: SparkSession,
+      cust: DataFrame): DataFrame = {
     import s.implicits._
-    val path = sink("q88", dir)
-    graft.sources.FsMeta.deleteRecursive(path)
-    val cust = Tables.t(s, dir, "customer")
-    cust.repartitionByRange(8, col("c_custkey"))
-      .sortWithinPartitions("c_custkey")
-      .write.format(Fmt).option("path", path).mode("append").save()
-    val updates = cust.filter(col("c_custkey") % 10 === 0)
+    cust.filter(col("c_custkey") % 10 === 0)
       .select(col("c_custkey"),
         concat(lit("upd-"), col("c_name")).as("c_name"),
         col("c_nationkey"),
@@ -102,7 +96,20 @@ object StorageLayout {
         .select(col("c_custkey"), col("c_name"),
           col("c_nationkey").cast("int").as("c_nationkey"),
           col("c_acctbal"), col("c_mktsegment")))
-    graft.sources.CowOps.merge(s, path, updates, "c_custkey")
+  }
+
+  /** q88: key-clustered customer + copy-on-write MERGE (sparse updates +
+    * inserts); the build INCLUDES the merge — the read is the
+    * manifest-committed post-merge scan.
+    */
+  def q88CowMerge(s: SparkSession, dir: String): () => DataFrame = {
+    val path = sink("q88", dir)
+    graft.sources.FsMeta.deleteRecursive(path)
+    val cust = Tables.t(s, dir, "customer")
+    cust.repartitionByRange(8, col("c_custkey"))
+      .sortWithinPartitions("c_custkey")
+      .write.format(Fmt).option("path", path).mode("append").save()
+    graft.sources.CowOps.merge(s, path, mergeUpdates(s, cust), "c_custkey")
     () => s.read.format(Fmt).option("path", path).load()
       .orderBy("c_custkey")
   }
@@ -215,6 +222,26 @@ object StorageLayout {
       .orderBy("c_custkey")
   }
 
+  /** q94: change data feed across a COW-merge hop — the manifest-diff
+    * CDF ([[graft.sources.ManifestTable.changeFeed]]): updated rows
+    * surface as delete+insert pairs, fresh inserts as inserts, unchanged
+    * rows (even inside rewritten files) cancel in the symmetric
+    * difference. The read is the feed itself.
+    */
+  def q94ChangeFeed(s: SparkSession, dir: String): () => DataFrame = {
+    val path = sink("q94", dir)
+    graft.sources.FsMeta.deleteRecursive(path)
+    val cust = Tables.t(s, dir, "customer")
+    cust.repartitionByRange(8, col("c_custkey"))
+      .sortWithinPartitions("c_custkey")
+      .write.format(Fmt).option("path", path).mode("append").save()
+    val v0 = graft.sources.ManifestTable.readManifest(path).get.version
+    graft.sources.CowOps.merge(s, path, mergeUpdates(s, cust), "c_custkey")
+    val v1 = graft.sources.ManifestTable.readManifest(path).get.version
+    () => graft.sources.ManifestTable.changeFeed(s, path, v0, v1)
+      .orderBy("_change_type", "c_custkey")
+  }
+
   /** Bench's storage group: name → build-once/read-thunk factory. */
   val benchPairs: Seq[(String, (SparkSession, String) => () => DataFrame)] =
     Seq(
@@ -225,5 +252,6 @@ object StorageLayout {
       "q90_bloom_skip" -> (q90BloomSkip _),
       "q91_layout_capstone" -> (q91LayoutCapstone _),
       "q92_mor_delete" -> (q92MorDelete _),
-      "q93_schema_evolution" -> (q93SchemaEvolution _))
+      "q93_schema_evolution" -> (q93SchemaEvolution _),
+      "q94_change_feed" -> (q94ChangeFeed _))
 }

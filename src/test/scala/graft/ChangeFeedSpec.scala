@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{CowOps, ManifestTable}
+
+/** Change data feed from the manifest diff (q94): changed entries only
+  * (by (name, crc, stats) — so stats-only MOR hops are caught), row
+  * symmetric difference as insert/delete, unchanged files never opened,
+  * schema-evolution hops projected to the TO schema.
+  */
+class ChangeFeedSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Fmt = "graft.sources.ManifestTable"
+  private def tmp(): String =
+    Files.createTempDirectory("graft_cdf").toString
+
+  private def build(dir: String): Unit =
+    spark.range(0, 100).select(col("id").as("k"),
+        concat(lit("v"), col("id")).as("s"))
+      .repartitionByRange(5, col("k")).sortWithinPartitions("k")
+      .write.format(Fmt).option("path", dir).mode(SaveMode.Append).save()
+
+  private def feedRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("_change_type", "k", "s").as[(String, Long, String)]
+      .collect().toSet
+
+  test("COW merge hop: delete+insert pairs for updates, insert for new keys, unchanged rows cancel, unchanged files never opened") {
+    val dir = tmp()
+    build(dir)
+    val v0 = ManifestTable.readManifest(dir).get.version
+    // keys 5, 17 live in file [0,19]; 1000 inserts beyond every range
+    CowOps.merge(spark, dir,
+      Seq((5L, "U5"), (17L, "U17"), (1000L, "new")).toDF("k", "s"), "k")
+    val v1 = ManifestTable.readManifest(dir).get.version
+    val feed = ManifestTable.changeFeed(spark, dir, v0, v1)
+    assert(feedRows(feed) == Set(
+      ("delete", 5L, "v5"), ("delete", 17L, "v17"),
+      ("insert", 5L, "U5"), ("insert", 17L, "U17"),
+      ("insert", 1000L, "new")))
+    // O(changed files): the `files` read option restricts the manifest
+    // BEFORE the scan plans (pruning by construction, not by filter) —
+    // every scan in the feed touches at most the changed entries, never
+    // the 5-file table
+    val plan = feed.queryExecution.executedPlan.toString
+    val scanned = "files=(\\d+)/(\\d+)".r.findAllMatchIn(plan)
+      .map(m => (m.group(1).toInt, m.group(2).toInt)).toSeq
+    assert(scanned.nonEmpty && scanned.forall { case (n, of) =>
+      n <= 2 && of <= 2 },
+      s"expected only changed-entry scans (<=2 files), got $scanned in:\n$plan")
+  }
+
+  test("merge-on-read hop: a stats-only dv change is detected; feed is deletes only") {
+    val dir = tmp()
+    build(dir)
+    val v0 = ManifestTable.readManifest(dir).get.version
+    CowOps.deleteMor(spark, dir, Seq(5L, 17L).toDF("k"), "k")
+    val v1 = ManifestTable.readManifest(dir).get.version
+    val feed = ManifestTable.changeFeed(spark, dir, v0, v1)
+    assert(feedRows(feed) == Set(
+      ("delete", 5L, "v5"), ("delete", 17L, "v17")),
+      "the dv'd file is on both sides; the except must yield exactly " +
+        "the deleted rows")
+  }
+
+  test("schema-evolution hop: both sides in the TO schema, appended rows as inserts") {
+    val dir = tmp()
+    Seq((1L, "a")).toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode(SaveMode.Append).save()
+    val v0 = ManifestTable.readManifest(dir).get.version
+    Seq((2L, "b", 9.5)).toDF("id", "s", "x")
+      .write.format(Fmt).option("path", dir).mode(SaveMode.Append).save()
+    val v1 = ManifestTable.readManifest(dir).get.version
+    val feed = ManifestTable.changeFeed(spark, dir, v0, v1)
+    assert(feed.schema.fieldNames.toSeq == Seq("id", "s", "x", "_change_type"))
+    val rows = feed.select("_change_type", "id", "x")
+      .as[(String, Long, Option[Double])].collect().toSeq
+    assert(rows == Seq(("insert", 2L, Some(9.5))))
+  }
+
+  test("guards: inverted version order is rejected, expired snapshots throw the time-travel error") {
+    val dir = tmp()
+    build(dir)
+    val v = ManifestTable.readManifest(dir).get.version
+    intercept[IllegalArgumentException] {
+      ManifestTable.changeFeed(spark, dir, v, v)
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.changeFeed(spark, dir, v - 1, v) // v-1 never existed
+    }
+  }
+}
