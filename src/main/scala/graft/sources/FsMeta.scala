@@ -88,16 +88,28 @@ object FsMeta {
 
   /** Publish `payload` at `finalP` via tmp-write + rename(OVERWRITE) — the
     * reference's tmp→rename commit (mr/coordinator.go:37-53) on the Hadoop
-    * API. Atomic on HDFS/local; see the object-store caveat in the object
-    * scaladoc.
+    * API. Atomic on HDFS; see the object-store caveat in the object
+    * scaladoc. On the LOCAL scheme Hadoop's FileContext rename with
+    * OVERWRITE is delete-then-rename — a concurrent reader can observe
+    * the destination ABSENT mid-publish (found by StreamReadSpec:
+    * latestOffset read version 0 during an append) — so local paths go
+    * through java.nio ATOMIC_MOVE instead, which really is atomic.
     */
   def publishAtomic(tmpP: String, finalP: String, payload: String): Unit = {
     writeString(tmpP, payload)
     val (fs, dst) = fsFor(finalP)
     val src = fs.makeQualified(new Path(tmpP))
     val qDst = fs.makeQualified(dst)
-    val fc = FileContext.getFileContext(qDst.toUri, hadoopConf())
-    fc.rename(src, qDst, Options.Rename.OVERWRITE)
+    if (qDst.toUri.getScheme == "file") {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(src.toUri.getPath),
+        java.nio.file.Paths.get(qDst.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val fc = FileContext.getFileContext(qDst.toUri, hadoopConf())
+      fc.rename(src, qDst, Options.Rename.OVERWRITE)
+    }
   }
 
   /** The active session's Hadoop conf flattened to a serializable map —

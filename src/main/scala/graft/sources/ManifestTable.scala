@@ -17,6 +17,8 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
   SupportsPushDownAggregates, SupportsPushDownFilters,
   SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
+  Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
   DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate,
   Write, WriteBuilder, WriterCommitMessage}
@@ -307,6 +309,18 @@ object ManifestTable {
     try Iterator.continually(in.readLine()).takeWhile(_ != null)
       .filter(_.nonEmpty).map(java.lang.Long.parseLong).toArray.sorted
     finally in.close()
+  }
+
+  /** Scan partition for a manifest entry, deletion vectors attached —
+    * shared by the batch scan and the micro-batch stream.
+    */
+  private[sources] def partitionOf(path: String,
+      f: FileEntry): GTabPartition = {
+    val dvs = f.stats.collect {
+      case (k, (sidecar, _)) if k.startsWith(DvPrefix) =>
+        (s"$path/data/$sidecar", f.cols.indexOf(k.stripPrefix(DvPrefix)))
+    }.toSeq
+    GTabPartition(s"$path/data/${f.name}", f.rows, f.crc, f.cols, dvs)
   }
 
   /** Every file name version `m` references: data files plus their
@@ -656,11 +670,14 @@ private[sources] class GTable(path: String, schema0: StructType)
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GTabScanBuilder(path, ManifestTable.versionAsOf(options),
-      ManifestTable.filesOf(options))
+      ManifestTable.filesOf(options),
+      GTabStreamOpts(Option(options.get("startingVersion")),
+        options.getBoolean("skipChangeCommits", false)))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     ManifestTable.checkSupported(info.schema())
@@ -915,7 +932,8 @@ private[sources] class GTabWriter(dir: String, schema: StructType,
 // ---- read side: manifest-listed files, one partition per file ----
 
 private[sources] class GTabScanBuilder(path: String, asOf: Option[Long],
-    only: Option[Set[String]] = None)
+    only: Option[Set[String]] = None,
+    streamOpts: GTabStreamOpts = GTabStreamOpts(None, false))
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
@@ -984,7 +1002,8 @@ private[sources] class GTabScanBuilder(path: String, asOf: Option[Long],
 
   override def build(): Scan =
     if (pushedCount) new GTabCountScan(path, manifest)
-    else new GTabScan(path, manifest, pruned, skipping, FsMeta.confAsMap())
+    else new GTabScan(path, manifest, pruned, skipping, FsMeta.confAsMap(),
+      streamOpts)
 }
 
 /** Conservative zone-map evaluation: `keep` answers "could this file
@@ -1210,7 +1229,8 @@ private[sources] final case class GTabPartition(file: String, rows: Long,
 
 private[sources] class GTabScan(path: String,
     manifest: ManifestTable.Manifest, pruned: StructType,
-    skipping: Seq[Filter], confMap: Map[String, String])
+    skipping: Seq[Filter], confMap: Map[String, String],
+    streamOpts: GTabStreamOpts = GTabStreamOpts(None, false))
     extends Scan with Batch {
   private val kept = manifest.files.filter(
     GTabSkip.keep(_, skipping, manifest.schema))
@@ -1222,17 +1242,121 @@ private[sources] class GTabScan(path: String,
       s"SkippingFilters: ${skipping.mkString("[", ", ", "]")} " +
       s"ReadSchema: ${pruned.simpleString}"
   override def planInputPartitions(): Array[InputPartition] =
-    kept.map { f =>
-      val dvs = f.stats.collect {
-        case (k, (sidecar, _)) if k.startsWith(ManifestTable.DvPrefix) =>
-          (s"$path/data/$sidecar",
-            f.cols.indexOf(k.stripPrefix(ManifestTable.DvPrefix)))
-      }.toSeq
-      GTabPartition(s"$path/data/${f.name}", f.rows, f.crc,
-        f.cols, dvs): InputPartition
-    }.toArray
+    kept.map(f => ManifestTable.partitionOf(path, f): InputPartition)
+      .toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new GTabReaderFactory(manifest.schema, pruned, confMap)
+  override def toMicroBatchStream(checkpointLocation: String)
+      : MicroBatchStream =
+    new GTabMicroBatchStream(path, manifest.schema, pruned, skipping,
+      confMap, streamOpts)
+}
+
+/** Micro-batch streaming READ of the manifest-committed table — Delta's
+  * `readStream` shape: offsets are MANIFEST VERSIONS, each trigger emits
+  * the files APPENDED in (start, end], and the source is append-only by
+  * contract — a hop that rewrites or removes entries (COW merge/delete,
+  * compaction, overwrite, MOR stats change) fails the stream with a
+  * clear error unless `.option("skipChangeCommits", true)` skips those
+  * hops (Delta's option of the same name; skipped deletes/rewrites are
+  * NOT propagated — the documented trade). Entry identity is the
+  * (name, crc, stats) triple, so a merge-on-read delete counts as a
+  * change commit rather than silently re-emitting nothing.
+  *
+  * `startingVersion` controls the first batch: absent → the whole table
+  * as of the first trigger (version 0 is the empty base); "latest" →
+  * only data committed after the stream starts; a number v → data from
+  * version v (inclusive) onward. Offsets checkpoint as plain version
+  * numbers, so recovery resumes exactly; hops are diffed snapshot by
+  * snapshot while retained, falling back to an endpoint diff when
+  * intermediate snapshots were expired (same change-commit rules).
+  * Column pruning and zone-map/bloom skipping apply per batch — a
+  * filtered stream reads only matching appended files.
+  */
+private[sources] final case class GTabStreamOpts(
+    startingVersion: Option[String], skipChangeCommits: Boolean)
+
+private[sources] case class GTabOffset(version: Long) extends Offset {
+  override def json(): String = version.toString
+}
+
+private[sources] class GTabMicroBatchStream(path: String, full: StructType,
+    pruned: StructType, skipping: Seq[Filter], confMap: Map[String, String],
+    opts: GTabStreamOpts) extends MicroBatchStream {
+  import ManifestTable._
+
+  override def initialOffset(): Offset = GTabOffset(opts.startingVersion match {
+    case Some(s) if s.equalsIgnoreCase("latest") =>
+      math.max(readManifest(path).map(_.version).getOrElse(0L),
+        snapshotVersions(path).lastOption.getOrElse(0L))
+    case Some(v) => v.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"startingVersion must be a version number or 'latest', got '$v'")) - 1L
+    case None => 0L
+  })
+  // MONOTONE by construction: the offset never goes backward even if a
+  // concurrent publish makes the pointer transiently unreadable — the
+  // CAS snapshots are create-once, so max(pointer, max snapshot, last
+  // seen) is always a safe high-water mark (offset regression would
+  // make Spark replan already-committed versions as fresh data)
+  private var lastSeen = -1L
+  override def latestOffset(): Offset = synchronized {
+    val ptr = readManifest(path).map(_.version).getOrElse(0L)
+    val snap = snapshotVersions(path).lastOption.getOrElse(0L)
+    lastSeen = math.max(lastSeen, math.max(ptr, snap))
+    GTabOffset(math.max(lastSeen, 0L))
+  }
+  override def deserializeOffset(json: String): Offset =
+    GTabOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  private def manifestAt(v: Long): Manifest =
+    if (v <= 0L) Manifest(0L, full, Nil, -1L) else readManifestAsOf(path, v)
+  private def entryKey(f: FileEntry) = (f.name, f.crc, f.stats)
+
+  private def hopAdds(from: Manifest, to: Manifest,
+      label: String): Seq[FileEntry] = {
+    val fromKeys = from.files.map(entryKey).toSet
+    val toKeys = to.files.map(entryKey).toSet
+    val removed = from.files.filterNot(f => toKeys.contains(entryKey(f)))
+    if (removed.nonEmpty) {
+      if (!opts.skipChangeCommits) throw new IllegalStateException(
+        s"streaming read of $path is append-only, but $label rewrote or " +
+          s"removed ${removed.size} file(s) (COW/compaction/overwrite/MOR " +
+          "delete); restart with .option(\"skipChangeCommits\", true) to " +
+          "skip change commits, or re-read the table in batch")
+      Nil
+    } else to.files.filterNot(f => fromKeys.contains(entryKey(f)))
+  }
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GTabOffset].version
+    val e = end.asInstanceOf[GTabOffset].version
+    if (e <= s) return Array.empty
+    val added: Seq[FileEntry] =
+      try (s + 1).to(e).foldLeft(
+          (manifestAt(s), Vector.empty[FileEntry])) {
+        case ((prev, acc), v) =>
+          val cur = manifestAt(v)
+          (cur, acc ++ hopAdds(prev, cur, s"version $v"))
+      }._2
+      catch {
+        // an intermediate snapshot was expired: diff the endpoints (the
+        // committed offset and the live manifest are both retained) —
+        // same append-only rules, coarser change attribution
+        case _: IllegalArgumentException =>
+          hopAdds(manifestAt(s), manifestAt(e), s"versions ${s + 1}..$e")
+      }
+    val seen = scala.collection.mutable.Set.empty[String]
+    added.filter(f => seen.add(f.name))
+      .filter(GTabSkip.keep(_, skipping, full))
+      .map(f => ManifestTable.partitionOf(path, f): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GTabReaderFactory(full, pruned, confMap)
 }
 
 private[sources] class GTabReaderFactory(full: StructType,
