@@ -695,6 +695,20 @@ object PipelineLatest {
           |    c_mktsegment FROM ins)
           |SELECT _change_type, c_custkey, c_name, c_nationkey,
           |  c_acctbal, c_mktsegment
-          |FROM feed ORDER BY _change_type, c_custkey""".stripMargin))
+          |FROM feed ORDER BY _change_type, c_custkey""".stripMargin)),
+
+    // --- streaming read, batch-oracled (q95): customer lands in three
+    //     appends (three manifest versions), the micro-batch source
+    //     tails them through the exactly-once streaming WRITE into a
+    //     second table, and the destination must equal the plain
+    //     table — the stream-vs-batch equivalence every streaming
+    //     system owes its users, here hash-certified by DuckDB rather
+    //     than asserted in a spec. ---
+    QueryDef(
+      "q95_stream_tail",
+      (s, dir) => StorageLayout.q95StreamTail(s, dir)(),
+      Some(
+        """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+          |FROM customer ORDER BY c_custkey""".stripMargin))
   )
 }

@@ -242,6 +242,34 @@ object StorageLayout {
       .orderBy("_change_type", "c_custkey")
   }
 
+  /** q95: the streaming read certified against a BATCH oracle — the
+    * customer table lands in three appends (three manifest versions), a
+    * micro-batch stream tails it through the exactly-once streaming
+    * write into a second table, and the destination must equal the
+    * plain table: stream-vs-batch equivalence, hash-checked by DuckDB.
+    */
+  def q95StreamTail(s: SparkSession, dir: String): () => DataFrame = {
+    val src = sink("q95src", dir)
+    val dst = sink("q95dst", dir)
+    val cp = sink("q95cp", dir)
+    graft.sources.FsMeta.deleteRecursive(src)
+    graft.sources.FsMeta.deleteRecursive(dst)
+    graft.sources.FsMeta.deleteRecursive(cp)
+    val cust = Tables.t(s, dir, "customer")
+    // three appends = three manifest versions to tail
+    Seq(0, 1, 2).foreach { r =>
+      cust.filter(pmod(col("c_custkey"), lit(3)) === r)
+        .write.format(Fmt).option("path", src).mode("append").save()
+    }
+    val q = s.readStream.format(Fmt).option("path", src).load()
+      .writeStream.format(Fmt).option("path", dst)
+      .option("checkpointLocation", cp)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    () => s.read.format(Fmt).option("path", dst).load()
+      .orderBy("c_custkey")
+  }
+
   /** Bench's storage group: name → build-once/read-thunk factory. */
   val benchPairs: Seq[(String, (SparkSession, String) => () => DataFrame)] =
     Seq(
@@ -253,5 +281,6 @@ object StorageLayout {
       "q91_layout_capstone" -> (q91LayoutCapstone _),
       "q92_mor_delete" -> (q92MorDelete _),
       "q93_schema_evolution" -> (q93SchemaEvolution _),
-      "q94_change_feed" -> (q94ChangeFeed _))
+      "q94_change_feed" -> (q94ChangeFeed _),
+      "q95_stream_tail" -> (q95StreamTail _))
 }
