@@ -709,6 +709,35 @@ object PipelineLatest {
       (s, dir) => StorageLayout.q95StreamTail(s, dir)(),
       Some(
         """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-          |FROM customer ORDER BY c_custkey""".stripMargin))
+          |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // --- merge-on-read MERGE (q96): q88's upsert with ZERO data-file
+    //     rewrites — old versions of updated keys are deletion-vectored
+    //     onto the affected entries, the update rows land as new files
+    //     in the same commit (Iceberg-v2 MOR MERGE shape). The oracle
+    //     is IDENTICAL to q88's: MOR and COW must be indistinguishable
+    //     at read time; CowSpec pins filesRewritten == 0 and the
+    //     byte-identical survival of every original entry. ---
+    QueryDef(
+      "q96_mor_merge",
+      (s, dir) => StorageLayout.q96MorMerge(s, dir)(),
+      Some(
+        """WITH ins AS (SELECT * FROM (VALUES
+          |    (1000000000, 'new-0', 0, 0.0, 'MACHINERY'),
+          |    (1000000001, 'new-1', 1, 0.0, 'MACHINERY'),
+          |    (1000000002, 'new-2', 2, 0.0, 'MACHINERY'))
+          |  t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)),
+          |merged AS (
+          |  SELECT c_custkey, 'upd-' || c_name AS c_name, c_nationkey,
+          |    c_acctbal + 1000.0::DOUBLE AS c_acctbal, c_mktsegment
+          |  FROM customer WHERE c_custkey % 10 = 0
+          |  UNION ALL
+          |  SELECT CAST(c_custkey AS BIGINT), c_name,
+          |    CAST(c_nationkey AS INT), CAST(c_acctbal AS DOUBLE),
+          |    c_mktsegment FROM ins
+          |  UNION ALL
+          |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+          |  FROM customer WHERE c_custkey % 10 <> 0)
+          |SELECT * FROM merged ORDER BY c_custkey""".stripMargin))
   )
 }

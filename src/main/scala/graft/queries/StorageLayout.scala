@@ -242,6 +242,23 @@ object StorageLayout {
       .orderBy("_change_type", "c_custkey")
   }
 
+  /** q96: q88's upsert as MERGE-ON-READ — old versions of updated keys
+    * are deletion-vectored, update rows land as new files, zero
+    * existing data files rewritten; the read must equal q88's (and the
+    * plain SQL merge, via the shared oracle).
+    */
+  def q96MorMerge(s: SparkSession, dir: String): () => DataFrame = {
+    val path = sink("q96", dir)
+    graft.sources.FsMeta.deleteRecursive(path)
+    val cust = Tables.t(s, dir, "customer")
+    cust.repartitionByRange(8, col("c_custkey"))
+      .sortWithinPartitions("c_custkey")
+      .write.format(Fmt).option("path", path).mode("append").save()
+    graft.sources.CowOps.mergeMor(s, path, mergeUpdates(s, cust), "c_custkey")
+    () => s.read.format(Fmt).option("path", path).load()
+      .orderBy("c_custkey")
+  }
+
   /** q95: the streaming read certified against a BATCH oracle — the
     * customer table lands in three appends (three manifest versions), a
     * micro-batch stream tails it through the exactly-once streaming
@@ -282,5 +299,6 @@ object StorageLayout {
       "q92_mor_delete" -> (q92MorDelete _),
       "q93_schema_evolution" -> (q93SchemaEvolution _),
       "q94_change_feed" -> (q94ChangeFeed _),
-      "q95_stream_tail" -> (q95StreamTail _))
+      "q95_stream_tail" -> (q95StreamTail _),
+      "q96_mor_merge" -> (q96MorMerge _))
 }

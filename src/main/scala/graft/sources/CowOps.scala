@@ -255,6 +255,36 @@ object CowOps {
     * protects them while any retaining snapshot lives, and time-travel
     * readers of pre-delete versions never see the `#dv:` entry.
     */
+  /** DV the `keyArr` keys onto `affectedEntries`: one NEW sidecar per
+    * distinct prior sidecar (entries sharing a prior share the unioned
+    * successor — a file always references exactly one sidecar, never a
+    * chain). Returns the updated entries plus the sidecar names written
+    * (for cleanup if the commit loses the CAS).
+    */
+  private def attachDvs(dir: String, keyCol: String,
+      affectedEntries: Seq[ManifestTable.FileEntry], keyArr: Array[Long])
+      : (Seq[ManifestTable.FileEntry], Seq[String]) = {
+    val dvKey = ManifestTable.dvStatKey(keyCol)
+    val byPrior = affectedEntries.groupBy(_.stats.get(dvKey).map(_._1))
+    val written = scala.collection.mutable.ListBuffer.empty[String]
+    val successor: Map[Option[String], (String, Int)] =
+      byPrior.keys.map { prior =>
+        val existing = prior.map(p => ManifestTable.readDv(
+            FsMeta.hadoopConf(), s"$dir/data/$p"))
+          .getOrElse(Array.empty[Long])
+        val merged = (existing ++ keyArr).distinct.sorted
+        val name = s"dv-${java.util.UUID.randomUUID}.gdv"
+        ManifestTable.writeDv(dir, name, merged)
+        written += name
+        prior -> (name, merged.length)
+      }.toMap
+    val updated = affectedEntries.map { f =>
+      val (name, n) = successor(f.stats.get(dvKey).map(_._1))
+      f.copy(stats = f.stats + (dvKey -> (name, n.toString)))
+    }
+    (updated, written.toSeq)
+  }
+
   def deleteMor(spark: SparkSession, dir: String, keys: DataFrame,
       keyCol: String): CowResult = withCommitRetry(dir) { m =>
     import spark.implicits._
@@ -266,28 +296,9 @@ object CowOps {
     } else {
       val keyArr = keys.select(col(keyCol).cast("long")).distinct()
         .as[Long].collect().sorted
-      val dvKey = ManifestTable.dvStatKey(keyCol)
-      // one sidecar per distinct PRIOR sidecar (None for first deletes):
-      // entries sharing a prior share the unioned successor
       val affectedEntries = m.files.filter(f => affected.contains(f.name))
-      val byPrior = affectedEntries.groupBy(_.stats.get(dvKey).map(_._1))
-      val written = scala.collection.mutable.ListBuffer.empty[String]
+      val (updated, written) = attachDvs(dir, keyCol, affectedEntries, keyArr)
       try {
-        val successor: Map[Option[String], (String, Int)] =
-          byPrior.keys.map { prior =>
-            val existing = prior.map(p => ManifestTable.readDv(
-                FsMeta.hadoopConf(), s"$dir/data/$p"))
-              .getOrElse(Array.empty[Long])
-            val merged = (existing ++ keyArr).distinct.sorted
-            val name = s"dv-${java.util.UUID.randomUUID}.gdv"
-            ManifestTable.writeDv(dir, name, merged)
-            written += name
-            prior -> (name, merged.length)
-          }.toMap
-        val updated = affectedEntries.map { f =>
-          val (name, n) = successor(f.stats.get(dvKey).map(_._1))
-          f.copy(stats = f.stats + (dvKey -> (name, n.toString)))
-        }
         beforeCommitHook()
         val v = ManifestTable.commitReplace(dir, m.version, affected, updated)
         CowResult(v, 0, m.files.size - affected.size, 0)
@@ -295,6 +306,42 @@ object CowOps {
         written.foreach(n => FsMeta.deleteRecursive(s"$dir/data/$n"))
         throw e
       }
+    }
+  }
+
+  /** MERGE (upsert), merge-on-read — the MOR story completed: the OLD
+    * versions of updated keys are deletion-vectored onto the affected
+    * entries ([[deleteMor]]'s sidecar machinery) and the update rows
+    * land as NEW files in the SAME commit, so the upsert rewrites ZERO
+    * existing data files (Iceberg v2's merge-on-read MERGE shape). Read
+    * semantics equal [[merge]] exactly — whole-row replacement + insert
+    * (CowSpec pins the equality); the read pays the dv binary search on
+    * affected files until compaction materializes, the deliberate MOR
+    * trade. DV'ing insert keys too is harmless (no row matches) and
+    * keeps the affected-set logic identical to the COW path.
+    */
+  def mergeMor(spark: SparkSession, dir: String, updates: DataFrame,
+      keyCol: String): CowResult = withCommitRetry(dir) { m =>
+    import spark.implicits._
+    checkSchema(m, updates, "updates")
+    requireIntegralKey(updates, keyCol)
+    requireTableKey(m, keyCol)
+    val affected = affectedFiles(spark, m, updates, keyCol).toSet
+    val keyArr = updates.select(col(keyCol).cast("long")).distinct()
+      .as[Long].collect().sorted
+    val affectedEntries = m.files.filter(f => affected.contains(f.name))
+    val (updated, written) = attachDvs(dir, keyCol, affectedEntries, keyArr)
+    val added = stageAndAdopt(spark, dir,
+      updates.select(m.schema.fieldNames.map(col).toSeq: _*), m)
+    try {
+      beforeCommitHook()
+      val v = ManifestTable.commitReplace(dir, m.version, affected,
+        updated ++ added)
+      CowResult(v, 0, m.files.size - affected.size, added.size)
+    } catch { case e: ManifestTable.ConcurrentCommitException =>
+      (written ++ added.map(_.name)).foreach(n =>
+        FsMeta.deleteRecursive(s"$dir/data/$n"))
+      throw e
     }
   }
 

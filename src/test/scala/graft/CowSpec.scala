@@ -213,6 +213,38 @@ class CowSpec extends AnyFunSuite {
     assert(readAll(dir).size == 96)
   }
 
+  test("mergeMor: zero rewrites, read equals the COW merge row semantics, stacking works") {
+    val dir = tmp()
+    build(dir)
+    val before = ManifestTable.readManifest(dir).get
+    val updates = Seq((5L, "U5"), (17L, "U17"), (1000L, "new"))
+      .toDF("k", "s")
+    val r = CowOps.mergeMor(spark, dir, updates, "k")
+    assert(r.filesRewritten == 0 && r.filesAdded >= 1,
+      s"merge-on-read must rewrite nothing and add the update file, got $r")
+    val after = ManifestTable.readManifest(dir).get
+    // every ORIGINAL entry survives byte-identical (same name+crc),
+    // affected ones gained a dv reference
+    val beforeKeys = before.files.map(f => (f.name, f.crc)).toSet
+    assert(beforeKeys.subsetOf(after.files.map(f => (f.name, f.crc)).toSet))
+    assert(after.files.exists(_.stats.contains("#dv:k")))
+    // read semantics equal the COW merge (whole-row upsert + insert)
+    val cow = tmp()
+    build(cow)
+    CowOps.merge(spark, cow, updates, "k")
+    assert(readAll(dir) == readAll(cow))
+    // stacking: a second MOR merge over an already-MOR'd key
+    CowOps.mergeMor(spark, dir, Seq((5L, "U5b")).toDF("k", "s"), "k")
+    val got = readAll(dir)
+    assert(got(5L) == "U5b" && got(17L) == "U17" && got(1000L) == "new" &&
+      got.size == 101)
+    // compaction materializes the whole MOR state away
+    ManifestTable.compact(spark, dir, targetFiles = 2)
+    assert(ManifestTable.readManifest(dir).get.files.forall(
+      !_.stats.keys.exists(_.startsWith("#dv:"))))
+    assert(readAll(dir) == got)
+  }
+
   test("a COW merge on a dv-carrying file reads through the merge (no resurrection)") {
     val dir = tmp()
     build(dir)
