@@ -18,7 +18,7 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   SupportsPushDownAggregates, SupportsPushDownFilters,
   SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
-  Offset}
+  Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
   DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate,
   Write, WriteBuilder, WriterCommitMessage}
@@ -677,7 +677,8 @@ private[sources] class GTable(path: String, schema0: StructType)
     new GTabScanBuilder(path, ManifestTable.versionAsOf(options),
       ManifestTable.filesOf(options),
       GTabStreamOpts(Option(options.get("startingVersion")),
-        options.getBoolean("skipChangeCommits", false)))
+        options.getBoolean("skipChangeCommits", false),
+        Option(options.get("maxFilesPerTrigger")).map(_.toInt)))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     ManifestTable.checkSupported(info.schema())
@@ -1274,7 +1275,8 @@ private[sources] class GTabScan(path: String,
   * filtered stream reads only matching appended files.
   */
 private[sources] final case class GTabStreamOpts(
-    startingVersion: Option[String], skipChangeCommits: Boolean)
+    startingVersion: Option[String], skipChangeCommits: Boolean,
+    maxFilesPerTrigger: Option[Int] = None)
 
 private[sources] case class GTabOffset(version: Long) extends Offset {
   override def json(): String = version.toString
@@ -1282,7 +1284,8 @@ private[sources] case class GTabOffset(version: Long) extends Offset {
 
 private[sources] class GTabMicroBatchStream(path: String, full: StructType,
     pruned: StructType, skipping: Seq[Filter], confMap: Map[String, String],
-    opts: GTabStreamOpts) extends MicroBatchStream {
+    opts: GTabStreamOpts)
+    extends MicroBatchStream with SupportsAdmissionControl {
   import ManifestTable._
 
   override def initialOffset(): Offset = GTabOffset(opts.startingVersion match {
@@ -1304,6 +1307,40 @@ private[sources] class GTabMicroBatchStream(path: String, full: StructType,
     val snap = snapshotVersions(path).lastOption.getOrElse(0L)
     lastSeen = math.max(lastSeen, math.max(ptr, snap))
     GTabOffset(math.max(lastSeen, 0L))
+  }
+
+  /** Admission control: `maxFilesPerTrigger` bounds a batch by walking
+    * version hops from the committed offset and stopping once the
+    * accumulated appended-file count reaches the cap (version
+    * granularity — a single huge commit still lands whole, the same
+    * rule Delta applies). Change-commit enforcement stays in
+    * planInputPartitions; here hops are only COUNTED (by name diff), so
+    * admission never throws ahead of the batch that would. Expired
+    * intermediate snapshots fall back to all-available.
+    */
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val hi = latestOffset().asInstanceOf[GTabOffset].version
+    opts.maxFilesPerTrigger match {
+      case None => GTabOffset(hi)
+      case Some(cap) =>
+        val s0 = start.asInstanceOf[GTabOffset].version
+        try {
+          var v = s0
+          var prev = manifestAt(s0)
+          var files = 0L
+          while (v < hi && files < cap) {
+            val cur = manifestAt(v + 1)
+            val prevNames = prev.files.map(_.name).toSet
+            files += cur.files.count(f => !prevNames.contains(f.name))
+            prev = cur
+            v += 1
+          }
+          GTabOffset(v)
+        } catch {
+          case _: IllegalArgumentException => GTabOffset(hi)
+        }
+    }
   }
   override def deserializeOffset(json: String): Offset =
     GTabOffset(json.trim.toLong)

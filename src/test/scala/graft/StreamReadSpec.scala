@@ -118,6 +118,30 @@ class StreamReadSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("maxFilesPerTrigger paces the backlog across triggers at version granularity") {
+    val dir = tmp("adm")
+    append(dir, 1L -> "a")
+    append(dir, 2L -> "b")
+    append(dir, 3L -> "c") // 3 versions, 1 file each
+    val batches = new ConcurrentLinkedQueue[Int]
+    val q = spark.readStream.format(Fmt).option("path", dir)
+      .option("maxFilesPerTrigger", "1").load()
+      .writeStream
+      .option("checkpointLocation", tmp("cpa"))
+      .foreachBatch { (df: Dataset[Row], _: Long) =>
+        val n = df.count().toInt
+        if (n > 0) batches.add(n)
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(batches.toArray.toSeq == Seq(1, 1, 1),
+        s"a 3-version backlog at 1 file/trigger must land as 3 batches, " +
+          s"got ${batches.toArray.toSeq}")
+    } finally q.stop()
+  }
+
   test("gtab-to-gtab pipe: streaming read into the streaming write is exactly-once table to table") {
     val src = tmp("pipesrc"); val dst = tmp("pipedst")
     append(src, 1L -> "a", 2L -> "b")
