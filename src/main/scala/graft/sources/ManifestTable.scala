@@ -1271,8 +1271,12 @@ private[sources] class GTabScan(path: String,
   * numbers, so recovery resumes exactly; hops are diffed snapshot by
   * snapshot while retained, falling back to an endpoint diff when
   * intermediate snapshots were expired (same change-commit rules).
-  * Column pruning and zone-map/bloom skipping apply per batch — a
-  * filtered stream reads only matching appended files.
+  * Honest limit, measured not assumed: Spark does NOT run
+  * filter/column pushdown for streaming DSv2 relations (verified
+  * against 4.1 — the builder's pushFilters/pruneColumns are never
+  * called on this path), so each batch ships whole appended files and
+  * filters apply row-level above the scan; the GTabSkip hook stays
+  * wired for the day Spark pushes here.
   */
 private[sources] final case class GTabStreamOpts(
     startingVersion: Option[String], skipChangeCommits: Boolean,
