@@ -57,4 +57,35 @@ object IncrementalAgg {
           .as(sumCol))
       .filter(col(cntCol) > 0)
   }
+
+  /** [[applyDelta]]'s twin for [[graft.sources.ManifestTable.changeFeed]]
+    * changesets (`_change_type` insert/delete rows carrying the FULL
+    * row): retraction algebra needs no update pairing — a feed update is
+    * already a delete+insert pair whose contributions cancel exactly on
+    * the unchanged part. Same O(|changes|) shape: one pass over the
+    * feed, map-side partial agg to one row per touched group, null-safe
+    * (<=>) group-key merge with the materialized aggregate, groups whose
+    * count reaches zero dropped (matching a recompute). With an
+    * INTEGRAL measure the algebra is order-free and the maintained view
+    * is bit-equal to a recompute — q97 certifies exactly that through
+    * the DuckDB oracle; float measures are exact only to double
+    * rounding, [[applyDelta]]'s documented caveat.
+    */
+  def applyFeedDelta(agg: DataFrame, feed: DataFrame, groupCol: String,
+      valCol: String, cntCol: String, sumCol: String): DataFrame = {
+    val sign = when(col("_change_type") === "insert", lit(1L))
+      .otherwise(lit(-1L))
+    val delta = feed
+      .select(col(groupCol).as("__g"), sign.as("__dc"),
+        (sign * col(valCol)).as("__dv"))
+      .groupBy("__g")
+      .agg(sum("__dc").as("__dc"), sum("__dv").as("__dv"))
+    agg.join(delta, col(groupCol) <=> col("__g"), "full_outer")
+      .select(coalesce(col(groupCol), col("__g")).as(groupCol),
+        (coalesce(col(cntCol), lit(0L)) + coalesce(col("__dc"), lit(0L)))
+          .as(cntCol),
+        (coalesce(col(sumCol), lit(0L)) + coalesce(col("__dv"), lit(0L)))
+          .as(sumCol))
+      .filter(col(cntCol) > 0)
+  }
 }

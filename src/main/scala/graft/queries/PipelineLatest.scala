@@ -738,6 +738,38 @@ object PipelineLatest {
           |  UNION ALL
           |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
           |  FROM customer WHERE c_custkey % 10 <> 0)
-          |SELECT * FROM merged ORDER BY c_custkey""".stripMargin))
+          |SELECT * FROM merged ORDER BY c_custkey""".stripMargin)),
+
+    // --- CDC-maintained materialized view (q97): a per-segment
+    //     count+sum aggregate maintained through a COW-merge hop from
+    //     the CHANGE FEED alone — base state from time travel at the
+    //     pre-merge version, delta = retraction algebra over the feed
+    //     (O(changes), never a base rescan). The measure is acctbal in
+    //     integer CENTS, so the algebra is order-free and the
+    //     maintained view is bit-equal to the oracle's recompute over
+    //     the merged table. ---
+    QueryDef(
+      "q97_incremental_view",
+      (s, dir) => StorageLayout.q97IncrementalView(s, dir)(),
+      Some(
+        """WITH ins AS (SELECT * FROM (VALUES
+          |    (1000000000, 'new-0', 0, 0.0, 'MACHINERY'),
+          |    (1000000001, 'new-1', 1, 0.0, 'MACHINERY'),
+          |    (1000000002, 'new-2', 2, 0.0, 'MACHINERY'))
+          |  t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)),
+          |merged AS (
+          |  SELECT c_custkey, c_mktsegment,
+          |    c_acctbal + 1000.0::DOUBLE AS c_acctbal
+          |  FROM customer WHERE c_custkey % 10 = 0
+          |  UNION ALL
+          |  SELECT CAST(c_custkey AS BIGINT), c_mktsegment,
+          |    CAST(c_acctbal AS DOUBLE) FROM ins
+          |  UNION ALL
+          |  SELECT c_custkey, c_mktsegment, c_acctbal
+          |  FROM customer WHERE c_custkey % 10 <> 0)
+          |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+          |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+          |    AS sum_cents
+          |FROM merged GROUP BY 1 ORDER BY c_mktsegment""".stripMargin))
   )
 }

@@ -287,6 +287,38 @@ object StorageLayout {
       .orderBy("c_custkey")
   }
 
+  /** q97: the lakehouse loop closed — a materialized per-segment
+    * aggregate maintained through a COW-merge hop using ONLY the change
+    * feed (never rescanning the base table), in exact integer algebra
+    * (acctbal as cents), so the maintained view is BIT-EQUAL to the
+    * recompute the oracle performs. The view's base state comes from
+    * time travel at the pre-merge version — the feed and the snapshot
+    * are the same manifest machinery.
+    */
+  def q97IncrementalView(s: SparkSession, dir: String): () => DataFrame = {
+    val path = sink("q97", dir)
+    graft.sources.FsMeta.deleteRecursive(path)
+    val cust = Tables.t(s, dir, "customer")
+    cust.repartitionByRange(8, col("c_custkey"))
+      .sortWithinPartitions("c_custkey")
+      .write.format(Fmt).option("path", path).mode("append").save()
+    val v0 = graft.sources.ManifestTable.readManifest(path).get.version
+    graft.sources.CowOps.merge(s, path, mergeUpdates(s, cust), "c_custkey")
+    val v1 = graft.sources.ManifestTable.readManifest(path).get.version
+    () => {
+      def cents = round(col("c_acctbal") * 100).cast("long")
+      val agg0 = s.read.format(Fmt).option("path", path)
+        .option("versionAsOf", v0).load()
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"), sum(cents).as("sum_cents"))
+      val feed = graft.sources.ManifestTable.changeFeed(s, path, v0, v1)
+        .withColumn("cents", cents)
+      graft.operators.IncrementalAgg.applyFeedDelta(agg0, feed,
+          "c_mktsegment", "cents", "n_cust", "sum_cents")
+        .orderBy("c_mktsegment")
+    }
+  }
+
   /** Bench's storage group: name → build-once/read-thunk factory. */
   val benchPairs: Seq[(String, (SparkSession, String) => () => DataFrame)] =
     Seq(
@@ -300,5 +332,6 @@ object StorageLayout {
       "q93_schema_evolution" -> (q93SchemaEvolution _),
       "q94_change_feed" -> (q94ChangeFeed _),
       "q95_stream_tail" -> (q95StreamTail _),
-      "q96_mor_merge" -> (q96MorMerge _))
+      "q96_mor_merge" -> (q96MorMerge _),
+      "q97_incremental_view" -> (q97IncrementalView _))
 }

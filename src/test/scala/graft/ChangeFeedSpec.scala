@@ -83,6 +83,41 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(rows == Seq(("insert", 2L, Some(9.5))))
   }
 
+  test("feed-maintained aggregate equals recompute, including group birth and death") {
+    val dir = tmp()
+    // (k, g, v): groups 0/1/2 of ~33 rows each, plus singleton group 7
+    spark.range(0, 99).select(col("id").as("k"), (col("id") % 3).as("g"),
+        col("id").as("v"))
+      .unionByName(Seq((99L, 7L, 99L)).toDF("k", "g", "v"))
+      .repartitionByRange(5, col("k")).sortWithinPartitions("k")
+      .write.format(Fmt).option("path", dir).mode(SaveMode.Append).save()
+    val v0 = ManifestTable.readManifest(dir).get.version
+    val agg0 = spark.read.format(Fmt).option("path", dir)
+      .option("versionAsOf", v0).load()
+      .groupBy("g").agg(count(lit(1)).as("cnt"), sum("v").as("sv"))
+    // two commits in the hop: group 7 DIES (its only row deleted), a
+    // row MOVES group (k=0: g 0 -> 5, births group 5), one inserts
+    CowOps.delete(spark, dir, Seq(99L).toDF("k"), "k")
+    CowOps.merge(spark, dir,
+      Seq((0L, 5L, 0L), (1000L, 9L, 10L)).toDF("k", "g", "v"), "k")
+    val v2 = ManifestTable.readManifest(dir).get.version
+    val feed = ManifestTable.changeFeed(spark, dir, v0, v2)
+    val maintained = graft.operators.IncrementalAgg.applyFeedDelta(
+        agg0, feed, "g", "v", "cnt", "sv")
+      .orderBy("g")
+      .as[(Long, Long, Long)].collect().toSeq
+    val recomputed = spark.read.format(Fmt).option("path", dir).load()
+      .groupBy("g").agg(count(lit(1)).as("cnt"), sum("v").as("sv"))
+      .orderBy("g")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(maintained == recomputed,
+      s"maintained $maintained != recomputed $recomputed")
+    val groups = maintained.map(_._1).toSet
+    assert(!groups.contains(7L), "emptied group must be dropped")
+    assert(groups.contains(5L) && groups.contains(9L),
+      "born groups must appear")
+  }
+
   test("guards: inverted version order is rejected, expired snapshots throw the time-travel error") {
     val dir = tmp()
     build(dir)
