@@ -417,27 +417,21 @@ object ManifestTable {
       .map(_.name)
     // both sides in the TO schema: present columns by name, absent as
     // typed nulls (the reader's own evolution rule, applied at the hop)
-    val oldDf = {
+    def side(version: Long, names: Seq[String],
+        sideSchema: StructType): org.apache.spark.sql.DataFrame = {
       val df =
-        if (oldNames.isEmpty) spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](), mFrom.schema)
+        if (names.isEmpty) spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), sideSchema)
         else spark.read.format("graft.sources.ManifestTable")
-          .option("path", dir).option("versionAsOf", fromVersion)
-          .option("files", oldNames.mkString(",")).load()
+          .option("path", dir).option("versionAsOf", version)
+          .option("files", names.mkString(",")).load()
       df.select(mTo.schema.fields.toSeq.map { f =>
         if (df.schema.fieldNames.contains(f.name)) col(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }: _*)
     }
-    val newDf = {
-      val df =
-        if (newNames.isEmpty) spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](), mTo.schema)
-        else spark.read.format("graft.sources.ManifestTable")
-          .option("path", dir).option("versionAsOf", toVersion)
-          .option("files", newNames.mkString(",")).load()
-      df.select(mTo.schema.fields.toSeq.map(f => col(f.name)): _*)
-    }
+    val oldDf = side(fromVersion, oldNames, mFrom.schema)
+    val newDf = side(toVersion, newNames, mTo.schema)
     newDf.exceptAll(oldDf).withColumn("_change_type", lit("insert"))
       .unionByName(
         oldDf.exceptAll(newDf).withColumn("_change_type", lit("delete")))
