@@ -571,14 +571,26 @@ object ManifestTable {
     * filesAfter).
     */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
-      targetFiles: Int): (Int, Int) = {
+      targetFiles: Int, clusterBy: Seq[String] = Nil): (Int, Int) = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
     val before = readManifest(dir).getOrElse(throw new IllegalArgumentException(
       s"no committed manifest at $dir")).files.size
-    spark.read.format("graft.sources.ManifestTable").option("path", dir)
-      .load()
-      .repartition(targetFiles)
-      .write.format("graft.sources.ManifestTable").option("path", dir)
+    val df = spark.read.format("graft.sources.ManifestTable")
+      .option("path", dir).load()
+    // LAYOUT-PRESERVING compaction: a plain round-robin repartition
+    // scatters every key range across every output file, silently
+    // destroying the zone-map prunability a range-clustered write paid
+    // for — after one naive compaction a selective range read degrades
+    // from O(matching files) back to O(table). `clusterBy` re-clusters
+    // the output (range partition + in-file sort) so skipping survives
+    // the rewrite; pass the table's cluster key whenever it has one.
+    val shaped =
+      if (clusterBy.isEmpty) df.repartition(targetFiles)
+      else df.repartitionByRange(targetFiles,
+          clusterBy.map(org.apache.spark.sql.functions.col): _*)
+        .sortWithinPartitions(
+          clusterBy.map(org.apache.spark.sql.functions.col): _*)
+    shaped.write.format("graft.sources.ManifestTable").option("path", dir)
       .mode("overwrite").save()
     (before, readManifest(dir).get.files.size)
   }

@@ -135,6 +135,33 @@ class CowSpec extends AnyFunSuite {
     }
   }
 
+  test("clusterBy compaction preserves zone-map prunability; naive compaction destroys it") {
+    def prunedFiles(dir: String): String = {
+      val plan = spark.read.format(Fmt).option("path", dir).load()
+        .filter($"k" >= 80).queryExecution.executedPlan.toString
+      "files=(\\d+/\\d+)".r.findFirstMatchIn(plan).map(_.group(1))
+        .getOrElse(fail(s"no files= marker in:\n$plan"))
+    }
+    // range-clustered table, MOR-deleted, then compacted BOTH ways
+    val naive = tmp(); val clustered = tmp()
+    Seq(naive, clustered).foreach { dir =>
+      build(dir)
+      CowOps.deleteMor(spark, dir, Seq(5L, 85L).toDF("k"), "k")
+    }
+    ManifestTable.compact(spark, naive, targetFiles = 4)
+    ManifestTable.compact(spark, clustered, targetFiles = 4,
+      clusterBy = Seq("k"))
+    // both materialized the deletes and kept the data
+    assert(readAll(naive) == readAll(clustered))
+    assert(readAll(clustered).size == 98)
+    // the selective range read prunes on the re-clustered layout and
+    // cannot on the round-robin one
+    assert(prunedFiles(clustered) == "1/4",
+      s"re-clustered compaction must keep skipping, got ${prunedFiles(clustered)}")
+    assert(prunedFiles(naive) == "4/4",
+      s"round-robin compaction scatters ranges, got ${prunedFiles(naive)}")
+  }
+
   test("double-keyed TABLE fails upfront with a clear error, not mid-operation (ADVICE r10)") {
     val dir = tmp()
     spark.range(0, 10).select((col("id") * 1.5).as("k"),
