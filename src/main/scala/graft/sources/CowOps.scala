@@ -177,6 +177,20 @@ object CowOps {
     (cols, bits)
   }
 
+  /** Shape a rewrite/insert row set before staging: range-partitioned
+    * and sorted on the key into at most `nFiles` files. Without this,
+    * staged output inherits the JOIN's shuffle partitioning — a 2-file
+    * COW delete under `spark.sql.shuffle.partitions = 200` would stage
+    * up to 200 fragments of scattered key ranges, exploding the file
+    * count AND destroying the zone-map prunability the clustered write
+    * paid for (the same silent regression layout-preserving compaction
+    * fixes, here on the row-level-op path).
+    */
+  private def reclustered(rows: DataFrame, keyCol: String,
+      nFiles: Int): DataFrame =
+    rows.repartitionByRange(math.max(1, nFiles), col(keyCol))
+      .sortWithinPartitions(keyCol)
+
   /** Stage `rows` through the connector, adopt the staged data files
     * into `dir`, and return their manifest entries (step 2).
     */
@@ -226,7 +240,8 @@ object CowOps {
         .select(m.schema.fieldNames.map(col).toSeq: _*),
       updates.select(m.schema.fieldNames.map(col).toSeq: _*),
       Seq(keyCol))
-    val added = stageAndAdopt(spark, dir, merged, m)
+    val added = stageAndAdopt(spark, dir,
+      reclustered(merged, keyCol, math.max(1, affected.size)), m)
     val v = commitOrCleanup(dir, m, affected, added)
     CowResult(v, affected.size, m.files.size - affected.size, added.size)
   }
@@ -332,7 +347,8 @@ object CowOps {
     val affectedEntries = m.files.filter(f => affected.contains(f.name))
     val (updated, written) = attachDvs(dir, keyCol, affectedEntries, keyArr)
     val added = stageAndAdopt(spark, dir,
-      updates.select(m.schema.fieldNames.map(col).toSeq: _*), m)
+      reclustered(updates.select(m.schema.fieldNames.map(col).toSeq: _*),
+        keyCol, math.max(1, affected.size)), m)
     try {
       beforeCommitHook()
       val v = ManifestTable.commitReplace(dir, m.version, affected,
@@ -355,7 +371,9 @@ object CowOps {
         .distinct()),
         col(keyCol).cast("long") === col("__k"), "left_anti")
       .select(m.schema.fieldNames.map(col).toSeq: _*)
-    val added = if (kept.isEmpty) Seq.empty else stageAndAdopt(spark, dir, kept, m)
+    val added = if (kept.isEmpty) Seq.empty
+      else stageAndAdopt(spark, dir,
+        reclustered(kept, keyCol, affected.size), m)
     val v = commitOrCleanup(dir, m, affected, added)
     CowResult(v, affected.size, m.files.size - affected.size, added.size)
   }

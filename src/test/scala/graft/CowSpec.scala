@@ -135,6 +135,26 @@ class CowSpec extends AnyFunSuite {
     }
   }
 
+  test("rewrites stage re-clustered: no file-count inflation, pruning survives row-level ops") {
+    val dir = tmp()
+    build(dir)
+    // two affected files ([0,19] and [80,99]) under shuffle.partitions=32:
+    // without re-clustering the staged merge output would fragment into
+    // up to 32 scattered-range files
+    CowOps.merge(spark, dir,
+      Seq((5L, "U5"), (85L, "U85")).toDF("k", "s"), "k")
+    val m = ManifestTable.readManifest(dir).get
+    assert(m.files.size <= 5,
+      s"a 2-file rewrite must not inflate the file count: ${m.files.size}")
+    val plan = spark.read.format(Fmt).option("path", dir).load()
+      .filter($"k" >= 80).queryExecution.executedPlan.toString
+    val pruned = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+      .map(mm => (mm.group(1).toInt, mm.group(2).toInt)).get
+    assert(pruned._1 <= 2 && pruned._2 == m.files.size,
+      s"selective read must still prune after the rewrite, got $pruned")
+    assert(readAll(dir)(5L) == "U5" && readAll(dir).size == 100)
+  }
+
   test("clusterBy compaction preserves zone-map prunability; naive compaction destroys it") {
     def prunedFiles(dir: String): String = {
       val plan = spark.read.format(Fmt).option("path", dir).load()
