@@ -15,8 +15,8 @@ import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation,
   CountStar}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownAggregates, SupportsPushDownFilters,
-  SupportsPushDownRequiredColumns}
+  Statistics, SupportsPushDownAggregates, SupportsPushDownFilters,
+  SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
   Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
@@ -288,6 +288,54 @@ object ManifestTable {
 
   private[sources] val DvPrefix = "#dv:"
   private[sources] def dvStatKey(col: String): String = DvPrefix + col
+
+  // ---- per-file byte size (reserved `#sz` stats key) ----
+  // The writer records each data file's exact byte count in its manifest
+  // entry (the `#bloom:`/`#dv:` trick — no format bump, older readers see
+  // a stat for a column no filter names). The scan sums them into a DSv2
+  // statistics report: without one, Spark costs EVERY DSv2 relation at
+  // `spark.sql.defaultSizeInBytes` (Long.MaxValue by default), so a join
+  // against even a 1 KB gtab can never auto-broadcast — at 100 TB that
+  // is the difference between a map-side hash join and a full two-sided
+  // shuffle. Files from pre-round-13 manifests lack the key; their bytes
+  // are estimated from the row count and the text codec's per-type widths.
+  private[sources] val SzKey = "#sz"
+
+  /** Rough per-column byte width of the tab-separated text codec, used
+    * (a) to estimate legacy files that predate `#sz` and (b) to scale a
+    * file's recorded bytes down to a pruned projection's share.
+    */
+  private[sources] def colWidth(dt: DataType): Long = dt match {
+    case BooleanType => 5L
+    case IntegerType => 7L
+    case LongType => 10L
+    case DoubleType => 18L
+    case _ => 20L
+  }
+
+  private[sources] def bytesOf(f: FileEntry, schema: StructType): Long =
+    f.stats.get(SzKey).flatMap(_._1.toLongOption).getOrElse {
+      val w = f.cols.map(c => schema.fields.find(_.name == c)
+        .map(x => colWidth(x.dataType)).getOrElse(20L)).sum
+      f.rows * math.max(1L, w)
+    }
+
+  /** Rows a scan of `files` will actually emit: the physical counts
+    * minus the deletion-vector cardinalities, counted per DISTINCT
+    * sidecar — affected files SHARE a sidecar carrying the whole key
+    * set, so per-file subtraction would overcount deletes by the
+    * sharing factor. Still an estimate (a key may miss every file, two
+    * sidecars may overlap); exactness lives in the read path, this
+    * feeds the optimizer.
+    */
+  private[sources] def liveRows(files: Seq[FileEntry]): Long = {
+    val phys = files.map(_.rows).sum
+    val dv = files.flatMap(_.stats.collect {
+      case (k, (name, n)) if k.startsWith(DvPrefix) =>
+        (name, n.toLongOption.getOrElse(0L))
+    }).distinct.map(_._2).sum
+    math.max(0L, phys - dv)
+  }
 
   /** Write a deletion-vector sidecar (sorted distinct keys, one per
     * line — the table's own text-codec discipline) and return nothing;
@@ -822,6 +870,7 @@ private[sources] class GTabWriter(dir: String, schema: StructType,
   private val out = fs.create(filePath, true)
   private val crc = new CRC32
   private var rows = 0L
+  private var bytes = 0L
 
   // zone maps: per-NUMERIC-column running min/max (see FileEntry scaladoc
   // for why strings are excluded); all-null columns end absent
@@ -917,9 +966,10 @@ private[sources] class GTabWriter(dir: String, schema: StructType,
 
   override def write(row: InternalRow): Unit = {
     val line = getters.map(_(row)).mkString("", "\t", "\n")
-    val bytes = line.getBytes(StandardCharsets.UTF_8)
-    crc.update(bytes)
-    out.write(bytes)
+    val b = line.getBytes(StandardCharsets.UTF_8)
+    crc.update(b)
+    out.write(b)
+    bytes += b.length
     trackStats(row)
     trackBloom(row)
     rows += 1
@@ -927,7 +977,7 @@ private[sources] class GTabWriter(dir: String, schema: StructType,
   override def commit(): WriterCommitMessage = {
     out.close()
     GTabCommit(fileName, rows, crc.getValue, schema.fieldNames.toSeq,
-      statsMap)
+      statsMap + (ManifestTable.SzKey -> (bytes.toString, "")))
   }
   override def abort(): Unit = {
     try out.close() catch { case _: Exception => }
@@ -1238,10 +1288,35 @@ private[sources] class GTabScan(path: String,
     manifest: ManifestTable.Manifest, pruned: StructType,
     skipping: Seq[Filter], confMap: Map[String, String],
     streamOpts: GTabStreamOpts = GTabStreamOpts(None, false))
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   private val kept = manifest.files.filter(
     GTabSkip.keep(_, skipping, manifest.schema))
   override def readSchema(): StructType = pruned
+
+  /** Manifest-derived statistics for the optimizer, POST file pruning:
+    * rows = live rows of the kept files (physical minus deletion-vector
+    * cardinality), bytes = their recorded `#sz` sums scaled to the
+    * pruned projection's share of the codec's row width. Without this
+    * report Spark costs the relation at `spark.sql.defaultSizeInBytes`
+    * (Long.MaxValue), so gtab joins would NEVER auto-broadcast — the
+    * report is what lets a 1000-executor join plan a small dimension
+    * gtab as a broadcast instead of a two-sided 100 TB shuffle.
+    */
+  override def estimateStatistics(): Statistics = {
+    val rows = ManifestTable.liveRows(kept)
+    val fullW = math.max(1L, manifest.schema.fields
+      .map(f => ManifestTable.colWidth(f.dataType)).sum)
+    val prunedW = math.max(1L, pruned.fields
+      .map(f => ManifestTable.colWidth(f.dataType)).sum)
+    val raw = kept.map(ManifestTable.bytesOf(_, manifest.schema)).sum
+    val scaled = (BigInt(raw) * prunedW / fullW).toLong
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, scaled))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
   override def toBatch: Batch = this
   override def description(): String =
     s"GTabScan $path v${manifest.version} " +
