@@ -770,6 +770,24 @@ object PipelineLatest {
           |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
           |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
           |    AS sum_cents
-          |FROM merged GROUP BY 1 ORDER BY c_mktsegment""".stripMargin))
+          |FROM merged GROUP BY 1 ORDER BY c_mktsegment""".stripMargin)),
+
+    // --- storage-partitioned join (q98): customer and supplier written
+    //     partitioned on their nation key (declared clustered
+    //     distribution + sort; single-valued files carrying reserved
+    //     #part: keys), read back through the KeyGroupedPartitioning
+    //     layout report — join and grouped aggregate plan with zero
+    //     shuffle exchanges between two co-partitioned gtabs
+    //     (PartitionedTableSpec pins the plan; the Iceberg bucket-join
+    //     mechanism on this connector). Integer-exact aggregates; the
+    //     oracle recomputes from the plain tables. ---
+    QueryDef(
+      "q98_partitioned_join",
+      (s, dir) => StorageLayout.q98PartitionedJoin(s, dir)(),
+      Some(
+        """SELECT c_nationkey AS nk, count(*) AS n_pairs,
+          |  CAST(sum(c_custkey + s_suppkey) AS BIGINT) AS key_sum
+          |FROM customer JOIN supplier ON c_nationkey = s_nationkey
+          |GROUP BY 1 ORDER BY nk""".stripMargin))
   )
 }

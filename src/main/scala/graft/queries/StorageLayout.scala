@@ -319,6 +319,37 @@ object StorageLayout {
     }
   }
 
+  /** q98: STORAGE-PARTITIONED JOIN — customer and supplier both land
+    * partitioned on their nation key (`partitionColumn` write: declared
+    * clustered distribution, single-valued files, `#part:` keys), so
+    * the join AND the grouped aggregate ride the reported
+    * KeyGroupedPartitioning with zero shuffle exchanges
+    * (PartitionedTableSpec pins the exchange-free plan; at this SF the
+    * planner may broadcast the smaller side instead — also shuffle-free,
+    * and exactly the adaptivity wanted). The oracle recomputes the join
+    * from the plain tables.
+    */
+  def q98PartitionedJoin(s: SparkSession, dir: String): () => DataFrame = {
+    val pa = sink("q98a", dir)
+    val pb = sink("q98b", dir)
+    graft.sources.FsMeta.deleteRecursive(pa)
+    graft.sources.FsMeta.deleteRecursive(pb)
+    Tables.t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").as("nk"))
+      .write.format(Fmt).option("path", pa)
+      .option("partitionColumn", "nk").mode("append").save()
+    Tables.t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey").as("nk"))
+      .write.format(Fmt).option("path", pb)
+      .option("partitionColumn", "nk").mode("append").save()
+    () => s.read.format(Fmt).option("path", pa).load()
+      .join(s.read.format(Fmt).option("path", pb).load(), "nk")
+      .groupBy("nk")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("c_custkey") + col("s_suppkey")).as("key_sum"))
+      .orderBy("nk")
+  }
+
   /** Bench's storage group: name → build-once/read-thunk factory. */
   val benchPairs: Seq[(String, (SparkSession, String) => () => DataFrame)] =
     Seq(
@@ -333,5 +364,6 @@ object StorageLayout {
       "q94_change_feed" -> (q94ChangeFeed _),
       "q95_stream_tail" -> (q95StreamTail _),
       "q96_mor_merge" -> (q96MorMerge _),
-      "q97_incremental_view" -> (q97IncrementalView _))
+      "q97_incremental_view" -> (q97IncrementalView _),
+      "q98_partitioned_join" -> (q98PartitionedJoin _))
 }

@@ -10,22 +10,30 @@ import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite,
   Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.distributions.{Distribution,
+  Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions,
+  SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation,
   CountStar}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition,
-  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  Statistics, SupportsPushDownAggregates, SupportsPushDownFilters,
-  SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey,
+  InputPartition, PartitionReader, PartitionReaderFactory, Scan,
+  ScanBuilder, Statistics, SupportsPushDownAggregates,
+  SupportsPushDownFilters, SupportsPushDownRequiredColumns,
+  SupportsReportPartitioning, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.partitioning.{
+  KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
   Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
-  DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate,
-  Write, WriteBuilder, WriterCommitMessage}
+  DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo,
+  RequiresDistributionAndOrdering, SupportsTruncate, Write, WriteBuilder,
+  WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{
   StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
-  GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter,
+  GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan,
+  LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -300,6 +308,79 @@ object ManifestTable {
   // shuffle. Files from pre-round-13 manifests lack the key; their bytes
   // are estimated from the row count and the text codec's per-type widths.
   private[sources] val SzKey = "#sz"
+
+  // ---- partitioned layout (reserved `#part:<col>` stats key) ----
+  // A write with `.option("partitionColumn", c)` clusters rows by `c`
+  // (the Write declares a clustered distribution + sort, so Spark
+  // shuffles accordingly) and each task rolls a NEW data file whenever
+  // the value changes — every file is single-valued on `c`, and records
+  // that value under `#part:c` in the codec's own encoding. The scan
+  // then (a) prunes files EXACTLY on equality/IN/null predicates over
+  // `c` — including STRING columns, which zone maps deliberately
+  // exclude — and (b) groups the kept files by value and reports the
+  // layout as a KeyGroupedPartitioning over identity(c), which is what
+  // unlocks the STORAGE-PARTITIONED JOIN: two gtabs partitioned on the
+  // same column join (and group-aggregate) with ZERO shuffle exchanges
+  // (the Iceberg bucket-join mechanism, `spark.sql.sources.v2.bucketing
+  // .enabled`). At 100 TB that is the difference between a full
+  // two-sided shuffle and none. Double partition columns are rejected:
+  // Spark normalizes -0.0 == 0.0 while their codec strings differ, so
+  // one logical key could split across two reported groups.
+  private[sources] val PartPrefix = "#part:"
+  private[sources] def partStatKey(col: String): String = PartPrefix + col
+
+  /** The table's partition column, DERIVED from the manifest: present
+    * iff every file records exactly one `#part:` key, all name the same
+    * column, and the column is in the schema. Derivation (not a table
+    * property) makes degradation safe by construction — one
+    * unpartitioned append (or a rewrite that dropped the key) simply
+    * turns the layout report off; correctness never depended on it.
+    */
+  private[graft] def partitionColumnOf(m: Manifest): Option[String] = {
+    if (m.files.isEmpty) return None
+    val keySets = m.files.map(_.stats.keySet.filter(_.startsWith(PartPrefix)))
+    val head = keySets.head
+    if (head.size == 1 && keySets.forall(_ == head)) {
+      val col = head.head.stripPrefix(PartPrefix)
+      if (m.schema.fieldNames.contains(col)) Some(col) else None
+    } else None
+  }
+
+  /** Decode a `#part:` value (codec form) into the single-field
+    * InternalRow a [[org.apache.spark.sql.connector.read.HasPartitionKey]]
+    * partition reports.
+    */
+  private[sources] def decodePartKey(enc: String,
+      dt: DataType): InternalRow = {
+    val v: Any =
+      if (enc == Null) null
+      else dt match {
+        case BooleanType => java.lang.Boolean.parseBoolean(enc)
+        case IntegerType => java.lang.Integer.parseInt(enc)
+        case LongType => java.lang.Long.parseLong(enc)
+        case StringType => UTF8String.fromString(unescape(enc))
+        case other => throw new IllegalStateException(s"unreachable: $other")
+      }
+    InternalRow(v)
+  }
+
+  /** Encode a pushed-filter literal in the codec's form for EXACT
+    * comparison against a `#part:` value; None = unencodable literal
+    * (never prune on it).
+    */
+  private[sources] def encodePartLiteral(v: Any, dt: DataType)
+      : Option[String] = (dt, v) match {
+    case (_, null) => Some(Null)
+    case (BooleanType, b: java.lang.Boolean) => Some(b.toString)
+    case (IntegerType, n: java.lang.Integer) => Some(n.toString)
+    case (IntegerType, n: java.lang.Short) => Some(n.intValue.toString)
+    case (IntegerType, n: java.lang.Byte) => Some(n.intValue.toString)
+    case (LongType, n: java.lang.Long) => Some(n.toString)
+    case (LongType, n: java.lang.Integer) => Some(n.longValue.toString)
+    case (StringType, s: String) => Some(escape(s))
+    case (StringType, s: UTF8String) => Some(escape(s.toString))
+    case _ => None
+  }
 
   /** Rough per-column byte width of the tab-separated text codec, used
     * (a) to estimate legacy files that predate `#sz` and (b) to scale a
@@ -752,24 +833,55 @@ private[sources] class GTable(path: String, schema0: StructType)
       .getOrElse(GTabBloom.DefaultBits)
     require(bloomBits >= 64 && bloomBits % 64 == 0,
       s"bloomBits must be a positive multiple of 64, got $bloomBits")
+    val partCol = Option(opts.get("partitionColumn")).map { c =>
+      val f = info.schema().fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"partitionColumn names absent column '$c'"))
+      f.dataType match {
+        case BooleanType | IntegerType | LongType | StringType =>
+        case other => throw new IllegalArgumentException(
+          s"partitionColumn '$c' is ${other.sql} — partition columns " +
+            "support boolean, int, bigint, string (doubles are rejected: " +
+            "Spark normalizes -0.0 == 0.0, their codec strings differ)")
+      }
+      c
+    }
     new GTabWriteBuilder(path, info.schema(), info.queryId(), bloomCols,
-      bloomBits)
+      bloomBits, partCol)
   }
 }
 
 private[sources] class GTabWriteBuilder(path: String, schema: StructType,
     queryId: String, bloomCols: Seq[String] = Seq.empty,
-    bloomBits: Int = GTabBloom.DefaultBits)
+    bloomBits: Int = GTabBloom.DefaultBits,
+    partCol: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   private var keepPrevious = true
   override def truncate(): WriteBuilder = { keepPrevious = false; this }
-  override def build(): Write = new Write {
+
+  /** A partitioned write DECLARES its layout requirement instead of
+    * hand-shuffling: Spark plans a clustered distribution + in-partition
+    * sort on the partition column, so each writer task receives its
+    * values as contiguous runs and rolls one single-valued file per run.
+    * Strictness left at the default (true): the single-valued-file
+    * invariant is what the read-side layout report stands on.
+    */
+  override def build(): Write = new Write with RequiresDistributionAndOrdering {
+    override def requiredDistribution(): Distribution = partCol match {
+      case Some(c) => Distributions.clustered(Array(Expressions.identity(c)))
+      case None => Distributions.unspecified()
+    }
+    override def requiredOrdering(): Array[SortOrder] = partCol match {
+      case Some(c) => Array(Expressions.sort(Expressions.identity(c),
+        SortDirection.ASCENDING))
+      case None => Array.empty
+    }
     override def toBatch: BatchWrite =
       new GTabBatchWrite(path, schema, queryId, keepPrevious, bloomCols,
-        bloomBits)
+        bloomBits, partCol)
     override def toStreaming: StreamingWrite =
       new GTabStreamingWrite(path, schema, queryId, keepPrevious, bloomCols,
-        bloomBits)
+        bloomBits, partCol)
   }
 }
 
@@ -784,36 +896,35 @@ private[sources] class GTabWriteBuilder(path: String, schema: StructType,
 private[sources] class GTabStreamingWrite(path: String, schema: StructType,
     queryId: String, keepPrevious: Boolean,
     bloomCols: Seq[String] = Seq.empty,
-    bloomBits: Int = GTabBloom.DefaultBits) extends StreamingWrite {
+    bloomBits: Int = GTabBloom.DefaultBits,
+    partCol: Option[String] = None) extends StreamingWrite {
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new GTabStreamingWriterFactory(path, schema, queryId, FsMeta.confAsMap(),
-      bloomCols, bloomBits)
+      bloomCols, bloomBits, partCol)
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
     ManifestTable.commitVersion(path, schema,
-      messages.map { case m: GTabCommit => m.toEntry }.toSeq,
-      keepPrevious, epoch = epochId)
+      GTabCommits.entriesOf(messages), keepPrevious, epoch = epochId)
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case c: GTabCommit => FsMeta.deleteRecursive(s"$path/data/${c.name}")
-      case _ =>
-    }
+    GTabCommits.namesOf(messages).foreach(n =>
+      FsMeta.deleteRecursive(s"$path/data/$n"))
 }
 
 private[sources] class GTabStreamingWriterFactory(path: String,
     schema: StructType, queryId: String, confMap: Map[String, String],
     bloomCols: Seq[String] = Seq.empty,
-    bloomBits: Int = GTabBloom.DefaultBits)
+    bloomBits: Int = GTabBloom.DefaultBits,
+    partCol: Option[String] = None)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] = {
     val conf = new Configuration(false)
     confMap.foreach { case (k, v) => conf.set(k, v) }
-    new GTabWriter(path, schema,
-      s"part-e$epochId-$partitionId-$taskId-$queryId.gtab", conf,
-      bloomCols, bloomBits)
+    GTabWriters.create(path, schema,
+      s"part-e$epochId-$partitionId-$taskId-$queryId", conf,
+      bloomCols, bloomBits, partCol)
   }
 }
 
@@ -824,30 +935,52 @@ private[sources] final case class GTabCommit(name: String, rows: Long,
     ManifestTable.FileEntry(name, rows, crc, cols, stats)
 }
 
+/** A partitioned writer task commits SEVERAL files (one per partition
+  * value run) under one message.
+  */
+private[sources] final case class GTabMultiCommit(entries: Seq[GTabCommit])
+    extends WriterCommitMessage
+
+private[sources] object GTabCommits {
+  def entriesOf(messages: Array[WriterCommitMessage])
+      : Seq[ManifestTable.FileEntry] =
+    messages.toSeq.flatMap {
+      case c: GTabCommit => Seq(c.toEntry)
+      case m: GTabMultiCommit => m.entries.map(_.toEntry)
+      case _ => Nil
+    }
+  def namesOf(messages: Array[WriterCommitMessage]): Seq[String] =
+    messages.toSeq.flatMap {
+      case c: GTabCommit => Seq(c.name)
+      case m: GTabMultiCommit => m.entries.map(_.name)
+      case _ => Nil
+    }
+}
+
 private[sources] class GTabBatchWrite(path: String, schema: StructType,
     queryId: String, keepPrevious: Boolean,
     bloomCols: Seq[String] = Seq.empty,
-    bloomBits: Int = GTabBloom.DefaultBits) extends BatchWrite {
+    bloomBits: Int = GTabBloom.DefaultBits,
+    partCol: Option[String] = None) extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new GTabWriterFactory(path, schema, queryId, FsMeta.confAsMap(),
-      bloomCols, bloomBits)
+      bloomCols, bloomBits, partCol)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     ManifestTable.commitVersion(path, schema,
-      messages.map { case m: GTabCommit => m.toEntry }.toSeq, keepPrevious)
+      GTabCommits.entriesOf(messages), keepPrevious)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case c: GTabCommit => FsMeta.deleteRecursive(s"$path/data/${c.name}")
-      case _ =>
-    }
+    GTabCommits.namesOf(messages).foreach(n =>
+      FsMeta.deleteRecursive(s"$path/data/$n"))
 }
 
 private[sources] class GTabWriterFactory(path: String, schema: StructType,
     queryId: String, confMap: Map[String, String],
     bloomCols: Seq[String] = Seq.empty,
-    bloomBits: Int = GTabBloom.DefaultBits) extends DataWriterFactory {
+    bloomBits: Int = GTabBloom.DefaultBits,
+    partCol: Option[String] = None) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] = {
     val conf = new Configuration(false)
@@ -855,15 +988,89 @@ private[sources] class GTabWriterFactory(path: String, schema: StructType,
     // task id in the name makes speculative/retried attempts collision-free;
     // only the attempt whose commit message reaches BatchWrite.commit is
     // ever listed (useCommitCoordinator guarantees one winner per partition)
-    new GTabWriter(path, schema, s"part-$partitionId-$taskId-$queryId.gtab",
-      conf, bloomCols, bloomBits)
+    GTabWriters.create(path, schema, s"part-$partitionId-$taskId-$queryId",
+      conf, bloomCols, bloomBits, partCol)
   }
+}
+
+private[sources] object GTabWriters {
+  /** One writer per task: single-file for an unpartitioned write,
+    * file-per-value-run for a partitioned one. `stem` excludes the
+    * extension (the partitioned writer suffixes a segment ordinal).
+    */
+  def create(dir: String, schema: StructType, stem: String,
+      conf: Configuration, bloomCols: Seq[String], bloomBits: Int,
+      partCol: Option[String]): DataWriter[InternalRow] = partCol match {
+    case Some(c) => new GTabPartitionedWriter(dir, schema, stem, conf,
+      bloomCols, bloomBits, c)
+    case None => new GTabWriter(dir, schema, s"$stem.gtab", conf,
+      bloomCols, bloomBits)
+  }
+}
+
+/** Rolls one [[GTabWriter]] segment per run of equal partition-column
+  * values (the declared write ordering makes equal values contiguous,
+  * but rolling on ANY change keeps the single-valued-per-file invariant
+  * even for unsorted input — extra files, never wrong metadata). Each
+  * segment records its value under the reserved `#part:` stats key.
+  */
+private[sources] class GTabPartitionedWriter(dir: String,
+    schema: StructType, stem: String, conf: Configuration,
+    bloomCols: Seq[String], bloomBits: Int, partCol: String)
+    extends DataWriter[InternalRow] {
+  private val partIx = schema.fieldIndex(partCol)
+  private val enc: InternalRow => String = {
+    val dt = schema.fields(partIx).dataType
+    (r: InternalRow) =>
+      if (r.isNullAt(partIx)) ManifestTable.Null
+      else dt match {
+        case BooleanType => String.valueOf(r.getBoolean(partIx))
+        case IntegerType => String.valueOf(r.getInt(partIx))
+        case LongType => String.valueOf(r.getLong(partIx))
+        case StringType =>
+          ManifestTable.escape(r.getUTF8String(partIx).toString)
+        case other => throw new IllegalStateException(s"unreachable: $other")
+      }
+  }
+  private var seq = 0
+  private var cur: GTabWriter = _
+  private var curKey: String = _
+  private val done = scala.collection.mutable.ListBuffer.empty[GTabCommit]
+
+  override def write(row: InternalRow): Unit = {
+    val k = enc(row)
+    if (cur == null || k != curKey) {
+      if (cur != null) done += cur.commitSegment()
+      curKey = k
+      cur = new GTabWriter(dir, schema, s"$stem-s$seq.gtab", conf,
+        bloomCols, bloomBits,
+        extraStats = Map(ManifestTable.partStatKey(partCol) -> (k, "")))
+      seq += 1
+    }
+    cur.write(row)
+  }
+  override def commit(): WriterCommitMessage = {
+    if (cur != null) { done += cur.commitSegment(); cur = null }
+    GTabMultiCommit(done.toSeq)
+  }
+  override def abort(): Unit = {
+    if (cur != null) { cur.abort(); cur = null }
+    // executor-side: delete through THIS task's Hadoop conf, not the
+    // driver-default one FsMeta carries
+    done.foreach { c =>
+      val hp = new HPath(s"$dir/data/${c.name}")
+      hp.getFileSystem(conf).delete(hp, false): Unit
+    }
+  }
+  override def close(): Unit = ()
 }
 
 private[sources] class GTabWriter(dir: String, schema: StructType,
     fileName: String, conf: Configuration,
     bloomCols: Seq[String] = Seq.empty,
-    bloomBits: Int = GTabBloom.DefaultBits) extends DataWriter[InternalRow] {
+    bloomBits: Int = GTabBloom.DefaultBits,
+    extraStats: Map[String, (String, String)] = Map.empty)
+    extends DataWriter[InternalRow] {
   private val filePath = new HPath(s"$dir/data/$fileName")
   private val fs = filePath.getFileSystem(conf)
   fs.setWriteChecksum(false)
@@ -974,10 +1181,11 @@ private[sources] class GTabWriter(dir: String, schema: StructType,
     trackBloom(row)
     rows += 1
   }
-  override def commit(): WriterCommitMessage = {
+  override def commit(): WriterCommitMessage = commitSegment()
+  private[sources] def commitSegment(): GTabCommit = {
     out.close()
     GTabCommit(fileName, rows, crc.getValue, schema.fieldNames.toSeq,
-      statsMap + (ManifestTable.SzKey -> (bytes.toString, "")))
+      statsMap + (ManifestTable.SzKey -> (bytes.toString, "")) ++ extraStats)
   }
   override def abort(): Unit = {
     try out.close() catch { case _: Exception => }
@@ -1031,7 +1239,8 @@ private[sources] class GTabScanBuilder(path: String, asOf: Option[Long],
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     sawFilters = filters.nonEmpty
-    skipping = filters.filter(GTabSkip.usable(_, manifest.schema))
+    skipping = filters.filter(GTabSkip.usable(_, manifest.schema,
+      ManifestTable.partitionColumnOf(manifest)))
     filters
   }
   override def pushedFilters(): Array[Filter] = skipping
@@ -1173,19 +1382,61 @@ private[sources] object GTabBloom {
 
 private[sources] object GTabSkip {
 
-  def usable(f: Filter, schema: StructType): Boolean = f match {
+  def usable(f: Filter, schema: StructType,
+      partCol: Option[String] = None): Boolean = f match {
     // equality/IN are additionally bloom-skippable on int/long/STRING
-    // columns (keep() is conservative when a file carries no bloom)
+    // columns (keep() is conservative when a file carries no bloom),
+    // and EXACTLY skippable on the partition column of a partitioned
+    // table (any supported type, including strings and nulls)
     case EqualTo(c, v) => (numeric(c, schema) && lit(v).isDefined) ||
-      bloomable(c, schema, Seq(v))
+      bloomable(c, schema, Seq(v)) || partCol.contains(c)
+    case EqualNullSafe(c, _) => partCol.contains(c)
     case GreaterThan(c, v) => numeric(c, schema) && lit(v).isDefined
     case GreaterThanOrEqual(c, v) => numeric(c, schema) && lit(v).isDefined
     case LessThan(c, v) => numeric(c, schema) && lit(v).isDefined
     case LessThanOrEqual(c, v) => numeric(c, schema) && lit(v).isDefined
     case In(c, vs) => (numeric(c, schema) && vs.nonEmpty &&
       vs.forall(v => v != null && lit(v).isDefined)) ||
-      (vs.nonEmpty && vs.forall(v => v != null) && bloomable(c, schema, vs))
+      (vs.nonEmpty && vs.forall(v => v != null) && bloomable(c, schema, vs)) ||
+      (vs.nonEmpty && partCol.contains(c))
+    case IsNull(c) => partCol.contains(c)
+    case IsNotNull(c) => partCol.contains(c)
     case _ => false
+  }
+
+  /** EXACT partition-value pruning: a file single-valued on `c`
+    * (reserved `#part:c` key) is kept iff its value could satisfy the
+    * predicate — unlike zone maps this covers strings and null
+    * semantics, and the check is equality on the codec encoding, not an
+    * interval. Unknown shapes/literals keep the file (conservative, as
+    * everywhere in this object).
+    */
+  private def partKeep(e: ManifestTable.FileEntry, f: Filter,
+      schema: StructType): Boolean = {
+    def pv(c: String): Option[(String, DataType)] =
+      e.stats.get(ManifestTable.partStatKey(c)).flatMap { case (enc, _) =>
+        schema.fields.find(_.name == c).map(x => (enc, x.dataType)) }
+    def eq(c: String, v: Any): Boolean = pv(c) match {
+      case Some((enc, dt)) =>
+        ManifestTable.encodePartLiteral(v, dt) match {
+          case Some(le) => enc == le
+          case None => true
+        }
+      case None => true
+    }
+    f match {
+      // SQL equality with a null literal matches no row; Spark does not
+      // push such filters, so v is non-null here — but guard anyway
+      case EqualTo(c, v) => v == null || eq(c, v)
+      case EqualNullSafe(c, v) => eq(c, v)
+      case In(c, vs) => pv(c) match {
+        case Some(_) => vs.isEmpty || vs.exists(v => v != null && eq(c, v))
+        case None => true
+      }
+      case IsNull(c) => pv(c).forall(_._1 == ManifestTable.Null)
+      case IsNotNull(c) => pv(c).forall(_._1 != ManifestTable.Null)
+      case _ => true
+    }
   }
 
   private def bloomable(c: String, schema: StructType,
@@ -1214,7 +1465,8 @@ private[sources] object GTabSkip {
   }
 
   def keep(e: ManifestTable.FileEntry, filters: Seq[Filter],
-      schema: StructType): Boolean = filters.forall(keepOne(e, _, schema))
+      schema: StructType): Boolean =
+    filters.forall(f => keepOne(e, f, schema) && partKeep(e, f, schema))
 
   private def bounds(e: ManifestTable.FileEntry, c: String,
       schema: StructType): Option[(BigDecimal, BigDecimal)] =
@@ -1284,14 +1536,47 @@ private[sources] final case class GTabPartition(file: String, rows: Long,
     crc: Long, cols: Seq[String] = Nil,
     dvs: Seq[(String, Int)] = Nil) extends InputPartition
 
+/** All of one partition value's files as ONE input partition, its key
+  * reported via [[HasPartitionKey]] — the unit Spark's key-grouped
+  * planning aligns across the two sides of a storage-partitioned join.
+  */
+private[sources] final case class GTabGroupPartition(
+    parts: Seq[GTabPartition], key: InternalRow)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
 private[sources] class GTabScan(path: String,
     manifest: ManifestTable.Manifest, pruned: StructType,
     skipping: Seq[Filter], confMap: Map[String, String],
     streamOpts: GTabStreamOpts = GTabStreamOpts(None, false))
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsReportPartitioning {
   private val kept = manifest.files.filter(
     GTabSkip.keep(_, skipping, manifest.schema))
   override def readSchema(): StructType = pruned
+
+  // partitioned layout: kept files grouped by their single partition
+  // value (codec encoding — distinct strings ⇔ distinct values for the
+  // admitted types), sorted for deterministic planning
+  private val partCol: Option[String] =
+    ManifestTable.partitionColumnOf(manifest)
+  private val groups: Seq[(String, Seq[ManifestTable.FileEntry])] =
+    partCol.map { c =>
+      val k = ManifestTable.partStatKey(c)
+      kept.groupBy(_.stats(k)._1).toSeq.sortBy(_._1)
+    }.getOrElse(Nil)
+
+  /** The layout report that unlocks the storage-partitioned join: one
+    * key-grouped partition per partition value over identity(partCol).
+    * Unpartitioned tables (and fully-pruned scans) report unknown.
+    */
+  override def outputPartitioning(): Partitioning = partCol match {
+    case Some(c) if groups.nonEmpty =>
+      new KeyGroupedPartitioning(Array(Expressions.identity(c)),
+        groups.length)
+    case _ => new UnknownPartitioning(kept.size)
+  }
 
   /** Manifest-derived statistics for the optimizer, POST file pruning:
     * rows = live rows of the kept files (physical minus deletion-vector
@@ -1321,11 +1606,21 @@ private[sources] class GTabScan(path: String,
   override def description(): String =
     s"GTabScan $path v${manifest.version} " +
       s"files=${kept.size}/${manifest.files.size} " +
+      partCol.map(c => s"PartitionedBy: $c groups=${groups.size} ")
+        .getOrElse("") +
       s"SkippingFilters: ${skipping.mkString("[", ", ", "]")} " +
       s"ReadSchema: ${pruned.simpleString}"
-  override def planInputPartitions(): Array[InputPartition] =
-    kept.map(f => ManifestTable.partitionOf(path, f): InputPartition)
-      .toArray
+  override def planInputPartitions(): Array[InputPartition] = partCol match {
+    case Some(c) if groups.nonEmpty =>
+      val dt = manifest.schema.fields(manifest.schema.fieldIndex(c)).dataType
+      groups.map { case (enc, fs) =>
+        GTabGroupPartition(fs.map(ManifestTable.partitionOf(path, _)),
+          ManifestTable.decodePartKey(enc, dt)): InputPartition
+      }.toArray
+    case _ =>
+      kept.map(f => ManifestTable.partitionOf(path, f): InputPartition)
+        .toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new GTabReaderFactory(manifest.schema, pruned, confMap)
   override def toMicroBatchStream(checkpointLocation: String)
@@ -1485,11 +1780,41 @@ private[sources] class GTabReaderFactory(full: StructType,
     pruned: StructType, confMap: Map[String, String])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val gp = p.asInstanceOf[GTabPartition]
     val conf = new Configuration(false)
     confMap.foreach { case (k, v) => conf.set(k, v) }
-    new GTabReader(gp, full, pruned, conf)
+    p match {
+      case gp: GTabPartition => new GTabReader(gp, full, pruned, conf)
+      case gg: GTabGroupPartition =>
+        new GTabGroupReader(gg.parts, full, pruned, conf)
+      case other => throw new IllegalStateException(
+        s"unexpected partition type: ${other.getClass.getName}")
+    }
   }
+}
+
+/** Sequential concatenation of one partition-value group's files — each
+  * file keeps its own CRC/row-count integrity check and deletion-vector
+  * merge (delegated to [[GTabReader]]).
+  */
+private[sources] class GTabGroupReader(parts: Seq[GTabPartition],
+    full: StructType, pruned: StructType, conf: Configuration)
+    extends PartitionReader[InternalRow] {
+  private val it = parts.iterator
+  private var cur: GTabReader = _
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null) {
+        if (!it.hasNext) return false
+        cur = new GTabReader(it.next(), full, pruned, conf)
+      }
+      if (cur.next()) return true
+      cur.close()
+      cur = null
+    }
+    false // unreachable
+  }
+  override def get(): InternalRow = cur.get()
+  override def close(): Unit = if (cur != null) cur.close()
 }
 
 private[sources] class GTabReader(p: GTabPartition, full: StructType,
