@@ -788,6 +788,31 @@ object PipelineLatest {
         """SELECT c_nationkey AS nk, count(*) AS n_pairs,
           |  CAST(sum(c_custkey + s_suppkey) AS BIGINT) AS key_sum
           |FROM customer JOIN supplier ON c_nationkey = s_nationkey
-          |GROUP BY 1 ORDER BY nk""".stripMargin))
+          |GROUP BY 1 ORDER BY nk""".stripMargin)),
+
+    // --- write-audit-publish (q99): inserts staged on a zero-copy
+    //     BRANCH of the manifest ledger, audited (in-build requires:
+    //     branch sees them, main does not — a failed audit fails the
+    //     query), then atomically fast-forwarded into main; the
+    //     publish would refuse after any foreign main commit
+    //     (BranchSpec pins the conflict). The oracle is the plain
+    //     union of base + staged rows. ---
+    QueryDef(
+      "q99_wap_publish",
+      (s, dir) => StorageLayout.q99WapPublish(s, dir)(),
+      Some(
+        """WITH ins AS (SELECT * FROM (VALUES
+          |    (1000000000, 'new-0', 0, 0.0, 'MACHINERY'),
+          |    (1000000001, 'new-1', 1, 0.0, 'MACHINERY'),
+          |    (1000000002, 'new-2', 2, 0.0, 'MACHINERY'))
+          |  t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)),
+          |u AS (
+          |  SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+          |    c_mktsegment FROM customer
+          |  UNION ALL
+          |  SELECT CAST(c_custkey AS BIGINT), c_name,
+          |    CAST(c_nationkey AS INT), CAST(c_acctbal AS DOUBLE),
+          |    c_mktsegment FROM ins)
+          |SELECT * FROM u ORDER BY c_custkey""".stripMargin))
   )
 }

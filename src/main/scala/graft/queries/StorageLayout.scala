@@ -350,6 +350,44 @@ object StorageLayout {
       .orderBy("nk")
   }
 
+  /** q99: WRITE-AUDIT-PUBLISH — inserts are staged on a zero-copy
+    * BRANCH (second pointer/snapshot namespace over the same data
+    * directory), audited there while main readers still see the base
+    * table (both facts asserted in-build: a failed audit fails the
+    * query), then atomically published via fastForward — which would
+    * REFUSE had any foreign main commit landed since the fork
+    * (BranchSpec pins the conflict path). The read is main after
+    * publish; the oracle is the plain union.
+    */
+  def q99WapPublish(s: SparkSession, dir: String): () => DataFrame = {
+    import s.implicits._
+    val path = sink("q99", dir)
+    graft.sources.FsMeta.deleteRecursive(path)
+    val cust = Tables.t(s, dir, "customer")
+    cust.repartition(4)
+      .write.format(Fmt).option("path", path).mode("append").save()
+    val base = s.read.format(Fmt).option("path", path).load().count()
+    graft.sources.ManifestTable.createBranch(path, "audit")
+    (0 until 3).map(i => (1000000000L + i, s"new-$i", i, 0.0, "MACHINERY"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .select(col("c_custkey"), col("c_name"),
+        col("c_nationkey").cast("int").as("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+      .write.format(Fmt).option("path", path)
+      .option("branch", "audit").mode("append").save()
+    // the AUDIT: staged rows visible on the branch, invisible on main
+    require(s.read.format(Fmt).option("path", path)
+      .option("branch", "audit").load().count() == base + 3,
+      "branch must see the staged rows")
+    require(s.read.format(Fmt).option("path", path).load().count() == base,
+      "main must not see unpublished rows")
+    graft.sources.ManifestTable.fastForward(path, "audit")
+    graft.sources.ManifestTable.dropBranch(path, "audit")
+    () => s.read.format(Fmt).option("path", path).load()
+      .orderBy("c_custkey")
+  }
+
   /** Bench's storage group: name → build-once/read-thunk factory. */
   val benchPairs: Seq[(String, (SparkSession, String) => () => DataFrame)] =
     Seq(
@@ -365,5 +403,6 @@ object StorageLayout {
       "q95_stream_tail" -> (q95StreamTail _),
       "q96_mor_merge" -> (q96MorMerge _),
       "q97_incremental_view" -> (q97IncrementalView _),
-      "q98_partitioned_join" -> (q98PartitionedJoin _))
+      "q98_partitioned_join" -> (q98PartitionedJoin _),
+      "q99_wap_publish" -> (q99WapPublish _))
 }

@@ -202,7 +202,12 @@ object CowOps {
     val w0 = rows.write.format(Fmt).option("path", stage)
     val w1 = if (bloomCols.isEmpty) w0
       else w0.option("bloomColumns", bloomCols.mkString(","))
-    val w = bloomBits.fold(w1)(b => w1.option("bloomBits", b))
+    val w2 = bloomBits.fold(w1)(b => w1.option("bloomBits", b))
+    // partitioned table: staged rewrites keep the `#part:` layout (the
+    // bloom-preservation move) — otherwise one COW merge/delete would
+    // silently turn the storage-partitioned-join report off for good
+    val w = ManifestTable.partitionColumnOf(m)
+      .fold(w2)(c => w2.option("partitionColumn", c))
     w.mode(SaveMode.Append).save()
     // empty partitions stage 0-row files — drop them instead of adopting
     // stat-less dead weight into the manifest

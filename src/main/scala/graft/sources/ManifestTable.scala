@@ -126,8 +126,13 @@ object ManifestTable {
       options: CaseInsensitiveStringMap): Option[Set[String]] =
     Option(options.get("files")).map(_.split(",").filter(_.nonEmpty).toSet)
 
+  /** `base` is set only on BRANCH manifests: the MAIN version the
+    * branch forked from, carried through every branch commit — the
+    * fast-forward publish checks it to detect foreign main commits
+    * since the fork (the write-audit-publish conflict rule).
+    */
   final case class Manifest(version: Long, schema: StructType,
-      files: Seq[FileEntry], epoch: Long = -1L)
+      files: Seq[FileEntry], epoch: Long = -1L, base: Long = -1L)
 
   /** One committed data file. `cols` is the column list THIS file was
     * written with — the unit of schema evolution: the table schema may
@@ -162,10 +167,94 @@ object ManifestTable {
     }).mkString("\n")
     val c = new CRC32; c.update(body.getBytes(StandardCharsets.UTF_8))
     val ep = if (m.epoch >= 0) s" epoch=${m.epoch}" else ""
-    s"gtab v${m.version}$ep crc=${c.getValue}\n" + body
+    val ba = if (m.base >= 0) s" base=${m.base}" else ""
+    s"gtab v${m.version}$ep$ba crc=${c.getValue}\n" + body
   }
 
   def manifestPath(dir: String): String = dir + "/_MANIFEST"
+
+  // ---- branches (write-audit-publish) ----
+  // A branch is a SECOND pointer/snapshot namespace over the SAME data
+  // directory: `_MANIFEST.b<name>` (pointer cache) and
+  // `_MANIFEST.b<name>.v<N>` (snapshots), committed through the same
+  // create-once CAS as main. Zero data is copied at fork time — the
+  // branch manifest references main's files BY NAME. Writes with
+  // `.option("branch", name)` version the branch only; main readers
+  // never see them until [[fastForward]] publishes the branch head as
+  // main's next version — and that publish REFUSES if main moved since
+  // the fork (`base` check), so an audit can never clobber a foreign
+  // commit. This is Iceberg's branch/WAP shape on the gtab ledger.
+  private val BranchPrefix = "_MANIFEST.b"
+
+  private def checkBranchName(name: String): Unit =
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit ||
+      c == '_' || c == '-'),
+      s"branch name must be [A-Za-z0-9_-]+, got '$name'")
+
+  def branchPath(dir: String, name: String): String = {
+    checkBranchName(name)
+    s"$dir/$BranchPrefix$name"
+  }
+
+  /** Names of the live branches at `dir`. */
+  def branches(dir: String): Seq[String] =
+    FsMeta.listFiles(dir).collect {
+      case n if n.startsWith(BranchPrefix) &&
+          !n.drop(BranchPrefix.length).contains('.') =>
+        n.drop(BranchPrefix.length)
+    }.sorted
+
+  /** Fork `name` off main's current version. O(1) metadata: the branch
+    * head is a COPY of the manifest (file references, no data), with
+    * `base` recording the fork point.
+    */
+  def createBranch(dir: String, name: String): Long = {
+    checkBranchName(name)
+    val main = readManifest(dir).getOrElse(throw new IllegalArgumentException(
+      s"no committed manifest at $dir"))
+    require(!FsMeta.exists(branchPath(dir, name)),
+      s"branch '$name' already exists at $dir")
+    publish(dir, main.copy(base = main.version), ref = name)
+    main.version
+  }
+
+  /** Thrown when [[fastForward]] finds main moved since the branch's
+    * fork point — publishing would clobber the foreign commits.
+    */
+  final class BranchConflictException(val dir: String, val branch: String,
+      val base: Long, val mainVersion: Long) extends RuntimeException(
+    s"cannot fast-forward branch '$branch' at $dir: forked from main " +
+      s"version $base but main is now at $mainVersion — rebase the branch " +
+      "(re-create it from the current version and replay) or drop it")
+
+  /** PUBLISH step of write-audit-publish: main's next version becomes
+    * the branch head's contents — atomic, validated against `base`.
+    * The branch itself is left in place (drop it separately).
+    */
+  def fastForward(dir: String, name: String): Long = {
+    val bh = readManifest(dir, name).getOrElse(
+      throw new IllegalArgumentException(s"no branch '$name' at $dir"))
+    val cur = readManifest(dir).getOrElse(throw new IllegalStateException(
+      s"branch '$name' exists but main has no manifest at $dir"))
+    if (cur.version != bh.base)
+      throw new BranchConflictException(dir, name, bh.base, cur.version)
+    val next = cur.version + 1
+    publish(dir, Manifest(next, bh.schema, bh.files,
+      math.max(bh.epoch, cur.epoch)))
+    next
+  }
+
+  /** Delete a branch's pointer and snapshots. Its exclusively-written
+    * data files become unreferenced and the next [[vacuum]] reclaims
+    * them (vacuum protects every live branch's references).
+    */
+  def dropBranch(dir: String, name: String): Unit = {
+    checkBranchName(name)
+    FsMeta.listFiles(dir)
+      .filter(n => n == BranchPrefix + name ||
+        n.startsWith(BranchPrefix + name + ".v"))
+      .foreach(n => FsMeta.deleteRecursive(s"$dir/$n"))
+  }
 
   /** Immutable per-version snapshot manifest — the time-travel ledger.
     * Written (atomically) BEFORE the `_MANIFEST` pointer swap, so the
@@ -173,17 +262,19 @@ object ManifestTable {
     * between the two leaves an orphan snapshot, which a later publish
     * of the same version simply overwrites.
     */
-  def snapshotPath(dir: String, version: Long): String =
-    dir + s"/_MANIFEST.v$version"
+  def snapshotPath(dir: String, version: Long, ref: String = ""): String =
+    if (ref.isEmpty) dir + s"/_MANIFEST.v$version"
+    else branchPath(dir, ref) + s".v$version"
 
   /** The manifest as of `version` (a `versionAsOf` read). Fails with a
     * clear message when the snapshot is gone — either never written
     * (table predates time travel) or expired by [[expireSnapshots]].
     */
-  def readManifestAsOf(dir: String, version: Long): Manifest = {
-    val sp = snapshotPath(dir, version)
+  def readManifestAsOf(dir: String, version: Long,
+      ref: String = ""): Manifest = {
+    val sp = snapshotPath(dir, version, ref)
     if (FsMeta.exists(sp)) parse(FsMeta.readString(sp), sp)
-    else readManifest(dir) match {
+    else readManifest(dir, ref) match {
       // legacy table (pre-snapshot): the current version is still readable
       case Some(m) if m.version == version => m
       case Some(m) => throw new IllegalArgumentException(
@@ -201,13 +292,16 @@ object ManifestTable {
     * normal publish) — toLongOption skips those instead of throwing
     * NumberFormatException out of history/vacuum/expireSnapshots.
     */
-  def snapshotVersions(dir: String): Seq[Long] =
+  def snapshotVersions(dir: String, ref: String = ""): Seq[Long] = {
+    val prefix =
+      if (ref.isEmpty) "_MANIFEST.v" else s"$BranchPrefix$ref.v"
     FsMeta.listFiles(dir).flatMap { n =>
-      if (n.startsWith("_MANIFEST.v")) n.drop(11).toLongOption else None
+      if (n.startsWith(prefix)) n.drop(prefix.length).toLongOption else None
     }.sorted
+  }
 
-  def readManifest(dir: String): Option[Manifest] = {
-    val mp = manifestPath(dir)
+  def readManifest(dir: String, ref: String = ""): Option[Manifest] = {
+    val mp = if (ref.isEmpty) manifestPath(dir) else branchPath(dir, ref)
     if (!FsMeta.exists(mp)) None
     else Some(parse(FsMeta.readString(mp), mp))
   }
@@ -218,9 +312,10 @@ object ManifestTable {
       require(ix > 0, s"corrupt manifest at $mp: no header line")
       val header = raw.substring(0, ix)
       val body = raw.substring(ix + 1)
-      val hm = "^gtab v(\\d+)(?: epoch=(-?\\d+))? crc=(\\d+)$".r
+      val hm =
+        "^gtab v(\\d+)(?: epoch=(-?\\d+))?(?: base=(\\d+))? crc=(\\d+)$".r
       header match {
-        case hm(v, ep, crc) =>
+        case hm(v, ep, ba, crc) =>
           val c = new CRC32; c.update(body.getBytes(StandardCharsets.UTF_8))
           if (c.getValue != crc.toLong) throw new IllegalStateException(
             s"manifest at $mp failed its CRC — torn/corrupted publish " +
@@ -252,7 +347,8 @@ object ManifestTable {
             }
           }
           Manifest(v.toLong, schema, files,
-            Option(ep).map(_.toLong).getOrElse(-1L))
+            Option(ep).map(_.toLong).getOrElse(-1L),
+            Option(ba).map(_.toLong).getOrElse(-1L))
         case _ => throw new IllegalStateException(
           s"manifest at $mp has an unrecognized header: '$header'")
       }
@@ -462,34 +558,36 @@ object ManifestTable {
       }.toSeq
     }
 
-  private def publish(dir: String, m: Manifest): Unit = {
+  private def publish(dir: String, m: Manifest, ref: String = ""): Unit = {
     FsMeta.mkdirs(dir)
     val payload = render(m)
+    val ptrPath = if (ref.isEmpty) manifestPath(dir) else branchPath(dir, ref)
+    val ptrTmp = ptrPath + ".tmp"
     // unique tmp per writer: a shared tmp name would let writer B's
     // payload be renamed by writer A
-    val tmp = dir + s"/_MANIFEST.v${m.version}.tmp-" +
+    val tmp = snapshotPath(dir, m.version, ref) + ".tmp-" +
       java.util.UUID.randomUUID
     FsMeta.writeString(tmp, payload)
-    if (!FsMeta.renameIfAbsent(tmp, snapshotPath(dir, m.version))) {
+    if (!FsMeta.renameIfAbsent(tmp, snapshotPath(dir, m.version, ref))) {
       FsMeta.deleteRecursive(tmp)
       // roll-forward: heal a crashed winner's lagging pointer before
       // surfacing the conflict, so retries can make progress
-      val ptr = readManifest(dir).map(_.version).getOrElse(0L)
+      val ptr = readManifest(dir, ref).map(_.version).getOrElse(0L)
       if (ptr < m.version)
-        FsMeta.publishAtomic(dir + "/_MANIFEST.tmp", manifestPath(dir),
-          FsMeta.readString(snapshotPath(dir, m.version)))
+        FsMeta.publishAtomic(ptrTmp, ptrPath,
+          FsMeta.readString(snapshotPath(dir, m.version, ref)))
       throw new ConcurrentCommitException(dir, m.version,
         math.max(ptr, m.version))
     }
-    FsMeta.publishAtomic(dir + "/_MANIFEST.tmp", manifestPath(dir), payload)
+    FsMeta.publishAtomic(ptrTmp, ptrPath, payload)
     // self-heal pointer monotonicity: a slow writer's pointer write can
     // land after a faster successor's — detect and republish from the
-    // max snapshot (each subsequent commit heals again, so a transient
-    // interleaving converges)
-    val maxSnap = snapshotVersions(dir).lastOption.getOrElse(m.version)
+    // max snapshot OF THIS REF's namespace (branch snapshots never heal
+    // the main pointer, and vice versa)
+    val maxSnap = snapshotVersions(dir, ref).lastOption.getOrElse(m.version)
     if (maxSnap > m.version)
-      FsMeta.publishAtomic(dir + "/_MANIFEST.tmp", manifestPath(dir),
-        FsMeta.readString(snapshotPath(dir, maxSnap)))
+      FsMeta.publishAtomic(ptrTmp, ptrPath,
+        FsMeta.readString(snapshotPath(dir, maxSnap, ref)))
   }
 
   /** TIME TRAVEL maintenance: republish version `version`'s contents as
@@ -622,14 +720,17 @@ object ManifestTable {
 
   private[graft] def commitVersion(dir: String, schema: StructType,
       newFiles: Seq[FileEntry], keepPrevious: Boolean,
-      epoch: Long = -1L): Unit = {
+      epoch: Long = -1L, ref: String = ""): Unit = {
     // bounded CAS-retry: appends (and overwrite-truncates) are safe to
     // replan against whoever won — re-read, re-derive, re-publish. The
     // epoch-replay check re-runs per attempt: the concurrent winner may
     // have been exactly this epoch's other attempt.
     var attempts = 0
     while (true) {
-      val prev = readManifest(dir)
+      val prev = readManifest(dir, ref)
+      if (ref.nonEmpty && prev.isEmpty)
+        throw new IllegalArgumentException(
+          s"no branch '$ref' at $dir — createBranch first")
       // streaming epoch replay (checkpoint recovery re-runs a committed
       // batch): the manifest already covers this epoch — drop the rerun's
       // files instead of double-appending, and keep the published state
@@ -645,7 +746,9 @@ object ManifestTable {
       try {
         publish(dir, Manifest(prev.map(_.version + 1).getOrElse(1L),
           published, base ++ newFiles,
-          math.max(epoch, prev.map(_.epoch).getOrElse(-1L))))
+          math.max(epoch, prev.map(_.epoch).getOrElse(-1L)),
+          // a branch commit carries the fork point forward
+          prev.map(_.base).getOrElse(-1L)), ref)
         return
       } catch {
         case e: ConcurrentCommitException =>
@@ -713,13 +816,25 @@ object ManifestTable {
     // from O(matching files) back to O(table). `clusterBy` re-clusters
     // the output (range partition + in-file sort) so skipping survives
     // the rewrite; pass the table's cluster key whenever it has one.
-    val shaped =
-      if (clusterBy.isEmpty) df.repartition(targetFiles)
-      else df.repartitionByRange(targetFiles,
+    // PARTITIONED table: preserve the `#part:` layout through the
+    // rewrite (the write's declared distribution replaces the manual
+    // shaping — roughly one file per partition value), unless the
+    // caller asked for a DIFFERENT clustering, which is an explicit
+    // layout switch and degrades the partition report by design.
+    val m0 = readManifest(dir).get
+    val keepPart = partitionColumnOf(m0)
+      .filter(c => clusterBy.isEmpty || clusterBy == Seq(c))
+    val shaped = keepPart match {
+      case Some(_) => df
+      case None if clusterBy.isEmpty => df.repartition(targetFiles)
+      case None => df.repartitionByRange(targetFiles,
           clusterBy.map(org.apache.spark.sql.functions.col): _*)
         .sortWithinPartitions(
           clusterBy.map(org.apache.spark.sql.functions.col): _*)
-    shaped.write.format("graft.sources.ManifestTable").option("path", dir)
+    }
+    val w0 = shaped.write.format("graft.sources.ManifestTable")
+      .option("path", dir)
+    keepPart.fold(w0)(c => w0.option("partitionColumn", c))
       .mode("overwrite").save()
     (before, readManifest(dir).get.files.size)
   }
@@ -743,8 +858,16 @@ object ManifestTable {
   def vacuum(dir: String, graceMs: Long = 3600000L,
       keepLast: Int = Int.MaxValue): Seq[String] = {
     expireSnapshots(dir, keepLast)
+    // every LIVE branch's whole snapshot chain protects its files too:
+    // an audit branch's staged data must survive a main-side vacuum
+    // until the branch is dropped or fast-forwarded
+    val branchRefs = branches(dir).flatMap { b =>
+      readManifest(dir, b).toSeq ++
+        snapshotVersions(dir, b).map(readManifestAsOf(dir, _, b))
+    }
     val listed = (readManifest(dir).toSeq ++
-        snapshotVersions(dir).map(readManifestAsOf(dir, _)))
+        snapshotVersions(dir).map(readManifestAsOf(dir, _)) ++
+        branchRefs)
       .flatMap(referencedNames).toSet
     val now = System.currentTimeMillis()
     FsMeta.listFiles(dir + "/data").filterNot(f => listed.contains(f))
@@ -813,7 +936,8 @@ private[sources] class GTable(path: String, schema0: StructType)
       ManifestTable.filesOf(options),
       GTabStreamOpts(Option(options.get("startingVersion")),
         options.getBoolean("skipChangeCommits", false),
-        Option(options.get("maxFilesPerTrigger")).map(_.toInt)))
+        Option(options.get("maxFilesPerTrigger")).map(_.toInt)),
+      Option(options.get("branch")).getOrElse(""))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     ManifestTable.checkSupported(info.schema())
@@ -847,14 +971,14 @@ private[sources] class GTable(path: String, schema0: StructType)
       c
     }
     new GTabWriteBuilder(path, info.schema(), info.queryId(), bloomCols,
-      bloomBits, partCol)
+      bloomBits, partCol, Option(opts.get("branch")).getOrElse(""))
   }
 }
 
 private[sources] class GTabWriteBuilder(path: String, schema: StructType,
     queryId: String, bloomCols: Seq[String] = Seq.empty,
     bloomBits: Int = GTabBloom.DefaultBits,
-    partCol: Option[String] = None)
+    partCol: Option[String] = None, ref: String = "")
     extends WriteBuilder with SupportsTruncate {
   private var keepPrevious = true
   override def truncate(): WriteBuilder = { keepPrevious = false; this }
@@ -878,10 +1002,10 @@ private[sources] class GTabWriteBuilder(path: String, schema: StructType,
     }
     override def toBatch: BatchWrite =
       new GTabBatchWrite(path, schema, queryId, keepPrevious, bloomCols,
-        bloomBits, partCol)
+        bloomBits, partCol, ref)
     override def toStreaming: StreamingWrite =
       new GTabStreamingWrite(path, schema, queryId, keepPrevious, bloomCols,
-        bloomBits, partCol)
+        bloomBits, partCol, ref)
   }
 }
 
@@ -897,7 +1021,8 @@ private[sources] class GTabStreamingWrite(path: String, schema: StructType,
     queryId: String, keepPrevious: Boolean,
     bloomCols: Seq[String] = Seq.empty,
     bloomBits: Int = GTabBloom.DefaultBits,
-    partCol: Option[String] = None) extends StreamingWrite {
+    partCol: Option[String] = None, ref: String = "")
+    extends StreamingWrite {
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new GTabStreamingWriterFactory(path, schema, queryId, FsMeta.confAsMap(),
@@ -905,7 +1030,8 @@ private[sources] class GTabStreamingWrite(path: String, schema: StructType,
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
     ManifestTable.commitVersion(path, schema,
-      GTabCommits.entriesOf(messages), keepPrevious, epoch = epochId)
+      GTabCommits.entriesOf(messages), keepPrevious, epoch = epochId,
+      ref = ref)
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
     GTabCommits.namesOf(messages).foreach(n =>
@@ -961,7 +1087,8 @@ private[sources] class GTabBatchWrite(path: String, schema: StructType,
     queryId: String, keepPrevious: Boolean,
     bloomCols: Seq[String] = Seq.empty,
     bloomBits: Int = GTabBloom.DefaultBits,
-    partCol: Option[String] = None) extends BatchWrite {
+    partCol: Option[String] = None, ref: String = "")
+    extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new GTabWriterFactory(path, schema, queryId, FsMeta.confAsMap(),
@@ -969,7 +1096,7 @@ private[sources] class GTabBatchWrite(path: String, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     ManifestTable.commitVersion(path, schema,
-      GTabCommits.entriesOf(messages), keepPrevious)
+      GTabCommits.entriesOf(messages), keepPrevious, ref = ref)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     GTabCommits.namesOf(messages).foreach(n =>
@@ -1198,17 +1325,21 @@ private[sources] class GTabWriter(dir: String, schema: StructType,
 
 private[sources] class GTabScanBuilder(path: String, asOf: Option[Long],
     only: Option[Set[String]] = None,
-    streamOpts: GTabStreamOpts = GTabStreamOpts(None, false))
+    streamOpts: GTabStreamOpts = GTabStreamOpts(None, false),
+    ref: String = "")
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
   // a versionAsOf scan plans against that version's snapshot manifest —
-  // same pruning, skipping, and metadata-count machinery, older file list
+  // same pruning, skipping, and metadata-count machinery, older file
+  // list; a branch read resolves both through the branch's namespace
   private val manifest = {
     val m = asOf match {
-      case Some(v) => ManifestTable.readManifestAsOf(path, v)
-      case None => ManifestTable.readManifest(path).getOrElse(
-        throw new IllegalArgumentException(s"no committed manifest at $path"))
+      case Some(v) => ManifestTable.readManifestAsOf(path, v, ref)
+      case None => ManifestTable.readManifest(path, ref).getOrElse(
+        throw new IllegalArgumentException(
+          if (ref.isEmpty) s"no committed manifest at $path"
+          else s"no branch '$ref' at $path"))
     }
     only match {
       case None => m
@@ -1269,7 +1400,7 @@ private[sources] class GTabScanBuilder(path: String, asOf: Option[Long],
   override def build(): Scan =
     if (pushedCount) new GTabCountScan(path, manifest)
     else new GTabScan(path, manifest, pruned, skipping, FsMeta.confAsMap(),
-      streamOpts)
+      streamOpts, ref)
 }
 
 /** Conservative zone-map evaluation: `keep` answers "could this file
@@ -1549,7 +1680,8 @@ private[sources] final case class GTabGroupPartition(
 private[sources] class GTabScan(path: String,
     manifest: ManifestTable.Manifest, pruned: StructType,
     skipping: Seq[Filter], confMap: Map[String, String],
-    streamOpts: GTabStreamOpts = GTabStreamOpts(None, false))
+    streamOpts: GTabStreamOpts = GTabStreamOpts(None, false),
+    ref: String = "")
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning {
   private val kept = manifest.files.filter(
@@ -1624,9 +1756,13 @@ private[sources] class GTabScan(path: String,
   override def createReaderFactory(): PartitionReaderFactory =
     new GTabReaderFactory(manifest.schema, pruned, confMap)
   override def toMicroBatchStream(checkpointLocation: String)
-      : MicroBatchStream =
+      : MicroBatchStream = {
+    require(ref.isEmpty, "streaming reads follow MAIN: a branch is an " +
+      "audit staging area, not a stream source — fastForward it and " +
+      "stream the table")
     new GTabMicroBatchStream(path, manifest.schema, pruned, skipping,
       confMap, streamOpts)
+  }
 }
 
 /** Micro-batch streaming READ of the manifest-committed table — Delta's

@@ -1,0 +1,157 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.ManifestTable
+
+/** Branches / write-audit-publish: a branch is a second pointer+snapshot
+  * namespace over the SAME data directory (zero-copy fork), written via
+  * `.option("branch", name)`, invisible to main readers until
+  * [[ManifestTable.fastForward]] publishes the head — which REFUSES when
+  * main moved since the fork (typed BranchConflictException). Vacuum
+  * protects live branches' files; dropBranch releases them.
+  */
+class BranchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Fmt = "graft.sources.ManifestTable"
+  private def tmp(): String =
+    Files.createTempDirectory("graft_branch").toString
+
+  private def write(df: DataFrame, dir: String, branch: String = "",
+      mode: SaveMode = SaveMode.Append): Unit = {
+    val w = df.write.format(Fmt).option("path", dir).mode(mode)
+    (if (branch.isEmpty) w else w.option("branch", branch)).save()
+  }
+  private def read(dir: String, branch: String = ""): DataFrame = {
+    val r = spark.read.format(Fmt).option("path", dir)
+    (if (branch.isEmpty) r else r.option("branch", branch)).load()
+  }
+  private def df(lo: Int, n: Int): DataFrame =
+    (lo until lo + n).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+
+  test("write-audit-publish: branch writes are invisible until fastForward") {
+    val dir = tmp()
+    write(df(0, 50), dir)
+    val fork = ManifestTable.createBranch(dir, "audit")
+    assert(fork == ManifestTable.readManifest(dir).get.version)
+    write(df(50, 30), dir, "audit")
+    // audit: the branch sees the staged rows, main does not
+    assert(read(dir, "audit").count() == 80)
+    assert(read(dir).count() == 50)
+    // publish
+    val v = ManifestTable.fastForward(dir, "audit")
+    assert(read(dir).count() == 80)
+    assert(ManifestTable.readManifest(dir).get.version == v)
+    // main's published history carries no base marker
+    assert(ManifestTable.readManifest(dir).get.base == -1L)
+    ManifestTable.dropBranch(dir, "audit")
+    assert(ManifestTable.branches(dir).isEmpty)
+  }
+
+  test("fastForward refuses when main moved since the fork") {
+    val dir = tmp()
+    write(df(0, 20), dir)
+    ManifestTable.createBranch(dir, "wip")
+    write(df(20, 10), dir, "wip")
+    // foreign main commit lands AFTER the fork
+    write(df(100, 5), dir)
+    val e = intercept[ManifestTable.BranchConflictException] {
+      ManifestTable.fastForward(dir, "wip")
+    }
+    assert(e.branch == "wip")
+    assert(e.mainVersion > e.base)
+    // nothing was clobbered: main has its own 25 rows, branch its 30
+    assert(read(dir).count() == 25)
+    assert(read(dir, "wip").count() == 30)
+  }
+
+  test("branch overwrite stages a truncate without touching main") {
+    val dir = tmp()
+    write(df(0, 40), dir)
+    ManifestTable.createBranch(dir, "rewrite")
+    write(df(1000, 10), dir, "rewrite", SaveMode.Overwrite)
+    assert(read(dir, "rewrite").count() == 10)
+    assert(read(dir).count() == 40)
+    ManifestTable.fastForward(dir, "rewrite")
+    assert(read(dir).as[(Long, String)].collect().map(_._1).sorted.toSeq ==
+      (1000L until 1010L).toSeq)
+  }
+
+  test("branch time travel reads the branch's own history") {
+    val dir = tmp()
+    write(df(0, 10), dir)
+    ManifestTable.createBranch(dir, "b")
+    val v1 = ManifestTable.readManifest(dir, "b").get.version
+    write(df(10, 10), dir, "b")
+    write(df(20, 10), dir, "b")
+    assert(read(dir, "b").count() == 30)
+    assert(spark.read.format(Fmt).option("path", dir)
+      .option("branch", "b").option("versionAsOf", v1).load().count() == 10)
+  }
+
+  test("writing to an unknown branch fails instead of auto-creating") {
+    val dir = tmp()
+    write(df(0, 10), dir)
+    val e = intercept[Exception] { write(df(10, 5), dir, "ghost") }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("createBranch")))
+    assert(read(dir).count() == 10)
+  }
+
+  test("vacuum protects a live branch's files; dropBranch releases them") {
+    val dir = tmp()
+    write(df(0, 10), dir)
+    ManifestTable.createBranch(dir, "keepme")
+    write(df(10, 10), dir, "keepme")
+    val branchOnly = ManifestTable.readManifest(dir, "keepme").get
+      .files.map(_.name).toSet --
+      ManifestTable.readManifest(dir).get.files.map(_.name).toSet
+    assert(branchOnly.nonEmpty)
+    val reclaimed = ManifestTable.vacuum(dir, graceMs = 0L)
+    assert(reclaimed.toSet.intersect(branchOnly).isEmpty,
+      s"vacuum must not reclaim live-branch files: $reclaimed")
+    assert(read(dir, "keepme").count() == 20)
+    ManifestTable.dropBranch(dir, "keepme")
+    val reclaimed2 = ManifestTable.vacuum(dir, graceMs = 0L)
+    assert(branchOnly.subsetOf(reclaimed2.toSet),
+      s"dropped branch's files must be reclaimable, got $reclaimed2")
+  }
+
+  test("main snapshot expiry never touches branch snapshots") {
+    val dir = tmp()
+    (0 until 4).foreach(i => write(df(i * 10, 10), dir))
+    ManifestTable.createBranch(dir, "keep")
+    write(df(100, 10), dir, "keep")
+    ManifestTable.expireSnapshots(dir, keepLast = 1)
+    // branch still fully readable, including its history
+    assert(read(dir, "keep").count() == 50)
+    assert(ManifestTable.snapshotVersions(dir, "keep").size == 2)
+  }
+
+  test("branches list; names are validated; streaming a branch is refused") {
+    val dir = tmp()
+    write(df(0, 10), dir)
+    ManifestTable.createBranch(dir, "a-1")
+    ManifestTable.createBranch(dir, "b_2")
+    assert(ManifestTable.branches(dir) == Seq("a-1", "b_2"))
+    intercept[IllegalArgumentException] {
+      ManifestTable.createBranch(dir, "bad.name")
+    }
+    // the refusal surfaces on the stream thread, not at start()
+    val q = spark.readStream.format(Fmt).option("path", dir)
+      .option("branch", "a-1").load()
+      .writeStream.format("noop").start()
+    val e = intercept[Exception] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("streaming reads follow MAIN")))
+  }
+}

@@ -165,6 +165,62 @@ class PartitionedTableSpec extends AnyFunSuite {
     }
   }
 
+  test("COW and MOR row-level ops preserve the partitioned layout") {
+    val dir = tmp()
+    writePart((0 until 200).map(i => (i.toLong, i % 5)).toDF("id", "g"),
+      dir, "g")
+    def pcol = ManifestTable.partitionColumnOf(
+      ManifestTable.readManifest(dir).get)
+    // COW merge: rewritten + inserted files must keep #part
+    graft.sources.CowOps.merge(spark, dir,
+      (0 until 10).map(i => (i.toLong * 20, (i.toLong * 20 % 5).toInt))
+        .toDF("id", "g"), "id")
+    assert(pcol.contains("g"), "merge must keep the layout report")
+    // COW delete
+    graft.sources.CowOps.delete(spark, dir,
+      spark.range(0, 200, 7).select(col("id")), "id")
+    assert(pcol.contains("g"), "delete must keep the layout report")
+    // MOR delete: untouched entries keep their stats by construction
+    graft.sources.CowOps.deleteMor(spark, dir,
+      spark.range(1, 200, 13).select(col("id")), "id")
+    assert(pcol.contains("g"), "MOR delete must keep the layout report")
+    // correctness through it all
+    val expected = (0 until 200).map(_.toLong)
+      .filter(i => i % 7 != 0 && !(i % 13 == 1)).toSet
+    assert(read(dir).select("id").as[Long].collect().toSet == expected)
+  }
+
+  test("compaction preserves partitioning; the SPJ survives the rewrite") {
+    val dirA = tmp(); val dirB = tmp()
+    // several appends → multiple files per value
+    (0 until 3).foreach { k =>
+      writePart((0 until 100).map(i => (k * 100L + i, i % 4))
+        .toDF("id", "g"), dirA, "g")
+    }
+    writePart((0 until 80).map(i => (i.toLong, i % 4)).toDF("bid", "g"),
+      dirB, "g")
+    val filesBefore = ManifestTable.readManifest(dirA).get.files.size
+    val (b, a) = ManifestTable.compact(spark, dirA, targetFiles = 4)
+    assert(b == filesBefore && a < b,
+      s"compaction must shrink the file count ($b -> $a)")
+    assert(ManifestTable.partitionColumnOf(
+      ManifestTable.readManifest(dirA).get).contains("g"))
+    noBroadcast {
+      val j = read(dirA).join(read(dirB), "g")
+        .groupBy("g").agg(count(lit(1)).as("n"))
+      assert(j.as[(Int, Long)].collect().toMap ==
+        (0 until 4).map(g => g -> (75L * 20L)).toMap)
+      assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+        "the storage-partitioned join must survive compaction")
+    }
+    // an explicit DIFFERENT clustering is a layout switch: report off
+    ManifestTable.compact(spark, dirA, targetFiles = 2,
+      clusterBy = Seq("id"))
+    assert(ManifestTable.partitionColumnOf(
+      ManifestTable.readManifest(dirA).get).isEmpty)
+    assert(read(dirA).count() == 300)
+  }
+
   test("doubles are rejected as partition columns") {
     val dir = tmp()
     val e = intercept[Exception] {
