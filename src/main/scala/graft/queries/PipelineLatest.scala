@@ -813,6 +813,34 @@ object PipelineLatest {
           |  SELECT CAST(c_custkey AS BIGINT), c_name,
           |    CAST(c_nationkey AS INT), CAST(c_acctbal AS DOUBLE),
           |    c_mktsegment FROM ins)
-          |SELECT * FROM u ORDER BY c_custkey""".stripMargin))
+          |SELECT * FROM u ORDER BY c_custkey""".stripMargin)),
+
+    // --- WAP capstone (q100): q88's COW MERGE staged on a branch,
+    //     audited row-level via branchDiff (in-build requires pin the
+    //     diff's insert/delete counts AND main's pre-publish
+    //     isolation), then atomically fast-forwarded. The oracle is
+    //     q88's VERBATIM: a merge through write-audit-publish must be
+    //     indistinguishable from a direct merge. ---
+    QueryDef(
+      "q100_wap_merge",
+      (s, dir) => StorageLayout.q100WapMerge(s, dir)(),
+      Some(
+        """WITH ins AS (SELECT * FROM (VALUES
+          |    (1000000000, 'new-0', 0, 0.0, 'MACHINERY'),
+          |    (1000000001, 'new-1', 1, 0.0, 'MACHINERY'),
+          |    (1000000002, 'new-2', 2, 0.0, 'MACHINERY'))
+          |  t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)),
+          |merged AS (
+          |  SELECT c_custkey, 'upd-' || c_name AS c_name, c_nationkey,
+          |    c_acctbal + 1000.0::DOUBLE AS c_acctbal, c_mktsegment
+          |  FROM customer WHERE c_custkey % 10 = 0
+          |  UNION ALL
+          |  SELECT CAST(c_custkey AS BIGINT), c_name,
+          |    CAST(c_nationkey AS INT), CAST(c_acctbal AS DOUBLE),
+          |    c_mktsegment FROM ins
+          |  UNION ALL
+          |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+          |  FROM customer WHERE c_custkey % 10 <> 0)
+          |SELECT * FROM merged ORDER BY c_custkey""".stripMargin))
   )
 }

@@ -388,6 +388,42 @@ object StorageLayout {
       .orderBy("c_custkey")
   }
 
+  /** q100: WAP capstone — q88's COW MERGE staged on a BRANCH, audited
+    * row-level via branchDiff (in-build requires: the diff's
+    * insert/delete counts match the merge's update/insert set and main
+    * still reads the base table), then atomically published. The read
+    * shares q88's oracle VERBATIM: a merge through write-audit-publish
+    * must be indistinguishable from a direct merge.
+    */
+  def q100WapMerge(s: SparkSession, dir: String): () => DataFrame = {
+    val path = sink("q100", dir)
+    graft.sources.FsMeta.deleteRecursive(path)
+    val cust = Tables.t(s, dir, "customer")
+    cust.repartitionByRange(8, col("c_custkey"))
+      .sortWithinPartitions("c_custkey")
+      .write.format(Fmt).option("path", path).mode("append").save()
+    val nBase = cust.count()
+    graft.sources.ManifestTable.createBranch(path, "audit")
+    graft.sources.CowOps.merge(s, path, mergeUpdates(s, cust), "c_custkey",
+      branch = "audit")
+    // the AUDIT: updates surface as delete+insert pairs, fresh inserts
+    // as inserts; main is untouched until publish
+    val byType = graft.sources.ManifestTable.branchDiff(s, path, "audit")
+      .groupBy("_change_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nUpd = nBase / 10 // every 10th key updates; 3 inserts beyond
+    require(byType.getOrElse("insert", 0L) == nUpd + 3 &&
+      byType.getOrElse("delete", 0L) == nUpd,
+      s"audit diff mismatch: $byType (expected ${nUpd + 3} inserts, " +
+        s"$nUpd deletes)")
+    require(s.read.format(Fmt).option("path", path).load()
+      .count() == nBase, "main must still read the base table pre-publish")
+    graft.sources.ManifestTable.fastForward(path, "audit")
+    graft.sources.ManifestTable.dropBranch(path, "audit")
+    () => s.read.format(Fmt).option("path", path).load()
+      .orderBy("c_custkey")
+  }
+
   /** Bench's storage group: name → build-once/read-thunk factory. */
   val benchPairs: Seq[(String, (SparkSession, String) => () => DataFrame)] =
     Seq(
@@ -404,5 +440,6 @@ object StorageLayout {
       "q96_mor_merge" -> (q96MorMerge _),
       "q97_incremental_view" -> (q97IncrementalView _),
       "q98_partitioned_join" -> (q98PartitionedJoin _),
-      "q99_wap_publish" -> (q99WapPublish _))
+      "q99_wap_publish" -> (q99WapPublish _),
+      "q100_wap_merge" -> (q100WapMerge _))
 }

@@ -62,14 +62,16 @@ object CowOps {
     * genuine write contention a table needs a coordinator, not an
     * unbounded spin.
     */
-  private def withCommitRetry(dir: String)(
+  private def withCommitRetry(dir: String, ref: String = "")(
       body: ManifestTable.Manifest => CowResult): CowResult = {
     val maxAttempts = 3
     var last: ManifestTable.ConcurrentCommitException = null
     var attempt = 0
     while (attempt < maxAttempts) {
-      val m = ManifestTable.readManifest(dir).getOrElse(
-        throw new IllegalArgumentException(s"no committed manifest at $dir"))
+      val m = ManifestTable.readManifest(dir, ref).getOrElse(
+        throw new IllegalArgumentException(
+          if (ref.isEmpty) s"no committed manifest at $dir"
+          else s"no branch '$ref' at $dir — createBranch first"))
       try return body(m)
       catch { case e: ManifestTable.ConcurrentCommitException =>
         last = e; attempt += 1
@@ -83,9 +85,11 @@ object CowOps {
     * the data dir free of loser debris rather than waiting on vacuum).
     */
   private def commitOrCleanup(dir: String, m: ManifestTable.Manifest,
-      affected: Seq[String], added: Seq[ManifestTable.FileEntry]): Long = {
+      affected: Seq[String], added: Seq[ManifestTable.FileEntry],
+      ref: String = ""): Long = {
     beforeCommitHook()
-    try ManifestTable.commitReplace(dir, m.version, affected.toSet, added)
+    try ManifestTable.commitReplace(dir, m.version, affected.toSet, added,
+      ref)
     catch { case e: ManifestTable.ConcurrentCommitException =>
       added.foreach(a => FsMeta.deleteRecursive(s"$dir/data/${a.name}"))
       throw e
@@ -149,12 +153,16 @@ object CowOps {
   }
 
   private def readOnly(spark: SparkSession, dir: String,
-      names: Seq[String], schema: org.apache.spark.sql.types.StructType) =
+      names: Seq[String], schema: org.apache.spark.sql.types.StructType,
+      ref: String = "") =
     if (names.isEmpty)
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    else spark.read.format(Fmt).option("path", dir)
-      .option("files", names.mkString(",")).load()
+    else {
+      val r = spark.read.format(Fmt).option("path", dir)
+        .option("files", names.mkString(","))
+      (if (ref.isEmpty) r else r.option("branch", ref)).load()
+    }
 
   /** The table's bloom configuration, recovered from the per-file stats
     * the writers already persist (`#bloom:<col>` keys): which columns
@@ -235,19 +243,20 @@ object CowOps {
     * per table applies (every publish's contract).
     */
   def merge(spark: SparkSession, dir: String, updates: DataFrame,
-      keyCol: String): CowResult = withCommitRetry(dir) { m =>
+      keyCol: String, branch: String = ""): CowResult =
+    withCommitRetry(dir, branch) { m =>
     checkSchema(m, updates, "updates")
     requireIntegralKey(updates, keyCol)
     requireTableKey(m, keyCol)
     val affected = affectedFiles(spark, m, updates, keyCol)
     val merged = graft.operators.MergeUpsert.merge(
-      readOnly(spark, dir, affected, m.schema)
+      readOnly(spark, dir, affected, m.schema, branch)
         .select(m.schema.fieldNames.map(col).toSeq: _*),
       updates.select(m.schema.fieldNames.map(col).toSeq: _*),
       Seq(keyCol))
     val added = stageAndAdopt(spark, dir,
       reclustered(merged, keyCol, math.max(1, affected.size)), m)
-    val v = commitOrCleanup(dir, m, affected, added)
+    val v = commitOrCleanup(dir, m, affected, added, branch)
     CowResult(v, affected.size, m.files.size - affected.size, added.size)
   }
 
@@ -306,7 +315,8 @@ object CowOps {
   }
 
   def deleteMor(spark: SparkSession, dir: String, keys: DataFrame,
-      keyCol: String): CowResult = withCommitRetry(dir) { m =>
+      keyCol: String, branch: String = ""): CowResult =
+    withCommitRetry(dir, branch) { m =>
     import spark.implicits._
     requireIntegralKey(keys, keyCol)
     requireTableKey(m, keyCol)
@@ -320,7 +330,8 @@ object CowOps {
       val (updated, written) = attachDvs(dir, keyCol, affectedEntries, keyArr)
       try {
         beforeCommitHook()
-        val v = ManifestTable.commitReplace(dir, m.version, affected, updated)
+        val v = ManifestTable.commitReplace(dir, m.version, affected,
+          updated, branch)
         CowResult(v, 0, m.files.size - affected.size, 0)
       } catch { case e: ManifestTable.ConcurrentCommitException =>
         written.foreach(n => FsMeta.deleteRecursive(s"$dir/data/$n"))
@@ -341,7 +352,8 @@ object CowOps {
     * keeps the affected-set logic identical to the COW path.
     */
   def mergeMor(spark: SparkSession, dir: String, updates: DataFrame,
-      keyCol: String): CowResult = withCommitRetry(dir) { m =>
+      keyCol: String, branch: String = ""): CowResult =
+    withCommitRetry(dir, branch) { m =>
     import spark.implicits._
     checkSchema(m, updates, "updates")
     requireIntegralKey(updates, keyCol)
@@ -357,7 +369,7 @@ object CowOps {
     try {
       beforeCommitHook()
       val v = ManifestTable.commitReplace(dir, m.version, affected,
-        updated ++ added)
+        updated ++ added, branch)
       CowResult(v, 0, m.files.size - affected.size, added.size)
     } catch { case e: ManifestTable.ConcurrentCommitException =>
       (written ++ added.map(_.name)).foreach(n =>
@@ -367,11 +379,12 @@ object CowOps {
   }
 
   def delete(spark: SparkSession, dir: String, keys: DataFrame,
-      keyCol: String): CowResult = withCommitRetry(dir) { m =>
+      keyCol: String, branch: String = ""): CowResult =
+    withCommitRetry(dir, branch) { m =>
     requireIntegralKey(keys, keyCol)
     requireTableKey(m, keyCol)
     val affected = affectedFiles(spark, m, keys, keyCol)
-    val kept = readOnly(spark, dir, affected, m.schema)
+    val kept = readOnly(spark, dir, affected, m.schema, branch)
       .join(broadcast(keys.select(col(keyCol).cast("long").as("__k"))
         .distinct()),
         col(keyCol).cast("long") === col("__k"), "left_anti")
@@ -379,7 +392,7 @@ object CowOps {
     val added = if (kept.isEmpty) Seq.empty
       else stageAndAdopt(spark, dir,
         reclustered(kept, keyCol, affected.size), m)
-    val v = commitOrCleanup(dir, m, affected, added)
+    val v = commitOrCleanup(dir, m, affected, added, branch)
     CowResult(v, affected.size, m.files.size - affected.size, added.size)
   }
 }

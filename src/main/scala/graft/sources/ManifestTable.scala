@@ -82,17 +82,23 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class ManifestTable extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val ref = Option(options.get("branch")).getOrElse("")
     ManifestTable.versionAsOf(options) match {
       case Some(v) =>
-        ManifestTable.readManifestAsOf(ManifestTable.pathOf(options), v).schema
-      case None => ManifestTable.readManifest(ManifestTable.pathOf(options)) match {
-        case Some(m) => m.schema
-        case None => throw new IllegalArgumentException(
-          s"no committed manifest at ${ManifestTable.pathOf(options)} — " +
-            "write first, or pass an explicit schema")
-      }
+        ManifestTable.readManifestAsOf(ManifestTable.pathOf(options), v,
+          ref).schema
+      case None =>
+        ManifestTable.readManifest(ManifestTable.pathOf(options), ref) match {
+          case Some(m) => m.schema
+          case None => throw new IllegalArgumentException(
+            (if (ref.isEmpty)
+              s"no committed manifest at ${ManifestTable.pathOf(options)}"
+            else s"no branch '$ref' at ${ManifestTable.pathOf(options)}") +
+              " — write first, or pass an explicit schema")
+        }
     }
+  }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val path = Option(properties.get("path")).getOrElse(
@@ -629,12 +635,43 @@ object ManifestTable {
   def changeFeed(spark: org.apache.spark.sql.SparkSession, dir: String,
       fromVersion: Long, toVersion: Long)
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
     require(fromVersion < toVersion,
       s"changeFeed needs fromVersion < toVersion, " +
         s"got $fromVersion >= $toVersion")
-    val mFrom = readManifestAsOf(dir, fromVersion)
-    val mTo = readManifestAsOf(dir, toVersion)
+    feedBetween(spark, dir,
+      readManifestAsOf(dir, fromVersion),
+      Map("versionAsOf" -> fromVersion.toString),
+      readManifestAsOf(dir, toVersion),
+      Map("versionAsOf" -> toVersion.toString))
+  }
+
+  /** The AUDIT step of write-audit-publish as a row-level diff: what
+    * would [[fastForward]]`(dir, name)` change? Same shape as
+    * [[changeFeed]] (`_change_type` insert/delete, O(changed files)),
+    * with main's head as FROM and the branch head as TO — each side
+    * read under its own namespace's manifest.
+    */
+  def branchDiff(spark: org.apache.spark.sql.SparkSession, dir: String,
+      name: String): org.apache.spark.sql.DataFrame = {
+    val main = readManifest(dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed manifest at $dir"))
+    val bh = readManifest(dir, name).getOrElse(
+      throw new IllegalArgumentException(s"no branch '$name' at $dir"))
+    feedBetween(spark, dir,
+      main, Map("versionAsOf" -> main.version.toString),
+      bh, Map("branch" -> name, "versionAsOf" -> bh.version.toString))
+  }
+
+  /** Manifest-diff change feed between two pinned table states; the
+    * `opts` pin each side's read (versionAsOf, and branch for a
+    * branch-side). Entries whose (name, crc, stats) changed are read
+    * under their own side; unchanged entries are never opened.
+    */
+  private def feedBetween(spark: org.apache.spark.sql.SparkSession,
+      dir: String, mFrom: Manifest, fromOpts: Map[String, String],
+      mTo: Manifest, toOpts: Map[String, String])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
     def key(f: FileEntry) = (f.name, f.crc, f.stats)
     val fromKeys = mFrom.files.map(key).toSet
     val toKeys = mTo.files.map(key).toSet
@@ -644,21 +681,24 @@ object ManifestTable {
       .map(_.name)
     // both sides in the TO schema: present columns by name, absent as
     // typed nulls (the reader's own evolution rule, applied at the hop)
-    def side(version: Long, names: Seq[String],
+    def side(opts: Map[String, String], names: Seq[String],
         sideSchema: StructType): org.apache.spark.sql.DataFrame = {
       val df =
         if (names.isEmpty) spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), sideSchema)
-        else spark.read.format("graft.sources.ManifestTable")
-          .option("path", dir).option("versionAsOf", version)
-          .option("files", names.mkString(",")).load()
+        else opts.foldLeft(
+            spark.read.format("graft.sources.ManifestTable")
+              .option("path", dir)
+              .option("files", names.mkString(","))) {
+            case (r, (k, v)) => r.option(k, v)
+          }.load()
       df.select(mTo.schema.fields.toSeq.map { f =>
         if (df.schema.fieldNames.contains(f.name)) col(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }: _*)
     }
-    val oldDf = side(fromVersion, oldNames, mFrom.schema)
-    val newDf = side(toVersion, newNames, mTo.schema)
+    val oldDf = side(fromOpts, oldNames, mFrom.schema)
+    val newDf = side(toOpts, newNames, mTo.schema)
     newDf.exceptAll(oldDf).withColumn("_change_type", lit("insert"))
       .unionByName(
         oldDf.exceptAll(newDf).withColumn("_change_type", lit("delete")))
@@ -767,9 +807,12 @@ object ManifestTable {
     * carry over unchanged. Returns the published version.
     */
   private[sources] def commitReplace(dir: String, expectedVersion: Long,
-      removeNames: Set[String], added: Seq[FileEntry]): Long = {
-    val cur = readManifest(dir).getOrElse(throw new IllegalArgumentException(
-      s"no committed manifest at $dir"))
+      removeNames: Set[String], added: Seq[FileEntry],
+      ref: String = ""): Long = {
+    val cur = readManifest(dir, ref).getOrElse(
+      throw new IllegalArgumentException(
+        if (ref.isEmpty) s"no committed manifest at $dir"
+        else s"no branch '$ref' at $dir — createBranch first"))
     // snapshot-isolation validation: the replacement was computed
     // against `expectedVersion`'s file set — if ANY commit landed since
     // (even a pure append), the affected-set/bloom/zone-map reasoning
@@ -785,7 +828,7 @@ object ManifestTable {
     val next = cur.version + 1
     publish(dir, Manifest(next, cur.schema,
       cur.files.filterNot(f => removeNames.contains(f.name)) ++ added,
-      cur.epoch))
+      cur.epoch, cur.base), ref)
     next
   }
 

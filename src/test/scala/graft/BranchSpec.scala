@@ -134,6 +134,49 @@ class BranchSpec extends AnyFunSuite {
     assert(ManifestTable.snapshotVersions(dir, "keep").size == 2)
   }
 
+  test("COW merge stages on a branch; branchDiff audits it; publish lands it") {
+    val dir = tmp()
+    (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .write.format(Fmt).option("path", dir).mode(SaveMode.Append).save()
+    ManifestTable.createBranch(dir, "audit")
+    // keys 0,5,10,15,20 all land in the FIRST of the four range files
+    val updates = (0 until 5).map(i => (i * 5L, s"UPD$i")).toDF("id", "s")
+    val res = graft.sources.CowOps.merge(spark, dir, updates, "id",
+      branch = "audit")
+    assert(res.filesRewritten > 0 && res.filesUntouched > 0)
+    // isolation: main sees no update
+    assert(read(dir).filter(col("s").startsWith("UPD")).count() == 0)
+    assert(read(dir, "audit").filter(col("s").startsWith("UPD"))
+      .count() == 5)
+    // the AUDIT: row-level what-would-publish-change
+    val diff = ManifestTable.branchDiff(spark, dir, "audit")
+      .select("_change_type", "id", "s").as[(String, Long, String)]
+      .collect().toSet
+    val expected = (0 until 5).flatMap { i =>
+      Seq(("delete", i * 5L, s"v${i * 5}"), ("insert", i * 5L, s"UPD$i"))
+    }.toSet
+    assert(diff == expected)
+    ManifestTable.fastForward(dir, "audit")
+    assert(read(dir).filter(col("s").startsWith("UPD")).count() == 5)
+    assert(read(dir).count() == 100)
+  }
+
+  test("MOR delete stages on a branch without touching main's read") {
+    val dir = tmp()
+    (0 until 60).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+      .repartitionByRange(3, col("id")).sortWithinPartitions("id")
+      .write.format(Fmt).option("path", dir).mode(SaveMode.Append).save()
+    ManifestTable.createBranch(dir, "gdpr")
+    val res = graft.sources.CowOps.deleteMor(spark, dir,
+      spark.range(0, 60, 5).select(col("id")), "id", branch = "gdpr")
+    assert(res.filesRewritten == 0)
+    assert(read(dir).count() == 60)
+    assert(read(dir, "gdpr").count() == 48)
+    ManifestTable.fastForward(dir, "gdpr")
+    assert(read(dir).count() == 48)
+  }
+
   test("branches list; names are validated; streaming a branch is refused") {
     val dir = tmp()
     write(df(0, 10), dir)
