@@ -841,6 +841,23 @@ object PipelineLatest {
           |  UNION ALL
           |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
           |  FROM customer WHERE c_custkey % 10 <> 0)
-          |SELECT * FROM merged ORDER BY c_custkey""".stripMargin))
+          |SELECT * FROM merged ORDER BY c_custkey""".stripMargin)),
+
+    // --- SQL catalog end-to-end (q101): CREATE TABLE ... PARTITIONED
+    //     BY through GraftCatalog, INSERT INTO riding the
+    //     auto-partitioned write path, a METADATA-ONLY DELETE WHERE on
+    //     the partition column (in-build requires: zero rewrites,
+    //     dropped files, pre-delete VERSION AS OF count), SELECT back
+    //     in plain SQL. Oracle = the anti-filtered base table; the
+    //     DDL/DML loop must be invisible in the rows. CatalogSpec pins
+    //     SHOW TABLES, branch reads via VERSION AS OF 'name', ALTER
+    //     TABLE ADD COLUMN, null-safe boundary deletes, rename/drop. ---
+    QueryDef(
+      "q101_catalog_sql",
+      (s, dir) => StorageLayout.q101CatalogSql(s, dir)(),
+      Some(
+        """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+          |FROM customer WHERE c_mktsegment <> 'BUILDING'
+          |ORDER BY c_custkey""".stripMargin))
   )
 }

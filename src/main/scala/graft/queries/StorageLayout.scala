@@ -424,6 +424,44 @@ object StorageLayout {
       .orderBy("c_custkey")
   }
 
+  /** q101: the SQL catalog end-to-end — CREATE TABLE ... PARTITIONED BY,
+    * INSERT INTO (auto-partitioned write path), a METADATA-ONLY
+    * DELETE WHERE on the partition column (in-build requires pin zero
+    * rewrites + dropped files + the pre-delete VERSION AS OF count),
+    * and the read is plain SQL against the catalog table. The oracle
+    * is the anti-filtered base table: the whole DDL/DML loop must be
+    * invisible in the rows.
+    */
+  def q101CatalogSql(s: SparkSession, dir: String): () => DataFrame = {
+    import s.implicits._
+    val wh = sink("q101", dir)
+    graft.sources.FsMeta.deleteRecursive(wh)
+    val cat = "gq101_" + java.lang.Integer.toHexString(dir.hashCode)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"""CREATE TABLE $cat.cust (
+             |  c_custkey BIGINT, c_name STRING, c_nationkey INT,
+             |  c_acctbal DOUBLE, c_mktsegment STRING)
+             |PARTITIONED BY (c_mktsegment)""".stripMargin)
+    Tables.t(s, dir, "customer").createOrReplaceTempView("q101_src")
+    s.sql(s"""INSERT INTO $cat.cust
+             |SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+             |  c_mktsegment FROM q101_src""".stripMargin)
+    val base = s.sql(s"SELECT count(*) FROM $cat.cust").as[Long].head()
+    val v = graft.sources.ManifestTable.readManifest(s"$wh/cust")
+      .get.version
+    s.sql(s"DELETE FROM $cat.cust WHERE c_mktsegment = 'BUILDING'")
+    val st = graft.sources.GTabDelete.lastStats
+    require(st.filesRewritten == 0 && st.filesDropped > 0,
+      s"partition-column DELETE must be metadata-only, got $st")
+    require(s.sql(s"SELECT count(*) FROM $cat.cust VERSION AS OF $v")
+      .as[Long].head() == base,
+      "time travel must still see the pre-delete table")
+    () => s.sql(s"""SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                   |  c_mktsegment FROM $cat.cust
+                   |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** Bench's storage group: name → build-once/read-thunk factory. */
   val benchPairs: Seq[(String, (SparkSession, String) => () => DataFrame)] =
     Seq(
@@ -441,5 +479,6 @@ object StorageLayout {
       "q97_incremental_view" -> (q97IncrementalView _),
       "q98_partitioned_join" -> (q98PartitionedJoin _),
       "q99_wap_publish" -> (q99WapPublish _),
-      "q100_wap_merge" -> (q100WapMerge _))
+      "q100_wap_merge" -> (q100WapMerge _),
+      "q101_catalog_sql" -> (q101CatalogSql _))
 }

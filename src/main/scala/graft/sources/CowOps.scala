@@ -202,7 +202,7 @@ object CowOps {
   /** Stage `rows` through the connector, adopt the staged data files
     * into `dir`, and return their manifest entries (step 2).
     */
-  private def stageAndAdopt(spark: SparkSession, dir: String,
+  private[sources] def stageAndAdopt(spark: SparkSession, dir: String,
       rows: DataFrame, m: ManifestTable.Manifest)
       : Seq[ManifestTable.FileEntry] = {
     val stage = s"$dir/_cow-stage-${java.util.UUID.randomUUID}"
@@ -214,8 +214,9 @@ object CowOps {
     // partitioned table: staged rewrites keep the `#part:` layout (the
     // bloom-preservation move) — otherwise one COW merge/delete would
     // silently turn the storage-partitioned-join report off for good
-    val w = ManifestTable.partitionColumnOf(m)
-      .fold(w2)(c => w2.option("partitionColumn", c))
+    val pcols = ManifestTable.partitionColumnsOf(m)
+    val w = if (pcols.isEmpty) w2
+      else w2.option("partitionColumn", pcols.mkString(","))
     w.mode(SaveMode.Append).save()
     // empty partitions stage 0-row files — drop them instead of adopting
     // stat-less dead weight into the manifest

@@ -431,40 +431,36 @@ object ManifestTable {
   private[sources] val PartPrefix = "#part:"
   private[sources] def partStatKey(col: String): String = PartPrefix + col
 
-  /** The table's partition column, DERIVED from the manifest: present
-    * iff every file records exactly one `#part:` key, all name the same
-    * column, and the column is in the schema. Derivation (not a table
+  /** The table's partition columns (possibly several — the date+hour
+    * layout), DERIVED from the manifest: present iff every file records
+    * the same non-empty `#part:` key SET and every named column is in
+    * the schema; ordered by schema position. Derivation (not a table
     * property) makes degradation safe by construction — one
-    * unpartitioned append (or a rewrite that dropped the key) simply
+    * unpartitioned append (or a rewrite that dropped the keys) simply
     * turns the layout report off; correctness never depended on it.
     */
-  private[graft] def partitionColumnOf(m: Manifest): Option[String] = {
-    if (m.files.isEmpty) return None
+  private[graft] def partitionColumnsOf(m: Manifest): Seq[String] = {
+    if (m.files.isEmpty) return Nil
     val keySets = m.files.map(_.stats.keySet.filter(_.startsWith(PartPrefix)))
     val head = keySets.head
-    if (head.size == 1 && keySets.forall(_ == head)) {
-      val col = head.head.stripPrefix(PartPrefix)
-      if (m.schema.fieldNames.contains(col)) Some(col) else None
-    } else None
+    if (head.nonEmpty && keySets.forall(_ == head)) {
+      val cols = head.map(_.stripPrefix(PartPrefix)).toSeq
+      if (cols.forall(m.schema.fieldNames.contains))
+        cols.sortBy(m.schema.fieldIndex)
+      else Nil
+    } else Nil
   }
 
-  /** Decode a `#part:` value (codec form) into the single-field
-    * InternalRow a [[org.apache.spark.sql.connector.read.HasPartitionKey]]
-    * partition reports.
-    */
-  private[sources] def decodePartKey(enc: String,
-      dt: DataType): InternalRow = {
-    val v: Any =
-      if (enc == Null) null
-      else dt match {
-        case BooleanType => java.lang.Boolean.parseBoolean(enc)
-        case IntegerType => java.lang.Integer.parseInt(enc)
-        case LongType => java.lang.Long.parseLong(enc)
-        case StringType => UTF8String.fromString(unescape(enc))
-        case other => throw new IllegalStateException(s"unreachable: $other")
-      }
-    InternalRow(v)
-  }
+  /** Decode one `#part:` value from its codec form. */
+  private[sources] def decodePartValue(enc: String, dt: DataType): Any =
+    if (enc == Null) null
+    else dt match {
+      case BooleanType => java.lang.Boolean.parseBoolean(enc)
+      case IntegerType => java.lang.Integer.parseInt(enc)
+      case LongType => java.lang.Long.parseLong(enc)
+      case StringType => UTF8String.fromString(unescape(enc))
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
 
   /** Encode a pushed-filter literal in the codec's form for EXACT
     * comparison against a `#part:` value; None = unencodable literal
@@ -865,20 +861,20 @@ object ManifestTable {
     // caller asked for a DIFFERENT clustering, which is an explicit
     // layout switch and degrades the partition report by design.
     val m0 = readManifest(dir).get
-    val keepPart = partitionColumnOf(m0)
-      .filter(c => clusterBy.isEmpty || clusterBy == Seq(c))
-    val shaped = keepPart match {
-      case Some(_) => df
-      case None if clusterBy.isEmpty => df.repartition(targetFiles)
-      case None => df.repartitionByRange(targetFiles,
+    val pcols = partitionColumnsOf(m0)
+    val keepPart = pcols.nonEmpty &&
+      (clusterBy.isEmpty || clusterBy == pcols)
+    val shaped =
+      if (keepPart) df
+      else if (clusterBy.isEmpty) df.repartition(targetFiles)
+      else df.repartitionByRange(targetFiles,
           clusterBy.map(org.apache.spark.sql.functions.col): _*)
         .sortWithinPartitions(
           clusterBy.map(org.apache.spark.sql.functions.col): _*)
-    }
     val w0 = shaped.write.format("graft.sources.ManifestTable")
       .option("path", dir)
-    keepPart.fold(w0)(c => w0.option("partitionColumn", c))
-      .mode("overwrite").save()
+    (if (keepPart) w0.option("partitionColumn", pcols.mkString(","))
+     else w0).mode("overwrite").save()
     (before, readManifest(dir).get.files.size)
   }
 
@@ -965,8 +961,12 @@ object ManifestTable {
     }
 }
 
-private[sources] class GTable(path: String, schema0: StructType)
-    extends Table with SupportsRead with SupportsWrite {
+private[sources] class GTable(path: String, schema0: StructType,
+    declaredPart: Seq[String] = Nil,
+    travelVersion: Option[Long] = None,
+    travelBranch: Option[String] = None)
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"gtab($path)"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
@@ -974,15 +974,28 @@ private[sources] class GTable(path: String, schema0: StructType)
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
       TableCapability.MICRO_BATCH_READ)
 
+  /** SQL `DELETE FROM t WHERE ...` — metadata-first (see [[GTabDelete]]):
+    * accepted when every filter translates; a pinned (time-travel /
+    * branch-loaded) table refuses.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    travelVersion.isEmpty && travelBranch.isEmpty &&
+      filters.forall(GTabDelete.translatable(_, schema0))
+  override def deleteWhere(filters: Array[Filter]): Unit =
+    GTabDelete.run(org.apache.spark.sql.SparkSession.active, path, filters)
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GTabScanBuilder(path, ManifestTable.versionAsOf(options),
+    new GTabScanBuilder(path,
+      travelVersion.orElse(ManifestTable.versionAsOf(options)),
       ManifestTable.filesOf(options),
       GTabStreamOpts(Option(options.get("startingVersion")),
         options.getBoolean("skipChangeCommits", false),
         Option(options.get("maxFilesPerTrigger")).map(_.toInt)),
-      Option(options.get("branch")).getOrElse(""))
+      travelBranch.orElse(Option(options.get("branch"))).getOrElse(""))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(travelVersion.isEmpty && travelBranch.isEmpty,
+      "cannot write through a version- or branch-pinned table reference")
     ManifestTable.checkSupported(info.schema())
     val opts = info.options()
     val bloomCols = Option(opts.get("bloomColumns"))
@@ -1000,7 +1013,13 @@ private[sources] class GTable(path: String, schema0: StructType)
       .getOrElse(GTabBloom.DefaultBits)
     require(bloomBits >= 64 && bloomBits % 64 == 0,
       s"bloomBits must be a positive multiple of 64, got $bloomBits")
-    val partCol = Option(opts.get("partitionColumn")).map { c =>
+    // catalog-declared partitioning auto-applies; an explicit write
+    // option overrides (e.g. a maintenance rewrite changing layout).
+    // Several columns (comma-separated) give the date+hour-style layout.
+    val partCols = Option(opts.get("partitionColumn"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(declaredPart)
+    partCols.foreach { c =>
       val f = info.schema().fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
           s"partitionColumn names absent column '$c'"))
@@ -1011,17 +1030,16 @@ private[sources] class GTable(path: String, schema0: StructType)
             "support boolean, int, bigint, string (doubles are rejected: " +
             "Spark normalizes -0.0 == 0.0, their codec strings differ)")
       }
-      c
     }
     new GTabWriteBuilder(path, info.schema(), info.queryId(), bloomCols,
-      bloomBits, partCol, Option(opts.get("branch")).getOrElse(""))
+      bloomBits, partCols, Option(opts.get("branch")).getOrElse(""))
   }
 }
 
 private[sources] class GTabWriteBuilder(path: String, schema: StructType,
     queryId: String, bloomCols: Seq[String] = Seq.empty,
     bloomBits: Int = GTabBloom.DefaultBits,
-    partCol: Option[String] = None, ref: String = "")
+    partCols: Seq[String] = Nil, ref: String = "")
     extends WriteBuilder with SupportsTruncate {
   private var keepPrevious = true
   override def truncate(): WriteBuilder = { keepPrevious = false; this }
@@ -1034,21 +1052,20 @@ private[sources] class GTabWriteBuilder(path: String, schema: StructType,
     * invariant is what the read-side layout report stands on.
     */
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
-    override def requiredDistribution(): Distribution = partCol match {
-      case Some(c) => Distributions.clustered(Array(Expressions.identity(c)))
-      case None => Distributions.unspecified()
-    }
-    override def requiredOrdering(): Array[SortOrder] = partCol match {
-      case Some(c) => Array(Expressions.sort(Expressions.identity(c),
-        SortDirection.ASCENDING))
-      case None => Array.empty
-    }
+    override def requiredDistribution(): Distribution =
+      if (partCols.isEmpty) Distributions.unspecified()
+      else Distributions.clustered(
+        partCols.map(Expressions.identity).toArray[
+          org.apache.spark.sql.connector.expressions.Expression])
+    override def requiredOrdering(): Array[SortOrder] =
+      partCols.map(c => Expressions.sort(Expressions.identity(c),
+        SortDirection.ASCENDING)).toArray
     override def toBatch: BatchWrite =
       new GTabBatchWrite(path, schema, queryId, keepPrevious, bloomCols,
-        bloomBits, partCol, ref)
+        bloomBits, partCols, ref)
     override def toStreaming: StreamingWrite =
       new GTabStreamingWrite(path, schema, queryId, keepPrevious, bloomCols,
-        bloomBits, partCol, ref)
+        bloomBits, partCols, ref)
   }
 }
 
@@ -1064,12 +1081,12 @@ private[sources] class GTabStreamingWrite(path: String, schema: StructType,
     queryId: String, keepPrevious: Boolean,
     bloomCols: Seq[String] = Seq.empty,
     bloomBits: Int = GTabBloom.DefaultBits,
-    partCol: Option[String] = None, ref: String = "")
+    partCols: Seq[String] = Nil, ref: String = "")
     extends StreamingWrite {
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new GTabStreamingWriterFactory(path, schema, queryId, FsMeta.confAsMap(),
-      bloomCols, bloomBits, partCol)
+      bloomCols, bloomBits, partCols)
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
     ManifestTable.commitVersion(path, schema,
@@ -1085,7 +1102,7 @@ private[sources] class GTabStreamingWriterFactory(path: String,
     schema: StructType, queryId: String, confMap: Map[String, String],
     bloomCols: Seq[String] = Seq.empty,
     bloomBits: Int = GTabBloom.DefaultBits,
-    partCol: Option[String] = None)
+    partCols: Seq[String] = Nil)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] = {
@@ -1093,7 +1110,7 @@ private[sources] class GTabStreamingWriterFactory(path: String,
     confMap.foreach { case (k, v) => conf.set(k, v) }
     GTabWriters.create(path, schema,
       s"part-e$epochId-$partitionId-$taskId-$queryId", conf,
-      bloomCols, bloomBits, partCol)
+      bloomCols, bloomBits, partCols)
   }
 }
 
@@ -1130,12 +1147,12 @@ private[sources] class GTabBatchWrite(path: String, schema: StructType,
     queryId: String, keepPrevious: Boolean,
     bloomCols: Seq[String] = Seq.empty,
     bloomBits: Int = GTabBloom.DefaultBits,
-    partCol: Option[String] = None, ref: String = "")
+    partCols: Seq[String] = Nil, ref: String = "")
     extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new GTabWriterFactory(path, schema, queryId, FsMeta.confAsMap(),
-      bloomCols, bloomBits, partCol)
+      bloomCols, bloomBits, partCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     ManifestTable.commitVersion(path, schema,
@@ -1150,7 +1167,7 @@ private[sources] class GTabWriterFactory(path: String, schema: StructType,
     queryId: String, confMap: Map[String, String],
     bloomCols: Seq[String] = Seq.empty,
     bloomBits: Int = GTabBloom.DefaultBits,
-    partCol: Option[String] = None) extends DataWriterFactory {
+    partCols: Seq[String] = Nil) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] = {
     val conf = new Configuration(false)
@@ -1159,7 +1176,7 @@ private[sources] class GTabWriterFactory(path: String, schema: StructType,
     // only the attempt whose commit message reaches BatchWrite.commit is
     // ever listed (useCommitCoordinator guarantees one winner per partition)
     GTabWriters.create(path, schema, s"part-$partitionId-$taskId-$queryId",
-      conf, bloomCols, bloomBits, partCol)
+      conf, bloomCols, bloomBits, partCols)
   }
 }
 
@@ -1170,12 +1187,11 @@ private[sources] object GTabWriters {
     */
   def create(dir: String, schema: StructType, stem: String,
       conf: Configuration, bloomCols: Seq[String], bloomBits: Int,
-      partCol: Option[String]): DataWriter[InternalRow] = partCol match {
-    case Some(c) => new GTabPartitionedWriter(dir, schema, stem, conf,
-      bloomCols, bloomBits, c)
-    case None => new GTabWriter(dir, schema, s"$stem.gtab", conf,
-      bloomCols, bloomBits)
-  }
+      partCols: Seq[String]): DataWriter[InternalRow] =
+    if (partCols.isEmpty)
+      new GTabWriter(dir, schema, s"$stem.gtab", conf, bloomCols, bloomBits)
+    else new GTabPartitionedWriter(dir, schema, stem, conf,
+      bloomCols, bloomBits, partCols)
 }
 
 /** Rolls one [[GTabWriter]] segment per run of equal partition-column
@@ -1186,35 +1202,36 @@ private[sources] object GTabWriters {
   */
 private[sources] class GTabPartitionedWriter(dir: String,
     schema: StructType, stem: String, conf: Configuration,
-    bloomCols: Seq[String], bloomBits: Int, partCol: String)
+    bloomCols: Seq[String], bloomBits: Int, partCols: Seq[String])
     extends DataWriter[InternalRow] {
-  private val partIx = schema.fieldIndex(partCol)
-  private val enc: InternalRow => String = {
-    val dt = schema.fields(partIx).dataType
+  private val encs: Seq[InternalRow => String] = partCols.map { c =>
+    val ix = schema.fieldIndex(c)
+    val dt = schema.fields(ix).dataType
     (r: InternalRow) =>
-      if (r.isNullAt(partIx)) ManifestTable.Null
+      if (r.isNullAt(ix)) ManifestTable.Null
       else dt match {
-        case BooleanType => String.valueOf(r.getBoolean(partIx))
-        case IntegerType => String.valueOf(r.getInt(partIx))
-        case LongType => String.valueOf(r.getLong(partIx))
+        case BooleanType => String.valueOf(r.getBoolean(ix))
+        case IntegerType => String.valueOf(r.getInt(ix))
+        case LongType => String.valueOf(r.getLong(ix))
         case StringType =>
-          ManifestTable.escape(r.getUTF8String(partIx).toString)
+          ManifestTable.escape(r.getUTF8String(ix).toString)
         case other => throw new IllegalStateException(s"unreachable: $other")
       }
   }
   private var seq = 0
   private var cur: GTabWriter = _
-  private var curKey: String = _
+  private var curKey: Seq[String] = _
   private val done = scala.collection.mutable.ListBuffer.empty[GTabCommit]
 
   override def write(row: InternalRow): Unit = {
-    val k = enc(row)
+    val k = encs.map(_(row))
     if (cur == null || k != curKey) {
       if (cur != null) done += cur.commitSegment()
       curKey = k
       cur = new GTabWriter(dir, schema, s"$stem-s$seq.gtab", conf,
         bloomCols, bloomBits,
-        extraStats = Map(ManifestTable.partStatKey(partCol) -> (k, "")))
+        extraStats = partCols.zip(k).map { case (c, e) =>
+          ManifestTable.partStatKey(c) -> (e, "") }.toMap)
       seq += 1
     }
     cur.write(row)
@@ -1414,7 +1431,7 @@ private[sources] class GTabScanBuilder(path: String, asOf: Option[Long],
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     sawFilters = filters.nonEmpty
     skipping = filters.filter(GTabSkip.usable(_, manifest.schema,
-      ManifestTable.partitionColumnOf(manifest)))
+      ManifestTable.partitionColumnsOf(manifest)))
     filters
   }
   override def pushedFilters(): Array[Filter] = skipping
@@ -1557,14 +1574,14 @@ private[sources] object GTabBloom {
 private[sources] object GTabSkip {
 
   def usable(f: Filter, schema: StructType,
-      partCol: Option[String] = None): Boolean = f match {
+      partCols: Seq[String] = Nil): Boolean = f match {
     // equality/IN are additionally bloom-skippable on int/long/STRING
     // columns (keep() is conservative when a file carries no bloom),
     // and EXACTLY skippable on the partition column of a partitioned
     // table (any supported type, including strings and nulls)
     case EqualTo(c, v) => (numeric(c, schema) && lit(v).isDefined) ||
-      bloomable(c, schema, Seq(v)) || partCol.contains(c)
-    case EqualNullSafe(c, _) => partCol.contains(c)
+      bloomable(c, schema, Seq(v)) || partCols.contains(c)
+    case EqualNullSafe(c, _) => partCols.contains(c)
     case GreaterThan(c, v) => numeric(c, schema) && lit(v).isDefined
     case GreaterThanOrEqual(c, v) => numeric(c, schema) && lit(v).isDefined
     case LessThan(c, v) => numeric(c, schema) && lit(v).isDefined
@@ -1572,9 +1589,9 @@ private[sources] object GTabSkip {
     case In(c, vs) => (numeric(c, schema) && vs.nonEmpty &&
       vs.forall(v => v != null && lit(v).isDefined)) ||
       (vs.nonEmpty && vs.forall(v => v != null) && bloomable(c, schema, vs)) ||
-      (vs.nonEmpty && partCol.contains(c))
-    case IsNull(c) => partCol.contains(c)
-    case IsNotNull(c) => partCol.contains(c)
+      (vs.nonEmpty && partCols.contains(c))
+    case IsNull(c) => partCols.contains(c)
+    case IsNotNull(c) => partCols.contains(c)
     case _ => false
   }
 
@@ -1731,27 +1748,29 @@ private[sources] class GTabScan(path: String,
     GTabSkip.keep(_, skipping, manifest.schema))
   override def readSchema(): StructType = pruned
 
-  // partitioned layout: kept files grouped by their single partition
-  // value (codec encoding — distinct strings ⇔ distinct values for the
+  // partitioned layout: kept files grouped by their partition value
+  // TUPLE (codec encodings — distinct strings ⇔ distinct values for the
   // admitted types), sorted for deterministic planning
-  private val partCol: Option[String] =
-    ManifestTable.partitionColumnOf(manifest)
-  private val groups: Seq[(String, Seq[ManifestTable.FileEntry])] =
-    partCol.map { c =>
-      val k = ManifestTable.partStatKey(c)
-      kept.groupBy(_.stats(k)._1).toSeq.sortBy(_._1)
-    }.getOrElse(Nil)
+  private val partCols: Seq[String] =
+    ManifestTable.partitionColumnsOf(manifest)
+  private val groups: Seq[(Seq[String], Seq[ManifestTable.FileEntry])] =
+    if (partCols.isEmpty) Nil
+    else {
+      val ks = partCols.map(ManifestTable.partStatKey)
+      kept.groupBy(f => ks.map(f.stats(_)._1)).toSeq
+        .sortBy(_._1.mkString(" "))
+    }
 
   /** The layout report that unlocks the storage-partitioned join: one
-    * key-grouped partition per partition value over identity(partCol).
-    * Unpartitioned tables (and fully-pruned scans) report unknown.
+    * key-grouped partition per partition-value tuple over the identity
+    * transforms of the partition columns. Unpartitioned tables (and
+    * fully-pruned scans) report unknown.
     */
-  override def outputPartitioning(): Partitioning = partCol match {
-    case Some(c) if groups.nonEmpty =>
-      new KeyGroupedPartitioning(Array(Expressions.identity(c)),
-        groups.length)
-    case _ => new UnknownPartitioning(kept.size)
-  }
+  override def outputPartitioning(): Partitioning =
+    if (partCols.nonEmpty && groups.nonEmpty)
+      new KeyGroupedPartitioning(
+        partCols.map(Expressions.identity).toArray, groups.length)
+    else new UnknownPartitioning(kept.size)
 
   /** Manifest-derived statistics for the optimizer, POST file pruning:
     * rows = live rows of the kept files (physical minus deletion-vector
@@ -1781,21 +1800,23 @@ private[sources] class GTabScan(path: String,
   override def description(): String =
     s"GTabScan $path v${manifest.version} " +
       s"files=${kept.size}/${manifest.files.size} " +
-      partCol.map(c => s"PartitionedBy: $c groups=${groups.size} ")
-        .getOrElse("") +
+      (if (partCols.isEmpty) ""
+       else s"PartitionedBy: ${partCols.mkString(",")} " +
+         s"groups=${groups.size} ") +
       s"SkippingFilters: ${skipping.mkString("[", ", ", "]")} " +
       s"ReadSchema: ${pruned.simpleString}"
-  override def planInputPartitions(): Array[InputPartition] = partCol match {
-    case Some(c) if groups.nonEmpty =>
-      val dt = manifest.schema.fields(manifest.schema.fieldIndex(c)).dataType
-      groups.map { case (enc, fs) =>
+  override def planInputPartitions(): Array[InputPartition] =
+    if (partCols.nonEmpty && groups.nonEmpty) {
+      val dts = partCols.map(c =>
+        manifest.schema.fields(manifest.schema.fieldIndex(c)).dataType)
+      groups.map { case (encs, fs) =>
         GTabGroupPartition(fs.map(ManifestTable.partitionOf(path, _)),
-          ManifestTable.decodePartKey(enc, dt)): InputPartition
+          InternalRow.fromSeq(encs.zip(dts).map { case (e, dt) =>
+            ManifestTable.decodePartValue(e, dt) })): InputPartition
       }.toArray
-    case _ =>
+    } else
       kept.map(f => ManifestTable.partitionOf(path, f): InputPartition)
         .toArray
-  }
   override def createReaderFactory(): PartitionReaderFactory =
     new GTabReaderFactory(manifest.schema, pruned, confMap)
   override def toMicroBatchStream(checkpointLocation: String)

@@ -1,0 +1,184 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{GTabDelete, ManifestTable}
+
+/** SQL catalog surface (GraftCatalog): DDL/DML over manifest tables —
+  * CREATE/INSERT/SELECT, PARTITIONED BY driving the auto-partitioned
+  * write path (and the storage-partitioned join through pure SQL),
+  * VERSION AS OF as number (time travel) or string (branch read),
+  * metadata-first DELETE WHERE, ALTER TABLE ADD COLUMN evolution,
+  * RENAME/DROP, namespaces.
+  */
+class CatalogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val wh = Files.createTempDirectory("graft_cat").toString
+  private lazy val cat: String = {
+    spark.conf.set("spark.sql.catalog.gcat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+    "gcat"
+  }
+
+  private def noBroadcast[A](body: => A): A = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("CREATE / INSERT / SELECT round-trip through pure SQL") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t1 (id BIGINT, s STRING)")
+    (0 until 100).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+      .createOrReplaceTempView("t1_src")
+    spark.sql(s"INSERT INTO $cat.db.t1 SELECT * FROM t1_src")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t1")
+      .as[Long].head() == 100)
+    assert(spark.sql(s"SELECT s FROM $cat.db.t1 WHERE id = 42")
+      .as[String].head() == "r42")
+    // SHOW TABLES sees it
+    assert(spark.sql(s"SHOW TABLES IN $cat.db").collect()
+      .map(_.getString(1)).contains("t1"))
+  }
+
+  test("PARTITIONED BY drives auto-partitioned inserts and a SQL-only SPJ") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(
+      s"CREATE TABLE $cat.db.pa (id BIGINT, g INT) PARTITIONED BY (g)")
+    spark.sql(
+      s"CREATE TABLE $cat.db.pb (bid BIGINT, g INT) PARTITIONED BY (g)")
+    spark.range(300).select(col("id"), (col("id") % 6).cast("int").as("g"))
+      .createOrReplaceTempView("pa_src")
+    spark.range(120).select(col("id").as("bid"),
+      (col("id") % 6).cast("int").as("g")).createOrReplaceTempView("pb_src")
+    spark.sql(s"INSERT INTO $cat.db.pa SELECT * FROM pa_src")
+    spark.sql(s"INSERT INTO $cat.db.pb SELECT * FROM pb_src")
+    // every committed file is single-valued on g
+    val m = ManifestTable.readManifest(s"$wh/db/pa").get
+    assert(m.files.nonEmpty &&
+      m.files.forall(_.stats.contains("#part:g")))
+    noBroadcast {
+      val j = spark.sql(
+        s"""SELECT a.g, count(*) AS n FROM $cat.db.pa a
+           |JOIN $cat.db.pb b ON a.g = b.g GROUP BY a.g""".stripMargin)
+      assert(j.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap ==
+        (0 until 6).map(g => g -> 1000L).toMap)
+      assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+        "the SQL-only storage-partitioned join must plan exchange-free")
+    }
+  }
+
+  test("VERSION AS OF: number = snapshot, string = branch") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.tt (id BIGINT)")
+    spark.range(10).createOrReplaceTempView("tt_src")
+    spark.sql(s"INSERT INTO $cat.db.tt SELECT * FROM tt_src")
+    val v = ManifestTable.readManifest(s"$wh/db/tt").get.version
+    spark.sql(s"INSERT INTO $cat.db.tt SELECT * FROM tt_src")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.tt")
+      .as[Long].head() == 20)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.tt VERSION AS OF $v")
+      .as[Long].head() == 10)
+    // branch read by name
+    ManifestTable.createBranch(s"$wh/db/tt", "exp")
+    spark.range(5).select(col("id") + 1000)
+      .write.format("graft.sources.ManifestTable")
+      .option("path", s"$wh/db/tt").option("branch", "exp")
+      .mode("append").save()
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.db.tt VERSION AS OF 'exp'")
+      .as[Long].head() == 25)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.tt")
+      .as[Long].head() == 20)
+  }
+
+  test("DELETE WHERE on the partition column is metadata-only") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(
+      s"CREATE TABLE $cat.db.dp (id BIGINT, seg STRING) PARTITIONED BY (seg)")
+    (0 until 200).map(i => (i.toLong, s"seg-${i % 4}")).toDF("id", "seg")
+      .createOrReplaceTempView("dp_src")
+    spark.sql(s"INSERT INTO $cat.db.dp SELECT * FROM dp_src")
+    val before = ManifestTable.readManifest(s"$wh/db/dp").get
+      .files.map(_.name).toSet
+    spark.sql(s"DELETE FROM $cat.db.dp WHERE seg = 'seg-2'")
+    val st = GTabDelete.lastStats
+    assert(st.filesDropped > 0 && st.filesRewritten == 0,
+      s"partition-column delete must drop whole files: $st")
+    val after = ManifestTable.readManifest(s"$wh/db/dp").get
+      .files.map(_.name).toSet
+    assert(after.subsetOf(before), "no new data files on the drop path")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.dp")
+      .as[Long].head() == 150)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.db.dp WHERE seg = 'seg-2'")
+      .as[Long].head() == 0)
+  }
+
+  test("DELETE WHERE boundary rewrite keeps NULL-condition rows") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.db1 (id BIGINT, x BIGINT)")
+    (0 until 100).map(i =>
+      (i.toLong, if (i % 10 == 0) null else java.lang.Long.valueOf(i.toLong)))
+      .toDF("id", "x").createOrReplaceTempView("db1_src")
+    spark.sql(s"INSERT INTO $cat.db.db1 SELECT * FROM db1_src")
+    spark.sql(s"DELETE FROM $cat.db.db1 WHERE x < 50")
+    // x-null rows (every 10th) must SURVIVE: null < 50 is not TRUE
+    val got = spark.sql(s"SELECT id FROM $cat.db.db1 ORDER BY id")
+      .as[Long].collect().toSeq
+    val exp = (0 until 100).map(_.toLong)
+      .filter(i => i % 10 == 0 || i >= 50)
+    assert(got == exp)
+  }
+
+  test("zone maps skip provably-unaffected files in DELETE") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.dz (id BIGINT, s STRING)")
+    // range-clustered insert → disjoint id ranges per file
+    (0 until 1000).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .createOrReplaceTempView("dz_src")
+    spark.sql(s"INSERT INTO $cat.db.dz SELECT * FROM dz_src")
+    spark.sql(s"DELETE FROM $cat.db.dz WHERE id < 100")
+    val st = GTabDelete.lastStats
+    assert(st.filesUntouched > 0,
+      s"range-clustered delete must skip out-of-range files: $st")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.dz")
+      .as[Long].head() == 900)
+  }
+
+  test("ALTER TABLE ADD COLUMN evolves; old rows read null") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.ev (id BIGINT)")
+    spark.range(5).createOrReplaceTempView("ev_src")
+    spark.sql(s"INSERT INTO $cat.db.ev SELECT * FROM ev_src")
+    spark.sql(s"ALTER TABLE $cat.db.ev ADD COLUMN score DOUBLE")
+    spark.sql(s"INSERT INTO $cat.db.ev VALUES (100, 0.5)")
+    val rows = spark.sql(
+      s"SELECT id, score FROM $cat.db.ev ORDER BY id").collect()
+    assert(rows.length == 6)
+    assert(rows.take(5).forall(_.isNullAt(1)))
+    assert(rows.last.getDouble(1) == 0.5)
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.ev RENAME COLUMN score TO s2")
+    }
+  }
+
+  test("RENAME and DROP; pinned references refuse writes") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.rn (id BIGINT)")
+    spark.range(3).createOrReplaceTempView("rn_src")
+    spark.sql(s"INSERT INTO $cat.db.rn SELECT * FROM rn_src")
+    spark.sql(s"ALTER TABLE $cat.db.rn RENAME TO db.rn2")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.rn2")
+      .as[Long].head() == 3)
+    assert(!spark.catalog.tableExists(s"$cat.db.rn"))
+    spark.sql(s"DROP TABLE $cat.db.rn2")
+    assert(!spark.catalog.tableExists(s"$cat.db.rn2"))
+  }
+}

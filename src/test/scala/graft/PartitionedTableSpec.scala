@@ -134,12 +134,12 @@ class PartitionedTableSpec extends AnyFunSuite {
     val dir = tmp()
     writePart((0 until 100).map(i => (i.toLong, i % 4)).toDF("id", "g"),
       dir, "g")
-    assert(ManifestTable.partitionColumnOf(
-      ManifestTable.readManifest(dir).get).contains("g"))
+    assert(ManifestTable.partitionColumnsOf(
+      ManifestTable.readManifest(dir).get) == Seq("g"))
     // plain append: no #part key on the new file
     (100 until 120).map(i => (i.toLong, i % 4)).toDF("id", "g")
       .write.format(Fmt).option("path", dir).mode(SaveMode.Append).save()
-    assert(ManifestTable.partitionColumnOf(
+    assert(ManifestTable.partitionColumnsOf(
       ManifestTable.readManifest(dir).get).isEmpty)
     assert(read(dir).count() == 120)
     // joining after degradation still answers exactly (shuffle plan)
@@ -169,8 +169,8 @@ class PartitionedTableSpec extends AnyFunSuite {
     val dir = tmp()
     writePart((0 until 200).map(i => (i.toLong, i % 5)).toDF("id", "g"),
       dir, "g")
-    def pcol = ManifestTable.partitionColumnOf(
-      ManifestTable.readManifest(dir).get)
+    def pcol = ManifestTable.partitionColumnsOf(
+      ManifestTable.readManifest(dir).get).headOption
     // COW merge: rewritten + inserted files must keep #part
     graft.sources.CowOps.merge(spark, dir,
       (0 until 10).map(i => (i.toLong * 20, (i.toLong * 20 % 5).toInt))
@@ -203,8 +203,8 @@ class PartitionedTableSpec extends AnyFunSuite {
     val (b, a) = ManifestTable.compact(spark, dirA, targetFiles = 4)
     assert(b == filesBefore && a < b,
       s"compaction must shrink the file count ($b -> $a)")
-    assert(ManifestTable.partitionColumnOf(
-      ManifestTable.readManifest(dirA).get).contains("g"))
+    assert(ManifestTable.partitionColumnsOf(
+      ManifestTable.readManifest(dirA).get) == Seq("g"))
     noBroadcast {
       val j = read(dirA).join(read(dirB), "g")
         .groupBy("g").agg(count(lit(1)).as("n"))
@@ -216,9 +216,47 @@ class PartitionedTableSpec extends AnyFunSuite {
     // an explicit DIFFERENT clustering is a layout switch: report off
     ManifestTable.compact(spark, dirA, targetFiles = 2,
       clusterBy = Seq("id"))
-    assert(ManifestTable.partitionColumnOf(
+    assert(ManifestTable.partitionColumnsOf(
       ManifestTable.readManifest(dirA).get).isEmpty)
     assert(read(dirA).count() == 300)
+  }
+
+  test("multi-column partitioning: tuple groups, tuple SPJ, per-col pruning") {
+    val dirA = tmp(); val dirB = tmp()
+    def mk(n: Int) = (0 until n).map(i =>
+      (i.toLong, i % 3, s"h${i % 2}")).toDF("id", "d", "h")
+    mk(240).write.format(Fmt).option("path", dirA)
+      .option("partitionColumn", "d,h").mode(SaveMode.Append).save()
+    mk(120).select(col("id").as("bid"), col("d"), col("h"))
+      .write.format(Fmt).option("path", dirB)
+      .option("partitionColumn", "d,h").mode(SaveMode.Append).save()
+    val m = ManifestTable.readManifest(dirA).get
+    assert(ManifestTable.partitionColumnsOf(m) == Seq("d", "h"))
+    m.files.foreach { f =>
+      assert(f.stats.contains("#part:d") && f.stats.contains("#part:h"))
+    }
+    // per-column pruning composes: (d=1, h='h0') keeps 1 of 6 groups
+    val one = read(dirA).filter(col("d") === 1 && col("h") === "h0")
+    assert(one.count() == 40)
+    val matching = m.files.count(f =>
+      f.stats("#part:d")._1 == "1" && f.stats("#part:h")._1 == "h0")
+    assert(one.queryExecution.executedPlan.toString
+      .contains(s"files=$matching/${m.files.size}"))
+    // tuple SPJ: join on BOTH partition columns plans exchange-free
+    noBroadcast {
+      val j = read(dirA).join(read(dirB), Seq("d", "h"))
+        .groupBy("d", "h").agg(count(lit(1)).as("n"))
+      val got = j.collect()
+        .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+      val exp = (for (d <- 0 until 3; h <- 0 until 2) yield {
+        val a = (0 until 240).count(i => i % 3 == d && i % 2 == h)
+        val b = (0 until 120).count(i => i % 3 == d && i % 2 == h)
+        (d, s"h$h") -> (a.toLong * b)
+      }).toMap
+      assert(got == exp)
+      assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+        "the two-column storage-partitioned join must plan exchange-free")
+    }
   }
 
   test("doubles are rejected as partition columns") {
