@@ -45,6 +45,9 @@ private[graft] object GTabDelete {
     case And(l, r) => translatable(l, schema) && translatable(r, schema)
     case Or(l, r) => translatable(l, schema) && translatable(r, schema)
     case Not(x) => translatable(x, schema)
+    // TRUNCATE TABLE arrives as deleteWhere(AlwaysTrue)
+    case AlwaysTrue() => true
+    case AlwaysFalse() => true
     case _ => false
   }
 
@@ -62,6 +65,8 @@ private[graft] object GTabDelete {
     case And(l, r) => toColumn(l) && toColumn(r)
     case Or(l, r) => toColumn(l) || toColumn(r)
     case Not(x) => not(toColumn(x))
+    case AlwaysTrue() => lit(true)
+    case AlwaysFalse() => lit(false)
     case other => throw new IllegalStateException(s"unreachable: $other")
   }
 
@@ -113,6 +118,8 @@ private[graft] object GTabDelete {
       case LessThanOrEqual(c, v) => cmp(c, v)(_ <= _)
       case And(l, r) => allMatch(e, l, schema) && allMatch(e, r, schema)
       case Or(l, r) => allMatch(e, l, schema) || allMatch(e, r, schema)
+      // TRUNCATE: every row matches, every file drops by metadata
+      case AlwaysTrue() => true
       // Not would need a null-aware none-match proof; rewrite instead
       case _ => false
     }

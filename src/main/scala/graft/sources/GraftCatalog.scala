@@ -38,9 +38,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * provably-unaffected files are never opened, only the boundary files
   * rewrite.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
+
+  // SQL-callable maintenance (CALL g.system.compact(...) etc.)
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(warehouse, ident)
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.list(namespace)
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {

@@ -1,0 +1,141 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure,
+  ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL-callable table maintenance — Spark 4's procedure API wired to the
+  * manifest table's maintenance surface, so the operations a table
+  * operator runs daily need no Scala at all:
+  *
+  * {{{
+  *   CALL g.system.compact(table => 'db.t', target_files => 4)
+  *   CALL g.system.vacuum(table => 'db.t', grace_ms => 0)
+  *   CALL g.system.expire_snapshots(table => 'db.t', keep_last => 3)
+  *   CALL g.system.rollback(table => 'db.t', version => 2)
+  *   CALL g.system.create_branch(table => 'db.t', name => 'audit')
+  *   CALL g.system.fast_forward(table => 'db.t', name => 'audit')
+  *   CALL g.system.drop_branch(table => 'db.t', name => 'audit')
+  *   CALL g.system.history(table => 'db.t')
+  * }}}
+  *
+  * Each returns its result as rows (a [[LocalScan]]), so `CALL` output
+  * composes with the rest of SQL. The `table` argument is
+  * catalog-relative (`ns.table` under the warehouse), resolved by the
+  * owning [[GraftCatalog]].
+  */
+private[sources] object GraftProcedures {
+
+  val Namespace: Array[String] = Array("system")
+
+  def list(ns: Array[String]): Array[Identifier] =
+    if (!ns.sameElements(Namespace)) Array.empty
+    else names.map(n => Identifier.of(Namespace, n)).toArray
+
+  private val names = Seq("compact", "vacuum", "expire_snapshots",
+    "rollback", "create_branch", "fast_forward", "drop_branch", "history")
+
+  def load(warehouse: String, ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().sameElements(Namespace),
+      s"unknown procedure namespace ${ident.namespace().mkString(".")}")
+    def dirOf(rel: String): String =
+      (warehouse +: rel.split("\\.").toSeq).mkString("/")
+    def p(n: String, dt: DataType) = ProcedureParameter.in(n, dt).build()
+    ident.name() match {
+      case "compact" => proc("compact",
+        Seq(p("table", StringType), p("target_files", IntegerType)),
+        StructType(Seq(StructField("files_before", IntegerType),
+          StructField("files_after", IntegerType)))) { in =>
+        val (b, a) = ManifestTable.compact(
+          org.apache.spark.sql.SparkSession.active,
+          dirOf(in.getUTF8String(0).toString), in.getInt(1))
+        Seq(InternalRow(b, a))
+      }
+      case "vacuum" => proc("vacuum",
+        Seq(p("table", StringType), p("grace_ms", LongType)),
+        StructType(Seq(StructField("reclaimed", IntegerType)))) { in =>
+        Seq(InternalRow(ManifestTable.vacuum(
+          dirOf(in.getUTF8String(0).toString), in.getLong(1)).size))
+      }
+      case "expire_snapshots" => proc("expire_snapshots",
+        Seq(p("table", StringType), p("keep_last", IntegerType)),
+        StructType(Seq(StructField("expired", IntegerType)))) { in =>
+        Seq(InternalRow(ManifestTable.expireSnapshots(
+          dirOf(in.getUTF8String(0).toString), in.getInt(1)).size))
+      }
+      case "rollback" => proc("rollback",
+        Seq(p("table", StringType), p("version", LongType)),
+        StructType(Seq(StructField("version", LongType)))) { in =>
+        Seq(InternalRow(ManifestTable.rollback(
+          dirOf(in.getUTF8String(0).toString), in.getLong(1))))
+      }
+      case "create_branch" => proc("create_branch",
+        Seq(p("table", StringType), p("name", StringType)),
+        StructType(Seq(StructField("forked_at", LongType)))) { in =>
+        Seq(InternalRow(ManifestTable.createBranch(
+          dirOf(in.getUTF8String(0).toString),
+          in.getUTF8String(1).toString)))
+      }
+      case "fast_forward" => proc("fast_forward",
+        Seq(p("table", StringType), p("name", StringType)),
+        StructType(Seq(StructField("version", LongType)))) { in =>
+        Seq(InternalRow(ManifestTable.fastForward(
+          dirOf(in.getUTF8String(0).toString),
+          in.getUTF8String(1).toString)))
+      }
+      case "drop_branch" => proc("drop_branch",
+        Seq(p("table", StringType), p("name", StringType)),
+        StructType(Seq(StructField("dropped", BooleanType)))) { in =>
+        ManifestTable.dropBranch(dirOf(in.getUTF8String(0).toString),
+          in.getUTF8String(1).toString)
+        Seq(InternalRow(true))
+      }
+      case "history" => proc("history",
+        Seq(p("table", StringType)),
+        StructType(Seq(StructField("version", LongType),
+          StructField("n_files", IntegerType),
+          StructField("n_rows", LongType),
+          StructField("epoch", LongType)))) { in =>
+        ManifestTable.history(dirOf(in.getUTF8String(0).toString))
+          .map { case (v, nf, nr, ep) => InternalRow(v, nf, nr, ep) }
+      }
+      case other => throw new IllegalArgumentException(
+        s"unknown procedure: $other (have ${names.mkString(", ")})")
+    }
+  }
+
+  private def proc(procName: String, params: Seq[ProcedureParameter],
+      out: StructType)(body: InternalRow => Seq[InternalRow])
+      : UnboundProcedure = new UnboundProcedure {
+    override def name(): String = procName
+    override def description(): String = s"graft $procName"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = procName
+        override def description(): String = s"graft $procName"
+        override def parameters(): Array[ProcedureParameter] =
+          params.toArray
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow)
+            : java.util.Iterator[Scan] = {
+          val result = body(input).toArray
+          java.util.List.of[Scan](new LocalScan {
+            override def rows(): Array[InternalRow] = result
+            override def readSchema(): StructType = out
+          }).iterator()
+        }
+      }
+  }
+
+  /** Stringly-typed helper kept out of the public surface: UTF8String
+    * nulls would NPE — procedures require their arguments.
+    */
+  private[sources] def requireArg(s: UTF8String, what: String): String = {
+    require(s != null, s"procedure argument '$what' is required")
+    s.toString
+  }
+}

@@ -1758,7 +1758,7 @@ private[sources] class GTabScan(path: String,
     else {
       val ks = partCols.map(ManifestTable.partStatKey)
       kept.groupBy(f => ks.map(f.stats(_)._1)).toSeq
-        .sortBy(_._1.mkString(" "))
+        .sortBy(_._1.mkString("\u0000"))
     }
 
   /** The layout report that unlocks the storage-partitioned join: one

@@ -169,6 +169,65 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL procedures: compact, history, branch lifecycle, vacuum") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.pr (id BIGINT)")
+    spark.range(40).createOrReplaceTempView("pr_src")
+    (0 until 3).foreach(_ =>
+      spark.sql(s"INSERT INTO $cat.db.pr SELECT * FROM pr_src"))
+    // history: one row per retained version (create + 3 inserts)
+    val hist = spark.sql(s"CALL $cat.system.history(table => 'db.pr')")
+      .collect()
+    assert(hist.length == 4)
+    assert(hist.map(_.getLong(2)).max == 120L)
+    // compact 3+ files -> 1
+    val c = spark.sql(
+      s"CALL $cat.system.compact(table => 'db.pr', target_files => 1)")
+      .head()
+    assert(c.getInt(0) >= 3 && c.getInt(1) == 1)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.pr")
+      .as[Long].head() == 120)
+    // branch lifecycle through CALL
+    val forked = spark.sql(
+      s"CALL $cat.system.create_branch(table => 'db.pr', name => 'b1')")
+      .head().getLong(0)
+    assert(forked == ManifestTable.readManifest(s"$wh/db/pr").get.version)
+    spark.range(5).select(col("id") + 500)
+      .write.format("graft.sources.ManifestTable")
+      .option("path", s"$wh/db/pr").option("branch", "b1")
+      .mode("append").save()
+    spark.sql(
+      s"CALL $cat.system.fast_forward(table => 'db.pr', name => 'b1')")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.pr")
+      .as[Long].head() == 125)
+    spark.sql(
+      s"CALL $cat.system.drop_branch(table => 'db.pr', name => 'b1')")
+    assert(ManifestTable.branches(s"$wh/db/pr").isEmpty)
+    // expire + vacuum reclaims the pre-compaction fragments
+    spark.sql(
+      s"CALL $cat.system.expire_snapshots(table => 'db.pr', keep_last => 1)")
+    val reclaimed = spark.sql(
+      s"CALL $cat.system.vacuum(table => 'db.pr', grace_ms => 0)")
+      .head().getInt(0)
+    assert(reclaimed > 0, "vacuum after expiry must reclaim fragments")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.pr")
+      .as[Long].head() == 125)
+  }
+
+  test("INSERT OVERWRITE and TRUNCATE ride the connector's truncate path") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.ov (id BIGINT)")
+    spark.range(10).createOrReplaceTempView("ov_src")
+    spark.sql(s"INSERT INTO $cat.db.ov SELECT * FROM ov_src")
+    spark.sql(
+      s"INSERT OVERWRITE $cat.db.ov SELECT id + 100 FROM ov_src")
+    assert(spark.sql(s"SELECT min(id), count(*) FROM $cat.db.ov")
+      .as[(Long, Long)].head() == ((100L, 10L)))
+    spark.sql(s"TRUNCATE TABLE $cat.db.ov")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.ov")
+      .as[Long].head() == 0)
+  }
+
   test("RENAME and DROP; pinned references refuse writes") {
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
     spark.sql(s"CREATE TABLE $cat.db.rn (id BIGINT)")
