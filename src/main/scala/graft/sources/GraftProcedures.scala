@@ -52,46 +52,50 @@ private[sources] object GraftProcedures {
           StructField("files_after", IntegerType)))) { in =>
         val (b, a) = ManifestTable.compact(
           org.apache.spark.sql.SparkSession.active,
-          dirOf(in.getUTF8String(0).toString), in.getInt(1))
+          dirOf(requireArg(in.getUTF8String(0), "table")), in.getInt(1))
         Seq(InternalRow(b, a))
       }
       case "vacuum" => proc("vacuum",
         Seq(p("table", StringType), p("grace_ms", LongType)),
         StructType(Seq(StructField("reclaimed", IntegerType)))) { in =>
         Seq(InternalRow(ManifestTable.vacuum(
-          dirOf(in.getUTF8String(0).toString), in.getLong(1)).size))
+          dirOf(requireArg(in.getUTF8String(0), "table")),
+          in.getLong(1)).size))
       }
       case "expire_snapshots" => proc("expire_snapshots",
         Seq(p("table", StringType), p("keep_last", IntegerType)),
         StructType(Seq(StructField("expired", IntegerType)))) { in =>
         Seq(InternalRow(ManifestTable.expireSnapshots(
-          dirOf(in.getUTF8String(0).toString), in.getInt(1)).size))
+          dirOf(requireArg(in.getUTF8String(0), "table")),
+          in.getInt(1)).size))
       }
       case "rollback" => proc("rollback",
         Seq(p("table", StringType), p("version", LongType)),
         StructType(Seq(StructField("version", LongType)))) { in =>
         Seq(InternalRow(ManifestTable.rollback(
-          dirOf(in.getUTF8String(0).toString), in.getLong(1))))
+          dirOf(requireArg(in.getUTF8String(0), "table")),
+          in.getLong(1))))
       }
       case "create_branch" => proc("create_branch",
         Seq(p("table", StringType), p("name", StringType)),
         StructType(Seq(StructField("forked_at", LongType)))) { in =>
         Seq(InternalRow(ManifestTable.createBranch(
-          dirOf(in.getUTF8String(0).toString),
-          in.getUTF8String(1).toString)))
+          dirOf(requireArg(in.getUTF8String(0), "table")),
+          requireArg(in.getUTF8String(1), "name"))))
       }
       case "fast_forward" => proc("fast_forward",
         Seq(p("table", StringType), p("name", StringType)),
         StructType(Seq(StructField("version", LongType)))) { in =>
         Seq(InternalRow(ManifestTable.fastForward(
-          dirOf(in.getUTF8String(0).toString),
-          in.getUTF8String(1).toString)))
+          dirOf(requireArg(in.getUTF8String(0), "table")),
+          requireArg(in.getUTF8String(1), "name"))))
       }
       case "drop_branch" => proc("drop_branch",
         Seq(p("table", StringType), p("name", StringType)),
         StructType(Seq(StructField("dropped", BooleanType)))) { in =>
-        ManifestTable.dropBranch(dirOf(in.getUTF8String(0).toString),
-          in.getUTF8String(1).toString)
+        ManifestTable.dropBranch(
+          dirOf(requireArg(in.getUTF8String(0), "table")),
+          requireArg(in.getUTF8String(1), "name"))
         Seq(InternalRow(true))
       }
       case "history" => proc("history",
@@ -100,7 +104,8 @@ private[sources] object GraftProcedures {
           StructField("n_files", IntegerType),
           StructField("n_rows", LongType),
           StructField("epoch", LongType)))) { in =>
-        ManifestTable.history(dirOf(in.getUTF8String(0).toString))
+        ManifestTable.history(
+            dirOf(requireArg(in.getUTF8String(0), "table")))
           .map { case (v, nf, nr, ep) => InternalRow(v, nf, nr, ep) }
       }
       case other => throw new IllegalArgumentException(
@@ -131,10 +136,10 @@ private[sources] object GraftProcedures {
       }
   }
 
-  /** Stringly-typed helper kept out of the public surface: UTF8String
-    * nulls would NPE — procedures require their arguments.
+  /** A NULL procedure argument would NPE at getUTF8String — surface a
+    * typed message instead.
     */
-  private[sources] def requireArg(s: UTF8String, what: String): String = {
+  private def requireArg(s: UTF8String, what: String): String = {
     require(s != null, s"procedure argument '$what' is required")
     s.toString
   }
