@@ -31,9 +31,9 @@ import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
   WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{
   StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter,
+import org.apache.spark.sql.sources.{And, EqualNullSafe, EqualTo, Filter,
   GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan,
-  LessThanOrEqual}
+  LessThanOrEqual, Or}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -1727,6 +1727,65 @@ private[sources] final case class GTabPartition(file: String, rows: Long,
     crc: Long, cols: Seq[String] = Nil,
     dvs: Seq[(String, Int)] = Nil) extends InputPartition
 
+/** Test seam: the last runtime-filter prune's (before, after) file
+  * counts — runtime pruning happens between optimization and execution,
+  * where no plan string can observe it. Plus the V2-Predicate → V1
+  * Filter conversion for the shapes runtime pruning pushes (IN /
+  * equality over a column and literals, AND/OR composites) — anything
+  * else converts to None and prunes nothing (conservative, as
+  * everywhere in the skipping stack).
+  */
+private[graft] object GTabRuntime {
+  @volatile var lastPrune: (Int, Int) = (0, 0)
+
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expr,
+    Literal => V2Literal, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.{
+    Predicate => V2Predicate}
+
+  private def literalOf(e: V2Expr): Option[Any] = e match {
+    case l: V2Literal[_] => Some(l.value match {
+      case u: UTF8String => u.toString
+      case v => v
+    })
+    case _ => None
+  }
+  private def refOf(e: V2Expr): Option[String] = e match {
+    case r: NamedReference if r.fieldNames().length == 1 =>
+      Some(r.fieldNames()(0))
+    case _ => None
+  }
+  def toV1(p: V2Predicate): Option[Filter] = p.name() match {
+    case "IN" =>
+      val cs = p.children()
+      for {
+        c <- if (cs.nonEmpty) refOf(cs(0)) else None
+        vs <- Some(cs.drop(1).map(literalOf))
+          .filter(_.forall(_.isDefined))
+      } yield In(c, vs.map(_.get))
+    case "=" =>
+      val cs = p.children()
+      if (cs.length != 2) None
+      else for (c <- refOf(cs(0)); v <- literalOf(cs(1)))
+        yield EqualTo(c, v)
+    case "AND" =>
+      val cs = p.children()
+      if (cs.length != 2) None
+      else for {
+        l <- cs(0) match { case q: V2Predicate => toV1(q); case _ => None }
+        r <- cs(1) match { case q: V2Predicate => toV1(q); case _ => None }
+      } yield And(l, r)
+    case "OR" =>
+      val cs = p.children()
+      if (cs.length != 2) None
+      else for {
+        l <- cs(0) match { case q: V2Predicate => toV1(q); case _ => None }
+        r <- cs(1) match { case q: V2Predicate => toV1(q); case _ => None }
+      } yield Or(l, r)
+    case _ => None
+  }
+}
+
 /** All of one partition value's files as ONE input partition, its key
   * reported via [[HasPartitionKey]] — the unit Spark's key-grouped
   * planning aligns across the two sides of a storage-partitioned join.
@@ -1743,10 +1802,44 @@ private[sources] class GTabScan(path: String,
     streamOpts: GTabStreamOpts = GTabStreamOpts(None, false),
     ref: String = "")
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   private val kept = manifest.files.filter(
     GTabSkip.keep(_, skipping, manifest.schema))
   override def readSchema(): StructType = pruned
+
+  // ---- RUNTIME (dim-driven) file pruning — DPP for the manifest
+  // table: Spark executes a selective join's build side first, pushes
+  // its values back as IN predicates, and only then does this scan plan
+  // its input partitions — so a fact⨝dim with a filtered dim reads
+  // O(matching files) even though the fact-side literal set was unknown
+  // at optimization time. The runtime predicates re-run the SAME
+  // conservative zone-map/bloom skipping as static pushdown; exactness
+  // never depends on it (rows are still join-filtered). Partitioned
+  // scans advertise NO filterable attributes: their key-grouped layout
+  // report must stay stable through planning (the SPJ contract), and
+  // their files are already value-pruned statically.
+  @volatile private var runtimeKept: Seq[ManifestTable.FileEntry] = kept
+  // attributes resolve against the scan OUTPUT — advertise only the
+  // pruned projection's columns
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (partCols.nonEmpty) Array.empty
+    else pruned.fieldNames.map(Expressions.column)
+  override def filter(
+      predicates: Array[
+        org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    val v1 = predicates.flatMap(GTabRuntime.toV1)
+      .filter(GTabSkip.usable(_, manifest.schema))
+    if (v1.nonEmpty) {
+      runtimeKept = runtimeKept.filter(
+        GTabSkip.keep(_, v1.toSeq, manifest.schema))
+      // seam records against the STATIC baseline: Spark may deliver the
+      // runtime predicates over several filter() calls
+      GTabRuntime.lastPrune = (kept.size, runtimeKept.size)
+    }
+  }
 
   // partitioned layout: kept files grouped by their partition value
   // TUPLE (codec encodings — distinct strings ⇔ distinct values for the
@@ -1815,8 +1908,8 @@ private[sources] class GTabScan(path: String,
             ManifestTable.decodePartValue(e, dt) })): InputPartition
       }.toArray
     } else
-      kept.map(f => ManifestTable.partitionOf(path, f): InputPartition)
-        .toArray
+      runtimeKept.map(f =>
+        ManifestTable.partitionOf(path, f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new GTabReaderFactory(manifest.schema, pruned, confMap)
   override def toMicroBatchStream(checkpointLocation: String)
