@@ -228,6 +228,25 @@ class CatalogSpec extends AnyFunSuite {
       .as[Long].head() == 0)
   }
 
+  test("streaming read through the catalog: readStream.table tails commits") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.st (id BIGINT)")
+    spark.range(10).createOrReplaceTempView("st_src")
+    spark.sql(s"INSERT INTO $cat.db.st SELECT * FROM st_src")
+    val q = spark.readStream.table(s"$cat.db.st")
+      .writeStream.format("memory").queryName("cat_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_cat_cp").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cat_stream").count() == 10)
+      spark.sql(s"INSERT INTO $cat.db.st SELECT id + 100 FROM st_src")
+      q.processAllAvailable()
+      assert(spark.table("cat_stream").count() == 20)
+    } finally q.stop()
+  }
+
   test("RENAME and DROP; pinned references refuse writes") {
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
     spark.sql(s"CREATE TABLE $cat.db.rn (id BIGINT)")
