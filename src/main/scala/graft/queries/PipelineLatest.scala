@@ -858,6 +858,67 @@ object PipelineLatest {
       Some(
         """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
           |FROM customer WHERE c_mktsegment <> 'BUILDING'
+          |ORDER BY c_custkey""".stripMargin)),
+
+    // --- SQL MERGE INTO (q102): q88's upsert through the catalog's
+    //     SupportsRowLevelOperations surface — the group-based COW
+    //     rewrite (runtime group filtering + zone-map pruning localize
+    //     the rewrite; the replace commit swaps exactly the scanned
+    //     files, snapshot-validated). The oracle is q88's VERBATIM:
+    //     SQL MERGE must be indistinguishable from CowOps.merge.
+    //     RowLevelSpec pins file-level locality, layout preservation,
+    //     and the typed concurrent-commit conflict. ---
+    QueryDef(
+      "q102_sql_merge",
+      (s, dir) => StorageLayout.q102SqlMerge(s, dir)(),
+      Some(
+        """WITH ins AS (SELECT * FROM (VALUES
+          |    (1000000000, 'new-0', 0, 0.0, 'MACHINERY'),
+          |    (1000000001, 'new-1', 1, 0.0, 'MACHINERY'),
+          |    (1000000002, 'new-2', 2, 0.0, 'MACHINERY'))
+          |  t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)),
+          |merged AS (
+          |  SELECT c_custkey, 'upd-' || c_name AS c_name, c_nationkey,
+          |    c_acctbal + 1000.0::DOUBLE AS c_acctbal, c_mktsegment
+          |  FROM customer WHERE c_custkey % 10 = 0
+          |  UNION ALL
+          |  SELECT CAST(c_custkey AS BIGINT), c_name,
+          |    CAST(c_nationkey AS INT), CAST(c_acctbal AS DOUBLE),
+          |    c_mktsegment FROM ins
+          |  UNION ALL
+          |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+          |  FROM customer WHERE c_custkey % 10 <> 0)
+          |SELECT * FROM merged ORDER BY c_custkey""".stripMargin)),
+
+    // --- SQL UPDATE (q103): expression assignments over a predicate
+    //     through the same group-based rewrite; the oracle recomputes
+    //     the update as a CASE projection. ---
+    QueryDef(
+      "q103_sql_update",
+      (s, dir) => StorageLayout.q103SqlUpdate(s, dir)(),
+      Some(
+        """SELECT c_custkey,
+          |  CASE WHEN c_mktsegment = 'BUILDING'
+          |    THEN 'upd-' || c_name ELSE c_name END AS c_name,
+          |  c_nationkey,
+          |  CASE WHEN c_mktsegment = 'BUILDING'
+          |    THEN c_acctbal + 100.0::DOUBLE ELSE c_acctbal END
+          |    AS c_acctbal,
+          |  c_mktsegment
+          |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // --- atomic CTAS (q104): CREATE TABLE ... PARTITIONED BY ... AS
+    //     SELECT through StagingTableCatalog — the table exists only
+    //     after the atomic publish (CtasSpec pins the failed-select
+    //     path leaving nothing behind); the read is a partition-pruned
+    //     scan of the created table, the oracle the same filter on the
+    //     base table. ---
+    QueryDef(
+      "q104_ctas",
+      (s, dir) => StorageLayout.q104Ctas(s, dir)(),
+      Some(
+        """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+          |FROM customer WHERE c_mktsegment = 'BUILDING'
           |ORDER BY c_custkey""".stripMargin))
   )
 }

@@ -462,6 +462,97 @@ object StorageLayout {
                    |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Shared catalog bootstrap for the SQL-DML queries: a per-(tag, dir)
+    * GraftCatalog over a /tmp warehouse with the customer table loaded
+    * through INSERT INTO. Returns (catalog name, table dir).
+    */
+  private def catalogWithCustomer(s: SparkSession, dir: String,
+      tag: String): (String, String) = {
+    val wh = sink(tag, dir)
+    graft.sources.FsMeta.deleteRecursive(wh)
+    val cat = s"g${tag}_" + java.lang.Integer.toHexString(dir.hashCode)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"""CREATE TABLE $cat.cust (
+             |  c_custkey BIGINT, c_name STRING, c_nationkey INT,
+             |  c_acctbal DOUBLE, c_mktsegment STRING)""".stripMargin)
+    Tables.t(s, dir, "customer")
+      .createOrReplaceTempView(s"${tag}_src")
+    s.sql(s"""INSERT INTO $cat.cust
+             |SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+             |  c_mktsegment FROM ${tag}_src""".stripMargin)
+    (cat, s"$wh/cust")
+  }
+
+  /** q102: SQL `MERGE INTO` — q88's upsert driven entirely through the
+    * catalog's SupportsRowLevelOperations surface (group-based COW
+    * rewrite: Spark's runtime group filtering + the connector's zone
+    * maps localize the rewrite, the replace commit swaps exactly the
+    * scanned files). Shares q88's oracle VERBATIM: a merge through SQL
+    * must be indistinguishable from the Scala CowOps merge.
+    */
+  def q102SqlMerge(s: SparkSession, dir: String): () => DataFrame = {
+    val (cat, tdir) = catalogWithCustomer(s, dir, "q102")
+    mergeUpdates(s, Tables.t(s, dir, "customer"))
+      .createOrReplaceTempView("q102_upd")
+    val v0 = graft.sources.ManifestTable.readManifest(tdir).get.version
+    s.sql(s"""MERGE INTO $cat.cust t USING q102_upd u
+             |ON t.c_custkey = u.c_custkey
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // the merge is a versioned replace commit: time travel still reads
+    // the pre-merge table (in-build pin, same as q101's)
+    require(s.sql(s"SELECT count(*) FROM $cat.cust VERSION AS OF $v0")
+        .head().getLong(0) ==
+      s.sql(s"SELECT count(*) FROM $cat.cust").head().getLong(0) - 3,
+      "pre-merge snapshot must exclude exactly the 3 inserts")
+    () => s.sql(s"""SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                   |  c_mktsegment FROM $cat.cust
+                   |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** q103: SQL `UPDATE` — expression assignments over a predicate,
+    * through the same group-based COW rewrite. The oracle recomputes
+    * the update as a CASE projection over the base table.
+    */
+  def q103SqlUpdate(s: SparkSession, dir: String): () => DataFrame = {
+    val (cat, _) = catalogWithCustomer(s, dir, "q103")
+    s.sql(s"""UPDATE $cat.cust
+             |SET c_acctbal = c_acctbal + 100.0,
+             |    c_name = concat('upd-', c_name)
+             |WHERE c_mktsegment = 'BUILDING'""".stripMargin)
+    () => s.sql(s"""SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                   |  c_mktsegment FROM $cat.cust
+                   |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** q104: atomic CTAS — `CREATE TABLE ... PARTITIONED BY ... AS
+    * SELECT` through the StagingTableCatalog path (the table appears
+    * only at the atomic publish; a failed select leaves nothing —
+    * CtasSpec pins the failure side). The read is a partition-pruned
+    * scan of the created table; the oracle recomputes from the base
+    * table, so the staged write must be value-invisible.
+    */
+  def q104Ctas(s: SparkSession, dir: String): () => DataFrame = {
+    val wh = sink("q104", dir)
+    graft.sources.FsMeta.deleteRecursive(wh)
+    val cat = "gq104_" + java.lang.Integer.toHexString(dir.hashCode)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    Tables.t(s, dir, "customer").createOrReplaceTempView("q104_src")
+    s.sql(s"""CREATE TABLE $cat.cust PARTITIONED BY (c_mktsegment)
+             |AS SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+             |  c_mktsegment FROM q104_src""".stripMargin)
+    // the staged write rode the declared partitioned layout
+    val m = graft.sources.ManifestTable.readManifest(s"$wh/cust").get
+    require(graft.sources.ManifestTable.partitionColumnsOf(m) ==
+      Seq("c_mktsegment"), "CTAS must land partitioned")
+    () => s.sql(s"""SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                   |  c_mktsegment FROM $cat.cust
+                   |WHERE c_mktsegment = 'BUILDING'
+                   |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** Bench's storage group: name → build-once/read-thunk factory. */
   val benchPairs: Seq[(String, (SparkSession, String) => () => DataFrame)] =
     Seq(
@@ -480,5 +571,8 @@ object StorageLayout {
       "q98_partitioned_join" -> (q98PartitionedJoin _),
       "q99_wap_publish" -> (q99WapPublish _),
       "q100_wap_merge" -> (q100WapMerge _),
-      "q101_catalog_sql" -> (q101CatalogSql _))
+      "q101_catalog_sql" -> (q101CatalogSql _),
+      "q102_sql_merge" -> (q102SqlMerge _),
+      "q103_sql_update" -> (q103SqlUpdate _),
+      "q104_ctas" -> (q104Ctas _))
 }

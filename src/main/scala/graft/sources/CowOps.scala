@@ -173,7 +173,7 @@ object CowOps {
     * own bloom-localized affected set would degrade permanently after
     * the first rewrite.
     */
-  private def bloomConfig(
+  private[sources] def bloomConfig(
       m: ManifestTable.Manifest): (Seq[String], Option[Int]) = {
     val cols = m.files.flatMap(_.stats.keys)
       .filter(_.startsWith(GTabBloom.KeyPrefix))
@@ -184,6 +184,18 @@ object CowOps {
     } yield GTabBloom.decode(b64).length * 64).maxOption
     (cols, bits)
   }
+
+  /** The table's NDV-sketch configuration, recovered like [[bloomConfig]]
+    * — rewrites pass it through so a COW merge/delete (or compaction)
+    * does not silently strip the column statistics the optimizer's join
+    * reordering runs on. Only columns still in the live schema count
+    * (a rename/drop may have retired the name).
+    */
+  private[sources] def ndvConfig(m: ManifestTable.Manifest): Seq[String] =
+    m.files.flatMap(_.stats.keys)
+      .filter(_.startsWith(ManifestTable.NdvPrefix))
+      .map(_.stripPrefix(ManifestTable.NdvPrefix))
+      .filter(m.schema.fieldNames.contains).distinct.sorted
 
   /** Shape a rewrite/insert row set before staging: range-partitioned
     * and sorted on the key into at most `nFiles` files. Without this,
@@ -210,7 +222,10 @@ object CowOps {
     val w0 = rows.write.format(Fmt).option("path", stage)
     val w1 = if (bloomCols.isEmpty) w0
       else w0.option("bloomColumns", bloomCols.mkString(","))
-    val w2 = bloomBits.fold(w1)(b => w1.option("bloomBits", b))
+    val w2a = bloomBits.fold(w1)(b => w1.option("bloomBits", b))
+    val ndvCols = ndvConfig(m)
+    val w2 = if (ndvCols.isEmpty) w2a
+      else w2a.option("ndvColumns", ndvCols.mkString(","))
     // partitioned table: staged rewrites keep the `#part:` layout (the
     // bloom-preservation move) — otherwise one COW merge/delete would
     // silently turn the storage-partitioned-join report off for good

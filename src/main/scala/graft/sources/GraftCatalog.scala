@@ -9,7 +9,8 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException,
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange,
   SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType,
+  StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** SQL catalog over manifest tables — the DDL/DML surface that makes the
@@ -39,7 +40,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * rewrite.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -65,6 +67,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     (warehouse +: ns).mkString("/")
   private def isTable(dir: String): Boolean =
     FsMeta.exists(ManifestTable.manifestPath(dir))
+  /** An in-flight (or crashed) CTAS/RTAS staging directory — carries a
+    * manifest but must never list as a table or namespace.
+    */
+  private def isStageDir(name: String): Boolean = name.contains(".stage-")
 
   // ---- tables ----
 
@@ -72,7 +78,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val d = dirOf(namespace.toSeq)
     if (!FsMeta.isDirectory(d)) throw new NoSuchNamespaceException(
       (catalogName +: namespace.toSeq).toArray)
-    FsMeta.listSubdirs(d).filter(n => isTable(s"$d/$n"))
+    FsMeta.listSubdirs(d).filter(n => !isStageDir(n) && isTable(s"$d/$n"))
       .map(n => Identifier.of(namespace, n)).toArray
   }
 
@@ -113,6 +119,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val c = t.references()(0).fieldNames.mkString(".")
         require(schema.fieldNames.contains(c),
           s"PARTITIONED BY names absent column '$c'")
+        // reject unsupported partition TYPES here, not at first INSERT:
+        // the write builder re-checks, but failing there would leave a
+        // created-yet-unwritable table behind (a DOUBLE partition column
+        // is rejected for the -0.0 == 0.0 codec-identity trap)
+        schema(c).dataType match {
+          case BooleanType | IntegerType | LongType | StringType =>
+          case other => throw new IllegalArgumentException(
+            s"PARTITIONED BY column '$c' is ${other.sql} — partition " +
+              "columns support boolean, int, bigint, string")
+        }
         c
       case other => throw new UnsupportedOperationException(
         s"graft tables support PARTITIONED BY identity columns, " +
@@ -124,31 +140,190 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GTable(dir, schema, declaredPart = partCols)
   }
 
-  /** Schema evolution in SQL: ADD COLUMN commits the evolved schema as
-    * the next manifest version (existing files read null for it — the
-    * reader's by-name resolution). Other changes are rejected loudly.
+  /** Schema evolution in SQL — all metadata-only, one atomic manifest
+    * publish each, each version's snapshot keeping its OWN schema:
+    *
+    *   - ADD COLUMN: existing files read null for it (by-name
+    *     resolution); re-adding a name a live file still carries is
+    *     rejected until a compaction purges the stale encoding.
+    *   - RENAME COLUMN: the schema field AND every file entry's column
+    *     list / stats keys rename together, so zone maps, blooms,
+    *     partition values and deletion vectors keep pruning under the
+    *     new name. The declared partition spec follows the rename.
+    *   - DROP COLUMN: removed from the schema only; data lines keep the
+    *     field (the reader never requests it). Partition columns must
+    *     be re-specced before they can be dropped.
+    *   - ALTER COLUMN TYPE: int → bigint widening only — the codec's
+    *     integer strings, zone maps, partition values, and bloom keys
+    *     are all identical across the two types, so the commit is pure
+    *     metadata; anything else would re-encode data files.
     */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val dir = dirOf(ident)
     val m = ManifestTable.readManifest(dir).getOrElse(
       throw new NoSuchTableException(ident))
+    def single(fieldNames: Array[String], what: String): String = {
+      require(fieldNames.length == 1, s"nested $what is not supported")
+      fieldNames(0)
+    }
+    var files: Seq[ManifestTable.FileEntry] => Seq[ManifestTable.FileEntry] =
+      identity
+    var newPartSpec: Option[Seq[String]] = None
     val newSchema = changes.foldLeft(m.schema) {
       case (s, add: TableChange.AddColumn) =>
-        require(add.fieldNames().length == 1,
-          "nested ADD COLUMN is not supported")
-        val name = add.fieldNames()(0)
+        val name = single(add.fieldNames(), "ADD COLUMN")
         require(!s.fieldNames.contains(name),
           s"column '$name' already exists")
+        require(!ManifestTable.liveFileCols(dir).contains(name),
+          s"column '$name' was dropped but live files still carry it — " +
+            "compact the table first or use a new name")
         val next = s.add(name, add.dataType(), nullable = true)
         ManifestTable.checkSupported(next)
         next
+      case (s, rn: TableChange.RenameColumn) =>
+        val from = single(rn.fieldNames(), "RENAME COLUMN")
+        val to = rn.newName()
+        require(s.fieldNames.contains(from), s"no column '$from'")
+        require(!s.fieldNames.contains(to),
+          s"column '$to' already exists")
+        require(!ManifestTable.liveFileCols(dir).contains(to),
+          s"column '$to' was dropped but live files still carry it — " +
+            "compact the table first or use a new name")
+        val ren = renameInEntries(from, to)
+        val prevFiles = files
+        files = fs => ren(prevFiles(fs))
+        val pcols = newPartSpec.getOrElse(TblMeta.partitionCols(dir))
+        if (pcols.contains(from))
+          newPartSpec = Some(pcols.map(c => if (c == from) to else c))
+        StructType(s.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f))
+      case (s, del: TableChange.DeleteColumn) =>
+        val name = single(del.fieldNames(), "DROP COLUMN")
+        require(s.fieldNames.contains(name), s"no column '$name'")
+        require(s.fields.length > 1, "cannot drop the last column")
+        require(!TblMeta.partitionCols(dir).contains(name),
+          s"'$name' is a partition column — change the partition spec " +
+            "before dropping it")
+        StructType(s.fields.filterNot(_.name == name))
+      case (s, up: TableChange.UpdateColumnType) =>
+        val name = single(up.fieldNames(), "ALTER COLUMN TYPE")
+        val f = s.fields.find(_.name == name).getOrElse(
+          throw new IllegalArgumentException(s"no column '$name'"))
+        require(f.dataType == IntegerType &&
+            up.newDataType() == LongType,
+          s"only int -> bigint widening is supported, got " +
+            s"${f.dataType.sql} -> ${up.newDataType().sql}")
+        StructType(s.fields.map(x =>
+          if (x.name == name) x.copy(dataType = LongType) else x))
       case (_, other) => throw new UnsupportedOperationException(
-        s"unsupported ALTER TABLE change: $other (supported: ADD COLUMN)")
+        s"unsupported ALTER TABLE change: $other (supported: ADD / " +
+          "RENAME / DROP COLUMN, ALTER COLUMN TYPE int -> bigint)")
     }
-    ManifestTable.commitVersion(dir, newSchema, Nil, keepPrevious = true)
+    ManifestTable.commitSchema(dir, newSchema, files)
+    // the declared partition spec follows a partition-column rename —
+    // written only AFTER the schema commit wins its CAS
+    newPartSpec.foreach(TblMeta.write(dir, _))
     new GTable(dir, newSchema, declaredPart = TblMeta.partitionCols(dir))
   }
+
+  /** Rename `from` → `to` through a file entry's metadata: the column
+    * list and every stats key namespace (`c`, `#bloom:c`, `#part:c`,
+    * `#dv:c`) — what keeps skipping exact across a rename.
+    */
+  private def renameInEntries(from: String, to: String)
+      : Seq[ManifestTable.FileEntry] => Seq[ManifestTable.FileEntry] = {
+    def key(k: String): String = k match {
+      case `from` => to
+      case _ if k.startsWith("#") && k.indexOf(':') > 0 =>
+        val i = k.indexOf(':')
+        if (k.substring(i + 1) == from) k.substring(0, i + 1) + to else k
+      case _ => k
+    }
+    fs => fs.map(f => f.copy(
+      cols = f.cols.map(c => if (c == from) to else c),
+      stats = f.stats.map { case (k, v) => key(k) -> v }))
+  }
+
+  // ---- atomic CTAS / RTAS (StagingTableCatalog) ----
+  // `CREATE TABLE ... AS SELECT` through a non-staging catalog is
+  // create-then-insert: a failed insert leaves an empty table behind.
+  // Here the whole table stages under a sibling directory the catalog
+  // never lists (`<name>.stage-<uuid>` has no namespace entry until
+  // commit); commitStagedChanges publishes it — a directory rename for
+  // CREATE (create-once, so two racing CTAS resolve to one winner), a
+  // file adoption + overwrite manifest publish for REPLACE (readers of
+  // the old table switch atomically at the pointer swap, and time
+  // travel keeps the pre-replace versions). Abort (or a crash — the
+  // stage dir is invisible garbage) leaves NO table behind.
+
+  private def validatedPartCols(schema: StructType,
+      partitions: Array[Transform]): Seq[String] =
+    partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        val c = t.references()(0).fieldNames.mkString(".")
+        require(schema.fieldNames.contains(c),
+          s"PARTITIONED BY names absent column '$c'")
+        schema(c).dataType match {
+          case BooleanType | IntegerType | LongType | StringType =>
+          case other => throw new IllegalArgumentException(
+            s"PARTITIONED BY column '$c' is ${other.sql} — partition " +
+              "columns support boolean, int, bigint, string")
+        }
+        c
+      case other => throw new UnsupportedOperationException(
+        s"graft tables support PARTITIONED BY identity columns, " +
+          s"got $other")
+    }
+
+  private def stage(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], replace: Boolean,
+      orCreate: Boolean): org.apache.spark.sql.connector.catalog.StagedTable = {
+    val dir = dirOf(ident)
+    if (!replace && isTable(dir)) throw new TableAlreadyExistsException(ident)
+    if (replace && !orCreate && !isTable(dir))
+      throw new NoSuchTableException(ident)
+    ManifestTable.checkSupported(schema)
+    val partCols = validatedPartCols(schema, partitions)
+    FsMeta.mkdirs(dirOf(ident.namespace().toSeq))
+    val stageDir = dir + ".stage-" + java.util.UUID.randomUUID
+    FsMeta.mkdirs(stageDir)
+    ManifestTable.commitVersion(stageDir, schema, Nil, keepPrevious = false)
+    if (partCols.nonEmpty) TblMeta.write(stageDir, partCols)
+    new GStagedTable(stageDir, dir, schema, partCols, replace, ident)
+  }
+
+  // graft columns carry no defaults/generation — name/type/nullability
+  // is the whole contract (checkSupported rejects exotic types anyway)
+  private def toStructType(
+      columns: Array[org.apache.spark.sql.connector.catalog.Column])
+      : StructType =
+    StructType(columns.map(c => org.apache.spark.sql.types
+      .StructField(c.name(), c.dataType(), c.nullable())))
+
+  override def stageCreate(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, toStructType(columns), partitions,
+      replace = false, orCreate = false)
+
+  override def stageReplace(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, toStructType(columns), partitions,
+      replace = true, orCreate = false)
+
+  override def stageCreateOrReplace(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, toStructType(columns), partitions,
+      replace = true, orCreate = true)
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)
@@ -169,7 +344,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def listNamespaces(): Array[Array[String]] =
     FsMeta.listSubdirs(warehouse)
-      .filterNot(n => isTable(s"$warehouse/$n"))
+      .filterNot(n => isStageDir(n) || isTable(s"$warehouse/$n"))
       .map(n => Array(n)).toArray
 
   override def listNamespaces(namespace: Array[String])
@@ -177,7 +352,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val d = dirOf(namespace.toSeq)
     if (!FsMeta.isDirectory(d)) throw new NoSuchNamespaceException(
       (catalogName +: namespace.toSeq).toArray)
-    FsMeta.listSubdirs(d).filterNot(n => isTable(s"$d/$n"))
+    FsMeta.listSubdirs(d).filterNot(n => isStageDir(n) || isTable(s"$d/$n"))
       .map(n => namespace :+ n).toArray
   }
 
@@ -210,6 +385,57 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       FsMeta.deleteRecursive(d); true
     }
   }
+}
+
+/** A staged CTAS/RTAS table: a full GTable living in an unlisted
+  * staging directory — the AS-SELECT insert runs through the connector's
+  * normal write path against it. Commit publishes atomically:
+  *
+  *   - CREATE: one create-once directory rename (two racing CTAS on the
+  *     same name resolve to exactly one winner, the loser's stage is
+  *     cleaned and a typed TableAlreadyExists surfaces);
+  *   - REPLACE: staged data files ADOPT into the live directory under
+  *     their collision-free names, then one overwrite manifest publish
+  *     swaps the table contents — in-flight readers keep their version,
+  *     time travel keeps the pre-replace history (rollback-able), and
+  *     the old files await expire+vacuum like any overwrite.
+  *
+  * Abort deletes the staging directory; a crash before commit leaves
+  * only the unlisted stage dir (never a half-created table).
+  */
+private[sources] class GStagedTable(stageDir: String, dir: String,
+    schema0: StructType, partCols: Seq[String], replace: Boolean,
+    ident: Identifier)
+    extends GTable(stageDir, schema0, declaredPart = partCols)
+    with org.apache.spark.sql.connector.catalog.StagedTable {
+
+  override def commitStagedChanges(): Unit = {
+    if (!replace) {
+      if (!FsMeta.renameIfAbsent(stageDir, dir)) {
+        FsMeta.deleteRecursive(stageDir)
+        throw new TableAlreadyExistsException(ident)
+      }
+    } else {
+      val staged = ManifestTable.readManifest(stageDir).getOrElse(
+        throw new IllegalStateException(
+          s"staged table at $stageDir lost its manifest"))
+      staged.files.foreach { f =>
+        if (!FsMeta.renameIfAbsent(s"$stageDir/data/${f.name}",
+            s"$dir/data/${f.name}"))
+          throw new IllegalStateException(
+            s"staged file ${f.name} collides with an existing data file")
+      }
+      ManifestTable.commitVersion(dir, staged.schema, staged.files,
+        keepPrevious = false)
+      if (partCols.nonEmpty) TblMeta.write(dir, partCols)
+      else if (FsMeta.exists(s"$dir/_TBLMETA"))
+        TblMeta.write(dir, Nil)
+      FsMeta.deleteRecursive(stageDir)
+    }
+  }
+
+  override def abortStagedChanges(): Unit =
+    FsMeta.deleteRecursive(stageDir)
 }
 
 /** Catalog-declared table metadata that must survive every commit: a

@@ -37,7 +37,8 @@ private[sources] object GraftProcedures {
     else names.map(n => Identifier.of(Namespace, n)).toArray
 
   private val names = Seq("compact", "vacuum", "expire_snapshots",
-    "rollback", "create_branch", "fast_forward", "drop_branch", "history")
+    "rollback", "create_branch", "fast_forward", "drop_branch", "history",
+    "set_partition_spec")
 
   def load(warehouse: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace().sameElements(Namespace),
@@ -98,6 +99,36 @@ private[sources] object GraftProcedures {
           requireArg(in.getUTF8String(1), "name"))
         Seq(InternalRow(true))
       }
+      // PARTITION-SPEC EVOLUTION: change the DECLARED (write-side)
+      // partitioning without rewriting anything — existing files keep
+      // their recorded layout, subsequent INSERTs take the new spec
+      // (Iceberg's spec-evolution shape). A mixed table's whole-scan
+      // layout report degrades to unknown; a scan pruned to one spec's
+      // files regains key-grouping for what it reads. `columns` is
+      // comma-separated; '' clears the spec (plain appends thereafter).
+      case "set_partition_spec" => proc("set_partition_spec",
+        Seq(p("table", StringType), p("columns", StringType)),
+        StructType(Seq(StructField("columns", StringType)))) { in =>
+        val dir = dirOf(requireArg(in.getUTF8String(0), "table"))
+        val m = ManifestTable.readManifest(dir).getOrElse(
+          throw new IllegalArgumentException(
+            s"no committed manifest at $dir"))
+        val cols = requireArg(in.getUTF8String(1), "columns")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        cols.foreach { c =>
+          val f = m.schema.fields.find(_.name == c).getOrElse(
+            throw new IllegalArgumentException(
+              s"set_partition_spec names absent column '$c'"))
+          f.dataType match {
+            case BooleanType | IntegerType | LongType | StringType =>
+            case other => throw new IllegalArgumentException(
+              s"partition column '$c' is ${other.sql} — supported: " +
+                "boolean, int, bigint, string")
+          }
+        }
+        TblMeta.write(dir, cols)
+        Seq(InternalRow(UTF8String.fromString(cols.mkString(","))))
+      }
       case "history" => proc("history",
         Seq(p("table", StringType)),
         StructType(Seq(StructField("version", LongType),
@@ -127,6 +158,16 @@ private[sources] object GraftProcedures {
         override def isDeterministic: Boolean = false
         override def call(input: InternalRow)
             : java.util.Iterator[Scan] = {
+          // NULL sweep over EVERY parameter before any getter runs: a
+          // null string would NPE, but a null NUMERIC silently unboxes
+          // to 0 — `vacuum(..., grace_ms => NULL)` would run with a
+          // zero grace window and could reclaim another writer's
+          // just-staged uncommitted files. Same typed error for both.
+          params.indices.foreach { i =>
+            require(!input.isNullAt(i),
+              s"procedure argument '${params(i).name}' is required " +
+                "(got NULL)")
+          }
           val result = body(input).toArray
           java.util.List.of[Scan](new LocalScan {
             override def rows(): Array[InternalRow] = result
@@ -136,8 +177,8 @@ private[sources] object GraftProcedures {
       }
   }
 
-  /** A NULL procedure argument would NPE at getUTF8String — surface a
-    * typed message instead.
+  /** Belt-and-braces beneath the generic NULL sweep in [[proc]] (which
+    * guards every parameter, numeric included, before any getter runs).
     */
   private def requireArg(s: UTF8String, what: String): String = {
     require(s != null, s"procedure argument '$what' is required")

@@ -252,10 +252,16 @@ object ManifestTable {
 
   /** Delete a branch's pointer and snapshots. Its exclusively-written
     * data files become unreferenced and the next [[vacuum]] reclaims
-    * them (vacuum protects every live branch's references).
+    * them (vacuum protects every live branch's references). A missing
+    * branch is a typed error, not a silent no-op: a typo during WAP
+    * cleanup would otherwise leave the real branch alive — pinning its
+    * files against vacuum indefinitely — while the caller believes it
+    * was dropped.
     */
   def dropBranch(dir: String, name: String): Unit = {
     checkBranchName(name)
+    if (!FsMeta.exists(branchPath(dir, name)))
+      throw new IllegalArgumentException(s"no branch '$name' at $dir")
     FsMeta.listFiles(dir)
       .filter(n => n == BranchPrefix + name ||
         n.startsWith(BranchPrefix + name + ".v"))
@@ -399,6 +405,49 @@ object ManifestTable {
   private[sources] val DvPrefix = "#dv:"
   private[sources] def dvStatKey(col: String): String = DvPrefix + col
 
+  // ---- per-file NDV sketches (reserved `#ndv:<col>` stats key) ----
+  // A KMV (k-minimum-values) sketch per requested column per file: the
+  // k smallest 64-bit hashes of the column's distinct values, written
+  // by `.option("ndvColumns", "c1,c2")` (int/long/string — the bloom
+  // type set). Unlike an NDV *number*, the hash sets MERGE exactly
+  // across files (union, re-take k smallest), so the scan can report a
+  // table-level distinct count over any pruned file subset — which is
+  // what multi-table join REORDERING runs on (CBO's attributeStats):
+  // size alone cannot distinguish a 1M-row key column from a 1M-row
+  // 3-value flag column, NDV can. k=64 keeps the manifest line under
+  // ~700 base64 chars per column per file; the (k-1)/u_k estimator has
+  // ~1/sqrt(k-1) ≈ 13% relative error — cardinality-class accuracy,
+  // exactly what join ordering needs. Sub-k unions are EXACT (no file
+  // truncated its set). Same no-format-bump trick as `#bloom:`.
+  private[sources] val NdvPrefix = "#ndv:"
+  private[sources] def ndvStatKey(col: String): String = NdvPrefix + col
+  private[sources] val NdvK = 64
+
+  /** Merge per-file KMV hash sets into a distinct-count estimate; None
+    * when any kept file lacks the sketch (never guess from a partial
+    * census). Exact below k; (k-1)/u_k above it.
+    */
+  private[sources] def mergeNdv(files: Seq[FileEntry], col: String)
+      : Option[Long] = {
+    val key = ndvStatKey(col)
+    val per = files.map(_.stats.get(key))
+    if (files.isEmpty || per.exists(_.isEmpty)) return None
+    val ks = per.map(_.get._1.toIntOption.getOrElse(return None))
+    val k = ks.min
+    if (k < 2) return None
+    // flip the sign bit so natural Long order == unsigned hash order
+    val merged = per.flatMap(e => GTabBloom.decode(e.get._2))
+      .map(_ ^ Long.MinValue).distinct.sorted
+    if (merged.length < k) Some(merged.length.toLong)
+    else {
+      val kth = merged(k - 1) // flipped: unsigned rank order
+      // u in (0,1]: the k-th smallest hash as a fraction of the space
+      val u = (kth.toDouble - Long.MinValue.toDouble) / math.pow(2, 64)
+      if (u <= 0) None else Some(math.max(k.toLong,
+        math.round((k - 1).toDouble / u)))
+    }
+  }
+
   // ---- per-file byte size (reserved `#sz` stats key) ----
   // The writer records each data file's exact byte count in its manifest
   // entry (the `#bloom:`/`#dv:` trick — no format bump, older readers see
@@ -439,17 +488,40 @@ object ManifestTable {
     * unpartitioned append (or a rewrite that dropped the keys) simply
     * turns the layout report off; correctness never depended on it.
     */
-  private[graft] def partitionColumnsOf(m: Manifest): Seq[String] = {
-    if (m.files.isEmpty) return Nil
-    val keySets = m.files.map(_.stats.keySet.filter(_.startsWith(PartPrefix)))
+  private[graft] def partitionColumnsOf(m: Manifest): Seq[String] =
+    partitionColumnsOfFiles(m.files, m.schema)
+
+  /** Partition-spec EVOLUTION support: the layout derivation over an
+    * arbitrary file SUBSET. A re-specced table (set_partition_spec)
+    * holds files of several layouts — the whole-table report degrades
+    * (correctness never depended on it), but a scan whose pruning kept
+    * only one spec's files regains the key-grouped report for exactly
+    * what it reads (Iceberg's spec-evolution shape: old files keep
+    * their layout, new files take the new one).
+    */
+  private[graft] def partitionColumnsOfFiles(files: Seq[FileEntry],
+      schema: StructType): Seq[String] = {
+    if (files.isEmpty) return Nil
+    val keySets = files.map(_.stats.keySet.filter(_.startsWith(PartPrefix)))
     val head = keySets.head
     if (head.nonEmpty && keySets.forall(_ == head)) {
       val cols = head.map(_.stripPrefix(PartPrefix)).toSeq
-      if (cols.forall(m.schema.fieldNames.contains))
-        cols.sortBy(m.schema.fieldIndex)
+      if (cols.forall(schema.fieldNames.contains))
+        cols.sortBy(schema.fieldIndex)
       else Nil
     } else Nil
   }
+
+  /** Every partition column ANY file records, schema-resolved — the
+    * superset used for pushdown USABILITY on mixed-spec tables: the
+    * per-file partKeep check is conservative for files lacking the key,
+    * so value-pruning on a retired or not-yet-universal spec is safe
+    * and prunes exactly the files that do carry it.
+    */
+  private[graft] def anyPartitionColumns(m: Manifest): Seq[String] =
+    m.files.flatMap(_.stats.keys.filter(_.startsWith(PartPrefix)))
+      .map(_.stripPrefix(PartPrefix)).distinct
+      .filter(m.schema.fieldNames.contains)
 
   /** Decode one `#part:` value from its codec form. */
   private[sources] def decodePartValue(enc: String, dt: DataType): Any =
@@ -715,13 +787,18 @@ object ManifestTable {
     * (the current version always survives). Expired versions stop being
     * time-travelable, and their exclusively-referenced data files become
     * reclaimable by the next [[vacuum]]. Returns the versions expired.
+    * `ref` names a branch to expire THAT namespace's snapshot chain
+    * instead of main's (the branch head, like main's pointer, always
+    * survives).
     */
-  def expireSnapshots(dir: String, keepLast: Int): Seq[Long] = {
+  def expireSnapshots(dir: String, keepLast: Int,
+      ref: String = ""): Seq[Long] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
-    val cur = readManifest(dir).map(_.version).getOrElse(return Seq.empty)
+    val cur = readManifest(dir, ref).map(_.version)
+      .getOrElse(return Seq.empty)
     val cutoff = cur - keepLast + 1
-    snapshotVersions(dir).filter(v => v < cutoff && v != cur).map { v =>
-      FsMeta.deleteRecursive(snapshotPath(dir, v)); v
+    snapshotVersions(dir, ref).filter(v => v < cutoff && v != cur).map { v =>
+      FsMeta.deleteRecursive(snapshotPath(dir, v, ref)); v
     }
   }
 
@@ -778,6 +855,18 @@ object ManifestTable {
         if (keepPrevious) prev.map(p => evolve(p.schema, schema))
           .getOrElse(schema)
         else schema
+      // a column this append ADDS must not collide with one a live file
+      // still physically carries (a DROP COLUMN's leftover): the reader
+      // resolves by name, so it would parse the stale encoding under
+      // the new column's type
+      if (keepPrevious) prev.foreach { p =>
+        val addedCols = published.fieldNames.toSet -- p.schema.fieldNames
+        val clash = addedCols.intersect(p.files.flatMap(_.cols).toSet)
+        require(clash.isEmpty,
+          s"column(s) ${clash.mkString(", ")} were dropped but live " +
+            "files still carry them — compact the table first or use " +
+            "a new name")
+      }
       val base = if (keepPrevious) prev.map(_.files).getOrElse(Nil) else Nil
       try {
         publish(dir, Manifest(prev.map(_.version + 1).getOrElse(1L),
@@ -793,6 +882,47 @@ object ManifestTable {
       }
     }
   }
+
+  /** Publish the next version with an EXPLICIT schema and a metadata
+    * transformation of the file entries — the commit primitive of the
+    * ALTER TABLE family (RENAME/DROP COLUMN, type widening): zero data
+    * files are touched, the change is one atomic manifest publish, and
+    * time travel keeps returning each version's own schema. Unlike
+    * [[commitVersion]] (whose evolve() unions schemas — right for
+    * appends, wrong for DDL that must REMOVE or REWRITE schema parts),
+    * the caller's schema is published verbatim. Bounded CAS retry, like
+    * every append-safe commit.
+    */
+  private[graft] def commitSchema(dir: String, newSchema: StructType,
+      mapFiles: Seq[FileEntry] => Seq[FileEntry] = identity): Long = {
+    var attempts = 0
+    while (true) {
+      val cur = readManifest(dir).getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed manifest at $dir"))
+      val next = cur.version + 1
+      try {
+        publish(dir, Manifest(next, newSchema, mapFiles(cur.files),
+          cur.epoch, cur.base))
+        return next
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempts += 1
+          if (attempts >= 5) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Live-file column-name census: which column names do the CURRENT
+    * manifest's files still physically carry? DDL guards use it — a
+    * DROPPED column's data lines remain in place until a compaction
+    * rewrites them, so re-ADDing the same name (possibly with another
+    * type) would make readers parse stale encodings under the new type.
+    */
+  private[graft] def liveFileCols(dir: String): Set[String] =
+    readManifest(dir).map(_.files.flatMap(_.cols).toSet)
+      .getOrElse(Set.empty)
 
   /** Publish the next version with `removeNames` dropped from the file
     * list and `added` appended — the commit primitive of the
@@ -871,10 +1001,27 @@ object ManifestTable {
           clusterBy.map(org.apache.spark.sql.functions.col): _*)
         .sortWithinPartitions(
           clusterBy.map(org.apache.spark.sql.functions.col): _*)
+    // the rewrite preserves the table's bloom and NDV-sketch
+    // configuration (CowOps' rule for staged rewrites, applied here
+    // too): a maintenance compaction must not silently strip the
+    // skipping structures or the optimizer statistics — only columns
+    // still in the live schema carry over (a DROP COLUMN relies on
+    // compaction to purge the retired name)
+    val (bloomCols, bloomBits) = CowOps.bloomConfig(m0)
+    val liveBloomCols = bloomCols.filter(m0.schema.fieldNames.contains)
+    val ndvCols = CowOps.ndvConfig(m0)
     val w0 = shaped.write.format("graft.sources.ManifestTable")
       .option("path", dir)
-    (if (keepPart) w0.option("partitionColumn", pcols.mkString(","))
-     else w0).mode("overwrite").save()
+    val w1 = if (keepPart) w0.option("partitionColumn", pcols.mkString(","))
+      else w0
+    val w2 = if (liveBloomCols.isEmpty) w1
+      else bloomBits.fold(
+        w1.option("bloomColumns", liveBloomCols.mkString(",")))(b =>
+        w1.option("bloomColumns", liveBloomCols.mkString(","))
+          .option("bloomBits", b))
+    val w = if (ndvCols.isEmpty) w2
+      else w2.option("ndvColumns", ndvCols.mkString(","))
+    w.mode("overwrite").save()
     (before, readManifest(dir).get.files.size)
   }
 
@@ -893,13 +1040,23 @@ object ManifestTable {
     * permanent snapshot protects its files forever and vacuum alone
     * reclaims only uncommitted stragglers — fine for audit tables,
     * a disk leak on a streaming sink committing every epoch.
+    *
+    * `keepLast` applies to every LIVE BRANCH's snapshot chain too (each
+    * branch keeps its own most-recent `keepLast` versions; the branch
+    * head always survives) — otherwise one long-lived branch on a
+    * streaming table would pin every version it ever committed and
+    * periodic vacuum would reclaim nothing. A branch's retained
+    * versions still protect their files until the branch is dropped or
+    * fast-forwarded.
     */
   def vacuum(dir: String, graceMs: Long = 3600000L,
       keepLast: Int = Int.MaxValue): Seq[String] = {
     expireSnapshots(dir, keepLast)
-    // every LIVE branch's whole snapshot chain protects its files too:
-    // an audit branch's staged data must survive a main-side vacuum
-    // until the branch is dropped or fast-forwarded
+    if (keepLast != Int.MaxValue)
+      branches(dir).foreach(b => expireSnapshots(dir, keepLast, b))
+    // every LIVE branch's RETAINED snapshot chain protects its files
+    // too: an audit branch's staged data must survive a main-side
+    // vacuum until the branch is dropped or fast-forwarded
     val branchRefs = branches(dir).flatMap { b =>
       readManifest(dir, b).toSeq ++
         snapshotVersions(dir, b).map(readManifestAsOf(dir, _, b))
@@ -950,6 +1107,17 @@ object ManifestTable {
     b.toString
   }
 
+  /** Reserved METADATA column: the data file path a row came from
+    * (Iceberg/Delta's `_file` shape), exposed via SupportsMetadataColumns
+    * — `SELECT _file, * FROM t` works, and it is what makes the
+    * row-level operation API safe on this connector: declaring a
+    * required metadata attribute makes Spark's ReplaceData apply its
+    * row projection before handing rows to the writer (the
+    * metadata-less group-based path ships rows WITH the internal
+    * `__row_operation` column — measured on 4.1, not assumed).
+    */
+  val FileMetaCol = "_file"
+
   private[sources] def checkSupported(schema: StructType): Unit =
     schema.fields.foreach { f =>
       f.dataType match {
@@ -966,9 +1134,25 @@ private[sources] class GTable(path: String, schema0: StructType,
     travelVersion: Option[Long] = None,
     travelBranch: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"gtab($path)"
   override def schema(): StructType = schema0
+
+  /** `_file` — the data file a row lives in (see
+    * [[ManifestTable.FileMetaCol]]). Nullable: Spark nullifies metadata
+    * on updated rows inside row-level rewrites.
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = ManifestTable.FileMetaCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        StringType
+      override def isNullable: Boolean = true
+      override def comment(): String = "data file path of the row"
+    })
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
@@ -983,6 +1167,21 @@ private[sources] class GTable(path: String, schema0: StructType,
       filters.forall(GTabDelete.translatable(_, schema0))
   override def deleteWhere(filters: Array[Filter]): Unit =
     GTabDelete.run(org.apache.spark.sql.SparkSession.active, path, filters)
+
+  /** SQL `UPDATE` / `MERGE INTO` / non-translatable `DELETE` — the
+    * group-based (copy-on-write) row-level rewrite ([[GTabRowLevelOperation]]).
+    * Translatable DELETEs are rewritten BACK to the metadata path by
+    * Spark's OptimizeMetadataOnlyDeleteFromTable, so [[GTabDelete]]'s
+    * fast path is unaffected by this surface existing.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(travelVersion.isEmpty && travelBranch.isEmpty,
+      "cannot run row-level DML through a version- or branch-pinned " +
+        "table reference")
+    () => new GTabRowLevelOperation(path, info.command())
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GTabScanBuilder(path,
@@ -1031,15 +1230,28 @@ private[sources] class GTable(path: String, schema0: StructType,
             "Spark normalizes -0.0 == 0.0, their codec strings differ)")
       }
     }
+    val ndvCols = Option(opts.get("ndvColumns"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    ndvCols.foreach { c =>
+      val f = info.schema().fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"ndvColumns names absent column '$c'"))
+      require(GTabBloom.supported(f.dataType),
+        s"ndvColumns: '$c' is ${f.dataType.sql} — NDV sketches support " +
+          "int/long/string")
+    }
     new GTabWriteBuilder(path, info.schema(), info.queryId(), bloomCols,
-      bloomBits, partCols, Option(opts.get("branch")).getOrElse(""))
+      bloomBits, partCols, Option(opts.get("branch")).getOrElse(""),
+      ndvCols)
   }
 }
 
 private[sources] class GTabWriteBuilder(path: String, schema: StructType,
     queryId: String, bloomCols: Seq[String] = Seq.empty,
     bloomBits: Int = GTabBloom.DefaultBits,
-    partCols: Seq[String] = Nil, ref: String = "")
+    partCols: Seq[String] = Nil, ref: String = "",
+    ndvCols: Seq[String] = Seq.empty)
     extends WriteBuilder with SupportsTruncate {
   private var keepPrevious = true
   override def truncate(): WriteBuilder = { keepPrevious = false; this }
@@ -1062,10 +1274,10 @@ private[sources] class GTabWriteBuilder(path: String, schema: StructType,
         SortDirection.ASCENDING)).toArray
     override def toBatch: BatchWrite =
       new GTabBatchWrite(path, schema, queryId, keepPrevious, bloomCols,
-        bloomBits, partCols, ref)
+        bloomBits, partCols, ref, ndvCols)
     override def toStreaming: StreamingWrite =
       new GTabStreamingWrite(path, schema, queryId, keepPrevious, bloomCols,
-        bloomBits, partCols, ref)
+        bloomBits, partCols, ref, ndvCols)
   }
 }
 
@@ -1081,12 +1293,13 @@ private[sources] class GTabStreamingWrite(path: String, schema: StructType,
     queryId: String, keepPrevious: Boolean,
     bloomCols: Seq[String] = Seq.empty,
     bloomBits: Int = GTabBloom.DefaultBits,
-    partCols: Seq[String] = Nil, ref: String = "")
+    partCols: Seq[String] = Nil, ref: String = "",
+    ndvCols: Seq[String] = Seq.empty)
     extends StreamingWrite {
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new GTabStreamingWriterFactory(path, schema, queryId, FsMeta.confAsMap(),
-      bloomCols, bloomBits, partCols)
+      bloomCols, bloomBits, partCols, ndvCols)
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
     ManifestTable.commitVersion(path, schema,
@@ -1102,7 +1315,7 @@ private[sources] class GTabStreamingWriterFactory(path: String,
     schema: StructType, queryId: String, confMap: Map[String, String],
     bloomCols: Seq[String] = Seq.empty,
     bloomBits: Int = GTabBloom.DefaultBits,
-    partCols: Seq[String] = Nil)
+    partCols: Seq[String] = Nil, ndvCols: Seq[String] = Seq.empty)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] = {
@@ -1110,7 +1323,7 @@ private[sources] class GTabStreamingWriterFactory(path: String,
     confMap.foreach { case (k, v) => conf.set(k, v) }
     GTabWriters.create(path, schema,
       s"part-e$epochId-$partitionId-$taskId-$queryId", conf,
-      bloomCols, bloomBits, partCols)
+      bloomCols, bloomBits, partCols, ndvCols)
   }
 }
 
@@ -1147,12 +1360,13 @@ private[sources] class GTabBatchWrite(path: String, schema: StructType,
     queryId: String, keepPrevious: Boolean,
     bloomCols: Seq[String] = Seq.empty,
     bloomBits: Int = GTabBloom.DefaultBits,
-    partCols: Seq[String] = Nil, ref: String = "")
+    partCols: Seq[String] = Nil, ref: String = "",
+    ndvCols: Seq[String] = Seq.empty)
     extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new GTabWriterFactory(path, schema, queryId, FsMeta.confAsMap(),
-      bloomCols, bloomBits, partCols)
+      bloomCols, bloomBits, partCols, ndvCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     ManifestTable.commitVersion(path, schema,
@@ -1167,7 +1381,8 @@ private[sources] class GTabWriterFactory(path: String, schema: StructType,
     queryId: String, confMap: Map[String, String],
     bloomCols: Seq[String] = Seq.empty,
     bloomBits: Int = GTabBloom.DefaultBits,
-    partCols: Seq[String] = Nil) extends DataWriterFactory {
+    partCols: Seq[String] = Nil, ndvCols: Seq[String] = Seq.empty)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] = {
     val conf = new Configuration(false)
@@ -1176,7 +1391,7 @@ private[sources] class GTabWriterFactory(path: String, schema: StructType,
     // only the attempt whose commit message reaches BatchWrite.commit is
     // ever listed (useCommitCoordinator guarantees one winner per partition)
     GTabWriters.create(path, schema, s"part-$partitionId-$taskId-$queryId",
-      conf, bloomCols, bloomBits, partCols)
+      conf, bloomCols, bloomBits, partCols, ndvCols)
   }
 }
 
@@ -1187,11 +1402,13 @@ private[sources] object GTabWriters {
     */
   def create(dir: String, schema: StructType, stem: String,
       conf: Configuration, bloomCols: Seq[String], bloomBits: Int,
-      partCols: Seq[String]): DataWriter[InternalRow] =
+      partCols: Seq[String], ndvCols: Seq[String] = Seq.empty)
+      : DataWriter[InternalRow] =
     if (partCols.isEmpty)
-      new GTabWriter(dir, schema, s"$stem.gtab", conf, bloomCols, bloomBits)
+      new GTabWriter(dir, schema, s"$stem.gtab", conf, bloomCols, bloomBits,
+        ndvCols = ndvCols)
     else new GTabPartitionedWriter(dir, schema, stem, conf,
-      bloomCols, bloomBits, partCols)
+      bloomCols, bloomBits, partCols, ndvCols)
 }
 
 /** Rolls one [[GTabWriter]] segment per run of equal partition-column
@@ -1202,7 +1419,8 @@ private[sources] object GTabWriters {
   */
 private[sources] class GTabPartitionedWriter(dir: String,
     schema: StructType, stem: String, conf: Configuration,
-    bloomCols: Seq[String], bloomBits: Int, partCols: Seq[String])
+    bloomCols: Seq[String], bloomBits: Int, partCols: Seq[String],
+    ndvCols: Seq[String] = Seq.empty)
     extends DataWriter[InternalRow] {
   private val encs: Seq[InternalRow => String] = partCols.map { c =>
     val ix = schema.fieldIndex(c)
@@ -1231,7 +1449,8 @@ private[sources] class GTabPartitionedWriter(dir: String,
       cur = new GTabWriter(dir, schema, s"$stem-s$seq.gtab", conf,
         bloomCols, bloomBits,
         extraStats = partCols.zip(k).map { case (c, e) =>
-          ManifestTable.partStatKey(c) -> (e, "") }.toMap)
+          ManifestTable.partStatKey(c) -> (e, "") }.toMap,
+        ndvCols = ndvCols)
       seq += 1
     }
     cur.write(row)
@@ -1256,7 +1475,8 @@ private[sources] class GTabWriter(dir: String, schema: StructType,
     fileName: String, conf: Configuration,
     bloomCols: Seq[String] = Seq.empty,
     bloomBits: Int = GTabBloom.DefaultBits,
-    extraStats: Map[String, (String, String)] = Map.empty)
+    extraStats: Map[String, (String, String)] = Map.empty,
+    ndvCols: Seq[String] = Seq.empty)
     extends DataWriter[InternalRow] {
   private val filePath = new HPath(s"$dir/data/$fileName")
   private val fs = filePath.getFileSystem(conf)
@@ -1319,7 +1539,46 @@ private[sources] class GTabWriter(dir: String, schema: StructType,
     }.toMap ++ bloomIx.indices.map { j =>
       GTabBloom.statKey(bloomCols(j)) ->
         (GTabBloom.NumHashes.toString, GTabBloom.encode(bloomWords(j)))
+    } ++ ndvIx.indices.map { j =>
+      val hs = new Array[Long](ndvSets(j).size)
+      val it = ndvSets(j).iterator()
+      var i = 0
+      while (it.hasNext) { hs(i) = it.next().longValue ^ Long.MinValue
+        i += 1 }
+      ManifestTable.ndvStatKey(ndvCols(j)) ->
+        (ManifestTable.NdvK.toString, GTabBloom.encode(hs))
     }
+
+  // per-file KMV NDV sketches (ManifestTable.NdvPrefix scaladoc): the k
+  // smallest distinct hashes, kept in a TreeSet over SIGN-FLIPPED values
+  // so natural order == unsigned hash order; nulls don't count (NDV is
+  // a non-null distinct count, matching Spark's ColumnStat semantics)
+  private val ndvIx: Array[Int] =
+    ndvCols.map(c => schema.fieldIndex(c)).toArray
+  private val ndvSets: Array[java.util.TreeSet[java.lang.Long]] =
+    ndvIx.map(_ => new java.util.TreeSet[java.lang.Long]())
+  private def trackNdv(row: InternalRow): Unit = {
+    var j = 0
+    while (j < ndvIx.length) {
+      val i = ndvIx(j)
+      if (!row.isNullAt(i)) {
+        val h = schema.fields(i).dataType match {
+          case IntegerType =>
+            graft.functions.BloomUtil.mix64(row.getInt(i).toLong)
+          case LongType =>
+            graft.functions.BloomUtil.mix64(row.getLong(i))
+          case _ => GTabBloom.hashString(row.getUTF8String(i).toString)
+        }
+        val flipped = java.lang.Long.valueOf(h ^ Long.MinValue)
+        val s = ndvSets(j)
+        if (s.size < ManifestTable.NdvK) { s.add(flipped); () }
+        else if (flipped.longValue < s.last.longValue) {
+          if (s.add(flipped)) { s.pollLast(); () }
+        }
+      }
+      j += 1
+    }
+  }
 
   // per-file point-lookup blooms (GTabBloom scaladoc); nulls never set
   // bits — IsNull filters are not bloom-skippable
@@ -1366,6 +1625,7 @@ private[sources] class GTabWriter(dir: String, schema: StructType,
     bytes += b.length
     trackStats(row)
     trackBloom(row)
+    trackNdv(row)
     rows += 1
   }
   override def commit(): WriterCommitMessage = commitSegment()
@@ -1386,7 +1646,8 @@ private[sources] class GTabWriter(dir: String, schema: StructType,
 private[sources] class GTabScanBuilder(path: String, asOf: Option[Long],
     only: Option[Set[String]] = None,
     streamOpts: GTabStreamOpts = GTabStreamOpts(None, false),
-    ref: String = "")
+    ref: String = "",
+    onPlan: Option[(Long, Set[String]) => Unit] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
@@ -1430,8 +1691,11 @@ private[sources] class GTabScanBuilder(path: String, asOf: Option[Long],
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     sawFilters = filters.nonEmpty
+    // usability takes the UNION of specs any file records (partKeep is
+    // per-file conservative), so a spec-evolved table still value-prunes
+    // the files that carry the predicate's column as a partition key
     skipping = filters.filter(GTabSkip.usable(_, manifest.schema,
-      ManifestTable.partitionColumnsOf(manifest)))
+      ManifestTable.anyPartitionColumns(manifest)))
     filters
   }
   override def pushedFilters(): Array[Filter] = skipping
@@ -1460,7 +1724,7 @@ private[sources] class GTabScanBuilder(path: String, asOf: Option[Long],
   override def build(): Scan =
     if (pushedCount) new GTabCountScan(path, manifest)
     else new GTabScan(path, manifest, pruned, skipping, FsMeta.confAsMap(),
-      streamOpts, ref)
+      streamOpts, ref, onPlan)
 }
 
 /** Conservative zone-map evaluation: `keep` answers "could this file
@@ -1727,16 +1991,16 @@ private[sources] final case class GTabPartition(file: String, rows: Long,
     crc: Long, cols: Seq[String] = Nil,
     dvs: Seq[(String, Int)] = Nil) extends InputPartition
 
-/** Test seam: the last runtime-filter prune's (before, after) file
-  * counts — runtime pruning happens between optimization and execution,
-  * where no plan string can observe it. Plus the V2-Predicate → V1
-  * Filter conversion for the shapes runtime pruning pushes (IN /
-  * equality over a column and literals, AND/OR composites) — anything
-  * else converts to None and prunes nothing (conservative, as
-  * everywhere in the skipping stack).
+/** The V2-Predicate → V1 Filter conversion for the shapes runtime
+  * pruning pushes (IN / equality over a column and literals, AND/OR
+  * composites) — anything else converts to None and prunes nothing
+  * (conservative, as everywhere in the skipping stack). The prune
+  * OUTCOME is recorded per scan ([[GTabScan.lastPruneRecord]]): runtime
+  * pruning happens between optimization and execution, where no plan
+  * string can observe it, and a global record would let two concurrent
+  * scans clobber each other's counts.
   */
 private[graft] object GTabRuntime {
-  @volatile var lastPrune: (Int, Int) = (0, 0)
 
   import org.apache.spark.sql.connector.expressions.{Expression => V2Expr,
     Literal => V2Literal, NamedReference}
@@ -1796,11 +2060,12 @@ private[sources] final case class GTabGroupPartition(
   override def partitionKey(): InternalRow = key
 }
 
-private[sources] class GTabScan(path: String,
+private[graft] class GTabScan(path: String,
     manifest: ManifestTable.Manifest, pruned: StructType,
     skipping: Seq[Filter], confMap: Map[String, String],
     streamOpts: GTabStreamOpts = GTabStreamOpts(None, false),
-    ref: String = "")
+    ref: String = "",
+    onPlan: Option[(Long, Set[String]) => Unit] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -1820,6 +2085,12 @@ private[sources] class GTabScan(path: String,
   // report must stay stable through planning (the SPJ contract), and
   // their files are already value-pruned statically.
   @volatile private var runtimeKept: Seq[ManifestTable.FileEntry] = kept
+  // per-scan test seam: (static-kept, runtime-kept) file counts of THIS
+  // scan's last runtime prune — (0, 0) until filter() prunes something.
+  // Scoped to the scan instance (specs fish it out of the executed
+  // plan's BatchScanExec) so concurrent queries can't clobber it.
+  @volatile private var pruneRecord: (Int, Int) = (0, 0)
+  private[graft] def lastPruneRecord: (Int, Int) = pruneRecord
   // attributes resolve against the scan OUTPUT — advertise only the
   // pruned projection's columns
   override def filterAttributes()
@@ -1837,15 +2108,19 @@ private[sources] class GTabScan(path: String,
         GTabSkip.keep(_, v1.toSeq, manifest.schema))
       // seam records against the STATIC baseline: Spark may deliver the
       // runtime predicates over several filter() calls
-      GTabRuntime.lastPrune = (kept.size, runtimeKept.size)
+      pruneRecord = (kept.size, runtimeKept.size)
     }
   }
 
   // partitioned layout: kept files grouped by their partition value
   // TUPLE (codec encodings — distinct strings ⇔ distinct values for the
-  // admitted types), sorted for deterministic planning
+  // admitted types), sorted for deterministic planning. Derived from
+  // the KEPT subset, not the whole manifest: on a spec-evolved table
+  // (mixed layouts) a scan pruned to one spec's files regains the
+  // key-grouped report for exactly what it reads, and a mixed scan
+  // degrades to unknown — correctness never depends on the report.
   private val partCols: Seq[String] =
-    ManifestTable.partitionColumnsOf(manifest)
+    ManifestTable.partitionColumnsOfFiles(kept, manifest.schema)
   private val groups: Seq[(Seq[String], Seq[ManifestTable.FileEntry])] =
     if (partCols.isEmpty) Nil
     else {
@@ -1882,11 +2157,33 @@ private[sources] class GTabScan(path: String,
       .map(f => ManifestTable.colWidth(f.dataType)).sum)
     val raw = kept.map(ManifestTable.bytesOf(_, manifest.schema)).sum
     val scaled = (BigInt(raw) * prunedW / fullW).toLong
+    // column-level NDV from the per-file KMV sketches (merged EXACTLY
+    // over the kept files — post-pruning, like the row/byte counts):
+    // Spark's transformV2Stats turns these into attributeStats, which
+    // is what CBO join reordering over several gtabs keys on
+    val colStats = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    pruned.fieldNames.foreach { c =>
+      ManifestTable.mergeNdv(kept, c).foreach { ndv =>
+        val capped = math.min(ndv, math.max(1L, rows))
+        colStats.put(Expressions.column(c),
+          new org.apache.spark.sql.connector.read.colstats
+            .ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(capped)
+          })
+      }
+    }
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(math.max(1L, scaled))
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStats
     }
   }
   override def toBatch: Batch = this
@@ -1898,7 +2195,13 @@ private[sources] class GTabScan(path: String,
          s"groups=${groups.size} ") +
       s"SkippingFilters: ${skipping.mkString("[", ", ", "]")} " +
       s"ReadSchema: ${pruned.simpleString}"
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    // the row-level operation's affected-group handshake: record what
+    // this scan FINALLY plans (post static + runtime pruning) so the
+    // replace-commit swaps exactly these files; idempotent under AQE
+    onPlan.foreach(f => f(manifest.version,
+      (if (partCols.nonEmpty && groups.nonEmpty)
+        groups.flatMap(_._2) else runtimeKept).map(_.name).toSet))
     if (partCols.nonEmpty && groups.nonEmpty) {
       val dts = partCols.map(c =>
         manifest.schema.fields(manifest.schema.fieldIndex(c)).dataType)
@@ -1910,6 +2213,7 @@ private[sources] class GTabScan(path: String,
     } else
       runtimeKept.map(f =>
         ManifestTable.partitionOf(path, f): InputPartition).toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new GTabReaderFactory(manifest.schema, pruned, confMap)
   override def toMicroBatchStream(checkpointLocation: String)
@@ -2124,11 +2428,20 @@ private[sources] class GTabReader(p: GTabPartition, full: StructType,
 
   // field index in THIS FILE's layout for each pruned column; -1 = the
   // file predates (or omitted) the column -> constant null (schema
-  // evolution: resolution is by NAME, types come from the table schema)
+  // evolution: resolution is by NAME, types come from the table schema);
+  // -2 = the `_file` METADATA column -> constant file path (a DATA
+  // column of that name, if a file carries one, wins by indexOf)
   private val colIx: Array[Int] =
-    pruned.fieldNames.map(n => p.cols.indexOf(n))
+    pruned.fieldNames.map { n =>
+      val ix = p.cols.indexOf(n)
+      if (ix < 0 && n == ManifestTable.FileMetaCol &&
+        !full.fieldNames.contains(n)) -2
+      else ix
+    }
+  private val filePathUtf8 = UTF8String.fromString(p.file)
   private val parsers: Array[String => Any] = pruned.fieldNames.map { n =>
-    full.fields(full.fieldIndex(n)).dataType match {
+    if (!full.fieldNames.contains(n)) { (s: String) => s } // metadata col
+    else full.fields(full.fieldIndex(n)).dataType match {
       case BooleanType => (s: String) => java.lang.Boolean.parseBoolean(s)
       case IntegerType => (s: String) => java.lang.Integer.parseInt(s)
       case LongType => (s: String) => java.lang.Long.parseLong(s)
@@ -2183,7 +2496,8 @@ private[sources] class GTabReader(p: GTabPartition, full: StructType,
         var j = 0
         while (j < colIx.length) {
           vals(j) =
-            if (colIx(j) < 0) null
+            if (colIx(j) == -2) filePathUtf8
+            else if (colIx(j) < 0) null
             else {
               val raw = parts(colIx(j))
               if (raw == ManifestTable.Null) null else parsers(j)(raw)

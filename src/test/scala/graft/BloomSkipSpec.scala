@@ -85,16 +85,25 @@ class BloomSkipSpec extends AnyFunSuite {
     assert(filesRead(range)._1 == 8)
   }
 
-  test("blooms survive compaction rewrites only if re-requested; plain rewrite drops them") {
+  test("blooms survive compaction (round-14 rule); plain overwrite drops them") {
     val dir = tmp()
     build(dir)
+    // compaction is MAINTENANCE: it must not silently strip the
+    // skipping structures the table paid for (CowOps' preservation
+    // rule, extended to compact in round 14)
     ManifestTable.compact(spark, dir, targetFiles = 2)
     val m = ManifestTable.readManifest(dir).get
-    assert(m.files.forall(f => !f.stats.keys.exists(_.startsWith("#bloom:"))),
-      "compaction (a plain connector write) does not silently carry blooms")
-    // and the un-bloomed table still answers point lookups exactly
+    assert(m.files.forall(_.stats.keys.exists(_.startsWith("#bloom:"))),
+      "compaction must carry the table's blooms through the rewrite")
     assert(spark.read.format(Fmt).option("path", dir).load()
       .filter($"id" === 1234L).count() == 1)
+    // a USER overwrite without the option is an explicit layout choice
+    // and does drop them
+    spark.read.format(Fmt).option("path", dir).load()
+      .write.format(Fmt).option("path", dir).mode("overwrite").save()
+    val m2 = ManifestTable.readManifest(dir).get
+    assert(m2.files.forall(f =>
+      !f.stats.keys.exists(_.startsWith("#bloom:"))))
   }
 
   test("write-time validation: unknown column and unsupported type fail fast") {

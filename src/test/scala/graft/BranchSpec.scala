@@ -134,6 +134,44 @@ class BranchSpec extends AnyFunSuite {
     assert(ManifestTable.snapshotVersions(dir, "keep").size == 2)
   }
 
+  test("dropBranch of a missing branch is a typed error, not a no-op") {
+    val dir = tmp()
+    write(df(0, 10), dir)
+    ManifestTable.createBranch(dir, "real")
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.dropBranch(dir, "reel") // the typo scenario
+    }
+    assert(e.getMessage.contains("no branch 'reel'"))
+    // the real branch is untouched
+    assert(ManifestTable.branches(dir) == Seq("real"))
+  }
+
+  test("vacuum(keepLast=) expires branch snapshot chains too") {
+    val dir = tmp()
+    write(df(0, 10), dir)
+    ManifestTable.createBranch(dir, "stream")
+    // a long-lived branch accumulating versions: without branch-side
+    // retention every branch snapshot would pin its files forever
+    (0 until 4).foreach { i =>
+      write(df(100 + i * 10, 10), dir, "stream",
+        mode = SaveMode.Overwrite)
+    }
+    assert(ManifestTable.snapshotVersions(dir, "stream").size == 5)
+    ManifestTable.vacuum(dir, graceMs = 0L, keepLast = 1)
+    // only the branch HEAD's snapshot survives; the overwritten
+    // versions' exclusive files became reclaimable and are gone
+    assert(ManifestTable.snapshotVersions(dir, "stream").size == 1)
+    assert(read(dir, "stream").count() == 10)
+    assert(read(dir).count() == 10) // main untouched
+    // a default vacuum (no keepLast) still retains everything
+    val dir2 = tmp()
+    write(df(0, 10), dir2)
+    ManifestTable.createBranch(dir2, "b")
+    write(df(10, 10), dir2, "b")
+    ManifestTable.vacuum(dir2, graceMs = 0L)
+    assert(ManifestTable.snapshotVersions(dir2, "b").size == 2)
+  }
+
   test("COW merge stages on a branch; branchDiff audits it; publish lands it") {
     val dir = tmp()
     (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "s")

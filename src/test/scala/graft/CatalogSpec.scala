@@ -164,9 +164,12 @@ class CatalogSpec extends AnyFunSuite {
     assert(rows.length == 6)
     assert(rows.take(5).forall(_.isNullAt(1)))
     assert(rows.last.getDouble(1) == 0.5)
-    intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.db.ev RENAME COLUMN score TO s2")
+    // RENAME is supported since round 14 (AlterTableSpec owns its
+    // coverage); a nested ADD stays rejected
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.ev ADD COLUMN nest.x INT")
     }
+    assert(e.getMessage != null)
   }
 
   test("CALL procedures: compact, history, branch lifecycle, vacuum") {
@@ -245,6 +248,79 @@ class CatalogSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(spark.table("cat_stream").count() == 20)
     } finally q.stop()
+  }
+
+  test("writeStream.toTable: exactly-once into a partitioned catalog " +
+      "table across a checkpoint replay") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.stw (id BIGINT, g INT) " +
+      "PARTITIONED BY (g)")
+    val src = (0 until 40).map(i => (i.toLong, i % 4)).toDF("id", "g")
+    val staged = Files.createTempDirectory("graft_stw_src").toString
+    src.repartition(4).write.mode("overwrite").parquet(staged)
+    val cp = Files.createTempDirectory("graft_stw_cp").toString
+    def run(): Unit = {
+      val q = spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+        .writeStream.option("checkpointLocation", cp)
+        .toTable(s"$cat.db.stw")
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.stw")
+      .as[Long].head() == 40)
+    // force a REPLAY: drop the last batch's commit marker — on restart
+    // Spark re-executes that batch, and the sink's epoch-in-manifest
+    // dedup must drop the rerun's files instead of double-appending
+    val commits = new java.io.File(s"$cp/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    val last = commits.last
+    assert(last.delete())
+    // local ChecksumFs keeps a .<name>.crc sidecar; the re-run's
+    // commit rename collides with it unless it goes too
+    val crc = new java.io.File(last.getParentFile, s".${last.getName}.crc")
+    if (crc.exists()) crc.delete()
+    run()
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.stw")
+      .as[Long].head() == 40,
+      "a replayed epoch must not double-append")
+    // the partitioned layout survived the streaming writes
+    val m = ManifestTable.readManifest(s"$wh/db/stw").get
+    assert(ManifestTable.partitionColumnsOf(m) == Seq("g"))
+    assert(m.epoch >= 0, "streaming commits must record their epoch")
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.db.stw WHERE g = 2")
+      .as[Long].head() == 10)
+  }
+
+  test("NULL procedure arguments are typed errors, numerics included") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.db.nargs (id BIGINT)")
+    // a NULL numeric would silently unbox to 0 — vacuum with a zero
+    // grace window could reclaim another writer's staged files
+    val e = intercept[Exception] { spark.sql(
+      s"CALL $cat.system.vacuum(table => 'db.nargs', grace_ms => NULL)")
+      .collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("'grace_ms' is required")))
+    val e2 = intercept[Exception] { spark.sql(
+      s"CALL $cat.system.compact(table => NULL, target_files => 1)")
+      .collect() }
+    assert(msgs(e2).exists(_.contains("'table' is required")))
+  }
+
+  test("CREATE TABLE rejects unsupported partition column types upfront") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    // the write builder would reject the first INSERT anyway, but by
+    // then the table exists and every insert fails — reject at CREATE
+    val e = intercept[Exception] { spark.sql(
+      s"""CREATE TABLE $cat.db.dpart (id BIGINT, v DOUBLE)
+         |PARTITIONED BY (v)""".stripMargin) }
+    assert(e.getMessage.contains("partition columns support"))
+    assert(!spark.catalog.tableExists(s"$cat.db.dpart"),
+      "a rejected CREATE must leave no table behind")
   }
 
   test("RENAME and DROP; pinned references refuse writes") {

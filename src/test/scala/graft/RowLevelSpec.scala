@@ -1,0 +1,202 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.ManifestTable
+
+/** SQL row-level DML (SupportsRowLevelOperations, group-based COW):
+  * UPDATE, MERGE INTO, and non-translatable DELETE rewrite O(affected
+  * files) through the replace-groups commit; translatable DELETEs still
+  * take GTabDelete's metadata path; snapshot isolation surfaces
+  * concurrent commits as typed conflicts; layout (partitioning, blooms)
+  * survives the rewrite.
+  */
+class RowLevelSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Fmt = "graft.sources.ManifestTable"
+  private lazy val wh = Files.createTempDirectory("graft_rl").toString
+  private lazy val cat: String = {
+    spark.conf.set("spark.sql.catalog.grl", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.grl.warehouse", wh)
+    "grl"
+  }
+
+  private def mkTable(name: String, n: Int = 100): String = {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.$name (id BIGINT, v BIGINT, s STRING)")
+    (0 until n).map(i => (i.toLong, i.toLong * 10, s"r$i"))
+      .toDF("id", "v", "s")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .createOrReplaceTempView(s"${name}_src")
+    spark.sql(s"INSERT INTO $cat.db.$name SELECT * FROM ${name}_src")
+    s"$wh/db/$name"
+  }
+
+  test("SQL UPDATE rewrites only the affected files") {
+    val dir = mkTable("u1")
+    // range-cluster into 4 disjoint files so the predicate localizes
+    ManifestTable.compact(spark, dir, 4, clusterBy = Seq("id"))
+    val filesBefore = ManifestTable.readManifest(dir).get.files
+    assert(filesBefore.size == 4)
+    spark.sql(s"UPDATE $cat.db.u1 SET v = v + 1, s = 'upd' WHERE id < 10")
+    val m = ManifestTable.readManifest(dir).get
+    // zone maps keep 3 of 4 range-disjoint files byte-untouched
+    val beforeNames = filesBefore.map(_.name).toSet
+    val kept = m.files.map(_.name).count(beforeNames.contains)
+    assert(kept == 3, s"expected 3 untouched files, got $kept of " +
+      s"${m.files.size}")
+    val rows = spark.sql(
+      s"SELECT id, v, s FROM $cat.db.u1 ORDER BY id").collect()
+    assert(rows.length == 100)
+    assert(rows.take(10).forall(r =>
+      r.getLong(1) == r.getLong(0) * 10 + 1 && r.getString(2) == "upd"))
+    assert(rows.drop(10).forall(r =>
+      r.getLong(1) == r.getLong(0) * 10 && r.getString(2) != "upd"))
+  }
+
+  test("SQL MERGE INTO: update + insert + delete clauses, exact rows") {
+    mkTable("m1")
+    (0 until 20).map(i => (i.toLong * 5, 777L, "src"))
+      .toDF("id", "v", "s").createOrReplaceTempView("m1_updates")
+    spark.sql(
+      s"""MERGE INTO $cat.db.m1 t USING m1_updates u ON t.id = u.id
+         |WHEN MATCHED AND t.id >= 90 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET t.v = u.v
+         |WHEN NOT MATCHED THEN INSERT (id, v, s) VALUES (u.id, u.v, u.s)
+         |""".stripMargin)
+    val got = spark.sql(
+      s"SELECT id, v, s FROM $cat.db.m1 ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // expected: ids 0..99 except multiples of 5 >= 90 deleted (90, 95);
+    // matched multiples of 5 < 90 updated to v=777; every source id
+    // (0, 5, ..., 95) matches, so no insert fires here
+    val expected = (0 until 100).flatMap { i =>
+      if (i % 5 == 0 && i >= 90) None
+      else if (i % 5 == 0) Some((i.toLong, 777L, s"r$i"))
+      else Some((i.toLong, i.toLong * 10, s"r$i"))
+    }
+    assert(got.toSeq == expected)
+  }
+
+  test("MERGE INTO inserts source keys beyond the table's range") {
+    mkTable("m2")
+    (95 until 110).map(i => (i.toLong, -1L, "new"))
+      .toDF("id", "v", "s").createOrReplaceTempView("m2_updates")
+    spark.sql(
+      s"""MERGE INTO $cat.db.m2 t USING m2_updates u ON t.id = u.id
+         |WHEN MATCHED THEN UPDATE SET t.v = u.v, t.s = u.s
+         |WHEN NOT MATCHED THEN INSERT *
+         |""".stripMargin)
+    val got = spark.sql(
+      s"SELECT count(*), sum(CASE WHEN s = 'new' THEN 1 ELSE 0 END) " +
+        s"FROM $cat.db.m2 WHERE v = -1").collect().head
+    assert(got.getLong(0) == 15 && got.getLong(1) == 15)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.m2")
+      .as[Long].head() == 110)
+  }
+
+  test("non-translatable DELETE falls back to the row-level rewrite") {
+    val dir = mkTable("d1")
+    val v0 = ManifestTable.readManifest(dir).get.version
+    // LIKE doesn't translate to a metadata delete — needs the rewrite
+    spark.sql(s"DELETE FROM $cat.db.d1 WHERE s LIKE '%7'")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.d1")
+      .as[Long].head() == 90)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.db.d1 WHERE s LIKE '%7'")
+      .as[Long].head() == 0)
+    // it was a versioned commit: time travel still sees the old rows
+    assert(spark.read.format(Fmt).option("path", dir)
+      .option("versionAsOf", v0).load().count() == 100)
+  }
+
+  test("UPDATE on a partitioned table preserves the #part: layout") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.pu (id BIGINT, g INT, v BIGINT) " +
+      "PARTITIONED BY (g)")
+    (0 until 120).map(i => (i.toLong, i % 4, 0L)).toDF("id", "g", "v")
+      .createOrReplaceTempView("pu_src")
+    spark.sql(s"INSERT INTO $cat.db.pu SELECT * FROM pu_src")
+    spark.sql(s"UPDATE $cat.db.pu SET v = 1 WHERE g = 2")
+    val m = ManifestTable.readManifest(s"$wh/db/pu").get
+    assert(ManifestTable.partitionColumnsOf(m) == Seq("g"),
+      "rewritten files must keep the partition layout report alive")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.pu WHERE v = 1")
+      .as[Long].head() == 30)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.pu WHERE v = 0")
+      .as[Long].head() == 90)
+  }
+
+  test("SQL UPDATE preserves the table's bloom configuration") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.bl (id BIGINT, s STRING)")
+    // blooms ride the write options — land them through the path write
+    // into the SAME table directory the catalog resolves
+    (0 until 100).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+      .repartition(4, col("id"))
+      .write.format(Fmt).option("path", s"$wh/db/bl")
+      .option("bloomColumns", "id").mode("append").save()
+    assert(ManifestTable.readManifest(s"$wh/db/bl").get.files
+      .forall(_.stats.keys.exists(_.startsWith("#bloom:"))))
+    spark.sql(s"UPDATE $cat.db.bl SET s = 'upd' WHERE id % 10 = 3")
+    val m = ManifestTable.readManifest(s"$wh/db/bl").get
+    assert(m.files.forall(_.stats.keys.exists(_.startsWith("#bloom:"))),
+      "rewritten files must carry the table's blooms")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.bl WHERE s = 'upd'")
+      .as[Long].head() == 10)
+  }
+
+  test("_file metadata column reads the row's data file path") {
+    val dir = mkTable("mf1")
+    ManifestTable.compact(spark, dir, 4, clusterBy = Seq("id"))
+    val byFile = spark.sql(
+      s"SELECT _file, count(*) AS n FROM $cat.db.mf1 GROUP BY _file")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(byFile.length == 4)
+    assert(byFile.map(_._2).sum == 100)
+    val listed = ManifestTable.readManifest(dir).get.files.map(_.name).toSet
+    assert(byFile.forall { case (f, _) =>
+      listed.contains(f.substring(f.lastIndexOf('/') + 1)) })
+    // metadata stays out of SELECT * (Spark's metadata-column contract)
+    assert(!spark.sql(s"SELECT * FROM $cat.db.mf1").columns
+      .contains("_file"))
+  }
+
+  test("a concurrent commit between scan and replace is a typed conflict") {
+    val dir = mkTable("cc1")
+    val v0 = ManifestTable.readManifest(dir).get.version
+    // interleave a FOREIGN append right before the replace's CAS via the
+    // shared commit seam — snapshot isolation must refuse, not merge
+    // over the stale affected-set reasoning
+    var fired = false
+    graft.sources.CowOps.beforeCommitHook = () => {
+      if (!fired) {
+        fired = true
+        (1000 until 1005).map(i => (i.toLong, 0L, s"x$i"))
+          .toDF("id", "v", "s")
+          .write.format(Fmt).option("path", dir).mode("append").save()
+      }
+    }
+    try {
+      val e = intercept[Exception] {
+        spark.sql(s"UPDATE $cat.db.cc1 SET v = -1 WHERE id < 10")
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("concurrent commit")),
+        s"expected a typed concurrent-commit conflict, got $e")
+    } finally graft.sources.CowOps.beforeCommitHook = () => ()
+    // the foreign append won; the update did not apply
+    val m = ManifestTable.readManifest(dir).get
+    assert(m.version == v0 + 1)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.cc1 WHERE v = -1")
+      .as[Long].head() == 0)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.cc1")
+      .as[Long].head() == 105)
+  }
+}

@@ -102,6 +102,88 @@ class TableStatsSpec extends AnyFunSuite {
       s"legacy estimate must be finite and positive, got ${st.sizeInBytes}")
   }
 
+  private def withConf[A](kvs: (String, String)*)(body: => A): A = {
+    val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("KMV NDV sketches reach attributeStats; sub-k merges are exact") {
+    val dir = tmp()
+    (0 until 5000).map(i => (i.toLong, (i % 7).toLong, s"s${i % 40}"))
+      .toDF("id", "seven", "s")
+      .repartition(4)
+      .write.format(Fmt).option("path", dir)
+      .option("ndvColumns", "id,seven,s").mode(SaveMode.Append).save()
+    val st = read(dir).queryExecution.optimizedPlan.stats
+    val byName = st.attributeStats.toSeq
+      .map { case (a, cs) => a.name -> cs }.toMap
+    // 7 and 40 distinct values across 4 files: below k=64, the union of
+    // per-file hash sets is EXACT — no estimator error at all
+    assert(byName("seven").distinctCount.contains(BigInt(7)),
+      s"got ${byName.get("seven").flatMap(_.distinctCount)}")
+    assert(byName("s").distinctCount.contains(BigInt(40)))
+    // 5000 distinct ids: the (k-1)/u_k estimator with k=64 has
+    // ~13% stddev — assert a generous 2.5-sigma envelope
+    val idNdv = byName("id").distinctCount.get.toLong
+    assert(idNdv > 3400 && idNdv < 7000,
+      s"NDV(id) estimate $idNdv outside the k=64 envelope for 5000")
+  }
+
+  test("NDV sketches survive COW rewrites and compaction") {
+    val dir = tmp()
+    (0 until 2000).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .write.format(Fmt).option("path", dir)
+      .option("ndvColumns", "id").mode(SaveMode.Append).save()
+    graft.sources.CowOps.merge(spark, dir,
+      Seq((5L, "upd")).toDF("id", "s"), "id")
+    def idNdv: Option[BigInt] = read(dir).queryExecution.optimizedPlan
+      .stats.attributeStats.toSeq.collectFirst {
+        case (a, cs) if a.name == "id" => cs }.flatMap(_.distinctCount)
+    assert(idNdv.isDefined, "COW rewrite must re-sketch NDV")
+    ManifestTable.compact(spark, dir, 2, clusterBy = Seq("id"))
+    assert(idNdv.exists(n => n.toLong > 1400 && n.toLong < 2800),
+      s"post-compaction NDV must survive and stay in envelope: $idNdv")
+  }
+
+  test("a 3-table join reorders on NDV cardinality under CBO") {
+    val (dBig, dMid, dSmall) = (tmp(), tmp(), tmp())
+    def land(df: DataFrame, dir: String): Unit =
+      df.write.format(Fmt).option("path", dir)
+        .option("ndvColumns", "k").mode(SaveMode.Append).save()
+    land(spark.range(20000).select((col("id") % 1000).as("k"),
+      col("id").as("payload")), dBig)
+    land(spark.range(1000).select(col("id").as("k"),
+      (col("id") * 2).as("mv")), dMid)
+    land(spark.range(10).select(col("id").as("k"),
+      (col("id") * 3).as("sv")), dSmall)
+    withConf(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true",
+      // isolate LOGICAL join-order selection from physical strategy
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = read(dBig).join(read(dMid), "k").join(read(dSmall), "k")
+        .agg(sum("payload").as("sp"), sum("mv").as("sm"),
+          sum("sv").as("sv"))
+      val plan = j.queryExecution.optimizedPlan.toString
+      // with NDV stats, CBO joins big x small FIRST (10/1000 of the
+      // rows survive) instead of the written order big x mid x small
+      val iMid = plan.indexOf(dMid)
+      val iSmall = plan.indexOf(dSmall)
+      assert(iMid >= 0 && iSmall >= 0)
+      assert(iSmall < iMid,
+        s"CBO must reorder the selective small dim first:\n$plan")
+      val r = j.collect().head
+      // exact check: every big row with k < 10 joins both dims
+      assert(r.getLong(2) == (0 until 10).map(_ * 3L).sum * 20)
+    }
+  }
+
   test("deletion vectors lower the reported live row count") {
     val dir = tmp()
     (0 until 200).map(i => (i.toLong, s"r$i")).toDF("id", "s")
