@@ -44,10 +44,32 @@ object Bench {
     val fns = SparkEntry.queries
     var failed = List.empty[String]
 
-    def timeGroup(names: Seq[String]): Seq[(String, (Double, Double, Double))] =
+    // Per-query JVM telemetry (round-13 verdict: the p84 closing
+    // reading was 14x its quiet value with flat probes — a CPU probe
+    // can't see an allocation storm or a GC wall). gc_ms is the GC-time
+    // DELTA across the query's three timed runs (all collector beans);
+    // peak_mb is the heap peak-usage high-water across the same window
+    // (pools reset before the runs). A slow reading with flat gc/peak
+    // is environmental; gc_ms rivaling wall time is an allocation
+    // problem in the query itself.
+    import java.lang.management.{ManagementFactory, MemoryType}
+    import scala.jdk.CollectionConverters._
+    val gcBeans = ManagementFactory.getGarbageCollectorMXBeans.asScala
+    val heapPools = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == MemoryType.HEAP)
+    def gcMs(): Long = gcBeans.map(_.getCollectionTime).sum
+    def resetPeaks(): Unit = heapPools.foreach(_.resetPeakUsage())
+    def peakMb(): Long =
+      heapPools.map(_.getPeakUsage.getUsed).sum / (1024L * 1024L)
+
+    final case class QTime(min: Double, median: Double, probe: Double,
+      gcMs: Long, peakMb: Long)
+
+    def timeGroup(names: Seq[String]): Seq[(String, QTime)] =
       names.map { name =>
         val fn = fns(name)
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warm
+        val gc0 = gcMs(); resetPeaks()
         // three timed runs — min absorbs GC/compile jitter on a shared box,
         // median is the robust companion signal
         val times = (1 to 3).map { _ =>
@@ -62,7 +84,8 @@ object Bench {
         // probe right after each query: round 4's driver bench read as a
         // fake 3.2x regression purely from box load mid-run; a per-query
         // probe timestamps the contamination so the compare self-corrects
-        name -> (times.min, times.sorted.apply(times.size / 2), probe())
+        name -> QTime(times.min, times.sorted.apply(times.size / 2),
+          probe(), gcMs() - gc0, peakMb())
       }
 
     val results = timeGroup(SparkEntry.benchQueries)
@@ -75,24 +98,28 @@ object Bench {
     // is the signal that must stay flat round-over-round (at 100 TB you
     // write once and read many). build_s is reported alongside, timed
     // once (it includes the COW merge/delete for q88/q89).
-    val storageResults: Seq[(String, (Double, Double, Double, Double))] =
+    final case class STime(build: Double, min: Double, median: Double,
+      probe: Double, gcMs: Long, peakMb: Long)
+    val storageResults: Seq[(String, STime)] =
       graft.queries.StorageLayout.benchPairs.map { case (name, mk) =>
         try {
           val tb = System.nanoTime()
           val read = mk(spark, sfDir)
           val buildS = (System.nanoTime() - tb) / 1e9
           read().count() // warm
+          val gc0 = gcMs(); resetPeaks()
           val times = (1 to 3).map { _ =>
             val t0 = System.nanoTime()
             read().count()
             (System.nanoTime() - t0) / 1e9
           }
-          name -> (buildS, times.min,
-            times.sorted.apply(times.size / 2), probe())
+          name -> STime(buildS, times.min,
+            times.sorted.apply(times.size / 2), probe(), gcMs() - gc0,
+            peakMb())
         } catch { case e: Throwable =>
           if (!failed.contains(name)) failed ::= name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          name -> (0.0, 0.0, 0.0, probe())
+          name -> STime(0.0, 0.0, 0.0, probe(), 0L, 0L)
         }
       }
 
@@ -176,22 +203,28 @@ object Bench {
     // a failed query reports null and is excluded from the total, so
     // totals stay comparable across rounds (a broken query must neither
     // read as fast nor distort the sum with exception-path timings)
-    def qJson(rs: Seq[(String, (Double, Double, Double))])(
-        pick: ((Double, Double, Double)) => Double) = rs.map { case (k, v) =>
+    def qJson(rs: Seq[(String, QTime)])(
+        pick: QTime => Double) = rs.map { case (k, v) =>
       "\"" + k + "\":" + (if (failed.contains(k)) "null" else pick(v).toString)
     }.mkString("{", ",", "}")
-    def rawTotal(rs: Seq[(String, (Double, Double, Double))]) =
-      rs.collect { case (k, (mn, _, _)) if !failed.contains(k) => mn }.sum
+    def qJsonL(rs: Seq[(String, QTime)])(
+        pick: QTime => Long) = rs.map { case (k, v) =>
+      "\"" + k + "\":" + (if (failed.contains(k)) "null" else pick(v).toString)
+    }.mkString("{", ",", "}")
+    def rawTotal(rs: Seq[(String, QTime)]) =
+      rs.collect { case (k, t) if !failed.contains(k) => t.min }.sum
     val total = rawTotal(results)
     val extTotal = rawTotal(extResults)
-    val storageJson = storageResults.map { case (k, (b, mn, md, _)) =>
+    val storageJson = storageResults.map { case (k, t) =>
       "\"" + k + "\":" + (if (failed.contains(k)) "null"
-        else s"""{"build_s":$b,"read_s":$mn,"read_median_s":$md}""")
+        else s"""{"build_s":${t.build},"read_s":${t.min},""" +
+          s""""read_median_s":${t.median},"gc_ms":${t.gcMs},""" +
+          s""""peak_mb":${t.peakMb}}""")
     }.mkString("{", ",", "}")
     val storageBuildTotal = storageResults
-      .collect { case (k, (b, _, _, _)) if !failed.contains(k) => b }.sum
+      .collect { case (k, t) if !failed.contains(k) => t.build }.sum
     val storageReadTotal = storageResults
-      .collect { case (k, (_, mn, _, _)) if !failed.contains(k) => mn }.sum
+      .collect { case (k, t) if !failed.contains(k) => t.min }.sum
     // normalized_total: each query's min scaled by (cleanest probe this
     // run / its nearest probe) — a query timed while the box was loaded
     // is deflated by the probe's own slowdown, so a loaded run no longer
@@ -203,15 +236,15 @@ object Bench {
     // a query's time can be attributed to the environment. Raw total
     // stays the primary signal.
     val probeMin = (probeStart +: probeEnd +:
-      (results ++ extResults).map(_._2._3)).min
-    def normTotal(rs: Seq[(String, (Double, Double, Double))]) = rs.collect {
-      case (k, (mn, _, p)) if !failed.contains(k) =>
-        mn * math.max(0.5, math.min(1.0, probeMin / p))
+      (results ++ extResults).map(_._2.probe)).min
+    def normTotal(rs: Seq[(String, QTime)]) = rs.collect {
+      case (k, t) if !failed.contains(k) =>
+        t.min * math.max(0.5, math.min(1.0, probeMin / t.probe))
     }.sum
     val normalizedTotal = normTotal(results)
     val extNormalizedTotal = normTotal(extResults)
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(results)(_._1)},"medians":${qJson(results)(_._2)},"probes":${qJson(results)(_._3)},"legacy_total":$total,"normalized_total":$normalizedTotal,"extended":${qJson(extResults)(_._1)},"extended_probes":${qJson(extResults)(_._3)},"extended_total":$extTotal,"extended_normalized_total":$extNormalizedTotal,"storage":$storageJson,"storage_build_total":$storageBuildTotal,"storage_read_total":$storageReadTotal,"ann":$annJson,"noise_floor":{"probe_start":$probeStart,"probe_end":$probeEnd},"failed":$failedJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(results)(_.min)},"medians":${qJson(results)(_.median)},"probes":${qJson(results)(_.probe)},"gc_ms":${qJsonL(results)(_.gcMs)},"peak_mb":${qJsonL(results)(_.peakMb)},"legacy_total":$total,"normalized_total":$normalizedTotal,"extended":${qJson(extResults)(_.min)},"extended_probes":${qJson(extResults)(_.probe)},"extended_gc_ms":${qJsonL(extResults)(_.gcMs)},"extended_peak_mb":${qJsonL(extResults)(_.peakMb)},"extended_total":$extTotal,"extended_normalized_total":$extNormalizedTotal,"storage":$storageJson,"storage_build_total":$storageBuildTotal,"storage_read_total":$storageReadTotal,"ann":$annJson,"noise_floor":{"probe_start":$probeStart,"probe_end":$probeEnd},"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // belt-and-braces for the driver: also drop the line in a file, immune
     // to any log-prefixing of stdout. Stdout stays the primary channel —
