@@ -99,6 +99,28 @@ class RowLevelSpec extends AnyFunSuite {
       .as[Long].head() == 110)
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE: update and delete legs") {
+    mkTable("m3")
+    (50 until 60).map(i => (i.toLong, 1L, "src"))
+      .toDF("id", "v", "s").createOrReplaceTempView("m3_updates")
+    spark.sql(
+      s"""MERGE INTO $cat.db.m3 t USING m3_updates u ON t.id = u.id
+         |WHEN MATCHED THEN UPDATE SET t.v = u.v
+         |WHEN NOT MATCHED BY SOURCE AND t.id >= 95 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE AND t.id < 5 THEN
+         |  UPDATE SET t.s = 'untouched-by-source'
+         |""".stripMargin)
+    val got = spark.sql(
+      s"SELECT id, v, s FROM $cat.db.m3 ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val expected = (0 until 95).map { i =>
+      if (i >= 50 && i < 60) (i.toLong, 1L, s"r$i")
+      else if (i < 5) (i.toLong, i * 10L, "untouched-by-source")
+      else (i.toLong, i * 10L, s"r$i")
+    }
+    assert(got.toSeq == expected)
+  }
+
   test("non-translatable DELETE falls back to the row-level rewrite") {
     val dir = mkTable("d1")
     val v0 = ManifestTable.readManifest(dir).get.version
