@@ -38,7 +38,7 @@ private[sources] object GraftProcedures {
 
   private val names = Seq("compact", "vacuum", "expire_snapshots",
     "rollback", "create_branch", "fast_forward", "drop_branch", "history",
-    "set_partition_spec")
+    "set_partition_spec", "analyze_ndv")
 
   def load(warehouse: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace().sameElements(Namespace),
@@ -128,6 +128,19 @@ private[sources] object GraftProcedures {
         }
         TblMeta.write(dir, cols)
         Seq(InternalRow(UTF8String.fromString(cols.mkString(","))))
+      }
+      // ANALYZE-style NDV retrofit: one distributed read pass attaches
+      // per-file KMV sketches to an existing table's manifest entries
+      // (metadata-only commit — zero data files rewritten); the scan's
+      // columnStats report feeds CBO from the next query on.
+      case "analyze_ndv" => proc("analyze_ndv",
+        Seq(p("table", StringType), p("columns", StringType)),
+        StructType(Seq(StructField("files_analyzed", IntegerType)))) { in =>
+        val n = AnalyzeNdv.run(org.apache.spark.sql.SparkSession.active,
+          dirOf(requireArg(in.getUTF8String(0), "table")),
+          requireArg(in.getUTF8String(1), "columns")
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        Seq(InternalRow(n))
       }
       case "history" => proc("history",
         Seq(p("table", StringType)),

@@ -448,6 +448,39 @@ object ManifestTable {
     }
   }
 
+  /** Merged zone-map bounds over the kept files as CATALYST-internal
+    * values (boxed Int/Long/Double — what logical ColumnStat.min/max
+    * carry), for the optimizer's range-selectivity estimates. None when
+    * any kept file lacks the column's stats (all-null file, pre-stats
+    * manifest, string column) — never guess bounds from a partial
+    * census. Infinite doubles answer None (no usable bound).
+    */
+  private[sources] def mergeMinMax(files: Seq[FileEntry], col: String,
+      dt: DataType): Option[(Any, Any)] = {
+    if (files.isEmpty) return None
+    val per = files.map(_.stats.get(col))
+    if (per.exists(_.isEmpty)) return None
+    val los = per.map(_.get._1)
+    val his = per.map(_.get._2)
+    dt match {
+      case IntegerType =>
+        val l = los.map(_.toIntOption); val h = his.map(_.toIntOption)
+        if ((l ++ h).exists(_.isEmpty)) None
+        else Some((Int.box(l.map(_.get).min), Int.box(h.map(_.get).max)))
+      case LongType =>
+        val l = los.map(_.toLongOption); val h = his.map(_.toLongOption)
+        if ((l ++ h).exists(_.isEmpty)) None
+        else Some((Long.box(l.map(_.get).min), Long.box(h.map(_.get).max)))
+      case DoubleType =>
+        val l = los.map(_.toDoubleOption); val h = his.map(_.toDoubleOption)
+        if ((l ++ h).exists(_.isEmpty) ||
+          (l ++ h).exists(x => x.get.isInfinite || x.get.isNaN)) None
+        else Some((Double.box(l.map(_.get).min),
+          Double.box(h.map(_.get).max)))
+      case _ => None
+    }
+  }
+
   // ---- per-file byte size (reserved `#sz` stats key) ----
   // The writer records each data file's exact byte count in its manifest
   // entry (the `#bloom:`/`#dv:` trick — no format bump, older readers see
@@ -2164,14 +2197,25 @@ private[graft] class GTabScan(path: String,
     val colStats = new java.util.HashMap[
       org.apache.spark.sql.connector.expressions.NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-    pruned.fieldNames.foreach { c =>
-      ManifestTable.mergeNdv(kept, c).foreach { ndv =>
-        val capped = math.min(ndv, math.max(1L, rows))
-        colStats.put(Expressions.column(c),
+    pruned.fields.foreach { f =>
+      val ndv = ManifestTable.mergeNdv(kept, f.name)
+        .map(n => math.min(n, math.max(1L, rows)))
+      // merged zone maps double as optimizer min/max (range-selectivity
+      // estimates) — catalyst-internal boxed values, numeric only
+      val mm = ManifestTable.mergeMinMax(kept, f.name, f.dataType)
+      if (ndv.isDefined || mm.isDefined) {
+        colStats.put(Expressions.column(f.name),
           new org.apache.spark.sql.connector.read.colstats
             .ColumnStatistics {
             override def distinctCount(): java.util.OptionalLong =
-              java.util.OptionalLong.of(capped)
+              ndv.map(java.util.OptionalLong.of)
+                .getOrElse(java.util.OptionalLong.empty())
+            override def min(): java.util.Optional[Object] =
+              mm.map(x => java.util.Optional.of(x._1.asInstanceOf[Object]))
+                .getOrElse(java.util.Optional.empty())
+            override def max(): java.util.Optional[Object] =
+              mm.map(x => java.util.Optional.of(x._2.asInstanceOf[Object]))
+                .getOrElse(java.util.Optional.empty())
           })
       }
     }

@@ -184,6 +184,70 @@ class TableStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("merged zone maps surface as optimizer min/max column stats") {
+    val dir = tmp()
+    (0 until 1000).map(i => (i.toLong, i * 0.5, s"r$i"))
+      .toDF("id", "x", "s")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .write.format(Fmt).option("path", dir).mode(SaveMode.Append).save()
+    // read the SCAN RELATION's own stats (default non-CBO propagation
+    // drops attributeStats above the leaf)
+    def statsOf(df: DataFrame) = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+        .DataSourceV2ScanRelation => r.stats.attributeStats.toSeq
+    }.flatten.map { case (a, cs) => a.name -> cs }.toMap
+    val full = statsOf(read(dir))
+    assert(full("id").min.contains(0L) && full("id").max.contains(999L))
+    assert(full("x").min.contains(0.0) && full("x").max.contains(499.5))
+    assert(!full.contains("s"), "strings have no zone maps, no bounds")
+    // bounds are POST-pruning, like every other stat the scan reports
+    val pruned = statsOf(read(dir).filter(col("id") >= 500))
+    assert(pruned("id").min.exists(_.asInstanceOf[Long] >= 250L),
+      s"pruned-scan min must tighten: ${pruned("id").min}")
+  }
+
+  test("CALL analyze_ndv retrofits sketches without rewriting files") {
+    val wh = tmp()
+    spark.conf.set("spark.sql.catalog.gan", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gan.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gan.db")
+    spark.sql("CREATE TABLE gan.db.t (id BIGINT, g INT, s STRING)")
+    (0 until 3000).map(i => (i.toLong, i % 11, s"v${i % 123}"))
+      .toDF("id", "g", "s").repartition(4)
+      .createOrReplaceTempView("an_src")
+    spark.sql("INSERT INTO gan.db.t SELECT * FROM an_src")
+    val dir = s"$wh/db/t"
+    def ndvOf(name: String): Option[BigInt] =
+      spark.sql("SELECT * FROM gan.db.t").queryExecution.optimizedPlan
+        .stats.attributeStats.toSeq.collectFirst {
+          case (a, cs) if a.name == name => cs }.flatMap(_.distinctCount)
+    assert(ndvOf("id").isEmpty, "no sketches before analyze")
+    val filesBefore = ManifestTable.readManifest(dir).get.files
+      .map(f => f.name -> f.crc).toMap
+    val out = spark.sql(
+      "CALL gan.system.analyze_ndv(table => 'db.t', " +
+        "columns => 'id,g,s')").head()
+    assert(out.getInt(0) == filesBefore.size)
+    // metadata-only: same files, same bytes
+    val after = ManifestTable.readManifest(dir).get.files
+    assert(after.map(f => f.name -> f.crc).toMap == filesBefore)
+    // sub-k columns exact; above-k columns inside the estimator
+    // envelope (123 and 3000 distinct vs k=64)
+    assert(ndvOf("g").contains(BigInt(11)))
+    assert(ndvOf("s").exists(n => n.toLong > 80 && n.toLong < 180),
+      s"got ${ndvOf("s")}")
+    assert(ndvOf("id").exists(n => n.toLong > 2000 && n.toLong < 4500),
+      s"got ${ndvOf("id")}")
+    // the retrofit merges consistently with writer-produced sketches:
+    // an ndvColumns append extends the census instead of breaking it
+    (3000 until 3500).map(i => (i.toLong, i % 11, s"v${i % 123}"))
+      .toDF("id", "g", "s")
+      .write.format(Fmt).option("path", dir)
+      .option("ndvColumns", "id,g,s").mode("append").save()
+    assert(ndvOf("g").contains(BigInt(11)))
+    assert(ndvOf("id").exists(n => n.toLong > 2300 && n.toLong < 5300))
+  }
+
   test("deletion vectors lower the reported live row count") {
     val dir = tmp()
     (0 until 200).map(i => (i.toLong, s"r$i")).toDF("id", "s")
