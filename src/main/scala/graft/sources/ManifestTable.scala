@@ -2125,20 +2125,52 @@ private[graft] class GTabScan(path: String,
   @volatile private var pruneRecord: (Int, Int) = (0, 0)
   private[graft] def lastPruneRecord: (Int, Int) = pruneRecord
   // attributes resolve against the scan OUTPUT — advertise only the
-  // pruned projection's columns
+  // pruned projection's columns. A ROW-LEVEL operation scan (onPlan
+  // set) advertises ONLY `_file`: Spark's runtime group filtering
+  // builds ONE struct-IN key over every advertised attribute, and a
+  // multi-column struct can't drive file skipping — file identity
+  // alone is the exact group key (what makes a sparse MERGE rewrite
+  // O(touched files)).
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     if (partCols.nonEmpty) Array.empty
+    else if (onPlan.isDefined &&
+      pruned.fieldNames.contains(ManifestTable.FileMetaCol))
+      Array(Expressions.column(ManifestTable.FileMetaCol))
     else pruned.fieldNames.map(Expressions.column)
   override def filter(
       predicates: Array[
         org.apache.spark.sql.connector.expressions.filter.Predicate])
       : Unit = {
-    val v1 = predicates.flatMap(GTabRuntime.toV1)
-      .filter(GTabSkip.usable(_, manifest.schema))
-    if (v1.nonEmpty) {
-      runtimeKept = runtimeKept.filter(
-        GTabSkip.keep(_, v1.toSeq, manifest.schema))
+    val v1all = predicates.flatMap(GTabRuntime.toV1)
+    def flat(f: Filter): Seq[Filter] = f match {
+      case And(l, r) => flat(l) ++ flat(r)
+      case o => Seq(o)
+    }
+    val flattened = v1all.flatMap(flat)
+    // EXACT group pruning on the `_file` metadata column — what Spark's
+    // row-level runtime GROUP FILTERING pushes (the matching-rows
+    // subquery projects the operation's metadata attribute): file
+    // identity needs no zone-map conservatism, keep exactly the named
+    // files. This is the mechanism that localizes a sparse SQL MERGE on
+    // a clustered table to O(touched files).
+    val fileSets = flattened.collect {
+      case In(c, vs) if c == ManifestTable.FileMetaCol &&
+        vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        vs.map(_.asInstanceOf[String]).toSet
+      case EqualTo(c, v: String) if c == ManifestTable.FileMetaCol =>
+        Set(v)
+    }
+    val v1 = flattened.filter(GTabSkip.usable(_, manifest.schema))
+    if (fileSets.nonEmpty || v1.nonEmpty) {
+      if (fileSets.nonEmpty) {
+        val keepPaths = fileSets.reduce(_ intersect _)
+        runtimeKept = runtimeKept.filter(f =>
+          keepPaths.contains(s"$path/data/${f.name}"))
+      }
+      if (v1.nonEmpty)
+        runtimeKept = runtimeKept.filter(
+          GTabSkip.keep(_, v1.toSeq, manifest.schema))
       // seam records against the STATIC baseline: Spark may deliver the
       // runtime predicates over several filter() calls
       pruneRecord = (kept.size, runtimeKept.size)
@@ -2194,14 +2226,36 @@ private[graft] class GTabScan(path: String,
     // over the kept files — post-pruning, like the row/byte counts):
     // Spark's transformV2Stats turns these into attributeStats, which
     // is what CBO join reordering over several gtabs keys on
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, scaled))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        lazyColStats
+    }
+  }
+
+  /** Column-level stats from the kept files' sketches and zone maps,
+    * computed ONCE per scan (Spark may ask for statistics several times
+    * during planning; the KMV merges decode base64 per file per column).
+    * NDV via the merged KMV sketches, min/max via the merged zone maps
+    * — Spark's transformV2Stats turns both into attributeStats, which
+    * is what CBO join reordering and range-selectivity estimation key
+    * on.
+    */
+  private lazy val lazyColStats: java.util.Map[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    val rows = ManifestTable.liveRows(kept)
     val colStats = new java.util.HashMap[
       org.apache.spark.sql.connector.expressions.NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
     pruned.fields.foreach { f =>
       val ndv = ManifestTable.mergeNdv(kept, f.name)
         .map(n => math.min(n, math.max(1L, rows)))
-      // merged zone maps double as optimizer min/max (range-selectivity
-      // estimates) — catalyst-internal boxed values, numeric only
       val mm = ManifestTable.mergeMinMax(kept, f.name, f.dataType)
       if (ndv.isDefined || mm.isDefined) {
         colStats.put(Expressions.column(f.name),
@@ -2219,16 +2273,7 @@ private[graft] class GTabScan(path: String,
           })
       }
     }
-    new Statistics {
-      override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(math.max(1L, scaled))
-      override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.of(rows)
-      override def columnStats(): java.util.Map[
-        org.apache.spark.sql.connector.expressions.NamedReference,
-        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
-        colStats
-    }
+    colStats
   }
   override def toBatch: Batch = this
   override def description(): String =

@@ -99,6 +99,35 @@ class RowLevelSpec extends AnyFunSuite {
       .as[Long].head() == 110)
   }
 
+  test("runtime group filtering localizes a MERGE to the touched files") {
+    val dir = mkTable("gf1")
+    ManifestTable.compact(spark, dir, 4, clusterBy = Seq("id"))
+    val before = ManifestTable.readManifest(dir).get.files
+      .map(_.name).toSet
+    assert(before.size == 4)
+    // source keys confined to ONE file's range: static pushdown sees no
+    // literals (the condition is a join), so only Spark's runtime group
+    // filtering + the scan's zone maps can localize the rewrite — this
+    // is the mechanism that keeps a sparse MERGE on a 100 TB clustered
+    // table at O(touched files)
+    (5 until 10).map(i => (i.toLong, -7L, "gf"))
+      .toDF("id", "v", "s").createOrReplaceTempView("gf1_updates")
+    spark.sql(
+      s"""MERGE INTO $cat.db.gf1 t USING gf1_updates u ON t.id = u.id
+         |WHEN MATCHED THEN UPDATE SET t.v = u.v, t.s = u.s
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val after = ManifestTable.readManifest(dir).get.files.map(_.name)
+    val untouched = after.count(before.contains)
+    assert(untouched == 3,
+      s"a 5-key MERGE into one file's range must leave the other 3 " +
+        s"range-disjoint files byte-untouched, got $untouched of " +
+        s"${after.size}")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.gf1 WHERE v = -7")
+      .as[Long].head() == 5)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.gf1")
+      .as[Long].head() == 100)
+  }
+
   test("MERGE WHEN NOT MATCHED BY SOURCE: update and delete legs") {
     mkTable("m3")
     (50 until 60).map(i => (i.toLong, 1L, "src"))
