@@ -92,6 +92,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GTable(dir, m.schema, declaredPart = TblMeta.partitionCols(dir))
   }
 
+  /** SQL time travel by TIME: `TIMESTAMP AS OF <t>` resolves to the
+    * latest version committed at or before t (Spark hands MICROseconds)
+    * and pins that snapshot — same machinery as VERSION AS OF from
+    * there on.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = dirOf(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val v = ManifestTable.versionAt(dir, timestamp / 1000L)
+    new GTable(dir, ManifestTable.readManifestAsOf(dir, v).schema,
+      travelVersion = Some(v))
+  }
+
   /** SQL time travel: `VERSION AS OF <n>` pins a snapshot; a non-numeric
     * version is read as a BRANCH name — the WAP audit read in SQL.
     */

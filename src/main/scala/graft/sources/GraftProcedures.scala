@@ -147,10 +147,11 @@ private[sources] object GraftProcedures {
         StructType(Seq(StructField("version", LongType),
           StructField("n_files", IntegerType),
           StructField("n_rows", LongType),
-          StructField("epoch", LongType)))) { in =>
+          StructField("epoch", LongType),
+          StructField("ts_ms", LongType)))) { in =>
         ManifestTable.history(
             dirOf(requireArg(in.getUTF8String(0), "table")))
-          .map { case (v, nf, nr, ep) => InternalRow(v, nf, nr, ep) }
+          .map { case (v, nf, nr, ep, ts) => InternalRow(v, nf, nr, ep, ts) }
       }
       case other => throw new IllegalArgumentException(
         s"unknown procedure: $other (have ${names.mkString(", ")})")

@@ -138,7 +138,8 @@ object ManifestTable {
     * since the fork (the write-audit-publish conflict rule).
     */
   final case class Manifest(version: Long, schema: StructType,
-      files: Seq[FileEntry], epoch: Long = -1L, base: Long = -1L)
+      files: Seq[FileEntry], epoch: Long = -1L, base: Long = -1L,
+      ts: Long = -1L)
 
   /** One committed data file. `cols` is the column list THIS file was
     * written with — the unit of schema evolution: the table schema may
@@ -174,7 +175,10 @@ object ManifestTable {
     val c = new CRC32; c.update(body.getBytes(StandardCharsets.UTF_8))
     val ep = if (m.epoch >= 0) s" epoch=${m.epoch}" else ""
     val ba = if (m.base >= 0) s" base=${m.base}" else ""
-    s"gtab v${m.version}$ep$ba crc=${c.getValue}\n" + body
+    // commit wall-clock (ms) — what TIMESTAMP AS OF resolves against;
+    // header-only like epoch/base, legacy manifests simply lack it
+    val tt = if (m.ts >= 0) s" ts=${m.ts}" else ""
+    s"gtab v${m.version}$ep$ba$tt crc=${c.getValue}\n" + body
   }
 
   def manifestPath(dir: String): String = dir + "/_MANIFEST"
@@ -324,10 +328,10 @@ object ManifestTable {
       require(ix > 0, s"corrupt manifest at $mp: no header line")
       val header = raw.substring(0, ix)
       val body = raw.substring(ix + 1)
-      val hm =
-        "^gtab v(\\d+)(?: epoch=(-?\\d+))?(?: base=(\\d+))? crc=(\\d+)$".r
+      val hm = ("^gtab v(\\d+)(?: epoch=(-?\\d+))?(?: base=(\\d+))?" +
+        "(?: ts=(\\d+))? crc=(\\d+)$").r
       header match {
-        case hm(v, ep, ba, crc) =>
+        case hm(v, ep, ba, tt, crc) =>
           val c = new CRC32; c.update(body.getBytes(StandardCharsets.UTF_8))
           if (c.getValue != crc.toLong) throw new IllegalStateException(
             s"manifest at $mp failed its CRC — torn/corrupted publish " +
@@ -360,7 +364,8 @@ object ManifestTable {
           }
           Manifest(v.toLong, schema, files,
             Option(ep).map(_.toLong).getOrElse(-1L),
-            Option(ba).map(_.toLong).getOrElse(-1L))
+            Option(ba).map(_.toLong).getOrElse(-1L),
+            Option(tt).map(_.toLong).getOrElse(-1L))
         case _ => throw new IllegalStateException(
           s"manifest at $mp has an unrecognized header: '$header'")
       }
@@ -667,7 +672,11 @@ object ManifestTable {
 
   private def publish(dir: String, m: Manifest, ref: String = ""): Unit = {
     FsMeta.mkdirs(dir)
-    val payload = render(m)
+    // every commit is stamped at publish time (monotone against the
+    // previous version is NOT guaranteed under clock skew — versionAt
+    // resolves by scanning all retained snapshots, not by bisection)
+    val payload = render(
+      if (m.ts >= 0) m else m.copy(ts = System.currentTimeMillis()))
     val ptrPath = if (ref.isEmpty) manifestPath(dir) else branchPath(dir, ref)
     val ptrTmp = ptrPath + ".tmp"
     // unique tmp per writer: a shared tmp name would let writer B's
@@ -810,11 +819,32 @@ object ManifestTable {
     * file is opened): one (version, n_files, n_rows, epoch) tuple per
     * retained version, ascending. O(retained versions) driver work.
     */
-  def history(dir: String): Seq[(Long, Int, Long, Long)] =
+  def history(dir: String): Seq[(Long, Int, Long, Long, Long)] =
     snapshotVersions(dir).map { v =>
       val m = readManifestAsOf(dir, v)
-      (m.version, m.files.size, m.files.map(_.rows).sum, m.epoch)
+      (m.version, m.files.size, m.files.map(_.rows).sum, m.epoch, m.ts)
     }
+
+  /** TIMESTAMP AS OF resolution: the LATEST retained version committed
+    * at or before `tsMillis` (Delta/Iceberg's rule). Only stamped
+    * versions participate (pre-round-14 snapshots lack `ts=`); a
+    * timestamp before the earliest stamped commit is a typed error
+    * naming the bound, and versions expired by expireSnapshots are
+    * gone here exactly as they are for VERSION AS OF.
+    */
+  def versionAt(dir: String, tsMillis: Long): Long = {
+    val stamped = (snapshotVersions(dir).map(v =>
+        readManifestAsOf(dir, v)) ++ readManifest(dir).toSeq)
+      .filter(_.ts >= 0).distinctBy(_.version)
+    if (stamped.isEmpty) throw new IllegalArgumentException(
+      s"no timestamped versions at $dir — the table predates " +
+        "TIMESTAMP AS OF support; use VERSION AS OF")
+    val eligible = stamped.filter(_.ts <= tsMillis)
+    if (eligible.isEmpty) throw new IllegalArgumentException(
+      s"no version at or before timestamp $tsMillis at $dir — the " +
+        s"earliest stamped commit is at ${stamped.map(_.ts).min}")
+    eligible.maxBy(_.version).version
+  }
 
   /** Drop snapshot manifests older than the last `keepLast` versions
     * (the current version always survives). Expired versions stop being

@@ -294,6 +294,44 @@ class CatalogSpec extends AnyFunSuite {
       .as[Long].head() == 10)
   }
 
+  test("TIMESTAMP AS OF resolves to the latest commit at or before t") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.tts (id BIGINT)")
+    spark.range(10).createOrReplaceTempView("tts_src")
+    spark.sql(s"INSERT INTO $cat.db.tts SELECT * FROM tts_src")
+    Thread.sleep(15)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(15)
+    spark.sql(s"INSERT INTO $cat.db.tts SELECT id + 100 FROM tts_src")
+    def fmt(ms: Long): String = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(ms))
+    // between the two commits: only the first insert is visible
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.tts " +
+      s"TIMESTAMP AS OF '${fmt(mid)}'").as[Long].head() == 10)
+    // now: everything
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.tts " +
+      s"TIMESTAMP AS OF '${fmt(System.currentTimeMillis() + 1000)}'")
+      .as[Long].head() == 20)
+    // before the table existed: typed error naming the bound
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT count(*) FROM $cat.db.tts " +
+        s"TIMESTAMP AS OF '2000-01-01 00:00:00'").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("earliest stamped commit")))
+    // the pinned read refuses writes like any time-travel reference
+    // and history surfaces the commit timestamps
+    val hist = spark.sql(s"CALL $cat.system.history(table => 'db.tts')")
+      .collect()
+    assert(hist.forall(_.getLong(4) > 0),
+      "every commit must carry its wall-clock stamp")
+    assert(hist.map(_.getLong(4)).sorted.toSeq ==
+      hist.map(_.getLong(4)).toSeq)
+  }
+
   test("NULL procedure arguments are typed errors, numerics included") {
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
     spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.db.nargs (id BIGINT)")
