@@ -162,6 +162,55 @@ class AlterTableSpec extends AnyFunSuite {
       .head().getLong(0) == (0 until 50).sum)
   }
 
+  test("RENAME carries per-file blooms: point lookups prune under the " +
+      "new name") {
+    spark.sql(s"CREATE TABLE $cat.db.rb (id BIGINT, s STRING)")
+    (0 until 400).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+      .repartition(4, col("id"))
+      .write.format(Fmt).option("path", s"$wh/db/rb")
+      .option("bloomColumns", "id").mode("append").save()
+    spark.sql(s"ALTER TABLE $cat.db.rb RENAME COLUMN id TO ident")
+    val m = ManifestTable.readManifest(s"$wh/db/rb").get
+    assert(m.files.forall(_.stats.contains("#bloom:ident")),
+      "bloom stats keys must rename with the column")
+    assert(m.files.forall(f => !f.stats.contains("#bloom:id") &&
+      !f.stats.contains("id")))
+    // hash-scattered layout: only the bloom can prune the point lookup
+    val q = spark.sql(
+      s"SELECT s FROM $cat.db.rb WHERE ident = 137")
+    assert(q.collect().map(_.getString(0)).toSeq == Seq("r137"))
+    val desc = q.queryExecution.executedPlan.toString
+    val m1 = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc).get
+    assert(m1.group(1).toInt < m1.group(2).toInt,
+      s"bloom must keep pruning under the renamed key: $desc")
+  }
+
+  test("RENAME of a MOR-deleted key column keeps deletion vectors live") {
+    spark.sql(s"CREATE TABLE $cat.db.rd (id BIGINT, s STRING)")
+    (0 until 100).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+      .repartitionByRange(2, col("id")).sortWithinPartitions("id")
+      .write.format(Fmt).option("path", s"$wh/db/rd")
+      .mode("append").save()
+    graft.sources.CowOps.deleteMor(spark, s"$wh/db/rd",
+      spark.range(0, 100, 10).select(col("id")), "id")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.rd")
+      .head().getLong(0) == 90)
+    spark.sql(s"ALTER TABLE $cat.db.rd RENAME COLUMN id TO ident")
+    val m = ManifestTable.readManifest(s"$wh/db/rd").get
+    assert(m.files.exists(_.stats.keys.exists(_ == "#dv:ident")),
+      "dv stats keys must rename with the column")
+    // the sidecar still subtracts: deleted keys stay invisible under
+    // the new name, and a COW rewrite through the merge still works
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.rd")
+      .head().getLong(0) == 90)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.db.rd WHERE ident % 10 = 0")
+      .head().getLong(0) == 0)
+    spark.sql(s"UPDATE $cat.db.rd SET s = 'u' WHERE ident = 11")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.rd")
+      .head().getLong(0) == 90)
+  }
+
   test("DROP of a partition column and last column are rejected") {
     spark.sql(s"CREATE TABLE $cat.db.gd (id BIGINT, g INT) " +
       "PARTITIONED BY (g)")
