@@ -919,6 +919,20 @@ object PipelineLatest {
       Some(
         """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
           |FROM customer WHERE c_mktsegment = 'BUILDING'
-          |ORDER BY c_custkey""".stripMargin))
+          |ORDER BY c_custkey""".stripMargin)),
+
+    // --- TIMESTAMP AS OF (q105): q86's pinned-snapshot contract by
+    //     wall clock — every publish stamps commit millis in the
+    //     manifest header, the read resolves latest-at-or-before and
+    //     must see exactly the pre-poison rollup (CatalogSpec pins the
+    //     SQL TIMESTAMP AS OF front door + history ts_ms). ---
+    QueryDef(
+      "q105_timestamp_travel",
+      (s, dir) => StorageLayout.q105TimestampTravel(s, dir)(),
+      Some(
+        """SELECT c_mktsegment, count(*) AS n_cust,
+          |  CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+          |  min(c_acctbal) AS min_bal
+          |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin))
   )
 }

@@ -553,6 +553,36 @@ object StorageLayout {
                    |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** q105: TIMESTAMP AS OF time travel — q86's pinned-snapshot contract
+    * driven by WALL CLOCK instead of version number: the rollup lands,
+    * a timestamp is captured, poison rows append after it, and the read
+    * pins `.option("timestampAsOf", t)` (epoch ms → latest version
+    * committed at or before t). Shares q86's oracle shape: the pinned
+    * read must see exactly the pre-poison table.
+    */
+  def q105TimestampTravel(s: SparkSession, dir: String)
+      : () => DataFrame = {
+    val path = sink("q105", dir)
+    graft.sources.FsMeta.deleteRecursive(path)
+    Tables.t(s, dir, "customer")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"),
+        sum("c_custkey").as("sum_key"),
+        min("c_acctbal").as("min_bal"))
+      .repartition(2).write.format(Fmt)
+      .option("path", path).mode("overwrite").save()
+    Thread.sleep(5)
+    val t = System.currentTimeMillis()
+    Thread.sleep(5)
+    s.range(1).select(lit("POISON").as("c_mktsegment"),
+        lit(-1L).as("n_cust"), lit(-1L).as("sum_key"),
+        lit(-1e9).as("min_bal"))
+      .write.format(Fmt).option("path", path).mode("append").save()
+    () => s.read.format(Fmt).option("path", path)
+      .option("timestampAsOf", t).load()
+      .orderBy("c_mktsegment")
+  }
+
   /** Bench's storage group: name → build-once/read-thunk factory. */
   val benchPairs: Seq[(String, (SparkSession, String) => () => DataFrame)] =
     Seq(
@@ -574,5 +604,6 @@ object StorageLayout {
       "q101_catalog_sql" -> (q101CatalogSql _),
       "q102_sql_merge" -> (q102SqlMerge _),
       "q103_sql_update" -> (q103SqlUpdate _),
-      "q104_ctas" -> (q104Ctas _))
+      "q104_ctas" -> (q104Ctas _),
+      "q105_timestamp_travel" -> (q105TimestampTravel _))
 }

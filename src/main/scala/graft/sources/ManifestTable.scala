@@ -84,7 +84,7 @@ class ManifestTable extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val ref = Option(options.get("branch")).getOrElse("")
-    ManifestTable.versionAsOf(options) match {
+    ManifestTable.pinnedVersion(options) match {
       case Some(v) =>
         ManifestTable.readManifestAsOf(ManifestTable.pathOf(options), v,
           ref).schema
@@ -121,6 +121,23 @@ object ManifestTable {
       v.toLongOption.getOrElse(throw new IllegalArgumentException(
         s"versionAsOf must be a version number, got '$v'"))
     }
+
+  /** The pinned version from EITHER time-travel read option:
+    * `versionAsOf` (a manifest version) or `timestampAsOf` (epoch
+    * millis — resolved to the latest version committed at or before it,
+    * the same rule the catalog's `TIMESTAMP AS OF` uses).
+    */
+  private[sources] def pinnedVersion(
+      options: CaseInsensitiveStringMap): Option[Long] =
+    versionAsOf(options).orElse(
+      Option(options.get("timestampAsOf")).map { t =>
+        require(Option(options.get("branch")).isEmpty,
+          "timestampAsOf resolves against MAIN's history — pin a " +
+            "branch read with versionAsOf instead")
+        versionAt(pathOf(options), t.toLongOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"timestampAsOf must be epoch milliseconds, got '$t'")))
+      })
 
   /** Internal read option restricting the scan to an explicit subset of
     * the manifest's files (comma-separated names — data file names are
@@ -1248,7 +1265,7 @@ private[sources] class GTable(path: String, schema0: StructType,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GTabScanBuilder(path,
-      travelVersion.orElse(ManifestTable.versionAsOf(options)),
+      travelVersion.orElse(ManifestTable.pinnedVersion(options)),
       ManifestTable.filesOf(options),
       GTabStreamOpts(Option(options.get("startingVersion")),
         options.getBoolean("skipChangeCommits", false),
