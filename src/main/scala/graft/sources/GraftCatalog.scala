@@ -432,6 +432,10 @@ private[sources] class GStagedTable(stageDir: String, dir: String,
       val staged = ManifestTable.readManifest(stageDir).getOrElse(
         throw new IllegalStateException(
           s"staged table at $stageDir lost its manifest"))
+      // ensure the destination data dir exists BEFORE the moves: local
+      // Hadoop rename silently degrades to a copy when the dest parent
+      // is missing — adoption must stay O(1) renames
+      FsMeta.mkdirs(s"$dir/data")
       staged.files.foreach { f =>
         if (!FsMeta.renameIfAbsent(s"$stageDir/data/${f.name}",
             s"$dir/data/${f.name}"))

@@ -73,6 +73,28 @@ class CtasSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT * FROM $cat.db.r2").as[Int].head() == 1)
   }
 
+  test("partitioned RTAS: the replacement takes the new declared spec") {
+    (0 until 80).map(i => (i.toLong, i % 4)).toDF("id", "g")
+      .createOrReplaceTempView("prtas_src")
+    spark.sql(s"CREATE TABLE $cat.db.pr1 AS SELECT id FROM prtas_src")
+    spark.sql(s"""REPLACE TABLE $cat.db.pr1 PARTITIONED BY (g)
+                 |AS SELECT * FROM prtas_src""".stripMargin)
+    val m = ManifestTable.readManifest(s"$wh/db/pr1").get
+    assert(ManifestTable.partitionColumnsOf(m) == Seq("g"),
+      "RTAS data must land under the new partitioned layout")
+    // subsequent INSERTs follow the new declared spec too
+    spark.sql(s"INSERT INTO $cat.db.pr1 SELECT id + 100, g FROM prtas_src")
+    val m2 = ManifestTable.readManifest(s"$wh/db/pr1").get
+    assert(ManifestTable.partitionColumnsOf(m2) == Seq("g"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.pr1 WHERE g = 1")
+      .as[Long].head() == 40)
+    // and replacing BACK to unpartitioned clears the declared spec
+    spark.sql(s"REPLACE TABLE $cat.db.pr1 AS SELECT 1 AS one")
+    spark.sql(s"INSERT INTO $cat.db.pr1 VALUES (2)")
+    assert(spark.sql(s"SELECT sum(one) FROM $cat.db.pr1")
+      .as[Long].head() == 3)
+  }
+
   test("REPLACE of a missing table is a typed error; OR REPLACE is not") {
     val e = intercept[Exception] {
       spark.sql(s"REPLACE TABLE $cat.db.ghost AS SELECT 1 AS one")
