@@ -107,12 +107,16 @@ object AnalyzeNdv {
             GTabBloom.encode(got.getOrElse((f.name, c), Array.empty)))
         }.toMap
       }.toMap
-    ManifestTable.commitSchema(dir, m.schema, files => files.map { f =>
-      byFile.get(f.name) match {
-        case Some(st) => f.copy(stats = f.stats ++ st)
-        case None => f
-      }
-    })
+    // a stats retrofit publishes the CURRENT schema (re-read per CAS
+    // attempt): publishing the pre-scan m.schema would silently undo a
+    // RENAME COLUMN that landed during the distributed sketch pass
+    ManifestTable.commitSchema(dir, cur => (cur.schema, files => files.map {
+      f =>
+        byFile.get(f.name) match {
+          case Some(st) => f.copy(stats = f.stats ++ st)
+          case None => f
+        }
+    }))
     byFile.size
   }
 }

@@ -72,6 +72,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     */
   private def isStageDir(name: String): Boolean = name.contains(".stage-")
 
+  /** `.stage-` is reserved for CTAS/RTAS staging directories (which the
+    * listings hide): a user table or namespace carrying the infix would
+    * exist (loadTable resolves it) yet never list — reject it at every
+    * creation/rename entry point instead.
+    */
+  private def checkIdent(ident: Identifier): Unit =
+    checkNames(ident.namespace().toSeq :+ ident.name())
+  private def checkNames(names: Seq[String]): Unit = names.foreach { n =>
+    require(!isStageDir(n),
+      s"'$n' contains '.stage-', reserved for CTAS staging directories")
+  }
+
   // ---- tables ----
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
@@ -89,7 +101,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = dirOf(ident)
     val m = ManifestTable.readManifest(dir).getOrElse(
       throw new NoSuchTableException(ident))
-    new GTable(dir, m.schema, declaredPart = TblMeta.partitionCols(dir))
+    new GTable(dir, m.schema, declaredPart = declaredPartOf(dir, m.schema))
+  }
+
+  /** The declared partition spec resolved DEFENSIVELY against the live
+    * schema: a crash between a partition-column RENAME's schema commit
+    * and its `_TBLMETA` rewrite leaves the spec naming a column the
+    * schema no longer has — every INSERT would then fail at resolution
+    * until manual repair. Unresolvable names degrade the spec to its
+    * resolvable subset (possibly unpartitioned — the layout report's
+    * own degradation rule: correctness never depended on the spec).
+    */
+  private def declaredPartOf(dir: String,
+      schema: StructType = null): Seq[String] = {
+    val declared = TblMeta.partitionCols(dir)
+    if (declared.isEmpty) declared
+    else {
+      val s = Option(schema).orElse(
+        ManifestTable.readManifest(dir).map(_.schema))
+      s.fold(declared)(sc => declared.filter(sc.fieldNames.contains))
+    }
   }
 
   /** SQL time travel by TIME: `TIMESTAMP AS OF <t>` resolves to the
@@ -124,6 +155,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
+    checkIdent(ident)
     val dir = dirOf(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     ManifestTable.checkSupported(schema)
@@ -174,70 +206,80 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val dir = dirOf(ident)
-    val m = ManifestTable.readManifest(dir).getOrElse(
-      throw new NoSuchTableException(ident))
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
     def single(fieldNames: Array[String], what: String): String = {
       require(fieldNames.length == 1, s"nested $what is not supported")
       fieldNames(0)
     }
-    var files: Seq[ManifestTable.FileEntry] => Seq[ManifestTable.FileEntry] =
-      identity
+    // the whole change-fold runs INSIDE commitSchema's CAS loop, against
+    // whatever manifest is current on each attempt — a fold precomputed
+    // against a stale read would publish a schema that silently reverts
+    // any commit that landed in between (the round-14 advisory). The
+    // vars capture the WINNING attempt's outcome.
     var newPartSpec: Option[Seq[String]] = None
-    val newSchema = changes.foldLeft(m.schema) {
-      case (s, add: TableChange.AddColumn) =>
-        val name = single(add.fieldNames(), "ADD COLUMN")
-        require(!s.fieldNames.contains(name),
-          s"column '$name' already exists")
-        require(!ManifestTable.liveFileCols(dir).contains(name),
-          s"column '$name' was dropped but live files still carry it — " +
-            "compact the table first or use a new name")
-        val next = s.add(name, add.dataType(), nullable = true)
-        ManifestTable.checkSupported(next)
-        next
-      case (s, rn: TableChange.RenameColumn) =>
-        val from = single(rn.fieldNames(), "RENAME COLUMN")
-        val to = rn.newName()
-        require(s.fieldNames.contains(from), s"no column '$from'")
-        require(!s.fieldNames.contains(to),
-          s"column '$to' already exists")
-        require(!ManifestTable.liveFileCols(dir).contains(to),
-          s"column '$to' was dropped but live files still carry it — " +
-            "compact the table first or use a new name")
-        val ren = renameInEntries(from, to)
-        val prevFiles = files
-        files = fs => ren(prevFiles(fs))
-        val pcols = newPartSpec.getOrElse(TblMeta.partitionCols(dir))
-        if (pcols.contains(from))
-          newPartSpec = Some(pcols.map(c => if (c == from) to else c))
-        StructType(s.fields.map(f =>
-          if (f.name == from) f.copy(name = to) else f))
-      case (s, del: TableChange.DeleteColumn) =>
-        val name = single(del.fieldNames(), "DROP COLUMN")
-        require(s.fieldNames.contains(name), s"no column '$name'")
-        require(s.fields.length > 1, "cannot drop the last column")
-        require(!TblMeta.partitionCols(dir).contains(name),
-          s"'$name' is a partition column — change the partition spec " +
-            "before dropping it")
-        StructType(s.fields.filterNot(_.name == name))
-      case (s, up: TableChange.UpdateColumnType) =>
-        val name = single(up.fieldNames(), "ALTER COLUMN TYPE")
-        val f = s.fields.find(_.name == name).getOrElse(
-          throw new IllegalArgumentException(s"no column '$name'"))
-        require(f.dataType == IntegerType &&
-            up.newDataType() == LongType,
-          s"only int -> bigint widening is supported, got " +
-            s"${f.dataType.sql} -> ${up.newDataType().sql}")
-        StructType(s.fields.map(x =>
-          if (x.name == name) x.copy(dataType = LongType) else x))
-      case (_, other) => throw new UnsupportedOperationException(
-        s"unsupported ALTER TABLE change: $other (supported: ADD / " +
-          "RENAME / DROP COLUMN, ALTER COLUMN TYPE int -> bigint)")
-    }
-    ManifestTable.commitSchema(dir, newSchema, files)
+    var finalSchema: StructType = null
+    ManifestTable.commitSchema(dir, m => {
+      val liveCols = m.files.flatMap(_.cols).toSet
+      var files: Seq[ManifestTable.FileEntry] =>
+        Seq[ManifestTable.FileEntry] = identity
+      newPartSpec = None
+      val newSchema = changes.foldLeft(m.schema) {
+        case (s, add: TableChange.AddColumn) =>
+          val name = single(add.fieldNames(), "ADD COLUMN")
+          require(!s.fieldNames.contains(name),
+            s"column '$name' already exists")
+          require(!liveCols.contains(name),
+            s"column '$name' was dropped but live files still carry it — " +
+              "compact the table first or use a new name")
+          val next = s.add(name, add.dataType(), nullable = true)
+          ManifestTable.checkSupported(next)
+          next
+        case (s, rn: TableChange.RenameColumn) =>
+          val from = single(rn.fieldNames(), "RENAME COLUMN")
+          val to = rn.newName()
+          require(s.fieldNames.contains(from), s"no column '$from'")
+          require(!s.fieldNames.contains(to),
+            s"column '$to' already exists")
+          require(!liveCols.contains(to),
+            s"column '$to' was dropped but live files still carry it — " +
+              "compact the table first or use a new name")
+          val ren = renameInEntries(from, to)
+          val prevFiles = files
+          files = fs => ren(prevFiles(fs))
+          val pcols = newPartSpec.getOrElse(TblMeta.partitionCols(dir))
+          if (pcols.contains(from))
+            newPartSpec = Some(pcols.map(c => if (c == from) to else c))
+          StructType(s.fields.map(f =>
+            if (f.name == from) f.copy(name = to) else f))
+        case (s, del: TableChange.DeleteColumn) =>
+          val name = single(del.fieldNames(), "DROP COLUMN")
+          require(s.fieldNames.contains(name), s"no column '$name'")
+          require(s.fields.length > 1, "cannot drop the last column")
+          require(!TblMeta.partitionCols(dir).contains(name),
+            s"'$name' is a partition column — change the partition spec " +
+              "before dropping it")
+          StructType(s.fields.filterNot(_.name == name))
+        case (s, up: TableChange.UpdateColumnType) =>
+          val name = single(up.fieldNames(), "ALTER COLUMN TYPE")
+          val f = s.fields.find(_.name == name).getOrElse(
+            throw new IllegalArgumentException(s"no column '$name'"))
+          require(f.dataType == IntegerType &&
+              up.newDataType() == LongType,
+            s"only int -> bigint widening is supported, got " +
+              s"${f.dataType.sql} -> ${up.newDataType().sql}")
+          StructType(s.fields.map(x =>
+            if (x.name == name) x.copy(dataType = LongType) else x))
+        case (_, other) => throw new UnsupportedOperationException(
+          s"unsupported ALTER TABLE change: $other (supported: ADD / " +
+            "RENAME / DROP COLUMN, ALTER COLUMN TYPE int -> bigint)")
+      }
+      finalSchema = newSchema
+      (newSchema, files)
+    })
     // the declared partition spec follows a partition-column rename —
     // written only AFTER the schema commit wins its CAS
     newPartSpec.foreach(TblMeta.write(dir, _))
-    new GTable(dir, newSchema, declaredPart = TblMeta.partitionCols(dir))
+    new GTable(dir, finalSchema, declaredPart = declaredPartOf(dir))
   }
 
   /** Rename `from` → `to` through a file entry's metadata: the column
@@ -292,6 +334,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def stage(ident: Identifier, schema: StructType,
       partitions: Array[Transform], replace: Boolean,
       orCreate: Boolean): org.apache.spark.sql.connector.catalog.StagedTable = {
+    checkIdent(ident)
     val dir = dirOf(ident)
     if (!replace && isTable(dir)) throw new TableAlreadyExistsException(ident)
     if (replace && !orCreate && !isTable(dir))
@@ -346,6 +389,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = {
+    checkIdent(newIdent)
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
     FsMeta.mkdirs(dirOf(newIdent.namespace().toSeq))
@@ -380,8 +424,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def createNamespace(namespace: Array[String],
-      metadata: util.Map[String, String]): Unit =
+      metadata: util.Map[String, String]): Unit = {
+    checkNames(namespace.toSeq)
     FsMeta.mkdirs(dirOf(namespace.toSeq))
+  }
 
   override def alterNamespace(namespace: Array[String],
       changes: NamespaceChange*): Unit =

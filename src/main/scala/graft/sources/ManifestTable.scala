@@ -970,16 +970,22 @@ object ManifestTable {
     * time travel keeps returning each version's own schema. Unlike
     * [[commitVersion]] (whose evolve() unions schemas — right for
     * appends, wrong for DDL that must REMOVE or REWRITE schema parts),
-    * the caller's schema is published verbatim. Bounded CAS retry, like
-    * every append-safe commit.
+    * `transform` produces the published (schema, file-entry map) FROM
+    * THE CURRENT MANIFEST and is re-evaluated on every CAS attempt —
+    * a precomputed schema would silently revert any commit that landed
+    * between the caller's read and the publish (the window a
+    * whole-table analyze scan holds open for seconds). Bounded CAS
+    * retry, like every append-safe commit.
     */
-  private[graft] def commitSchema(dir: String, newSchema: StructType,
-      mapFiles: Seq[FileEntry] => Seq[FileEntry] = identity): Long = {
+  private[graft] def commitSchema(dir: String,
+      transform: Manifest => (StructType, Seq[FileEntry] => Seq[FileEntry]))
+      : Long = {
     var attempts = 0
     while (true) {
       val cur = readManifest(dir).getOrElse(
         throw new IllegalArgumentException(
           s"no committed manifest at $dir"))
+      val (newSchema, mapFiles) = transform(cur)
       val next = cur.version + 1
       try {
         publish(dir, Manifest(next, newSchema, mapFiles(cur.files),
@@ -1200,6 +1206,12 @@ object ManifestTable {
 
   private[sources] def checkSupported(schema: StructType): Unit =
     schema.fields.foreach { f =>
+      // `_file` is the reserved metadata-column name: a DATA column of
+      // that name would shadow the advertised metadata column and, once
+      // dropped, leave stale encodings the metadata resolution would
+      // mis-parse — reject it at every schema entry point
+      require(f.name != FileMetaCol,
+        s"'$FileMetaCol' is a reserved metadata column name")
       f.dataType match {
         case BooleanType | IntegerType | LongType | DoubleType | StringType =>
         case other => throw new UnsupportedOperationException(
@@ -2576,7 +2588,12 @@ private[sources] class GTabReader(p: GTabPartition, full: StructType,
     }
   private val filePathUtf8 = UTF8String.fromString(p.file)
   private val parsers: Array[String => Any] = pruned.fieldNames.map { n =>
-    if (!full.fieldNames.contains(n)) { (s: String) => s } // metadata col
+    // metadata col — normally constant (colIx -2), but a legacy file may
+    // still physically carry a since-dropped data column of the name;
+    // parse it as the string it was, never a raw java.lang.String into
+    // an InternalRow
+    if (!full.fieldNames.contains(n))
+      (s: String) => UTF8String.fromString(ManifestTable.unescape(s))
     else full.fields(full.fieldIndex(n)).dataType match {
       case BooleanType => (s: String) => java.lang.Boolean.parseBoolean(s)
       case IntegerType => (s: String) => java.lang.Integer.parseInt(s)

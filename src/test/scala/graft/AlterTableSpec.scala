@@ -224,4 +224,28 @@ class AlterTableSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("last column"))
   }
+
+  test("commitSchema recomputes from the current manifest on CAS retry") {
+    val dir = Files.createTempDirectory("graft_cs_race").toString
+    (0 until 10).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    var calls = 0
+    ManifestTable.commitSchema(dir, cur => {
+      calls += 1
+      // a foreign append lands between this attempt's read and publish:
+      // a PREcomputed schema would publish over it and silently revert
+      // nothing here (append only adds files) — but the reverse race
+      // (schema change during a long analyze) is the same CAS window
+      if (calls == 1)
+        (10 until 20).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+          .write.format(Fmt).option("path", dir).mode("append").save()
+      (cur.schema.add("extra", org.apache.spark.sql.types.DoubleType,
+        nullable = true), identity[Seq[ManifestTable.FileEntry]] _)
+    })
+    assert(calls == 2, s"expected one CAS retry, transform ran $calls time(s)")
+    val m = ManifestTable.readManifest(dir).get
+    assert(m.schema.fieldNames.contains("extra"))
+    // the interleaved append's rows survived the schema commit
+    assert(spark.read.format(Fmt).option("path", dir).load().count() == 20)
+  }
 }

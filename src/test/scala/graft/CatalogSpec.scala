@@ -373,4 +373,44 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $cat.db.rn2")
     assert(!spark.catalog.tableExists(s"$cat.db.rn2"))
   }
+
+  test("reserved names: '.stage-' identifiers and '_file' columns") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    // a '.stage-' table would exist (loadTable resolves) yet never list
+    val e = intercept[Exception](
+      spark.sql(s"CREATE TABLE $cat.db.`x.stage-y` (id BIGINT)"))
+    assert(e.getMessage.contains(".stage-"), e.getMessage)
+    // rename into the reserved infix is rejected too
+    spark.sql(s"CREATE TABLE $cat.db.rsv_src (id BIGINT)")
+    val e2 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.db.rsv_src RENAME TO db.`a.stage-b`"))
+    assert(e2.getMessage.contains(".stage-"), e2.getMessage)
+    // '_file' is the reserved metadata-column name: a data column of the
+    // name would shadow the advertised metadata column
+    val e3 = intercept[Exception](
+      spark.sql(s"CREATE TABLE $cat.db.rsv2 (id BIGINT, _file STRING)"))
+    assert(e3.getMessage.contains("reserved"), e3.getMessage)
+    val e4 = intercept[Exception] {
+      spark.range(2).selectExpr("id", "'x' AS _file").write
+        .format("graft.sources.ManifestTable")
+        .option("path", s"$wh/raw_rsv").mode("append").save()
+    }
+    assert(e4.getMessage.contains("reserved"), e4.getMessage)
+  }
+
+  test("a stale declared partition spec degrades instead of failing " +
+      "INSERT") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.stale (id BIGINT, g INT) " +
+      "PARTITIONED BY (g)")
+    spark.sql(s"INSERT INTO $cat.db.stale VALUES (1, 1)")
+    // simulate the crash window between a partition-column RENAME's
+    // schema commit and its _TBLMETA rewrite: the declared spec names a
+    // column the schema no longer carries
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$wh/db/stale/_TBLMETA"), "part=gone\n")
+    spark.sql(s"INSERT INTO $cat.db.stale VALUES (2, 2)") // must not throw
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.stale")
+      .as[Long].head() == 2)
+  }
 }
