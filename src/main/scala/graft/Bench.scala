@@ -98,14 +98,32 @@ object Bench {
     // is the signal that must stay flat round-over-round (at 100 TB you
     // write once and read many). build_s is reported alongside, timed
     // once (it includes the COW merge/delete for q88/q89).
-    final case class STime(build: Double, min: Double, median: Double,
+    // Builds get the same telemetry discipline as reads (round-14
+    // verdict: q86–q92 builds read ~2x round-over-round while q93–q101
+    // sat flat in the SAME run, and builds were the one group still
+    // timed single-shot with no probe and no gc/peak window — the
+    // artifact couldn't adjudicate environmental-vs-real for exactly
+    // the number that moved). Each build now runs TWICE (they are
+    // idempotent: every builder deletes and recreates its /tmp sink),
+    // min-of-2, inside its own gc/peak window, with a probe right
+    // after — a hot build with a flat build_probe and flat gc is code,
+    // a hot build with an elevated probe is the box.
+    final case class STime(build: Double, buildMax: Double,
+      buildProbe: Double, buildGcMs: Long, buildPeakMb: Long,
+      min: Double, median: Double,
       probe: Double, gcMs: Long, peakMb: Long)
     val storageResults: Seq[(String, STime)] =
       graft.queries.StorageLayout.benchPairs.map { case (name, mk) =>
         try {
-          val tb = System.nanoTime()
-          val read = mk(spark, sfDir)
-          val buildS = (System.nanoTime() - tb) / 1e9
+          val bgc0 = gcMs(); resetPeaks()
+          var read: () => org.apache.spark.sql.DataFrame = null
+          val buildTimes = (1 to 2).map { _ =>
+            val tb = System.nanoTime()
+            read = mk(spark, sfDir)
+            (System.nanoTime() - tb) / 1e9
+          }
+          val (buildGc, buildPeak) = (gcMs() - bgc0, peakMb())
+          val buildProbe = probe()
           read().count() // warm
           val gc0 = gcMs(); resetPeaks()
           val times = (1 to 3).map { _ =>
@@ -113,13 +131,15 @@ object Bench {
             read().count()
             (System.nanoTime() - t0) / 1e9
           }
-          name -> STime(buildS, times.min,
+          name -> STime(buildTimes.min, buildTimes.max, buildProbe,
+            buildGc, buildPeak, times.min,
             times.sorted.apply(times.size / 2), probe(), gcMs() - gc0,
             peakMb())
         } catch { case e: Throwable =>
           if (!failed.contains(name)) failed ::= name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          name -> STime(0.0, 0.0, 0.0, probe(), 0L, 0L)
+          name -> STime(0.0, 0.0, probe(), 0L, 0L, 0.0, 0.0,
+            probe(), 0L, 0L)
         }
       }
 
@@ -217,7 +237,10 @@ object Bench {
     val extTotal = rawTotal(extResults)
     val storageJson = storageResults.map { case (k, t) =>
       "\"" + k + "\":" + (if (failed.contains(k)) "null"
-        else s"""{"build_s":${t.build},"read_s":${t.min},""" +
+        else s"""{"build_s":${t.build},"build_max_s":${t.buildMax},""" +
+          s""""build_probe":${t.buildProbe},""" +
+          s""""build_gc_ms":${t.buildGcMs},""" +
+          s""""build_peak_mb":${t.buildPeakMb},"read_s":${t.min},""" +
           s""""read_median_s":${t.median},"gc_ms":${t.gcMs},""" +
           s""""peak_mb":${t.peakMb}}""")
     }.mkString("{", ",", "}")
