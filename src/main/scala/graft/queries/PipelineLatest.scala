@@ -933,6 +933,28 @@ object PipelineLatest {
         """SELECT c_mktsegment, count(*) AS n_cust,
           |  CAST(sum(c_custkey) AS BIGINT) AS sum_key,
           |  min(c_acctbal) AS min_bal
-          |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin))
+          |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin)),
+
+    // --- SQL layout capstone (q106): q91's every-skipping-structure
+    //     table built by ONE statement — CTAS + TBLPROPERTIES blooms +
+    //     a REPARTITION_BY_RANGE/SORT BY clustering — and read with the
+    //     same combined range + bloom-equality predicate. Shares q91's
+    //     oracle verbatim: the SQL front door must be value-identical
+    //     to the hand-built layout. ---
+    QueryDef(
+      "q106_ctas_capstone",
+      (s, dir) => StorageLayout.q106CtasCapstone(s, dir)(),
+      Some(
+        """WITH b AS (SELECT max(o_orderkey) // 100 AS klo,
+          |             max(o_orderkey) // 10 AS khi FROM orders),
+          |pick AS (SELECT o_custkey FROM orders, b
+          |         WHERE o_orderkey >= b.klo
+          |         ORDER BY o_orderkey LIMIT 1)
+          |SELECT o_orderkey, orders.o_custkey AS o_custkey,
+          |  o_orderstatus, o_totalprice, o_orderpriority
+          |FROM orders, b, pick
+          |WHERE o_orderkey >= b.klo AND o_orderkey < b.khi
+          |  AND orders.o_custkey = pick.o_custkey
+          |ORDER BY o_orderkey""".stripMargin))
   )
 }

@@ -583,6 +583,42 @@ object StorageLayout {
       .orderBy("c_mktsegment")
   }
 
+  /** q106: q91's layout capstone through ONE SQL statement — `CREATE
+    * TABLE ... TBLPROPERTIES('bloomColumns'=...) AS SELECT` with a
+    * REPARTITION_BY_RANGE hint + SORT BY supplying the range clustering,
+    * so the whole skipping stack (zone maps from the clustered layout,
+    * blooms from the declared property) is reachable without a line of
+    * Scala. The read re-runs q91's combined range + bloom-equality
+    * predicate against the SQL-created table; the oracle is q91's
+    * verbatim.
+    */
+  def q106CtasCapstone(s: SparkSession, dir: String): () => DataFrame = {
+    val wh = sink("q106", dir)
+    graft.sources.FsMeta.deleteRecursive(wh)
+    val cat = "gq106_" + java.lang.Integer.toHexString(dir.hashCode)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    Tables.t(s, dir, "orders").createOrReplaceTempView("q106_src")
+    s.sql(s"""CREATE TABLE $cat.ord
+             |TBLPROPERTIES('bloomColumns'='o_orderpriority,o_custkey')
+             |AS SELECT * FROM (
+             |  SELECT /*+ REPARTITION_BY_RANGE(8, o_orderkey) */
+             |    o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |    o_orderpriority
+             |  FROM q106_src) SORT BY o_orderkey""".stripMargin)
+    val orders = Tables.t(s, dir, "orders")
+    val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+    val (kLo, kHi) = (mx / 100, mx / 10)
+    val cust = orders.filter(col("o_orderkey") >= kLo)
+      .orderBy("o_orderkey").limit(1)
+      .select("o_custkey").head().getLong(0)
+    () => s.sql(s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+                   |  o_totalprice, o_orderpriority FROM $cat.ord
+                   |WHERE o_orderkey >= $kLo AND o_orderkey < $kHi
+                   |  AND o_custkey = $cust
+                   |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Bench's storage group: name → build-once/read-thunk factory. */
   val benchPairs: Seq[(String, (SparkSession, String) => () => DataFrame)] =
     Seq(
@@ -605,5 +641,6 @@ object StorageLayout {
       "q102_sql_merge" -> (q102SqlMerge _),
       "q103_sql_update" -> (q103SqlUpdate _),
       "q104_ctas" -> (q104Ctas _),
-      "q105_timestamp_travel" -> (q105TimestampTravel _))
+      "q105_timestamp_travel" -> (q105TimestampTravel _),
+      "q106_ctas_capstone" -> (q106CtasCapstone _))
 }

@@ -101,7 +101,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = dirOf(ident)
     val m = ManifestTable.readManifest(dir).getOrElse(
       throw new NoSuchTableException(ident))
-    new GTable(dir, m.schema, declaredPart = declaredPartOf(dir, m.schema))
+    new GTable(dir, m.schema, declaredPart = declaredPartOf(dir, m.schema),
+      declaredProps = TblMeta.properties(dir))
   }
 
   /** The declared partition spec resolved DEFENSIVELY against the live
@@ -179,10 +180,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"graft tables support PARTITIONED BY identity columns, " +
           s"got $other")
     }
+    val props = GTabProps.validated(schema, properties)
     FsMeta.mkdirs(dir)
     ManifestTable.commitVersion(dir, schema, Nil, keepPrevious = false)
-    if (partCols.nonEmpty) TblMeta.write(dir, partCols)
-    new GTable(dir, schema, declaredPart = partCols)
+    if (partCols.nonEmpty || props.nonEmpty)
+      TblMeta.write(dir, partCols, props)
+    new GTable(dir, schema, declaredPart = partCols,
+      declaredProps = props)
   }
 
   /** Schema evolution in SQL — all metadata-only, one atomic manifest
@@ -207,6 +211,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       changes: TableChange*): Table = {
     val dir = dirOf(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
+    // SET/UNSET TBLPROPERTIES are sidecar-only (no manifest version):
+    // split them out so a property change never pays a schema commit
+    val (propChanges, schemaChanges) = changes.partition {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => true
+      case _ => false
+    }
+    if (schemaChanges.isEmpty && propChanges.nonEmpty) {
+      val schema = ManifestTable.readManifest(dir).get.schema
+      applyPropChanges(dir, schema, propChanges)
+      return new GTable(dir, schema,
+        declaredPart = declaredPartOf(dir, schema),
+        declaredProps = TblMeta.properties(dir))
+    }
     def single(fieldNames: Array[String], what: String): String = {
       require(fieldNames.length == 1, s"nested $what is not supported")
       fieldNames(0)
@@ -223,7 +240,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       var files: Seq[ManifestTable.FileEntry] =>
         Seq[ManifestTable.FileEntry] = identity
       newPartSpec = None
-      val newSchema = changes.foldLeft(m.schema) {
+      val newSchema = schemaChanges.foldLeft(m.schema) {
         case (s, add: TableChange.AddColumn) =>
           val name = single(add.fieldNames(), "ADD COLUMN")
           require(!s.fieldNames.contains(name),
@@ -279,7 +296,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // the declared partition spec follows a partition-column rename —
     // written only AFTER the schema commit wins its CAS
     newPartSpec.foreach(TblMeta.write(dir, _))
-    new GTable(dir, finalSchema, declaredPart = declaredPartOf(dir))
+    if (propChanges.nonEmpty)
+      applyPropChanges(dir, finalSchema, propChanges)
+    new GTable(dir, finalSchema, declaredPart = declaredPartOf(dir),
+      declaredProps = TblMeta.properties(dir))
+  }
+
+  /** ALTER TABLE SET/UNSET TBLPROPERTIES: merge into the `_TBLMETA`
+    * sidecar, validated against the live schema. A newly-set skipping
+    * structure applies from the NEXT write — existing files adopt it at
+    * their next compaction / COW rewrite (the documented lag).
+    */
+  private def applyPropChanges(dir: String, schema: StructType,
+      propChanges: Seq[TableChange]): Unit = {
+    val merged = propChanges.foldLeft(TblMeta.properties(dir)) {
+      case (m, sp: TableChange.SetProperty) =>
+        m + (sp.property() -> sp.value())
+      case (m, rp: TableChange.RemoveProperty) => m - rp.property()
+      case (m, _) => m
+    }
+    TblMeta.write(dir, TblMeta.partitionCols(dir),
+      GTabProps.validated(schema, merged.asJava))
   }
 
   /** Rename `from` → `to` through a file entry's metadata: the column
@@ -332,8 +369,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
 
   private def stage(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], replace: Boolean,
-      orCreate: Boolean): org.apache.spark.sql.connector.catalog.StagedTable = {
+      partitions: Array[Transform], replace: Boolean, orCreate: Boolean,
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
     checkIdent(ident)
     val dir = dirOf(ident)
     if (!replace && isTable(dir)) throw new TableAlreadyExistsException(ident)
@@ -341,12 +379,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new NoSuchTableException(ident)
     ManifestTable.checkSupported(schema)
     val partCols = validatedPartCols(schema, partitions)
+    val props = GTabProps.validated(schema, properties)
     FsMeta.mkdirs(dirOf(ident.namespace().toSeq))
     val stageDir = dir + ".stage-" + java.util.UUID.randomUUID
     FsMeta.mkdirs(stageDir)
     ManifestTable.commitVersion(stageDir, schema, Nil, keepPrevious = false)
-    if (partCols.nonEmpty) TblMeta.write(stageDir, partCols)
-    new GStagedTable(stageDir, dir, schema, partCols, replace, ident)
+    if (partCols.nonEmpty || props.nonEmpty)
+      TblMeta.write(stageDir, partCols, props)
+    new GStagedTable(stageDir, dir, schema, partCols, props, replace, ident)
   }
 
   // graft columns carry no defaults/generation — name/type/nullability
@@ -363,7 +403,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       properties: util.Map[String, String])
       : org.apache.spark.sql.connector.catalog.StagedTable =
     stage(ident, toStructType(columns), partitions,
-      replace = false, orCreate = false)
+      replace = false, orCreate = false, properties = properties)
 
   override def stageReplace(ident: Identifier,
       columns: Array[org.apache.spark.sql.connector.catalog.Column],
@@ -371,7 +411,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       properties: util.Map[String, String])
       : org.apache.spark.sql.connector.catalog.StagedTable =
     stage(ident, toStructType(columns), partitions,
-      replace = true, orCreate = false)
+      replace = true, orCreate = false, properties = properties)
 
   override def stageCreateOrReplace(ident: Identifier,
       columns: Array[org.apache.spark.sql.connector.catalog.Column],
@@ -379,7 +419,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       properties: util.Map[String, String])
       : org.apache.spark.sql.connector.catalog.StagedTable =
     stage(ident, toStructType(columns), partitions,
-      replace = true, orCreate = true)
+      replace = true, orCreate = true, properties = properties)
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)
@@ -463,9 +503,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   * only the unlisted stage dir (never a half-created table).
   */
 private[sources] class GStagedTable(stageDir: String, dir: String,
-    schema0: StructType, partCols: Seq[String], replace: Boolean,
-    ident: Identifier)
-    extends GTable(stageDir, schema0, declaredPart = partCols)
+    schema0: StructType, partCols: Seq[String],
+    props: Map[String, String], replace: Boolean, ident: Identifier)
+    extends GTable(stageDir, schema0, declaredPart = partCols,
+      declaredProps = props)
     with org.apache.spark.sql.connector.catalog.StagedTable {
 
   override def commitStagedChanges(): Unit = {
@@ -490,9 +531,10 @@ private[sources] class GStagedTable(stageDir: String, dir: String,
       }
       ManifestTable.commitVersion(dir, staged.schema, staged.files,
         keepPrevious = false)
-      if (partCols.nonEmpty) TblMeta.write(dir, partCols)
+      if (partCols.nonEmpty || props.nonEmpty)
+        TblMeta.write(dir, partCols, props)
       else if (FsMeta.exists(s"$dir/_TBLMETA"))
-        TblMeta.write(dir, Nil)
+        TblMeta.write(dir, Nil, Map.empty[String, String])
       FsMeta.deleteRecursive(stageDir)
     }
   }
@@ -501,18 +543,102 @@ private[sources] class GStagedTable(stageDir: String, dir: String,
     FsMeta.deleteRecursive(stageDir)
 }
 
+/** The table-property vocabulary the catalog persists and the write
+  * path honors — the SQL front door to the connector's skipping
+  * structures and row-level operation modes:
+  *
+  * {{{
+  *   CREATE TABLE g.db.t (...) TBLPROPERTIES(
+  *     'bloomColumns'='k,s',        -- per-file blooms on every write
+  *     'bloomBits'='8192',          -- bloom sizing
+  *     'ndvColumns'='k',            -- per-file KMV sketches (CBO NDV)
+  *     'write.delete.mode'='merge-on-read')  -- DML strategy
+  *   ALTER TABLE g.db.t SET TBLPROPERTIES('bloomColumns'='k')
+  * }}}
+  *
+  * Declared properties apply to every INSERT / CTAS / row-level rewrite
+  * through the catalog (an explicit write option still overrides); a
+  * property adopted by ALTER takes effect from the NEXT write — already
+  * -committed files gain the structures only when a compaction or COW
+  * rewrite touches them (the documented adoption lag).
+  */
+private[sources] object GTabProps {
+  val BloomColumns = "bloomColumns"
+  val BloomBits = "bloomBits"
+  val NdvColumns = "ndvColumns"
+  val DeleteMode = "write.delete.mode"
+  val UpdateMode = "write.update.mode"
+  val MergeMode = "write.merge.mode"
+  val CopyOnWrite = "copy-on-write"
+  val MergeOnRead = "merge-on-read"
+  private val Modes = Set(CopyOnWrite, MergeOnRead)
+  // Spark-managed keys that arrive on createTable but are catalog
+  // bookkeeping, not graft table configuration — never persisted
+  private val SparkManaged =
+    Set("owner", "provider", "comment", "location", "external")
+
+  /** Validate and normalize an incoming property map against `schema`;
+    * returns what `_TBLMETA` should persist. Unknown keys pass through
+    * (they may configure a future writer), recognized keys are
+    * validated HERE so a bad property fails the DDL, not the first
+    * INSERT.
+    */
+  def validated(schema: StructType,
+      properties: util.Map[String, String]): Map[String, String] = {
+    val p = properties.asScala.toMap
+      .filterNot(kv => SparkManaged.contains(kv._1.toLowerCase))
+    def checkCols(key: String): Unit = p.get(key).foreach {
+      _.split(",").map(_.trim).filter(_.nonEmpty).foreach { c =>
+        val f = schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"$key names absent column '$c'"))
+        require(GTabBloom.supported(f.dataType),
+          s"$key: '$c' is ${f.dataType.sql} — int/long/string only")
+      }
+    }
+    checkCols(BloomColumns); checkCols(NdvColumns)
+    p.get(BloomBits).foreach { b =>
+      val n = b.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"$BloomBits must be an integer, got '$b'"))
+      require(n >= 64 && n % 64 == 0,
+        s"$BloomBits must be a positive multiple of 64, got $n")
+    }
+    Seq(DeleteMode, UpdateMode, MergeMode).foreach(k =>
+      p.get(k).foreach(v => require(Modes.contains(v),
+        s"$k must be '$CopyOnWrite' or '$MergeOnRead', got '$v'")))
+    p
+  }
+}
+
 /** Catalog-declared table metadata that must survive every commit: a
-  * tiny `_TBLMETA` sidecar (`part=<col>`), written once at CREATE TABLE.
-  * Kept OUTSIDE the manifest so no commit path needs to carry it and the
-  * manifest format stays untouched; the SCAN still derives partitioning
-  * from the files themselves (ground truth), this only drives the WRITE
-  * side's auto-partitioning.
+  * tiny `_TBLMETA` sidecar (`part=<cols>` plus one `prop=<k>\t<v>` line
+  * per table property), written at CREATE TABLE and rewritten by ALTER
+  * TABLE SET/UNSET TBLPROPERTIES. Kept OUTSIDE the manifest so no
+  * commit path needs to carry it and the manifest format stays
+  * untouched; the SCAN still derives partitioning from the files
+  * themselves (ground truth) — the declared spec and properties drive
+  * the WRITE side (auto-partitioning, bloom/NDV skipping structures,
+  * row-level operation mode).
   */
 private[sources] object TblMeta {
   private def path(dir: String) = s"$dir/_TBLMETA"
-  def write(dir: String, partCols: Seq[String]): Unit =
-    FsMeta.writeString(path(dir),
-      s"part=${partCols.map(ManifestTable.escape).mkString(",")}\n")
+
+  /** Rewrite the sidecar. `props = null` (the default) PRESERVES the
+    * existing properties — spec-only callers (partition-spec evolution,
+    * a rename's spec carry) must not silently strip a table's declared
+    * skipping structures.
+    */
+  def write(dir: String, partCols: Seq[String],
+      props: Map[String, String] = null): Unit = {
+    val p = Option(props).getOrElse(properties(dir))
+    val lines =
+      s"part=${partCols.map(ManifestTable.escape).mkString(",")}" +:
+        p.toSeq.sortBy(_._1).map { case (k, v) =>
+          s"prop=${ManifestTable.escape(k)}\t${ManifestTable.escape(v)}"
+        }
+    FsMeta.writeString(path(dir), lines.mkString("", "\n", "\n"))
+  }
+
   def partitionCols(dir: String): Seq[String] =
     if (!FsMeta.exists(path(dir))) Nil
     else FsMeta.readString(path(dir)).linesIterator
@@ -520,4 +646,15 @@ private[sources] object TblMeta {
         l.stripPrefix("part=").split(",").filter(_.nonEmpty)
           .map(ManifestTable.unescape).toSeq }
       .getOrElse(Nil)
+
+  def properties(dir: String): Map[String, String] =
+    if (!FsMeta.exists(path(dir))) Map.empty
+    else FsMeta.readString(path(dir)).linesIterator.collect {
+      case l if l.startsWith("prop=") =>
+        l.stripPrefix("prop=").split("\t", 2) match {
+          case Array(k, v) =>
+            ManifestTable.unescape(k) -> ManifestTable.unescape(v)
+          case Array(k) => ManifestTable.unescape(k) -> ""
+        }
+    }.toMap
 }

@@ -1224,13 +1224,19 @@ object ManifestTable {
 private[sources] class GTable(path: String, schema0: StructType,
     declaredPart: Seq[String] = Nil,
     travelVersion: Option[Long] = None,
-    travelBranch: Option[String] = None)
+    travelBranch: Option[String] = None,
+    declaredProps: Map[String, String] = Map.empty)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"gtab($path)"
   override def schema(): StructType = schema0
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    declaredProps.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
 
   /** `_file` — the data file a row lives in (see
     * [[ManifestTable.FileMetaCol]]). Nullable: Spark nullifies metadata
@@ -1289,7 +1295,11 @@ private[sources] class GTable(path: String, schema0: StructType,
       "cannot write through a version- or branch-pinned table reference")
     ManifestTable.checkSupported(info.schema())
     val opts = info.options()
-    val bloomCols = Option(opts.get("bloomColumns"))
+    // catalog-declared TBLPROPERTIES drive the skipping structures on
+    // every write through the table; an explicit write option overrides
+    def declaredOrOpt(key: String): Option[String] =
+      Option(opts.get(key)).orElse(declaredProps.get(key))
+    val bloomCols = declaredOrOpt("bloomColumns")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
     bloomCols.foreach { c =>
@@ -1300,7 +1310,7 @@ private[sources] class GTable(path: String, schema0: StructType,
         s"bloomColumns: '$c' is ${f.dataType.sql} — blooms support " +
           "int/long/string")
     }
-    val bloomBits = Option(opts.get("bloomBits")).map(_.toInt)
+    val bloomBits = declaredOrOpt("bloomBits").map(_.toInt)
       .getOrElse(GTabBloom.DefaultBits)
     require(bloomBits >= 64 && bloomBits % 64 == 0,
       s"bloomBits must be a positive multiple of 64, got $bloomBits")
@@ -1322,7 +1332,7 @@ private[sources] class GTable(path: String, schema0: StructType,
             "Spark normalizes -0.0 == 0.0, their codec strings differ)")
       }
     }
-    val ndvCols = Option(opts.get("ndvColumns"))
+    val ndvCols = declaredOrOpt("ndvColumns")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
     ndvCols.foreach { c =>

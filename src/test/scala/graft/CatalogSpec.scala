@@ -413,4 +413,52 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.stale")
       .as[Long].head() == 2)
   }
+
+  test("TBLPROPERTIES drive skipping structures from pure SQL") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.props (id BIGINT, s STRING) " +
+      "TBLPROPERTIES('bloomColumns'='id', 'bloomBits'='4096')")
+    (0 until 400).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+      .createOrReplaceTempView("props_src")
+    // hash-scattered on purpose: zone maps prune nothing, blooms must
+    spark.sql(s"INSERT INTO $cat.db.props " +
+      "SELECT /*+ REPARTITION(4, id) */ * FROM props_src")
+    val dirT = s"$wh/db/props"
+    val m = ManifestTable.readManifest(dirT).get
+    assert(m.files.nonEmpty && m.files.forall(_.stats.contains("#bloom:id")),
+      "every SQL-inserted file must carry the declared bloom")
+    val q = spark.sql(s"SELECT * FROM $cat.db.props WHERE id = 7")
+    assert(q.count() == 1)
+    val desc = q.queryExecution.executedPlan.toString
+    assert(desc.contains(s"files=1/${m.files.size}"),
+      s"bloom point lookup must prune to 1 file: $desc")
+    // SHOW TBLPROPERTIES reads the persisted sidecar back
+    val shown = spark.sql(s"SHOW TBLPROPERTIES $cat.db.props").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("bloomColumns").contains("id"), shown.toString)
+    // ALTER ... SET TBLPROPERTIES adopts on the NEXT write
+    spark.sql(
+      s"ALTER TABLE $cat.db.props SET TBLPROPERTIES('ndvColumns'='id')")
+    spark.sql(s"INSERT INTO $cat.db.props VALUES (1000, 'x')")
+    val m2 = ManifestTable.readManifest(dirT).get
+    assert(m2.files.exists(_.stats.contains("#ndv:id")),
+      "the post-SET insert must carry the NDV sketch")
+    // UNSET stops later writes from carrying it
+    spark.sql(s"ALTER TABLE $cat.db.props UNSET TBLPROPERTIES('ndvColumns')")
+    spark.sql(s"INSERT INTO $cat.db.props VALUES (1001, 'y')")
+    val m3 = ManifestTable.readManifest(dirT).get
+    val newest = m3.files.map(_.name).toSet -- m2.files.map(_.name).toSet
+    assert(newest.nonEmpty &&
+      m3.files.filter(f => newest.contains(f.name))
+        .forall(!_.stats.contains("#ndv:id")))
+    // a bad property fails the DDL, never the first INSERT
+    val e = intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.db.propbad (id BIGINT) " +
+        "TBLPROPERTIES('bloomColumns'='nope')"))
+    assert(e.getMessage.contains("absent column"), e.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.db.propbad2 (id BIGINT) " +
+        "TBLPROPERTIES('write.delete.mode'='sometimes')"))
+    assert(e2.getMessage.contains("copy-on-write"), e2.getMessage)
+  }
 }

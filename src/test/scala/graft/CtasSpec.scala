@@ -103,4 +103,26 @@ class CtasSpec extends AnyFunSuite {
       (e.getMessage.contains("ghost") ||
         e.getMessage.toUpperCase.contains("NOT_FOUND")))
   }
+
+  test("CTAS with TBLPROPERTIES: the staged write carries the declared " +
+      "skipping structures and the read prunes on them") {
+    val read = graft.queries.StorageLayout
+      .q106CtasCapstone(spark, TestSpark.sf001)
+    // every CTAS-written file carries both declared blooms
+    val tdir = spark.conf.getAll.collectFirst {
+      case (k, v) if k.startsWith("spark.sql.catalog.gq106_") &&
+        k.endsWith(".warehouse") => s"$v/ord"
+    }.get
+    val m = graft.sources.ManifestTable.readManifest(tdir).get
+    assert(m.files.nonEmpty &&
+      m.files.forall(f => f.stats.contains("#bloom:o_custkey") &&
+        f.stats.contains("#bloom:o_orderpriority")),
+      "CTAS must apply the TBLPROPERTIES blooms to the staged write")
+    // the combined range + bloom-equality predicate reads ONE file of 8
+    val df = read()
+    assert(df.count() >= 1)
+    val desc = df.queryExecution.executedPlan.toString
+    assert(desc.contains(s"files=1/${m.files.size}"),
+      s"zone maps + blooms must localize the SQL read: $desc")
+  }
 }
