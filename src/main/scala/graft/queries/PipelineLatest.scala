@@ -955,6 +955,46 @@ object PipelineLatest {
           |FROM orders, b, pick
           |WHERE o_orderkey >= b.klo AND o_orderkey < b.khi
           |  AND orders.o_custkey = pick.o_custkey
-          |ORDER BY o_orderkey""".stripMargin))
+          |ORDER BY o_orderkey""".stripMargin)),
+
+    // --- SQL merge-on-read DELETE (q107): q92's delete through
+    //     `write.delete.mode=merge-on-read` — the SupportsDelta plan
+    //     writes POSITION deletion vectors ((file, line-ordinal) row
+    //     IDs, `#dvp` sidecars) and rewrites zero data files (in-build
+    //     require + RowLevelSpec pins). Shares q89/q92's oracle. ---
+    QueryDef(
+      "q107_sql_mor_delete",
+      (s, dir) => StorageLayout.q107SqlMorDelete(s, dir)(),
+      Some(
+        """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+          |FROM customer WHERE c_custkey % 7 <> 0
+          |ORDER BY c_custkey""".stripMargin)),
+
+    // --- SQL merge-on-read MERGE (q108): q88/q102's upsert through
+    //     `write.merge.mode=merge-on-read` — matched rows split into
+    //     position delete + fresh insert, pre-merge files survive
+    //     byte-identical. Shares q88/q102's oracle verbatim: three
+    //     strategies, one answer. ---
+    QueryDef(
+      "q108_sql_mor_merge",
+      (s, dir) => StorageLayout.q108SqlMorMerge(s, dir)(),
+      Some(
+        """WITH ins AS (SELECT * FROM (VALUES
+          |    (1000000000, 'new-0', 0, 0.0, 'MACHINERY'),
+          |    (1000000001, 'new-1', 1, 0.0, 'MACHINERY'),
+          |    (1000000002, 'new-2', 2, 0.0, 'MACHINERY'))
+          |  t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)),
+          |merged AS (
+          |  SELECT c_custkey, 'upd-' || c_name AS c_name, c_nationkey,
+          |    c_acctbal + 1000.0::DOUBLE AS c_acctbal, c_mktsegment
+          |  FROM customer WHERE c_custkey % 10 = 0
+          |  UNION ALL
+          |  SELECT CAST(c_custkey AS BIGINT), c_name,
+          |    CAST(c_nationkey AS INT), CAST(c_acctbal AS DOUBLE),
+          |    c_mktsegment FROM ins
+          |  UNION ALL
+          |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+          |  FROM customer WHERE c_custkey % 10 <> 0)
+          |SELECT * FROM merged ORDER BY c_custkey""".stripMargin))
   )
 }

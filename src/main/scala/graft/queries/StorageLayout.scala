@@ -619,6 +619,80 @@ object StorageLayout {
                    |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Shared build for the MOR SQL-DML queries: a catalog table with the
+    * merge-on-read TBLPROPERTIES and a range-clustered customer INSERT.
+    */
+  private def morCatalogWithCustomer(s: SparkSession, dir: String,
+      tag: String): (String, String) = {
+    val wh = sink(tag, dir)
+    graft.sources.FsMeta.deleteRecursive(wh)
+    val cat = s"g${tag}_" + java.lang.Integer.toHexString(dir.hashCode)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"""CREATE TABLE $cat.cust (
+             |  c_custkey BIGINT, c_name STRING, c_nationkey INT,
+             |  c_acctbal DOUBLE, c_mktsegment STRING)
+             |TBLPROPERTIES('write.delete.mode'='merge-on-read',
+             |  'write.update.mode'='merge-on-read',
+             |  'write.merge.mode'='merge-on-read')""".stripMargin)
+    Tables.t(s, dir, "customer")
+      .repartitionByRange(8, col("c_custkey"))
+      .sortWithinPartitions("c_custkey")
+      .createOrReplaceTempView(s"${tag}_src")
+    s.sql(s"""INSERT INTO $cat.cust
+             |SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+             |  c_mktsegment FROM ${tag}_src""".stripMargin)
+    (cat, s"$wh/cust")
+  }
+
+  /** q107: SQL MERGE-ON-READ DELETE — q92's delete driven through
+    * `DELETE FROM ... WHERE c_custkey % 7 = 0` with
+    * `write.delete.mode=merge-on-read`: the SupportsDelta plan writes
+    * POSITION deletion vectors (`#dvp` sidecars of line ordinals) and
+    * rewrites ZERO data files (the in-build require pins the untouched
+    * name set). Shares q92/q89's oracle: MOR from SQL must be
+    * value-identical to the rewrite.
+    */
+  def q107SqlMorDelete(s: SparkSession, dir: String): () => DataFrame = {
+    val (cat, tdir) = morCatalogWithCustomer(s, dir, "q107")
+    val before = graft.sources.ManifestTable.readManifest(tdir).get
+      .files.map(_.name).toSet
+    s.sql(s"DELETE FROM $cat.cust WHERE c_custkey % 7 = 0")
+    val after = graft.sources.ManifestTable.readManifest(tdir).get
+    require(after.files.map(_.name).toSet == before,
+      "MOR DELETE must rewrite zero data files")
+    require(after.files.exists(_.stats.contains("#dvp")),
+      "MOR DELETE must attach position deletion vectors")
+    () => s.sql(s"""SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                   |  c_mktsegment FROM $cat.cust
+                   |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** q108: SQL MERGE-ON-READ MERGE — q88/q102's upsert through
+    * `write.merge.mode=merge-on-read`: matched rows split into a
+    * position delete + a fresh insert (representUpdateAsDeleteAndInsert),
+    * not-matched rows insert, and every pre-merge data file survives
+    * byte-identical (in-build require). Shares q88's oracle VERBATIM —
+    * three strategies (Scala COW, SQL COW, SQL MOR), one answer.
+    */
+  def q108SqlMorMerge(s: SparkSession, dir: String): () => DataFrame = {
+    val (cat, tdir) = morCatalogWithCustomer(s, dir, "q108")
+    val before = graft.sources.ManifestTable.readManifest(tdir).get
+      .files.map(_.name).toSet
+    mergeUpdates(s, Tables.t(s, dir, "customer"))
+      .createOrReplaceTempView("q108_upd")
+    s.sql(s"""MERGE INTO $cat.cust t USING q108_upd u
+             |ON t.c_custkey = u.c_custkey
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val after = graft.sources.ManifestTable.readManifest(tdir).get
+    require(before.subsetOf(after.files.map(_.name).toSet),
+      "MOR MERGE must leave every pre-merge data file in place")
+    () => s.sql(s"""SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                   |  c_mktsegment FROM $cat.cust
+                   |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** Bench's storage group: name → build-once/read-thunk factory. */
   val benchPairs: Seq[(String, (SparkSession, String) => () => DataFrame)] =
     Seq(
@@ -642,5 +716,7 @@ object StorageLayout {
       "q103_sql_update" -> (q103SqlUpdate _),
       "q104_ctas" -> (q104Ctas _),
       "q105_timestamp_travel" -> (q105TimestampTravel _),
-      "q106_ctas_capstone" -> (q106CtasCapstone _))
+      "q106_ctas_capstone" -> (q106CtasCapstone _),
+      "q107_sql_mor_delete" -> (q107SqlMorDelete _),
+      "q108_sql_mor_merge" -> (q108SqlMorMerge _))
 }

@@ -155,8 +155,48 @@ object ManifestTable {
     * since the fork (the write-audit-publish conflict rule).
     */
   final case class Manifest(version: Long, schema: StructType,
-      files: Seq[FileEntry], epoch: Long = -1L, base: Long = -1L,
-      ts: Long = -1L)
+      inline: Seq[FileEntry], epoch: Long = -1L, base: Long = -1L,
+      ts: Long = -1L, shards: Seq[ShardRef] = Nil, dir: String = "") {
+    /** ALL file entries — inline plus every shard's, decoded lazily.
+      * The metadata-tree contract: maintenance paths that genuinely
+      * need the full census use this; the SCAN path goes through
+      * [[ManifestTable.planFiles]] instead, which prunes SHARDS before
+      * decoding a single entry line.
+      */
+    lazy val files: Seq[FileEntry] =
+      if (shards.isEmpty) inline
+      else inline ++ shards.flatMap(r => ManifestTable.readShard(dir, r))
+    /** File/row counts WITHOUT decoding shards (history, count scans). */
+    def nFiles: Int = inline.size + shards.map(_.nFiles).sum
+    def nRows: Long = inline.map(_.rows).sum + shards.map(_.rows).sum
+  }
+
+  /** One metadata SHARD reference in the root manifest — Iceberg's
+    * manifest-list shape on the gtab ledger: the root lists shards
+    * (`@`-prefixed lines), each an immutable `meta/shard-*.gsh` file of
+    * entry lines, carrying AGGREGATE stats so planning can prune whole
+    * shards before decoding lines and a commit can rewrite O(touched
+    * shards) instead of re-serializing every entry:
+    *
+    *   - merged numeric zone maps (min of los, max of his) per column
+    *     every member records — the shard prunes through the SAME
+    *     [[GTabSkip.keep]] the files do (a ShardRef renders as a
+    *     pseudo-FileEntry);
+    *   - `#part:c` when the shard is single-valued on a partition
+    *     column; `#pcols` lists every partition column ANY member
+    *     records (pushdown usability without decode);
+    *   - OR-union of member blooms per bloom column (bit-union of
+    *     equal-shape filters is exactly the union filter);
+    *   - `#nf` member count, `#nbl` a bloom over member FILE NAMES
+    *     (what lets commitReplace skip shards that cannot contain a
+    *     removed file), `#dv` flag when any member carries deletion
+    *     vectors (count-pushdown guard without decode).
+    *
+    * `crc` is the shard body's CRC32, validated at every decode — the
+    * same torn-publish detection as the root.
+    */
+  final case class ShardRef(name: String, nFiles: Int, rows: Long,
+      crc: Long, cols: Seq[String], agg: Map[String, (String, String)])
 
   /** One committed data file. `cols` is the column list THIS file was
     * written with — the unit of schema evolution: the table schema may
@@ -181,14 +221,194 @@ object ManifestTable {
     * streaming epoch replays idempotent, carried IN the manifest so the
     * dedup decision and the publish are a single atomic swap.
     */
+  private def renderEntry(f: FileEntry): String = {
+    val stats = f.stats.toSeq.sortBy(_._1).flatMap { case (c, (lo, hi)) =>
+      Seq(escape(c), escape(lo), escape(hi)) }
+    (Seq(f.name, f.rows.toString, f.crc.toString,
+      f.cols.length.toString) ++ f.cols.map(escape) ++ stats)
+      .mkString("\t")
+  }
+
+  // a ShardRef rides the ENTRY codec (name/rows/crc/cols/stats) behind
+  // an '@' marker; member count tunnels through the reserved #nf key
+  private val ShardNf = "#nf"
+  private def shardToEntry(r: ShardRef): FileEntry =
+    FileEntry(r.name, r.rows, r.crc, r.cols,
+      r.agg + (ShardNf -> (r.nFiles.toString, "")))
+  private def entryToShard(e: FileEntry): ShardRef =
+    ShardRef(e.name, e.stats.get(ShardNf).flatMap(_._1.toIntOption)
+      .getOrElse(0), e.rows, e.crc, e.cols, e.stats - ShardNf)
+
+  private def parseEntry(l: String, schema: StructType): FileEntry = {
+    val p = l.split("\t", -1)
+    // legacy (pre-evolution) lines lack the column-count field:
+    // field 4 is then a stats column NAME, not an integer — those
+    // files were written with the table schema of their day,
+    // which this manifest still carries
+    val k = if (p.length > 3) p(3).toIntOption else None
+    k match {
+      case Some(n) =>
+        val cols = p.slice(4, 4 + n).map(unescape).toSeq
+        val stats = p.drop(4 + n).grouped(3).collect {
+          case Array(c, lo, hi) =>
+            unescape(c) -> (unescape(lo), unescape(hi))
+        }.toMap
+        FileEntry(p(0), p(1).toLong, p(2).toLong, cols, stats)
+      case None =>
+        val stats = p.drop(3).grouped(3).collect {
+          case Array(c, lo, hi) =>
+            unescape(c) -> (unescape(lo), unescape(hi))
+        }.toMap
+        FileEntry(p(0), p(1).toLong, p(2).toLong,
+          schema.fieldNames.toSeq, stats)
+    }
+  }
+
+  // ---- metadata shards (the manifest TREE) ----
+  // At ~10^6 files a single rendered manifest is a multi-GB driver
+  // serialize on EVERY commit and a full decode on every plan. Shards
+  // bound both: the root carries one line per shard, an append writes
+  // one new shard, a replace rewrites only the shards holding removed
+  // entries, and planning decodes only shards whose aggregate stats
+  // survive pruning. Shard files are immutable and content-complete
+  // (own CRC), shared across versions exactly like data files; vacuum
+  // reclaims the unreferenced ones.
+
+  /** Inline entries a root may carry before they spill into a shard —
+    * small tables stay single-file (zero tree overhead, full back
+    * compat), and appends batch ~InlineMax entries per shard write.
+    */
+  private[graft] val InlineMax = 128
+  /** Target entries per shard (pruning granularity vs root width). */
+  private[sources] val ShardTarget = 256
+  // shards that shrank below this (replace-heavy tables) re-coalesce
+  // once enough accumulate, keeping the root O(files / ShardTarget)
+  private val SmallShardMin = 64
+  private val MaxSmallShards = 8
+
+  /** Decode counter — test seam for the prune-then-decode contract
+    * (shards decoded == shards kept on a pruned scan).
+    */
+  private[graft] val shardDecodes = new java.util.concurrent.atomic.AtomicLong
+
+  private[sources] def shardPath(dir: String, name: String): String =
+    s"$dir/meta/$name"
+
+  private[sources] def readShard(dir: String, r: ShardRef): Seq[FileEntry] = {
+    require(dir.nonEmpty, "sharded manifest parsed without a directory")
+    shardDecodes.incrementAndGet()
+    val raw = FsMeta.readString(shardPath(dir, r.name))
+    val ix = raw.indexOf('\n')
+    require(ix > 0, s"corrupt shard ${r.name} at $dir: no header")
+    val header = raw.substring(0, ix)
+    val body = raw.substring(ix + 1)
+    val c = new CRC32; c.update(body.getBytes(StandardCharsets.UTF_8))
+    require(header == s"gshard crc=${c.getValue}" && c.getValue == r.crc,
+      s"shard ${r.name} at $dir failed its CRC — torn/corrupted write")
+    // entries always carry their own column lists (written by this
+    // round's code), so the schema fallback never fires
+    body.linesIterator.filter(_.nonEmpty)
+      .map(parseEntry(_, StructType(Nil))).toSeq
+  }
+
+  private[sources] def writeShard(dir: String,
+      entries: Seq[FileEntry]): ShardRef = {
+    val body = entries.map(renderEntry).mkString("\n")
+    val c = new CRC32; c.update(body.getBytes(StandardCharsets.UTF_8))
+    val name = s"shard-${java.util.UUID.randomUUID}.gsh"
+    FsMeta.mkdirs(s"$dir/meta")
+    FsMeta.writeString(shardPath(dir, name),
+      s"gshard crc=${c.getValue}\n" + body)
+    ShardRef(name, entries.size, entries.map(_.rows).sum, c.getValue,
+      entries.flatMap(_.cols).distinct, shardAgg(entries))
+  }
+
+  /** Aggregate stats of a shard's members — what the root line carries
+    * so planning can prune the WHOLE shard with the same conservative
+    * [[GTabSkip.keep]] that prunes files. Every key is dropped on any
+    * doubt (a shard without a key is always kept).
+    */
+  private def shardAgg(entries: Seq[FileEntry])
+      : Map[String, (String, String)] = {
+    if (entries.isEmpty) return Map.empty
+    val agg = scala.collection.mutable.Map.empty[String, (String, String)]
+    val keysEverywhere = entries.map(_.stats.keySet).reduce(_ intersect _)
+    keysEverywhere.foreach { k =>
+      val vs = entries.map(_.stats(k))
+      if (!k.startsWith("#")) {
+        // numeric zone map: [min lo, max hi] in exact decimal arithmetic
+        try {
+          val lo = vs.map(v => BigDecimal(v._1)).min
+          val hi = vs.map(v => BigDecimal(v._2)).max
+          val loS = vs.find(v => BigDecimal(v._1) == lo).get._1
+          val hiS = vs.find(v => BigDecimal(v._2) == hi).get._2
+          agg(k) = (loS, hiS)
+        } catch { case _: NumberFormatException => () }
+      } else if (k.startsWith(PartPrefix)) {
+        // single-valued across the shard -> exact value pruning applies
+        if (vs.map(_._1).distinct.size == 1) agg(k) = (vs.head._1, "")
+      } else if (k.startsWith(GTabBloom.KeyPrefix)) {
+        // bit-union of equal-shape blooms IS the union filter
+        val ks = vs.map(_._1).distinct
+        val words = vs.map(v => GTabBloom.decode(v._2))
+        if (ks.size == 1 && words.map(_.length).distinct.size == 1) {
+          val acc = new Array[Long](words.head.length)
+          words.foreach { w =>
+            var i = 0
+            while (i < w.length) { acc(i) |= w(i); i += 1 }
+          }
+          agg(k) = (ks.head, GTabBloom.encode(acc))
+        }
+      } else if (k == SzKey) {
+        val sum = vs.flatMap(_._1.toLongOption).sum
+        agg(k) = (sum.toString, "")
+      }
+    }
+    // partition-column NAMES any member records (pushdown usability
+    // without decoding) — distinct from the single-valued #part keys
+    val pcols = entries.flatMap(_.stats.keys.filter(_.startsWith(PartPrefix)))
+      .map(_.stripPrefix(PartPrefix)).distinct.sorted
+    if (pcols.nonEmpty) agg("#pcols") = (pcols.map(escape).mkString(","), "")
+    // any member carrying a deletion vector disables the metadata-count
+    // fast path without a decode
+    if (entries.exists(_.stats.keys.exists(k =>
+        k.startsWith(DvPrefix) || k == DvPosKey)))
+      agg("#dv") = ("1", "")
+    // bloom over member FILE NAMES: commitReplace and the files-option
+    // read probe it to skip shards that cannot hold a requested entry
+    // (4096 bits ≈ 16 bits/name at ShardTarget members, sub-1% FPP — a
+    // false positive costs one decode, never correctness)
+    val nbl = new Array[Long](64)
+    entries.foreach { e =>
+      val key = GTabBloom.hashString(e.name)
+      val h1 = graft.functions.BloomUtil.mix64(key)
+      val h2 = graft.functions.BloomUtil.mix64(h1) | 1L
+      var i = 0
+      while (i < GTabBloom.NumHashes) {
+        val idx = java.lang.Long.remainderUnsigned(h1 + i * h2, 4096L).toInt
+        nbl(idx >>> 6) |= 1L << (idx & 63)
+        i += 1
+      }
+    }
+    agg("#nbl") = (GTabBloom.NumHashes.toString, GTabBloom.encode(nbl))
+    agg.toMap
+  }
+
+  /** Could shard `r` contain ANY of `names`? Name-bloom probe. */
+  private def shardMightContain(r: ShardRef, names: Iterable[String])
+      : Boolean = r.agg.get("#nbl") match {
+    case Some((kStr, b64)) =>
+      val k = kStr.toIntOption.getOrElse(return true)
+      val words = GTabBloom.decode(b64)
+      names.exists(n =>
+        GTabBloom.mightContainWords(words, GTabBloom.hashString(n), k))
+    case None => true
+  }
+
   private def render(m: Manifest): String = {
-    val body = (m.schema.toDDL +: m.files.map { f =>
-      val stats = f.stats.toSeq.sortBy(_._1).flatMap { case (c, (lo, hi)) =>
-        Seq(escape(c), escape(lo), escape(hi)) }
-      (Seq(f.name, f.rows.toString, f.crc.toString,
-        f.cols.length.toString) ++ f.cols.map(escape) ++ stats)
-        .mkString("\t")
-    }).mkString("\n")
+    val body = ((m.schema.toDDL +: m.inline.map(renderEntry)) ++
+      m.shards.map(r => "@" + renderEntry(shardToEntry(r))))
+      .mkString("\n")
     val c = new CRC32; c.update(body.getBytes(StandardCharsets.UTF_8))
     val ep = if (m.epoch >= 0) s" epoch=${m.epoch}" else ""
     val ba = if (m.base >= 0) s" base=${m.base}" else ""
@@ -266,8 +486,8 @@ object ManifestTable {
     if (cur.version != bh.base)
       throw new BranchConflictException(dir, name, bh.base, cur.version)
     val next = cur.version + 1
-    publish(dir, Manifest(next, bh.schema, bh.files,
-      math.max(bh.epoch, cur.epoch)))
+    publish(dir, Manifest(next, bh.schema, bh.inline,
+      math.max(bh.epoch, cur.epoch), shards = bh.shards, dir = dir))
     next
   }
 
@@ -355,34 +575,19 @@ object ManifestTable {
               s"(expected $crc, got ${c.getValue})")
           val lines = body.split("\n", -1).toSeq
           val schema = StructType.fromDDL(lines.head)
-          val files = lines.tail.filter(_.nonEmpty).map { l =>
-            val p = l.split("\t", -1)
-            // legacy (pre-evolution) lines lack the column-count field:
-            // field 4 is then a stats column NAME, not an integer — those
-            // files were written with the table schema of their day,
-            // which this manifest still carries
-            val k = if (p.length > 3) p(3).toIntOption else None
-            k match {
-              case Some(n) =>
-                val cols = p.slice(4, 4 + n).map(unescape).toSeq
-                val stats = p.drop(4 + n).grouped(3).collect {
-                  case Array(c, lo, hi) =>
-                    unescape(c) -> (unescape(lo), unescape(hi))
-                }.toMap
-                FileEntry(p(0), p(1).toLong, p(2).toLong, cols, stats)
-              case None =>
-                val stats = p.drop(3).grouped(3).collect {
-                  case Array(c, lo, hi) =>
-                    unescape(c) -> (unescape(lo), unescape(hi))
-                }.toMap
-                FileEntry(p(0), p(1).toLong, p(2).toLong,
-                  schema.fieldNames.toSeq, stats)
-            }
-          }
+          val (shardLines, fileLines) =
+            lines.tail.filter(_.nonEmpty).partition(_.startsWith("@"))
+          val files = fileLines.map(parseEntry(_, schema))
+          val shards = shardLines.map(l =>
+            entryToShard(parseEntry(l.substring(1), schema)))
           Manifest(v.toLong, schema, files,
             Option(ep).map(_.toLong).getOrElse(-1L),
             Option(ba).map(_.toLong).getOrElse(-1L),
-            Option(tt).map(_.toLong).getOrElse(-1L))
+            Option(tt).map(_.toLong).getOrElse(-1L),
+            shards,
+            // shards live under <table dir>/meta; mp is always a direct
+            // child of the table dir (_MANIFEST[, .vN, .b<name>...])
+            mp.substring(0, mp.lastIndexOf('/')))
         case _ => throw new IllegalStateException(
           s"manifest at $mp has an unrecognized header: '$header'")
       }
@@ -574,9 +779,13 @@ object ManifestTable {
     * and prunes exactly the files that do carry it.
     */
   private[graft] def anyPartitionColumns(m: Manifest): Seq[String] =
-    m.files.flatMap(_.stats.keys.filter(_.startsWith(PartPrefix)))
-      .map(_.stripPrefix(PartPrefix)).distinct
-      .filter(m.schema.fieldNames.contains)
+    (m.inline.flatMap(_.stats.keys.filter(_.startsWith(PartPrefix)))
+        .map(_.stripPrefix(PartPrefix)) ++
+      // shard agg carries the member partition-column NAMES (#pcols),
+      // so pushdown usability never decodes a shard
+      m.shards.flatMap(_.agg.get("#pcols")).flatMap(_._1.split(","))
+        .filter(_.nonEmpty).map(unescape))
+      .distinct.filter(m.schema.fieldNames.contains)
 
   /** Decode one `#part:` value from its codec form. */
   private[sources] def decodePartValue(enc: String, dt: DataType): Any =
@@ -637,7 +846,7 @@ object ManifestTable {
   private[sources] def liveRows(files: Seq[FileEntry]): Long = {
     val phys = files.map(_.rows).sum
     val dv = files.flatMap(_.stats.collect {
-      case (k, (name, n)) if k.startsWith(DvPrefix) =>
+      case (k, (name, n)) if k.startsWith(DvPrefix) || k == DvPosKey =>
         (name, n.toLongOption.getOrElse(0L))
     }).distinct.map(_._2).sum
     math.max(0L, phys - dv)
@@ -665,6 +874,39 @@ object ManifestTable {
     finally in.close()
   }
 
+  /** Resolve an explicit file-name subset (the `files` read option —
+    * CowOps' affected-set reads, the change feed's sides) decoding only
+    * shards whose NAME BLOOM might hold a requested name: the feed over
+    * a sharded table costs O(changed shards), not O(table). A name not
+    * found anywhere is still a typed error, never a silent empty scan.
+    */
+  private[sources] def filesNamed(m: Manifest,
+      names: Set[String]): Seq[FileEntry] = {
+    val found = m.inline.filter(f => names.contains(f.name)) ++
+      m.shards.filter(shardMightContain(_, names))
+        .flatMap(readShard(m.dir, _)).filter(f => names.contains(f.name))
+    val missing = names -- found.map(_.name).toSet
+    require(missing.isEmpty,
+      s"files option names entries absent from the manifest: " +
+        missing.mkString(","))
+    found
+  }
+
+  /** PRUNE-THEN-DECODE planning: shard refs prune FIRST (their merged
+    * zone maps / single-valued partition keys / OR'd blooms run through
+    * the same conservative keep predicate as files, via the pseudo-
+    * entry rendering), then only surviving shards decode, then their
+    * entries prune individually. On a selective scan of a clustered
+    * 10^6-file table this decodes O(matching shards), not O(table) —
+    * MetadataTreeSpec pins decodes == kept shards.
+    */
+  private[graft] def planFiles(m: Manifest,
+      keep: FileEntry => Boolean): Seq[FileEntry] =
+    if (m.shards.isEmpty) m.inline.filter(keep)
+    else m.inline.filter(keep) ++
+      m.shards.filter(r => keep(shardToEntry(r)))
+        .flatMap(readShard(m.dir, _)).filter(keep)
+
   /** Scan partition for a manifest entry, deletion vectors attached —
     * shared by the batch scan and the micro-batch stream.
     */
@@ -674,7 +916,8 @@ object ManifestTable {
       case (k, (sidecar, _)) if k.startsWith(DvPrefix) =>
         (s"$path/data/$sidecar", f.cols.indexOf(k.stripPrefix(DvPrefix)))
     }.toSeq
-    GTabPartition(s"$path/data/${f.name}", f.rows, f.crc, f.cols, dvs)
+    GTabPartition(s"$path/data/${f.name}", f.rows, f.crc, f.cols, dvs,
+      f.stats.get(DvPosKey).map(d => s"$path/data/${d._1}"))
   }
 
   /** Every file name version `m` references: data files plus their
@@ -683,12 +926,34 @@ object ManifestTable {
   private[sources] def referencedNames(m: Manifest): Seq[String] =
     m.files.flatMap { f =>
       f.name +: f.stats.collect {
-        case (k, (sidecar, _)) if k.startsWith(DvPrefix) => sidecar
+        case (k, (sidecar, _))
+          if k.startsWith(DvPrefix) || k == DvPosKey => sidecar
       }.toSeq
     }
 
-  private def publish(dir: String, m: Manifest, ref: String = ""): Unit = {
+  /** Publish-time tree normalization: once a root would carry more
+    * than InlineMax inline entries they spill into fresh shard files
+    * (ShardTarget per shard), and shards that shrank small (replace-
+    * heavy history) re-coalesce once MaxSmallShards accumulate — so
+    * root width stays O(files / ShardTarget) and commit cost O(new
+    * entries + touched shards), amortized. Small tables never shard.
+    */
+  private def normalized(dir: String, m: Manifest): Manifest =
+    if (m.inline.size <= InlineMax) m
+    else {
+      val small = m.shards.filter(_.nFiles < SmallShardMin)
+      val (merge, keep) =
+        if (small.size >= MaxSmallShards) (small, m.shards.diff(small))
+        else (Seq.empty[ShardRef], m.shards)
+      val entries = m.inline ++ merge.flatMap(readShard(dir, _))
+      val fresh = entries.grouped(ShardTarget)
+        .map(writeShard(dir, _)).toSeq
+      m.copy(inline = Nil, shards = keep ++ fresh, dir = dir)
+    }
+
+  private def publish(dir: String, m0: Manifest, ref: String = ""): Unit = {
     FsMeta.mkdirs(dir)
+    val m = normalized(dir, m0)
     // every commit is stamped at publish time (monotone against the
     // previous version is NOT guaranteed under clock skew — versionAt
     // resolves by scanning all retained snapshots, not by bisection)
@@ -737,7 +1002,8 @@ object ManifestTable {
       s"no committed manifest at $dir"))
     val target = readManifestAsOf(dir, version)
     val next = cur.version + 1
-    publish(dir, Manifest(next, target.schema, target.files, cur.epoch))
+    publish(dir, Manifest(next, target.schema, target.inline, cur.epoch,
+      shards = target.shards, dir = dir))
     next
   }
 
@@ -789,6 +1055,25 @@ object ManifestTable {
       bh, Map("branch" -> name, "versionAsOf" -> bh.version.toString))
   }
 
+  /** The two sides' entries with SHARED SHARDS elided: a shard ref
+    * present in both manifests (same name + crc) contributes identical
+    * entries to both sides of any (name, crc, stats) diff — they cancel
+    * — so neither side decodes it. The change feed over a sharded
+    * 10^6-file table costs O(changed shards) metadata, matching its
+    * O(changed files) data contract. An entry that merely MOVED between
+    * inline and a shard (a spill) appears on both decoded sides and
+    * still cancels in the key diff.
+    */
+  private[sources] def changedFiles(mFrom: Manifest, mTo: Manifest)
+      : (Seq[FileEntry], Seq[FileEntry]) = {
+    val shared = mFrom.shards.map(r => (r.name, r.crc)).toSet
+      .intersect(mTo.shards.map(r => (r.name, r.crc)).toSet)
+    def side(m: Manifest): Seq[FileEntry] =
+      m.inline ++ m.shards.filterNot(r => shared.contains((r.name, r.crc)))
+        .flatMap(readShard(m.dir, _))
+    (side(mFrom), side(mTo))
+  }
+
   /** Manifest-diff change feed between two pinned table states; the
     * `opts` pin each side's read (versionAsOf, and branch for a
     * branch-side). Entries whose (name, crc, stats) changed are read
@@ -800,11 +1085,12 @@ object ManifestTable {
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     def key(f: FileEntry) = (f.name, f.crc, f.stats)
-    val fromKeys = mFrom.files.map(key).toSet
-    val toKeys = mTo.files.map(key).toSet
-    val oldNames = mFrom.files.filterNot(f => toKeys.contains(key(f)))
+    val (fromSide, toSide) = changedFiles(mFrom, mTo)
+    val fromKeys = fromSide.map(key).toSet
+    val toKeys = toSide.map(key).toSet
+    val oldNames = fromSide.filterNot(f => toKeys.contains(key(f)))
       .map(_.name)
-    val newNames = mTo.files.filterNot(f => fromKeys.contains(key(f)))
+    val newNames = toSide.filterNot(f => fromKeys.contains(key(f)))
       .map(_.name)
     // both sides in the TO schema: present columns by name, absent as
     // typed nulls (the reader's own evolution rule, applied at the hop)
@@ -839,7 +1125,8 @@ object ManifestTable {
   def history(dir: String): Seq[(Long, Int, Long, Long, Long)] =
     snapshotVersions(dir).map { v =>
       val m = readManifestAsOf(dir, v)
-      (m.version, m.files.size, m.files.map(_.rows).sum, m.epoch, m.ts)
+      // counts from root metadata alone — no shard decodes for history
+      (m.version, m.nFiles, m.nRows, m.epoch, m.ts)
     }
 
   /** TIMESTAMP AS OF resolution: the LATEST retained version committed
@@ -938,22 +1225,31 @@ object ManifestTable {
       // a column this append ADDS must not collide with one a live file
       // still physically carries (a DROP COLUMN's leftover): the reader
       // resolves by name, so it would parse the stale encoding under
-      // the new column's type
+      // the new column's type. The census comes from inline entries +
+      // shard col UNIONS — no shard decode on the append path.
       if (keepPrevious) prev.foreach { p =>
         val addedCols = published.fieldNames.toSet -- p.schema.fieldNames
-        val clash = addedCols.intersect(p.files.flatMap(_.cols).toSet)
-        require(clash.isEmpty,
-          s"column(s) ${clash.mkString(", ")} were dropped but live " +
-            "files still carry them — compact the table first or use " +
-            "a new name")
+        if (addedCols.nonEmpty) {
+          val live = p.inline.flatMap(_.cols).toSet ++
+            p.shards.flatMap(_.cols)
+          val clash = addedCols.intersect(live)
+          require(clash.isEmpty,
+            s"column(s) ${clash.mkString(", ")} were dropped but live " +
+              "files still carry them — compact the table first or use " +
+              "a new name")
+        }
       }
-      val base = if (keepPrevious) prev.map(_.files).getOrElse(Nil) else Nil
+      val (baseInline, baseShards) =
+        if (keepPrevious) prev.map(p => (p.inline, p.shards))
+          .getOrElse((Nil, Nil))
+        else (Nil, Nil)
       try {
         publish(dir, Manifest(prev.map(_.version + 1).getOrElse(1L),
-          published, base ++ newFiles,
+          published, baseInline ++ newFiles,
           math.max(epoch, prev.map(_.epoch).getOrElse(-1L)),
           // a branch commit carries the fork point forward
-          prev.map(_.base).getOrElse(-1L)), ref)
+          prev.map(_.base).getOrElse(-1L), shards = baseShards,
+          dir = dir), ref)
         return
       } catch {
         case e: ConcurrentCommitException =>
@@ -988,8 +1284,11 @@ object ManifestTable {
       val (newSchema, mapFiles) = transform(cur)
       val next = cur.version + 1
       try {
+        // DDL transforms touch every entry by definition — decode all,
+        // map, and let publish re-shard the result (O(metadata), the
+        // inherent cost of a whole-table schema/stats rewrite)
         publish(dir, Manifest(next, newSchema, mapFiles(cur.files),
-          cur.epoch, cur.base))
+          cur.epoch, cur.base, dir = dir))
         return next
       } catch {
         case e: ConcurrentCommitException =>
@@ -1018,7 +1317,7 @@ object ManifestTable {
     * expireSnapshots + vacuum. Schema and streaming epoch high-water
     * carry over unchanged. Returns the published version.
     */
-  private[sources] def commitReplace(dir: String, expectedVersion: Long,
+  private[graft] def commitReplace(dir: String, expectedVersion: Long,
       removeNames: Set[String], added: Seq[FileEntry],
       ref: String = ""): Long = {
     val cur = readManifest(dir, ref).getOrElse(
@@ -1033,14 +1332,31 @@ object ManifestTable {
     if (cur.version != expectedVersion)
       throw new ConcurrentCommitException(dir, expectedVersion + 1,
         cur.version)
-    val unknown = removeNames.diff(cur.files.map(_.name).toSet)
-    require(unknown.isEmpty,
+    // O(touched shards): inline removals drop directly; only shards
+    // whose NAME BLOOM says they might hold a removed entry decode, and
+    // only those that actually do rewrite — untouched shards carry over
+    // by reference, exactly like untouched data files
+    val inlineKeep = cur.inline.filterNot(f => removeNames.contains(f.name))
+    var remaining = removeNames --
+      cur.inline.map(_.name).filter(removeNames.contains)
+    val keptShards = scala.collection.mutable.ListBuffer.empty[ShardRef]
+    cur.shards.foreach { r =>
+      if (remaining.nonEmpty && shardMightContain(r, remaining)) {
+        val entries = readShard(dir, r)
+        val (hit, kept) = entries.partition(e => remaining.contains(e.name))
+        if (hit.isEmpty) keptShards += r
+        else {
+          remaining --= hit.map(_.name)
+          if (kept.nonEmpty) keptShards += writeShard(dir, kept)
+        }
+      } else keptShards += r
+    }
+    require(remaining.isEmpty,
       s"commitReplace removing files absent from the manifest: " +
-        unknown.mkString(","))
+        remaining.mkString(","))
     val next = cur.version + 1
-    publish(dir, Manifest(next, cur.schema,
-      cur.files.filterNot(f => removeNames.contains(f.name)) ++ added,
-      cur.epoch, cur.base), ref)
+    publish(dir, Manifest(next, cur.schema, inlineKeep ++ added,
+      cur.epoch, cur.base, shards = keptShards.toSeq, dir = dir), ref)
     next
   }
 
@@ -1152,7 +1468,22 @@ object ManifestTable {
         branchRefs)
       .flatMap(referencedNames).toSet
     val now = System.currentTimeMillis()
-    FsMeta.listFiles(dir + "/data").filterNot(f => listed.contains(f))
+    // metadata shards are versioned like data files: every retained
+    // root's shard list protects its shards; orphans (expired versions,
+    // crashed publishes) reclaim past the same grace window
+    val liveShards = (readManifest(dir).toSeq ++
+        snapshotVersions(dir).map(readManifestAsOf(dir, _)) ++
+        branches(dir).flatMap { b =>
+          readManifest(dir, b).toSeq ++
+            snapshotVersions(dir, b).map(readManifestAsOf(dir, _, b))
+        })
+      .flatMap(_.shards.map(_.name)).toSet
+    val shardsGone = FsMeta.listFiles(dir + "/meta")
+      .filterNot(liveShards.contains)
+      .filter(f => now - FsMeta.modificationTime(dir + "/meta/" + f) >= graceMs)
+      .map { f => FsMeta.deleteRecursive(dir + "/meta/" + f); f }
+    shardsGone ++
+      FsMeta.listFiles(dir + "/data").filterNot(f => listed.contains(f))
       .filter(f => now - FsMeta.modificationTime(dir + "/data/" + f) >= graceMs)
       .map { f => FsMeta.deleteRecursive(dir + "/data/" + f); f }
   }
@@ -1204,14 +1535,33 @@ object ManifestTable {
     */
   val FileMetaCol = "_file"
 
+  /** Reserved METADATA column: the 0-based physical line ordinal of a
+    * row within its data file (Iceberg's `_pos` shape). The line-
+    * oriented codec makes it STABLE: rows are never reordered in place,
+    * deletes are sidecars, rewrites produce new files. (_file, _pos) is
+    * therefore a durable row identity — the row ID the merge-on-read
+    * SQL DML (SupportsDelta) keys its position deletion vectors on.
+    */
+  val PosMetaCol = "_pos"
+
+  // ---- POSITION deletion vectors (reserved `#dvp` stats key) ----
+  // The merge-on-read shape for SQL DML: `#dvp -> (sidecar, count)`
+  // marks rows deleted BY PHYSICAL POSITION (sorted line ordinals in
+  // the sidecar, same codec as the value-keyed `#dv:` vectors). The
+  // read path skips marked ordinals row-level; value- and position-
+  // vectors compose on one file. Unlike `#dv:` (which needs a key
+  // column), positions identify ANY row — what lets SupportsDelta
+  // express arbitrary SQL DELETE/UPDATE/MERGE without rewriting files.
+  private[sources] val DvPosKey = "#dvp"
+
   private[sources] def checkSupported(schema: StructType): Unit =
     schema.fields.foreach { f =>
       // `_file` is the reserved metadata-column name: a DATA column of
       // that name would shadow the advertised metadata column and, once
       // dropped, leave stale encodings the metadata resolution would
       // mis-parse — reject it at every schema entry point
-      require(f.name != FileMetaCol,
-        s"'$FileMetaCol' is a reserved metadata column name")
+      require(f.name != FileMetaCol && f.name != PosMetaCol,
+        s"'${f.name}' is a reserved metadata column name")
       f.dataType match {
         case BooleanType | IntegerType | LongType | DoubleType | StringType =>
         case other => throw new UnsupportedOperationException(
@@ -1248,8 +1598,20 @@ private[sources] class GTable(path: String, schema0: StructType,
       override def name(): String = ManifestTable.FileMetaCol
       override def dataType(): org.apache.spark.sql.types.DataType =
         StringType
-      override def isNullable: Boolean = true
+      // NON-nullable: SupportsDelta row-ID attributes must be (Spark
+      // rejects nullable row IDs at rewrite time); the scan always
+      // emits a value. The group-based COW write may null the column
+      // on updated rows, but that projection's values are discarded —
+      // only the data columns reach the writer.
+      override def isNullable: Boolean = false
       override def comment(): String = "data file path of the row"
+    }, new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = ManifestTable.PosMetaCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "0-based physical row ordinal within the data file"
     })
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -1278,7 +1640,20 @@ private[sources] class GTable(path: String, schema0: StructType,
     require(travelVersion.isEmpty && travelBranch.isEmpty,
       "cannot run row-level DML through a version- or branch-pinned " +
         "table reference")
-    () => new GTabRowLevelOperation(path, info.command())
+    // strategy per command via TBLPROPERTIES: copy-on-write (default,
+    // group-based rewrite localized by runtime group filtering) or
+    // merge-on-read (delta-based — position deletion vectors, zero
+    // data files rewritten). See [[GTabMorOperation]] for the trade.
+    import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+    val modeKey = info.command() match {
+      case Command.DELETE => GTabProps.DeleteMode
+      case Command.UPDATE => GTabProps.UpdateMode
+      case Command.MERGE => GTabProps.MergeMode
+    }
+    val mor = declaredProps.get(modeKey).contains(GTabProps.MergeOnRead)
+    () =>
+      if (mor) new GTabMorOperation(path, info.command())
+      else new GTabRowLevelOperation(path, info.command())
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -1767,12 +2142,7 @@ private[sources] class GTabScanBuilder(path: String, asOf: Option[Long],
     only match {
       case None => m
       case Some(names) =>
-        val listed = m.files.map(_.name).toSet
-        val missing = names.diff(listed)
-        require(missing.isEmpty,
-          s"files option names entries absent from the manifest: " +
-            missing.mkString(","))
-        m.copy(files = m.files.filter(f => names.contains(f.name)))
+        m.copy(inline = ManifestTable.filesNamed(m, names), shards = Nil)
     }
   }
   private var pruned: StructType = manifest.schema
@@ -1815,8 +2185,10 @@ private[sources] class GTabScanBuilder(path: String, asOf: Option[Long],
       // manifest row counts are PHYSICAL; a deletion-vector file's
       // logical count needs the row-level merge — decline and scan
       // (compaction restores the metadata-count fast path)
-      !manifest.files.exists(
-        _.stats.keys.exists(_.startsWith(ManifestTable.DvPrefix)))
+      !(manifest.inline.exists(_.stats.keys.exists(k =>
+          k.startsWith(ManifestTable.DvPrefix) ||
+            k == ManifestTable.DvPosKey)) ||
+        manifest.shards.exists(_.agg.contains("#dv")))
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     countOk(agg)
   override def pushAggregation(agg: Aggregation): Boolean = {
@@ -1855,7 +2227,7 @@ private[sources] class GTabScanBuilder(path: String, asOf: Option[Long],
   * default 4096 bits ≈ 0.5 KB/file/column — at ~3k rows/file that is
   * ~1% FPP with 6 hashes; size up for bigger files).
   */
-private[sources] object GTabBloom {
+private[graft] object GTabBloom {
   val KeyPrefix = "#bloom:"
   val NumHashes = 6
   val DefaultBits = 4096
@@ -1937,7 +2309,7 @@ private[sources] object GTabBloom {
     }
 }
 
-private[sources] object GTabSkip {
+private[graft] object GTabSkip {
 
   def usable(f: Filter, schema: StructType,
       partCols: Seq[String] = Nil): Boolean = f match {
@@ -2073,7 +2445,8 @@ private[sources] object GTabSkip {
 /** One-row scan answering an unfiltered COUNT(*) from manifest metadata. */
 private[sources] class GTabCountScan(path: String,
     manifest: ManifestTable.Manifest) extends Scan with Batch {
-  private val n = manifest.files.map(_.rows).sum
+  // root metadata alone (inline rows + shard row sums) — zero decodes
+  private val n = manifest.nRows
   override def readSchema(): StructType =
     StructType(Seq(StructField("agg0", LongType, nullable = false)))
   override def toBatch: Batch = this
@@ -2091,7 +2464,8 @@ private[sources] class GTabCountScan(path: String,
   */
 private[sources] final case class GTabPartition(file: String, rows: Long,
     crc: Long, cols: Seq[String] = Nil,
-    dvs: Seq[(String, Int)] = Nil) extends InputPartition
+    dvs: Seq[(String, Int)] = Nil,
+    posDv: Option[String] = None) extends InputPartition
 
 /** The V2-Predicate → V1 Filter conversion for the shapes runtime
   * pruning pushes (IN / equality over a column and literals, AND/OR
@@ -2171,7 +2545,7 @@ private[graft] class GTabScan(path: String,
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
-  private val kept = manifest.files.filter(
+  private val kept = ManifestTable.planFiles(manifest,
     GTabSkip.keep(_, skipping, manifest.schema))
   override def readSchema(): StructType = pruned
 
@@ -2347,7 +2721,7 @@ private[graft] class GTabScan(path: String,
   override def toBatch: Batch = this
   override def description(): String =
     s"GTabScan $path v${manifest.version} " +
-      s"files=${kept.size}/${manifest.files.size} " +
+      s"files=${kept.size}/${manifest.nFiles} " +
       (if (partCols.isEmpty) ""
        else s"PartitionedBy: ${partCols.mkString(",")} " +
          s"groups=${groups.size} ") +
@@ -2488,9 +2862,12 @@ private[sources] class GTabMicroBatchStream(path: String, full: StructType,
 
   private def hopAdds(from: Manifest, to: Manifest,
       label: String): Seq[FileEntry] = {
-    val fromKeys = from.files.map(entryKey).toSet
-    val toKeys = to.files.map(entryKey).toSet
-    val removed = from.files.filterNot(f => toKeys.contains(entryKey(f)))
+    // shared shards elide from both sides (identical entries cancel in
+    // the key diff) — a streaming hop decodes O(changed shards)
+    val (fromSide, toSide) = ManifestTable.changedFiles(from, to)
+    val fromKeys = fromSide.map(entryKey).toSet
+    val toKeys = toSide.map(entryKey).toSet
+    val removed = fromSide.filterNot(f => toKeys.contains(entryKey(f)))
     if (removed.nonEmpty) {
       if (!opts.skipChangeCommits) throw new IllegalStateException(
         s"streaming read of $path is append-only, but $label rewrote or " +
@@ -2498,7 +2875,7 @@ private[sources] class GTabMicroBatchStream(path: String, full: StructType,
           "delete); restart with .option(\"skipChangeCommits\", true) to " +
           "skip change commits, or re-read the table in batch")
       Nil
-    } else to.files.filterNot(f => fromKeys.contains(entryKey(f)))
+    } else toSide.filterNot(f => fromKeys.contains(entryKey(f)))
   }
 
   override def planInputPartitions(start: Offset,
@@ -2588,13 +2965,19 @@ private[sources] class GTabReader(p: GTabPartition, full: StructType,
   // file predates (or omitted) the column -> constant null (schema
   // evolution: resolution is by NAME, types come from the table schema);
   // -2 = the `_file` METADATA column -> constant file path (a DATA
-  // column of that name, if a file carries one, wins by indexOf)
+  // column of that name, if a file carries one, wins by indexOf);
+  // -3 = the `_pos` METADATA column -> the current line ordinal
+  // (reserved since round 15 — no data column can shadow it)
   private val colIx: Array[Int] =
     pruned.fieldNames.map { n =>
-      val ix = p.cols.indexOf(n)
-      if (ix < 0 && n == ManifestTable.FileMetaCol &&
-        !full.fieldNames.contains(n)) -2
-      else ix
+      if (n == ManifestTable.PosMetaCol &&
+        !full.fieldNames.contains(n)) -3
+      else {
+        val ix = p.cols.indexOf(n)
+        if (ix < 0 && n == ManifestTable.FileMetaCol &&
+          !full.fieldNames.contains(n)) -2
+        else ix
+      }
     }
   private val filePathUtf8 = UTF8String.fromString(p.file)
   private val parsers: Array[String => Any] = pruned.fieldNames.map { n =>
@@ -2622,6 +3005,11 @@ private[sources] class GTabReader(p: GTabPartition, full: StructType,
   private val dvs: Array[(Array[Long], Int)] =
     p.dvs.map { case (f, ix) => (ManifestTable.readDv(conf, f), ix) }
       .toArray
+  // position deletion vector: sorted physical line ordinals to skip —
+  // the SupportsDelta (SQL merge-on-read DML) sidecar; composes with
+  // the value-keyed vectors above on the same file
+  private val posDv: Array[Long] =
+    p.posDv.map(ManifestTable.readDv(conf, _)).getOrElse(Array.emptyLongArray)
 
   private def dvDeleted(parts: Array[String]): Boolean = {
     var d = 0
@@ -2653,22 +3041,28 @@ private[sources] class GTabReader(p: GTabPartition, full: StructType,
       }
       crc.update((line + "\n").getBytes(StandardCharsets.UTF_8))
       rows += 1
-      val parts = line.split("\t", -1)
-      if (dvs.isEmpty || !dvDeleted(parts)) {
-        val vals = new Array[Any](colIx.length)
-        var j = 0
-        while (j < colIx.length) {
-          vals(j) =
-            if (colIx(j) == -2) filePathUtf8
-            else if (colIx(j) < 0) null
-            else {
-              val raw = parts(colIx(j))
-              if (raw == ManifestTable.Null) null else parsers(j)(raw)
-            }
-          j += 1
+      val ordinal = rows - 1 // 0-based physical position == `_pos`
+      val posDeleted = posDv.length > 0 &&
+        java.util.Arrays.binarySearch(posDv, ordinal) >= 0
+      if (!posDeleted) {
+        val parts = line.split("\t", -1)
+        if (dvs.isEmpty || !dvDeleted(parts)) {
+          val vals = new Array[Any](colIx.length)
+          var j = 0
+          while (j < colIx.length) {
+            vals(j) =
+              if (colIx(j) == -2) filePathUtf8
+              else if (colIx(j) == -3) ordinal
+              else if (colIx(j) < 0) null
+              else {
+                val raw = parts(colIx(j))
+                if (raw == ManifestTable.Null) null else parsers(j)(raw)
+              }
+            j += 1
+          }
+          current = InternalRow.fromSeq(vals.toIndexedSeq)
+          return true
         }
-        current = InternalRow.fromSeq(vals.toIndexedSeq)
-        return true
       }
     }
     false // unreachable

@@ -1,0 +1,242 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.ManifestTable
+
+/** The manifest METADATA TREE (round 15): once a table outgrows the
+  * inline root (InlineMax entries) its file entries live in immutable
+  * `meta/shard-*.gsh` files and the root lists shard REFS with
+  * aggregate stats. The contracts pinned here are the 100 TB ones:
+  *
+  *   - commit cost ∝ touched: an append writes one root + batched
+  *     shards (amortized), never rewrites an untouched shard; a
+  *     replace rewrites only the shards holding removed entries;
+  *   - planning cost ∝ kept: a pruned scan DECODES only shards whose
+  *     aggregate stats survive the same conservative keep predicate
+  *     files prune with (shardDecodes counter == kept shards);
+  *   - reads, time travel, change feed, and vacuum behave identically
+  *     to the inline format — the tree is invisible in the rows.
+  */
+class MetadataTreeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Fmt = "graft.sources.ManifestTable"
+  private val schema2: StructType =
+    StructType.fromDDL("id BIGINT, v BIGINT")
+
+  /** `n` synthetic entries with DISJOINT id zone maps: entry i covers
+    * [i*10, i*10+9]. Planning is pure metadata — no data file needed.
+    */
+  private def fakeEntries(from: Int, until: Int): Seq[ManifestTable.FileEntry] =
+    (from until until).map { i =>
+      ManifestTable.FileEntry(s"f-$i.gtab", 10, 0, Seq("id", "v"),
+        Map("id" -> ((i * 10L).toString, (i * 10L + 9).toString)))
+    }
+
+  private def freshDir(tag: String): String =
+    Files.createTempDirectory(s"graft_tree_$tag").toString
+
+  test("a large table spills into shards; the root stays narrow and " +
+      "appends never rewrite an existing shard") {
+    val dir = freshDir("spill")
+    // 8 commits x 256 entries = 2048 files
+    (0 until 8).foreach { b =>
+      ManifestTable.commitVersion(dir, schema2,
+        fakeEntries(b * 256, (b + 1) * 256), keepPrevious = true)
+    }
+    val m = ManifestTable.readManifest(dir).get
+    assert(m.nFiles == 2048)
+    assert(m.shards.nonEmpty, "2048 entries must have spilled")
+    assert(m.inline.size <= ManifestTable.InlineMax,
+      s"root carries ${m.inline.size} inline entries")
+    // root WIDTH is O(files / ShardTarget), not O(files)
+    assert(m.shards.size + m.inline.size <= 2048 / 8,
+      s"${m.shards.size} shards + ${m.inline.size} inline")
+    // an append touches NO existing shard (names carry over verbatim)
+    val shardNames = m.shards.map(_.name).toSet
+    ManifestTable.commitVersion(dir, schema2,
+      fakeEntries(2048, 2052), keepPrevious = true)
+    val m2 = ManifestTable.readManifest(dir).get
+    assert(shardNames.subsetOf(m2.shards.map(_.name).toSet),
+      "append must not rewrite an existing shard")
+    assert(m2.nFiles == 2052)
+    // full census still exact through the lazy decode
+    assert(m2.files.map(_.name).distinct.size == 2052)
+  }
+
+  test("planning decodes only the shards the pruning keeps") {
+    val dir = freshDir("prune")
+    (0 until 8).foreach { b =>
+      ManifestTable.commitVersion(dir, schema2,
+        fakeEntries(b * 256, (b + 1) * 256), keepPrevious = true)
+    }
+    val m = ManifestTable.readManifest(dir).get
+    val nShards = m.shards.size
+    assert(nShards >= 8)
+    // a range predicate overlapping ONE shard's id range
+    import org.apache.spark.sql.sources.{LessThan, Filter}
+    val keep = (f: ManifestTable.FileEntry) =>
+      graft.sources.GTabSkip.keep(f,
+        Seq(LessThan("id", 50L): Filter), m.schema)
+    val before = ManifestTable.shardDecodes.get()
+    val kept = ManifestTable.planFiles(m, keep)
+    val decoded = ManifestTable.shardDecodes.get() - before
+    assert(kept.map(_.name).toSet ==
+      (0 until 5).map(i => s"f-$i.gtab").toSet)
+    assert(decoded == 1,
+      s"scan pruned to 1 shard's range but decoded $decoded of $nShards")
+    // the unpruned census decodes everything — the counter moves
+    val b2 = ManifestTable.shardDecodes.get()
+    assert(ManifestTable.planFiles(m, _ => true).size == 2048)
+    assert(ManifestTable.shardDecodes.get() - b2 == nShards)
+  }
+
+  test("commitReplace rewrites only the shards holding removed entries") {
+    val dir = freshDir("replace")
+    (0 until 8).foreach { b =>
+      ManifestTable.commitVersion(dir, schema2,
+        fakeEntries(b * 256, (b + 1) * 256), keepPrevious = true)
+    }
+    val m = ManifestTable.readManifest(dir).get
+    val before = m.shards.map(_.name).toSet
+    // replace two entries that landed in the SAME (first) commit batch
+    val v = ManifestTable.commitReplace(dir, m.version,
+      Set("f-3.gtab", "f-7.gtab"), fakeEntries(9000, 9001))
+    val m2 = ManifestTable.readManifest(dir).get
+    assert(m2.version == v)
+    assert(m2.nFiles == 2048 - 2 + 1)
+    val after = m2.shards.map(_.name).toSet
+    val rewritten = before.diff(after)
+    assert(rewritten.size == 1,
+      s"a 2-entry replace in one batch must rewrite exactly 1 shard, " +
+        s"rewrote ${rewritten.size}")
+    assert(!m2.files.exists(f => f.name == "f-3.gtab" ||
+      f.name == "f-7.gtab"))
+    assert(m2.files.exists(_.name == "f-9000.gtab"))
+    // removing an unknown name is still a typed error, not a silent drop
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.commitReplace(dir, m2.version, Set("nope.gtab"), Nil)
+    }
+    assert(e.getMessage.contains("absent"))
+  }
+
+  test("a sharded table reads, time-travels, and change-feeds exactly " +
+      "like an inline one") {
+    val dir = freshDir("rows")
+    // real data: 300 tiny single-row files via 300-way repartition
+    val df = spark.range(300).select(col("id"),
+      (col("id") * 2).as("v"))
+    df.repartition(300).write.format(Fmt).option("path", dir)
+      .mode("append").save()
+    val m1 = ManifestTable.readManifest(dir).get
+    assert(m1.nFiles == 300)
+    assert(m1.shards.nonEmpty, "300 files must shard")
+    val got = spark.read.format(Fmt).option("path", dir).load()
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == (0L until 300L).map(i => (i, i * 2)))
+    // append a second slice; time travel pins the first
+    spark.range(300, 320).select(col("id"), (col("id") * 2).as("v"))
+      .repartition(2).write.format(Fmt).option("path", dir)
+      .mode("append").save()
+    assert(spark.read.format(Fmt).option("path", dir)
+      .option("versionAsOf", m1.version).load().count() == 300)
+    assert(spark.read.format(Fmt).option("path", dir).load()
+      .count() == 320)
+    // the change feed across the hop decodes only CHANGED shards: the
+    // 20 appended rows surface, the 300-file base never decodes
+    val m2 = ManifestTable.readManifest(dir).get
+    val before = ManifestTable.shardDecodes.get()
+    val feed = ManifestTable.changeFeed(spark, dir, m1.version, m2.version)
+      .collect()
+    val decodedMeta = ManifestTable.shardDecodes.get() - before
+    assert(feed.length == 20 &&
+      feed.forall(_.getAs[String]("_change_type") == "insert"))
+    // the appended rows live inline on both sides; shared shards elide
+    // entirely — a stray name-bloom false positive may cost one decode,
+    // but never the full census
+    assert(decodedMeta <= 1,
+      s"feed over a 300-file base decoded $decodedMeta shards")
+  }
+
+  test("vacuum reclaims expired-version shards, keeps referenced ones") {
+    val dir = freshDir("vac")
+    (0 until 3).foreach { b =>
+      ManifestTable.commitVersion(dir, schema2,
+        fakeEntries(b * 256, (b + 1) * 256), keepPrevious = true)
+    }
+    // overwrite: all previous shards become history-only
+    ManifestTable.commitVersion(dir, schema2, fakeEntries(0, 130),
+      keepPrevious = false)
+    val cur = ManifestTable.readManifest(dir).get
+    assert(cur.nFiles == 130 && cur.shards.nonEmpty)
+    val live = cur.shards.map(_.name).toSet
+    val allBefore = graft.sources.FsMeta.listFiles(s"$dir/meta").toSet
+    assert(live.subsetOf(allBefore) && allBefore.size > live.size)
+    // retention: keep only the latest version, grace 0 -> history shards go
+    ManifestTable.vacuum(dir, graceMs = 0L, keepLast = 1)
+    val allAfter = graft.sources.FsMeta.listFiles(s"$dir/meta").toSet
+    assert(allAfter == live,
+      s"expected exactly the live shards to survive: " +
+        s"${allAfter.size} vs ${live.size}")
+    // the table still reads its full census
+    assert(ManifestTable.readManifest(dir).get.files.size == 130)
+  }
+
+  test("shard-level pruning composes blooms and partition values") {
+    val dir = freshDir("agg")
+    val schema3 = StructType.fromDDL("id BIGINT, g STRING")
+    // bloom words exactly as the writer sets them (same double hashing)
+    def bloomOf(key: Long): String = {
+      val words = new Array[Long](64) // 4096 bits
+      val h1 = graft.functions.BloomUtil.mix64(key)
+      val h2 = graft.functions.BloomUtil.mix64(h1) | 1L
+      (0 until graft.sources.GTabBloom.NumHashes).foreach { i =>
+        val idx = java.lang.Long.remainderUnsigned(h1 + i * h2, 4096L).toInt
+        words(idx >>> 6) |= 1L << (idx & 63)
+      }
+      graft.sources.GTabBloom.encode(words)
+    }
+    // hash-scattered table: NO zone maps (bloom is the only skip), each
+    // entry holds one key; g = "0" for the first batch, "1" the second
+    def batch(from: Int, until: Int, g: String) = (from until until).map {
+      i => ManifestTable.FileEntry(s"h-$i.gtab", 1, 0, Seq("id", "g"),
+        Map("#bloom:id" ->
+          (graft.sources.GTabBloom.NumHashes.toString, bloomOf(i.toLong)),
+          "#part:g" -> (g, "")))
+    }
+    ManifestTable.commitVersion(dir, schema3, batch(0, 150, "0"),
+      keepPrevious = true)
+    ManifestTable.commitVersion(dir, schema3, batch(150, 300, "1"),
+      keepPrevious = true)
+    val m = ManifestTable.readManifest(dir).get
+    assert(m.shards.size == 2 && m.inline.isEmpty)
+    import org.apache.spark.sql.sources.{EqualTo, Filter}
+    // bloom point lookup: key 7 lives in the first shard only — the
+    // OR-union shard bloom prunes the second without a decode
+    val before = ManifestTable.shardDecodes.get()
+    val kept = ManifestTable.planFiles(m,
+      f => graft.sources.GTabSkip.keep(f,
+        Seq(EqualTo("id", 7L): Filter), m.schema))
+    val decoded = ManifestTable.shardDecodes.get() - before
+    assert(kept.exists(_.name == "h-7.gtab"))
+    assert(decoded == 1,
+      s"shard blooms must prune decodes: $decoded of ${m.shards.size}")
+    // partition-value pruning: each shard is single-valued on g, so the
+    // equality decodes exactly one shard and keeps exactly its members
+    val b2 = ManifestTable.shardDecodes.get()
+    val keptG = ManifestTable.planFiles(m,
+      f => graft.sources.GTabSkip.keep(f,
+        Seq(EqualTo("g", "1"): Filter), m.schema))
+    val decodedG = ManifestTable.shardDecodes.get() - b2
+    assert(keptG.size == 150 &&
+      keptG.forall(_.stats.get("#part:g").exists(_._1 == "1")))
+    assert(decodedG == 1,
+      s"partition-valued shards must prune decodes: " +
+        s"$decodedG of ${m.shards.size}")
+  }
+}
