@@ -24,6 +24,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     (FunctionIdentifier(name), info(name, usage), builder)
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // catalog-persisted view resolution (graft.sources.GraftViews):
+    // `SELECT * FROM g.db.v` expands the stored SQL — Spark 4.1 has no
+    // built-in v2 view resolution to collide with
+    e.injectResolutionRule(session =>
+      graft.sources.GraftViewResolution(session))
     // whole-operator planner extension (see graft.plans.TopKPerGroup);
     // sessions built without extensions get the same strategy lazily via
     // experimental.extraStrategies in TopKPerGroup.topK

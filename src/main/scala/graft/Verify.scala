@@ -15,6 +15,8 @@ object Verify {
       // planner flag for storage-partitioned joins (q85); harness-level
       // so no QueryDef mutates the shared session mid-run
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // custom functions + planner strategy + persisted-view resolution
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -995,6 +995,19 @@ object PipelineLatest {
           |  UNION ALL
           |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
           |  FROM customer WHERE c_custkey % 10 <> 0)
-          |SELECT * FROM merged ORDER BY c_custkey""".stripMargin))
+          |SELECT * FROM merged ORDER BY c_custkey""".stripMargin)),
+
+    // --- catalog-persisted view (q109): `CALL system.create_view`
+    //     stores the rollup as SQL text, the read expands it through
+    //     the GraftViewResolution extension rule; q86's oracle shape —
+    //     the view layer must be value-invisible. ---
+    QueryDef(
+      "q109_view",
+      (s, dir) => StorageLayout.q109View(s, dir)(),
+      Some(
+        """SELECT c_mktsegment, count(*) AS n_cust,
+          |  CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+          |  min(c_acctbal) AS min_bal
+          |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin))
   )
 }

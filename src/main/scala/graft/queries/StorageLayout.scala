@@ -693,6 +693,23 @@ object StorageLayout {
                    |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** q109: a CATALOG-PERSISTED VIEW read end-to-end — the customer
+    * table lands through the catalog, `CALL system.create_view` stores
+    * a per-segment rollup as SQL text, and the read is
+    * `SELECT * FROM <catalog>.<view>` (expanded by the
+    * GraftViewResolution extension rule). The oracle recomputes the
+    * rollup from the base table: the view layer must be value-invisible.
+    */
+  def q109View(s: SparkSession, dir: String): () => DataFrame = {
+    val (cat, _) = catalogWithCustomer(s, dir, "q109")
+    s.sql(s"""CALL $cat.system.create_view('seg_rollup',
+             |  'SELECT c_mktsegment, count(*) AS n_cust,
+             |     CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+             |     min(c_acctbal) AS min_bal
+             |   FROM $cat.cust GROUP BY c_mktsegment')""".stripMargin)
+    () => s.sql(s"SELECT * FROM $cat.seg_rollup ORDER BY c_mktsegment")
+  }
+
   /** Bench's storage group: name → build-once/read-thunk factory. */
   val benchPairs: Seq[(String, (SparkSession, String) => () => DataFrame)] =
     Seq(
@@ -718,5 +735,6 @@ object StorageLayout {
       "q105_timestamp_travel" -> (q105TimestampTravel _),
       "q106_ctas_capstone" -> (q106CtasCapstone _),
       "q107_sql_mor_delete" -> (q107SqlMorDelete _),
-      "q108_sql_mor_merge" -> (q108SqlMorMerge _))
+      "q108_sql_mor_merge" -> (q108SqlMorMerge _),
+      "q109_view" -> (q109View _))
 }

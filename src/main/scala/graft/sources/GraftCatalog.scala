@@ -41,7 +41,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
-    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -159,6 +160,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     checkIdent(ident)
     val dir = dirOf(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    require(!viewExists(ident),
+      s"a view named ${ident.name()} already exists")
     ManifestTable.checkSupported(schema)
     val partCols = partitions.toSeq.map {
       case t if t.name == "identity" && t.references.length == 1 =>
@@ -377,6 +380,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!replace && isTable(dir)) throw new TableAlreadyExistsException(ident)
     if (replace && !orCreate && !isTable(dir))
       throw new NoSuchTableException(ident)
+    require(!viewExists(ident),
+      s"a view named ${ident.name()} already exists")
     ManifestTable.checkSupported(schema)
     val partCols = validatedPartCols(schema, partitions)
     val props = GTabProps.validated(schema, properties)
@@ -435,6 +440,79 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     FsMeta.mkdirs(dirOf(newIdent.namespace().toSeq))
     if (!FsMeta.renameIfAbsent(dirOf(oldIdent), dirOf(newIdent)))
       throw new TableAlreadyExistsException(newIdent)
+  }
+
+  // ---- catalog-persisted views (see [[GraftViews]]) ----
+  // Spark 4.1 wires NO SQL statement to ViewCatalog yet; DDL arrives
+  // through `CALL g.system.create_view/drop_view` and reads resolve
+  // through the GraftViewResolution extension rule — both land on this
+  // implementation's storage, so the surfaces can never drift.
+
+  private def viewParts(ident: Identifier): Seq[String] =
+    ident.namespace().toSeq :+ ident.name()
+
+  override def viewExists(ident: Identifier): Boolean =
+    GraftViews.exists(warehouse, viewParts(ident))
+
+  override def listViews(namespace: String*): Array[Identifier] =
+    GraftViews.list(warehouse, namespace)
+      .map(n => Identifier.of(namespace.toArray, n)).toArray
+
+  override def loadView(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val sql = GraftViews.read(warehouse, viewParts(ident)).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident))
+    new org.apache.spark.sql.connector.catalog.View {
+      override def name(): String =
+        (catalogName +: viewParts(ident)).mkString(".")
+      override def query(): String = sql
+      override def currentCatalog(): String = catalogName
+      override def currentNamespace(): Array[String] = ident.namespace()
+      // the text re-analyzes at read time; the schema is whatever the
+      // query produces TODAY (a view tracks its base tables' evolution)
+      override def schema(): StructType = org.apache.spark.sql
+        .SparkSession.active.sql(sql).schema
+      override def queryColumnNames(): Array[String] = Array.empty
+      override def columnAliases(): Array[String] = Array.empty
+      override def columnComments(): Array[String] = Array.empty
+      override def properties(): util.Map[String, String] =
+        new util.HashMap[String, String]()
+    }
+  }
+
+  override def createView(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val ident = info.ident()
+    checkIdent(ident)
+    if (viewExists(ident))
+      throw new IllegalArgumentException(
+        s"view ${viewParts(ident).mkString(".")} already exists")
+    require(!tableExists(ident),
+      s"a table named ${ident.name()} already exists")
+    GraftViews.write(warehouse, viewParts(ident), info.sql())
+    loadView(ident)
+  }
+
+  override def alterView(ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.ViewChange*)
+      : org.apache.spark.sql.connector.catalog.View =
+    throw new UnsupportedOperationException(
+      "graft views carry no mutable properties — drop and re-create")
+
+  override def dropView(ident: Identifier): Boolean =
+    GraftViews.drop(warehouse, viewParts(ident))
+
+  override def renameView(from: Identifier, to: Identifier): Unit = {
+    checkIdent(to)
+    val sql = GraftViews.read(warehouse, viewParts(from)).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(from))
+    require(!viewExists(to) && !tableExists(to),
+      s"${to.name()} already exists")
+    GraftViews.write(warehouse, viewParts(to), sql)
+    GraftViews.drop(warehouse, viewParts(from))
   }
 
   // ---- namespaces (plain directories without a manifest) ----

@@ -38,7 +38,7 @@ private[sources] object GraftProcedures {
 
   private val names = Seq("compact", "vacuum", "expire_snapshots",
     "rollback", "create_branch", "fast_forward", "drop_branch", "history",
-    "set_partition_spec", "analyze_ndv")
+    "set_partition_spec", "analyze_ndv", "create_view", "drop_view")
 
   def load(warehouse: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace().sameElements(Namespace),
@@ -141,6 +141,38 @@ private[sources] object GraftProcedures {
           requireArg(in.getUTF8String(1), "columns")
             .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         Seq(InternalRow(n))
+      }
+      // CATALOG-PERSISTED VIEWS (see [[GraftViews]]): Spark 4.1 wires
+      // no SQL statement to the v2 ViewCatalog, so DDL arrives here;
+      // reads resolve through the GraftViewResolution extension rule.
+      case "create_view" => proc("create_view",
+        Seq(p("name", StringType), p("sql", StringType)),
+        StructType(Seq(StructField("created", BooleanType)))) { in =>
+        val parts = requireArg(in.getUTF8String(0), "name")
+          .split("\\.").toSeq
+        val sql = requireArg(in.getUTF8String(1), "sql")
+        require(!parts.exists(_.contains(".stage-")),
+          "'.stage-' is reserved for CTAS staging directories")
+        require(!FsMeta.exists(ManifestTable.manifestPath(
+            (warehouse +: parts).mkString("/"))),
+          s"a table named ${parts.mkString(".")} already exists")
+        require(!GraftViews.exists(warehouse, parts),
+          s"view ${parts.mkString(".")} already exists")
+        // the text must at least parse NOW — resolution happens at read
+        org.apache.spark.sql.SparkSession.active
+          .sessionState.sqlParser.parsePlan(sql)
+        GraftViews.write(warehouse, parts, sql)
+        Seq(InternalRow(true))
+      }
+      case "drop_view" => proc("drop_view",
+        Seq(p("name", StringType)),
+        StructType(Seq(StructField("dropped", BooleanType)))) { in =>
+        val parts = requireArg(in.getUTF8String(0), "name")
+          .split("\\.").toSeq
+        if (!GraftViews.drop(warehouse, parts))
+          throw new IllegalArgumentException(
+            s"no view ${parts.mkString(".")} — nothing dropped")
+        Seq(InternalRow(true))
       }
       case "history" => proc("history",
         Seq(p("table", StringType)),

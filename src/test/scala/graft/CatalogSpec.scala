@@ -461,4 +461,53 @@ class CatalogSpec extends AnyFunSuite {
         "TBLPROPERTIES('write.delete.mode'='sometimes')"))
     assert(e2.getMessage.contains("copy-on-write"), e2.getMessage)
   }
+
+  test("catalog-persisted views: create, nested, time travel, rename, " +
+      "drop — all through SQL") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.vbase (id BIGINT, v BIGINT)")
+    spark.range(100).selectExpr("id", "id * 3 AS v")
+      .createOrReplaceTempView("vbase_src")
+    spark.sql(s"INSERT INTO $cat.db.vbase SELECT * FROM vbase_src")
+    // plain view over a gtab
+    spark.sql(s"CALL $cat.system.create_view('db.v1', " +
+      s"'SELECT id, v FROM $cat.db.vbase WHERE id < 50')")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.v1")
+      .as[Long].head() == 50)
+    // a view is live text: new base rows show through
+    spark.sql(s"INSERT INTO $cat.db.vbase VALUES (-1, -3)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.v1")
+      .as[Long].head() == 51)
+    // view over a TIME-TRAVEL read pins its snapshot
+    val ver = ManifestTable.readManifest(s"$wh/db/vbase").get.version
+    spark.sql(s"CALL $cat.system.create_view('db.v2', " +
+      s"'SELECT * FROM $cat.db.vbase VERSION AS OF $ver')")
+    spark.sql(s"INSERT INTO $cat.db.vbase VALUES (-2, -6)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.v2")
+      .as[Long].head() == 101)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.vbase")
+      .as[Long].head() == 102)
+    // a view over a view (nested expansion)
+    spark.sql(s"CALL $cat.system.create_view('db.v3', " +
+      s"'SELECT sum(v) AS s FROM $cat.db.v1')")
+    // both negative inserts pass the id < 50 predicate
+    assert(spark.sql(s"SELECT s FROM $cat.db.v3").as[Long].head() ==
+      (0 until 50).map(_ * 3L).sum - 3 - 6)
+    // name collisions are typed errors in both directions
+    val e1 = intercept[Exception](spark.sql(
+      s"CALL $cat.system.create_view('db.vbase', 'SELECT 1')"))
+    assert(e1.getMessage.contains("already exists"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.db.v1 (id BIGINT)"))
+    assert(e2.getMessage.contains("already exists"), e2.getMessage)
+    // drop: the view stops resolving with a typed error
+    spark.sql(s"CALL $cat.system.drop_view('db.v1')")
+    val e3 = intercept[Exception](
+      spark.sql(s"SELECT count(*) FROM $cat.db.v1").collect())
+    assert(e3.getMessage.toUpperCase.contains("NOT_FOUND") ||
+      e3.getMessage.contains("v1"), e3.getMessage)
+    val e4 = intercept[Exception](spark.sql(
+      s"CALL $cat.system.drop_view('db.v1')"))
+    assert(e4.getMessage.contains("nothing dropped"), e4.getMessage)
+  }
 }

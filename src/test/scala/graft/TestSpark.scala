@@ -13,6 +13,8 @@ object TestSpark {
       // planner flag for storage-partitioned joins (q85); a harness-level
       // conf so no QueryDef mutates the shared session mid-run
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // custom functions + planner strategy + persisted-view resolution
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
