@@ -41,32 +41,41 @@ class MetadataTreeSpec extends AnyFunSuite {
   private def freshDir(tag: String): String =
     Files.createTempDirectory(s"graft_tree_$tag").toString
 
-  test("a large table spills into shards; the root stays narrow and " +
-      "appends never rewrite an existing shard") {
+  test("a 10^4-file table spills into shards; the root stays narrow, " +
+      "appends never rewrite an existing shard, commit bytes stay " +
+      "O(touched)") {
     val dir = freshDir("spill")
-    // 8 commits x 256 entries = 2048 files
-    (0 until 8).foreach { b =>
+    // 40 commits x 256 entries = 10240 files — the brief's scale class
+    (0 until 40).foreach { b =>
       ManifestTable.commitVersion(dir, schema2,
         fakeEntries(b * 256, (b + 1) * 256), keepPrevious = true)
     }
     val m = ManifestTable.readManifest(dir).get
-    assert(m.nFiles == 2048)
-    assert(m.shards.nonEmpty, "2048 entries must have spilled")
+    assert(m.nFiles == 10240)
+    assert(m.shards.nonEmpty, "10240 entries must have spilled")
     assert(m.inline.size <= ManifestTable.InlineMax,
       s"root carries ${m.inline.size} inline entries")
     // root WIDTH is O(files / ShardTarget), not O(files)
-    assert(m.shards.size + m.inline.size <= 2048 / 8,
+    assert(m.shards.size + m.inline.size <= 10240 / 8,
       s"${m.shards.size} shards + ${m.inline.size} inline")
+    // COMMIT BYTES ∝ touched: the root (what every commit rewrites) is
+    // a small multiple of the shard count, far below one line per file
+    val rootBytes = java.nio.file.Files.size(
+      java.nio.file.Paths.get(ManifestTable.manifestPath(dir)))
+    val inlineEquiv = ManifestTable.readManifest(dir).get.files
+      .take(64).map(_.name.length + 40).sum / 64 * 10240L
+    assert(rootBytes < inlineEquiv / 4,
+      s"sharded root is $rootBytes bytes vs ~$inlineEquiv inline-format")
     // an append touches NO existing shard (names carry over verbatim)
     val shardNames = m.shards.map(_.name).toSet
     ManifestTable.commitVersion(dir, schema2,
-      fakeEntries(2048, 2052), keepPrevious = true)
+      fakeEntries(10240, 10244), keepPrevious = true)
     val m2 = ManifestTable.readManifest(dir).get
     assert(shardNames.subsetOf(m2.shards.map(_.name).toSet),
       "append must not rewrite an existing shard")
-    assert(m2.nFiles == 2052)
+    assert(m2.nFiles == 10244)
     // full census still exact through the lazy decode
-    assert(m2.files.map(_.name).distinct.size == 2052)
+    assert(m2.files.map(_.name).distinct.size == 10244)
   }
 
   test("planning decodes only the shards the pruning keeps") {
