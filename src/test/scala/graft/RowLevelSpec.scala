@@ -412,4 +412,37 @@ class RowLevelSpec extends AnyFunSuite {
         .as[Long].head() == 6400)
     }
   }
+
+  test("a concurrent commit between a MOR delta scan and its commit is " +
+      "the same typed conflict") {
+    val dir = mkMorTable("ccm1")
+    val v0 = ManifestTable.readManifest(dir).get.version
+    var fired = false
+    graft.sources.CowOps.beforeCommitHook = () => {
+      if (!fired) {
+        fired = true
+        (1000 until 1005).map(i => (i.toLong, 0L, s"x$i"))
+          .toDF("id", "v", "s")
+          .write.format(Fmt).option("path", dir).mode("append").save()
+      }
+    }
+    try {
+      val e = intercept[Exception] {
+        spark.sql(s"DELETE FROM $cat.db.ccm1 WHERE id % 7 = 0")
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("concurrent commit")),
+        s"expected a typed concurrent-commit conflict, got $e")
+    } finally graft.sources.CowOps.beforeCommitHook = () => ()
+    // the foreign append won; the delete applied nothing — no rows
+    // vanished and no position vector landed
+    val m = ManifestTable.readManifest(dir).get
+    assert(m.version == v0 + 1)
+    assert(m.files.forall(f => !f.stats.contains("#dvp")),
+      "a losing delta commit must leave no position vectors behind")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.ccm1")
+      .as[Long].head() == 105)
+  }
 }
