@@ -211,6 +211,33 @@ object CowOps {
     rows.repartitionByRange(math.max(1, nFiles), col(keyCol))
       .sortWithinPartitions(keyCol)
 
+  /** The skipping/statistics configuration a REWRITE must apply: the
+    * union of what the files already carry ([[bloomConfig]]/[[ndvConfig]]
+    * — a rewrite never strips structures) and what the catalog DECLARES
+    * in `_TBLMETA` (TBLPROPERTIES). The union is the ADOPTION path: a
+    * property SET after the data landed reaches existing files exactly
+    * here — at their next compaction / COW / MOR rewrite — closing the
+    * chicken-and-egg a file-derived-only config would have (no file
+    * carries the bloom yet, so no rewrite would ever add it). Only
+    * live-schema columns count.
+    */
+  private[sources] def effectiveSkipConfig(dir: String,
+      m: ManifestTable.Manifest)
+      : (Seq[String], Option[Int], Seq[String]) = {
+    val props = TblMeta.properties(dir)
+    def declared(key: String): Seq[String] = props.get(key)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    val (fileBloom, fileBits) = bloomConfig(m)
+    val bloomCols = (fileBloom ++ declared(GTabProps.BloomColumns))
+      .distinct.sorted.filter(m.schema.fieldNames.contains)
+    val bits = props.get(GTabProps.BloomBits).flatMap(_.toIntOption)
+      .orElse(fileBits)
+    val ndvCols = (ndvConfig(m) ++ declared(GTabProps.NdvColumns))
+      .distinct.sorted.filter(m.schema.fieldNames.contains)
+    (bloomCols, bits, ndvCols)
+  }
+
   /** Stage `rows` through the connector, adopt the staged data files
     * into `dir`, and return their manifest entries (step 2).
     */
@@ -218,12 +245,11 @@ object CowOps {
       rows: DataFrame, m: ManifestTable.Manifest)
       : Seq[ManifestTable.FileEntry] = {
     val stage = s"$dir/_cow-stage-${java.util.UUID.randomUUID}"
-    val (bloomCols, bloomBits) = bloomConfig(m)
+    val (bloomCols, bloomBits, ndvCols) = effectiveSkipConfig(dir, m)
     val w0 = rows.write.format(Fmt).option("path", stage)
     val w1 = if (bloomCols.isEmpty) w0
       else w0.option("bloomColumns", bloomCols.mkString(","))
     val w2a = bloomBits.fold(w1)(b => w1.option("bloomBits", b))
-    val ndvCols = ndvConfig(m)
     val w2 = if (ndvCols.isEmpty) w2a
       else w2a.option("ndvColumns", ndvCols.mkString(","))
     // partitioned table: staged rewrites keep the `#part:` layout (the

@@ -93,10 +93,11 @@ private[sources] class GTabMorOperation(path: String, cmd: Command)
           throw new IllegalArgumentException(
             s"no committed manifest at $path"))
         // inserted files keep the table's bloom/NDV/partition layout —
-        // the same preservation rule as every COW rewrite
-        val (bloomCols, bloomBits) = CowOps.bloomConfig(m)
+        // the same preservation rule as every COW rewrite, declared
+        // TBLPROPERTIES unioned in (the adoption path)
+        val (bloomCols, bloomBits, ndvCols) =
+          CowOps.effectiveSkipConfig(path, m)
         val partCols = ManifestTable.partitionColumnsOf(m)
-        val ndvCols = CowOps.ndvConfig(m)
         new DeltaWrite {
           override def toBatch: DeltaBatchWrite =
             new GTabDeltaBatchWrite(GTabMorOperation.this, path, info,

@@ -89,10 +89,11 @@ private[sources] class GTabRowLevelOperation(path: String,
             s"no committed manifest at $path"))
         // rewritten files keep the table's bloom + partition layout —
         // otherwise the first SQL UPDATE would silently strip the
-        // skipping structures a clustered write paid for
-        val (bloomCols, bloomBits) = CowOps.bloomConfig(m)
+        // skipping structures a clustered write paid for; declared
+        // TBLPROPERTIES union in (the adoption path for SET-after-load)
+        val (bloomCols, bloomBits, ndvCols) =
+          CowOps.effectiveSkipConfig(path, m)
         val partCols = ManifestTable.partitionColumnsOf(m)
-        val ndvCols = CowOps.ndvConfig(m)
         new Write with RequiresDistributionAndOrdering {
           override def requiredDistribution(): Distribution =
             if (partCols.isEmpty) Distributions.unspecified()

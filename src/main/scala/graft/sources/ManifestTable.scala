@@ -1409,9 +1409,8 @@ object ManifestTable {
     // skipping structures or the optimizer statistics — only columns
     // still in the live schema carry over (a DROP COLUMN relies on
     // compaction to purge the retired name)
-    val (bloomCols, bloomBits) = CowOps.bloomConfig(m0)
-    val liveBloomCols = bloomCols.filter(m0.schema.fieldNames.contains)
-    val ndvCols = CowOps.ndvConfig(m0)
+    val (liveBloomCols, bloomBits, ndvCols) =
+      CowOps.effectiveSkipConfig(dir, m0)
     val w0 = shaped.write.format("graft.sources.ManifestTable")
       .option("path", dir)
     val w1 = if (keepPart) w0.option("partitionColumn", pcols.mkString(","))

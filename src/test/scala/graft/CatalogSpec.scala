@@ -510,4 +510,37 @@ class CatalogSpec extends AnyFunSuite {
       s"CALL $cat.system.drop_view('db.v1')"))
     assert(e4.getMessage.contains("nothing dropped"), e4.getMessage)
   }
+
+  test("ALTER SET TBLPROPERTIES adopts onto EXISTING files at the next " +
+      "compaction / COW rewrite") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.adopt (id BIGINT, s STRING)")
+    (0 until 400).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+      .createOrReplaceTempView("adopt_src")
+    spark.sql(s"INSERT INTO $cat.db.adopt " +
+      "SELECT /*+ REPARTITION(4, id) */ * FROM adopt_src")
+    val dirT = s"$wh/db/adopt"
+    assert(ManifestTable.readManifest(dirT).get.files
+      .forall(f => !f.stats.contains("#bloom:id")))
+    // the property lands AFTER the data: no file carries a bloom yet, so
+    // a file-derived-only rewrite config could never add one
+    spark.sql(
+      s"ALTER TABLE $cat.db.adopt SET TBLPROPERTIES('bloomColumns'='id')")
+    spark.sql(s"CALL $cat.system.compact(`table` => 'db.adopt', " +
+      "target_files => 4)")
+    val m = ManifestTable.readManifest(dirT).get
+    assert(m.files.nonEmpty && m.files.forall(_.stats.contains("#bloom:id")),
+      "compaction must adopt the declared bloom onto every rewritten file")
+    // and a COW rewrite adopts too: UPDATE one slice, its replacement
+    // files carry the bloom
+    spark.sql(s"ALTER TABLE $cat.db.adopt " +
+      "SET TBLPROPERTIES('ndvColumns'='id')")
+    spark.sql(s"UPDATE $cat.db.adopt SET s = 'u' WHERE id < 100")
+    val m2 = ManifestTable.readManifest(dirT).get
+    val rewritten = m2.files.map(_.name).toSet -- m.files.map(_.name).toSet
+    assert(rewritten.nonEmpty)
+    assert(m2.files.filter(f => rewritten.contains(f.name)).forall(f =>
+      f.stats.contains("#bloom:id") && f.stats.contains("#ndv:id")),
+      "a COW rewrite must adopt the declared structures")
+  }
 }
