@@ -131,7 +131,26 @@ object CowOps {
       m: ManifestTable.Manifest, keys: DataFrame,
       keyCol: String): Seq[String] = {
     import spark.implicits._
-    val (statted, statless) = m.files.partition(_.stats.contains(keyCol))
+    // sharded table: one tiny agg collects the KEY ENVELOPE [min, max]
+    // and only shards whose merged zone map intersects it decode — the
+    // ranges table below is then O(candidate files), not O(census).
+    // Conservative by construction: shards/files without the key's
+    // stats always survive the keep (and land in `statless` below).
+    val census: Seq[ManifestTable.FileEntry] =
+      if (m.shards.isEmpty) m.files
+      else {
+        val env = keys.agg(
+          org.apache.spark.sql.functions.min(col(keyCol).cast("long")),
+          org.apache.spark.sql.functions.max(col(keyCol).cast("long")))
+          .head()
+        if (env.isNullAt(0)) m.files // empty key set: keep old semantics
+        else ManifestTable.planFiles(m, GTabSkip.keep(_,
+          Seq(org.apache.spark.sql.sources
+              .GreaterThanOrEqual(keyCol, env.getLong(0)),
+            org.apache.spark.sql.sources
+              .LessThanOrEqual(keyCol, env.getLong(1))), m.schema))
+      }
+    val (statted, statless) = census.partition(_.stats.contains(keyCol))
     val hit = if (statted.isEmpty) Seq.empty[String] else {
       val ranges = statted.map { f =>
         val (lo, hi) = f.stats(keyCol)

@@ -248,4 +248,32 @@ class MetadataTreeSpec extends AnyFunSuite {
       s"partition-valued shards must prune decodes: " +
         s"$decodedG of ${m.shards.size}")
   }
+
+  test("a clustered-key CowOps delete on a sharded table decodes " +
+      "O(relevant shards) across all three phases") {
+    val dir = freshDir("cow")
+    // 600 single-row clustered files -> 3 shards of disjoint key ranges
+    spark.range(600).select(col("id"), (col("id") * 2).as("v"))
+      .repartitionByRange(600, col("id"))
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val m = ManifestTable.readManifest(dir).get
+    assert(m.nFiles == 600 && m.shards.size >= 3)
+    val before = ManifestTable.shardDecodes.get()
+    // keys confined to one shard's range: affected-set derivation,
+    // the files-option read, and the replace commit must each stay on
+    // the relevant shard (± a name-bloom false positive)
+    val r = graft.sources.CowOps.delete(spark, dir,
+      spark.range(10, 20).toDF("id"), "id")
+    val decoded = ManifestTable.shardDecodes.get() - before
+    assert(r.filesRewritten == 10)
+    // budget: one relevant-shard decode per phase, with the files-option
+    // scan builder constructed more than once under planning/AQE and a
+    // possible name-bloom false positive — but always strictly below
+    // the full-census cost (every shard per phase)
+    assert(decoded <= 7 && decoded < 3 * m.shards.size,
+      s"3-phase delete on a ${m.shards.size}-shard table decoded " +
+        s"$decoded shards")
+    assert(spark.read.format(Fmt).option("path", dir).load()
+      .count() == 590)
+  }
 }
