@@ -2544,7 +2544,10 @@ private[graft] class GTabScan(path: String,
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
-  private val kept = ManifestTable.planFiles(manifest,
+  // LAZY: a scan consumed as a micro-batch stream never plans a batch
+  // file set — eager planning would decode every shard per stream
+  // restart for nothing (batch paths force it at first use)
+  private lazy val kept = ManifestTable.planFiles(manifest,
     GTabSkip.keep(_, skipping, manifest.schema))
   override def readSchema(): StructType = pruned
 
@@ -2559,7 +2562,12 @@ private[graft] class GTabScan(path: String,
   // scans advertise NO filterable attributes: their key-grouped layout
   // report must stay stable through planning (the SPJ contract), and
   // their files are already value-pruned statically.
-  @volatile private var runtimeKept: Seq[ManifestTable.FileEntry] = kept
+  // null until first touched — initializing from `kept` here would
+  // force full batch planning in the constructor, which a scan consumed
+  // only as a micro-batch stream never needs
+  @volatile private var runtimeKept: Seq[ManifestTable.FileEntry] = null
+  private def runtimeKeptOrPlanned: Seq[ManifestTable.FileEntry] =
+    { val rk = runtimeKept; if (rk == null) kept else rk }
   // per-scan test seam: (static-kept, runtime-kept) file counts of THIS
   // scan's last runtime prune — (0, 0) until filter() prunes something.
   // Scoped to the scan instance (specs fish it out of the executed
@@ -2607,11 +2615,11 @@ private[graft] class GTabScan(path: String,
     if (fileSets.nonEmpty || v1.nonEmpty) {
       if (fileSets.nonEmpty) {
         val keepPaths = fileSets.reduce(_ intersect _)
-        runtimeKept = runtimeKept.filter(f =>
+        runtimeKept = runtimeKeptOrPlanned.filter(f =>
           keepPaths.contains(s"$path/data/${f.name}"))
       }
       if (v1.nonEmpty)
-        runtimeKept = runtimeKept.filter(
+        runtimeKept = runtimeKeptOrPlanned.filter(
           GTabSkip.keep(_, v1.toSeq, manifest.schema))
       // seam records against the STATIC baseline: Spark may deliver the
       // runtime predicates over several filter() calls
@@ -2626,9 +2634,9 @@ private[graft] class GTabScan(path: String,
   // (mixed layouts) a scan pruned to one spec's files regains the
   // key-grouped report for exactly what it reads, and a mixed scan
   // degrades to unknown — correctness never depends on the report.
-  private val partCols: Seq[String] =
+  private lazy val partCols: Seq[String] =
     ManifestTable.partitionColumnsOfFiles(kept, manifest.schema)
-  private val groups: Seq[(Seq[String], Seq[ManifestTable.FileEntry])] =
+  private lazy val groups: Seq[(Seq[String], Seq[ManifestTable.FileEntry])] =
     if (partCols.isEmpty) Nil
     else {
       val ks = partCols.map(ManifestTable.partStatKey)
@@ -2718,8 +2726,17 @@ private[graft] class GTabScan(path: String,
     colStats
   }
   override def toBatch: Batch = this
+  // set when the scan is consumed as a STREAM: description() must then
+  // not force batch planning (MicroBatchScanExec renders it per batch —
+  // forcing `kept` would decode every shard per hop for a log string)
+  @volatile private var asStream = false
   override def description(): String =
-    s"GTabScan $path v${manifest.version} " +
+    if (asStream)
+      s"GTabScan $path v${manifest.version} streaming " +
+        s"files=${manifest.nFiles} " +
+        s"SkippingFilters: ${skipping.mkString("[", ", ", "]")} " +
+        s"ReadSchema: ${pruned.simpleString}"
+    else s"GTabScan $path v${manifest.version} " +
       s"files=${kept.size}/${manifest.nFiles} " +
       (if (partCols.isEmpty) ""
        else s"PartitionedBy: ${partCols.mkString(",")} " +
@@ -2732,7 +2749,7 @@ private[graft] class GTabScan(path: String,
     // replace-commit swaps exactly these files; idempotent under AQE
     onPlan.foreach(f => f(manifest.version,
       (if (partCols.nonEmpty && groups.nonEmpty)
-        groups.flatMap(_._2) else runtimeKept).map(_.name).toSet))
+        groups.flatMap(_._2) else runtimeKeptOrPlanned).map(_.name).toSet))
     if (partCols.nonEmpty && groups.nonEmpty) {
       val dts = partCols.map(c =>
         manifest.schema.fields(manifest.schema.fieldIndex(c)).dataType)
@@ -2742,13 +2759,14 @@ private[graft] class GTabScan(path: String,
             ManifestTable.decodePartValue(e, dt) })): InputPartition
       }.toArray
     } else
-      runtimeKept.map(f =>
+      runtimeKeptOrPlanned.map(f =>
         ManifestTable.partitionOf(path, f): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new GTabReaderFactory(manifest.schema, pruned, confMap)
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream = {
+    asStream = true
     require(ref.isEmpty, "streaming reads follow MAIN: a branch is an " +
       "audit staging area, not a stream source — fastForward it and " +
       "stream the table")

@@ -276,4 +276,47 @@ class MetadataTreeSpec extends AnyFunSuite {
     assert(spark.read.format(Fmt).option("path", dir).load()
       .count() == 590)
   }
+
+  test("a micro-batch stream tails a sharded table and decodes only " +
+      "changed shards per hop") {
+    val src = freshDir("stream_src")
+    val dst = freshDir("stream_dst")
+    val cp = freshDir("stream_cp")
+    // base commit large enough to shard, then two small appends
+    spark.range(300).select(col("id"), (col("id") * 2).as("v"))
+      .repartition(300).write.format(Fmt).option("path", src)
+      .mode("append").save()
+    assert(ManifestTable.readManifest(src).get.shards.nonEmpty)
+    spark.range(300, 310).select(col("id"), (col("id") * 2).as("v"))
+      .repartition(1).write.format(Fmt).option("path", src)
+      .mode("append").save()
+    val before = ManifestTable.shardDecodes.get()
+    val q = spark.readStream.format(Fmt).option("path", src).load()
+      .writeStream.format(Fmt).option("path", dst)
+      .option("checkpointLocation", cp).start()
+    try q.processAllAvailable() finally q.stop()
+    // the stream read the whole table exactly once: the initial offset
+    // covers version 1, so the first batch is the full census (decodes
+    // its shards once) plus the inline append — never a per-hop rescan
+    assert(spark.read.format(Fmt).option("path", dst).load()
+      .count() == 310)
+    val afterFirst = ManifestTable.shardDecodes.get()
+    // a further inline append hops WITHOUT decoding the base shards
+    spark.range(310, 315).select(col("id"), (col("id") * 2).as("v"))
+      .repartition(1).write.format(Fmt).option("path", src)
+      .mode("append").save()
+    val q2 = spark.readStream.format(Fmt).option("path", src).load()
+      .writeStream.format(Fmt).option("path", dst)
+      .option("checkpointLocation", cp).start()
+    try q2.processAllAvailable() finally q2.stop()
+    // measure the HOP itself before any verification read touches the
+    // (also-sharded) destination
+    val hopDecodes = ManifestTable.shardDecodes.get() - afterFirst
+    assert(hopDecodes <= 1,
+      s"an inline-append hop over a sharded base decoded $hopDecodes " +
+        "shards (shared shards must elide)")
+    assert(spark.read.format(Fmt).option("path", dst).load()
+      .count() == 315)
+    assert(before >= 0)
+  }
 }
