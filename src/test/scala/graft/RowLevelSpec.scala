@@ -445,4 +445,19 @@ class RowLevelSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.ccm1")
       .as[Long].head() == 105)
   }
+
+  test("the change feed surfaces a SQL MOR DELETE's rows as deletes " +
+      "(position-vector stats participate in entry identity)") {
+    val dir = mkMorTable("morcdc")
+    val v0 = ManifestTable.readManifest(dir).get.version
+    spark.sql(s"DELETE FROM $cat.db.morcdc WHERE id % 9 = 0")
+    val v1 = ManifestTable.readManifest(dir).get.version
+    val feed = ManifestTable.changeFeed(spark, dir, v0, v1)
+      .select("_change_type", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val expected = (0 until 100).filter(_ % 9 == 0)
+      .map(i => ("delete", i.toLong)).sorted
+    assert(feed == expected,
+      s"feed must be exactly the position-deleted rows, got $feed")
+  }
 }
