@@ -16,6 +16,7 @@ object DbgRL {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     outDir.foreach { d =>
@@ -33,7 +34,7 @@ object DbgRL {
       val t0 = System.nanoTime()
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
       outDir match {
-        case Some(d) => df.write.mode("overwrite").parquet(s"$d/$n.parquet")
+        case Some(d) => df.write.mode("overwrite").parquet(s"$d/$n")
         case None => df.count(): Unit
       }
       println(s"CERT $n " +
