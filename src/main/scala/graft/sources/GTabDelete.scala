@@ -140,11 +140,16 @@ private[graft] object GTabDelete {
           s"no committed manifest at $dir"))
       filters.foreach(f => require(translatable(f, m.schema),
         s"untranslatable DELETE filter: $f"))
-      val (gone, rest) = m.files.partition(e =>
+      // PRUNE-THEN-CLASSIFY on sharded tables: a shard whose aggregate
+      // stats PROVE no row matches never decodes (its members are all
+      // untouched by definition); only surviving shards' entries take
+      // the per-file three-way classification
+      val possible = ManifestTable.planFiles(m,
+        GTabSkip.keep(_, filters.toSeq, m.schema))
+      val (gone, candidates) = possible.partition(e =>
         filters.forall(allMatch(e, _, m.schema)))
-      val (candidates, untouched) = rest.partition(e =>
-        GTabSkip.keep(e, filters.toSeq, m.schema))
-      lastStats = DeleteStats(gone.size, untouched.size, candidates.size)
+      lastStats = DeleteStats(gone.size,
+        m.nFiles - possible.size, candidates.size)
       if (gone.isEmpty && candidates.isEmpty) return // provably no-op
       val added = if (candidates.isEmpty) Nil else {
         val cond = filters.map(toColumn).reduce(_ && _)

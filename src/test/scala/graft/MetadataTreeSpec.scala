@@ -319,4 +319,34 @@ class MetadataTreeSpec extends AnyFunSuite {
       .count() == 315)
     assert(before >= 0)
   }
+
+  test("a metadata-only SQL-path DELETE on a sharded table decodes " +
+      "only the matching partition's shards") {
+    val dir = freshDir("mdel")
+    val schema3 = StructType.fromDDL("id BIGINT, g STRING")
+    def batch(from: Int, until: Int, g: String) = (from until until).map {
+      i => ManifestTable.FileEntry(s"d-$i.gtab", 1, 0, Seq("id", "g"),
+        Map("#part:g" -> (g, "")))
+    }
+    ManifestTable.commitVersion(dir, schema3, batch(0, 150, "0"),
+      keepPrevious = true)
+    ManifestTable.commitVersion(dir, schema3, batch(150, 300, "1"),
+      keepPrevious = true)
+    val m = ManifestTable.readManifest(dir).get
+    assert(m.shards.size == 2)
+    val before = ManifestTable.shardDecodes.get()
+    graft.sources.GTabDelete.run(spark, dir,
+      Array(org.apache.spark.sql.sources.EqualTo("g", "0")))
+    val decoded = ManifestTable.shardDecodes.get() - before
+    val st = graft.sources.GTabDelete.lastStats
+    assert(st.filesDropped == 150 && st.filesRewritten == 0,
+      st.toString)
+    // classification decoded shard 0; the replace commit re-decodes it
+    // to drop the entries; shard 1 (g=1, provably untouched) never opens
+    assert(decoded <= 2,
+      s"partition DELETE decoded $decoded of ${m.shards.size} shards")
+    val m2 = ManifestTable.readManifest(dir).get
+    assert(m2.nFiles == 150 &&
+      m2.files.forall(_.stats.get("#part:g").exists(_._1 == "1")))
+  }
 }
