@@ -192,15 +192,33 @@ object CowOps {
     * own bloom-localized affected set would degrade permanently after
     * the first rewrite.
     */
-  private[sources] def bloomConfig(
+  private[graft] def bloomConfig(
       m: ManifestTable.Manifest): (Seq[String], Option[Int]) = {
-    val cols = m.files.flatMap(_.stats.keys)
+    // sharded table with census keys: the shard refs already carry the
+    // member bloom-column names and max bits — zero decodes (absence of
+    // the key marks a pre-census shard; fall back to the exact scan)
+    val census: Seq[ManifestTable.FileEntry] =
+      if (m.shards.isEmpty || !m.shards.forall(_.agg.contains("#bloomcols")))
+        m.files
+      else m.inline
+    val shardCols =
+      if (m.shards.forall(_.agg.contains("#bloomcols")))
+        m.shards.flatMap(_.agg("#bloomcols")._1.split(","))
+          .filter(_.nonEmpty).map(ManifestTable.unescape)
+      else Nil
+    val shardBits =
+      if (m.shards.forall(_.agg.contains("#bloomcols")))
+        m.shards.flatMap(_.agg("#bloomcols")._2.toIntOption)
+          .filter(_ > 0).maxOption
+      else None
+    val cols = (census.flatMap(_.stats.keys)
       .filter(_.startsWith(GTabBloom.KeyPrefix))
-      .map(_.stripPrefix(GTabBloom.KeyPrefix)).distinct.sorted
-    val bits = (for {
-      f <- m.files; c <- cols
+      .map(_.stripPrefix(GTabBloom.KeyPrefix)) ++ shardCols)
+      .distinct.sorted
+    val bits = ((for {
+      f <- census; c <- cols
       (_, b64) <- f.stats.get(GTabBloom.statKey(c))
-    } yield GTabBloom.decode(b64).length * 64).maxOption
+    } yield GTabBloom.decode(b64).length * 64) ++ shardBits).maxOption
     (cols, bits)
   }
 
@@ -210,11 +228,21 @@ object CowOps {
     * reordering runs on. Only columns still in the live schema count
     * (a rename/drop may have retired the name).
     */
-  private[sources] def ndvConfig(m: ManifestTable.Manifest): Seq[String] =
-    m.files.flatMap(_.stats.keys)
+  private[graft] def ndvConfig(m: ManifestTable.Manifest): Seq[String] = {
+    val census: Seq[ManifestTable.FileEntry] =
+      if (m.shards.isEmpty || !m.shards.forall(_.agg.contains("#ndvcols")))
+        m.files
+      else m.inline
+    val shardCols =
+      if (m.shards.forall(_.agg.contains("#ndvcols")))
+        m.shards.flatMap(_.agg("#ndvcols")._1.split(","))
+          .filter(_.nonEmpty).map(ManifestTable.unescape)
+      else Nil
+    (census.flatMap(_.stats.keys)
       .filter(_.startsWith(ManifestTable.NdvPrefix))
-      .map(_.stripPrefix(ManifestTable.NdvPrefix))
+      .map(_.stripPrefix(ManifestTable.NdvPrefix)) ++ shardCols)
       .filter(m.schema.fieldNames.contains).distinct.sorted
+  }
 
   /** Shape a rewrite/insert row set before staging: range-partitioned
     * and sorted on the key into at most `nFiles` files. Without this,

@@ -369,6 +369,31 @@ object ManifestTable {
     val pcols = entries.flatMap(_.stats.keys.filter(_.startsWith(PartPrefix)))
       .map(_.stripPrefix(PartPrefix)).distinct.sorted
     if (pcols.nonEmpty) agg("#pcols") = (pcols.map(escape).mkString(","), "")
+    // census keys for DECODE-FREE table-level derivations (the DML
+    // write-builder path asks "is this table partitioned / bloomed /
+    // sketched?" — at 10^6 files that question must not decode the
+    // tree). ALWAYS written, empty-valued when mixed/absent, so their
+    // ABSENCE identifies a pre-census shard and callers fall back to
+    // the exact decode.
+    val pSets = entries.map(_.stats.keySet.filter(_.startsWith(PartPrefix)))
+    agg("#pall") =
+      (if (pSets.head.nonEmpty && pSets.forall(_ == pSets.head))
+        pSets.head.toSeq.map(_.stripPrefix(PartPrefix)).sorted
+          .map(escape).mkString(",")
+      else "", "")
+    val bCols = entries
+      .flatMap(_.stats.keys.filter(_.startsWith(GTabBloom.KeyPrefix)))
+      .map(_.stripPrefix(GTabBloom.KeyPrefix)).distinct.sorted
+    val bBits = entries.flatMap(_.stats.collect {
+      case (k, (_, b64)) if k.startsWith(GTabBloom.KeyPrefix) =>
+        GTabBloom.decode(b64).length * 64
+    }).maxOption.getOrElse(0)
+    agg("#bloomcols") =
+      (bCols.map(escape).mkString(","), bBits.toString)
+    agg("#ndvcols") = (entries
+      .flatMap(_.stats.keys.filter(_.startsWith(NdvPrefix)))
+      .map(_.stripPrefix(NdvPrefix)).distinct.sorted
+      .map(escape).mkString(","), "")
     // any member carrying a deletion vector disables the metadata-count
     // fast path without a decode
     if (entries.exists(_.stats.keys.exists(k =>
@@ -749,7 +774,27 @@ object ManifestTable {
     * turns the layout report off; correctness never depended on it.
     */
   private[graft] def partitionColumnsOf(m: Manifest): Seq[String] =
-    partitionColumnsOfFiles(m.files, m.schema)
+    if (m.shards.isEmpty) partitionColumnsOfFiles(m.inline, m.schema)
+    else if (m.shards.forall(_.agg.contains("#pall"))) {
+      // census-keyed shards: every shard uniform on the SAME key set,
+      // and the inline entries match it — zero decodes
+      val sets = m.shards.map(_.agg("#pall")._1).distinct
+      val inlineOk = sets.size == 1 && sets.head.nonEmpty && {
+        val want = sets.head.split(",").filter(_.nonEmpty)
+          .map(unescape).toSet
+        m.inline.forall(_.stats.keySet
+          .filter(_.startsWith(PartPrefix))
+          .map(_.stripPrefix(PartPrefix)) == want)
+      }
+      if (!inlineOk) Nil
+      else {
+        val cols = sets.head.split(",").filter(_.nonEmpty)
+          .map(unescape).toSeq
+        if (cols.forall(m.schema.fieldNames.contains))
+          cols.sortBy(m.schema.fieldIndex)
+        else Nil
+      }
+    } else partitionColumnsOfFiles(m.files, m.schema) // pre-census shard
 
   /** Partition-spec EVOLUTION support: the layout derivation over an
     * arbitrary file SUBSET. A re-specced table (set_partition_spec)

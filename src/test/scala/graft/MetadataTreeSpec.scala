@@ -349,4 +349,48 @@ class MetadataTreeSpec extends AnyFunSuite {
     assert(m2.nFiles == 150 &&
       m2.files.forall(_.stats.get("#part:g").exists(_._1 == "1")))
   }
+
+  test("DML write-builder derivations answer from shard census keys " +
+      "with zero decodes") {
+    val dir = freshDir("census")
+    val schema3 = StructType.fromDDL("id BIGINT, g STRING")
+    def bloomOf(key: Long): String = {
+      val words = new Array[Long](64)
+      val h1 = graft.functions.BloomUtil.mix64(key)
+      val h2 = graft.functions.BloomUtil.mix64(h1) | 1L
+      (0 until graft.sources.GTabBloom.NumHashes).foreach { i =>
+        val idx = java.lang.Long.remainderUnsigned(h1 + i * h2, 4096L).toInt
+        words(idx >>> 6) |= 1L << (idx & 63)
+      }
+      graft.sources.GTabBloom.encode(words)
+    }
+    def batch(from: Int, until: Int, g: String) = (from until until).map {
+      i => ManifestTable.FileEntry(s"c-$i.gtab", 1, 0, Seq("id", "g"),
+        Map("#part:g" -> (g, ""),
+          "#bloom:id" ->
+            (graft.sources.GTabBloom.NumHashes.toString, bloomOf(i.toLong)),
+          "#ndv:id" -> ("64", bloomOf(i.toLong))))
+    }
+    ManifestTable.commitVersion(dir, schema3, batch(0, 150, "0"),
+      keepPrevious = true)
+    ManifestTable.commitVersion(dir, schema3, batch(150, 300, "1"),
+      keepPrevious = true)
+    val m = ManifestTable.readManifest(dir).get
+    assert(m.shards.size == 2 && m.inline.isEmpty)
+    val before = ManifestTable.shardDecodes.get()
+    // the three questions every SQL DML write build asks
+    assert(ManifestTable.partitionColumnsOf(m) == Seq("g"))
+    val (bloomCols, bits) = graft.sources.CowOps.bloomConfig(m)
+    assert(bloomCols == Seq("id") && bits.contains(4096))
+    assert(graft.sources.CowOps.ndvConfig(m) == Seq("id"))
+    assert(ManifestTable.shardDecodes.get() == before,
+      "table-level config derivations must not decode a shard")
+    // a mixed-spec table degrades the partition report, still decode-free
+    ManifestTable.commitVersion(dir, schema3,
+      Seq(ManifestTable.FileEntry("plain.gtab", 1, 0, Seq("id", "g"),
+        Map.empty)), keepPrevious = true)
+    val m2 = ManifestTable.readManifest(dir).get
+    assert(ManifestTable.partitionColumnsOf(m2).isEmpty)
+    assert(ManifestTable.shardDecodes.get() == before)
+  }
 }
