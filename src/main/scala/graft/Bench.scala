@@ -243,8 +243,8 @@ object Bench {
           s""""build_probe":${t.buildProbe},""" +
           s""""build_gc_ms":${t.buildGcMs},""" +
           s""""build_peak_mb":${t.buildPeakMb},"read_s":${t.min},""" +
-          s""""read_median_s":${t.median},"gc_ms":${t.gcMs},""" +
-          s""""peak_mb":${t.peakMb}}""")
+          s""""read_median_s":${t.median},"probe":${t.probe},""" +
+          s""""gc_ms":${t.gcMs},"peak_mb":${t.peakMb}}""")
     }.mkString("{", ",", "}")
     val storageBuildTotal = storageResults
       .collect { case (k, t) if !failed.contains(k) => t.build }.sum
