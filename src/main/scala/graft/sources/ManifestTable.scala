@@ -348,7 +348,11 @@ object ManifestTable {
         // single-valued across the shard -> exact value pruning applies
         if (vs.map(_._1).distinct.size == 1) agg(k) = (vs.head._1, "")
       } else if (k.startsWith(GTabBloom.KeyPrefix)) {
-        // bit-union of equal-shape blooms IS the union filter
+        // bit-union of equal-shape blooms IS the union filter — but the
+        // union of ~ShardTarget dense members saturates: past half the
+        // bits set the filter proves nothing and only widens every root
+        // line, so it is dropped (conservative — the shard just stays
+        // un-bloom-prunable; per-FILE blooms still prune after decode)
         val ks = vs.map(_._1).distinct
         val words = vs.map(v => GTabBloom.decode(v._2))
         if (ks.size == 1 && words.map(_.length).distinct.size == 1) {
@@ -357,7 +361,9 @@ object ManifestTable {
             var i = 0
             while (i < w.length) { acc(i) |= w(i); i += 1 }
           }
-          agg(k) = (ks.head, GTabBloom.encode(acc))
+          val fill = acc.map(java.lang.Long.bitCount).sum
+          if (fill * 2 < acc.length * 64)
+            agg(k) = (ks.head, GTabBloom.encode(acc))
         }
       } else if (k == SzKey) {
         val sum = vs.flatMap(_._1.toLongOption).sum
