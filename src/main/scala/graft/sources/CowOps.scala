@@ -367,34 +367,79 @@ object CowOps {
     * per row on affected files until compaction. Repeated MOR deletes
     * on a file UNION into one sidecar (entries reference exactly one).
     *
-    * The distinct key set collects to the driver (it authors the
-    * sidecar) — parameter-bounded exactly like [[delete]]'s broadcast
-    * of the same set. Sidecars are manifest-referenced, so vacuum
-    * protects them while any retaining snapshot lives, and time-travel
-    * readers of pre-delete versions never see the `#dv:` entry.
+    * The sidecar is EXECUTOR-written ([[writeDvDistributed]]): the
+    * distinct key set never collects to the driver — the driver
+    * handles the (name, cardinality) ref only. Sidecars are
+    * manifest-referenced, so vacuum protects them while any retaining
+    * snapshot lives, and time-travel readers of pre-delete versions
+    * never see the `#dv:` entry.
     */
-  /** DV the `keyArr` keys onto `affectedEntries`: one NEW sidecar per
+  /** Write one value-keyed DV sidecar from the EXECUTORS: the distinct
+    * key set (unioned with a prior sidecar's contents, both read as
+    * ordinary datasets) sorts into a single partition whose one task
+    * streams the run straight into the sidecar file — the driver sees
+    * only the (name, cardinality) ref, never the keys. A `DELETE WHERE`
+    * whose key frame matches billions of rows costs the cluster one
+    * tiny extra stage and the driver nothing, closing what used to be
+    * the last data-proportional driver collect in the DML stack. The
+    * single-partition sort is fine at any realistic DV size (a sidecar
+    * bigger than one task's comfort zone means the table wants a COW
+    * rewrite, not a larger vector).
+    */
+  private def writeDvDistributed(spark: SparkSession, dir: String,
+      keys: DataFrame, keyCol: String, prior: Option[String])
+      : (String, Long) = {
+    import spark.implicits._
+    val name = s"dv-${java.util.UUID.randomUUID}.gdv"
+    val full = s"$dir/data/$name"
+    val confMap = FsMeta.confAsMap()
+    val fresh = keys.select(col(keyCol).cast("long").as("__dvk")).as[Long]
+    val all = prior match {
+      case Some(p) => fresh.union(
+        spark.read.textFile(s"$dir/data/$p")
+          .filter((l: String) => l.nonEmpty).map(_.toLong))
+      case None => fresh
+    }
+    val n = all.distinct().repartition(1)
+      .sortWithinPartitions("__dvk")
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confMap.foreach { case (k, v) => conf.set(k, v) }
+        val hp = new org.apache.hadoop.fs.Path(full)
+        val out = new java.io.BufferedOutputStream(
+          hp.getFileSystem(conf).create(hp, true))
+        var count = 0L
+        try it.foreach { k =>
+          out.write(k.toString.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          out.write('\n')
+          count += 1
+        } finally out.close()
+        Iterator.single(count)
+      }.collect().sum // one long per partition to the driver, not keys
+    (name, n)
+  }
+
+  /** DV the distinct `keys` onto `affectedEntries`: one NEW sidecar per
     * distinct prior sidecar (entries sharing a prior share the unioned
-    * successor — a file always references exactly one sidecar, never a
-    * chain). Returns the updated entries plus the sidecar names written
-    * (for cleanup if the commit loses the CAS).
+    * successor — a file always references exactly one value-keyed
+    * sidecar, never a chain). Sidecars are executor-written
+    * ([[writeDvDistributed]]); the key frame's plan re-runs once per
+    * distinct prior group, which is 1 for every table this side of a
+    * partial-history mess. Returns the updated entries plus the sidecar
+    * names written (for cleanup if the commit loses the CAS).
     */
-  private def attachDvs(dir: String, keyCol: String,
-      affectedEntries: Seq[ManifestTable.FileEntry], keyArr: Array[Long])
+  private def attachDvs(spark: SparkSession, dir: String, keyCol: String,
+      affectedEntries: Seq[ManifestTable.FileEntry], keys: DataFrame)
       : (Seq[ManifestTable.FileEntry], Seq[String]) = {
     val dvKey = ManifestTable.dvStatKey(keyCol)
     val byPrior = affectedEntries.groupBy(_.stats.get(dvKey).map(_._1))
     val written = scala.collection.mutable.ListBuffer.empty[String]
-    val successor: Map[Option[String], (String, Int)] =
+    val successor: Map[Option[String], (String, Long)] =
       byPrior.keys.map { prior =>
-        val existing = prior.map(p => ManifestTable.readDv(
-            FsMeta.hadoopConf(), s"$dir/data/$p"))
-          .getOrElse(Array.empty[Long])
-        val merged = (existing ++ keyArr).distinct.sorted
-        val name = s"dv-${java.util.UUID.randomUUID}.gdv"
-        ManifestTable.writeDv(dir, name, merged)
+        val (name, n) = writeDvDistributed(spark, dir, keys, keyCol, prior)
         written += name
-        prior -> (name, merged.length)
+        prior -> (name, n)
       }.toMap
     val updated = affectedEntries.map { f =>
       val (name, n) = successor(f.stats.get(dvKey).map(_._1))
@@ -406,17 +451,15 @@ object CowOps {
   def deleteMor(spark: SparkSession, dir: String, keys: DataFrame,
       keyCol: String, branch: String = ""): CowResult =
     withCommitRetry(dir, branch) { m =>
-    import spark.implicits._
     requireIntegralKey(keys, keyCol)
     requireTableKey(m, keyCol)
     val affected = affectedFiles(spark, m, keys, keyCol).toSet
     if (affected.isEmpty) {
       CowResult(m.version, 0, m.files.size, 0)
     } else {
-      val keyArr = keys.select(col(keyCol).cast("long")).distinct()
-        .as[Long].collect().sorted
       val affectedEntries = m.files.filter(f => affected.contains(f.name))
-      val (updated, written) = attachDvs(dir, keyCol, affectedEntries, keyArr)
+      val (updated, written) =
+        attachDvs(spark, dir, keyCol, affectedEntries, keys)
       try {
         beforeCommitHook()
         val v = ManifestTable.commitReplace(dir, m.version, affected,
@@ -443,15 +486,13 @@ object CowOps {
   def mergeMor(spark: SparkSession, dir: String, updates: DataFrame,
       keyCol: String, branch: String = ""): CowResult =
     withCommitRetry(dir, branch) { m =>
-    import spark.implicits._
     checkSchema(m, updates, "updates")
     requireIntegralKey(updates, keyCol)
     requireTableKey(m, keyCol)
     val affected = affectedFiles(spark, m, updates, keyCol).toSet
-    val keyArr = updates.select(col(keyCol).cast("long")).distinct()
-      .as[Long].collect().sorted
     val affectedEntries = m.files.filter(f => affected.contains(f.name))
-    val (updated, written) = attachDvs(dir, keyCol, affectedEntries, keyArr)
+    val (updated, written) =
+      attachDvs(spark, dir, keyCol, affectedEntries, updates)
     val added = stageAndAdopt(spark, dir,
       reclustered(updates.select(m.schema.fieldNames.map(col).toSeq: _*),
         keyCol, math.max(1, affected.size)), m)

@@ -109,14 +109,19 @@ private[sources] class GTabMorOperation(path: String, cmd: Command)
 }
 
 /** One MOR DML commit: executors stream position deletes into per-file
-  * ordinal sets and inserts through the connector's normal writer
-  * stack; the driver unions the positions per file (merging any
-  * existing `#dvp` sidecar — a file references exactly ONE position
-  * sidecar, never a chain), writes the successor sidecars, and
-  * publishes one atomic manifest version where affected entries gain
-  * the vector and inserted files append. Deleted-row positions travel
-  * in the commit messages — O(deleted rows) driver bytes, the same
-  * documented trade as the value-DV path's key collect.
+  * ordinal sets, author the `#dvp` sidecars THEMSELVES at task commit
+  * (one sorted-ordinal file per (task, data file)), and ship inserts
+  * through the connector's normal writer stack. Commit messages carry
+  * sidecar REFS only — (file, sidecar name, cardinality) — so the
+  * driver's commit handles O(affected files x tasks) names, never the
+  * deleted positions themselves (Iceberg's position-delete-file shape:
+  * a 1%-of-100TB DELETE ships file names through the driver, not
+  * billions of ordinals). Affected manifest entries CHAIN the new refs
+  * onto any existing ones; once a file's chain would exceed
+  * [[ManifestTable.DvPosChainMax]] members the commit folds it into one
+  * sidecar — a per-FILE bounded read (positions per file <= rows per
+  * file), never proportional to the operation's total deleted rows.
+  * One atomic manifest version publishes vectors and inserts together.
   */
 private[sources] class GTabDeltaBatchWrite(op: GTabMorOperation,
     path: String, info: LogicalWriteInfo, bloomCols: Seq[String],
@@ -133,29 +138,46 @@ private[sources] class GTabDeltaBatchWrite(op: GTabMorOperation,
     val (inserted, empties) =
       all.flatMap(_.inserts).partition(_.rows > 0)
     empties.foreach(e => FsMeta.deleteRecursive(s"$path/data/${e.name}"))
-    val posByFile: Map[String, Array[Long]] = all.flatMap(_.deletes)
-      .groupBy(_._1).map { case (f, ps) =>
-        f -> ps.flatMap(_._2).distinct.sorted
-      }
-    if (posByFile.isEmpty && inserted.isEmpty) return
+    // refs only: file -> (sidecar name, cardinality) pairs from every task
+    val refsByFile: Map[String, Seq[(String, Long)]] = all
+      .flatMap(_.deleteRefs).groupBy(_._1)
+      .map { case (f, rs) => f -> rs.map(_._2).toSeq }
+    GTabDeltaBatchWrite.lastCommitDeleteRefs = refsByFile
+    if (refsByFile.isEmpty && inserted.isEmpty) return
     val ver = op.scanned.map(_._1).getOrElse(
       ManifestTable.readManifest(path).map(_.version).getOrElse(0L))
     val cur = ManifestTable.readManifest(path).getOrElse(
       throw new IllegalStateException(s"no committed manifest at $path"))
-    val affectedEntries = cur.files.filter(f => posByFile.contains(f.name))
-    val writtenSidecars =
-      scala.collection.mutable.ListBuffer.empty[String]
+    val affectedEntries = cur.files.filter(f => refsByFile.contains(f.name))
+    // every sidecar THIS commit is responsible for (task-written
+    // partials + any fold successors) — deleted if the CAS loses
+    val writtenSidecars = scala.collection.mutable.ListBuffer.empty[String]
+    writtenSidecars ++= refsByFile.values.flatten.map(_._1)
     val updated = affectedEntries.map { f =>
-      val existing = f.stats.get(ManifestTable.DvPosKey)
-        .map(d => ManifestTable.readDv(FsMeta.hadoopConf(),
-          s"$path/data/${d._1}"))
-        .getOrElse(Array.emptyLongArray)
-      val merged = (existing ++ posByFile(f.name)).distinct.sorted
-      val name = s"dvp-${java.util.UUID.randomUUID}.gdv"
-      ManifestTable.writeDv(path, name, merged)
-      writtenSidecars += name
-      f.copy(stats = f.stats +
-        (ManifestTable.DvPosKey -> (name, merged.length.toString)))
+      val priorChain = ManifestTable.dvPosChain(f.stats)
+      val priorCount = f.stats.get(ManifestTable.DvPosKey)
+        .flatMap(_._2.toLongOption).getOrElse(0L)
+      val fresh = refsByFile(f.name)
+      val chain = priorChain ++ fresh.map(_._1)
+      val total = priorCount + fresh.map(_._2).sum
+      if (chain.size <= ManifestTable.DvPosChainMax)
+        f.copy(stats = f.stats + (ManifestTable.DvPosKey ->
+          (chain.mkString(";"), total.toString)))
+      else {
+        // fold: union the chain into ONE sidecar. Bounded by this
+        // file's row count; this commit's own partials become garbage
+        // immediately (prior members stay — earlier versions reference
+        // them; vacuum reclaims once those expire)
+        val merged = chain.toArray.flatMap(n => ManifestTable.readDv(
+          FsMeta.hadoopConf(), s"$path/data/$n")).distinct.sorted
+        val name = s"dvp-${java.util.UUID.randomUUID}.gdv"
+        ManifestTable.writeDv(path, name, merged)
+        writtenSidecars += name
+        fresh.map(_._1).foreach(n =>
+          FsMeta.deleteRecursive(s"$path/data/$n"))
+        f.copy(stats = f.stats + (ManifestTable.DvPosKey ->
+          (name, merged.length.toString)))
+      }
     }
     // shared test seam with the COW paths: a spec can interleave a
     // competing commit deterministically right before the CAS
@@ -170,15 +192,28 @@ private[sources] class GTabDeltaBatchWrite(op: GTabMorOperation,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case d: GTabDeltaCommit => d }
-      .flatMap(_.inserts).foreach(e =>
-        FsMeta.deleteRecursive(s"$path/data/${e.name}"))
+    messages.collect { case d: GTabDeltaCommit => d }.foreach { d =>
+      d.inserts.foreach(e => FsMeta.deleteRecursive(s"$path/data/${e.name}"))
+      d.deleteRefs.foreach { case (_, (n, _)) =>
+        FsMeta.deleteRecursive(s"$path/data/$n") }
+    }
 }
 
-/** (inserted data files, file name -> deleted line ordinals). */
+private[graft] object GTabDeltaBatchWrite {
+  /** Test seam: the last commit's delete payload as the driver saw it —
+    * refs only. RowLevelSpec pins that a large DELETE's driver-side
+    * message volume is O(affected files), not O(deleted rows).
+    */
+  @volatile private[graft] var lastCommitDeleteRefs:
+    Map[String, Seq[(String, Long)]] = Map.empty
+}
+
+/** (inserted data files, (file name, (position-sidecar name, count))
+  * refs — the positions themselves never ride a commit message).
+  */
 private[sources] final case class GTabDeltaCommit(
     inserts: Seq[ManifestTable.FileEntry],
-    deletes: Map[String, Array[Long]])
+    deleteRefs: Seq[(String, (String, Long))])
     extends WriterCommitMessage
 
 private[sources] class GTabDeltaWriterFactory(path: String,
@@ -197,11 +232,15 @@ private[sources] class GTabDeltaWriterFactory(path: String,
 }
 
 /** Executor-side delta writer: deletes accumulate as (file → ordinal
-  * buffer) — a few longs per deleted row, no I/O until commit — and
-  * inserts stream through the ordinary [[GTabWriters]] stack (unique
-  * names, invisible until the manifest lists them). The row-ID rows
-  * Spark hands in are REUSED projections: values are extracted
-  * immediately, never retained.
+  * buffer) — a few longs per deleted row, no I/O until task commit,
+  * memory bounded by the positions THIS task deletes — and inserts
+  * stream through the ordinary [[GTabWriters]] stack (unique names,
+  * invisible until the manifest lists them). At task commit the writer
+  * authors one sorted-ordinal `#dvp` sidecar per touched data file
+  * (write-once name, invisible until a manifest chains it) and reports
+  * only the (file, sidecar, count) refs. The row-ID rows Spark hands in
+  * are REUSED projections: values are extracted immediately, never
+  * retained.
   */
 private[sources] class GTabDeltaWriter(dir: String,
     schema: org.apache.spark.sql.types.StructType, stem: String,
@@ -236,17 +275,33 @@ private[sources] class GTabDeltaWriter(dir: String,
     insertWriter.write(row)
   }
 
+  private val wroteSidecars =
+    scala.collection.mutable.ListBuffer.empty[String]
+
   override def commit(): WriterCommitMessage = {
     val ins =
       if (insertWriter == null) Seq.empty[ManifestTable.FileEntry]
       else GTabCommits.entriesOf(Array(insertWriter.commit()))
-    GTabDeltaCommit(ins, deletes.map { case (f, ps) =>
-      f -> ps.toArray
-    }.toMap)
+    val refs = deletes.toSeq.map { case (f, ps) =>
+      val arr = ps.toArray
+      java.util.Arrays.sort(arr)
+      val name = s"dvp-${java.util.UUID.randomUUID}.gdv"
+      ManifestTable.writeDvConf(conf, s"$dir/data/$name", arr)
+      wroteSidecars += name
+      f -> (name, arr.length.toLong)
+    }
+    GTabDeltaCommit(ins, refs)
   }
 
-  override def abort(): Unit =
+  override def abort(): Unit = {
     if (insertWriter != null) insertWriter.abort()
+    // a task that wrote sidecars but failed before its commit message
+    // was accepted cleans up its own garbage (same conf as the writes)
+    wroteSidecars.foreach { n =>
+      val hp = new org.apache.hadoop.fs.Path(s"$dir/data/$n")
+      hp.getFileSystem(conf).delete(hp, false): Unit
+    }
+  }
   override def close(): Unit =
     if (insertWriter != null) insertWriter.close()
 }

@@ -911,10 +911,25 @@ object ManifestTable {
       keys: Array[Long]): Unit =
     FsMeta.writeString(s"$dir/data/$name", keys.mkString("", "\n", "\n"))
 
+  /** [[writeDv]] through an explicit Hadoop conf — the EXECUTOR-side
+    * variant (delta-writer tasks author their own position sidecars;
+    * FsMeta's conf comes from the driver's active session, absent on
+    * executors).
+    */
+  private[sources] def writeDvConf(conf: Configuration, path: String,
+      keys: Array[Long]): Unit = {
+    val hp = new HPath(path)
+    val fs = hp.getFileSystem(conf)
+    val out = fs.create(hp, true)
+    try out.write(keys.mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Read a deletion-vector sidecar back as a sorted array (driver or
     * executor side — takes an explicit Hadoop conf for the latter).
     */
-  private[sources] def readDv(conf: Configuration, path: String)
+  private[graft] def readDv(conf: Configuration, path: String)
       : Array[Long] = {
     val hp = new HPath(path)
     val fs = hp.getFileSystem(conf)
@@ -968,7 +983,7 @@ object ManifestTable {
         (s"$path/data/$sidecar", f.cols.indexOf(k.stripPrefix(DvPrefix)))
     }.toSeq
     GTabPartition(s"$path/data/${f.name}", f.rows, f.crc, f.cols, dvs,
-      f.stats.get(DvPosKey).map(d => s"$path/data/${d._1}"))
+      dvPosChain(f.stats).map(n => s"$path/data/$n"))
   }
 
   /** Every file name version `m` references: data files plus their
@@ -976,10 +991,9 @@ object ManifestTable {
     */
   private[sources] def referencedNames(m: Manifest): Seq[String] =
     m.files.flatMap { f =>
-      f.name +: f.stats.collect {
-        case (k, (sidecar, _))
-          if k.startsWith(DvPrefix) || k == DvPosKey => sidecar
-      }.toSeq
+      f.name +: (f.stats.collect {
+        case (k, (sidecar, _)) if k.startsWith(DvPrefix) => sidecar
+      }.toSeq ++ dvPosChain(f.stats))
     }
 
   /** Publish-time tree normalization: once a root would carry more
@@ -1595,14 +1609,32 @@ object ManifestTable {
   val PosMetaCol = "_pos"
 
   // ---- POSITION deletion vectors (reserved `#dvp` stats key) ----
-  // The merge-on-read shape for SQL DML: `#dvp -> (sidecar, count)`
+  // The merge-on-read shape for SQL DML: `#dvp -> (chain, count)`
   // marks rows deleted BY PHYSICAL POSITION (sorted line ordinals in
   // the sidecar, same codec as the value-keyed `#dv:` vectors). The
   // read path skips marked ordinals row-level; value- and position-
   // vectors compose on one file. Unlike `#dv:` (which needs a key
   // column), positions identify ANY row — what lets SupportsDelta
   // express arbitrary SQL DELETE/UPDATE/MERGE without rewriting files.
+  //
+  // `chain` is one or more ';'-joined sidecar names (count = their
+  // total cardinality; members are disjoint by construction — a scan
+  // never produces an already-deleted row). The chain is what lets
+  // EXECUTORS author the sidecars (each delta-writer task writes its
+  // own per-file sorted-ordinal file) while the driver's commit handles
+  // NAMES only — Iceberg's position-delete-file shape. Readers union
+  // the members; once a file's chain would exceed [[DvPosChainMax]]
+  // the commit folds it into one sidecar (a per-FILE bounded read —
+  // positions per file <= rows per file — never proportional to the
+  // DML's total deleted rows), so read-side sidecar opens stay O(1)
+  // per file under repeated small DMLs.
   private[sources] val DvPosKey = "#dvp"
+  private[graft] val DvPosChainMax = 4
+
+  private[sources] def dvPosChain(stats: Map[String, (String, String)])
+      : Seq[String] =
+    stats.get(DvPosKey).toSeq
+      .flatMap(_._1.split(";").toSeq.filter(_.nonEmpty))
 
   private[sources] def checkSupported(schema: StructType): Unit =
     schema.fields.foreach { f =>
@@ -2515,7 +2547,7 @@ private[sources] class GTabCountScan(path: String,
 private[sources] final case class GTabPartition(file: String, rows: Long,
     crc: Long, cols: Seq[String] = Nil,
     dvs: Seq[(String, Int)] = Nil,
-    posDv: Option[String] = None) extends InputPartition
+    posDv: Seq[String] = Nil) extends InputPartition
 
 /** The V2-Predicate → V1 Filter conversion for the shapes runtime
   * pruning pushes (IN / equality over a column and literals, AND/OR
@@ -3074,10 +3106,19 @@ private[sources] class GTabReader(p: GTabPartition, full: StructType,
     p.dvs.map { case (f, ix) => (ManifestTable.readDv(conf, f), ix) }
       .toArray
   // position deletion vector: sorted physical line ordinals to skip —
-  // the SupportsDelta (SQL merge-on-read DML) sidecar; composes with
-  // the value-keyed vectors above on the same file
+  // the SupportsDelta (SQL merge-on-read DML) sidecars; composes with
+  // the value-keyed vectors above on the same file. A chain's members
+  // are disjoint, so a concat+sort of the per-sidecar sorted runs is
+  // the exact union
   private val posDv: Array[Long] =
-    p.posDv.map(ManifestTable.readDv(conf, _)).getOrElse(Array.emptyLongArray)
+    if (p.posDv.isEmpty) Array.emptyLongArray
+    else if (p.posDv.lengthCompare(1) == 0)
+      ManifestTable.readDv(conf, p.posDv.head)
+    else {
+      val all = Array.concat(p.posDv.map(ManifestTable.readDv(conf, _)): _*)
+      java.util.Arrays.sort(all)
+      all
+    }
 
   private def dvDeleted(parts: Array[String]): Boolean = {
     var d = 0

@@ -460,4 +460,82 @@ class RowLevelSpec extends AnyFunSuite {
     assert(feed == expected,
       s"feed must be exactly the position-deleted rows, got $feed")
   }
+
+  test("a large MOR DELETE's commit messages carry sidecar REFS, not " +
+      "positions: driver payload O(affected files), counts exact") {
+    // the 100 TB pin: executors author the #dvp sidecars; the driver's
+    // commit sees (file, name, count) triples only. A 1%-of-100TB
+    // DELETE ships file names through the driver, never ordinals.
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"""CREATE TABLE $cat.db.big (id BIGINT, v BIGINT)
+                 |TBLPROPERTIES('write.delete.mode'='merge-on-read')
+                 |""".stripMargin)
+    val n = 40000
+    (0 until n).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .createOrReplaceTempView("big_src")
+    spark.sql(s"INSERT INTO $cat.db.big SELECT * FROM big_src")
+    val files = ManifestTable.readManifest(s"$wh/db/big").get.files
+    assert(files.size == 4)
+    spark.sql(s"DELETE FROM $cat.db.big WHERE id % 2 = 0")
+    val refs = graft.sources.GTabDeltaBatchWrite.lastCommitDeleteRefs
+    // payload: one ref per (file, task) pair — bounded by files x the
+    // session's 4 shuffle partitions, NOT by the 20k deleted rows
+    assert(refs.nonEmpty && refs.size <= 4)
+    val pairs = refs.values.map(_.size).sum
+    assert(pairs <= 4 * 4, s"ref pairs must be O(files x tasks), got $pairs")
+    assert(refs.values.flatten.map(_._2).sum == n / 2,
+      "ref cardinalities must account for every deleted row")
+    // every ref is a NAME of a real sidecar holding the positions
+    refs.foreach { case (_, rs) => rs.foreach { case (name, cnt) =>
+      val arr = ManifestTable.readDv(
+        graft.sources.FsMeta.hadoopConf(), s"$wh/db/big/data/$name")
+      assert(arr.length == cnt)
+    } }
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.big")
+      .as[Long].head() == n / 2)
+    assert(spark.sql(s"SELECT sum(id) FROM $cat.db.big")
+      .as[Long].head() == (0L until n).filter(_ % 2 == 1).sum)
+  }
+
+  test("repeated MOR deletes CHAIN position sidecars up to the bound, " +
+      "then fold to one; vacuum protects every chain member") {
+    val dir = mkMorTable("chain1", n = 200)
+    // single data file -> every delete chains onto the same entry
+    ManifestTable.compact(spark, dir, 1, clusterBy = Seq("id"))
+    val v0 = ManifestTable.readManifest(dir).get.version
+    def chainOf(): Seq[String] = {
+      val f = ManifestTable.readManifest(dir).get.files
+        .filter(_.stats.contains("#dvp"))
+      if (f.isEmpty) Nil
+      else f.head.stats("#dvp")._1.split(";").toSeq.filter(_.nonEmpty)
+    }
+    val primes = Seq(3, 7, 11, 13, 17, 19)
+    primes.zipWithIndex.foreach { case (p, i) =>
+      spark.sql(s"DELETE FROM $cat.db.chain1 WHERE id % $p = 0")
+      val chain = chainOf()
+      assert(chain.size <= ManifestTable.DvPosChainMax,
+        s"after delete ${i + 1} chain is ${chain.size} long")
+      // every live chain member must be vacuum-protected and readable
+      chain.foreach { nm =>
+        assert(graft.sources.FsMeta.exists(s"$dir/data/$nm"))
+      }
+      val expect = (0 until 200).count(id =>
+        primes.take(i + 1).forall(id % _ != 0))
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.chain1")
+        .as[Long].head() == expect, s"after delete by %$p")
+    }
+    // six stacked deletes with a chain bound of 4 must have folded at
+    // least once; the stat still reads as ONE #dvp entry whose count is
+    // the union cardinality
+    val m = ManifestTable.readManifest(dir).get
+    val dv = m.files.flatMap(_.stats.get("#dvp"))
+    assert(dv.size == 1)
+    val expectDeleted = (0 until 200).count(id => primes.exists(id % _ == 0))
+    assert(dv.head._2.toLong == expectDeleted)
+    // a pre-delete snapshot still reads every chain member it references
+    assert(spark.sql(
+        s"SELECT count(*) FROM $cat.db.chain1 VERSION AS OF $v0")
+      .as[Long].head() == 200)
+  }
 }
