@@ -14,6 +14,14 @@ import org.apache.spark.sql.SparkSession
   * groups, folded in round 12 — and the STORAGE group
   * (`storage`, per-query `{build_s, read_s}`): tables build once per
   * process, the pruned read is timed min-of-3.
+  *
+  * Round-16: the legacy + extended groups run TWICE end-to-end (the
+  * storage/ANN groups between the passes as a multi-minute spacer) and
+  * report the per-query MIN across passes plus `pass_max` /
+  * `extended_pass_max` (the losing pass's minimum) — the storage
+  * builds' min-of-2 discipline, extended to the query groups, so a
+  * box-load phantom (hot one pass, cold the other) is adjudicated BY
+  * the artifact instead of by a post-hoc re-measure.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -90,8 +98,18 @@ object Bench {
           probe(), gcMs() - gc0, peakMb())
       }
 
-    val results = timeGroup(SparkEntry.benchQueries)
-    val extResults = timeGroup(SparkEntry.benchQueriesExtended)
+    // CROSS-PASS minima (round-16): each group runs TWICE end-to-end,
+    // with the storage/ANN groups between the passes as a time spacer.
+    // Three consecutive rounds (p84 r13, q91 r14, p84/p86/p89 r15) a
+    // driver-artifact reading was 3-14x its quiet value with FLAT
+    // probes and flat gc — box load that spans one pass's three timed
+    // runs and ends before the after-the-fact probe is invisible to
+    // every per-pass signal. Two passes minutes apart make the
+    // artifact self-adjudicating: a phantom is hot in one pass and
+    // cold in the other (min stays at design level, pass_max carries
+    // the evidence); a real regression is hot in BOTH.
+    val legacyP1 = timeGroup(SparkEntry.benchQueries)
+    val extP1 = timeGroup(SparkEntry.benchQueriesExtended)
 
     // Storage-layout group: build ONCE per process, time the read
     // min-of-3. Before round 12 these queries rebuilt their tables
@@ -221,6 +239,26 @@ object Bench {
       System.err.println(s"[bench] ann group FAILED: ${e.getMessage}")
       "null"
     }
+    // second pass of the legacy + extended groups (cross-pass minima)
+    val legacyP2 = timeGroup(SparkEntry.benchQueries)
+    val extP2 = timeGroup(SparkEntry.benchQueriesExtended)
+    // per query: the WINNING pass's full telemetry (its min, median,
+    // probe, gc, peak) plus the max of the two pass-minima — the
+    // cross-pass split the adjudication rides on
+    def crossPass(p1: Seq[(String, QTime)], p2: Seq[(String, QTime)])
+        : Seq[(String, (QTime, Double))] =
+      p1.zip(p2).map { case ((k, t1), (k2, t2)) =>
+        require(k == k2, s"pass order diverged: $k vs $k2")
+        k -> (if (t2.min < t1.min) (t2, t1.min) else (t1, t2.min))
+      }
+    val crossLegacy = crossPass(legacyP1, legacyP2)
+    val crossExt = crossPass(extP1, extP2)
+    val results = crossLegacy.map { case (k, (t, _)) => (k, t) }
+    val extResults = crossExt.map { case (k, (t, _)) => (k, t) }
+    def passMaxJson(rs: Seq[(String, (QTime, Double))]) =
+      rs.map { case (k, (_, mx)) =>
+        "\"" + k + "\":" + (if (failed.contains(k)) "null" else mx.toString)
+      }.mkString("{", ",", "}")
     val probeEnd = probe()
     // a failed query reports null and is excluded from the total, so
     // totals stay comparable across rounds (a broken query must neither
@@ -261,7 +299,7 @@ object Bench {
     // a query's time can be attributed to the environment. Raw total
     // stays the primary signal.
     val probeMin = (probeStart +: probeEnd +:
-      (results ++ extResults).map(_._2.probe)).min
+      (legacyP1 ++ legacyP2 ++ extP1 ++ extP2).map(_._2.probe)).min
     def normTotal(rs: Seq[(String, QTime)]) = rs.collect {
       case (k, t) if !failed.contains(k) =>
         t.min * math.max(0.5, math.min(1.0, probeMin / t.probe))
@@ -269,7 +307,7 @@ object Bench {
     val normalizedTotal = normTotal(results)
     val extNormalizedTotal = normTotal(extResults)
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(results)(_.min)},"medians":${qJson(results)(_.median)},"probes":${qJson(results)(_.probe)},"gc_ms":${qJsonL(results)(_.gcMs)},"peak_mb":${qJsonL(results)(_.peakMb)},"legacy_total":$total,"normalized_total":$normalizedTotal,"extended":${qJson(extResults)(_.min)},"extended_probes":${qJson(extResults)(_.probe)},"extended_gc_ms":${qJsonL(extResults)(_.gcMs)},"extended_peak_mb":${qJsonL(extResults)(_.peakMb)},"extended_total":$extTotal,"extended_normalized_total":$extNormalizedTotal,"storage":$storageJson,"storage_build_total":$storageBuildTotal,"storage_read_total":$storageReadTotal,"ann":$annJson,"noise_floor":{"probe_start":$probeStart,"probe_end":$probeEnd},"failed":$failedJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(results)(_.min)},"medians":${qJson(results)(_.median)},"probes":${qJson(results)(_.probe)},"gc_ms":${qJsonL(results)(_.gcMs)},"peak_mb":${qJsonL(results)(_.peakMb)},"legacy_total":$total,"normalized_total":$normalizedTotal,"pass_max":${passMaxJson(crossLegacy)},"extended":${qJson(extResults)(_.min)},"extended_pass_max":${passMaxJson(crossExt)},"extended_probes":${qJson(extResults)(_.probe)},"extended_gc_ms":${qJsonL(extResults)(_.gcMs)},"extended_peak_mb":${qJsonL(extResults)(_.peakMb)},"extended_total":$extTotal,"extended_normalized_total":$extNormalizedTotal,"storage":$storageJson,"storage_build_total":$storageBuildTotal,"storage_read_total":$storageReadTotal,"ann":$annJson,"noise_floor":{"probe_start":$probeStart,"probe_end":$probeEnd},"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // belt-and-braces for the driver: also drop the line in a file, immune
     // to any log-prefixing of stdout. Stdout stays the primary channel —
