@@ -747,7 +747,9 @@ object PipelineLatest {
     //     (O(changes), never a base rescan). The measure is acctbal in
     //     integer CENTS, so the algebra is order-free and the
     //     maintained view is bit-equal to the oracle's recompute over
-    //     the merged table. ---
+    //     the merged table. The refresh MATERIALIZES into a stored
+    //     table at build time (round 16); what the oracle certifies is
+    //     the scan of that stored view. ---
     QueryDef(
       "q97_incremental_view",
       (s, dir) => StorageLayout.q97IncrementalView(s, dir)(),
