@@ -38,7 +38,8 @@ private[sources] object GraftProcedures {
 
   private val names = Seq("compact", "vacuum", "expire_snapshots",
     "rollback", "create_branch", "fast_forward", "drop_branch", "history",
-    "set_partition_spec", "analyze_ndv", "create_view", "drop_view")
+    "set_partition_spec", "analyze_ndv", "create_view", "drop_view",
+    "show_views", "describe_view")
 
   def load(warehouse: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace().sameElements(Namespace),
@@ -163,6 +164,42 @@ private[sources] object GraftProcedures {
           .sessionState.sqlParser.parsePlan(sql)
         GraftViews.write(warehouse, parts, sql)
         Seq(InternalRow(true))
+      }
+      // SHOW VIEWS for the procedure-DDL era (Spark 4.1 routes the
+      // `SHOW VIEWS` statement to the session catalog only): one row
+      // per stored view directly under `namespace`, name-sorted.
+      case "show_views" => proc("show_views",
+        Seq(p("namespace", StringType)),
+        StructType(Seq(StructField("namespace", StringType),
+          StructField("name", StringType)))) { in =>
+        val ns = requireArg(in.getUTF8String(0), "namespace")
+          .split("\\.").toSeq.filter(_.nonEmpty)
+        GraftViews.list(warehouse, ns).map(v => InternalRow(
+          UTF8String.fromString(ns.mkString(".")),
+          UTF8String.fromString(v)))
+      }
+      // DESCRIBE VIEW: the stored text plus the schema the text
+      // resolves to RIGHT NOW in this session — a view over an evolved
+      // base table describes with the evolved schema; a view naming a
+      // since-dropped column fails here with the same analyzer error
+      // a read would raise (the evolution contract, pinned in
+      // CatalogSpec — stale text is a typed error, never silent).
+      case "describe_view" => proc("describe_view",
+        Seq(p("name", StringType)),
+        StructType(Seq(StructField("name", StringType),
+          StructField("sql", StringType),
+          StructField("schema", StringType)))) { in =>
+        val parts = requireArg(in.getUTF8String(0), "name")
+          .split("\\.").toSeq
+        val sql = GraftViews.read(warehouse, parts).getOrElse(
+          throw new IllegalArgumentException(
+            s"no view ${parts.mkString(".")}"))
+        val spark = org.apache.spark.sql.SparkSession.active
+        val schema = spark.sessionState
+          .executePlan(spark.sessionState.sqlParser.parsePlan(sql))
+          .analyzed.schema.toDDL
+        Seq(InternalRow(UTF8String.fromString(parts.mkString(".")),
+          UTF8String.fromString(sql), UTF8String.fromString(schema)))
       }
       case "drop_view" => proc("drop_view",
         Seq(p("name", StringType)),

@@ -32,20 +32,45 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * over a live table tracks it, exactly as the text says. Table names
   * inside the SQL should be fully qualified (the text re-resolves in
   * the reading session's context).
+  *
+  * BASE-TABLE EVOLUTION CONTRACT (CatalogSpec pins both sides): the
+  * re-parse means a `SELECT *` view TRACKS its base table's schema —
+  * a column added to the table appears in the view on the next read;
+  * a view that NAMES a column the table has since dropped fails
+  * analysis with the analyzer's unresolved-column error (a typed
+  * failure at read/DESCRIBE time, never a silent null). Views are
+  * text, not snapshots of a schema.
   */
 private[sources] object GraftViews {
 
   private def path(wh: String, parts: Seq[String]): String =
     (wh +: parts).mkString("/") + ".gview"
 
+  /** VIEW-MISS cache: [[GraftViewResolution]] probes every `g.*`
+    * identifier in every analysis, and almost all of them are TABLES —
+    * without this each analysis of a hot SQL path pays one filesystem
+    * `exists()` per relation. Only MISSES cache (hits re-read the
+    * text, preserving re-parse-at-every-read semantics); create/drop
+    * invalidate, so a view created in this session is visible to the
+    * statement after (CatalogSpec pins it). Per-JVM: a view created by
+    * a DIFFERENT driver under a name this one already probed stays
+    * invisible here until this JVM's own create/drop of that name —
+    * the single-driver-per-warehouse deployment this engine assumes.
+    */
+  private val missCache =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def exists(wh: String, parts: Seq[String]): Boolean =
     FsMeta.exists(path(wh, parts))
 
-  def read(wh: String, parts: Seq[String]): Option[String] =
-    if (!exists(wh, parts)) None
-    else FsMeta.readString(path(wh, parts)).linesIterator
+  def read(wh: String, parts: Seq[String]): Option[String] = {
+    val p = path(wh, parts)
+    if (missCache.contains(p)) None
+    else if (!FsMeta.exists(p)) { missCache.add(p); None }
+    else FsMeta.readString(p).linesIterator
       .collectFirst { case l if l.startsWith("sql=") =>
         ManifestTable.unescape(l.stripPrefix("sql=")) }
+  }
 
   def write(wh: String, parts: Seq[String], sql: String): Unit = {
     require(parts.nonEmpty && parts.forall(_.nonEmpty),
@@ -53,11 +78,16 @@ private[sources] object GraftViews {
     if (parts.length > 1) FsMeta.mkdirs((wh +: parts.init).mkString("/"))
     FsMeta.writeString(path(wh, parts),
       s"sql=${ManifestTable.escape(sql)}\n")
+    missCache.remove(path(wh, parts)): Unit
   }
 
   def drop(wh: String, parts: Seq[String]): Boolean =
     if (!exists(wh, parts)) false
-    else { FsMeta.deleteRecursive(path(wh, parts)); true }
+    else {
+      FsMeta.deleteRecursive(path(wh, parts))
+      missCache.remove(path(wh, parts))
+      true
+    }
 
   def list(wh: String, ns: Seq[String]): Seq[String] =
     FsMeta.listFiles((wh +: ns).mkString("/"))

@@ -511,6 +511,71 @@ class CatalogSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("nothing dropped"), e4.getMessage)
   }
 
+  test("show_views / describe_view; a view created after a cached miss " +
+      "is visible in the same session") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.vws")
+    spark.sql(s"CREATE TABLE $cat.vws.base (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.vws.base VALUES (1, 10), (2, 20)")
+    // probe a name that is NOT yet a view — the resolution rule caches
+    // the miss; the create below must invalidate it (the negative-cache
+    // contract: a created view is visible to the next statement)
+    val miss = intercept[Exception](
+      spark.sql(s"SELECT * FROM $cat.vws.late").collect())
+    assert(miss.getMessage.contains("late"), miss.getMessage)
+    spark.sql(s"CALL $cat.system.create_view('vws.late', " +
+      s"'SELECT id FROM $cat.vws.base')")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.vws.late")
+      .as[Long].head() == 2)
+    spark.sql(s"CALL $cat.system.create_view('vws.agg', " +
+      s"'SELECT sum(v) AS s FROM $cat.vws.base')")
+    val shown = spark.sql(s"CALL $cat.system.show_views('vws')")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(shown == Seq(("vws", "agg"), ("vws", "late")), shown.toString)
+    val desc = spark.sql(s"CALL $cat.system.describe_view('vws.agg')")
+      .collect().head
+    assert(desc.getString(0) == "vws.agg")
+    assert(desc.getString(1).contains("sum(v)"))
+    assert(desc.getString(2).contains("s BIGINT"), desc.getString(2))
+    val e = intercept[Exception](spark.sql(
+      s"CALL $cat.system.describe_view('vws.nope')"))
+    assert(e.getMessage.contains("no view"), e.getMessage)
+  }
+
+  test("base-table evolution under a stored view: SELECT * tracks an " +
+      "added column; a view naming a dropped column is a typed error") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.vev")
+    spark.sql(s"CREATE TABLE $cat.vev.t (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.vev.t VALUES (1, 10)")
+    spark.sql(s"CALL $cat.system.create_view('vev.star', " +
+      s"'SELECT * FROM $cat.vev.t')")
+    spark.sql(s"CALL $cat.system.create_view('vev.byname', " +
+      s"'SELECT v FROM $cat.vev.t')")
+    assert(spark.sql(s"SELECT * FROM $cat.vev.star").columns.toSeq ==
+      Seq("id", "v"))
+    // ADD COLUMN: the star view exposes it on the next read (views are
+    // live text, not schema snapshots), and DESCRIBE agrees
+    spark.sql(s"ALTER TABLE $cat.vev.t ADD COLUMN w BIGINT")
+    assert(spark.sql(s"SELECT * FROM $cat.vev.star").columns.toSeq ==
+      Seq("id", "v", "w"))
+    assert(spark.sql(s"CALL $cat.system.describe_view('vev.star')")
+      .collect().head.getString(2).contains("w BIGINT"))
+    // DROP COLUMN: a view that names the dropped column fails analysis
+    // with the unresolved-column error — at read AND at describe
+    spark.sql(s"ALTER TABLE $cat.vev.t DROP COLUMN v")
+    val er = intercept[Exception](
+      spark.sql(s"SELECT * FROM $cat.vev.byname").collect())
+    assert(er.getMessage.contains("v") &&
+      (er.getMessage.contains("UNRESOLVED_COLUMN") ||
+        er.getMessage.toLowerCase.contains("cannot be resolved")),
+      er.getMessage)
+    val ed = intercept[Exception](spark.sql(
+      s"CALL $cat.system.describe_view('vev.byname')"))
+    assert(ed.getMessage.contains("v"), ed.getMessage)
+    // the star view simply tracks the narrowed schema
+    assert(spark.sql(s"SELECT * FROM $cat.vev.star").columns.toSeq ==
+      Seq("id", "w"))
+  }
+
   test("ALTER SET TBLPROPERTIES adopts onto EXISTING files at the next " +
       "compaction / COW rewrite") {
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
