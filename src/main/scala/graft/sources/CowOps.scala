@@ -286,14 +286,22 @@ object CowOps {
   }
 
   /** Stage `rows` through the connector, adopt the staged data files
-    * into `dir`, and return their manifest entries (step 2).
+    * into `dir`, and return their manifest entries (step 2). In the
+    * no-rename commit mode ([[FsMeta.noRenameCommits]]) the staged
+    * write carries `dataDir = dir`, so data files are BORN in the live
+    * data directory under their collision-free write-once names —
+    * invisible until the caller's manifest publish lists them — and
+    * adoption is pure bookkeeping: zero renames, zero copies, the
+    * manifest CAS is the only publish point.
     */
   private[sources] def stageAndAdopt(spark: SparkSession, dir: String,
       rows: DataFrame, m: ManifestTable.Manifest)
       : Seq[ManifestTable.FileEntry] = {
     val stage = s"$dir/_cow-stage-${java.util.UUID.randomUUID}"
+    val noRename = FsMeta.noRenameCommits
     val (bloomCols, bloomBits, ndvCols) = effectiveSkipConfig(dir, m)
-    val w0 = rows.write.format(Fmt).option("path", stage)
+    val w00 = rows.write.format(Fmt).option("path", stage)
+    val w0 = if (noRename) w00.option("dataDir", dir) else w00
     val w1 = if (bloomCols.isEmpty) w0
       else w0.option("bloomColumns", bloomCols.mkString(","))
     val w2a = bloomBits.fold(w1)(b => w1.option("bloomBits", b))
@@ -308,9 +316,13 @@ object CowOps {
     w.mode(SaveMode.Append).save()
     // empty partitions stage 0-row files — drop them instead of adopting
     // stat-less dead weight into the manifest
-    val entries = ManifestTable.readManifest(stage).get.files
-      .filter(_.rows > 0)
-    entries.foreach { e =>
+    val staged = ManifestTable.readManifest(stage).get.files
+    val (entries, zeros) = staged.partition(_.rows > 0)
+    if (noRename)
+      // files already live at $dir/data under their final names;
+      // 0-row leftovers are deleted where they were born
+      zeros.foreach(e => FsMeta.deleteRecursive(s"$dir/data/${e.name}"))
+    else entries.foreach { e =>
       if (!FsMeta.renameIfAbsent(s"$stage/data/${e.name}",
           s"$dir/data/${e.name}"))
         throw new IllegalStateException(

@@ -86,6 +86,42 @@ object FsMeta {
             case _: java.io.IOException if fs.exists(path) => false }
   }
 
+  /** OBJECT-STORE COMMIT MODE (`spark.graft.commit.norename=true`):
+    * every publish in the manifest-table commit stack avoids rename
+    * entirely — data files are born at their final write-once names,
+    * version snapshots publish by atomic create-no-overwrite (one
+    * conditional PUT), and the pointer is a plain overwrite PUT whose
+    * payload CRC catches any tear. For stores where rename is
+    * copy+delete (S3A, GCS) this makes the manifest CAS the ONLY
+    * publish point, as it should be; the default (rename) path stays
+    * right for HDFS/local where rename is atomic O(1) metadata.
+    */
+  def noRenameCommits: Boolean =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .exists(_.conf.getOption("spark.graft.commit.norename")
+        .contains("true"))
+
+  /** Create-no-overwrite write of `payload` at `p` — the no-rename
+    * snapshot CAS: exactly one writer creates a given name (Hadoop's
+    * create(overwrite=false); conditional PUT on object stores). False
+    * = the name exists (CAS lost). A crash mid-write can strand a torn
+    * payload under a taken name on stores WITHOUT atomic PUT — the
+    * payload CRC turns that into a loud read error, and object stores
+    * (where this mode belongs) publish objects all-or-nothing.
+    */
+  def createExclusive(p: String, payload: String): Boolean = {
+    val (fs, path) = fsFor(p)
+    val out =
+      try fs.create(path, false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+        case _: java.io.IOException if fs.exists(path) => return false
+      }
+    try out.write(payload.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    true
+  }
+
   /** Publish `payload` at `finalP` via tmp-write + rename(OVERWRITE) — the
     * reference's tmp→rename commit (mr/coordinator.go:37-53) on the Hadoop
     * API. Atomic on HDFS; see the object-store caveat in the object
@@ -96,6 +132,12 @@ object FsMeta {
     * through java.nio ATOMIC_MOVE instead, which really is atomic.
     */
   def publishAtomic(tmpP: String, finalP: String, payload: String): Unit = {
+    if (noRenameCommits) {
+      // single overwrite PUT: atomic on object stores (readers see the
+      // old object or the new one); the payload CRC guards the rest
+      writeString(finalP, payload)
+      return
+    }
     writeString(tmpP, payload)
     val (fs, dst) = fsFor(finalP)
     val src = fs.makeQualified(new Path(tmpP))

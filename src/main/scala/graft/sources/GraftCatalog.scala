@@ -587,7 +587,56 @@ private[sources] class GStagedTable(stageDir: String, dir: String,
       declaredProps = props)
     with org.apache.spark.sql.connector.catalog.StagedTable {
 
+  /** No-rename commit mode: the AS-SELECT insert writes its data files
+    * straight into the LIVE table's data directory (write-once names,
+    * invisible until a manifest lists them) via the `dataDir` write
+    * option; the staged manifest still publishes under the stage dir
+    * and only NAMES carry over at commit.
+    */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    if (!FsMeta.noRenameCommits) super.newWriteBuilder(info)
+    else {
+      val m = new util.HashMap[String, String](info.options())
+      m.put("dataDir", dir)
+      super.newWriteBuilder(
+        new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+          override def options() =
+            new org.apache.spark.sql.util.CaseInsensitiveStringMap(m)
+          override def queryId(): String = info.queryId()
+          override def schema(): StructType = info.schema()
+          override def rowIdSchema() = info.rowIdSchema()
+          override def metadataSchema() = info.metadataSchema()
+        })
+    }
+
   override def commitStagedChanges(): Unit = {
+    if (FsMeta.noRenameCommits) {
+      val staged = ManifestTable.readManifest(stageDir).getOrElse(
+        throw new IllegalStateException(
+          s"staged table at $stageDir lost its manifest"))
+      try {
+        if (replace)
+          ManifestTable.commitVersion(dir, staged.schema, staged.files,
+            keepPrevious = false)
+        else ManifestTable.commitCreate(dir, staged.schema, staged.files)
+      } catch {
+        case _: ManifestTable.ConcurrentCommitException if !replace =>
+          // create-once CAS lost: clean this attempt's files where
+          // they were born and surface the typed collision
+          staged.files.foreach(f =>
+            FsMeta.deleteRecursive(s"$dir/data/${f.name}"))
+          FsMeta.deleteRecursive(stageDir)
+          throw new TableAlreadyExistsException(ident)
+      }
+      if (partCols.nonEmpty || props.nonEmpty)
+        TblMeta.write(dir, partCols, props)
+      else if (FsMeta.exists(s"$dir/_TBLMETA"))
+        TblMeta.write(dir, Nil, Map.empty[String, String])
+      FsMeta.deleteRecursive(stageDir)
+      return
+    }
     if (!replace) {
       if (!FsMeta.renameIfAbsent(stageDir, dir)) {
         FsMeta.deleteRecursive(stageDir)
@@ -617,8 +666,15 @@ private[sources] class GStagedTable(stageDir: String, dir: String,
     }
   }
 
-  override def abortStagedChanges(): Unit =
+  override def abortStagedChanges(): Unit = {
+    // no-rename mode wrote data files into the LIVE dir; they are
+    // unreferenced (the live manifest never listed them) — delete them
+    // rather than leaving them to vacuum
+    if (FsMeta.noRenameCommits)
+      ManifestTable.readManifest(stageDir).foreach(_.files.foreach(f =>
+        FsMeta.deleteRecursive(s"$dir/data/${f.name}")))
     FsMeta.deleteRecursive(stageDir)
+  }
 }
 
 /** The table-property vocabulary the catalog persists and the write

@@ -1026,13 +1026,25 @@ object ManifestTable {
       if (m.ts >= 0) m else m.copy(ts = System.currentTimeMillis()))
     val ptrPath = if (ref.isEmpty) manifestPath(dir) else branchPath(dir, ref)
     val ptrTmp = ptrPath + ".tmp"
-    // unique tmp per writer: a shared tmp name would let writer B's
-    // payload be renamed by writer A
-    val tmp = snapshotPath(dir, m.version, ref) + ".tmp-" +
-      java.util.UUID.randomUUID
-    FsMeta.writeString(tmp, payload)
-    if (!FsMeta.renameIfAbsent(tmp, snapshotPath(dir, m.version, ref))) {
-      FsMeta.deleteRecursive(tmp)
+    // snapshot CAS: create-once on `_MANIFEST.v<N>`. Rename path for
+    // stores with atomic rename; the no-rename mode publishes by
+    // create-no-overwrite directly (one conditional PUT — the
+    // object-store commit shape, NoRenameCommitSpec pins it)
+    val won =
+      if (FsMeta.noRenameCommits)
+        FsMeta.createExclusive(snapshotPath(dir, m.version, ref), payload)
+      else {
+        // unique tmp per writer: a shared tmp name would let writer B's
+        // payload be renamed by writer A
+        val tmp = snapshotPath(dir, m.version, ref) + ".tmp-" +
+          java.util.UUID.randomUUID
+        FsMeta.writeString(tmp, payload)
+        val ok = FsMeta.renameIfAbsent(tmp,
+          snapshotPath(dir, m.version, ref))
+        if (!ok) FsMeta.deleteRecursive(tmp)
+        ok
+      }
+    if (!won) {
       // roll-forward: heal a crashed winner's lagging pointer before
       // surfacing the conflict, so retries can make progress
       val ptr = readManifest(dir, ref).map(_.version).getOrElse(0L)
@@ -1322,6 +1334,22 @@ object ManifestTable {
           if (attempts >= 5) throw e
       }
     }
+  }
+
+  /** CREATE-once commit: publish version 1 of a table that must not
+    * exist yet — NO CAS retry (a retry would append the loser's CTAS
+    * onto the winner's table as v2). The no-rename CTAS publish point:
+    * data files are already at `dir`/data under write-once names, and
+    * this single create-no-overwrite snapshot is what makes the table
+    * exist. Racing creators: exactly one wins; the loser's
+    * [[ConcurrentCommitException]] maps to TableAlreadyExists upstream.
+    */
+  private[sources] def commitCreate(dir: String, schema: StructType,
+      newFiles: Seq[FileEntry]): Unit = {
+    readManifest(dir).foreach { m =>
+      throw new ConcurrentCommitException(dir, 1L, m.version)
+    }
+    publish(dir, Manifest(1L, schema, newFiles, dir = dir))
   }
 
   /** Publish the next version with an EXPLICIT schema and a metadata
@@ -1802,7 +1830,7 @@ private[sources] class GTable(path: String, schema0: StructType,
     }
     new GTabWriteBuilder(path, info.schema(), info.queryId(), bloomCols,
       bloomBits, partCols, Option(opts.get("branch")).getOrElse(""),
-      ndvCols)
+      ndvCols, Option(opts.get("dataDir")))
   }
 }
 
@@ -1810,7 +1838,12 @@ private[sources] class GTabWriteBuilder(path: String, schema: StructType,
     queryId: String, bloomCols: Seq[String] = Seq.empty,
     bloomBits: Int = GTabBloom.DefaultBits,
     partCols: Seq[String] = Nil, ref: String = "",
-    ndvCols: Seq[String] = Seq.empty)
+    ndvCols: Seq[String] = Seq.empty,
+    // no-rename commit mode: data files are BORN under this table
+    // dir's data/ (write-once names, invisible until a manifest lists
+    // them) instead of being staged-then-renamed — the write's own
+    // manifest still publishes at `path`
+    dataDir: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   private var keepPrevious = true
   override def truncate(): WriteBuilder = { keepPrevious = false; this }
@@ -1833,10 +1866,13 @@ private[sources] class GTabWriteBuilder(path: String, schema: StructType,
         SortDirection.ASCENDING)).toArray
     override def toBatch: BatchWrite =
       new GTabBatchWrite(path, schema, queryId, keepPrevious, bloomCols,
-        bloomBits, partCols, ref, ndvCols)
-    override def toStreaming: StreamingWrite =
+        bloomBits, partCols, ref, ndvCols, dataDir)
+    override def toStreaming: StreamingWrite = {
+      require(dataDir.isEmpty,
+        "dataDir is a batch staging option, not a streaming one")
       new GTabStreamingWrite(path, schema, queryId, keepPrevious, bloomCols,
         bloomBits, partCols, ref, ndvCols)
+    }
   }
 }
 
@@ -1920,11 +1956,12 @@ private[sources] class GTabBatchWrite(path: String, schema: StructType,
     bloomCols: Seq[String] = Seq.empty,
     bloomBits: Int = GTabBloom.DefaultBits,
     partCols: Seq[String] = Nil, ref: String = "",
-    ndvCols: Seq[String] = Seq.empty)
+    ndvCols: Seq[String] = Seq.empty, dataDir: Option[String] = None)
     extends BatchWrite {
+  private val writeDir = dataDir.getOrElse(path)
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new GTabWriterFactory(path, schema, queryId, FsMeta.confAsMap(),
+    new GTabWriterFactory(writeDir, schema, queryId, FsMeta.confAsMap(),
       bloomCols, bloomBits, partCols, ndvCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
@@ -1933,7 +1970,7 @@ private[sources] class GTabBatchWrite(path: String, schema: StructType,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     GTabCommits.namesOf(messages).foreach(n =>
-      FsMeta.deleteRecursive(s"$path/data/$n"))
+      FsMeta.deleteRecursive(s"$writeDir/data/$n"))
 }
 
 private[sources] class GTabWriterFactory(path: String, schema: StructType,

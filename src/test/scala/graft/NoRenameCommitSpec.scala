@@ -1,0 +1,151 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.{Path => HPath, RawLocalFileSystem}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{CowOps, FsMeta, ManifestTable}
+
+/** A local filesystem that FORBIDS rename — the object-store shape
+  * taken to its logical extreme, so any rename left in a commit path
+  * fails loudly instead of silently costing a copy+delete at 100 TB.
+  */
+class NoRenameFileSystem extends RawLocalFileSystem {
+  override def getScheme: String = "norename"
+  override def getUri: java.net.URI = java.net.URI.create("norename:///")
+  override def rename(src: HPath, dst: HPath): Boolean =
+    throw new UnsupportedOperationException(
+      s"rename is forbidden on norename:// ($src -> $dst)")
+}
+
+/** OBJECT-STORE COMMIT MODE (`spark.graft.commit.norename=true`):
+  * every table operation — append, overwrite, time travel, COW merge,
+  * MOR delete, CTAS, concurrent-commit conflicts — runs against a
+  * filesystem whose rename THROWS, proving the publish stack is
+  * write-once names + manifest CAS and nothing else. The default mode
+  * on the same filesystem fails, pinning that the fake actually bites.
+  */
+class NoRenameCommitSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Fmt = "graft.sources.ManifestTable"
+
+  private lazy val base: String = {
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.norename.impl", classOf[NoRenameFileSystem].getName)
+    "norename:" + Files.createTempDirectory("graft_nr").toString
+  }
+
+  private def withMode[A](body: => A): A = {
+    spark.conf.set("spark.graft.commit.norename", "true")
+    try body
+    finally spark.conf.unset("spark.graft.commit.norename")
+  }
+
+  test("the fake bites: default (rename) commits fail on norename://") {
+    val dir = s"$base/bites"
+    val e = intercept[Exception] {
+      spark.range(10).selectExpr("id", "id * 2 AS v")
+        .write.format(Fmt).option("path", dir).mode("append").save()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("rename is forbidden")),
+      s"expected the forbidden-rename error, got $e")
+  }
+
+  test("no-rename mode: appends, overwrite, time travel, and the " +
+      "concurrent-commit CAS all work without a single rename") {
+    withMode {
+      val dir = s"$base/t1"
+      def w(lo: Int, hi: Int) = (lo until hi)
+        .map(i => (i.toLong, i.toLong * 2)).toDF("id", "v")
+      w(0, 50).write.format(Fmt).option("path", dir).mode("append").save()
+      w(50, 100).write.format(Fmt).option("path", dir)
+        .mode("append").save()
+      val m = ManifestTable.readManifest(dir).get
+      assert(m.version == 2)
+      assert(spark.read.format(Fmt).option("path", dir).load().count()
+        == 100)
+      // time travel: both snapshots were published create-once
+      assert(spark.read.format(Fmt).option("path", dir)
+        .option("versionAsOf", 1).load().count() == 50)
+      // losing the create-once CAS is the same typed conflict as the
+      // rename-based CAS (publish retries make the append land)
+      w(100, 110).write.format(Fmt).option("path", dir)
+        .mode("append").save()
+      assert(spark.read.format(Fmt).option("path", dir).load().count()
+        == 110)
+      // overwrite keeps history
+      w(0, 10).write.format(Fmt).option("path", dir)
+        .mode("overwrite").save()
+      assert(spark.read.format(Fmt).option("path", dir).load().count()
+        == 10)
+      assert(spark.read.format(Fmt).option("path", dir)
+        .option("versionAsOf", 3).load().count() == 110)
+    }
+  }
+
+  test("no-rename mode: COW merge and MOR delete stay rename-free " +
+      "(staged files are born in the live data dir)") {
+    withMode {
+      val dir = s"$base/t2"
+      (0 until 100).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+        .write.format(Fmt).option("path", dir).mode("append").save()
+      // COW merge: affected files rewrite through stageAndAdopt's
+      // dataDir path — zero renames, entries adopt by name
+      val upd = Seq((5L, -5L), (150L, -150L)).toDF("id", "v")
+      val r = CowOps.merge(spark, dir, upd, "id")
+      assert(r.filesAdded > 0)
+      val got = spark.read.format(Fmt).option("path", dir).load()
+        .filter(col("v") < 0).orderBy("id").as[(Long, Long)].collect()
+      assert(got.toSeq == Seq((5L, -5L), (150L, -150L)))
+      assert(spark.read.format(Fmt).option("path", dir).load().count()
+        == 101)
+      // MOR delete: executor-written sidecar + metadata-only commit
+      val del = CowOps.deleteMor(spark, dir,
+        Seq(5L, 6L, 7L).toDF("id"), "id")
+      assert(del.filesRewritten == 0)
+      assert(spark.read.format(Fmt).option("path", dir).load().count()
+        == 98)
+      // compaction (direct write + overwrite publish) materializes
+      ManifestTable.compact(spark, dir, 2, clusterBy = Seq("id"))
+      assert(spark.read.format(Fmt).option("path", dir).load().count()
+        == 98)
+    }
+  }
+
+  test("no-rename mode: CTAS and RTAS through the catalog publish via " +
+      "manifest CAS; vacuum reclaims the overwritten generation") {
+    withMode {
+      val wh = s"$base/wh"
+      spark.conf.set("spark.sql.catalog.gnr", "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.gnr.warehouse", wh)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gnr.db")
+      spark.range(40).selectExpr("id", "id * 7 AS v")
+        .createOrReplaceTempView("nr_src")
+      spark.sql(
+        "CREATE TABLE gnr.db.ct AS SELECT * FROM nr_src WHERE id < 30")
+      assert(spark.sql("SELECT count(*) FROM gnr.db.ct")
+        .as[Long].head() == 30)
+      spark.sql(
+        "REPLACE TABLE gnr.db.ct AS SELECT * FROM nr_src WHERE id >= 30")
+      assert(spark.sql("SELECT count(*) FROM gnr.db.ct")
+        .as[Long].head() == 10)
+      // the replaced generation stays time-travelable, then reclaims
+      val dir = s"$wh/db/ct"
+      assert(spark.read.format(Fmt).option("path", dir)
+        .option("versionAsOf", 1).load().count() == 30)
+      ManifestTable.expireSnapshots(dir, keepLast = 1)
+      val reclaimed = ManifestTable.vacuum(dir, graceMs = 0L)
+      assert(reclaimed.nonEmpty,
+        "vacuum must reclaim the replaced generation's files")
+      assert(spark.sql("SELECT count(*) FROM gnr.db.ct")
+        .as[Long].head() == 10)
+    }
+  }
+}
