@@ -78,6 +78,61 @@ class MetadataTreeSpec extends AnyFunSuite {
     assert(m2.files.map(_.name).distinct.size == 10244)
   }
 
+  test("scale ladder: a 10^5-entry tree plans a selective scan with " +
+      "ONE decode inside a wall-clock envelope; the 10^4 -> 10^5 " +
+      "gradient is root-width, not file-count") {
+    // the measured rung behind the 10^6 claim: plan cost = root parse
+    // (O(shards) lines) + prune (O(shards) keep calls) + decode
+    // (O(kept) shards). Files grow 10x here; decodes stay at 1.
+    def build(tag: String, files: Int): String = {
+      val dir = freshDir(tag)
+      (0 until files / 1000).foreach { b =>
+        ManifestTable.commitVersion(dir, schema2,
+          fakeEntries(b * 1000, (b + 1) * 1000), keepPrevious = true)
+      }
+      dir
+    }
+    import org.apache.spark.sql.sources.{Filter, LessThan}
+    def plan(dir: String): (Double, Long, Int) = {
+      // min-of-5 full plans: parse the root fresh each time (no warm
+      // manifest object), prune, decode survivors
+      val runs = (1 to 5).map { _ =>
+        val before = ManifestTable.shardDecodes.get()
+        val t0 = System.nanoTime()
+        val m = ManifestTable.readManifest(dir).get
+        val kept = ManifestTable.planFiles(m,
+          f => graft.sources.GTabSkip.keep(f,
+            Seq(LessThan("id", 50L): Filter), m.schema))
+        val dt = (System.nanoTime() - t0) / 1e9
+        (dt, ManifestTable.shardDecodes.get() - before, kept.size)
+      }
+      val best = runs.minBy(_._1)
+      assert(runs.forall(r => r._2 == best._2 && r._3 == best._3))
+      best
+    }
+    val small = build("l4", 10000)
+    val big = build("l5", 100000)
+    val mBig = ManifestTable.readManifest(big).get
+    assert(mBig.nFiles == 100000)
+    assert(mBig.shards.size >= 300,
+      s"expected ~400 shards at 10^5 entries, got ${mBig.shards.size}")
+    val (tSmall, dSmall, kSmall) = plan(small)
+    val (tBig, dBig, kBig) = plan(big)
+    // selectivity contract at both rungs: one shard decoded, 5 entries
+    assert(dSmall == 1 && dBig == 1,
+      s"selective plan must decode exactly 1 shard (got $dSmall/$dBig)")
+    assert(kSmall == 5 && kBig == 5)
+    // absolute envelope: a 10^5-file selective plan is milliseconds —
+    // the bound is deliberately loose for shared-box noise, and still
+    // 1000x under any full-decode implementation's cost class
+    assert(tBig < 1.0, s"10^5-entry selective plan took $tBig s")
+    // gradient: 10x the files must cost ~10x the ROOT WIDTH at worst
+    // (parse + prune are O(shards)); 40x + epsilon absorbs timer noise
+    // while still refuting any O(files) plan path
+    assert(tBig <= tSmall * 40 + 0.05,
+      s"gradient 10^4 -> 10^5: $tSmall s -> $tBig s")
+  }
+
   test("planning decodes only the shards the pruning keeps") {
     val dir = freshDir("prune")
     (0 until 8).foreach { b =>
