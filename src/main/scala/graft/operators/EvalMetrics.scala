@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   * midrank tie handling: group rows by 6dp-rounded score (one partial
   * agg, distinct-score-sized), then a TWO-PHASE global cumulative scan
   * (p76 packing's pattern — range-repartition by score, per-partition
-  * window, O(partitions) offset collect re-entering as a broadcast
-  * join; never a SinglePartition window) yields each score's
+  * running sum over the checkpointed order, O(partitions) offset
+  * collect re-entering as a broadcast join; never a SinglePartition
+  * window) yields each score's
   * negatives-below count, and U2 = Σ np·(2·negBelow + nnAt) stays in
   * exact integer arithmetic until the single final division — so the
   * result is bit-identical across engines and partitionings (the
@@ -40,9 +41,22 @@ object EvalMetrics {
       .withColumn("pid", spark_partition_id())
       .localCheckpoint() // pin layout: offset collect and main plan must
                          // see the SAME pids (p76's contract)
-    val w = Window.partitionBy("pid").orderBy("score")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = parted.withColumn("cum_nn", sum("nn").over(w))
+    // Per-partition running sum of nn. The checkpoint's ExistingRDD
+    // reports unknown partitioning, so a Window.partitionBy(pid) here
+    // re-shuffles and re-sorts the histogram it already has in order
+    // (round-16 ExplainQ finding: an extra Exchange+Sort in both the
+    // offsets job and the main job); a mapPartitions running sum uses
+    // the checkpointed order directly — zero exchanges, same integers.
+    val cumSchema = parted.schema
+      .add(org.apache.spark.sql.types.StructField("cum_nn",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val local = parted.mapPartitions { it =>
+      var acc = 0L
+      it.map { r =>
+        acc += r.getLong(2)
+        org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2), r.get(3), acc)
+      }
+    }(org.apache.spark.sql.Encoders.row(cumSchema))
     val totals = local.groupBy("pid").agg(max("cum_nn").as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = {

@@ -316,14 +316,21 @@ object PipelineLatest {
     //     integer arithmetic through the two-phase global scan (p76's
     //     pattern — no SinglePartition window), and the ONE final
     //     division is the only float op. Single-row result, total
-    //     order trivial. ---
+    //     order trivial. The scorer is pure string arithmetic — for a
+    //     single-space split, sum(token lengths) = length - #spaces and
+    //     #tokens = #spaces + 1 (split("") = [""], so the identity holds
+    //     on empty text too) — the same integers split+aggregate would
+    //     produce, without materializing a token array per document
+    //     (round-16: the array form allocated the split TWICE per row
+    //     and was the group's scan-cost outlier). ---
     QueryDef(
       "p86_exact_auc",
       (s, dir) => {
+        val spaces = length(col("text")) -
+          length(translate(col("text"), " ", ""))
         val scored = Tables.t(s, dir, "documents").select(
-          round(aggregate(transform(split(col("text"), " "),
-              t => length(t)), lit(0), (a, x) => a + x).cast("double") /
-            size(split(col("text"), " ")), 6).as("mean_tok_len"),
+          round((length(col("text")) - spaces).cast("double") /
+            (spaces + lit(1)), 6).as("mean_tok_len"),
           (col("lang") === "en").as("is_en"))
         graft.operators.EvalMetrics.aucRoc(scored, "mean_tok_len", "is_en")
       },
