@@ -581,10 +581,13 @@ object PipelineLatest {
     QueryDef(
       "p91_calibration_bins",
       (s, dir) => {
+        // p86's string-arithmetic scorer: same integers as the
+        // split+aggregate form, no token-array materialization
+        val spaces = length(col("text")) -
+          length(translate(col("text"), " ", ""))
         val scored = Tables.t(s, dir, "documents").select(
-          round(aggregate(transform(split(col("text"), " "),
-              t => length(t)), lit(0), (a, x) => a + x).cast("double") /
-            size(split(col("text"), " ")), 6).as("mean_tok_len"),
+          round((length(col("text")) - spaces).cast("double") /
+            (spaces + lit(1)), 6).as("mean_tok_len"),
           (col("lang") === "en").as("is_en"))
         graft.operators.EvalMetrics.calibrationBins(
             scored, "mean_tok_len", "is_en", bins = 10)
