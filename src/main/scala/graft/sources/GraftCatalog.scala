@@ -437,6 +437,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     checkIdent(newIdent)
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    // This catalog IS the directory layout, so a table rename is a
+    // directory rename. Fine where rename is O(1) metadata (HDFS/
+    // local); on an object store it silently degrades to copying the
+    // whole table — in no-rename commit mode refuse loudly instead
+    // (the operator can CTAS under the new name or point a view at it)
+    if (FsMeta.noRenameCommits) throw new UnsupportedOperationException(
+      s"ALTER TABLE RENAME under spark.graft.commit.norename=true would " +
+        s"copy every data file of ${oldIdent} (object-store rename is " +
+        "copy+delete) — CTAS to the new name or create a view instead")
     FsMeta.mkdirs(dirOf(newIdent.namespace().toSeq))
     if (!FsMeta.renameIfAbsent(dirOf(oldIdent), dirOf(newIdent)))
       throw new TableAlreadyExistsException(newIdent)

@@ -149,3 +149,38 @@ class NoRenameCommitSpec extends AnyFunSuite {
     }
   }
 }
+
+/** ALTER TABLE RENAME is a DIRECTORY rename (the catalog is the
+  * layout): legal where rename is O(1) metadata, a silent
+  * whole-table copy on an object store — the no-rename mode refuses
+  * it with a typed error naming the alternatives.
+  */
+class NoRenameRenameTableSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("no-rename mode refuses ALTER TABLE RENAME with a typed error; " +
+      "default mode renames") {
+    val wh = Files.createTempDirectory("graft_nr_rt").toString
+    spark.conf.set("spark.sql.catalog.gnrt", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gnrt.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gnrt.db")
+    spark.sql("CREATE TABLE gnrt.db.rt_src AS SELECT 1 AS a")
+    spark.conf.set("spark.graft.commit.norename", "true")
+    try {
+      val e = intercept[Exception] {
+        spark.sql("ALTER TABLE gnrt.db.rt_src RENAME TO db.rt_dst")
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(m => m.contains("norename") &&
+          m.contains("copy")),
+        s"expected the typed norename refusal, got $e")
+      // nothing moved
+      assert(spark.sql("SELECT a FROM gnrt.db.rt_src").count() == 1)
+    } finally spark.conf.unset("spark.graft.commit.norename")
+    // default mode: the rename is legal and atomic where rename is O(1)
+    spark.sql("ALTER TABLE gnrt.db.rt_src RENAME TO db.rt_dst")
+    assert(spark.sql("SELECT a FROM gnrt.db.rt_dst").count() == 1)
+  }
+}
