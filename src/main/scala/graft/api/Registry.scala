@@ -13,7 +13,8 @@ object Registry {
       graft.queries.PipelineExt.defs ++
       graft.queries.PipelineMore.defs ++
       graft.queries.PipelineRecent.defs ++
-      graft.queries.PipelineLatest.defs
+      graft.queries.PipelineLatest.defs ++
+      graft.queries.PipelineE2e.defs
 
   lazy val byName: Map[String, QueryDef] = {
     val names = all.map(_.name)

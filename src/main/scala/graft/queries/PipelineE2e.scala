@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.api.{QueryDef, Tables}
+import graft.operators.{BloomPrune, ConnectedComponents, Decontaminate,
+  Dedup, IdAssign, Sampling, TextAnalysis}
+
+/** The COMPOSED end-to-end curation pipeline as one oracle-checked
+  * query (p92): PipelineDemo's exact chain — cross-corpus dedup →
+  * exact dedup → MinHash near-dup components keep-rep → benchmark
+  * decontamination → quality/repetition gate → mixture quotas →
+  * contiguous ids → leakage-safe split → per-(split, lang) accounting
+  * — re-expressed as a pure DataFrame and mirrored stage-for-stage in
+  * one DuckDB CTE chain assembled from the individual stage oracles
+  * (p29/p01/p14/p17/p07/p18/p26/p28). Every stage was already
+  * oracle-checked in isolation; this query pins that their
+  * COMPOSITION is too — the demo-grade row promoted to the same gate
+  * as everything else. The recursive-CTE closure makes the oracle an
+  * sf0.01-regime check (p14's documented regime); the engine side is
+  * the same banded/bucketed/component machinery that scales.
+  */
+object PipelineE2e {
+
+  // DuckDB mirror of graft.functions.RollingHash31 (same formula as
+  // PipelineQueries/PipelineExt splice)
+  private def duckRollingHash(expr: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($expr, ''), " +
+      "c -> unicode(c)::BIGINT)), (h, c) -> (h*31 + c) % 2147483648)"
+
+  // DuckDB mirror of graft.functions.Fns.fnv1a32 over a VARCHAR cast
+  private def duckFnv(expr: String): String =
+    s"""(list_reduce(list_prepend(2166136261::BIGINT,
+       |       list_transform(string_split(CAST($expr AS VARCHAR), ''),
+       |         c -> unicode(c)::BIGINT)),
+       |       (h, c) -> (xor(h, c) * 16777619) % 4294967296)) % 2147483648"""
+      .stripMargin
+
+  private def duckGrams(n: Int): String = {
+    val terms = (0 until n).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
+    s"list_distinct([$terms FOR i IN range(1, len(tk) - ${n - 2})])"
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "p92_pipeline_e2e",
+      (s, dir) => {
+        val allDocs = Tables.t(s, dir, "documents")
+        // 0. cross-corpus dedup at ingest (stand-in ingested corpus:
+        //    doc_id % 7 = 0), bloom-accelerated exact anti-join
+        val fingerprinted = allDocs.withColumn("fp",
+          graft.functions.Fns.rollingHash31(substring(col("text"), 1, 200)))
+        val docs = BloomPrune.antiKeep(
+            facts = fingerprinted.filter(col("doc_id") % 7 =!= 0),
+            keyCol = "fp",
+            dimKeys = fingerprinted.filter(col("doc_id") % 7 === 0)
+              .select("fp"),
+            dimKeyCol = "fp", numBits = 1 << 14)
+          .drop("fp")
+        // 1. exact dedup: keep min doc_id per identical text
+        val keepExact = Dedup.exactGroups(docs, "doc_id", "text")
+          .select(col("keep_id").as("doc_id"))
+        val exactDeduped = docs.join(keepExact, "doc_id")
+        // 2. near-dup components over verified MinHash pairs; keep reps
+        val nearPairs = Dedup.minhashNearDupPairs(
+          exactDeduped, "doc_id", "text",
+          shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.8)
+        val groups = ConnectedComponents.dedupGroups(
+          exactDeduped, "doc_id", nearPairs)
+        val nearDeduped = exactDeduped.join(
+          groups.filter(col("is_rep")).select("doc_id"), "doc_id")
+        // 3. benchmark decontamination (eval = doc_id % 20 = 0 of the
+        //    post-ingest corpus, 4-gram overlap)
+        val evalDocs = docs.filter(col("doc_id") % 20 === 0)
+        val trainPool = nearDeduped.filter(col("doc_id") % 20 =!= 0)
+        val decontaminated = Decontaminate.clean(
+          trainPool, evalDocs, "doc_id", "text", n = 4)
+        // 4. analysis + quality/repetition gate
+        val analyzed = decontaminated
+          .join(TextAnalysis.analyze(decontaminated, "doc_id", "text"),
+            "doc_id")
+          .select(col("*") +:
+            TextAnalysis.repetitionColumns(col("text")): _*)
+        val kept = analyzed.filter(col("quality_score") > 3.0 &&
+          col("n_tokens") >= 10 && col("dup_3gram_frac") < 0.5)
+        // 5. mixture quotas (even sources upweighted) + contiguous ids
+        val quotas = (0 until 20).map(i =>
+          s"src$i" -> (if (i % 2 == 0) 25 else 10)).toMap
+        val mixed = Sampling.mixture(kept, "source", "doc_id", quotas)
+        val withIds = IdAssign.contiguousIds(mixed, col("doc_id"), "gid")
+        // 6. leakage-safe split (hash of the doc's dedup group)
+        val withSplit = withIds.join(
+          Sampling.leakageSafeSplit(withIds, "doc_id", nearPairs)
+            .select("doc_id", "split"), "doc_id")
+        // 7. accounting: the corpus card a release ships
+        withSplit.groupBy("split", "lang").agg(
+            count(lit(1)).as("n_docs"),
+            sum("ws_tokens").as("total_tokens"),
+            round(avg("quality_score"), 3).as("avg_quality"),
+            min("gid").as("min_gid"),
+            max("gid").as("max_gid"))
+          .orderBy("split", "lang")
+      },
+      Some(
+        s"""WITH RECURSIVE
+           |fpd AS (SELECT *, ${duckRollingHash("substr(text, 1, 200)")} AS fp
+           |        FROM documents),
+           |docs AS (SELECT * FROM fpd i
+           |         WHERE i.doc_id % 7 <> 0
+           |           AND NOT EXISTS (SELECT 1 FROM fpd g
+           |                           WHERE g.doc_id % 7 = 0
+           |                             AND g.fp = i.fp)),
+           |ex AS (SELECT * FROM docs
+           |       WHERE doc_id IN (SELECT min(doc_id) FROM docs
+           |                        GROUP BY text)),
+           |t AS (SELECT doc_id, string_split(text, ' ') tk FROM ex),
+           |shg AS (SELECT doc_id,
+           |          list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+           |                         FOR i IN range(1, len(tk) - 1)]) s
+           |        FROM t WHERE len(tk) >= 3),
+           |prs AS (SELECT a.doc_id id_a, b.doc_id id_b,
+           |         len(list_intersect(a.s, b.s))::DOUBLE
+           |           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) j
+           |       FROM shg a JOIN shg b ON a.doc_id < b.doc_id),
+           |e0 AS (SELECT id_a, id_b FROM prs WHERE j >= 0.8),
+           |edges AS (SELECT id_a AS s, id_b AS d FROM e0
+           |          UNION SELECT id_b, id_a FROM e0),
+           |reach AS (
+           |  SELECT s, d FROM edges
+           |  UNION
+           |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+           |),
+           |comp AS (SELECT s AS doc_id, least(s, min(d)) AS group_id
+           |         FROM reach GROUP BY s),
+           |grp AS (SELECT e.doc_id,
+           |          coalesce(c.group_id, e.doc_id) AS group_id
+           |        FROM ex e LEFT JOIN comp c ON e.doc_id = c.doc_id),
+           |nd AS (SELECT ex.* FROM ex JOIN grp ON ex.doc_id = grp.doc_id
+           |       WHERE grp.doc_id = grp.group_id),
+           |tg AS (SELECT doc_id, unnest(s4) gram
+           |       FROM (SELECT doc_id, ${duckGrams(4)} s4
+           |             FROM (SELECT doc_id, string_split(text, ' ') tk
+           |                   FROM nd WHERE doc_id % 20 <> 0)
+           |             WHERE len(tk) >= 4)),
+           |eg AS (SELECT DISTINCT unnest(s4) gram
+           |       FROM (SELECT ${duckGrams(4)} s4
+           |             FROM (SELECT string_split(text, ' ') tk
+           |                   FROM docs WHERE doc_id % 20 = 0)
+           |             WHERE len(tk) >= 4)),
+           |contam AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (gram)),
+           |dc AS (SELECT * FROM nd
+           |       WHERE doc_id % 20 <> 0
+           |         AND doc_id NOT IN (SELECT doc_id FROM contam)),
+           |an AS (SELECT *,
+           |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           |         round(ln(len(string_split(text, ' ')) + 1)
+           |           - 2.0 * (length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+           |                    / CAST(length(text) AS DOUBLE))
+           |           - (len(list_filter(string_split(text, ' '),
+           |                x -> x IN ('the','a','of','and','in','to')))
+           |              / CAST(len(string_split(text, ' ')) AS DOUBLE)), 6)
+           |           AS quality_score
+           |       FROM dc),
+           |rep AS (SELECT doc_id,
+           |          CASE WHEN len(tk) >= 3 THEN
+           |            round(1.0 - len(${duckGrams(3)})::DOUBLE / (len(tk) - 2), 6)
+           |          ELSE 0.0 END AS dup_3gram_frac
+           |        FROM (SELECT doc_id, string_split(text, ' ') tk FROM dc)),
+           |kept AS (SELECT an.* FROM an JOIN rep USING (doc_id)
+           |         WHERE an.quality_score > 3.0 AND an.n_tokens >= 10
+           |           AND rep.dup_3gram_frac < 0.5),
+           |hv AS (SELECT *, ${duckFnv("doc_id")} AS h FROM kept),
+           |rn AS (SELECT *, row_number() OVER (PARTITION BY source
+           |         ORDER BY h, doc_id) AS rnk FROM hv),
+           |mixed AS (SELECT * FROM rn
+           |          WHERE rnk <= CASE
+           |            WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 25
+           |            ELSE 10 END),
+           |ids AS (SELECT *, row_number() OVER (ORDER BY doc_id) - 1 AS gid
+           |        FROM mixed),
+           |spl AS (SELECT ids.*,
+           |          CASE WHEN (${duckFnv("g2.group_id")}) % 10 < 8 THEN 'train'
+           |               WHEN (${duckFnv("g2.group_id")}) % 10 = 8 THEN 'val'
+           |               ELSE 'test' END AS split
+           |        FROM ids JOIN grp g2 ON ids.doc_id = g2.doc_id)
+           |SELECT split, lang, count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           |  round(avg(quality_score), 3) AS avg_quality,
+           |  CAST(min(gid) AS BIGINT) AS min_gid,
+           |  CAST(max(gid) AS BIGINT) AS max_gid
+           |FROM spl GROUP BY split, lang ORDER BY split, lang""".stripMargin)))
+}
