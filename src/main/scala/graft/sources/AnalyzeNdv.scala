@@ -110,7 +110,8 @@ object AnalyzeNdv {
     // a stats retrofit publishes the CURRENT schema (re-read per CAS
     // attempt): publishing the pre-scan m.schema would silently undo a
     // RENAME COLUMN that landed during the distributed sketch pass
-    ManifestTable.commitSchema(dir, cur => (cur.schema, files => files.map {
+    ManifestTable.commitSchema(dir, op = "analyze-stats",
+      transform = cur => (cur.schema, files => files.map {
       f =>
         byFile.get(f.name) match {
           case Some(st) => f.copy(stats = f.stats ++ st)

@@ -86,10 +86,10 @@ object CowOps {
     */
   private def commitOrCleanup(dir: String, m: ManifestTable.Manifest,
       affected: Seq[String], added: Seq[ManifestTable.FileEntry],
-      ref: String = ""): Long = {
+      ref: String = "", op: String = "replace-files"): Long = {
     beforeCommitHook()
     try ManifestTable.commitReplace(dir, m.version, affected.toSet, added,
-      ref)
+      ref, op)
     catch { case e: ManifestTable.ConcurrentCommitException =>
       added.foreach(a => FsMeta.deleteRecursive(s"$dir/data/${a.name}"))
       throw e
@@ -357,7 +357,7 @@ object CowOps {
       Seq(keyCol))
     val added = stageAndAdopt(spark, dir,
       reclustered(merged, keyCol, math.max(1, affected.size)), m)
-    val v = commitOrCleanup(dir, m, affected, added, branch)
+    val v = commitOrCleanup(dir, m, affected, added, branch, "cow-merge")
     CowResult(v, affected.size, m.files.size - affected.size, added.size)
   }
 
@@ -475,7 +475,7 @@ object CowOps {
       try {
         beforeCommitHook()
         val v = ManifestTable.commitReplace(dir, m.version, affected,
-          updated, branch)
+          updated, branch, "mor-delete")
         CowResult(v, 0, m.files.size - affected.size, 0)
       } catch { case e: ManifestTable.ConcurrentCommitException =>
         written.foreach(n => FsMeta.deleteRecursive(s"$dir/data/$n"))
@@ -511,7 +511,7 @@ object CowOps {
     try {
       beforeCommitHook()
       val v = ManifestTable.commitReplace(dir, m.version, affected,
-        updated ++ added, branch)
+        updated ++ added, branch, "mor-merge")
       CowResult(v, 0, m.files.size - affected.size, added.size)
     } catch { case e: ManifestTable.ConcurrentCommitException =>
       (written ++ added.map(_.name)).foreach(n =>
@@ -534,7 +534,7 @@ object CowOps {
     val added = if (kept.isEmpty) Seq.empty
       else stageAndAdopt(spark, dir,
         reclustered(kept, keyCol, affected.size), m)
-    val v = commitOrCleanup(dir, m, affected, added, branch)
+    val v = commitOrCleanup(dir, m, affected, added, branch, "cow-delete")
     CowResult(v, affected.size, m.files.size - affected.size, added.size)
   }
 }

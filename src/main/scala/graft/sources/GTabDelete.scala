@@ -164,7 +164,7 @@ private[graft] object GTabDelete {
       }
       try {
         ManifestTable.commitReplace(dir, m.version,
-          (gone ++ candidates).map(_.name).toSet, added)
+          (gone ++ candidates).map(_.name).toSet, added, op = "delete")
         return
       } catch {
         case e: ManifestTable.ConcurrentCommitException =>

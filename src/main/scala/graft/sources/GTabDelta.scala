@@ -183,7 +183,8 @@ private[sources] class GTabDeltaBatchWrite(op: GTabMorOperation,
     // competing commit deterministically right before the CAS
     CowOps.beforeCommitHook()
     try ManifestTable.commitReplace(path, ver,
-      affectedEntries.map(_.name).toSet, updated ++ inserted)
+      affectedEntries.map(_.name).toSet, updated ++ inserted,
+      op = "mor-" + op.command().toString.toLowerCase)
     catch { case e: Throwable =>
       (writtenSidecars ++ inserted.map(_.name)).foreach(n =>
         FsMeta.deleteRecursive(s"$path/data/$n"))

@@ -141,7 +141,8 @@ private[sources] class GTabReplaceBatchWrite(op: GTabRowLevelOperation,
     // shared test seam with the Scala COW path: lets a spec interleave
     // a competing commit deterministically right before the CAS
     CowOps.beforeCommitHook()
-    try ManifestTable.commitReplace(path, ver, removed, entries)
+    try ManifestTable.commitReplace(path, ver, removed, entries,
+      op = "cow-" + op.command().toString.toLowerCase)
     catch { case e: Throwable =>
       entries.foreach(a => FsMeta.deleteRecursive(s"$path/data/${a.name}"))
       throw e

@@ -185,7 +185,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     val props = GTabProps.validated(schema, properties)
     FsMeta.mkdirs(dir)
-    ManifestTable.commitVersion(dir, schema, Nil, keepPrevious = false)
+    ManifestTable.commitVersion(dir, schema, Nil, keepPrevious = false,
+      op = "create")
     if (partCols.nonEmpty || props.nonEmpty)
       TblMeta.write(dir, partCols, props)
     new GTable(dir, schema, declaredPart = partCols,
@@ -388,7 +389,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     FsMeta.mkdirs(dirOf(ident.namespace().toSeq))
     val stageDir = dir + ".stage-" + java.util.UUID.randomUUID
     FsMeta.mkdirs(stageDir)
-    ManifestTable.commitVersion(stageDir, schema, Nil, keepPrevious = false)
+    ManifestTable.commitVersion(stageDir, schema, Nil, keepPrevious = false,
+      op = "create")
     if (partCols.nonEmpty || props.nonEmpty)
       TblMeta.write(stageDir, partCols, props)
     new GStagedTable(stageDir, dir, schema, partCols, props, replace, ident)
@@ -604,21 +606,22 @@ private[sources] class GStagedTable(stageDir: String, dir: String,
     */
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
-    if (!FsMeta.noRenameCommits) super.newWriteBuilder(info)
-    else {
-      val m = new util.HashMap[String, String](info.options())
-      m.put("dataDir", dir)
-      super.newWriteBuilder(
-        new org.apache.spark.sql.connector.write.LogicalWriteInfo {
-          override def options() =
-            new org.apache.spark.sql.util.CaseInsensitiveStringMap(m)
-          override def queryId(): String = info.queryId()
-          override def schema(): StructType = info.schema()
-          override def rowIdSchema() = info.rowIdSchema()
-          override def metadataSchema() = info.metadataSchema()
-        })
-    }
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val m = new util.HashMap[String, String](info.options())
+    // provenance: the staged AS-SELECT payload reads as "ctas" in
+    // history, not as a bare "append" of staging mechanics
+    m.put("commitOp", "ctas")
+    if (FsMeta.noRenameCommits) m.put("dataDir", dir)
+    super.newWriteBuilder(
+      new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+        override def options() =
+          new org.apache.spark.sql.util.CaseInsensitiveStringMap(m)
+        override def queryId(): String = info.queryId()
+        override def schema(): StructType = info.schema()
+        override def rowIdSchema() = info.rowIdSchema()
+        override def metadataSchema() = info.metadataSchema()
+      })
+  }
 
   override def commitStagedChanges(): Unit = {
     if (FsMeta.noRenameCommits) {
@@ -628,7 +631,7 @@ private[sources] class GStagedTable(stageDir: String, dir: String,
       try {
         if (replace)
           ManifestTable.commitVersion(dir, staged.schema, staged.files,
-            keepPrevious = false)
+            keepPrevious = false, op = "replace")
         else ManifestTable.commitCreate(dir, staged.schema, staged.files)
       } catch {
         case _: ManifestTable.ConcurrentCommitException if !replace =>
@@ -666,7 +669,7 @@ private[sources] class GStagedTable(stageDir: String, dir: String,
             s"staged file ${f.name} collides with an existing data file")
       }
       ManifestTable.commitVersion(dir, staged.schema, staged.files,
-        keepPrevious = false)
+        keepPrevious = false, op = "replace")
       if (partCols.nonEmpty || props.nonEmpty)
         TblMeta.write(dir, partCols, props)
       else if (FsMeta.exists(s"$dir/_TBLMETA"))

@@ -217,10 +217,12 @@ private[sources] object GraftProcedures {
           StructField("n_files", IntegerType),
           StructField("n_rows", LongType),
           StructField("epoch", LongType),
-          StructField("ts_ms", LongType)))) { in =>
+          StructField("ts_ms", LongType),
+          StructField("operation", StringType)))) { in =>
         ManifestTable.history(
             dirOf(requireArg(in.getUTF8String(0), "table")))
-          .map { case (v, nf, nr, ep, ts) => InternalRow(v, nf, nr, ep, ts) }
+          .map { case (v, nf, nr, ep, ts, op) => InternalRow(v, nf, nr,
+            ep, ts, org.apache.spark.unsafe.types.UTF8String.fromString(op)) }
       }
       case other => throw new IllegalArgumentException(
         s"unknown procedure: $other (have ${names.mkString(", ")})")

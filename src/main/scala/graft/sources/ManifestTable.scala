@@ -156,7 +156,8 @@ object ManifestTable {
     */
   final case class Manifest(version: Long, schema: StructType,
       inline: Seq[FileEntry], epoch: Long = -1L, base: Long = -1L,
-      ts: Long = -1L, shards: Seq[ShardRef] = Nil, dir: String = "") {
+      ts: Long = -1L, shards: Seq[ShardRef] = Nil, dir: String = "",
+      op: String = "") {
     /** ALL file entries — inline plus every shard's, decoded lazily.
       * The metadata-tree contract: maintenance paths that genuinely
       * need the full census use this; the SCAN path goes through
@@ -446,7 +447,14 @@ object ManifestTable {
     // commit wall-clock (ms) — what TIMESTAMP AS OF resolves against;
     // header-only like epoch/base, legacy manifests simply lack it
     val tt = if (m.ts >= 0) s" ts=${m.ts}" else ""
-    s"gtab v${m.version}$ep$ba$tt crc=${c.getValue}\n" + body
+    // operation provenance (append/overwrite/cow-merge/…): the audit
+    // column DESCRIBE-HISTORY ships in every production table format.
+    // Restricted token so the header stays one greppable line.
+    require(m.op.forall(ch => (ch >= 'a' && ch <= 'z') ||
+        (ch >= '0' && ch <= '9') || ch == '-'),
+      s"manifest op must be [a-z0-9-]*, got '${m.op}'")
+    val oo = if (m.op.nonEmpty) s" op=${m.op}" else ""
+    s"gtab v${m.version}$ep$ba$tt$oo crc=${c.getValue}\n" + body
   }
 
   def manifestPath(dir: String): String = dir + "/_MANIFEST"
@@ -492,7 +500,8 @@ object ManifestTable {
       s"no committed manifest at $dir"))
     require(!FsMeta.exists(branchPath(dir, name)),
       s"branch '$name' already exists at $dir")
-    publish(dir, main.copy(base = main.version), ref = name)
+    publish(dir, main.copy(base = main.version, op = "branch-create"),
+      ref = name)
     main.version
   }
 
@@ -518,7 +527,8 @@ object ManifestTable {
       throw new BranchConflictException(dir, name, bh.base, cur.version)
     val next = cur.version + 1
     publish(dir, Manifest(next, bh.schema, bh.inline,
-      math.max(bh.epoch, cur.epoch), shards = bh.shards, dir = dir))
+      math.max(bh.epoch, cur.epoch), shards = bh.shards, dir = dir,
+      op = "fast-forward"))
     next
   }
 
@@ -597,9 +607,9 @@ object ManifestTable {
       val header = raw.substring(0, ix)
       val body = raw.substring(ix + 1)
       val hm = ("^gtab v(\\d+)(?: epoch=(-?\\d+))?(?: base=(\\d+))?" +
-        "(?: ts=(\\d+))? crc=(\\d+)$").r
+        "(?: ts=(\\d+))?(?: op=([a-z0-9-]+))? crc=(\\d+)$").r
       header match {
-        case hm(v, ep, ba, tt, crc) =>
+        case hm(v, ep, ba, tt, oo, crc) =>
           val c = new CRC32; c.update(body.getBytes(StandardCharsets.UTF_8))
           if (c.getValue != crc.toLong) throw new IllegalStateException(
             s"manifest at $mp failed its CRC — torn/corrupted publish " +
@@ -618,7 +628,8 @@ object ManifestTable {
             shards,
             // shards live under <table dir>/meta; mp is always a direct
             // child of the table dir (_MANIFEST[, .vN, .b<name>...])
-            mp.substring(0, mp.lastIndexOf('/')))
+            mp.substring(0, mp.lastIndexOf('/')),
+            Option(oo).getOrElse(""))
         case _ => throw new IllegalStateException(
           s"manifest at $mp has an unrecognized header: '$header'")
       }
@@ -1221,11 +1232,11 @@ object ManifestTable {
     * file is opened): one (version, n_files, n_rows, epoch) tuple per
     * retained version, ascending. O(retained versions) driver work.
     */
-  def history(dir: String): Seq[(Long, Int, Long, Long, Long)] =
+  def history(dir: String): Seq[(Long, Int, Long, Long, Long, String)] =
     snapshotVersions(dir).map { v =>
       val m = readManifestAsOf(dir, v)
       // counts from root metadata alone — no shard decodes for history
-      (m.version, m.nFiles, m.nRows, m.epoch, m.ts)
+      (m.version, m.nFiles, m.nRows, m.epoch, m.ts, m.op)
     }
 
   /** TIMESTAMP AS OF resolution: the LATEST retained version committed
@@ -1299,7 +1310,12 @@ object ManifestTable {
 
   private[graft] def commitVersion(dir: String, schema: StructType,
       newFiles: Seq[FileEntry], keepPrevious: Boolean,
-      epoch: Long = -1L, ref: String = ""): Unit = {
+      epoch: Long = -1L, ref: String = "", op: String = ""): Unit = {
+    // operation provenance for history(); callers may override (e.g.
+    // "create" for an empty CREATE TABLE, "replace" for RTAS)
+    val opName = if (op.nonEmpty) op
+      else if (epoch >= 0) "stream-epoch"
+      else if (keepPrevious) "append" else "overwrite"
     // bounded CAS-retry: appends (and overwrite-truncates) are safe to
     // replan against whoever won — re-read, re-derive, re-publish. The
     // epoch-replay check re-runs per attempt: the concurrent winner may
@@ -1348,7 +1364,7 @@ object ManifestTable {
           math.max(epoch, prev.map(_.epoch).getOrElse(-1L)),
           // a branch commit carries the fork point forward
           prev.map(_.base).getOrElse(-1L), shards = baseShards,
-          dir = dir), ref)
+          dir = dir, op = opName), ref)
         return
       } catch {
         case e: ConcurrentCommitException =>
@@ -1371,7 +1387,7 @@ object ManifestTable {
     readManifest(dir).foreach { m =>
       throw new ConcurrentCommitException(dir, 1L, m.version)
     }
-    publish(dir, Manifest(1L, schema, newFiles, dir = dir))
+    publish(dir, Manifest(1L, schema, newFiles, dir = dir, op = "create"))
   }
 
   /** Publish the next version with an EXPLICIT schema and a metadata
@@ -1389,8 +1405,8 @@ object ManifestTable {
     * retry, like every append-safe commit.
     */
   private[graft] def commitSchema(dir: String,
-      transform: Manifest => (StructType, Seq[FileEntry] => Seq[FileEntry]))
-      : Long = {
+      transform: Manifest => (StructType, Seq[FileEntry] => Seq[FileEntry]),
+      op: String = "alter-schema"): Long = {
     var attempts = 0
     while (true) {
       val cur = readManifest(dir).getOrElse(
@@ -1403,7 +1419,7 @@ object ManifestTable {
         // map, and let publish re-shard the result (O(metadata), the
         // inherent cost of a whole-table schema/stats rewrite)
         publish(dir, Manifest(next, newSchema, mapFiles(cur.files),
-          cur.epoch, cur.base, dir = dir))
+          cur.epoch, cur.base, dir = dir, op = op))
         return next
       } catch {
         case e: ConcurrentCommitException =>
@@ -1434,7 +1450,7 @@ object ManifestTable {
     */
   private[graft] def commitReplace(dir: String, expectedVersion: Long,
       removeNames: Set[String], added: Seq[FileEntry],
-      ref: String = ""): Long = {
+      ref: String = "", op: String = "replace-files"): Long = {
     val cur = readManifest(dir, ref).getOrElse(
       throw new IllegalArgumentException(
         if (ref.isEmpty) s"no committed manifest at $dir"
@@ -1471,7 +1487,8 @@ object ManifestTable {
         remaining.mkString(","))
     val next = cur.version + 1
     publish(dir, Manifest(next, cur.schema, inlineKeep ++ added,
-      cur.epoch, cur.base, shards = keptShards.toSeq, dir = dir), ref)
+      cur.epoch, cur.base, shards = keptShards.toSeq, dir = dir,
+      op = op), ref)
     next
   }
 
@@ -1537,7 +1554,7 @@ object ManifestTable {
           .option("bloomBits", b))
     val w = if (ndvCols.isEmpty) w2
       else w2.option("ndvColumns", ndvCols.mkString(","))
-    w.mode("overwrite").save()
+    w.option("commitOp", "compact").mode("overwrite").save()
     (before, readManifest(dir).get.files.size)
   }
 
@@ -1852,7 +1869,8 @@ private[sources] class GTable(path: String, schema0: StructType,
     }
     new GTabWriteBuilder(path, info.schema(), info.queryId(), bloomCols,
       bloomBits, partCols, Option(opts.get("branch")).getOrElse(""),
-      ndvCols, Option(opts.get("dataDir")))
+      ndvCols, Option(opts.get("dataDir")),
+      Option(opts.get("commitOp")).getOrElse(""))
   }
 }
 
@@ -1865,7 +1883,10 @@ private[sources] class GTabWriteBuilder(path: String, schema: StructType,
     // dir's data/ (write-once names, invisible until a manifest lists
     // them) instead of being staged-then-renamed — the write's own
     // manifest still publishes at `path`
-    dataDir: Option[String] = None)
+    dataDir: Option[String] = None,
+    // operation-provenance override for history() — maintenance writes
+    // (compaction) label their commit instead of reading as "overwrite"
+    commitOp: String = "")
     extends WriteBuilder with SupportsTruncate {
   private var keepPrevious = true
   override def truncate(): WriteBuilder = { keepPrevious = false; this }
@@ -1888,7 +1909,7 @@ private[sources] class GTabWriteBuilder(path: String, schema: StructType,
         SortDirection.ASCENDING)).toArray
     override def toBatch: BatchWrite =
       new GTabBatchWrite(path, schema, queryId, keepPrevious, bloomCols,
-        bloomBits, partCols, ref, ndvCols, dataDir)
+        bloomBits, partCols, ref, ndvCols, dataDir, commitOp)
     override def toStreaming: StreamingWrite = {
       require(dataDir.isEmpty,
         "dataDir is a batch staging option, not a streaming one")
@@ -1978,7 +1999,8 @@ private[sources] class GTabBatchWrite(path: String, schema: StructType,
     bloomCols: Seq[String] = Seq.empty,
     bloomBits: Int = GTabBloom.DefaultBits,
     partCols: Seq[String] = Nil, ref: String = "",
-    ndvCols: Seq[String] = Seq.empty, dataDir: Option[String] = None)
+    ndvCols: Seq[String] = Seq.empty, dataDir: Option[String] = None,
+    commitOp: String = "")
     extends BatchWrite {
   private val writeDir = dataDir.getOrElse(path)
   override def createBatchWriterFactory(
@@ -1988,7 +2010,8 @@ private[sources] class GTabBatchWrite(path: String, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     ManifestTable.commitVersion(path, schema,
-      GTabCommits.entriesOf(messages), keepPrevious, ref = ref)
+      GTabCommits.entriesOf(messages), keepPrevious, ref = ref,
+      op = commitOp)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     GTabCommits.namesOf(messages).foreach(n =>
