@@ -1091,7 +1091,7 @@ object ManifestTable {
     val target = readManifestAsOf(dir, version)
     val next = cur.version + 1
     publish(dir, Manifest(next, target.schema, target.inline, cur.epoch,
-      shards = target.shards, dir = dir))
+      shards = target.shards, dir = dir, op = "rollback"))
     next
   }
 

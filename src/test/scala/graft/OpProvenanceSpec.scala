@@ -80,6 +80,8 @@ class OpProvenanceSpec extends AnyFunSuite {
       "branch publishes live in the branch namespace, not main's")
     ManifestTable.fastForward(dir, "audit")
     assert(ops(dir).last._2 == "fast-forward")
+    ManifestTable.rollback(dir, 1L)
+    assert(ops(dir).last._2 == "rollback")
     // the SQL history procedure exposes the same column
     val hist = spark.sql(s"CALL $cat.system.history(table => 'db.t')")
     assert(hist.columns.contains("operation"))
