@@ -130,3 +130,38 @@ class ChangeFeedSpec extends AnyFunSuite {
     }
   }
 }
+
+/** Multiplicity and null semantics of the one-pass symmetric
+  * difference (round 16 replaced two exceptAlls with one tagged
+  * union + |new − old| replicate): duplicate rows are counted, not
+  * set-collapsed, and null fields group as equal — exceptAll's exact
+  * contract, now pinned independently of exceptAll.
+  */
+class ChangeFeedMultiplicitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Fmt = "graft.sources.ManifestTable"
+
+  test("duplicate rows feed with multiplicity; null rows cancel by " +
+      "null-safe grouping") {
+    val dir = Files.createTempDirectory("graft_cdf_mult").toString + "/t"
+    def write(rows: Seq[(String, java.lang.Long)], mode: SaveMode): Unit =
+      rows.toDF("s", "v").repartition(1).write.format(Fmt)
+        .option("path", dir).mode(mode).save()
+    // v1: a x3, (b, null) x2, c x1
+    write(Seq(("a", 1L), ("a", 1L), ("a", 1L),
+      ("b", null), ("b", null), ("c", 7L)), SaveMode.Append)
+    // v2: a x1, (b, null) x2 (cancels), c x4, d x1
+    write(Seq(("a", 1L), ("b", null), ("b", null),
+      ("c", 7L), ("c", 7L), ("c", 7L), ("c", 7L), ("d", 9L)),
+      SaveMode.Overwrite)
+    val feed = ManifestTable.changeFeed(spark, dir, 1L, 2L)
+      .groupBy("_change_type", "s", "v").count()
+      .as[(String, String, Option[Long], Long)].collect().toSet
+    assert(feed == Set(
+      ("delete", "a", Some(1L), 2L),   // 3 -> 1: two deletes
+      ("insert", "c", Some(7L), 3L),   // 1 -> 4: three inserts
+      ("insert", "d", Some(9L), 1L)))  // (b, null) x2 both sides: cancels
+  }
+}
