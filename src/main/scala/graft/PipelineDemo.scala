@@ -89,10 +89,16 @@ object PipelineDemo {
 
     // 6. leakage-safe train/val/test split: assignment hashes the doc's
     //    DEDUP GROUP (from step 2's verified pairs), so near-duplicate
-    //    clusters never straddle a split boundary
-    val withSplit = withIds.join(
-      Sampling.leakageSafeSplit(withIds, "doc_id", nearPairs)
-        .select("doc_id", "split"), "doc_id")
+    //    clusters never straddle a split boundary. Derived from step 2's
+    //    ALREADY-COMPUTED components — leakageSafeSplit(withIds,
+    //    nearPairs) would re-run the MinHash + label-propagation job
+    val bucket =
+      graft.functions.Fns.fnv1a32(col("group_id").cast("string")) % 10
+    val withSplit = withIds
+      .join(groups.select("doc_id", "group_id"), "doc_id")
+      .withColumn("split", when(bucket < 8, "train")
+        .when(bucket === 8, "val").otherwise("test"))
+      .drop("group_id")
     val splitCounts = withSplit.groupBy("split").count()
       .orderBy("split").collect()
       .map(r => s"${r.get(0)}=${r.get(1)}").mkString("/")

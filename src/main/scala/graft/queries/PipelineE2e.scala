@@ -87,10 +87,19 @@ object PipelineE2e {
           s"src$i" -> (if (i % 2 == 0) 25 else 10)).toMap
         val mixed = Sampling.mixture(kept, "source", "doc_id", quotas)
         val withIds = IdAssign.contiguousIds(mixed, col("doc_id"), "gid")
-        // 6. leakage-safe split (hash of the doc's dedup group)
-        val withSplit = withIds.join(
-          Sampling.leakageSafeSplit(withIds, "doc_id", nearPairs)
-            .select("doc_id", "split"), "doc_id")
+        // 6. leakage-safe split (hash of the doc's dedup group) —
+        //    derived from the ALREADY-COMPUTED components: calling
+        //    leakageSafeSplit(withIds, nearPairs) would re-run the
+        //    whole MinHash + label-propagation job a second time
+        //    (componentLabels checkpoints its RESULT, not its call);
+        //    group_id is identical either way (same edge set, same
+        //    coalesce-to-own-id rule)
+        val bucket =
+          graft.functions.Fns.fnv1a32(col("group_id").cast("string")) % 10
+        val withSplit = withIds
+          .join(groups.select("doc_id", "group_id"), "doc_id")
+          .withColumn("split", when(bucket < 8, "train")
+            .when(bucket === 8, "val").otherwise("test"))
         // 7. accounting: the corpus card a release ships
         withSplit.groupBy("split", "lang").agg(
             count(lit(1)).as("n_docs"),
