@@ -68,7 +68,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     "p87_retrieval_metrics",
     // p91: the (min, max) score-range pair joins in as a ONE-ROW
     // broadcast aggregate — the p23/p30/p70/p83 pattern
-    "p91_calibration_bins")
+    "p91_calibration_bins",
+    // p92: composes p29's cross-corpus stage, inheriting its allowlisted
+    // ONE-ROW bloom-bitmap broadcast — no data-proportional BNLJ
+    "p92_pipeline_e2e")
 
   // Pinned physical-plan node counts for the audited headline queries —
   // the numeric form of PLANS.md's prose claims ("q68: one data exchange,
