@@ -239,6 +239,25 @@ object Bench {
       System.err.println(s"[bench] ann group FAILED: ${e.getMessage}")
       "null"
     }
+    // flagship composition: the end-to-end curation chain (p92) as its
+    // own tracked metric — OUTSIDE the extended total so the legacy/
+    // extended groups stay round-over-round comparable. min-of-2 with
+    // its own probe: the chain is the sum of ~8 audited stages, so
+    // this one number is the regression canary for their composition.
+    val e2e = try {
+      val fn = fns("p92_pipeline_e2e")
+      fn(spark, sfDir).count() // warm
+      val secs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      s"""{"sec":${secs.min},"max_s":${secs.max},"probe":${probe()}}"""
+    } catch { case e: Throwable =>
+      if (!failed.contains("p92_pipeline_e2e"))
+        failed ::= "p92_pipeline_e2e"
+      System.err.println(s"[bench] p92_pipeline_e2e FAILED: ${e.getMessage}")
+      "null"
+    }
     // second pass of the legacy + extended groups (cross-pass minima)
     val legacyP2 = timeGroup(SparkEntry.benchQueries)
     val extP2 = timeGroup(SparkEntry.benchQueriesExtended)
@@ -307,7 +326,7 @@ object Bench {
     val normalizedTotal = normTotal(results)
     val extNormalizedTotal = normTotal(extResults)
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(results)(_.min)},"medians":${qJson(results)(_.median)},"probes":${qJson(results)(_.probe)},"gc_ms":${qJsonL(results)(_.gcMs)},"peak_mb":${qJsonL(results)(_.peakMb)},"legacy_total":$total,"normalized_total":$normalizedTotal,"pass_max":${passMaxJson(crossLegacy)},"extended":${qJson(extResults)(_.min)},"extended_pass_max":${passMaxJson(crossExt)},"extended_probes":${qJson(extResults)(_.probe)},"extended_gc_ms":${qJsonL(extResults)(_.gcMs)},"extended_peak_mb":${qJsonL(extResults)(_.peakMb)},"extended_total":$extTotal,"extended_normalized_total":$extNormalizedTotal,"storage":$storageJson,"storage_build_total":$storageBuildTotal,"storage_read_total":$storageReadTotal,"ann":$annJson,"noise_floor":{"probe_start":$probeStart,"probe_end":$probeEnd},"failed":$failedJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(results)(_.min)},"medians":${qJson(results)(_.median)},"probes":${qJson(results)(_.probe)},"gc_ms":${qJsonL(results)(_.gcMs)},"peak_mb":${qJsonL(results)(_.peakMb)},"legacy_total":$total,"normalized_total":$normalizedTotal,"pass_max":${passMaxJson(crossLegacy)},"extended":${qJson(extResults)(_.min)},"extended_pass_max":${passMaxJson(crossExt)},"extended_probes":${qJson(extResults)(_.probe)},"extended_gc_ms":${qJsonL(extResults)(_.gcMs)},"extended_peak_mb":${qJsonL(extResults)(_.peakMb)},"extended_total":$extTotal,"extended_normalized_total":$extNormalizedTotal,"storage":$storageJson,"storage_build_total":$storageBuildTotal,"storage_read_total":$storageReadTotal,"ann":$annJson,"e2e_pipeline":$e2e,"noise_floor":{"probe_start":$probeStart,"probe_end":$probeEnd},"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // belt-and-braces for the driver: also drop the line in a file, immune
     // to any log-prefixing of stdout. Stdout stays the primary channel —
