@@ -1211,6 +1211,14 @@ object ManifestTable {
     import org.apache.spark.sql.functions.{abs => fAbs, col => fCol,
       explode, sequence, sum, when}
     val dataCols = mTo.schema.fieldNames.toSeq
+    // a user column named __cf_* would collide with the tag columns —
+    // vanishingly unlikely, but fall back to the (2x-scan) exceptAll
+    // form rather than silently overwriting it
+    if (dataCols.exists(_.startsWith("__cf_")))
+      return newDf.exceptAll(oldDf)
+        .withColumn("_change_type", lit("insert"))
+        .unionByName(oldDf.exceptAll(newDf)
+          .withColumn("_change_type", lit("delete")))
     val tagged = newDf.withColumn("__cf_side", lit(1L))
       .unionByName(oldDf.withColumn("__cf_side", lit(0L)))
     tagged.groupBy(dataCols.map(fCol): _*)
