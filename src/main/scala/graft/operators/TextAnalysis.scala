@@ -142,14 +142,20 @@ object TextAnalysis {
   def fingerprint(text: Column): Column = Fns.rollingHash31(text)
 
   /** One row per document with the full analysis column set. */
-  def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
-    df.select(
-      col(idCol) +:
-        langIdGuess(t).as("lang_guess") +:
-        fingerprint(t).as("fingerprint") +:
-        (qualityColumns(t) ++ tokenCountColumns(t)): _*)
-  }
+  def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol) +: analysisColumns(col(textCol)): _*)
+
+  /** [[analyze]]'s columns as a bare projection — for composing into an
+    * existing SELECT. `analyze(df, id, text)` then joining back on id
+    * recomputes df's whole upstream twice (the analysis is per-row; a
+    * join re-derives the left side for no information); appending these
+    * columns costs one projection on one scan.
+    */
+  def analysisColumns(t: org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.Column] =
+    langIdGuess(t).as("lang_guess") +:
+      fingerprint(t).as("fingerprint") +:
+      (qualityColumns(t) ++ tokenCountColumns(t))
 
   /** Unigram-LM cross-entropy quality score (the CCNet-family filter
     * signal, with the corpus itself as the LM): per document, the mean

@@ -74,12 +74,12 @@ object PipelineE2e {
         val trainPool = nearDeduped.filter(col("doc_id") % 20 =!= 0)
         val decontaminated = Decontaminate.clean(
           trainPool, evalDocs, "doc_id", "text", n = 4)
-        // 4. analysis + quality/repetition gate
-        val analyzed = decontaminated
-          .join(TextAnalysis.analyze(decontaminated, "doc_id", "text"),
-            "doc_id")
-          .select(col("*") +:
-            TextAnalysis.repetitionColumns(col("text")): _*)
+        // 4. analysis + quality/repetition gate — appended as a pure
+        //    projection (joining analyze() back on doc_id would
+        //    recompute the decontamination prefix twice)
+        val analyzed = decontaminated.select(col("*") +:
+          (TextAnalysis.analysisColumns(col("text")) ++
+            TextAnalysis.repetitionColumns(col("text"))): _*)
         val kept = analyzed.filter(col("quality_score") > 3.0 &&
           col("n_tokens") >= 10 && col("dup_3gram_frac") < 0.5)
         // 5. mixture quotas (even sources upweighted) + contiguous ids
