@@ -109,6 +109,19 @@ object Fns {
   /** Whitespace tokens (documents.text is space-separated). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Mean token length at 6dp in pure string arithmetic — for a
+    * single-space split, sum(token lengths) = length − #spaces and
+    * #tokens = #spaces + 1 (split("") = [""], so the identities hold on
+    * empty text): exactly the integers split+aggregate would produce,
+    * with no token-array materialization. ONE definition shared by the
+    * p86/p91 scorers and their debug tools — the equivalence argument
+    * lives here, not in three copies.
+    */
+  def meanTokenLen6dp(text: Column): Column = {
+    val spaces = length(text) - length(translate(text, " ", ""))
+    round((length(text) - spaces).cast("double") / (spaces + lit(1)), 6)
+  }
+
   /** Distinct n-gram shingles of a token array: contiguous n-token
     * windows joined by spaces. Empty array when fewer than n tokens.
     * Native single-pass expression (see ShingleArray).

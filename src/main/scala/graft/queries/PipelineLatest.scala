@@ -326,11 +326,9 @@ object PipelineLatest {
     QueryDef(
       "p86_exact_auc",
       (s, dir) => {
-        val spaces = length(col("text")) -
-          length(translate(col("text"), " ", ""))
         val scored = Tables.t(s, dir, "documents").select(
-          round((length(col("text")) - spaces).cast("double") /
-            (spaces + lit(1)), 6).as("mean_tok_len"),
+          graft.functions.Fns.meanTokenLen6dp(col("text"))
+            .as("mean_tok_len"),
           (col("lang") === "en").as("is_en"))
         graft.operators.EvalMetrics.aucRoc(scored, "mean_tok_len", "is_en")
       },
@@ -581,13 +579,9 @@ object PipelineLatest {
     QueryDef(
       "p91_calibration_bins",
       (s, dir) => {
-        // p86's string-arithmetic scorer: same integers as the
-        // split+aggregate form, no token-array materialization
-        val spaces = length(col("text")) -
-          length(translate(col("text"), " ", ""))
         val scored = Tables.t(s, dir, "documents").select(
-          round((length(col("text")) - spaces).cast("double") /
-            (spaces + lit(1)), 6).as("mean_tok_len"),
+          graft.functions.Fns.meanTokenLen6dp(col("text"))
+            .as("mean_tok_len"),
           (col("lang") === "en").as("is_en"))
         graft.operators.EvalMetrics.calibrationBins(
             scored, "mean_tok_len", "is_en", bins = 10)

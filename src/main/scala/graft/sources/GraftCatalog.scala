@@ -632,7 +632,10 @@ private[sources] class GStagedTable(stageDir: String, dir: String,
         if (replace)
           ManifestTable.commitVersion(dir, staged.schema, staged.files,
             keepPrevious = false, op = "replace")
-        else ManifestTable.commitCreate(dir, staged.schema, staged.files)
+        else ManifestTable.commitCreate(dir, staged.schema, staged.files,
+          // no-rename CTAS collapses to ONE commit — label it as the
+          // CTAS it is, matching the default mode's v2 label
+          op = "ctas")
       } catch {
         case _: ManifestTable.ConcurrentCommitException if !replace =>
           // create-once CAS lost: clean this attempt's files where

@@ -1209,7 +1209,7 @@ object ManifestTable {
     // the feed's I/O for no information (round-16 q94 finding: 4
     // GTabScans for a 2-version diff; this plan has 2).
     import org.apache.spark.sql.functions.{abs => fAbs, col => fCol,
-      explode, sequence, sum, when}
+      sum, when}
     val dataCols = mTo.schema.fieldNames.toSeq
     // a user column named __cf_* would collide with the tag columns —
     // vanishingly unlikely, but fall back to the (2x-scan) exceptAll
@@ -1221,7 +1221,7 @@ object ManifestTable {
           .withColumn("_change_type", lit("delete")))
     val tagged = newDf.withColumn("__cf_side", lit(1L))
       .unionByName(oldDf.withColumn("__cf_side", lit(0L)))
-    tagged.groupBy(dataCols.map(fCol): _*)
+    val counted = tagged.groupBy(dataCols.map(fCol): _*)
       .agg(sum(when(fCol("__cf_side") === 1L, 1L).otherwise(0L))
           .as("__cf_new"),
         sum(when(fCol("__cf_side") === 0L, 1L).otherwise(0L))
@@ -1230,9 +1230,26 @@ object ManifestTable {
       .filter(fCol("__cf_delta") =!= 0L)
       .withColumn("_change_type",
         when(fCol("__cf_delta") > 0L, lit("insert")).otherwise(lit("delete")))
-      .withColumn("__cf_i",
-        explode(sequence(lit(1L), fAbs(fCol("__cf_delta")))))
-      .select((dataCols.map(fCol) :+ fCol("_change_type")): _*)
+      .select((dataCols.map(fCol) :+ fCol("_change_type") :+
+        fAbs(fCol("__cf_delta")).as("__cf_n")): _*)
+    // STREAMED replication — the lazy-iterator equivalent of the
+    // ReplicateRows node exceptAll lowers to. explode(sequence(1, n))
+    // would materialize an n-element array per distinct row first: a
+    // diff where one constant row's multiplicity changes by millions
+    // (telemetry compaction, dedup of identical rows) would build that
+    // array in a single aggregated row — executor OOM at exactly the
+    // scale this one-pass form exists for.
+    val outSchema = StructType(counted.schema.fields.dropRight(1))
+    val nIdx = counted.schema.fields.length - 1
+    counted.flatMap { r =>
+      val vals = (0 until nIdx).map(r.get)
+      val row = org.apache.spark.sql.Row.fromSeq(vals)
+      new Iterator[org.apache.spark.sql.Row] {
+        private var left = r.getLong(nIdx)
+        override def hasNext: Boolean = left > 0L
+        override def next(): org.apache.spark.sql.Row = { left -= 1L; row }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Table history from the retained snapshots — Delta's DESCRIBE
@@ -1391,11 +1408,11 @@ object ManifestTable {
     * [[ConcurrentCommitException]] maps to TableAlreadyExists upstream.
     */
   private[sources] def commitCreate(dir: String, schema: StructType,
-      newFiles: Seq[FileEntry]): Unit = {
+      newFiles: Seq[FileEntry], op: String = "create"): Unit = {
     readManifest(dir).foreach { m =>
       throw new ConcurrentCommitException(dir, 1L, m.version)
     }
-    publish(dir, Manifest(1L, schema, newFiles, dir = dir, op = "create"))
+    publish(dir, Manifest(1L, schema, newFiles, dir = dir, op = op))
   }
 
   /** Publish the next version with an EXPLICIT schema and a metadata
@@ -1875,11 +1892,28 @@ private[sources] class GTable(path: String, schema0: StructType,
         s"ndvColumns: '$c' is ${f.dataType.sql} — NDV sketches support " +
           "int/long/string")
     }
+    // provenance override: restricted to the labels internal
+    // maintenance writers use, validated HERE (before any executor
+    // writes a file) — arbitrary caller-claimed labels would make the
+    // audit column untrustworthy, and a bad token failing only at the
+    // publish-time header require would surface after the data write
+    val commitOp = Option(opts.get("commitOp")).getOrElse("")
+    require(commitOp.isEmpty || GTabWriteBuilder.AllowedOps(commitOp),
+      s"commitOp '$commitOp' is not an internal maintenance label " +
+        s"(${GTabWriteBuilder.AllowedOps.mkString(", ")}) — history " +
+        "provenance is set by the commit path, not by writer claims")
     new GTabWriteBuilder(path, info.schema(), info.queryId(), bloomCols,
       bloomBits, partCols, Option(opts.get("branch")).getOrElse(""),
-      ndvCols, Option(opts.get("dataDir")),
-      Option(opts.get("commitOp")).getOrElse(""))
+      ndvCols, Option(opts.get("dataDir")), commitOp)
   }
+}
+
+private[sources] object GTabWriteBuilder {
+  /** The only provenance labels a write OPTION may set — the two
+    * internal writers that commit through the ordinary batch-write
+    * path (ManifestTable.compact, the staged CTAS payload).
+    */
+  val AllowedOps: Set[String] = Set("compact", "ctas")
 }
 
 private[sources] class GTabWriteBuilder(path: String, schema: StructType,

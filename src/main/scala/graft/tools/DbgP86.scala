@@ -18,14 +18,9 @@ object DbgP86 {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    def scored = {
-      val spaces = length(col("text")) -
-        length(translate(col("text"), " ", ""))
-      graft.api.Tables.t(s, dir, "documents").select(
-        round((length(col("text")) - spaces).cast("double") /
-          (spaces + lit(1)), 6).as("mean_tok_len"),
-        (col("lang") === "en").as("is_en"))
-    }
+    def scored = graft.api.Tables.t(s, dir, "documents").select(
+      graft.functions.Fns.meanTokenLen6dp(col("text")).as("mean_tok_len"),
+      (col("lang") === "en").as("is_en"))
     def time(label: String, n: Int = 5)(f: => Unit): Unit = {
       f // warm
       val ts = (1 to n).map { _ =>

@@ -60,8 +60,8 @@ object DbgP92 {
       docs.filter(col("doc_id") % 20 === 0), "doc_id", "text", n = 4)
     time("4_decontam") { decon.count() }
     def kept = decon
-      .join(TextAnalysis.analyze(decon, "doc_id", "text"), "doc_id")
-      .select(col("*") +: TextAnalysis.repetitionColumns(col("text")): _*)
+      .select(col("*") +: (TextAnalysis.analysisColumns(col("text")) ++
+        TextAnalysis.repetitionColumns(col("text"))): _*)
       .filter(col("quality_score") > 3.0 && col("n_tokens") >= 10 &&
         col("dup_3gram_frac") < 0.5)
     time("5_quality") { kept.count() }

@@ -89,3 +89,56 @@ class OpProvenanceSpec extends AnyFunSuite {
     assert(base >= 1L)
   }
 }
+
+/** The provenance override surface is restricted and validated early:
+  * a writer claiming an arbitrary commitOp is rejected at
+  * write-builder construction (before any executor writes a file),
+  * and the no-rename CTAS — which collapses to ONE commit — labels it
+  * "ctas", matching the default mode's payload label.
+  */
+class OpProvenanceGuardSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("a forged commitOp is rejected before the write runs") {
+    val dir = Files.createTempDirectory("graft_opguard").toString + "/t"
+    val e = intercept[Exception] {
+      Seq((1L, "a")).toDF("id", "s").write
+        .format("graft.sources.ManifestTable").option("path", dir)
+        .option("commitOp", "rollback").mode(SaveMode.Append).save()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("not an internal maintenance label")))
+    assert(!graft.sources.FsMeta.exists(
+      graft.sources.ManifestTable.manifestPath(dir)),
+      "the rejected write must not have committed anything")
+  }
+
+  test("no-rename CTAS labels its single commit 'ctas'") {
+    val wh = Files.createTempDirectory("graft_opguard_nr").toString
+    spark.conf.set("spark.sql.catalog.gopnr", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gopnr.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gopnr.db")
+    spark.conf.set("spark.graft.commit.norename", "true")
+    try spark.sql(
+      "CREATE TABLE gopnr.db.ct AS SELECT id FROM range(10)")
+    finally spark.conf.unset("spark.graft.commit.norename")
+    assert(ManifestTable.history(s"$wh/db/ct").map(h => (h._1, h._6)) ==
+      Seq((1L, "ctas")))
+  }
+
+  test("streamed feed replication: a 2M-copy multiplicity delta counts " +
+      "exactly, through the lazy iterator") {
+    val dir = Files.createTempDirectory("graft_opguard_rep").toString + "/t"
+    def write(n: Long, mode: SaveMode): Unit =
+      spark.range(n).selectExpr("'x' AS s", "0L AS v").repartition(1)
+        .write.format("graft.sources.ManifestTable")
+        .option("path", dir).mode(mode).save()
+    write(1L, SaveMode.Append)          // v1: 1 copy of the constant row
+    write(2000001L, SaveMode.Overwrite) // v2: 2,000,001 copies
+    val feed = ManifestTable.changeFeed(spark, dir, 1L, 2L)
+    assert(feed.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toSet == Set(("insert", 2000000L)))
+  }
+}
