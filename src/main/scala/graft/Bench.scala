@@ -18,10 +18,18 @@ import org.apache.spark.sql.SparkSession
   * Round-16: the legacy + extended groups run TWICE end-to-end (the
   * storage/ANN groups between the passes as a multi-minute spacer) and
   * report the per-query MIN across passes plus `pass_max` /
-  * `extended_pass_max` (the losing pass's minimum) — the storage
-  * builds' min-of-2 discipline, extended to the query groups, so a
-  * box-load phantom (hot one pass, cold the other) is adjudicated BY
-  * the artifact instead of by a post-hoc re-measure.
+  * `extended_pass_max` (the losing pass's minimum) — so a box-load
+  * phantom (hot one pass, cold the other) is adjudicated BY the
+  * artifact instead of by a post-hoc re-measure.
+  *
+  * Round-17: the same cross-pass discipline reaches the LAST two
+  * groups that lacked it — storage (both builds AND reads run as two
+  * passes minutes apart; `build_max_s`/`read_pass_max_s` carry the
+  * losing pass, `storage_build_pass_max`/`storage_read_pass_max` the
+  * losing totals) and `e2e_pipeline` (`pass_max`). Plus a `scaling`
+  * block: the headline queries re-timed at sf0.01 in the same session,
+  * reporting per-query slope t(sf0.1)/t(sf0.01) against the 10x data
+  * ratio — the measured near-linearity evidence behind SCALE.md.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -111,37 +119,32 @@ object Bench {
     val legacyP1 = timeGroup(SparkEntry.benchQueries)
     val extP1 = timeGroup(SparkEntry.benchQueriesExtended)
 
-    // Storage-layout group: build ONCE per process, time the read
-    // min-of-3. Before round 12 these queries rebuilt their tables
-    // inside every timed run, so the r10 group total was dominated by
-    // table writes and swung 6x two-way on box noise — the pruned READ
-    // is the signal that must stay flat round-over-round (at 100 TB you
-    // write once and read many). build_s is reported alongside, timed
-    // once (it includes the COW merge/delete for q88/q89).
-    // Builds get the same telemetry discipline as reads (round-14
-    // verdict: q86–q92 builds read ~2x round-over-round while q93–q101
-    // sat flat in the SAME run, and builds were the one group still
-    // timed single-shot with no probe and no gc/peak window — the
-    // artifact couldn't adjudicate environmental-vs-real for exactly
-    // the number that moved). Each build now runs TWICE (they are
-    // idempotent: every builder deletes and recreates its /tmp sink),
-    // min-of-2, inside its own gc/peak window, with a probe right
-    // after — a hot build with a flat build_probe and flat gc is code,
-    // a hot build with an elevated probe is the box.
-    final case class STime(build: Double, buildMax: Double,
-      buildProbe: Double, buildGcMs: Long, buildPeakMb: Long,
-      min: Double, median: Double,
+    // Storage-layout group: the pruned READ is the signal that must
+    // stay flat round-over-round (at 100 TB you write once and read
+    // many); build_s is reported alongside (it includes the COW
+    // merge/delete for q88/q89).
+    // Round-17: the whole group runs as TWO PASSES with the ANN/e2e
+    // groups and the legacy/extended second pass between them as a
+    // multi-minute spacer — each pass builds every table ONCE (they
+    // are idempotent: every builder deletes and recreates its /tmp
+    // sink) and times the read min-of-3, then per table the winning
+    // pass is reported with the losing pass's numbers as
+    // build_max_s / read_pass_max_s. Same total build count as the
+    // old in-window min-of-2, but minutes apart: r16's
+    // storage_build_total read 20.91 s in the driver artifact while
+    // quiet-box runs of the same code sat at 12.8-14.5 s — min-of-2
+    // inside ONE loaded window is the r13-r15 read-side blind spot,
+    // and the cross-pass split adjudicates it inside the artifact.
+    final case class SPass(build: Double, buildProbe: Double,
+      buildGcMs: Long, buildPeakMb: Long, min: Double, median: Double,
       probe: Double, gcMs: Long, peakMb: Long)
-    val storageResults: Seq[(String, STime)] =
+    def storagePass(): Seq[(String, SPass)] =
       graft.queries.StorageLayout.benchPairs.map { case (name, mk) =>
         try {
           val bgc0 = gcMs(); resetPeaks()
-          var read: () => org.apache.spark.sql.DataFrame = null
-          val buildTimes = (1 to 2).map { _ =>
-            val tb = System.nanoTime()
-            read = mk(spark, sfDir)
-            (System.nanoTime() - tb) / 1e9
-          }
+          val tb = System.nanoTime()
+          val read = mk(spark, sfDir)
+          val build = (System.nanoTime() - tb) / 1e9
           val (buildGc, buildPeak) = (gcMs() - bgc0, peakMb())
           val buildProbe = probe()
           read().count() // warm
@@ -151,17 +154,16 @@ object Bench {
             read().count()
             (System.nanoTime() - t0) / 1e9
           }
-          name -> STime(buildTimes.min, buildTimes.max, buildProbe,
-            buildGc, buildPeak, times.min,
-            times.sorted.apply(times.size / 2), probe(), gcMs() - gc0,
-            peakMb())
+          name -> SPass(build, buildProbe, buildGc, buildPeak,
+            times.min, times.sorted.apply(times.size / 2), probe(),
+            gcMs() - gc0, peakMb())
         } catch { case e: Throwable =>
           if (!failed.contains(name)) failed ::= name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          name -> STime(0.0, 0.0, probe(), 0L, 0L, 0.0, 0.0,
-            probe(), 0L, 0L)
+          name -> SPass(0.0, probe(), 0L, 0L, 0.0, 0.0, probe(), 0L, 0L)
         }
       }
+    val storageP1 = storagePass()
 
     // ANN cost-recall group: p10/p13 have no SQL oracle (approximate by
     // design), so their accuracy lives in spec-only recall sweeps —
@@ -241,26 +243,45 @@ object Bench {
     }
     // flagship composition: the end-to-end curation chain (p92) as its
     // own tracked metric — OUTSIDE the extended total so the legacy/
-    // extended groups stay round-over-round comparable. min-of-2 with
-    // its own probe: the chain is the sum of ~8 audited stages, so
-    // this one number is the regression canary for their composition.
-    val e2e = try {
+    // extended groups stay round-over-round comparable. Round-17: the
+    // same cross-pass discipline as every other group (r16's artifact
+    // read 8.19 min vs 16.53 max inside ONE window — the build group's
+    // adjudicability gap): each pass is warm + min-of-2, pass 2 runs
+    // after the legacy/extended/storage second passes, and the report
+    // carries the cross-pass min with the losing pass's min as
+    // pass_max. The chain is the sum of ~9 audited stages, so this one
+    // number is the regression canary for their composition.
+    def e2ePass(): Option[(Double, Double)] = try {
       val fn = fns("p92_pipeline_e2e")
       fn(spark, sfDir).count() // warm
       val secs = (1 to 2).map { _ =>
         val t0 = System.nanoTime(); fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      s"""{"sec":${secs.min},"max_s":${secs.max},"probe":${probe()}}"""
+      Some((secs.min, probe()))
     } catch { case e: Throwable =>
       if (!failed.contains("p92_pipeline_e2e"))
         failed ::= "p92_pipeline_e2e"
       System.err.println(s"[bench] p92_pipeline_e2e FAILED: ${e.getMessage}")
-      "null"
+      None
     }
+    val e2eP1 = e2ePass()
     // second pass of the legacy + extended groups (cross-pass minima)
     val legacyP2 = timeGroup(SparkEntry.benchQueries)
     val extP2 = timeGroup(SparkEntry.benchQueriesExtended)
+    // second pass of the storage + e2e groups, minutes after their
+    // first (the ANN group and the legacy/extended second passes are
+    // the spacer)
+    val storageP2 = storagePass()
+    val e2eP2 = e2ePass()
+    val e2e = (e2eP1, e2eP2) match {
+      case (Some((a, pa)), Some((b, pb))) =>
+        val (min, mx, pr) = if (b < a) (b, a, pb) else (a, b, pa)
+        s"""{"sec":$min,"pass_max":$mx,"probe":$pr}"""
+      case (Some((a, pa)), None) => s"""{"sec":$a,"pass_max":$a,"probe":$pa}"""
+      case (None, Some((b, pb))) => s"""{"sec":$b,"pass_max":$b,"probe":$pb}"""
+      case _ => "null"
+    }
     // per query: the WINNING pass's full telemetry (its min, median,
     // probe, gc, peak) plus the max of the two pass-minima — the
     // cross-pass split the adjudication rides on
@@ -278,6 +299,54 @@ object Bench {
       rs.map { case (k, (_, mx)) =>
         "\"" + k + "\":" + (if (failed.contains(k)) "null" else mx.toString)
       }.mkString("{", ",", "}")
+    // SCALING SLOPES (round-17 — the measured 100x evidence): the
+    // legacy 12 + p92 + the 5 most expensive extended queries re-timed
+    // at the sibling sf0.01 in the SAME session; slope =
+    // t(sf0.1)/t(sf0.01) against the 10x data ratio. Near-linear
+    // (slope <= ~13, i.e. 1.3x the data growth) is the pass bar; a
+    // superlinear slope names a query whose cost grows faster than its
+    // input — the check that caught p84's re-keying in round 12, now a
+    // per-round artifact instead of an ad-hoc run. Fixed overheads
+    // (job launch, planning) deflate small-sf times, so slopes well
+    // BELOW 10 are expected and fine.
+    val scalingJson = {
+      val smallDir = new java.io.File(sfDir).getParent + "/sf0.01"
+      if (!sfDir.endsWith("sf0.1") ||
+          !new java.io.File(smallDir).isDirectory) "null"
+      else {
+        val e2eMin = Seq(e2eP1, e2eP2).flatten.map(_._1)
+          .minOption.filterNot(_ => failed.contains("p92_pipeline_e2e"))
+        val bigMins = (crossLegacy ++ crossExt)
+          .map { case (k, (t, _)) => k -> t.min }.toMap ++
+          e2eMin.map("p92_pipeline_e2e" -> _).toMap
+        val top5Ext = crossExt
+          .filterNot { case (k, _) => failed.contains(k) }
+          .sortBy { case (_, (t, _)) => -t.min }.take(5).map(_._1)
+        val names = SparkEntry.benchQueries ++ top5Ext ++
+          e2eMin.map(_ => "p92_pipeline_e2e").toSeq
+        val rows = names.filterNot(failed.contains).flatMap { name =>
+          try {
+            val fn = fns(name)
+            fn(spark, smallDir).count() // warm
+            val small = (1 to 2).map { _ =>
+              val t0 = System.nanoTime(); fn(spark, smallDir).count()
+              (System.nanoTime() - t0) / 1e9
+            }.min
+            bigMins.get(name).map { big =>
+              val slope =
+                if (small > 0) (big / small * 100).round / 100.0 else -1.0
+              s""""$name":{"small_s":$small,"big_s":$big,"slope":$slope}"""
+            }
+          } catch { case e: Throwable =>
+            System.err.println(
+              s"[bench] scaling $name FAILED: ${e.getMessage}")
+            None
+          }
+        }
+        s"""{"small_sf":"$smallDir","data_ratio":10,""" +
+          s""""queries":${rows.mkString("{", ",", "}")},"probe":${probe()}}"""
+      }
+    }
     val probeEnd = probe()
     // a failed query reports null and is excluded from the total, so
     // totals stay comparable across rounds (a broken query must neither
@@ -294,19 +363,45 @@ object Bench {
       rs.collect { case (k, t) if !failed.contains(k) => t.min }.sum
     val total = rawTotal(results)
     val extTotal = rawTotal(extResults)
+    // merge the two storage passes: per table the cross-pass build min
+    // with the losing pass's build as build_max_s (one build per pass,
+    // so the pass's build IS its minimum), the cross-pass read min with
+    // the losing pass's min-of-3 as read_pass_max_s, and the winning
+    // pass's telemetry alongside
+    final case class STime(build: Double, buildMax: Double,
+      buildProbe: Double, buildGcMs: Long, buildPeakMb: Long,
+      min: Double, readPassMax: Double, median: Double,
+      probe: Double, gcMs: Long, peakMb: Long)
+    val storageResults: Seq[(String, STime)] =
+      storageP1.zip(storageP2).map { case ((k, a), (k2, b)) =>
+        require(k == k2, s"storage pass order diverged: $k vs $k2")
+        val bw = if (b.build < a.build) b else a // build winner
+        val rw = if (b.min < a.min) b else a // read winner
+        k -> STime(math.min(a.build, b.build), math.max(a.build, b.build),
+          bw.buildProbe, bw.buildGcMs, bw.buildPeakMb,
+          math.min(a.min, b.min), math.max(a.min, b.min),
+          rw.median, rw.probe, rw.gcMs, rw.peakMb)
+      }
     val storageJson = storageResults.map { case (k, t) =>
       "\"" + k + "\":" + (if (failed.contains(k)) "null"
         else s"""{"build_s":${t.build},"build_max_s":${t.buildMax},""" +
           s""""build_probe":${t.buildProbe},""" +
           s""""build_gc_ms":${t.buildGcMs},""" +
           s""""build_peak_mb":${t.buildPeakMb},"read_s":${t.min},""" +
+          s""""read_pass_max_s":${t.readPassMax},""" +
           s""""read_median_s":${t.median},"probe":${t.probe},""" +
           s""""gc_ms":${t.gcMs},"peak_mb":${t.peakMb}}""")
     }.mkString("{", ",", "}")
     val storageBuildTotal = storageResults
       .collect { case (k, t) if !failed.contains(k) => t.build }.sum
+    // the losing passes' sums, so the artifact itself shows the split a
+    // box-load phantom produces (hot one pass, cold the other)
+    val storageBuildPassMax = storageResults
+      .collect { case (k, t) if !failed.contains(k) => t.buildMax }.sum
     val storageReadTotal = storageResults
       .collect { case (k, t) if !failed.contains(k) => t.min }.sum
+    val storageReadPassMax = storageResults
+      .collect { case (k, t) if !failed.contains(k) => t.readPassMax }.sum
     // normalized_total: each query's min scaled by (cleanest probe this
     // run / its nearest probe) — a query timed while the box was loaded
     // is deflated by the probe's own slowdown, so a loaded run no longer
@@ -326,7 +421,7 @@ object Bench {
     val normalizedTotal = normTotal(results)
     val extNormalizedTotal = normTotal(extResults)
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(results)(_.min)},"medians":${qJson(results)(_.median)},"probes":${qJson(results)(_.probe)},"gc_ms":${qJsonL(results)(_.gcMs)},"peak_mb":${qJsonL(results)(_.peakMb)},"legacy_total":$total,"normalized_total":$normalizedTotal,"pass_max":${passMaxJson(crossLegacy)},"extended":${qJson(extResults)(_.min)},"extended_pass_max":${passMaxJson(crossExt)},"extended_probes":${qJson(extResults)(_.probe)},"extended_gc_ms":${qJsonL(extResults)(_.gcMs)},"extended_peak_mb":${qJsonL(extResults)(_.peakMb)},"extended_total":$extTotal,"extended_normalized_total":$extNormalizedTotal,"storage":$storageJson,"storage_build_total":$storageBuildTotal,"storage_read_total":$storageReadTotal,"ann":$annJson,"e2e_pipeline":$e2e,"noise_floor":{"probe_start":$probeStart,"probe_end":$probeEnd},"failed":$failedJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(results)(_.min)},"medians":${qJson(results)(_.median)},"probes":${qJson(results)(_.probe)},"gc_ms":${qJsonL(results)(_.gcMs)},"peak_mb":${qJsonL(results)(_.peakMb)},"legacy_total":$total,"normalized_total":$normalizedTotal,"pass_max":${passMaxJson(crossLegacy)},"extended":${qJson(extResults)(_.min)},"extended_pass_max":${passMaxJson(crossExt)},"extended_probes":${qJson(extResults)(_.probe)},"extended_gc_ms":${qJsonL(extResults)(_.gcMs)},"extended_peak_mb":${qJsonL(extResults)(_.peakMb)},"extended_total":$extTotal,"extended_normalized_total":$extNormalizedTotal,"storage":$storageJson,"storage_build_total":$storageBuildTotal,"storage_build_pass_max":$storageBuildPassMax,"storage_read_total":$storageReadTotal,"storage_read_pass_max":$storageReadPassMax,"ann":$annJson,"e2e_pipeline":$e2e,"scaling":$scalingJson,"noise_floor":{"probe_start":$probeStart,"probe_end":$probeEnd},"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // belt-and-braces for the driver: also drop the line in a file, immune
     // to any log-prefixing of stdout. Stdout stays the primary channel —

@@ -94,12 +94,10 @@ object PipelineDemo {
     //    clusters never straddle a split boundary. Derived from step 2's
     //    ALREADY-COMPUTED components — leakageSafeSplit(withIds,
     //    nearPairs) would re-run the MinHash + label-propagation job
-    val bucket =
-      graft.functions.Fns.fnv1a32(col("group_id").cast("string")) % 10
     val withSplit = withIds
       .join(groups.select("doc_id", "group_id"), "doc_id")
-      .withColumn("split", when(bucket < 8, "train")
-        .when(bucket === 8, "val").otherwise("test"))
+      .withColumn("split",
+        graft.operators.Sampling.splitForGroup(col("group_id")))
       .drop("group_id")
     val splitCounts = withSplit.groupBy("split").count()
       .orderBy("split").collect()

@@ -50,11 +50,14 @@ object EvalMetrics {
     val cumSchema = parted.schema
       .add(org.apache.spark.sql.types.StructField("cum_nn",
         org.apache.spark.sql.types.LongType, nullable = false))
+    // resolve nn by NAME once per partition — a hard-coded ordinal would
+    // silently sum the wrong column if the upstream select ever reorders
+    val nnIdx = parted.schema.fieldIndex("nn")
     val local = parted.mapPartitions { it =>
       var acc = 0L
       it.map { r =>
-        acc += r.getLong(2)
-        org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2), r.get(3), acc)
+        acc += r.getLong(nnIdx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
       }
     }(org.apache.spark.sql.Encoders.row(cumSchema))
     val totals = local.groupBy("pid").agg(max("cum_nn").as("t"))

@@ -27,10 +27,11 @@ import graft.sources.FsMeta
   * side of both probe joins exchange-free (its files ARE the shuffle
   * output, paid once at write — the same move as the reference persisting
   * map-side shuffle files that reducers then read by bucket,
-  * mr/coordinator.go:98-113), and bucket PRUNING skips index files whose
-  * bkey bucket no batch row touches: a narrow batch reads a narrow slice
-  * of the index, not all of it ([[nearDupsAgainstIndex]] pushes the
-  * batch's distinct bkeys as an IN filter when they fit [[MaxProbeKeys]]).
+  * mr/coordinator.go:98-113), and narrow-batch PRUNING skips index data
+  * no batch row touches: a narrow batch reads a narrow slice of the
+  * index, not all of it ([[nearDupsAgainstIndex]] pushes the batch's
+  * distinct bkeys as a literal IN — bucket file pruning — when few, or
+  * a broadcast semi-join when they fit [[MaxProbeKeys]]).
   *
   * Both tables carry the signature family's determinism: same
   * RollingHash31 base hash, same affine permutations, same band hashing —
@@ -82,23 +83,33 @@ object IncrementalDedup {
     }
   }
 
-  /** Cap on the collected key sets that drive NARROW-batch index
-    * pruning. A batch counts as narrow when it has at most
-    * MaxProbeKeys / bands documents (so its band-key set fits the cap);
-    * only then are its distinct bkeys — and the candidate pairs' doc
-    * ids — collected and pushed as IN filters onto the bucketed index
-    * scans. The collects are batch-bounded, the same driver-side scale
-    * as a dynamic-partition-pruning subquery.
+  /** Narrow-batch gate: a batch counts as narrow when it has at most
+    * MaxProbeKeys / bands documents (so its band-key set is bounded by
+    * the cap); only narrow batches get index pruning at all. Wide
+    * batches touch every bucket anyway, so they skip the pruning AND
+    * its driver-side key collection entirely; correctness never depends
+    * on either (a key absent from the batch cannot join).
     *
-    * Why a LOW cap: Catalyst's planning cost for an IN-literal list is
-    * linear in its length (measured ~0.7 ms/key/query at sf0.1 — a 31k
-    * key list added >20 s per probe), while the filter's value — bucket
-    * file pruning — exists only when the key set is small relative to
-    * the bucket count anyway. Wide batches skip the filters AND the
-    * collects entirely; correctness never depends on them (a key absent
-    * from the batch cannot join).
+    * Pruning is two-tier (round-17; the single tier used to be a
+    * literal IN capped at 1024 keys):
+    *   - ≤ [[InListMaxKeys]] distinct keys → a literal IN filter, the
+    *     only form Spark's bucket pruning understands — the scan then
+    *     skips whole bucket FILES. Catalyst's planning cost for an
+    *     IN-literal is linear in its length (measured ~0.7 ms/key/query
+    *     at sf0.1 — a 31k key list added >20 s per probe), so this tier
+    *     is capped where the expression tree stays trivial and file
+    *     pruning still has value relative to the bucket count.
+    *   - otherwise → a BROADCAST LEFT-SEMI join against the batch's
+    *     distinct keys: O(1) planning cost regardless of key count, rows
+    *     pruned before the probe join. The broadcast exchange carries
+    *     batch keys only — index bytes still never enter an exchange
+    *     (the spec's 100 TB pin). Only the tier-1 probe collects keys to
+    *     the driver (≤ InListMaxKeys + 1 rows).
     */
-  val MaxProbeKeys: Int = 1024
+  val MaxProbeKeys: Int = 8192
+
+  /** Literal-IN tier cap — see [[MaxProbeKeys]]. */
+  val InListMaxKeys: Int = 64
 
   private def bandsPath(path: String) = s"$path/bands"
   private def shinglesPath(path: String) = s"$path/shingles"
@@ -265,14 +276,17 @@ object IncrementalDedup {
     *
     * NARROW batches (≤ [[MaxProbeKeys]] / bands documents — the trickle-
     * ingest regime bucketing exists for: a small batch probing a huge
-    * index) additionally get FILE pruning: the batch's distinct bkeys are
-    * collected and pushed as an IN filter onto the band table (bucket
-    * pruning — FileSourceScan reads only the touched buckets), the
-    * candidate pairs are materialized (localCheckpoint, batch-bounded)
-    * and their doc ids pushed the same way onto the shingle table. A
-    * narrow probe therefore reads a small SLICE of the index, not all of
-    * it. Wide batches skip the collects — planning cost of an IN list is
-    * linear in its size, and a wide batch touches every bucket anyway.
+    * index) additionally get index pruning, two-tier per
+    * [[MaxProbeKeys]]'s scaladoc: ≤ [[InListMaxKeys]] distinct keys →
+    * a literal IN filter (bucket pruning — FileSourceScan reads only
+    * the touched bucket FILES); beyond that → a broadcast left-semi
+    * join against the batch's distinct keys (O(1) planning cost, rows
+    * pruned before the probe join, index bytes still never enter an
+    * exchange). The candidate pairs are materialized (localCheckpoint,
+    * batch-bounded) and their doc ids prune the shingle table the same
+    * two-tier way. A narrow probe therefore reads (tier 1) or streams
+    * (tier 2) a small SLICE of the index, not all of it. Wide batches
+    * skip pruning — a wide batch touches every bucket anyway.
     *
     * Ordering contract: run this BEFORE [[appendBatch]] for the same
     * batch — once the batch's ids are in the index, its rows sit on both
@@ -293,8 +307,13 @@ object IncrementalDedup {
       "bkey", p.numBuckets)
     val iBands =
       if (!narrow) iBandsAll
-      else iBandsAll.filter(col("bkey").isin(
-        bBands.select("bkey").distinct().collect().map(_.get(0)).toSeq: _*))
+      else {
+        val bkeys = bBands.select("bkey").distinct()
+        val few = bkeys.limit(InListMaxKeys + 1).collect().map(_.get(0))
+        if (few.length <= InListMaxKeys)
+          iBandsAll.filter(col("bkey").isin(few.toSeq: _*))
+        else iBandsAll.join(broadcast(bkeys), Seq("bkey"), "left_semi")
+      }
     // batch×index collisions: hint on the BATCH side so it is the hash
     // build side and the index is streamed (never broadcast, never
     // shuffled). least/greatest canonicalizes — a batch id may sort
@@ -311,18 +330,28 @@ object IncrementalDedup {
         col("x.bkey") === col("y.bkey") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
     val cands0 = cross.unionByName(internal).distinct()
-    val (cands, candIds) =
-      if (!narrow) (cands0, None)
+    val (cands, pruneSh): (DataFrame, DataFrame => DataFrame) =
+      if (!narrow) (cands0, identity[DataFrame] _)
       else {
         // materialize the (batch-bounded) pair set once so the pairs'
         // doc ids can prune the shingle lookups; lineage-cut so the
-        // banding subtree does not replan under the verify
+        // banding subtree does not replan under the verify. Same
+        // two-tier shape as the band pruning above: a literal IN only
+        // while it bucket-prunes files cheaply, a broadcast semi-join
+        // beyond that (the ids frame reads the checkpointed pairs, so
+        // the broadcast costs no recompute).
         val c = cands0.localCheckpoint()
-        val ids = c.select(explode(array(col("id_a"), col("id_b"))).as("id"))
-          .distinct().limit(MaxProbeKeys + 1).collect().map(_.get(0))
-        (c, if (ids.length > MaxProbeKeys) None else Some(ids.toSeq))
+        val idsDf = c
+          .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+          .distinct()
+        val few = idsDf.limit(InListMaxKeys + 1).collect().map(_.get(0))
+        if (few.length <= InListMaxKeys)
+          (c, (t: DataFrame) => t.filter(col("id").isin(few.toSeq: _*)))
+        else
+          (c, (t: DataFrame) =>
+            t.join(broadcast(idsDf), Seq("id"), "left_semi"))
       }
-    verifyAgainstIndex(spark, cands, bSh, candIds, p, path)
+    verifyAgainstIndex(spark, cands, bSh, pruneSh, p, path)
   }
 
   /** Exact-Jaccard verify where each pair side's shingle set is looked up
@@ -335,17 +364,16 @@ object IncrementalDedup {
     * replayed appends.
     */
   private def verifyAgainstIndex(spark: SparkSession, cands: DataFrame,
-      bSh: DataFrame, candIds: Option[Seq[Any]], p: Params,
+      bSh: DataFrame, pruneSh: DataFrame => DataFrame, p: Params,
       path: String): DataFrame = {
     val iShAll = bucketedTable(spark, path, "sh", shinglesPath(path),
       "id", p.numBuckets)
-    // narrow-batch probe: only shingle buckets holding a candidate id are
-    // read (the ids are batch-bounded; a missing filter is only a
-    // performance difference — ids outside the pair set cannot join)
-    val iSh = candIds match {
-      case Some(ids) => iShAll.filter(col("id").isin(ids: _*))
-      case None => iShAll
-    }
+    // narrow-batch probe: only shingle rows holding a candidate id are
+    // read — a literal IN (bucket file pruning) or a broadcast semi-join
+    // per the caller's tier choice (the ids are batch-bounded; a missing
+    // filter is only a performance difference — ids outside the pair set
+    // cannot join)
+    val iSh = pruneSh(iShAll)
     def lookup(c: DataFrame, idName: String, tag: String): DataFrame =
       c.hint("SHUFFLE_HASH")
         .join(iSh.select(col("id").as(idName), col("sh").as(s"i_$tag")),

@@ -193,9 +193,19 @@ object Sampling {
     */
   def leakageSafeSplit(docs: DataFrame, idCol: String, nearDupPairs: DataFrame): DataFrame = {
     val grouped = ConnectedComponents.dedupGroups(docs, idCol, nearDupPairs)
-    val bucket = Fns.fnv1a32(col("group_id").cast("string")) % 10
     grouped.select(col("doc_id"), col("group_id"),
-      when(bucket < 8, "train").when(bucket === 8, "val")
-        .otherwise("test").as("split"))
+      splitForGroup(col("group_id")).as("split"))
+  }
+
+  /** The 80/10/10 bucket-to-split rule — fnv1a32(group_id) % 10 → 0-7
+    * train, 8 val, 9 test. ONE definition shared by [[leakageSafeSplit]]
+    * and the pipeline compositions that split over already-computed
+    * components (PipelineDemo, p92_pipeline_e2e), so a policy change
+    * here cannot silently desynchronize them. (p92's DuckDB oracle pins
+    * the same rule independently in SQL.)
+    */
+  def splitForGroup(groupId: Column): Column = {
+    val bucket = Fns.fnv1a32(groupId.cast("string")) % 10
+    when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test")
   }
 }

@@ -94,12 +94,9 @@ object PipelineE2e {
         //    (componentLabels checkpoints its RESULT, not its call);
         //    group_id is identical either way (same edge set, same
         //    coalesce-to-own-id rule)
-        val bucket =
-          graft.functions.Fns.fnv1a32(col("group_id").cast("string")) % 10
         val withSplit = withIds
           .join(groups.select("doc_id", "group_id"), "doc_id")
-          .withColumn("split", when(bucket < 8, "train")
-            .when(bucket === 8, "val").otherwise("test"))
+          .withColumn("split", Sampling.splitForGroup(col("group_id")))
         // 7. accounting: the corpus card a release ships
         withSplit.groupBy("split", "lang").agg(
             count(lit(1)).as("n_docs"),

@@ -597,7 +597,21 @@ object ManifestTable {
   def readManifest(dir: String, ref: String = ""): Option[Manifest] = {
     val mp = if (ref.isEmpty) manifestPath(dir) else branchPath(dir, ref)
     if (!FsMeta.exists(mp)) None
-    else Some(parse(FsMeta.readString(mp), mp))
+    else try Some(parse(FsMeta.readString(mp), mp))
+    catch { case scala.util.control.NonFatal(e) =>
+      // The pointer is a CACHE of the max CAS snapshot. A reader can
+      // catch its in-place PUT mid-flight (no-rename mode on a store
+      // without atomic overwrite; concurrent-writer storms interleave
+      // pointer writes) and see a truncated or garbled payload — that
+      // must not read as table corruption while the create-once
+      // version snapshots hold the truth. Recover from the max
+      // retained snapshot; rethrow only when there is none to recover
+      // from (then the pointer really is the table's only state).
+      val vs = snapshotVersions(dir, ref)
+      if (vs.isEmpty) throw e
+      val sp = snapshotPath(dir, vs.last, ref)
+      Some(parse(FsMeta.readString(sp), sp))
+    }
   }
 
   private def parse(raw: String, mp: String): Manifest = {
@@ -1193,8 +1207,12 @@ object ManifestTable {
               .option("files", names.mkString(","))) {
             case (r, (k, v)) => r.option(k, v)
           }.load()
+      // backtick-quote on resolve: a plain col(name) parses '.' as a
+      // nested-field path, so a top-level column named "a.b" would fail
+      // analysis here where the reader itself handles it fine
       df.select(mTo.schema.fields.toSeq.map { f =>
-        if (df.schema.fieldNames.contains(f.name)) col(f.name)
+        if (df.schema.fieldNames.contains(f.name))
+          col("`" + f.name.replace("`", "``") + "`")
         else lit(null).cast(f.dataType).as(f.name)
       }: _*)
     }
@@ -1208,9 +1226,19 @@ object ManifestTable {
     // shuffle twice — on a 100 TB table's changed files that doubles
     // the feed's I/O for no information (round-16 q94 finding: 4
     // GTabScans for a 2-version diff; this plan has 2).
-    import org.apache.spark.sql.functions.{abs => fAbs, col => fCol,
-      sum, when}
+    import org.apache.spark.sql.functions.{abs => fAbs, sum, when}
     val dataCols = mTo.schema.fieldNames.toSeq
+    // quoted resolution throughout: groupBy/select on a bare name would
+    // parse '.' and '`' as path syntax instead of the column's name
+    def fCol(n: String) = col("`" + n.replace("`", "``") + "`")
+    // the feed's output schema RESERVES _change_type (Delta's CDF
+    // column name) — a user column of that name would be silently
+    // overwritten by BOTH feed forms, so refuse it loudly
+    if (dataCols.contains("_change_type"))
+      throw new IllegalArgumentException(
+        s"table at $dir has a column named _change_type, which the " +
+          "change feed reserves for its own output; rename the column " +
+          "to read a change feed from this table")
     // a user column named __cf_* would collide with the tag columns —
     // vanishingly unlikely, but fall back to the (2x-scan) exceptAll
     // form rather than silently overwriting it

@@ -164,4 +164,37 @@ class ChangeFeedMultiplicitySpec extends AnyFunSuite {
       ("insert", "c", Some(7L), 3L),   // 1 -> 4: three inserts
       ("insert", "d", Some(9L), 1L)))  // (b, null) x2 both sides: cancels
   }
+
+  test("dotted top-level column names resolve as names, not nested paths") {
+    // the one-pass feed groups by data-column NAME; an unquoted
+    // col("a.b") parses as a struct path and fails analysis — the
+    // quoted resolution must treat the dot as part of the name
+    val dir = Files.createTempDirectory("graft_cdf_dot").toString + "/t"
+    def write(ids: Range, mode: SaveMode): Unit =
+      spark.range(ids.head, ids.last + 1).select(col("id").as("k"),
+          concat(lit("v"), col("id")).as("a.b"))
+        .repartition(1).write.format(Fmt).option("path", dir)
+        .mode(mode).save()
+    write(0 to 9, SaveMode.Append)
+    write(10 to 12, SaveMode.Append)
+    val feed = ManifestTable.changeFeed(spark, dir, 1L, 2L)
+    assert(feed.select(col("_change_type"), col("k"), col("`a.b`"))
+      .as[(String, Long, String)].collect().toSet ==
+      (10 to 12).map(i => ("insert", i.toLong, s"v$i")).toSet)
+  }
+
+  test("a user column literally named _change_type is refused, not overwritten") {
+    val dir = Files.createTempDirectory("graft_cdf_reserved").toString + "/t"
+    def write(n: Int, mode: SaveMode): Unit =
+      spark.range(0, n).select(col("id").as("k"),
+          lit("user-data").as("_change_type"))
+        .repartition(1).write.format(Fmt).option("path", dir)
+        .mode(mode).save()
+    write(5, SaveMode.Append)
+    write(7, SaveMode.Overwrite)
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.changeFeed(spark, dir, 1L, 2L)
+    }
+    assert(e.getMessage.contains("_change_type"))
+  }
 }

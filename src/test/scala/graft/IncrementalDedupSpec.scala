@@ -198,6 +198,99 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(full.nonEmpty, "fixture must plant a near-dup for the probe doc")
   }
 
+  test("probe with a few thousand band keys plans a broadcast semi-join, not a literal In") {
+    import org.apache.spark.sql.catalyst.expressions.In
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val idx = tmpDir("semitier")
+    // batch = doc_id % 5 == 0: ~100 docs x 32 bands ≈ a few thousand
+    // distinct band keys — NARROW under the raised gate
+    // (MaxProbeKeys / bands = 256 docs) but far past the literal-IN tier
+    // (InListMaxKeys = 64), so pruning must take the broadcast-semi form
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    val batchDocs = batch.count()
+    assert(batchDocs > IncrementalDedup.InListMaxKeys &&
+      batchDocs <= IncrementalDedup.MaxProbeKeys / P.bands,
+      s"fixture drifted: $batchDocs docs no longer lands in the semi tier")
+    IncrementalDedup.buildIndex(
+      docs.filter($"doc_id" % 5 =!= 0), "doc_id", "text", P, idx)
+
+    // descend into AQE query-stage LEAVES too: a node below an exchange
+    // lives inside a QueryStageExec, which .children does not expose
+    def flatten(pl: SparkPlan): Seq[SparkPlan] = pl match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    def scansOf(nodes: Seq[SparkPlan], sub: String) = nodes.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains(sub)) => f
+    }
+    def holdsIndexScan(pl: SparkPlan, sub: String): Boolean =
+      scansOf(flatten(pl), sub).nonEmpty
+    // the band semi-join runs inside the candidate localCheckpoint job,
+    // not in the returned frame's plan — capture EVERY executed plan of
+    // the probe (checkpoint job included) through a listener
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      var plans = List.empty[SparkPlan]
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans ::= qe.executedPlan
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val result = try {
+      val r = pairSet(IncrementalDedup.nearDupsAgainstIndex(
+        spark, batch, "doc_id", "text", P, idx))
+      org.apache.spark.sql.graftshim.Bridge.waitForListeners(spark)
+      r
+    } finally spark.listenerManager.unregister(listener)
+    val nodes = listener.plans.flatMap(flatten)
+    // 1) the band index is pruned by a broadcast LEFT-SEMI hash join
+    //    whose STREAMED side is the index scan (batch keys broadcast)
+    val semis = nodes.collect {
+      case b: BroadcastHashJoinExec if b.joinType == LeftSemi &&
+        holdsIndexScan(
+          if (b.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildRight) b.left
+          else b.right,
+          s"$idx/bands") => b
+    }
+    assert(semis.nonEmpty,
+      s"expected a broadcast left-semi prune of the band index, plans:\n" +
+        listener.plans.mkString("\n---\n"))
+    // 2) no index scan carries an In-literal — the O(keys) expression
+    //    tree the semi tier exists to avoid (isnotnull etc. are fine)
+    val inFiltered = scansOf(nodes, idx)
+      .filter(_.dataFilters.exists(_.exists(_.isInstanceOf[In])))
+    assert(inFiltered.isEmpty,
+      s"index scans must not carry literal In filters in the semi tier: " +
+        inFiltered.mkString("\n"))
+    // 3) the 100 TB pin holds in this tier too: index bytes never enter
+    //    an exchange — the broadcast carries batch keys only
+    def nakedIndexScan(pl: SparkPlan): Boolean = pl match {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains(idx))
+      case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+      case other => other.children.exists(nakedIndexScan)
+    }
+    val offending = nodes.collect {
+      case e: Exchange if nakedIndexScan(e.child) => e }
+    assert(offending.isEmpty,
+      s"index-rooted data passes through an exchange:\n${offending.mkString("\n")}")
+    // 4) and the semi-tier plan still answers exactly
+    val full = pairSet(Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        P.shingleSize, P.numHashes, P.bands, P.threshold)
+      .filter($"id_a" % 5 === 0 || $"id_b" % 5 === 0))
+    assert(result == full)
+    assert(full.nonEmpty, "fixtures plant near-dups touching this batch")
+  }
+
   test("crash replay before the commit marker does not duplicate kept rows") {
     import graft.streaming.DedupIngest
     val root = tmpDir("crash")

@@ -133,6 +133,63 @@ class MetadataTreeSpec extends AnyFunSuite {
       s"gradient 10^4 -> 10^5: $tSmall s -> $tBig s")
   }
 
+  test("scale ladder: the 10^6 rung — a selective plan is still ONE " +
+      "decode, inside a wall-clock envelope; the gradient stays on " +
+      "root width") {
+    // the rung SCALE.md used to extrapolate, now measured: 10^6 entries
+    // (the 100 TB table class at ~100 MB/file) in one tree. Built with
+    // large commit batches so the build cost is shard writes + root
+    // rewrites, not 10^6 root parses.
+    def build(tag: String, files: Int, perCommit: Int): String = {
+      val dir = freshDir(tag)
+      (0 until files / perCommit).foreach { b =>
+        ManifestTable.commitVersion(dir, schema2,
+          fakeEntries(b * perCommit, (b + 1) * perCommit),
+          keepPrevious = true)
+      }
+      dir
+    }
+    import org.apache.spark.sql.sources.{Filter, LessThan}
+    def plan(dir: String): (Double, Long, Int) = {
+      val runs = (1 to 5).map { _ =>
+        val before = ManifestTable.shardDecodes.get()
+        val t0 = System.nanoTime()
+        val m = ManifestTable.readManifest(dir).get
+        val kept = ManifestTable.planFiles(m,
+          f => graft.sources.GTabSkip.keep(f,
+            Seq(LessThan("id", 50L): Filter), m.schema))
+        val dt = (System.nanoTime() - t0) / 1e9
+        (dt, ManifestTable.shardDecodes.get() - before, kept.size)
+      }
+      val best = runs.minBy(_._1)
+      assert(runs.forall(r => r._2 == best._2 && r._3 == best._3))
+      best
+    }
+    // same-session 10^5 reference rung for the gradient comparison
+    val big = build("l5ref", 100000, 1000)
+    val huge = build("l6", 1000000, 20000)
+    val mHuge = ManifestTable.readManifest(huge).get
+    // file count answered from root metadata alone — no census decode
+    assert(mHuge.nFiles == 1000000)
+    assert(mHuge.shards.size >= 3000,
+      s"expected ~4000 shards at 10^6 entries, got ${mHuge.shards.size}")
+    val (tBig, dBig, kBig) = plan(big)
+    val (tHuge, dHuge, kHuge) = plan(huge)
+    // selectivity contract at the top rung: one shard decoded, 5 entries
+    assert(dBig == 1 && dHuge == 1,
+      s"selective plan must decode exactly 1 shard (got $dBig/$dHuge)")
+    assert(kBig == 5 && kHuge == 5)
+    // absolute envelope: a 10^6-file selective plan stays well under a
+    // second — the bound is loose for shared-box noise and still orders
+    // of magnitude below any O(files) decode path
+    assert(tHuge < 2.0, s"10^6-entry selective plan took $tHuge s")
+    // gradient: 10x the files may cost at most ~10x the ROOT WIDTH
+    // (parse + prune are O(shards)); 40x + epsilon absorbs timer noise
+    // while still refuting any O(files) plan path
+    assert(tHuge <= tBig * 40 + 0.1,
+      s"gradient 10^5 -> 10^6: $tBig s -> $tHuge s")
+  }
+
   test("planning decodes only the shards the pruning keeps") {
     val dir = freshDir("prune")
     (0 until 8).foreach { b =>

@@ -17,6 +17,28 @@ class NoRenameFileSystem extends RawLocalFileSystem {
   override def rename(src: HPath, dst: HPath): Boolean =
     throw new UnsupportedOperationException(
       s"rename is forbidden on norename:// ($src -> $dst)")
+  // A real object store's conditional PUT ("create if absent") is
+  // ATOMIC; RawLocalFileSystem's create(overwrite=false) is a
+  // check-then-create with a TOCTOU window that would let two storm
+  // writers both "win" the same snapshot name — a failure mode the
+  // modeled store cannot have. One JVM-wide lock around the
+  // non-overwrite path restores the store's semantics. (Overwrite
+  // PUTs stay as-is: their torn-read window is real on this fake and
+  // exactly what the pointer's snapshot-fallback read path must — and
+  // does — absorb.)
+  override def create(f: HPath, overwrite: Boolean, bufferSize: Int,
+      replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    if (overwrite)
+      super.create(f, overwrite, bufferSize, replication, blockSize, progress)
+    else NoRenameFileSystem.casLock.synchronized {
+      super.create(f, overwrite, bufferSize, replication, blockSize, progress)
+    }
+}
+
+object NoRenameFileSystem {
+  private[graft] val casLock = new Object
 }
 
 /** OBJECT-STORE COMMIT MODE (`spark.graft.commit.norename=true`):
@@ -116,6 +138,96 @@ class NoRenameCommitSpec extends AnyFunSuite {
       ManifestTable.compact(spark, dir, 2, clusterBy = Seq("id"))
       assert(spark.read.format(Fmt).option("path", dir).load().count()
         == 98)
+    }
+  }
+
+  test("no-rename mode: concurrent-writer storm — every commit lands " +
+      "exactly once, versions stay linearizable, vacuum leaves zero " +
+      "orphaned staged files") {
+    // the object-store mode's remaining untested seam (round-16
+    // verdict): NoRename pins single-writer DML, ConcurrentCommitSpec
+    // pins CAS retries in default (rename) mode — this composes them:
+    // N real threads x M commits racing the create-no-overwrite CAS +
+    // pointer PUT, appenders and a COW merger together.
+    withMode {
+      val dir = s"$base/storm"
+      (0 until 100).map(i => (i.toLong, 0L)).toDF("id", "v")
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+        .write.format(Fmt).option("path", dir).mode("append").save()
+      val writers = 4
+      val commitsEach = 3
+      // the per-commit CAS retry is bounded at 5 attempts; under a
+      // genuine storm exhaustion is legal, so writers re-issue — what
+      // must NEVER happen is a silent double-land or lost commit
+      def attempt[A](n: Int)(body: => A): A =
+        try body catch {
+          case _: ManifestTable.ConcurrentCommitException if n > 1 =>
+            attempt(n - 1)(body)
+        }
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 until writers).map { w =>
+        new Thread(() => {
+          try {
+            (0 until commitsEach).foreach { j =>
+              if (w == 0) // COW merger: its own key space, disjoint files
+                attempt(4)(CowOps.merge(spark, dir,
+                  Seq((j.toLong, (j + 1).toLong)).toDF("id", "v"), "id"))
+              else // appenders: disjoint fresh id ranges
+                attempt(4)((0 until 50)
+                  .map(i => (1000L * w + 100L * j + i, -1L)).toDF("id", "v")
+                  .write.format(Fmt).option("path", dir)
+                  .mode("append").save())
+            }
+          } catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      assert(errs.isEmpty, s"a writer failed: ${errs.peek()}")
+      val total = 1 + writers * commitsEach
+      val m = ManifestTable.readManifest(dir).get
+      // exactly one version per commit — no lost update, no double-land
+      assert(m.version == total,
+        s"expected $total linearized versions, head is ${m.version}")
+      val versions = ManifestTable.snapshotVersions(dir)
+      assert(versions == (1L to total.toLong),
+        s"versions must be contiguous, got $versions")
+      // every hop is one writer's whole commit: row count moves by
+      // exactly +50 (an append) or 0 (a merge), never a torn mixture
+      val counts = versions.map(v =>
+        ManifestTable.readManifestAsOf(dir, v).nRows)
+      val deltas = counts.zip(counts.tail).map { case (a, b) => b - a }
+      assert(deltas.forall(d => d == 0L || d == 50L),
+        s"non-atomic version hop: deltas $deltas")
+      assert(deltas.count(_ == 50L) == (writers - 1) * commitsEach)
+      // effects of every writer are visible exactly once
+      val rows = spark.read.format(Fmt).option("path", dir).load()
+        .as[(Long, Long)].collect().toMap
+      assert(rows.size == 100 + (writers - 1) * commitsEach * 50)
+      (0 until commitsEach).foreach(j =>
+        assert(rows(j.toLong) == j + 1, s"merge of key $j lost"))
+      for (w <- 1 until writers; j <- 0 until commitsEach; i <- 0 until 50)
+        assert(rows(1000L * w + 100L * j + i) == -1L)
+      // every retained version stays readable with all its files present
+      versions.foreach { v =>
+        ManifestTable.readManifestAsOf(dir, v).files.foreach { f =>
+          assert(FsMeta.exists(s"$dir/data/${f.name}"),
+            s"version $v references missing file ${f.name}")
+        }
+      }
+      // zero orphaned staged files: after expiry + vacuum, the data dir
+      // holds exactly the final version's referenced files — losers'
+      // staged attempts and rewritten COW generations are all reclaimed
+      ManifestTable.expireSnapshots(dir, keepLast = 1)
+      ManifestTable.vacuum(dir, graceMs = 0L)
+      val referenced = ManifestTable.readManifest(dir).get.files
+        .map(_.name).toSet
+      val onDisk = FsMeta.listFiles(s"$dir/data").toSet
+      assert(onDisk == referenced,
+        s"orphaned staged files: ${(onDisk -- referenced).mkString(",")} " +
+          s"/ missing: ${(referenced -- onDisk).mkString(",")}")
+      assert(spark.read.format(Fmt).option("path", dir).load().count()
+        == 100 + (writers - 1) * commitsEach * 50)
     }
   }
 

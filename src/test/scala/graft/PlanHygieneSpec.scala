@@ -283,6 +283,60 @@ class PlanHygieneSpec extends AnyFunSuite {
         "PLANS.md entry explaining why):\n" + drifted.mkString("\n"))
   }
 
+  // p92's efficiency contract in numbers: the e2e chain claims
+  // "components computed once, analysis as a projection" — a silent
+  // edit re-introducing a double component computation (or joining
+  // analyze() back on doc_id) would only surface as a bench drift three
+  // rounds later. Pin the SCAN BUDGET instead: the total number of
+  // parquet scans of `documents` across EVERY job the chain runs
+  // (checkpoint jobs included, observed through a listener — the
+  // component phase materializes inside localCheckpoint, so the final
+  // frame's plan alone undercounts).
+  test("p92 scan budget: documents is scanned a pinned number of times end-to-end") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val s = spark.newSession()
+    val seen = new java.util.concurrent.CopyOnWriteArrayList[SparkPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { seen.add(qe.executedPlan); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    s.listenerManager.register(listener)
+    val docScans = try {
+      Registry.byName("p92_pipeline_e2e").run(s, TestSpark.sf0001).count()
+      org.apache.spark.sql.graftshim.Bridge.waitForListeners(s)
+      // descend into AQE query-stage LEAVES too: a scan below an
+      // exchange lives inside a QueryStageExec, which .children hides
+      def flatten(pl: SparkPlan): Seq[SparkPlan] = pl match {
+        case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q +: flatten(q.plan)
+        case other => other +: other.children.flatMap(flatten)
+      }
+      import scala.jdk.CollectionConverters._
+      seen.asScala.toSeq.flatMap(flatten).collect {
+        case f: FileSourceScanExec if f.metadata.get("Location")
+          .exists(_.contains("documents.parquet")) => f
+      }
+    } finally s.listenerManager.unregister(listener)
+    assert(docScans.nonEmpty, "no documents scan observed — listener broke")
+    // 30 column-pruned scans across the chain's ~8 jobs (candidate
+    // checkpoint, component iterations, offsets, final): each stage
+    // re-derives its slice from the parquet scan instead of caching —
+    // scans are cheap and column-pruned, the EXPENSIVE stages
+    // (shingling, minhash, components, 4-gram explode) each run once.
+    // A re-introduced double component computation costs ~6 extra
+    // scans, a join-back analysis ~4 — both trip this pin.
+    assert(docScans.size == 30,
+      s"p92's documents scan budget drifted: got ${docScans.size}, " +
+        "pinned 30 (update the pin ONLY with a PLANS.md entry explaining " +
+        "why the new budget is right)")
+  }
+
   test("q82's SQL-defined function is INLINED — no function-call node survives analysis") {
     val q = Registry.byName("q82_sql_udf")
     val plan = q.run(spark, TestSpark.sf0001).queryExecution.executedPlan
