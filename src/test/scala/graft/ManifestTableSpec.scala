@@ -196,13 +196,25 @@ class ManifestTableSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("CRC")))
   }
 
-  test("torn manifest publish fails loudly (CRC header)") {
+  test("torn pointer: recovers from the CAS snapshot when one exists, " +
+      "fails loudly (CRC) when none does") {
+    // round-17 contract split: the _MANIFEST pointer is a CACHE of the
+    // max create-once version snapshot, so a torn pointer read (a
+    // reader racing an in-place pointer PUT) RECOVERS from the
+    // snapshot — the CRC still guards the recovered payload. Only a
+    // table with no snapshot to recover from (pre-time-travel legacy)
+    // surfaces the loud CRC error.
     val dir = tmp()
     Seq((1L, "a")).toDF("id", "s")
       .write.format(Fmt).option("path", dir).mode(SaveMode.Append).save()
     val mp = ManifestTable.manifestPath(dir)
     val raw = FsMeta.readString(mp)
     FsMeta.writeString(mp, raw.dropRight(3))
+    val recovered = ManifestTable.readManifest(dir).get
+    assert(recovered.version == 1 && recovered.files.nonEmpty,
+      "torn pointer must recover from the retained v1 snapshot")
+    // no snapshot left: the torn pointer is the only state — loud CRC
+    FsMeta.deleteRecursive(dir + "/_MANIFEST.v1")
     val e = intercept[IllegalStateException] { ManifestTable.readManifest(dir) }
     assert(e.getMessage.contains("CRC"))
   }
