@@ -274,12 +274,15 @@ object Bench {
     // the spacer)
     val storageP2 = storagePass()
     val e2eP2 = e2ePass()
+    // same discipline as every other group: a query that failed in
+    // EITHER pass reports null (it is already in failed[]) — a
+    // single-pass reading must not fabricate the pass_max==sec
+    // "two passes agreed" signal the field exists to carry
     val e2e = (e2eP1, e2eP2) match {
-      case (Some((a, pa)), Some((b, pb))) =>
+      case (Some((a, pa)), Some((b, pb)))
+          if !failed.contains("p92_pipeline_e2e") =>
         val (min, mx, pr) = if (b < a) (b, a, pb) else (a, b, pa)
         s"""{"sec":$min,"pass_max":$mx,"probe":$pr}"""
-      case (Some((a, pa)), None) => s"""{"sec":$a,"pass_max":$a,"probe":$pa}"""
-      case (None, Some((b, pb))) => s"""{"sec":$b,"pass_max":$b,"probe":$pb}"""
       case _ => "null"
     }
     // per query: the WINNING pass's full telemetry (its min, median,

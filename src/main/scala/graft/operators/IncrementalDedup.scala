@@ -308,7 +308,13 @@ object IncrementalDedup {
     val iBands =
       if (!narrow) iBandsAll
       else {
-        val bkeys = bBands.select("bkey").distinct()
+        // materialize the distinct keys ONCE (batch-bounded — the
+        // narrow gate caps them at MaxProbeKeys): without the
+        // checkpoint, the tier-choosing collect runs the banding job
+        // and the tier-2 broadcast would run it a second time
+        // (broadcast subtrees share no exchange reuse with the
+        // shuffle subtree)
+        val bkeys = bBands.select("bkey").distinct().localCheckpoint()
         val few = bkeys.limit(InListMaxKeys + 1).collect().map(_.get(0))
         if (few.length <= InListMaxKeys)
           iBandsAll.filter(col("bkey").isin(few.toSeq: _*))

@@ -54,9 +54,21 @@ object StorageLayout {
   /** q87: month-partitioned fact + selectively-filtered dim → Spark
     * injects a runtime partition-pruning subquery into the fact scan.
     */
+  /** q87's fact-table sink for `dir` — shared with DbgQ87 so the
+    * decomposition tool can never drift onto a stale path.
+    */
+  def q87FactPath(dir: String): String = "/tmp/graft_q87_fact/" +
+    java.lang.Integer.toHexString(dir.hashCode)
+
+  /** q87's dim leg (the DPP driver) — also the tool-shared piece. */
+  def q87Dim(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "orders")
+      .filter(month(col("o_orderdate")) === 1)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("ship_month"))
+      .distinct()
+
   def q87Dpp(s: SparkSession, dir: String): () => DataFrame = {
-    val path = "/tmp/graft_q87_fact/" +
-      java.lang.Integer.toHexString(dir.hashCode)
+    val path = q87FactPath(dir)
     Tables.t(s, dir, "lineitem")
       .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
       // one file per month partition (ClusteredWrite's file-sizing
@@ -66,10 +78,7 @@ object StorageLayout {
       .write.mode("overwrite").partitionBy("ship_month").parquet(path)
     () => {
       val fact = s.read.parquet(path)
-      val dim = Tables.t(s, dir, "orders")
-        .filter(month(col("o_orderdate")) === 1)
-        .select(date_format(col("o_orderdate"), "yyyy-MM").as("ship_month"))
-        .distinct()
+      val dim = q87Dim(s, dir)
       fact.join(dim, "ship_month")
         .groupBy("ship_month")
         .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))

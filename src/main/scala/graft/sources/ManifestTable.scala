@@ -607,6 +607,15 @@ object ManifestTable {
       // version snapshots hold the truth. Recover from the max
       // retained snapshot; rethrow only when there is none to recover
       // from (then the pointer really is the table's only state).
+      // Deliberately NO write-on-read heal: republishing the recovered
+      // payload here could land AFTER a concurrent writer's newer
+      // pointer PUT and its self-heal check, silently REGRESSING the
+      // pointer — the exact hazard publish() orders its writes to
+      // avoid. The cost of not healing: a pointer torn by a crashed
+      // writer on a quiescent table pays parse-fail + one LIST + one
+      // snapshot read per readManifest until the next commit rewrites
+      // it — a bounded metadata tax in a crash-and-idle corner, vs a
+      // correctness hole in the hot write path.
       val vs = snapshotVersions(dir, ref)
       if (vs.isEmpty) throw e
       val sp = snapshotPath(dir, vs.last, ref)

@@ -23,8 +23,7 @@ object DbgQ87 {
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     val read = graft.queries.StorageLayout.q87Dpp(s, dir)
-    val path = "/tmp/graft_q87_fact/" +
-      java.lang.Integer.toHexString(dir.hashCode)
+    val path = graft.queries.StorageLayout.q87FactPath(dir)
     def time(tag: String)(f: () => Long): Unit = {
       f() // warm
       val ts = (1 to 5).map { _ =>
@@ -33,10 +32,7 @@ object DbgQ87 {
       }.sorted
       println(f"$tag%-12s min=${ts.head}%.3f median=${ts(2)}%.3f")
     }
-    val dim = () => graft.api.Tables.t(s, dir, "orders")
-      .filter(month(col("o_orderdate")) === 1)
-      .select(date_format(col("o_orderdate"), "yyyy-MM").as("ship_month"))
-      .distinct()
+    val dim = () => graft.queries.StorageLayout.q87Dim(s, dir)
     val months = dim().collect().map(_.getString(0)).sorted
     println(s"pruned months: ${months.length} of " +
       s.read.parquet(path).select("ship_month").distinct().count())

@@ -156,10 +156,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val inc = IncrementalDedup.nearDupsAgainstIndex(
       spark, docs.filter($"doc_id" === probeId), "doc_id", "text", p64, idx)
 
-    def flatten(pl: SparkPlan): Seq[SparkPlan] = pl match {
-      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
-      case other => other +: other.children.flatMap(flatten)
-    }
+    import PlanFlatten.flatten
     val nodes = flatten(inc.queryExecution.executedPlan)
     // THE 100 TB property: index bytes never enter an Exchange (shuffle OR
     // broadcast) — every index scan reaches its consuming join with no
@@ -218,14 +215,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
     IncrementalDedup.buildIndex(
       docs.filter($"doc_id" % 5 =!= 0), "doc_id", "text", P, idx)
 
-    // descend into AQE query-stage LEAVES too: a node below an exchange
-    // lives inside a QueryStageExec, which .children does not expose
-    def flatten(pl: SparkPlan): Seq[SparkPlan] = pl match {
-      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        q +: flatten(q.plan)
-      case other => other +: other.children.flatMap(flatten)
-    }
+    import PlanFlatten.flatten
     def scansOf(nodes: Seq[SparkPlan], sub: String) = nodes.collect {
       case f: FileSourceScanExec
         if f.relation.location.rootPaths.exists(_.toString.contains(sub)) => f
@@ -378,13 +368,10 @@ class IncrementalDedupSpec extends AnyFunSuite {
     // pre-aligned write with no shuffle anywhere
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       var exchanges = 0
-      def flatten(pl: SparkPlan): Seq[SparkPlan] = pl match {
-        case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
-        case other => other +: other.children.flatMap(flatten)
-      }
       override def onSuccess(f: String,
           qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
-        exchanges += flatten(qe.executedPlan).count(_.isInstanceOf[Exchange])
+        exchanges += PlanFlatten.flatten(qe.executedPlan)
+          .count(_.isInstanceOf[Exchange])
       override def onFailure(f: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
           e: Exception): Unit = ()

@@ -309,16 +309,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     val docScans = try {
       Registry.byName("p92_pipeline_e2e").run(s, TestSpark.sf0001).count()
       org.apache.spark.sql.graftshim.Bridge.waitForListeners(s)
-      // descend into AQE query-stage LEAVES too: a scan below an
-      // exchange lives inside a QueryStageExec, which .children hides
-      def flatten(pl: SparkPlan): Seq[SparkPlan] = pl match {
-        case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          q +: flatten(q.plan)
-        case other => other +: other.children.flatMap(flatten)
-      }
       import scala.jdk.CollectionConverters._
-      seen.asScala.toSeq.flatMap(flatten).collect {
+      seen.asScala.toSeq.flatMap(PlanFlatten.flatten).collect {
         case f: FileSourceScanExec if f.metadata.get("Location")
           .exists(_.contains("documents.parquet")) => f
       }
