@@ -1059,7 +1059,12 @@ object ManifestTable {
     val payload = render(
       if (m.ts >= 0) m else m.copy(ts = System.currentTimeMillis()))
     val ptrPath = if (ref.isEmpty) manifestPath(dir) else branchPath(dir, ref)
-    val ptrTmp = ptrPath + ".tmp"
+    // unique tmp per WRITER for the pointer publish too (round-17 storm
+    // finding): a shared `_MANIFEST.tmp` lets writer A's ATOMIC_MOVE
+    // steal the tmp file writer B is still writing — B then fails on a
+    // vanished tmp (or worse, A publishes B's half-written payload).
+    // The snapshot CAS already used unique tmps; the pointer must too.
+    val ptrTmp = ptrPath + ".tmp-" + java.util.UUID.randomUUID
     // snapshot CAS: create-once on `_MANIFEST.v<N>`. Rename path for
     // stores with atomic rename; the no-rename mode publishes by
     // create-no-overwrite directly (one conditional PUT — the

@@ -88,6 +88,74 @@ class ConcurrentCommitSpec extends AnyFunSuite {
     assert(got.size == 99 && got(6L) == "U6" && !got.contains(5L))
   }
 
+  test("default-mode concurrent-writer storm: linearizable versions, " +
+      "exactly-once effects, zero debris after vacuum") {
+    // the rename-CAS twin of NoRenameCommitSpec's storm: the hook-based
+    // tests above pin DETERMINISTIC interleavings; this races 4 real
+    // threads x 3 commits (3 appenders + a COW merger) through
+    // renameIfAbsent snapshots + ATOMIC_MOVE pointer publishes
+    val dir = tmp()
+    (0 until 100).map(i => (i.toLong, 0L)).toDF("id", "v")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .write.format(Fmt).option("path", dir).mode(SaveMode.Append).save()
+    val writers = 4
+    val commitsEach = 3
+    def attempt[A](n: Int)(body: => A): A =
+      try body catch {
+        case _: ManifestTable.ConcurrentCommitException if n > 1 =>
+          attempt(n - 1)(body)
+      }
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until writers).map { w =>
+      new Thread(() => {
+        try {
+          (0 until commitsEach).foreach { j =>
+            if (w == 0)
+              attempt(4)(CowOps.merge(spark, dir,
+                Seq((j.toLong, (j + 1).toLong)).toDF("id", "v"), "id"))
+            else
+              attempt(4)((0 until 50)
+                .map(i => (1000L * w + 100L * j + i, -1L)).toDF("id", "v")
+                .write.format(Fmt).option("path", dir)
+                .mode(SaveMode.Append).save())
+          }
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errs.isEmpty, s"a writer failed: ${errs.peek()}")
+    val total = 1 + writers * commitsEach
+    val m = ManifestTable.readManifest(dir).get
+    assert(m.version == total,
+      s"expected $total linearized versions, head is ${m.version}")
+    val versions = ManifestTable.snapshotVersions(dir)
+    assert(versions == (1L to total.toLong),
+      s"versions must be contiguous, got $versions")
+    // every hop is one writer's whole commit — +50 (append) or 0 (merge)
+    val counts = versions.map(v =>
+      ManifestTable.readManifestAsOf(dir, v).nRows)
+    val deltas = counts.zip(counts.tail).map { case (a, b) => b - a }
+    assert(deltas.forall(d => d == 0L || d == 50L),
+      s"non-atomic version hop: deltas $deltas")
+    assert(deltas.count(_ == 50L) == (writers - 1) * commitsEach)
+    val rows = spark.read.format(Fmt).option("path", dir).load()
+      .as[(Long, Long)].collect().toMap
+    assert(rows.size == 100 + (writers - 1) * commitsEach * 50)
+    (0 until commitsEach).foreach(j =>
+      assert(rows(j.toLong) == j + 1, s"merge of key $j lost"))
+    // zero debris: after expiry + vacuum the data dir holds exactly the
+    // final version's files — losers' staged rewrites all reclaimed
+    ManifestTable.expireSnapshots(dir, keepLast = 1)
+    ManifestTable.vacuum(dir, graceMs = 0L)
+    val referenced = ManifestTable.readManifest(dir).get.files
+      .map(_.name).toSet
+    val onDisk = new java.io.File(s"$dir/data").list().toSet
+    assert(onDisk == referenced,
+      s"debris: ${(onDisk -- referenced).mkString(",")} / missing: " +
+        (referenced -- onDisk).mkString(","))
+  }
+
   test("crashed winner's lagging pointer heals: the next commit rolls forward and lands") {
     val dir = tmp()
     Seq((1L, "a")).toDF("id", "s")
