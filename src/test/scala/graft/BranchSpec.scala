@@ -235,4 +235,63 @@ class BranchSpec extends AnyFunSuite {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("streaming reads follow MAIN")))
   }
+
+  test("branch and main writers race independently: two namespaces " +
+      "over one data dir, no cross-contamination, conflict-exact " +
+      "fastForward") {
+    // the namespace twin of the commit storms (round-17): real threads
+    // committing to MAIN and to a BRANCH concurrently — each namespace
+    // must linearize on its own, rows must never leak across, and the
+    // moved-main fork point must still refuse the publish afterwards
+    val dir = tmp()
+    write(df(0, 50), dir)
+    ManifestTable.createBranch(dir, "race")
+    val commitsEach = 3
+    def attempt[A](n: Int)(body: => A): A =
+      try body catch {
+        case _: ManifestTable.ConcurrentCommitException if n > 1 =>
+          attempt(n - 1)(body)
+      }
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // 2 main appenders (ids 1000w..) + 2 branch appenders (ids 5000w..)
+    val threads = (0 until 4).map { w =>
+      new Thread(() => {
+        try (0 until commitsEach).foreach { j =>
+          if (w < 2)
+            attempt(4)(write(df(1000 * (w + 1) + 100 * j, 20), dir))
+          else
+            attempt(4)(write(df(5000 * (w - 1) + 100 * j, 20), dir, "race"))
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errs.isEmpty, s"a writer failed: ${errs.peek()}")
+    // each namespace linearized independently: fork base 1, so the
+    // branch head is 1 + its 6 commits; main is 1 + its 6
+    assert(ManifestTable.readManifest(dir).get.version == 1 + 2 * commitsEach)
+    assert(ManifestTable.readManifest(dir, "race").get.version
+      == 1 + 2 * commitsEach)
+    assert(ManifestTable.snapshotVersions(dir)
+      == (1L to (1 + 2 * commitsEach).toLong))
+    assert(ManifestTable.snapshotVersions(dir, "race")
+      == (1L to (1 + 2 * commitsEach).toLong))
+    // no cross-contamination: main never sees branch ids, and both see
+    // exactly their own appends over the shared base
+    val mainIds = read(dir).select("id").as[Long].collect().toSet
+    val branchIds = read(dir, "race").select("id").as[Long].collect().toSet
+    assert(mainIds.size == 50 + 2 * commitsEach * 20)
+    assert(branchIds.size == 50 + 2 * commitsEach * 20)
+    assert(!mainIds.exists(_ >= 5000), "branch rows leaked into main")
+    assert(!branchIds.exists(id => id >= 1000 && id < 5000),
+      "main rows leaked into the branch")
+    // main moved since the fork → publishing the branch must refuse
+    intercept[ManifestTable.BranchConflictException] {
+      ManifestTable.fastForward(dir, "race")
+    }
+    // vacuum protects BOTH namespaces' files while the branch lives
+    ManifestTable.vacuum(dir, graceMs = 0L)
+    assert(read(dir, "race").count() == 50 + 2 * commitsEach * 20)
+    assert(read(dir).count() == 50 + 2 * commitsEach * 20)
+  }
 }
