@@ -182,3 +182,45 @@ case class BpeEncodeRowsBc(child: Expression,
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** BPE encoding as a SCALAR: the whole document's pieces as ONE
+  * array<string> (tokens encoded independently, outputs concatenated in
+  * token order — exactly the row stream [[BpeEncodeRows]] emits,
+  * flattened). This is the transport for AGGREGATE consumers (piece
+  * counts, distinct-piece counts, fertility): a per-row array bounded
+  * by the document's own length, consumed by codegen collection
+  * functions (size / array_distinct), so the count NEVER becomes rows —
+  * p73/p89 aggregate O(docs) rows instead of shuffling O(corpus tokens)
+  * piece rows through a groupBy. Use the generator when downstream
+  * genuinely needs per-piece rows (indexing, joins); use this when it
+  * needs per-document numbers.
+  */
+case class BpeEncodeArray(child: Expression,
+    merges: Seq[(String, String)]) extends UnaryExpression
+    with CodegenFallback {
+  BpeEncodeCore.requireValid(merges)
+
+  override def prettyName: String = "bpe_encode_array"
+
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val ranks = BpeEncodeCore.toRankMap(merges)
+  @transient private lazy val byRank = merges.toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val out = Seq.newBuilder[UTF8String]
+    var ti = 0
+    while (ti < arr.numElements()) {
+      BpeEncodeCore.encode(arr.getUTF8String(ti).toString, ranks, byRank)
+        .foreach(p => out += UTF8String.fromString(p))
+      ti += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      out.result().toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

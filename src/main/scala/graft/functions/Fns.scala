@@ -175,6 +175,14 @@ object Fns {
       spark.sparkContext.broadcast(merges.toArray)))
   }
 
+  /** The document's BPE pieces as ONE array<string> (the generator's
+    * row stream, flattened per row) — the transport for aggregate
+    * consumers: size()/array_distinct() compute per-document piece
+    * numbers with NO piece rows and NO shuffle (see BpeEncodeArray).
+    */
+  def bpeEncodeArray(toks: Column, merges: Seq[(String, String)]): Column =
+    toCol(BpeEncodeArray(toExpr(toks), merges))
+
   /** HOF-composed formulation of [[shingles]] — kept as the independent
     * cross-check in tests (interpreted lambdas; ~10× slower).
     */

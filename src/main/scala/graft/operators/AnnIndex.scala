@@ -198,6 +198,61 @@ object AnnIndex {
       FsMeta.readString(s"$inPath/params.json"))
   }
 
+  /** DISTRIBUTED right-to-be-forgotten — the corpus-scale twin of
+    * `compactIndex(dropIds)`, taking the drop set as a DataFrame so it
+    * never materializes on the driver
+    * ([[IncrementalDedup.purgeIndex]]'s design on the cell layout):
+    * a bloom bitmap over the drop ids is broadcast; bloom-NEGATIVE
+    * postings are provably retained (no false negatives) and rewrite
+    * scan → filter → per-cell write with ZERO shuffle — each task's
+    * rows already live in the cell directories it read, so the
+    * corpus-sized branch keeps its file granularity and never enters
+    * an exchange (the layout-collapsing compaction remains
+    * [[compactIndex]]'s job). Only the bloom-positive slice (true
+    * drops + ~FPP) pays the exact anti-join and a per-cell
+    * repartition back in: shuffle volume O(dropset + FPP·index).
+    * Centroids and params are copied verbatim — deletion never refits
+    * the quantizer — so the purged index provably answers like one
+    * built from the retained vectors against the same centroids
+    * (spec-pinned, with the shuffle-records bound, in PurgeSpec).
+    */
+  def purgeIndex(spark: SparkSession, inPath: String, outPath: String,
+      dropIds: DataFrame, dropIdCol: String, bitsPerKey: Int = 10,
+      numHashes: Int = 7): Unit = {
+    require(inPath != outPath, "purgeIndex writes a fresh index; " +
+      "outPath must differ from inPath (the input is never rewritten)")
+    val drops = dropIds.select(col(dropIdCol).cast("long").as("__drop_id"))
+      .filter(col("__drop_id").isNotNull).distinct()
+      .localCheckpoint(true)
+    val nDrop = drops.count()
+    require(nDrop > 0,
+      "purgeIndex needs a non-empty drop set; use compactIndex for a " +
+        "plain (no-deletion) rewrite")
+    val numBits = math.min(Int.MaxValue.toLong,
+      math.max(64L, nDrop * bitsPerKey.toLong)).toInt
+    val bloom = BloomPrune.build(drops, "__drop_id", numBits, numHashes)
+      .localCheckpoint(true)
+    val postings = spark.read.parquet(s"$inPath/postings")
+    val cols = postings.columns
+    val flagged = postings.crossJoin(broadcast(bloom)).withColumn("__might",
+      BloomPrune.mightContain(col("bloom"), col("nid"), numHashes))
+    val misses = flagged.filter(!coalesce(col("__might"), lit(false)))
+      .select(cols.map(col): _*)
+    misses.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$outPath/postings")
+    val survivors = flagged.filter(coalesce(col("__might"), lit(false)))
+      .select(cols.map(col): _*)
+      .join(drops, col("nid") === col("__drop_id"), "left_anti")
+      .select(cols.map(col): _*)
+    survivors.repartition(col("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$outPath/postings")
+    FsMeta.writeString(s"$outPath/centroids.json",
+      FsMeta.readString(s"$inPath/centroids.json"))
+    FsMeta.writeString(s"$outPath/params.json",
+      FsMeta.readString(s"$inPath/params.json"))
+  }
+
   /** Top-k cosine neighbors per query against the stored index, probing
     * each query's `nprobe` euclidean-nearest cells. The postings scan is
     * filtered to the union of probed cell ids (collected driver-side —

@@ -436,7 +436,8 @@ object IncrementalDedup {
     * nor verify against them. The filter rides the same bucketed scans,
     * so the zero-exchange contract is unchanged. Sized for operator
     * requests (a driver-known id list, pushed as a literal filter);
-    * corpus-scale purges should rebuild instead.
+    * corpus-scale purges take [[purgeIndex]], which never materializes
+    * the id set on the driver.
     */
   def compactIndex(spark: SparkSession, inPath: String,
       outPath: String, dropIds: Seq[Long] = Nil): IndexCompactionStats = {
@@ -462,6 +463,95 @@ object IncrementalDedup {
       FsMeta.readString(schemaPath(inPath, "bands")))
     writeBucketed(retained(bands).distinct(), "overwrite", bandsPath(outPath),
       tableId("bands", outPath), "bkey", p.numBuckets, preAligned = true)
+    FsMeta.writeString(paramsPath(outPath),
+      FsMeta.readString(paramsPath(inPath)).trim)
+    IndexCompactionStats(bandsBefore, parquetCount(bandsPath(outPath)),
+      shBefore, parquetCount(shinglesPath(outPath)))
+  }
+
+  /** DISTRIBUTED right-to-be-forgotten: rewrite the index at `inPath`
+    * into `outPath` without the docs whose ids are in `dropIds` — a
+    * DataFrame, never a driver list, so the drop set can be
+    * corpus-scale (the GDPR/takedown regime [[compactIndex]]'s literal
+    * `dropIds` explicitly does not cover).
+    *
+    * The 100 TB cost model is a bloom-split retention compaction
+    * ([[BloomPrune.antiKeep]]'s shape, specialized to the bucketed
+    * layout): a bitmap over the drop ids is built in one pass (partial
+    * bitmaps OR-merged — the keys themselves never shuffle) and
+    * broadcast; bloom-NEGATIVE index rows are provably retained (the
+    * shared BloomUtil bit positions admit no false negatives) and flow
+    * scan → filter → pre-aligned bucketed write with ZERO shuffle —
+    * the corpus-sized branch never enters an exchange, exactly
+    * [[compactIndex]]'s contract. Only the bloom-POSITIVE slice (true
+    * drops + ~FPP of the index) pays an exact anti-join against the
+    * drop set and a bucket-aligning repartition on the way back in, so
+    * total shuffle volume is O(dropset + FPP·index), not O(index) —
+    * spec-pinned by counting shuffle records across the whole purge
+    * (PurgeSpec). Both branches re-read the index parquet (scan-speed,
+    * column-pruned — the antiKeep trade, which beats shuffling every
+    * row at any scale).
+    *
+    * The bitmap is sized `bitsPerKey · |dropIds|` capped at
+    * Int.MaxValue bits (~256 MB): past ~200M drop ids at the default
+    * 10 bits/key the FPP degrades gracefully — more rows take the
+    * exact anti-join, correctness never moves. Result equality with an
+    * index built fresh from the retained corpus is spec-pinned, same
+    * as the literal path.
+    */
+  def purgeIndex(spark: SparkSession, inPath: String, outPath: String,
+      dropIds: DataFrame, dropIdCol: String, bitsPerKey: Int = 10,
+      numHashes: Int = 7): IndexCompactionStats = {
+    require(inPath != outPath, "purgeIndex writes a fresh index; " +
+      "outPath must differ from inPath (the input is never rewritten)")
+    val p = Params.parse(FsMeta.readString(paramsPath(inPath)))
+    def parquetCount(dir: String): Long =
+      FsMeta.listFiles(dir).count(_.endsWith(".parquet")).toLong
+    // materialize the (deduped, non-null) drop set once — it feeds the
+    // bloom build AND the exact anti-join
+    val drops = dropIds.select(col(dropIdCol).cast("long").as("__drop_id"))
+      .filter(col("__drop_id").isNotNull).distinct()
+      .localCheckpoint(true)
+    val nDrop = drops.count()
+    require(nDrop > 0,
+      "purgeIndex needs a non-empty drop set; use compactIndex for a " +
+        "plain (no-deletion) rewrite")
+    val numBits = math.min(Int.MaxValue.toLong,
+      math.max(64L, nDrop * bitsPerKey.toLong)).toInt
+    val bloom = BloomPrune.build(drops, "__drop_id", numBits, numHashes)
+      .localCheckpoint(true)
+    val bandsBefore = parquetCount(bandsPath(inPath))
+    val shBefore = parquetCount(shinglesPath(inPath))
+
+    def purgeTable(kind: String, dataIn: String, dataOut: String,
+        bucketCol: String): Unit = {
+      val tbl = bucketedTable(spark, inPath, kind, dataIn, bucketCol,
+        p.numBuckets)
+      val cols = tbl.columns
+      FsMeta.writeString(schemaPath(outPath, kind),
+        FsMeta.readString(schemaPath(inPath, kind)))
+      val flagged = tbl.crossJoin(broadcast(bloom)).withColumn("__might",
+        BloomPrune.mightContain(col("bloom"), col("id"), numHashes))
+      // definite misses: retained without any join, still one task per
+      // bucket (filter preserves the bucketed scan's task layout), so
+      // the distinct + write are exchange-free like compactIndex
+      val misses = flagged.filter(!coalesce(col("__might"), lit(false)))
+        .select(cols.map(col): _*)
+      writeBucketed(misses.distinct(), "overwrite", dataOut,
+        tableId(kind, outPath), bucketCol, p.numBuckets, preAligned = true)
+      // candidates: true drops + FPs — the exact anti-join resolves
+      // them; survivors re-align to their buckets (O(candidates) rows)
+      val candidates = flagged.filter(coalesce(col("__might"), lit(false)))
+        .select(cols.map(col): _*)
+      val survivors = candidates
+        .join(drops, col("id") === col("__drop_id"), "left_anti")
+        .select(cols.map(col): _*)
+      writeBucketed(survivors.distinct(), "append", dataOut,
+        tableId(kind, outPath), bucketCol, p.numBuckets)
+    }
+
+    purgeTable("sh", shinglesPath(inPath), shinglesPath(outPath), "id")
+    purgeTable("bands", bandsPath(inPath), bandsPath(outPath), "bkey")
     FsMeta.writeString(paramsPath(outPath),
       FsMeta.readString(paramsPath(inPath)).trim)
     IndexCompactionStats(bandsBefore, parquetCount(bandsPath(outPath)),

@@ -21,64 +21,95 @@ import org.apache.spark.sql.functions.col
   * append is O(batch), the deletion compaction is O(index) once per
   * maintenance window rather than O(corpus) per rebuild — and
   * IndexLifecycleSpec already proves aged-equals-fresh across arbitrary
-  * interleavings of exactly these primitives. Deletion id lists are
-  * driver-bounded (operator-request-sized), the same parameter bound as
-  * compactIndex's dropIds; corpus-scale purges should rebuild.
+  * interleavings of exactly these primitives. The delete set is NEVER
+  * driver-bounded: up to [[LiteralDeleteMaxIds]] ids collect as a
+  * literal filter (compactIndex — bucket-file pruning, zero-exchange),
+  * and anything larger routes to the DISTRIBUTED purge
+  * ([[IncrementalDedup.purgeIndex]] / [[AnnIndex.purgeIndex]]: bloom
+  * split + exact anti-join, shuffle O(dropset + FPP·index)) — so a
+  * corpus-scale takedown feed maintains instead of forcing a rebuild.
   */
 object IndexMaintenance {
 
-  final case class MaintResult(path: String, deleted: Long, inserted: Long)
+  /** Tier gate: delete sets up to this size collect to the driver and
+    * push as a literal filter (whole bucket FILES prune — worth it for
+    * the operator-request regime); larger sets stay distributed. The
+    * same two-tier shape as the probe's [[IncrementalDedup.MaxProbeKeys]]
+    * pruning — literal when trivially small, join when not.
+    */
+  val LiteralDeleteMaxIds: Int = 1024
 
-  private def split(feed: DataFrame, idCol: String)
-      : (Seq[Long], DataFrame) = {
-    import feed.sparkSession.implicits._
+  final case class MaintResult(path: String, deleted: Long, inserted: Long,
+      distributedPurge: Boolean = false)
+
+  private def splitFeed(feed: DataFrame, idCol: String)
+      : (DataFrame, Long, DataFrame) = {
     val dels = feed.filter(col("_change_type") === "delete")
-      .select(col(idCol).cast("long")).distinct().as[Long].collect().toSeq
+      .select(col(idCol).cast("long").as("__drop_id")).distinct()
+    val nDel = dels.count()
     val ins = feed.filter(col("_change_type") === "insert")
-    (dels, ins)
+    (dels, nDel, ins)
   }
 
   /** Apply `feed` (with `idCol` + `textCol` payload) to the MinHash
     * dedup index at `inPath`; the maintained index is at the returned
-    * path (`outPath` iff the feed carried deletes).
+    * path (`outPath` iff the feed carried deletes). `literalDeleteMaxIds`
+    * overrides the literal/distributed delete tier gate (tests).
     */
   def maintainDedupIndex(spark: SparkSession, feed: DataFrame,
       idCol: String, textCol: String, p: IncrementalDedup.Params,
-      inPath: String, outPath: String): MaintResult = {
-    val (dels, ins) = split(feed, idCol)
+      inPath: String, outPath: String,
+      literalDeleteMaxIds: Int = LiteralDeleteMaxIds): MaintResult = {
+    val (dels, nDel, ins) = splitFeed(feed, idCol)
+    val distributed = nDel > literalDeleteMaxIds
     val path =
-      if (dels.isEmpty) inPath
+      if (nDel == 0) inPath
       else {
-        IncrementalDedup.compactIndex(spark, inPath, outPath,
-          dropIds = dels)
+        if (distributed)
+          IncrementalDedup.purgeIndex(spark, inPath, outPath,
+            dels, "__drop_id")
+        else {
+          import spark.implicits._
+          IncrementalDedup.compactIndex(spark, inPath, outPath,
+            dropIds = dels.as[Long].collect().toSeq)
+        }
         outPath
       }
     val nIns = ins.count()
     if (nIns > 0)
       IncrementalDedup.appendBatch(ins.select(col(idCol), col(textCol)),
         idCol, textCol, p, path)
-    MaintResult(path, dels.size.toLong, nIns)
+    MaintResult(path, nDel, nIns, distributed)
   }
 
   /** Apply `feed` (with `idCol` + `embCol` payload) to the IVF index at
     * `inPath` — inserts assign against the STORED centroids (no refit),
     * so the maintained index answers exactly like one built fresh on
-    * the same quantizer.
+    * the same quantizer. `literalDeleteMaxIds` overrides the
+    * literal/distributed delete tier gate (tests).
     */
   def maintainAnnIndex(spark: SparkSession, feed: DataFrame,
       idCol: String, embCol: String, p: AnnIndex.Params,
-      inPath: String, outPath: String): MaintResult = {
-    val (dels, ins) = split(feed, idCol)
+      inPath: String, outPath: String,
+      literalDeleteMaxIds: Int = LiteralDeleteMaxIds): MaintResult = {
+    val (dels, nDel, ins) = splitFeed(feed, idCol)
+    val distributed = nDel > literalDeleteMaxIds
     val path =
-      if (dels.isEmpty) inPath
+      if (nDel == 0) inPath
       else {
-        AnnIndex.compactIndex(spark, inPath, outPath, dropIds = dels)
+        if (distributed)
+          AnnIndex.purgeIndex(spark, inPath, outPath, dels, "__drop_id")
+        else {
+          import spark.implicits._
+          AnnIndex.compactIndex(spark, inPath, outPath,
+            dropIds = dels.as[Long].collect().toSeq)
+        }
         outPath
       }
     val nIns = ins.count()
     if (nIns > 0)
       AnnIndex.appendBatch(ins.select(col(idCol), col(embCol)),
         idCol, embCol, p, path)
-    MaintResult(path, dels.size.toLong, nIns)
+    MaintResult(path, nDel, nIns, distributed)
   }
 }

@@ -14,13 +14,15 @@ import graft.functions.Fns
   * MEASURES — per slice, so a vocab retrain can be gated on "no
   * language's fertility regresses" instead of a corpus-blind average.
   *
-  * Scale shape: the piece side is the [[graft.functions.BpeEncodeRows]]
-  * generator fused into the text scan (merge table broadcast, rank-
-  * cursor cost — p73's plan) feeding a slice-sized count partial agg;
-  * the word side never materializes tokens (counts and char sums are
-  * per-row HOF arithmetic). Two scans, one slice-keyed join, no
-  * windows. Ratios are exact-integer divisions rounded at 6dp — the
-  * engine-invariance rule.
+  * Scale shape: ONE corpus scan, zero corpus-sized shuffles — every
+  * per-document number (word count, char sum, piece count) is per-row
+  * arithmetic fused into the scan: pieces come from the
+  * [[graft.functions.BpeEncodeArray]] scalar (the generator's stream as
+  * one bounded array, counted by size() — piece ROWS never exist, so
+  * nothing corpus-token-sized reaches the exchange), words/chars from
+  * codegen HOFs over the token array. One slice-keyed partial agg
+  * carries six numbers per slice; no join, no windows. Ratios are
+  * exact-integer divisions rounded at 6dp — the engine-invariance rule.
   */
 object TokenizerEval {
 
@@ -31,16 +33,14 @@ object TokenizerEval {
   def fertilityReport(docs: DataFrame, textCol: String, sliceCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val tk = Fns.tokens(col(textCol))
-    val pieces = docs
-      .select(col(sliceCol).as("slice"), Fns.bpeEncodeRows(tk, merges))
-      .groupBy("slice").agg(count(lit(1)).as("n_pieces"))
-    val words = docs
+    docs
       .select(col(sliceCol).as("slice"), size(tk).as("nw"),
         aggregate(transform(tk, t => length(t)), lit(0),
-          (a, x) => a + x).as("nc"))
+          (a, x) => a + x).as("nc"),
+        size(Fns.bpeEncodeArray(tk, merges)).as("np"))
       .groupBy("slice")
-      .agg(sum(col("nw")).as("n_words"), sum(col("nc")).as("n_word_chars"))
-    words.join(pieces, "slice")
+      .agg(sum(col("nw")).as("n_words"), sum(col("nc")).as("n_word_chars"),
+        sum(col("np")).as("n_pieces"))
       .select(col("slice"), col("n_words"), col("n_word_chars"),
         col("n_pieces"),
         round(col("n_pieces").cast("double") / col("n_words"), 6)

@@ -588,12 +588,17 @@ object PipelineRecent {
         lr = "0.001", k = 100))),
 
     // --- BPE ENCODING (the inference twin of p68's training): learn 8
-    //     merges, encode every document with the native generator
+    //     merges, encode every document with the native scalar encoder
     //     (merge table applied sequentially in rank order — Sennrich's
     //     "apply the operations in the order they were learned"; the
     //     same whole-token fold as training, so the oracle unrolls the
     //     identical 8 folds over the DISTINCT-word table and joins back
-    //     to doc word occurrences), report per-doc piece counts. ---
+    //     to doc word occurrences), report per-doc piece counts. The
+    //     pieces stay a per-row ARRAY consumed by size/array_distinct —
+    //     per-doc numbers without materializing piece ROWS, so nothing
+    //     corpus-token-sized ever shuffles (the groupBy this replaced
+    //     exchanged every piece; the only remaining exchange is the
+    //     orderBy's O(docs) range partition). ---
     QueryDef(
       "p73_bpe_encode",
       (s, dir) => {
@@ -603,12 +608,12 @@ object PipelineRecent {
           .learnMerges(docs, "text", numMerges = 8)
           .orderBy("merge_rank").select("lhs", "rhs")
           .as[(String, String)].collect().toSeq
-        docs.select(col("doc_id").cast("long").as("id"),
-            graft.functions.Fns.bpeEncodeRows(
-              graft.functions.Fns.tokens(col("text")), merges))
-          .groupBy("id")
-          .agg(count(lit(1)).cast("long").as("n_pieces"),
-            countDistinct(col("piece")).as("n_distinct_pieces"))
+        val pieces = graft.functions.Fns.bpeEncodeArray(
+          graft.functions.Fns.tokens(col("text")), merges)
+        docs.select(col("doc_id").cast("long").as("id"), pieces.as("ps"))
+          .select(col("id"), size(col("ps")).cast("long").as("n_pieces"),
+            size(array_distinct(col("ps"))).cast("long")
+              .as("n_distinct_pieces"))
           .orderBy("id")
       },
       Some(bpeEncodeOracle(8))),

@@ -128,5 +128,59 @@ class BpeEncodeSpec extends AnyFunSuite {
       BpeEncodeRows(org.apache.spark.sql.catalyst.expressions.Literal("x"),
         Seq(("a", "b"), ("a", "b")))
     }
+    intercept[IllegalArgumentException] {
+      graft.functions.BpeEncodeArray(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"),
+        Seq(("a", "b"), ("a", "b")))
+    }
+  }
+
+  test("scalar array transport equals the generator's flattened stream on real docs") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val merges = BpeTrainer.learnMerges(docs, "text", 8)
+      .orderBy("merge_rank").select("lhs", "rhs")
+      .as[(String, String)].collect().toSeq
+    val tk = Fns.tokens(col("text"))
+    // the generator's piece stream per doc, in (tok_idx, piece_idx) order
+    val viaRows = docs
+      .select(col("doc_id"), Fns.bpeEncodeRows(tk, merges))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("tok_idx"), col("piece_idx"),
+        col("piece"))).as("ps"))
+      .select(col("doc_id"), transform(array_sort(col("ps")),
+        p => p.getField("piece")).as("pieces"))
+      .as[(Long, Seq[String])].collect().toMap
+    val viaArray = docs
+      .select(col("doc_id"), Fns.bpeEncodeArray(tk, merges).as("pieces"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(viaArray == viaRows && viaArray.nonEmpty)
+    // null input follows the scalar convention (null, not empty)
+    val nullRow = Seq((1L, null: String)).toDF("id", "text")
+      .select(Fns.bpeEncodeArray(Fns.tokens(col("text")), merges))
+      .collect().head
+    assert(nullRow.isNullAt(0))
+  }
+
+  test("p73/p89 shape: per-doc piece numbers plan with no Generate and no piece-row shuffle") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val merges = Seq(("a", "b"), ("c", "d"))
+    // p73's projection: the only exchange in the whole query is the
+    // final orderBy's O(docs) range partition — assert the per-doc
+    // numbers themselves plan with ZERO exchanges and no generator
+    val perDoc = docs.select(col("doc_id"),
+      size(Fns.bpeEncodeArray(Fns.tokens(col("text")), merges))
+        .as("n_pieces"))
+    val plan = perDoc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Generate"),
+      s"per-doc piece counts must be a pure projection:\n$plan")
+    // p89's report: one slice-keyed aggregate exchange, nothing
+    // corpus-token-sized — and no Generate node anywhere
+    val report = graft.operators.TokenizerEval.fertilityReport(
+      docs, "text", "lang", merges)
+    val rPlan = report.queryExecution.executedPlan.toString
+    assert(!rPlan.contains("Generate"),
+      s"fertility must not explode piece rows:\n$rPlan")
+    assert(rPlan.split("Exchange").length - 1 == 1,
+      s"expected exactly the slice aggregate's exchange:\n$rPlan")
   }
 }
