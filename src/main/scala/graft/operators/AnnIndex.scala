@@ -236,17 +236,24 @@ object AnnIndex {
     val cols = postings.columns
     val flagged = postings.crossJoin(broadcast(bloom)).withColumn("__might",
       BloomPrune.mightContain(col("bloom"), col("nid"), numHashes))
-    val misses = flagged.filter(!coalesce(col("__might"), lit(false)))
-      .select(cols.map(col): _*)
-    misses.write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$outPath/postings")
-    val survivors = flagged.filter(coalesce(col("__might"), lit(false)))
-      .select(cols.map(col): _*)
-      .join(drops, col("nid") === col("__drop_id"), "left_anti")
-      .select(cols.map(col): _*)
-    survivors.repartition(col("cell"))
-      .write.mode("append").partitionBy("cell")
-      .parquet(s"$outPath/postings")
+    try {
+      val misses = flagged.filter(!coalesce(col("__might"), lit(false)))
+        .select(cols.map(col): _*)
+      misses.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$outPath/postings")
+      val survivors = flagged.filter(coalesce(col("__might"), lit(false)))
+        .select(cols.map(col): _*)
+        .join(drops, col("nid") === col("__drop_id"), "left_anti")
+        .select(cols.map(col): _*)
+      survivors.repartition(col("cell"))
+        .write.mode("append").partitionBy("cell")
+        .parquet(s"$outPath/postings")
+    } finally {
+      // release the checkpointed drop set + bitmap (see
+      // IncrementalDedup.purgeIndex — same session-hygiene rationale)
+      drops.unpersist()
+      bloom.unpersist()
+    }
     FsMeta.writeString(s"$outPath/centroids.json",
       FsMeta.readString(s"$inPath/centroids.json"))
     FsMeta.writeString(s"$outPath/params.json",

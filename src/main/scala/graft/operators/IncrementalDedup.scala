@@ -550,8 +550,16 @@ object IncrementalDedup {
         tableId(kind, outPath), bucketCol, p.numBuckets)
     }
 
-    purgeTable("sh", shinglesPath(inPath), shinglesPath(outPath), "id")
-    purgeTable("bands", bandsPath(inPath), bandsPath(outPath), "bkey")
+    try {
+      purgeTable("sh", shinglesPath(inPath), shinglesPath(outPath), "id")
+      purgeTable("bands", bandsPath(inPath), bandsPath(outPath), "bkey")
+    } finally {
+      // the checkpointed drop set and bitmap fed four write jobs; in a
+      // long-lived ingest session their blocks would otherwise pin
+      // executor storage until GC
+      drops.unpersist()
+      bloom.unpersist()
+    }
     FsMeta.writeString(paramsPath(outPath),
       FsMeta.readString(paramsPath(inPath)).trim)
     IndexCompactionStats(bandsBefore, parquetCount(bandsPath(outPath)),
