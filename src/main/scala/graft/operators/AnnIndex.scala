@@ -221,36 +221,29 @@ object AnnIndex {
       numHashes: Int = 7): Unit = {
     require(inPath != outPath, "purgeIndex writes a fresh index; " +
       "outPath must differ from inPath (the input is never rewritten)")
+    // persist (not localCheckpoint) so the finally below actually
+    // releases the blocks — see IncrementalDedup.purgeIndex
     val drops = dropIds.select(col(dropIdCol).cast("long").as("__drop_id"))
-      .filter(col("__drop_id").isNotNull).distinct()
-      .localCheckpoint(true)
-    val nDrop = drops.count()
-    require(nDrop > 0,
-      "purgeIndex needs a non-empty drop set; use compactIndex for a " +
-        "plain (no-deletion) rewrite")
-    val numBits = math.min(Int.MaxValue.toLong,
-      math.max(64L, nDrop * bitsPerKey.toLong)).toInt
-    val bloom = BloomPrune.build(drops, "__drop_id", numBits, numHashes)
-      .localCheckpoint(true)
+      .filter(col("__drop_id").isNotNull).distinct().persist()
+    val bloom = {
+      val nDrop = drops.count() // also materializes the persist
+      require(nDrop > 0,
+        "purgeIndex needs a non-empty drop set; use compactIndex for a " +
+          "plain (no-deletion) rewrite")
+      val numBits = math.min(BloomPrune.MaxBits.toLong,
+        math.max(64L, nDrop * bitsPerKey.toLong)).toInt
+      BloomPrune.build(drops, "__drop_id", numBits, numHashes).persist()
+    }
     val postings = spark.read.parquet(s"$inPath/postings")
-    val cols = postings.columns
-    val flagged = postings.crossJoin(broadcast(bloom)).withColumn("__might",
-      BloomPrune.mightContain(col("bloom"), col("nid"), numHashes))
     try {
-      val misses = flagged.filter(!coalesce(col("__might"), lit(false)))
-        .select(cols.map(col): _*)
+      val (misses, survivors) = BloomPrune.antiKeepSplitWith(
+        postings, "nid", bloom, drops, "__drop_id", numHashes)
       misses.write.mode("overwrite").partitionBy("cell")
         .parquet(s"$outPath/postings")
-      val survivors = flagged.filter(coalesce(col("__might"), lit(false)))
-        .select(cols.map(col): _*)
-        .join(drops, col("nid") === col("__drop_id"), "left_anti")
-        .select(cols.map(col): _*)
       survivors.repartition(col("cell"))
         .write.mode("append").partitionBy("cell")
         .parquet(s"$outPath/postings")
     } finally {
-      // release the checkpointed drop set + bitmap (see
-      // IncrementalDedup.purgeIndex — same session-hygiene rationale)
       drops.unpersist()
       bloom.unpersist()
     }

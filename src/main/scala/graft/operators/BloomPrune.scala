@@ -48,14 +48,22 @@ object BloomPrune {
     val arrayLongEnc: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   }
 
+  /** Largest legal bitmap size: the word count (numBits + 63) / 64 is
+    * computed in Int, so a numBits above this overflows it negative —
+    * callers auto-sizing from a key count must clamp HERE, not at
+    * Int.MaxValue (which is 63 past the safe ceiling).
+    */
+  val MaxBits: Int = Int.MaxValue - 63
+
   /** One-row DataFrame holding the bitmap (`bloom: array<bigint>`) over
     * `keys`'s `keyCol` (integral). Size the filter ~10 bits per expected
     * distinct key for ~1% FPP at 7 hashes.
     */
   def build(keys: DataFrame, keyCol: String, numBits: Int,
       numHashes: Int = 7): DataFrame = {
-    require(numBits >= 64 && numHashes >= 1,
-      s"need numBits >= 64 (got $numBits) and numHashes >= 1 (got $numHashes)")
+    require(numBits >= 64 && numBits <= MaxBits && numHashes >= 1,
+      s"need 64 <= numBits <= $MaxBits (got $numBits) and numHashes >= 1 " +
+        s"(got $numHashes)")
     val numWords = (numBits + 63) / 64
     val agg = udaf(new BloomAgg(numWords, numHashes))
     keys.select(col(keyCol).cast("long").as("k"))
@@ -104,10 +112,32 @@ object BloomPrune {
     */
   def antiKeep(facts: DataFrame, keyCol: String, dimKeys: DataFrame,
       dimKeyCol: String, numBits: Int, numHashes: Int = 7): DataFrame = {
+    val bloom = build(dimKeys, dimKeyCol, numBits, numHashes)
+    val (misses, survivors) =
+      antiKeepSplitWith(facts, keyCol, bloom, dimKeys, dimKeyCol, numHashes)
+    misses.unionByName(survivors)
+  }
+
+  /** The bloom-split PAIR behind [[antiKeep]], with the bitmap supplied
+    * by the caller (build it once with [[build]] over `dimKeys`'s
+    * `dimKeyCol` and the same `numHashes`, persist it, reuse it across
+    * several fact tables — the index-purge shape): returns
+    * (definite misses, exact survivors among bloom positives). Misses
+    * are proven absent by the bitmap (no false negatives — shared
+    * BloomUtil bit positions) and reach the caller without any join,
+    * preserving the fact scan's task layout; only the bloom-positive
+    * slice pays the exact anti-join. `misses ∪ survivors` IS
+    * `facts LEFT ANTI JOIN dimKeys` — callers that need the branches
+    * separately (to write each in its own layout-preserving job) take
+    * this form, everyone else takes [[antiKeep]].
+    */
+  def antiKeepSplitWith(facts: DataFrame, keyCol: String, bloom: DataFrame,
+      dimKeys: DataFrame, dimKeyCol: String, numHashes: Int = 7)
+      : (DataFrame, DataFrame) = {
     val cols = facts.columns
     val flag = "__bloom_might"
-    require(!cols.contains(flag), s"column name $flag is reserved by antiKeep")
-    val bloom = build(dimKeys, dimKeyCol, numBits, numHashes)
+    require(!cols.contains(flag) && !cols.contains("bloom"),
+      s"column names $flag and bloom are reserved by antiKeep")
     val flagged = facts.crossJoin(broadcast(bloom))
       .withColumn(flag, mightContain(col("bloom"), col(keyCol), numHashes))
       .select(cols.map(col) :+ col(flag): _*)
@@ -120,6 +150,7 @@ object BloomPrune {
     val dk = dimKeys.select(col(dimKeyCol).cast("long").as("__dim_key"))
     val survivors = candidates.join(dk,
       col(keyCol).cast("long") === col("__dim_key"), "left_anti")
-    misses.unionByName(survivors)
+      .select(cols.map(col): _*)
+    (misses, survivors)
   }
 }

@@ -493,11 +493,11 @@ object IncrementalDedup {
     * row at any scale).
     *
     * The bitmap is sized `bitsPerKey · |dropIds|` capped at
-    * Int.MaxValue bits (~256 MB): past ~200M drop ids at the default
-    * 10 bits/key the FPP degrades gracefully — more rows take the
-    * exact anti-join, correctness never moves. Result equality with an
-    * index built fresh from the retained corpus is spec-pinned, same
-    * as the literal path.
+    * [[BloomPrune.MaxBits]] (~256 MB): past ~200M drop ids at the
+    * default 10 bits/key the FPP degrades gracefully — more rows take
+    * the exact anti-join, correctness never moves. Result equality
+    * with an index built fresh from the retained corpus is
+    * spec-pinned, same as the literal path.
     */
   def purgeIndex(spark: SparkSession, inPath: String, outPath: String,
       dropIds: DataFrame, dropIdCol: String, bitsPerKey: Int = 10,
@@ -507,19 +507,20 @@ object IncrementalDedup {
     val p = Params.parse(FsMeta.readString(paramsPath(inPath)))
     def parquetCount(dir: String): Long =
       FsMeta.listFiles(dir).count(_.endsWith(".parquet")).toLong
-    // materialize the (deduped, non-null) drop set once — it feeds the
-    // bloom build AND the exact anti-join
+    // cache the (deduped, non-null) drop set and the bitmap — they feed
+    // all four write jobs; persist (not localCheckpoint) so the finally
+    // below actually releases the blocks
     val drops = dropIds.select(col(dropIdCol).cast("long").as("__drop_id"))
-      .filter(col("__drop_id").isNotNull).distinct()
-      .localCheckpoint(true)
-    val nDrop = drops.count()
-    require(nDrop > 0,
-      "purgeIndex needs a non-empty drop set; use compactIndex for a " +
-        "plain (no-deletion) rewrite")
-    val numBits = math.min(Int.MaxValue.toLong,
-      math.max(64L, nDrop * bitsPerKey.toLong)).toInt
-    val bloom = BloomPrune.build(drops, "__drop_id", numBits, numHashes)
-      .localCheckpoint(true)
+      .filter(col("__drop_id").isNotNull).distinct().persist()
+    val bloom = {
+      val nDrop = drops.count() // also materializes the persist
+      require(nDrop > 0,
+        "purgeIndex needs a non-empty drop set; use compactIndex for a " +
+          "plain (no-deletion) rewrite")
+      val numBits = math.min(BloomPrune.MaxBits.toLong,
+        math.max(64L, nDrop * bitsPerKey.toLong)).toInt
+      BloomPrune.build(drops, "__drop_id", numBits, numHashes).persist()
+    }
     val bandsBefore = parquetCount(bandsPath(inPath))
     val shBefore = parquetCount(shinglesPath(inPath))
 
@@ -527,25 +528,17 @@ object IncrementalDedup {
         bucketCol: String): Unit = {
       val tbl = bucketedTable(spark, inPath, kind, dataIn, bucketCol,
         p.numBuckets)
-      val cols = tbl.columns
       FsMeta.writeString(schemaPath(outPath, kind),
         FsMeta.readString(schemaPath(inPath, kind)))
-      val flagged = tbl.crossJoin(broadcast(bloom)).withColumn("__might",
-        BloomPrune.mightContain(col("bloom"), col("id"), numHashes))
+      val (misses, survivors) = BloomPrune.antiKeepSplitWith(
+        tbl, "id", bloom, drops, "__drop_id", numHashes)
       // definite misses: retained without any join, still one task per
-      // bucket (filter preserves the bucketed scan's task layout), so
-      // the distinct + write are exchange-free like compactIndex
-      val misses = flagged.filter(!coalesce(col("__might"), lit(false)))
-        .select(cols.map(col): _*)
+      // bucket (the split preserves the bucketed scan's task layout),
+      // so the distinct + write are exchange-free like compactIndex
       writeBucketed(misses.distinct(), "overwrite", dataOut,
         tableId(kind, outPath), bucketCol, p.numBuckets, preAligned = true)
-      // candidates: true drops + FPs — the exact anti-join resolves
-      // them; survivors re-align to their buckets (O(candidates) rows)
-      val candidates = flagged.filter(coalesce(col("__might"), lit(false)))
-        .select(cols.map(col): _*)
-      val survivors = candidates
-        .join(drops, col("id") === col("__drop_id"), "left_anti")
-        .select(cols.map(col): _*)
+      // survivors are the bloom FPs the exact anti-join cleared —
+      // they re-align to their buckets (O(candidates) rows)
       writeBucketed(survivors.distinct(), "append", dataOut,
         tableId(kind, outPath), bucketCol, p.numBuckets)
     }
@@ -554,7 +547,7 @@ object IncrementalDedup {
       purgeTable("sh", shinglesPath(inPath), shinglesPath(outPath), "id")
       purgeTable("bands", bandsPath(inPath), bandsPath(outPath), "bkey")
     } finally {
-      // the checkpointed drop set and bitmap fed four write jobs; in a
+      // the cached drop set and bitmap fed four write jobs; in a
       // long-lived ingest session their blocks would otherwise pin
       // executor storage until GC
       drops.unpersist()

@@ -42,10 +42,18 @@ object IndexMaintenance {
   final case class MaintResult(path: String, deleted: Long, inserted: Long,
       distributedPurge: Boolean = false)
 
+  /** The feed's delete-id set, deduped and null-filtered ONCE (both
+    * tiers see identical ids — a null id must not crash one tier and
+    * silently vanish in the other), PERSISTED so the tier-gate count,
+    * the literal tier's collect, and the distributed purge's bloom +
+    * anti-join all read the materialized frame instead of re-scanning
+    * the feed. Callers unpersist via the returned frame when done.
+    */
   private def splitFeed(feed: DataFrame, idCol: String)
       : (DataFrame, Long, DataFrame) = {
     val dels = feed.filter(col("_change_type") === "delete")
-      .select(col(idCol).cast("long").as("__drop_id")).distinct()
+      .select(col(idCol).cast("long").as("__drop_id"))
+      .filter(col("__drop_id").isNotNull).distinct().persist()
     val nDel = dels.count()
     val ins = feed.filter(col("_change_type") === "insert")
     (dels, nDel, ins)
@@ -63,18 +71,20 @@ object IndexMaintenance {
     val (dels, nDel, ins) = splitFeed(feed, idCol)
     val distributed = nDel > literalDeleteMaxIds
     val path =
-      if (nDel == 0) inPath
-      else {
-        if (distributed)
-          IncrementalDedup.purgeIndex(spark, inPath, outPath,
-            dels, "__drop_id")
+      try {
+        if (nDel == 0) inPath
         else {
-          import spark.implicits._
-          IncrementalDedup.compactIndex(spark, inPath, outPath,
-            dropIds = dels.as[Long].collect().toSeq)
+          if (distributed)
+            IncrementalDedup.purgeIndex(spark, inPath, outPath,
+              dels, "__drop_id")
+          else {
+            import spark.implicits._
+            IncrementalDedup.compactIndex(spark, inPath, outPath,
+              dropIds = dels.as[Long].collect().toSeq)
+          }
+          outPath
         }
-        outPath
-      }
+      } finally dels.unpersist()
     val nIns = ins.count()
     if (nIns > 0)
       IncrementalDedup.appendBatch(ins.select(col(idCol), col(textCol)),
@@ -95,17 +105,19 @@ object IndexMaintenance {
     val (dels, nDel, ins) = splitFeed(feed, idCol)
     val distributed = nDel > literalDeleteMaxIds
     val path =
-      if (nDel == 0) inPath
-      else {
-        if (distributed)
-          AnnIndex.purgeIndex(spark, inPath, outPath, dels, "__drop_id")
+      try {
+        if (nDel == 0) inPath
         else {
-          import spark.implicits._
-          AnnIndex.compactIndex(spark, inPath, outPath,
-            dropIds = dels.as[Long].collect().toSeq)
+          if (distributed)
+            AnnIndex.purgeIndex(spark, inPath, outPath, dels, "__drop_id")
+          else {
+            import spark.implicits._
+            AnnIndex.compactIndex(spark, inPath, outPath,
+              dropIds = dels.as[Long].collect().toSeq)
+          }
+          outPath
         }
-        outPath
-      }
+      } finally dels.unpersist()
     val nIns = ins.count()
     if (nIns > 0)
       AnnIndex.appendBatch(ins.select(col(idCol), col(embCol)),

@@ -611,6 +611,11 @@ object PipelineRecent {
         val pieces = graft.functions.Fns.bpeEncodeArray(
           graft.functions.Fns.tokens(col("text")), merges)
         docs.select(col("doc_id").cast("long").as("id"), pieces.as("ps"))
+          // zero-piece docs (null/empty text) are ABSENT, exactly as the
+          // generator+groupBy form dropped them and the oracle's
+          // word-occurrence join drops them — size(null) is null, so one
+          // predicate covers both degenerate shapes
+          .filter(size(col("ps")) > 0)
           .select(col("id"), size(col("ps")).cast("long").as("n_pieces"),
             size(array_distinct(col("ps"))).cast("long")
               .as("n_distinct_pieces"))
