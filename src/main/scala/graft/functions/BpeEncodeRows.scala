@@ -224,3 +224,39 @@ case class BpeEncodeArray(child: Expression,
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** [[BpeEncodeArray]] with the merge table carried as a Spark BROADCAST
+  * ([[BpeEncodeRowsBc]]'s transport): the expression serializes only the
+  * handle, executors fetch the table once and all tasks share one
+  * deserialized rank map — the form for realistic (30k-merge) tables.
+  * Validate the merges driver-side before broadcasting
+  * ([[graft.functions.Fns.bpeEncodeArrayBroadcast]]).
+  */
+case class BpeEncodeArrayBc(child: Expression,
+    bcMerges: org.apache.spark.broadcast.Broadcast[Array[(String, String)]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "bpe_encode_array_bc"
+
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val ranks =
+    BpeEncodeCore.toRankMap(bcMerges.value.toSeq)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val out = Seq.newBuilder[UTF8String]
+    var ti = 0
+    while (ti < arr.numElements()) {
+      BpeEncodeCore.encode(arr.getUTF8String(ti).toString, ranks,
+        bcMerges.value).foreach(p => out += UTF8String.fromString(p))
+      ti += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      out.result().toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -183,6 +183,16 @@ object Fns {
   def bpeEncodeArray(toks: Column, merges: Seq[(String, String)]): Column =
     toCol(BpeEncodeArray(toExpr(toks), merges))
 
+  /** [[bpeEncodeArray]] with the merge table shipped as a Spark
+    * broadcast — one copy per executor; validated driver-side.
+    */
+  def bpeEncodeArrayBroadcast(spark: org.apache.spark.sql.SparkSession,
+      toks: Column, merges: Seq[(String, String)]): Column = {
+    BpeEncodeCore.requireValid(merges)
+    toCol(BpeEncodeArrayBc(toExpr(toks),
+      spark.sparkContext.broadcast(merges.toArray)))
+  }
+
   /** HOF-composed formulation of [[shingles]] — kept as the independent
     * cross-check in tests (interpreted lambdas; ~10× slower).
     */

@@ -154,6 +154,12 @@ class BpeEncodeSpec extends AnyFunSuite {
       .select(col("doc_id"), Fns.bpeEncodeArray(tk, merges).as("pieces"))
       .as[(Long, Seq[String])].collect().toMap
     assert(viaArray == viaRows && viaArray.nonEmpty)
+    // the broadcast transport emits the identical arrays
+    val viaArrayBc = docs
+      .select(col("doc_id"),
+        Fns.bpeEncodeArrayBroadcast(spark, tk, merges).as("pieces"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(viaArrayBc == viaArray)
     // null input follows the scalar convention (null, not empty)
     val nullRow = Seq((1L, null: String)).toDF("id", "text")
       .select(Fns.bpeEncodeArray(Fns.tokens(col("text")), merges))
