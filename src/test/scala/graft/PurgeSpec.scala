@@ -204,4 +204,37 @@ class PurgeSpec extends AnyFunSuite {
     assert(viaDist != viaOld,
       "the deletes (or the inserted near-dup pair) must change the probe")
   }
+
+  test("a null delete id is ignored identically by BOTH tiers, never a crash") {
+    val root = tmpDir("nullid")
+    val idx = s"$root/idx"
+    IncrementalDedup.buildIndex(docs.limit(60), "doc_id", "text", P, idx)
+    // a malformed feed: real deletes plus a null id — the same feed must
+    // take the literal tier and the distributed tier without the null
+    // crashing one (driver collect) or silently changing the other
+    val feed = docs.limit(60).filter($"doc_id" % 3 === 0)
+      .select($"doc_id", $"text")
+      .unionByName(Seq((null.asInstanceOf[java.lang.Long], "x"))
+        .toDF("doc_id", "text"))
+      .withColumn("_change_type", lit("delete"))
+    val nDel = feed.filter($"doc_id".isNotNull).count()
+    assert(nDel > 2)
+    val rLit = IndexMaintenance.maintainDedupIndex(spark, feed,
+      "doc_id", "text", P, idx, s"$root/lit",
+      literalDeleteMaxIds = 10000)
+    val rDist = IndexMaintenance.maintainDedupIndex(spark, feed,
+      "doc_id", "text", P, idx, s"$root/dist",
+      literalDeleteMaxIds = 1)
+    assert(!rLit.distributedPurge && rDist.distributedPurge)
+    // the null id is not a delete: both tiers count only the real ids
+    assert(rLit.deleted == nDel && rDist.deleted == nDel,
+      s"expected $nDel deletes, got $rLit / $rDist")
+    // and both surviving indexes hold the identical row sets
+    Seq("bands", "shingles").foreach { t =>
+      val a = spark.read.parquet(s"$root/lit/$t")
+      val b = spark.read.parquet(s"$root/dist/$t")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"tier divergence in $t")
+    }
+  }
 }
