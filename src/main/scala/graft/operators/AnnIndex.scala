@@ -219,34 +219,34 @@ object AnnIndex {
   def purgeIndex(spark: SparkSession, inPath: String, outPath: String,
       dropIds: DataFrame, dropIdCol: String, bitsPerKey: Int = 10,
       numHashes: Int = 7): Unit = {
+    // normalize + persist once; purgeNormalized does the work
+    val drops = BloomPrune.normalizeDrops(dropIds, dropIdCol)
+    try purgeNormalized(spark, inPath, outPath, drops, drops.count(),
+      bitsPerKey, numHashes)
+    finally drops.unpersist()
+  }
+
+  /** [[purgeIndex]] over an ALREADY-normalized drop frame (`__drop_id`
+    * long, null-free, deduped, persisted) with its count in hand — the
+    * IndexMaintenance entry; see IncrementalDedup.purgeNormalized.
+    */
+  private[operators] def purgeNormalized(spark: SparkSession,
+      inPath: String, outPath: String, drops: DataFrame, nDrop: Long,
+      bitsPerKey: Int = 10, numHashes: Int = 7): Unit = {
     require(inPath != outPath, "purgeIndex writes a fresh index; " +
       "outPath must differ from inPath (the input is never rewritten)")
-    // persist (not localCheckpoint) so the finally below actually
-    // releases the blocks — see IncrementalDedup.purgeIndex
-    val drops = dropIds.select(col(dropIdCol).cast("long").as("__drop_id"))
-      .filter(col("__drop_id").isNotNull).distinct().persist()
-    val bloom = {
-      val nDrop = drops.count() // also materializes the persist
-      require(nDrop > 0,
-        "purgeIndex needs a non-empty drop set; use compactIndex for a " +
-          "plain (no-deletion) rewrite")
-      val numBits = math.min(BloomPrune.MaxBits.toLong,
-        math.max(64L, nDrop * bitsPerKey.toLong)).toInt
-      BloomPrune.build(drops, "__drop_id", numBits, numHashes).persist()
-    }
+    val bloom = BloomPrune.bloomFor(drops, nDrop, bitsPerKey, numHashes)
     val postings = spark.read.parquet(s"$inPath/postings")
     try {
       val (misses, survivors) = BloomPrune.antiKeepSplitWith(
-        postings, "nid", bloom, drops, "__drop_id", numHashes)
+        postings, "nid", bloom, drops, "__drop_id", numHashes,
+        broadcastDim = nDrop <= BloomPrune.BroadcastDimMaxKeys)
       misses.write.mode("overwrite").partitionBy("cell")
         .parquet(s"$outPath/postings")
       survivors.repartition(col("cell"))
         .write.mode("append").partitionBy("cell")
         .parquet(s"$outPath/postings")
-    } finally {
-      drops.unpersist()
-      bloom.unpersist()
-    }
+    } finally bloom.unpersist()
     FsMeta.writeString(s"$outPath/centroids.json",
       FsMeta.readString(s"$inPath/centroids.json"))
     FsMeta.writeString(s"$outPath/params.json",

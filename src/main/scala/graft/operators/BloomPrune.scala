@@ -132,8 +132,8 @@ object BloomPrune {
     * this form, everyone else takes [[antiKeep]].
     */
   def antiKeepSplitWith(facts: DataFrame, keyCol: String, bloom: DataFrame,
-      dimKeys: DataFrame, dimKeyCol: String, numHashes: Int = 7)
-      : (DataFrame, DataFrame) = {
+      dimKeys: DataFrame, dimKeyCol: String, numHashes: Int = 7,
+      broadcastDim: Boolean = false): (DataFrame, DataFrame) = {
     val cols = facts.columns
     val flag = "__bloom_might"
     require(!cols.contains(flag) && !cols.contains("bloom"),
@@ -147,10 +147,49 @@ object BloomPrune {
       .select(cols.map(col): _*)
     val candidates = flagged.filter(coalesce(col(flag), lit(false)))
       .select(cols.map(col): _*)
-    val dk = dimKeys.select(col(dimKeyCol).cast("long").as("__dim_key"))
+    // broadcastDim: callers that KNOW dimKeys is broadcast-sized (the
+    // purge paths gate on the counted drop-set size) hint it, making
+    // the exact anti-join's shuffle volume provably zero — without the
+    // hint AQE/stats may pick a shuffle join and the candidate slice
+    // (dropset + FPP·facts) pays an exchange. Never hinted blindly:
+    // antiKeep's dimKeys can be corpus-scale (cross-corpus dedup).
+    val dk0 = dimKeys.select(col(dimKeyCol).cast("long").as("__dim_key"))
+    val dk = if (broadcastDim) broadcast(dk0) else dk0
     val survivors = candidates.join(dk,
       col(keyCol).cast("long") === col("__dim_key"), "left_anti")
       .select(cols.map(col): _*)
     (misses, survivors)
+  }
+
+  /** Drop sets up to this many distinct keys get the exact anti-join's
+    * dim side broadcast-hinted by the purge paths (~8 B/key ⇒ ≤32 MB
+    * broadcast); beyond it Spark plans the join from stats — the
+    * shuffle volume is then O(dropset + FPP·index) instead of ~0, still
+    * never O(index).
+    */
+  val BroadcastDimMaxKeys: Long = 4L << 20
+
+  /** The purge-entry prologue both persisted indexes share: normalize a
+    * caller drop frame to the `__drop_id` convention (cast to long,
+    * null-filtered, deduped) and PERSIST it — the frame feeds the tier
+    * count, the bitmap build, and every write job. Callers unpersist.
+    */
+  def normalizeDrops(dropIds: DataFrame, dropIdCol: String): DataFrame =
+    dropIds.select(col(dropIdCol).cast("long").as("__drop_id"))
+      .filter(col("__drop_id").isNotNull).distinct().persist()
+
+  /** Auto-sized, PERSISTED bitmap over a [[normalizeDrops]]-shaped frame
+    * whose count is `nDrop` (counted by the caller — counting here would
+    * hide the materialization the caller already paid for). Sizing is
+    * bitsPerKey·nDrop clamped to [64, MaxBits]; callers unpersist.
+    */
+  def bloomFor(drops: DataFrame, nDrop: Long, bitsPerKey: Int,
+      numHashes: Int): DataFrame = {
+    require(nDrop > 0,
+      "purgeIndex needs a non-empty drop set; use compactIndex for a " +
+        "plain (no-deletion) rewrite")
+    val numBits = math.min(MaxBits.toLong,
+      math.max(64L, nDrop * bitsPerKey.toLong)).toInt
+    build(drops, "__drop_id", numBits, numHashes).persist()
   }
 }

@@ -502,25 +502,28 @@ object IncrementalDedup {
   def purgeIndex(spark: SparkSession, inPath: String, outPath: String,
       dropIds: DataFrame, dropIdCol: String, bitsPerKey: Int = 10,
       numHashes: Int = 7): IndexCompactionStats = {
+    // normalize + persist once; purgeNormalized does the work
+    val drops = BloomPrune.normalizeDrops(dropIds, dropIdCol)
+    try purgeNormalized(spark, inPath, outPath, drops, drops.count(),
+      bitsPerKey, numHashes)
+    finally drops.unpersist()
+  }
+
+  /** [[purgeIndex]] over an ALREADY-normalized drop frame (`__drop_id`
+    * long, null-free, deduped, persisted — [[BloomPrune.normalizeDrops]]'
+    * shape) with its count in hand: the entry IndexMaintenance takes so
+    * the feed's delete set is normalized and persisted exactly once
+    * across the tier gate and the purge.
+    */
+  private[operators] def purgeNormalized(spark: SparkSession,
+      inPath: String, outPath: String, drops: DataFrame, nDrop: Long,
+      bitsPerKey: Int = 10, numHashes: Int = 7): IndexCompactionStats = {
     require(inPath != outPath, "purgeIndex writes a fresh index; " +
       "outPath must differ from inPath (the input is never rewritten)")
     val p = Params.parse(FsMeta.readString(paramsPath(inPath)))
     def parquetCount(dir: String): Long =
       FsMeta.listFiles(dir).count(_.endsWith(".parquet")).toLong
-    // cache the (deduped, non-null) drop set and the bitmap — they feed
-    // all four write jobs; persist (not localCheckpoint) so the finally
-    // below actually releases the blocks
-    val drops = dropIds.select(col(dropIdCol).cast("long").as("__drop_id"))
-      .filter(col("__drop_id").isNotNull).distinct().persist()
-    val bloom = {
-      val nDrop = drops.count() // also materializes the persist
-      require(nDrop > 0,
-        "purgeIndex needs a non-empty drop set; use compactIndex for a " +
-          "plain (no-deletion) rewrite")
-      val numBits = math.min(BloomPrune.MaxBits.toLong,
-        math.max(64L, nDrop * bitsPerKey.toLong)).toInt
-      BloomPrune.build(drops, "__drop_id", numBits, numHashes).persist()
-    }
+    val bloom = BloomPrune.bloomFor(drops, nDrop, bitsPerKey, numHashes)
     val bandsBefore = parquetCount(bandsPath(inPath))
     val shBefore = parquetCount(shinglesPath(inPath))
 
@@ -531,7 +534,8 @@ object IncrementalDedup {
       FsMeta.writeString(schemaPath(outPath, kind),
         FsMeta.readString(schemaPath(inPath, kind)))
       val (misses, survivors) = BloomPrune.antiKeepSplitWith(
-        tbl, "id", bloom, drops, "__drop_id", numHashes)
+        tbl, "id", bloom, drops, "__drop_id", numHashes,
+        broadcastDim = nDrop <= BloomPrune.BroadcastDimMaxKeys)
       // definite misses: retained without any join, still one task per
       // bucket (the split preserves the bucketed scan's task layout),
       // so the distinct + write are exchange-free like compactIndex
@@ -547,10 +551,8 @@ object IncrementalDedup {
       purgeTable("sh", shinglesPath(inPath), shinglesPath(outPath), "id")
       purgeTable("bands", bandsPath(inPath), bandsPath(outPath), "bkey")
     } finally {
-      // the cached drop set and bitmap fed four write jobs; in a
-      // long-lived ingest session their blocks would otherwise pin
-      // executor storage until GC
-      drops.unpersist()
+      // the bitmap fed four write jobs; in a long-lived ingest session
+      // its blocks would otherwise pin executor storage until GC
       bloom.unpersist()
     }
     FsMeta.writeString(paramsPath(outPath),

@@ -75,8 +75,11 @@ object IndexMaintenance {
         if (nDel == 0) inPath
         else {
           if (distributed)
-            IncrementalDedup.purgeIndex(spark, inPath, outPath,
-              dels, "__drop_id")
+            // dels is already splitFeed-normalized AND persisted —
+            // the purge's own normalize/persist would re-shuffle and
+            // double-cache a potentially corpus-scale id set
+            IncrementalDedup.purgeNormalized(spark, inPath, outPath,
+              dels, nDel)
           else {
             import spark.implicits._
             IncrementalDedup.compactIndex(spark, inPath, outPath,
@@ -109,7 +112,9 @@ object IndexMaintenance {
         if (nDel == 0) inPath
         else {
           if (distributed)
-            AnnIndex.purgeIndex(spark, inPath, outPath, dels, "__drop_id")
+            // pre-normalized + persisted by splitFeed, same as the
+            // dedup tier — skip the purge's duplicate normalize
+            AnnIndex.purgeNormalized(spark, inPath, outPath, dels, nDel)
           else {
             import spark.implicits._
             AnnIndex.compactIndex(spark, inPath, outPath,

@@ -29,6 +29,14 @@ object TokenizerEval {
   /** Per-slice (slice, n_words, n_word_chars, n_pieces, fertility,
     * chars_per_piece) under the given BPE merge table (lowest rank
     * first — [[graft.operators.BpeTrainer.learnMerges]]'s output order).
+    *
+    * Degenerate slices: a slice whose every doc has NULL text still
+    * emits its row, with null counts and null ratios (the per-row
+    * numbers null-propagate and an all-null SUM is null). The older
+    * two-scan formulation dropped such slices via its inner join; the
+    * one-scan report keeps them deliberately — "this slice exists and
+    * contributed no measurable text" is signal, not noise, and the
+    * DuckDB oracle's plain GROUP BY agrees with it.
     */
   def fertilityReport(docs: DataFrame, textCol: String, sliceCol: String,
       merges: Seq[(String, String)]): DataFrame = {

@@ -1014,6 +1014,57 @@ object PipelineLatest {
         """SELECT c_mktsegment, count(*) AS n_cust,
           |  CAST(sum(c_custkey) AS BIGINT) AS sum_key,
           |  min(c_acctbal) AS min_bal
-          |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin))
+          |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin)),
+
+    // --- distributed right-to-be-forgotten purge (p93): build the p46
+    //     MinHash index, purge a takedown set (index docs with
+    //     doc_id % 7 = 1) through IncrementalDedup.purgeIndex — the
+    //     DataFrame drop set, bloom-split retention path, never a
+    //     driver list — then probe with the p46 batch. The oracle is
+    //     p46's exact all-pairs Jaccard recomputed over the RETAINED
+    //     corpus: purged docs must be invisible to every probe, and
+    //     the probe's recall contract is unchanged. PurgeSpec pins the
+    //     shuffle bound (O(dropset + FPP·index)) and purged ==
+    //     fresh-rebuild; this row puts the SEMANTICS in the DuckDB
+    //     gate the driver runs. ---
+    QueryDef(
+      "p93_index_purge",
+      (s, dir) => {
+        val p = graft.operators.IncrementalDedup.Params(shingleSize = 3,
+          numHashes = 128, bands = 32, threshold = 0.8)
+        val docs = Tables.t(s, dir, "documents")
+        // per-dataset paths (p46's convention); the purge target is
+        // cleared so re-runs never read a stale survivor append
+        val root = "/tmp/graft_p93_index/" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        val idx = s"$root/idx"
+        val purged = s"$root/purged"
+        graft.sources.FsMeta.deleteRecursive(purged)
+        graft.operators.IncrementalDedup.buildIndex(
+          docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", p, idx)
+        val victims = docs.filter(col("doc_id") % 5 =!= 0 &&
+          col("doc_id") % 7 === 1).select("doc_id")
+        graft.operators.IncrementalDedup.purgeIndex(
+          s, idx, purged, victims, "doc_id")
+        graft.operators.IncrementalDedup.nearDupsAgainstIndex(
+            s, docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", p,
+            purged)
+          .orderBy("id_a", "id_b")
+      },
+      Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') tk
+          |           FROM documents
+          |           WHERE NOT (doc_id % 5 <> 0 AND doc_id % 7 = 1)),
+          |sh AS (SELECT doc_id,
+          |         list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+          |                        FOR i IN range(1, len(tk) - 1)]) s
+          |       FROM t WHERE len(tk) >= 3),
+          |p AS (SELECT a.doc_id id_a, b.doc_id id_b,
+          |        len(list_intersect(a.s, b.s))::DOUBLE
+          |          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) j
+          |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+          |SELECT id_a, id_b, round(j, 6) AS jaccard
+          |FROM p WHERE j >= 0.8 AND (id_a % 5 = 0 OR id_b % 5 = 0)
+          |ORDER BY id_a, id_b""".stripMargin))
   )
 }

@@ -195,6 +195,9 @@ class PlanHygieneSpec extends AnyFunSuite {
       bands = 32, threshold = 0.8, numBuckets = 64)
     IncrementalDedup.buildIndex(docs.filter(col("doc_id") % 5 =!= 0),
       "doc_id", "text", dedupP, s"$root/dedup")
+    // the bus is async: drain before clearing so the build's own plans
+    // can't deliver into the probe's capture window after the clear
+    org.apache.spark.sql.graftshim.Bridge.waitForListeners(s)
     seen.clear()
     import spark.implicits._
     val probeId = docs.filter(col("doc_id") % 5 === 0)

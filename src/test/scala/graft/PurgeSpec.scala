@@ -4,7 +4,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{AnnIndex, Dedup, IncrementalDedup, IndexMaintenance}
+import graft.operators.{AnnIndex, IncrementalDedup, IndexMaintenance}
 
 /** Distributed right-to-be-forgotten for the persisted indexes
   * (IncrementalDedup.purgeIndex / AnnIndex.purgeIndex): the drop set is
@@ -47,6 +47,12 @@ class PurgeSpec extends AnyFunSuite {
         if (m != null) records += m.shuffleWriteMetrics.recordsWritten
       }
     }
+    // drain the async bus BEFORE registering: task-end events from
+    // queries that ran before `body` (index build, fixture counts)
+    // would otherwise deliver into the capture window and inflate the
+    // O(dropset) shuffle bound — the same registration race the
+    // round-17 verdict adjudicated in IncrementalDedupSpec's pin
+    org.apache.spark.sql.graftshim.Bridge.waitForListeners(spark)
     spark.sparkContext.addSparkListener(listener)
     try {
       val a = body
