@@ -40,72 +40,103 @@ object PipelineE2e {
     s"list_distinct([$terms FOR i IN range(1, len(tk) - ${n - 2})])"
   }
 
+  /** The chain's stage frames, LAZY so a prefix costs only its prefix
+    * (componentLabels and contiguousIds run eagerly when touched):
+    * the QueryDef runs `account`; Bench's per-stage e2e attribution and
+    * the DbgP92 tool time each prefix on a FRESH Chain so the eager
+    * stages re-run inside the timed window.
+    */
+  final class Chain(s: org.apache.spark.sql.SparkSession, dir: String) {
+    private val allDocs = Tables.t(s, dir, "documents")
+    // 0. cross-corpus dedup at ingest (stand-in ingested corpus:
+    //    doc_id % 7 = 0), bloom-accelerated exact anti-join
+    private val fingerprinted = allDocs.withColumn("fp",
+      graft.functions.Fns.rollingHash31(substring(col("text"), 1, 200)))
+    lazy val docs: org.apache.spark.sql.DataFrame = BloomPrune.antiKeep(
+        facts = fingerprinted.filter(col("doc_id") % 7 =!= 0),
+        keyCol = "fp",
+        dimKeys = fingerprinted.filter(col("doc_id") % 7 === 0)
+          .select("fp"),
+        dimKeyCol = "fp", numBits = 1 << 14)
+      .drop("fp")
+    // 1. exact dedup: keep min doc_id per identical text
+    lazy val exactDeduped: org.apache.spark.sql.DataFrame = docs.join(
+      Dedup.exactGroups(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id")), "doc_id")
+    // 2. near-dup components over verified MinHash pairs; keep reps
+    lazy val nearPairs: org.apache.spark.sql.DataFrame =
+      Dedup.minhashNearDupPairs(exactDeduped, "doc_id", "text",
+        shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.8)
+    lazy val groups: org.apache.spark.sql.DataFrame =
+      ConnectedComponents.dedupGroups(exactDeduped, "doc_id", nearPairs)
+    lazy val nearDeduped: org.apache.spark.sql.DataFrame =
+      exactDeduped.join(
+        groups.filter(col("is_rep")).select("doc_id"), "doc_id")
+    // 3. benchmark decontamination (eval = doc_id % 20 = 0 of the
+    //    post-ingest corpus, 4-gram overlap)
+    lazy val decontaminated: org.apache.spark.sql.DataFrame =
+      Decontaminate.clean(
+        nearDeduped.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), "doc_id", "text", n = 4)
+    // 4. analysis + quality/repetition gate — appended as a pure
+    //    projection (joining analyze() back on doc_id would
+    //    recompute the decontamination prefix twice)
+    lazy val kept: org.apache.spark.sql.DataFrame = decontaminated
+      .select(col("*") +:
+        (TextAnalysis.analysisColumns(col("text")) ++
+          TextAnalysis.repetitionColumns(col("text"))): _*)
+      .filter(col("quality_score") > 3.0 &&
+        col("n_tokens") >= 10 && col("dup_3gram_frac") < 0.5)
+    // 5. mixture quotas (even sources upweighted) + contiguous ids
+    lazy val withIds: org.apache.spark.sql.DataFrame = {
+      val quotas = (0 until 20).map(i =>
+        s"src$i" -> (if (i % 2 == 0) 25 else 10)).toMap
+      IdAssign.contiguousIds(
+        Sampling.mixture(kept, "source", "doc_id", quotas),
+        col("doc_id"), "gid")
+    }
+    // 6. leakage-safe split (hash of the doc's dedup group) —
+    //    derived from the ALREADY-COMPUTED components: calling
+    //    leakageSafeSplit(withIds, nearPairs) would re-run the
+    //    whole MinHash + label-propagation job a second time
+    //    (componentLabels checkpoints its RESULT, not its call);
+    //    group_id is identical either way (same edge set, same
+    //    coalesce-to-own-id rule)
+    lazy val withSplit: org.apache.spark.sql.DataFrame = withIds
+      .join(groups.select("doc_id", "group_id"), "doc_id")
+      .withColumn("split", Sampling.splitForGroup(col("group_id")))
+    // 7. accounting: the corpus card a release ships
+    lazy val account: org.apache.spark.sql.DataFrame = withSplit
+      .groupBy("split", "lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum("ws_tokens").as("total_tokens"),
+        round(avg("quality_score"), 3).as("avg_quality"),
+        min("gid").as("min_gid"),
+        max("gid").as("max_gid"))
+      .orderBy("split", "lang")
+  }
+
+  /** Cumulative stage prefixes as count-thunks, each over a FRESH
+    * Chain (the eager stages — components' label propagation, the id
+    * assignment's offset pass — must re-run inside the timed window).
+    * Bench reports these inside the `e2e_pipeline` artifact object so
+    * a headline drift is attributable to its stage without a re-run.
+    */
+  def stageThunks(s: org.apache.spark.sql.SparkSession, dir: String)
+      : Seq[(String, () => Long)] = Seq(
+    "s0_crosscorpus" -> (() => new Chain(s, dir).docs.count()),
+    "s1_exact" -> (() => new Chain(s, dir).exactDeduped.count()),
+    "s2_pairs" -> (() => new Chain(s, dir).nearPairs.count()),
+    "s3_components" -> (() => new Chain(s, dir).groups.count()),
+    "s4_decontam" -> (() => new Chain(s, dir).decontaminated.count()),
+    "s5_quality" -> (() => new Chain(s, dir).kept.count()),
+    "s6_mix_ids" -> (() => new Chain(s, dir).withIds.count()),
+    "s7_full" -> (() => new Chain(s, dir).account.count()))
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "p92_pipeline_e2e",
-      (s, dir) => {
-        val allDocs = Tables.t(s, dir, "documents")
-        // 0. cross-corpus dedup at ingest (stand-in ingested corpus:
-        //    doc_id % 7 = 0), bloom-accelerated exact anti-join
-        val fingerprinted = allDocs.withColumn("fp",
-          graft.functions.Fns.rollingHash31(substring(col("text"), 1, 200)))
-        val docs = BloomPrune.antiKeep(
-            facts = fingerprinted.filter(col("doc_id") % 7 =!= 0),
-            keyCol = "fp",
-            dimKeys = fingerprinted.filter(col("doc_id") % 7 === 0)
-              .select("fp"),
-            dimKeyCol = "fp", numBits = 1 << 14)
-          .drop("fp")
-        // 1. exact dedup: keep min doc_id per identical text
-        val keepExact = Dedup.exactGroups(docs, "doc_id", "text")
-          .select(col("keep_id").as("doc_id"))
-        val exactDeduped = docs.join(keepExact, "doc_id")
-        // 2. near-dup components over verified MinHash pairs; keep reps
-        val nearPairs = Dedup.minhashNearDupPairs(
-          exactDeduped, "doc_id", "text",
-          shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.8)
-        val groups = ConnectedComponents.dedupGroups(
-          exactDeduped, "doc_id", nearPairs)
-        val nearDeduped = exactDeduped.join(
-          groups.filter(col("is_rep")).select("doc_id"), "doc_id")
-        // 3. benchmark decontamination (eval = doc_id % 20 = 0 of the
-        //    post-ingest corpus, 4-gram overlap)
-        val evalDocs = docs.filter(col("doc_id") % 20 === 0)
-        val trainPool = nearDeduped.filter(col("doc_id") % 20 =!= 0)
-        val decontaminated = Decontaminate.clean(
-          trainPool, evalDocs, "doc_id", "text", n = 4)
-        // 4. analysis + quality/repetition gate — appended as a pure
-        //    projection (joining analyze() back on doc_id would
-        //    recompute the decontamination prefix twice)
-        val analyzed = decontaminated.select(col("*") +:
-          (TextAnalysis.analysisColumns(col("text")) ++
-            TextAnalysis.repetitionColumns(col("text"))): _*)
-        val kept = analyzed.filter(col("quality_score") > 3.0 &&
-          col("n_tokens") >= 10 && col("dup_3gram_frac") < 0.5)
-        // 5. mixture quotas (even sources upweighted) + contiguous ids
-        val quotas = (0 until 20).map(i =>
-          s"src$i" -> (if (i % 2 == 0) 25 else 10)).toMap
-        val mixed = Sampling.mixture(kept, "source", "doc_id", quotas)
-        val withIds = IdAssign.contiguousIds(mixed, col("doc_id"), "gid")
-        // 6. leakage-safe split (hash of the doc's dedup group) —
-        //    derived from the ALREADY-COMPUTED components: calling
-        //    leakageSafeSplit(withIds, nearPairs) would re-run the
-        //    whole MinHash + label-propagation job a second time
-        //    (componentLabels checkpoints its RESULT, not its call);
-        //    group_id is identical either way (same edge set, same
-        //    coalesce-to-own-id rule)
-        val withSplit = withIds
-          .join(groups.select("doc_id", "group_id"), "doc_id")
-          .withColumn("split", Sampling.splitForGroup(col("group_id")))
-        // 7. accounting: the corpus card a release ships
-        withSplit.groupBy("split", "lang").agg(
-            count(lit(1)).as("n_docs"),
-            sum("ws_tokens").as("total_tokens"),
-            round(avg("quality_score"), 3).as("avg_quality"),
-            min("gid").as("min_gid"),
-            max("gid").as("max_gid"))
-          .orderBy("split", "lang")
-      },
+      (s, dir) => new Chain(s, dir).account,
       Some(
         s"""WITH RECURSIVE
            |fpd AS (SELECT *, ${duckRollingHash("substr(text, 1, 200)")} AS fp

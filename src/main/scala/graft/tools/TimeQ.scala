@@ -24,14 +24,27 @@ object TimeQ {
     s.sparkContext.setLogLevel("WARN")
     val q = graft.api.Registry.byName(args(0))
     q.run(s, dir).count() // warm
+    // gc/peak telemetry across the timed window (the r13 playbook: a
+    // slow reading with flat gc/peak is environmental; gc rivaling
+    // wall time is an allocation problem in the query)
+    import java.lang.management.{ManagementFactory, MemoryType}
+    import scala.jdk.CollectionConverters._
+    val gcBeans = ManagementFactory.getGarbageCollectorMXBeans.asScala
+    val pools = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == MemoryType.HEAP)
+    pools.foreach(_.resetPeakUsage())
+    val gc0 = gcBeans.map(_.getCollectionTime).sum
     val times = (1 to 5).map { _ =>
       val t0 = System.nanoTime()
       q.run(s, dir).count()
       (System.nanoTime() - t0) / 1e9
     }.sorted
+    val gcMs = gcBeans.map(_.getCollectionTime).sum - gc0
+    val peakMb = pools.map(_.getPeakUsage.getUsed).sum / (1024L * 1024L)
     val plan = q.run(s, dir).queryExecution.executedPlan.toString
     println(f"${args(0)}: min=${times.head}%.3f median=${times(2)}%.3f " +
-      s"exchanges=${"Exchange".r.findAllIn(plan).length}")
+      s"exchanges=${"Exchange".r.findAllIn(plan).length} " +
+      s"gc_ms=$gcMs peak_mb=$peakMb")
     s.stop()
   }
 }
