@@ -286,8 +286,14 @@ object Bench {
       else try {
         graft.queries.PipelineE2e.stageThunks(spark, sfDir).map {
           case (label, f) =>
-            val t0 = System.nanoTime(); f()
-            s""""$label":${(System.nanoTime() - t0) / 1e9}"""
+            // min-of-2: a single-timed prefix under a load spike reads
+            // as a stage regression (r18's first two artifacts showed
+            // non-monotone cumulative stages from exactly this)
+            val secs = (1 to 2).map { _ =>
+              val t0 = System.nanoTime(); f()
+              (System.nanoTime() - t0) / 1e9
+            }.min
+            s""""$label":$secs"""
         }.mkString("{", ",", "}")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] e2e stage sweep FAILED: ${e.getMessage}")
@@ -361,12 +367,14 @@ object Bench {
     // Round-18 stabilization (r17 verdict #7: q26's slope read 2.9 vs
     // 3.57, wc 1.29 vs 3.09 across artifacts — the sf0.01 denominator
     // is overhead-dominated and load-sensitive): the small side is now
-    // MEDIAN-of-3 (a one-run GC pause at 50 ms moves a 150 ms reading
-    // by 30%+; the median absorbs it) and `slope_norm` probe-normalizes
-    // BOTH sides (each reading scaled by its nearest CPU probe, the
-    // small/big probe ratio clamped to [0.5, 2] so a query-aftermath
-    // probe can't overcorrect). slope stays the raw round-over-round
-    // comparable; slope_norm is the superlinearity arbiter.
+    // MIN-of-5 (load and GC only ever ADD time to a 30-150 ms reading,
+    // so the min is the stable estimator — median-of-3 still moved
+    // slopes 0.5-1.5 across load windows) and `slope_norm`
+    // probe-normalizes BOTH sides (each reading scaled by its nearest
+    // CPU probe, the small/big probe ratio clamped to [0.5, 2] so a
+    // query-aftermath probe can't overcorrect). slope stays the raw
+    // round-over-round comparable; slope_norm is the superlinearity
+    // arbiter.
     val scalingJson = {
       val smallDir = new java.io.File(sfDir).getParent + "/sf0.01"
       if (!sfDir.endsWith("sf0.1") ||
@@ -389,11 +397,15 @@ object Bench {
           try {
             val fn = fns(name)
             fn(spark, smallDir).count() // warm
-            val runs = (1 to 3).map { _ =>
+            val runs = (1 to 5).map { _ =>
               val t0 = System.nanoTime(); fn(spark, smallDir).count()
               (System.nanoTime() - t0) / 1e9
             }.sorted
-            val small = runs(1) // median-of-3
+            // MIN-of-5: load only ever ADDS time, so the min is the
+            // stable estimator of the 30-150 ms small-sf readings —
+            // the r18 median-of-3 still moved slopes 0.5-1.5 across
+            // load windows; the big side is already a cross-pass min
+            val small = runs.head
             val smallProbe = probe()
             bigMins.get(name).map { big =>
               def r2(x: Double) = (x * 100).round / 100.0
