@@ -279,7 +279,7 @@ object Bench {
     // component the chain composes got faster; one cumulative-prefix
     // sweep (everything is warm after four full e2e runs) makes the
     // next drift argument self-carrying instead of needing a DbgP92
-    // side run. Each prefix is timed once: stage SHARES are the
+    // side run. Each prefix is min-of-2: stage SHARES are the
     // signal, the headline `sec` stays the cross-pass min above.
     val e2eStages =
       if (failed.contains("p92_pipeline_e2e")) "null"
@@ -319,19 +319,15 @@ object Bench {
     // static literals — what a clairvoyant reader would pay); full read
     // minus the two legs is the DPP subquery/broadcast machinery.
     val q87Legs = try {
-      import org.apache.spark.sql.functions.{col, count, lit, sum}
       val dim = () => graft.queries.StorageLayout.q87Dim(spark, sfDir)
       val months = dim().collect().map(_.getString(0)).toSeq.sorted
-      val factPath = graft.queries.StorageLayout.q87FactPath(sfDir)
       def t3(f: () => Long): Double = { f(); (1 to 3).map { _ =>
         val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
       }.min }
       val dimS = t3(() => dim().count())
-      val factS = t3(() => spark.read.parquet(factPath)
-        .filter(col("ship_month").isin(months: _*))
-        .groupBy("ship_month")
-        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
-        .orderBy("ship_month").count())
+      val factS = t3(() =>
+        graft.queries.StorageLayout.q87FactStatic(spark, sfDir, months)
+          .count())
       s"""{"dim_s":$dimS,"fact_static_s":$factS}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] q87 leg sweep FAILED: ${e.getMessage}")
@@ -492,10 +488,18 @@ object Bench {
     // self-inflicted regression masquerade as box noise — at most 2x of
     // a query's time can be attributed to the environment. Raw total
     // stays the primary signal.
-    val probeMin = ((probeStart +: probeEnd +:
-      (legacyP1 ++ legacyP2 ++ extP1 ++ extP2).map(_._2.probe)) ++
+    // the r16/r17 basis, UNCHANGED: legacy/extended normalized totals
+    // must stay round-over-round comparable, so their reference probe
+    // draws from the same pool those rounds used (widening it to the
+    // storage probes would redefine the existing totals — a quieter
+    // storage instant would deflate every legacy ratio)
+    val probeMin = (probeStart +: probeEnd +:
+      (legacyP1 ++ legacyP2 ++ extP1 ++ extP2).map(_._2.probe)).min
+    // the storage group's own reference additionally sees its per-build/
+    // per-read probes (new in r18 with the group's normalized totals)
+    val probeMinStorage = math.min(probeMin,
       (storageP1 ++ storageP2).flatMap(p =>
-        Seq(p._2.buildProbe, p._2.probe))).min
+        Seq(p._2.buildProbe, p._2.probe)).min)
     def normTotal(rs: Seq[(String, QTime)]) = rs.collect {
       case (k, t) if !failed.contains(k) =>
         t.min * math.max(0.5, math.min(1.0, probeMin / t.probe))
@@ -508,7 +512,8 @@ object Bench {
     // but can't cancel a loaded EPOCH across artifacts; the per-build
     // probes can): each build/read scaled by its own probe's clamped
     // ratio to the run's cleanest probe
-    def normRatio(p: Double) = math.max(0.5, math.min(1.0, probeMin / p))
+    def normRatio(p: Double) =
+      math.max(0.5, math.min(1.0, probeMinStorage / p))
     val storageBuildNormTotal = storageResults.collect {
       case (k, t) if !failed.contains(k) => t.build * normRatio(t.buildProbe)
     }.sum

@@ -162,12 +162,17 @@ object BloomPrune {
   }
 
   /** Drop sets up to this many distinct keys get the exact anti-join's
-    * dim side broadcast-hinted by the purge paths (~8 B/key ⇒ ≤32 MB
-    * broadcast); beyond it Spark plans the join from stats — the
-    * shuffle volume is then O(dropset + FPP·index) instead of ~0, still
-    * never O(index).
+    * dim side broadcast-hinted by the purge paths. Sized for the
+    * MATERIALIZED relation, not raw bytes: a broadcast hash join builds
+    * a LongHashedRelation at ~2-4× the 8 B/key payload, and a dedup
+    * purge broadcasts it once per table (sh + bands) on top of the
+    * bloom bitmap — 1M keys keeps the whole purge's broadcast footprint
+    * in the tens of MB on a default-memory driver. Beyond the gate
+    * Spark plans the join from stats (its own size-based safety valve
+    * restored) — the shuffle volume is then O(dropset + FPP·index)
+    * instead of ~0, still never O(index).
     */
-  val BroadcastDimMaxKeys: Long = 4L << 20
+  val BroadcastDimMaxKeys: Long = 1L << 20
 
   /** The purge-entry prologue both persisted indexes share: normalize a
     * caller drop frame to the `__drop_id` convention (cast to long,

@@ -67,6 +67,20 @@ object StorageLayout {
       .select(date_format(col("o_orderdate"), "yyyy-MM").as("ship_month"))
       .distinct()
 
+  /** q87's static-fact floor: the pruned month partitions aggregated
+    * with the months as plan literals — what a clairvoyant reader
+    * would pay, with zero DPP machinery. Shared by Bench's `q87_legs`
+    * artifact field and the DbgQ87 tool so the two can never measure
+    * different expressions.
+    */
+  def q87FactStatic(s: SparkSession, dir: String,
+      months: Seq[String]): DataFrame =
+    s.read.parquet(q87FactPath(dir))
+      .filter(col("ship_month").isin(months: _*))
+      .groupBy("ship_month")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+      .orderBy("ship_month")
+
   def q87Dpp(s: SparkSession, dir: String): () => DataFrame = {
     val path = q87FactPath(dir)
     Tables.t(s, dir, "lineitem")

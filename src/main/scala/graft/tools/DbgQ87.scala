@@ -38,11 +38,8 @@ object DbgQ87 {
       s.read.parquet(path).select("ship_month").distinct().count())
     time("full_dpp")(() => read().count())
     time("dim_leg")(() => dim().count())
-    time("fact_static")(() => s.read.parquet(path)
-      .filter(col("ship_month").isin(months.toSeq: _*))
-      .groupBy("ship_month")
-      .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
-      .orderBy("ship_month").count())
+    time("fact_static")(() => graft.queries.StorageLayout
+      .q87FactStatic(s, dir, months.toSeq).count())
     s.stop()
   }
 }

@@ -373,22 +373,17 @@ class IncrementalDedupSpec extends AnyFunSuite {
     // ASYNC: drain it BEFORE registering, or the distinct().count()
     // above (2 exchanges) delivers into the compaction's window — the
     // exact race that broke the round-17 judge's full-suite runs while
-    // the test passed alone. Belt-and-braces, the count also filters to
-    // plans that scan THIS test's index root, so stray same-session
-    // queries can never land in the window either.
+    // the test passed alone. (Suites run sequentially in one forked
+    // JVM, so post-drain the window holds ONLY compaction queries —
+    // every executed plan is counted, with no path filter that an
+    // exchange over a checkpointed intermediate could slip past.)
     org.apache.spark.sql.graftshim.Bridge.waitForListeners(spark)
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       var exchanges = 0
       override def onSuccess(f: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit = {
-        val nodes = PlanFlatten.flatten(qe.executedPlan)
-        val scansIdx = nodes.exists {
-          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-            f.relation.location.rootPaths.exists(_.toString.contains(idx))
-          case _ => false
-        }
-        if (scansIdx) exchanges += nodes.count(_.isInstanceOf[Exchange])
-      }
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        exchanges += PlanFlatten.flatten(qe.executedPlan)
+          .count(_.isInstanceOf[Exchange])
       override def onFailure(f: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
           e: Exception): Unit = ()
