@@ -50,6 +50,25 @@ object PipelineE2e {
     private val allDocs = Tables.t(s, dir, "documents")
     // 0. cross-corpus dedup at ingest (stand-in ingested corpus:
     //    doc_id % 7 = 0), bloom-accelerated exact anti-join
+    //
+    // ROUND-18 (optimization): the two widest fan-out frames — docs
+    // (consumed by exactGroups, the keep-join and the decontam eval
+    // side) and exactDeduped (pairs, groups' doc side, the keep-rep
+    // join, and decontamination's two train reads) — are cut with an
+    // eager localCheckpoint, the same lineage truncation
+    // componentLabels already uses per round (guide §5: materialize an
+    // intermediate that multiple branches recompute). Before: one
+    // account.count() re-ran the scan+bloom prefix ~8x and the md5
+    // groupBy ~3x (the r17 scan-budget pin recorded 30 documents
+    // scans); after: every stage derives from the nearest checkpoint —
+    // 4 documents scans, final-frame exchanges 17 -> 5, TimeQ min-of-5
+    // 7.47 -> 5.7-5.8 s / median 8.21 -> 6.6 s at sf0.1. A third
+    // checkpoint on nearDeduped was A/B'd and REJECTED (median rose to
+    // ~7.1-7.6 s: the keep-rep join from two checkpointed inputs is
+    // cheaper than materializing its output). At corpus scale this is
+    // the stage materialization a real curation pipeline does between
+    // stages anyway (SCALE.md's checkpoint note on
+    // minhashNearDupPairs).
     private val fingerprinted = allDocs.withColumn("fp",
       graft.functions.Fns.rollingHash31(substring(col("text"), 1, 200)))
     lazy val docs: org.apache.spark.sql.DataFrame = BloomPrune.antiKeep(
@@ -59,10 +78,12 @@ object PipelineE2e {
           .select("fp"),
         dimKeyCol = "fp", numBits = 1 << 14)
       .drop("fp")
+      .localCheckpoint(true)
     // 1. exact dedup: keep min doc_id per identical text
     lazy val exactDeduped: org.apache.spark.sql.DataFrame = docs.join(
-      Dedup.exactGroups(docs, "doc_id", "text")
-        .select(col("keep_id").as("doc_id")), "doc_id")
+        Dedup.exactGroups(docs, "doc_id", "text")
+          .select(col("keep_id").as("doc_id")), "doc_id")
+      .localCheckpoint(true)
     // 2. near-dup components over verified MinHash pairs; keep reps
     lazy val nearPairs: org.apache.spark.sql.DataFrame =
       Dedup.minhashNearDupPairs(exactDeduped, "doc_id", "text",
@@ -71,7 +92,7 @@ object PipelineE2e {
       ConnectedComponents.dedupGroups(exactDeduped, "doc_id", nearPairs)
     lazy val nearDeduped: org.apache.spark.sql.DataFrame =
       exactDeduped.join(
-        groups.filter(col("is_rep")).select("doc_id"), "doc_id")
+          groups.filter(col("is_rep")).select("doc_id"), "doc_id")
     // 3. benchmark decontamination (eval = doc_id % 20 = 0 of the
     //    post-ingest corpus, 4-gram overlap)
     lazy val decontaminated: org.apache.spark.sql.DataFrame =

@@ -319,16 +319,19 @@ class PlanHygieneSpec extends AnyFunSuite {
       }
     } finally s.listenerManager.unregister(listener)
     assert(docScans.nonEmpty, "no documents scan observed — listener broke")
-    // 30 column-pruned scans across the chain's ~8 jobs (candidate
-    // checkpoint, component iterations, offsets, final): each stage
-    // re-derives its slice from the parquet scan instead of caching —
-    // scans are cheap and column-pruned, the EXPENSIVE stages
-    // (shingling, minhash, components, 4-gram explode) each run once.
-    // A re-introduced double component computation costs ~6 extra
-    // scans, a join-back analysis ~4 — both trip this pin.
-    assert(docScans.size == 30,
+    // ROUND-18 (optimization): 30 -> 4. The chain's fan-out frames
+    // (docs and exactDeduped) are now cut with eager localCheckpoints
+    // (PipelineE2e.Chain), so the scan+bloom prefix and the md5 dedup
+    // no longer recompute per consuming branch — measured 7.47 ->
+    // ~5.7 s on the full chain (TimeQ, sf0.1, min-of-5). The 4
+    // remaining scans all happen inside the single docs-checkpoint
+    // job (the bloom build's dim leg plus the facts side, each with
+    // its reuse twin). A re-introduced re-derivation (the pre-r18
+    // shape) lands at ~30 and trips this pin from above; a lost
+    // branch trips it from below.
+    assert(docScans.size == 4,
       s"p92's documents scan budget drifted: got ${docScans.size}, " +
-        "pinned 30 (update the pin ONLY with a PLANS.md entry explaining " +
+        "pinned 4 (update the pin ONLY with a PLANS.md entry explaining " +
         "why the new budget is right)")
   }
 
