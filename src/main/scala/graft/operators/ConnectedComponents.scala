@@ -34,9 +34,23 @@ object ConnectedComponents {
         col("id_b").cast("long").as("d"))
       .union(pairs.select(col("id_b").cast("long").as("s"),
         col("id_a").cast("long").as("d")))
+      // round-18: checkpoint the edge frame PRE-PARTITIONED on the
+      // per-round join key (localCheckpoint preserves the physical
+      // partitioning), so each round's neighbor-min join shuffles only
+      // the label frame — the edge side, the larger one on real
+      // graphs, moves zero bytes after round 0
+      .repartition(col("d"))
       .localCheckpoint(true) // pair generation (LSH + verify) runs ONCE
-    var labels = edges.select(col("s").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
+    // round-18: the label init IS the first neighbor-min round, fused —
+    // min(own id, min over neighbors) costs the same single exchange +
+    // aggregate the old `distinct()` init did (same key, same shuffle
+    // shape) but starts the loop one propagation ahead: a clique (the
+    // common near-dup component) converges on its first CHECK instead
+    // of its second round. Identical fixpoint — this is exactly round
+    // 0's neighbor-min applied to identity labels.
+    var labels = edges.groupBy(col("s"))
+      .agg(least(col("s"), min(col("d"))).as("label"))
+      .select(col("s").as("id"), col("label"))
       .localCheckpoint(true)
     // `improving` counts only rounds that changed a label; the final
     // confirming round (no changes) is always allowed on top of maxIter,

@@ -16,6 +16,29 @@ import graft.functions.Fns
   */
 object Similarity {
 
+  /** Round-robin repartition of the corpus side to core-count tasks
+    * before compute-dense scoring (round-18 optimization). Embedding
+    * tables are compute-dense, not byte-dense: at bench scale the whole
+    * corpus arrives as ONE parquet split (~1 MB), so a scoring stage
+    * can run as a single task while the other cores idle — measured
+    * 1.13 s of p34's 1.2 s in a 1-task stage. The guide's input-skew
+    * remedy (§2.5: one unsplittable input, repartition right after the
+    * read): the shuffle moves |corpus| narrow rows once, the scoring
+    * fans out to defaultParallelism tasks — derived from cores, not a
+    * constant. Downstream ranking is per-qid with a total-order
+    * tiebreak, so row order never reaches results.
+    *
+    * Applied ONLY where an interleaved A/B proved it pays: the int8
+    * path (quantizedTopK 1.48 -> 0.61 s at sf0.1 — quantize+integer-dot
+    * is genuinely compute-bound). The float paths were measured at
+    * parity or worse with the extra exchange (p09 0.58 -> 0.62, p35
+    * 0.55 -> 0.64, lshTopK 0.77 -> 1.65 — their scoring stage is too
+    * cheap at bench scale to amortize it) and keep the plain scan;
+    * at cluster scale their scans are already split.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Exact top-k cosine neighbors per query vector (excluding self).
     * Cosine is rounded to 6dp before ranking so ordering is stable across
     * engines; ties break by neighbor id.
@@ -126,7 +149,7 @@ object Similarity {
   def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"),
       Embeddings.int8Codes(col("embedding")).as("qc"))
-    val c = corpus.select(col("vec_id").as("nid"),
+    val c = spread(corpus).select(col("vec_id").as("nid"),
       Embeddings.int8Codes(col("embedding")).as("nc"))
     // native one-pass integer dot (quantization above runs once per row;
     // THIS runs once per candidate pair — the hot loop, so no

@@ -48,17 +48,22 @@ object DbgCC {
     println(s"  pairs rows = ${pairs.count()}")
 
     // replicate componentLabels with per-round timing
+    // mirrors ConnectedComponents.componentLabels round-18 shape
+    // (fused neighbor-min init, edges pre-partitioned on d)
     val edges = timed("edges union+checkpoint") {
       pairs.select(col("id_a").cast("long").as("s"),
           col("id_b").cast("long").as("d"))
         .union(pairs.select(col("id_b").cast("long").as("s"),
           col("id_a").cast("long").as("d")))
+        .repartition(col("d"))
         .localCheckpoint(true)
     }
     println(s"  edges rows = ${edges.count()}")
-    var labels = timed("labels init") {
-      edges.select(col("s").as("id")).distinct()
-        .select(col("id"), col("id").as("label"))
+    var labels = timed("labels init (fused round)") {
+      edges.groupBy(col("s"))
+        .agg(org.apache.spark.sql.functions.least(col("s"),
+          org.apache.spark.sql.functions.min(col("d"))).as("label"))
+        .select(col("s").as("id"), col("label"))
         .localCheckpoint(true)
     }
     var improving = 0
