@@ -233,6 +233,16 @@ object PipelineLatest {
       "p84_audio_neardup",
       (s, dir) => {
         import s.implicits._
+        // round-18: the 12-byte (id, afp) fingerprint frame is cut
+        // with a localCheckpoint — the banded self-join's two sides
+        // otherwise each recompute the full synth+decode+fingerprint
+        // pass (AQE broadcast-converts one side, so the subtrees get
+        // different exchange types and reuse cannot dedupe them; the
+        // lshCandidates lesson). NOTE: spreading the decode to
+        // core-count tasks was A/B'd and REJECTED (1.14 -> 2.8 s —
+        // javax.sound's provider registry serializes concurrent
+        // getAudioInputStream calls, so parallel decode contends
+        // instead of scaling).
         val wavs = Tables.t(s, dir, "documents").select(col("doc_id"))
           .as[Long]
           .mapPartitions(_.map { id =>
@@ -244,6 +254,7 @@ object PipelineLatest {
         val hashes = graft.operators.Multimodal.audioFingerprint(wavs,
             frames = 48)
           .toDF().select(col("doc_id").as("id"), col("afp"))
+          .localCheckpoint(true)
         graft.operators.Dedup.hammingNearDupPairs(hashes, "afp",
             totalBits = 48, maxDist = 2)
           .orderBy("id_a", "id_b")

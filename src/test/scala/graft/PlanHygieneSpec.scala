@@ -95,7 +95,12 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q69_time_weighted_avg" -> (2, 0, 0, 1),
     "q70_retention_cohorts" -> (4, 1, 0, 0),
     "q75_salted_topk" -> (3, 0, 0, 0), // two-phase salted TopK: no window
-    "p02_minhash_neardup" -> (7, 0, 2, 0), // shingle exchange reused twice
+    // round-18: 7/2-reused -> 6/0 — the shingle frame is cut with an
+    // eager localCheckpoint (see minhashNearDupPairs), so the raw-text
+    // exchange and its two reuses left the static plan; the 6 that
+    // remain are the two band exchanges, the candidate distinct, the
+    // two verify-join exchanges and the output sort
+    "p02_minhash_neardup" -> (6, 0, 0, 0),
     "p17_decontaminate" -> (3, 1, 0, 0), // eval side broadcast, corpus never shuffled
     "p23_tfidf_topterms" -> (6, 2, 0, 0),
     "p26_mixture_sample" -> (2, 0, 0, 1), // one corpus shuffle + quota window
