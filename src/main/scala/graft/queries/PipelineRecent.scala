@@ -610,12 +610,19 @@ object PipelineRecent {
           .as[(String, String)].collect().toSeq
         val pieces = graft.functions.Fns.bpeEncodeArray(
           graft.functions.Fns.tokens(col("text")), merges)
-        docs.select(col("doc_id").cast("long").as("id"), pieces.as("ps"))
-          // zero-piece docs (null/empty text) are ABSENT, exactly as the
-          // generator+groupBy form dropped them and the oracle's
-          // word-occurrence join drops them — size(null) is null, so one
-          // predicate covers both degenerate shapes
-          .filter(size(col("ps")) > 0)
+        // round-18: the zero-piece guard is the INPUT-side predicate
+        // trim(text) non-empty — provably the same row set (encode
+        // emits >= 1 piece per token character and 0 for empty tokens,
+        // so ps is empty iff the text is null/space-only), because the
+        // old filter(size(ps) > 0) was pushed below the projection as
+        // size(bpe_encode_array(...)) > 0 and re-ran the whole encode
+        // per row inside the scan filter. The scan is also spread to
+        // core-count tasks first (single split ran the 0.4 s encode in
+        // one task; pure-JVM, so it parallelizes — unlike p84's codec).
+        docs
+          .filter(length(trim(coalesce(col("text"), lit("")))) > 0)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id").cast("long").as("id"), pieces.as("ps"))
           .select(col("id"), size(col("ps")).cast("long").as("n_pieces"),
             size(array_distinct(col("ps"))).cast("long")
               .as("n_distinct_pieces"))
