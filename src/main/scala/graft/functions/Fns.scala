@@ -92,6 +92,21 @@ object Fns {
   def arrayIntDot(a: Column, b: Column): Column =
     toCol(ArrayIntDot(toExpr(a), toExpr(b)))
 
+  /** Native one-pass squared euclidean distance of two array<double>
+    * columns (see SqDist) — bit-identical replacement for the
+    * zip_with/aggregate lambda fold.
+    */
+  def sqDist(a: Column, b: Column): Column =
+    toCol(SqDist(toExpr(a), toExpr(b)))
+
+  /** All k squared distances of an array<double> column against a
+    * plan-time centroid matrix, optionally 6dp-rounded per element
+    * (see SqDistToAll).
+    */
+  def sqDistToAll(v: Column, cents: Seq[Array[Double]],
+      round6: Boolean): Column =
+    toCol(SqDistToAll(toExpr(v), cents.map(_.toSeq), round6))
+
   /** All k MinHash values of a shingle array (see MinHashSigs). */
   def minhashSigs(sh: Column, k: Int): Column =
     toCol(MinHashSigs(toExpr(sh), k))

@@ -307,10 +307,11 @@ object AnnIndex {
     */
   private def assignCellsTopN(df: DataFrame, embCol: String,
       cents: DataFrame, n: Int): DataFrame = {
-    val dist = aggregate(
-      zip_with(col(embCol).cast("array<double>"), col("centroid"),
-        (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
+    // round-19: native SqDist replaces the interpreted zip_with/aggregate
+    // fold — same index-ordered sum, bit-identical distances, and the
+    // assignment projection stays inside whole-stage codegen
+    val dist = graft.functions.Fns.sqDist(
+      col(embCol).cast("array<double>"), col("centroid"))
     val scored = df.crossJoin(broadcast(cents)).withColumn("dist", dist)
     graft.plans.TopKPerGroup.topK(scored, Seq("__aid"),
         Seq(col("dist").asc, col("cell").asc), n)

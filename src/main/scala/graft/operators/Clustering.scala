@@ -35,18 +35,21 @@ object Clustering {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  private def distTo(center: Array[Double]): Column =
-    round(aggregate(
-      zip_with(col("v"), array(center.map(lit): _*),
-        (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x), 6)
-
   /** All k distances as one array column — evaluated ONCE per row; the
     * argmin cell is `array_position` of the min (first index wins, so
     * exact-distance ties go to the lower cell id).
+    *
+    * Round-19 (optimization): the per-centroid
+    * `round(aggregate(zip_with(v, c, (a,b) => (a-b)*(a-b)), 0.0, _+_), 6)`
+    * lambda composition is replaced by the native
+    * [[graft.functions.SqDistToAll]] expression — Spark evaluates
+    * higher-order lambdas interpreted, which made the assignment the hot
+    * loop of every Lloyd round. Same index-ordered sums, same 6dp
+    * HALF_UP round BEFORE the argmin, bit-identical trajectory
+    * (SqDistsSpec pins the parity; the oracle re-proves it end to end).
     */
   private def distArr(cents: Seq[Array[Double]]): Column =
-    array(cents.map(distTo): _*)
+    graft.functions.Fns.sqDistToAll(col("v"), cents, round6 = true)
 
   private def cellOf(dArr: Column): Column =
     (array_position(dArr, array_min(dArr)) - 1).cast("int")

@@ -116,10 +116,12 @@ object SemanticDedup {
     */
   private def withCellAndDist(embeddings: DataFrame, idCol: String,
       embCol: String, cents: Seq[Array[Double]]): DataFrame = {
-    val centLit = array(cents.map(c => array(c.map(lit): _*)): _*)
-    val dists = transform(centLit, c =>
-      aggregate(zip_with(col(embCol).cast("array<double>"), c,
-        (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x))
+    // round-19: native SqDistToAll replaces the interpreted
+    // transform/zip_with/aggregate lambda stack — same index-ordered
+    // sums (unrounded; the 6dp round below applies only to the selected
+    // cell's sqrt), bit-identical assignment
+    val dists = graft.functions.Fns.sqDistToAll(
+      col(embCol).cast("array<double>"), cents, round6 = false)
     embeddings
       .select(col(idCol).cast("long").as("vid"), col(embCol).as("v"),
         dists.as("d2s"))
