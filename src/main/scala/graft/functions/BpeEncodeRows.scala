@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
+  ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -105,6 +106,22 @@ private[functions] object BpeEncodeCore {
     ts
   }
 
+  /** Scalar transport: all pieces of every token, concatenated in token
+    * order — the flattened [[rows]] stream as one array.
+    */
+  def encodeAll(arr: ArrayData,
+      ranks: java.util.HashMap[(String, String), Int],
+      byRank: Array[(String, String)]): ArrayData = {
+    val out = Seq.newBuilder[UTF8String]
+    var ti = 0
+    while (ti < arr.numElements()) {
+      encode(arr.getUTF8String(ti).toString, ranks, byRank)
+        .foreach(p => out += UTF8String.fromString(p))
+      ti += 1
+    }
+    ArrayData.toArrayData(out.result().toArray)
+  }
+
   def rows(arr: ArrayData,
       ranks: java.util.HashMap[(String, String), Int],
       byRank: Array[(String, String)]): IterableOnce[InternalRow] = {
@@ -133,7 +150,7 @@ private[functions] object BpeEncodeCore {
   */
 case class BpeEncodeRows(child: Expression,
     merges: Seq[(String, String)]) extends UnaryExpression with Generator
-    with CodegenFallback {
+    with RowsGen {
   BpeEncodeCore.requireValid(merges)
 
   override def prettyName: String = "bpe_encode_rows"
@@ -146,11 +163,17 @@ case class BpeEncodeRows(child: Expression,
   private[graft] def encode(token: String): Seq[String] =
     BpeEncodeCore.encode(token, ranks, byRank)
 
-  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
-    val v = child.eval(input)
-    if (v == null) return Nil
-    BpeEncodeCore.rows(v.asInstanceOf[ArrayData], ranks, byRank)
-  }
+  /** Shared by the interpreted eval and the generated code. */
+  override def rowsOf(v: ArrayData): IterableOnce[InternalRow] =
+    if (v == null) Nil else BpeEncodeCore.rows(v, ranks, byRank)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] =
+    rowsOf(child.eval(input).asInstanceOf[ArrayData])
+
+  // round-19: real doGenCode instead of CodegenFallback — GenerateExec
+  // codegens IterableOnce generators (see ShingleRows for the rationale)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    RowsGen.genCode(ctx, ev, child, this, "bpeEncodeRows")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -164,7 +187,7 @@ case class BpeEncodeRows(child: Expression,
   */
 case class BpeEncodeRowsBc(child: Expression,
     bcMerges: org.apache.spark.broadcast.Broadcast[Array[(String, String)]])
-    extends UnaryExpression with Generator with CodegenFallback {
+    extends UnaryExpression with Generator with RowsGen {
 
   override def prettyName: String = "bpe_encode_rows_bc"
 
@@ -173,11 +196,15 @@ case class BpeEncodeRowsBc(child: Expression,
   @transient private lazy val ranks =
     BpeEncodeCore.toRankMap(bcMerges.value.toSeq)
 
-  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
-    val v = child.eval(input)
-    if (v == null) return Nil
-    BpeEncodeCore.rows(v.asInstanceOf[ArrayData], ranks, bcMerges.value)
-  }
+  override def rowsOf(v: ArrayData): IterableOnce[InternalRow] =
+    if (v == null) Nil else BpeEncodeCore.rows(v, ranks, bcMerges.value)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] =
+    rowsOf(child.eval(input).asInstanceOf[ArrayData])
+
+  // round-19: real doGenCode instead of CodegenFallback (see RowsGen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    RowsGen.genCode(ctx, ev, child, this, "bpeEncodeRowsBc")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -196,8 +223,7 @@ case class BpeEncodeRowsBc(child: Expression,
   * needs per-document numbers.
   */
 case class BpeEncodeArray(child: Expression,
-    merges: Seq[(String, String)]) extends UnaryExpression
-    with CodegenFallback {
+    merges: Seq[(String, String)]) extends UnaryExpression {
   BpeEncodeCore.requireValid(merges)
 
   override def prettyName: String = "bpe_encode_array"
@@ -208,17 +234,21 @@ case class BpeEncodeArray(child: Expression,
   @transient private lazy val ranks = BpeEncodeCore.toRankMap(merges)
   @transient private lazy val byRank = merges.toArray
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val out = Seq.newBuilder[UTF8String]
-    var ti = 0
-    while (ti < arr.numElements()) {
-      BpeEncodeCore.encode(arr.getUTF8String(ti).toString, ranks, byRank)
-        .foreach(p => out += UTF8String.fromString(p))
-      ti += 1
-    }
-    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
-      out.result().toArray)
+  /** Shared by the interpreted eval and the generated code. */
+  def encodeAll(arr: ArrayData): ArrayData =
+    BpeEncodeCore.encodeAll(arr, ranks, byRank)
+
+  override def nullSafeEval(v: Any): Any =
+    encodeAll(v.asInstanceOf[ArrayData])
+
+  // round-19: real doGenCode instead of CodegenFallback — the fallback
+  // forced the enclosing projection out of whole-stage codegen (the
+  // MinHashSigs round-18 finding); the rank map rides in the plan
+  // reference array, deserialized once per task
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEncodeArray", this,
+      classOf[BpeEncodeArray].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encodeAll($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -234,7 +264,7 @@ case class BpeEncodeArray(child: Expression,
   */
 case class BpeEncodeArrayBc(child: Expression,
     bcMerges: org.apache.spark.broadcast.Broadcast[Array[(String, String)]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def prettyName: String = "bpe_encode_array_bc"
 
@@ -244,17 +274,19 @@ case class BpeEncodeArrayBc(child: Expression,
   @transient private lazy val ranks =
     BpeEncodeCore.toRankMap(bcMerges.value.toSeq)
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val out = Seq.newBuilder[UTF8String]
-    var ti = 0
-    while (ti < arr.numElements()) {
-      BpeEncodeCore.encode(arr.getUTF8String(ti).toString, ranks,
-        bcMerges.value).foreach(p => out += UTF8String.fromString(p))
-      ti += 1
-    }
-    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
-      out.result().toArray)
+  /** Shared by the interpreted eval and the generated code. */
+  def encodeAll(arr: ArrayData): ArrayData =
+    BpeEncodeCore.encodeAll(arr, ranks, bcMerges.value)
+
+  override def nullSafeEval(v: Any): Any =
+    encodeAll(v.asInstanceOf[ArrayData])
+
+  // round-19: real doGenCode instead of CodegenFallback (see
+  // BpeEncodeArray; the broadcast handle rides in the reference array)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEncodeArrayBc", this,
+      classOf[BpeEncodeArrayBc].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encodeAll($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
+  ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -12,17 +13,33 @@ import org.apache.spark.unsafe.types.UTF8String
   * higher-order-function composition: Spark evaluates lambda HOFs in
   * interpreted mode, which measured ~300µs/doc at sf0.1 — this single
   * eval is ~10× faster and is the hot inner loop of every shingle-based
-  * dedup operator. (CodegenFallback: the loop body lives in one JVM
-  * method, so codegen would only save the call boundary.)
+  * dedup operator.
+  *
+  * Round-19 (optimization): proper `doGenCode` instead of
+  * CodegenFallback — the fallback forced the enclosing projection out
+  * of whole-stage codegen (per-row InternalRow materialization around
+  * the call, the MinHashSigs round-18 finding); the generated code now
+  * calls the same static [[ShingleArray.compute]] inline.
   */
 case class ShingleArray(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "shingle_array"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleArray.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleArray.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleArray {
+  def compute(arr: ArrayData, n: Int): ArrayData = {
     val len = arr.numElements()
     if (len < n) new GenericArrayData(Array.empty[Any])
     else {
@@ -50,7 +67,4 @@ case class ShingleArray(child: Expression, n: Int)
       new GenericArrayData(out)
     }
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }

@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
+  ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{StructField, StructType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -18,19 +19,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * Output rows and ORDER are identical to `explode(shingle_array(...))`
   * — distinct, first-occurrence order — which the spec pins, so either
   * form can back the dedup operators.
+  *
+  * Round-19 (optimization): real `doGenCode` instead of CodegenFallback
+  * — GenerateExec supports whole-stage codegen for arbitrary
+  * IterableOnce generators (`codeGenIterableOnce`), but only when the
+  * generator itself is not a fallback; the fallback forced the whole
+  * scan→generate→consume pipeline out of codegen with a per-row
+  * InternalRow materialization at the boundary (the MinHashSigs
+  * round-18 finding, applied to the generator family). Same rows, same
+  * order: the generated code calls the same [[rowsOf]] the interpreted
+  * path uses.
   */
 case class ShingleRows(child: Expression, n: Int)
-    extends UnaryExpression with Generator with CodegenFallback {
+    extends UnaryExpression with Generator with RowsGen {
   require(n >= 1)
   override def prettyName: String = "shingle_rows"
 
   override def elementSchema: StructType =
     StructType(Seq(StructField("shingle", StringType, nullable = false)))
 
-  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
-    val v = child.eval(input)
+  /** Shared by the interpreted eval and the generated code. */
+  override def rowsOf(v: ArrayData): IterableOnce[InternalRow] = {
     if (v == null) return Nil
-    val arr = v.asInstanceOf[ArrayData]
+    val arr = v
     val len = arr.numElements()
     if (len < n) return Nil
     val toks = new Array[String](len)
@@ -58,6 +69,12 @@ case class ShingleRows(child: Expression, n: Int)
     }
     out
   }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] =
+    rowsOf(child.eval(input).asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    RowsGen.genCode(ctx, ev, child, this, "shingleRows")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
+  ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
@@ -22,7 +23,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * Returns array<long> of length `tables`; null only for null input.
   */
 case class SignProjections(child: Expression, planes: Int, tables: Int,
-    dims: Int) extends UnaryExpression with CodegenFallback {
+    dims: Int) extends UnaryExpression {
   require(planes >= 1 && planes <= 62, "planes must fit in a long bucket id")
   require(tables >= 1 && dims >= 1)
 
@@ -64,8 +65,8 @@ case class SignProjections(child: Expression, planes: Int, tables: Int,
       m
     }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** Shared by the interpreted eval and the generated code. */
+  def project(arr: ArrayData): ArrayData = {
     val n = math.min(dims, arr.numElements())
     val v = new Array[Double](n)
     var d = 0
@@ -94,6 +95,19 @@ case class SignProjections(child: Expression, planes: Int, tables: Int,
       t += 1
     }
     new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    project(input.asInstanceOf[ArrayData])
+
+  // round-19: real doGenCode instead of CodegenFallback — the fallback
+  // forced the enclosing projection out of whole-stage codegen (the
+  // MinHashSigs round-18 finding); the sign matrix rides in the plan
+  // reference array via `this`, hashed once per task
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("signProjections", this,
+      classOf[SignProjections].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.project($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

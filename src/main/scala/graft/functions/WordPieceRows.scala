@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
+  ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -100,7 +101,7 @@ private[functions] object WordPieceCore {
   */
 case class WordPieceRows(child: Expression, vocab: Seq[String],
     maxInputChars: Int) extends UnaryExpression with Generator
-    with CodegenFallback {
+    with RowsGen {
   WordPieceCore.requireValid(vocab, maxInputChars)
 
   override def prettyName: String = "wordpiece_rows"
@@ -113,12 +114,16 @@ case class WordPieceRows(child: Expression, vocab: Seq[String],
   private[graft] def tokenize(token: String): Seq[String] =
     WordPieceCore.tokenize(token, vocabSet, maxBody, maxInputChars)
 
-  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
-    val v = child.eval(input)
-    if (v == null) return Nil
-    WordPieceCore.rows(v.asInstanceOf[ArrayData], vocabSet, maxBody,
-      maxInputChars)
-  }
+  override def rowsOf(v: ArrayData): IterableOnce[InternalRow] =
+    if (v == null) Nil
+    else WordPieceCore.rows(v, vocabSet, maxBody, maxInputChars)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] =
+    rowsOf(child.eval(input).asInstanceOf[ArrayData])
+
+  // round-19: real doGenCode instead of CodegenFallback (see RowsGen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    RowsGen.genCode(ctx, ev, child, this, "wordPieceRows")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -139,7 +144,7 @@ case class WordPieceRows(child: Expression, vocab: Seq[String],
 case class WordPieceRowsBc(child: Expression,
     bcVocab: org.apache.spark.broadcast.Broadcast[Array[String]],
     maxInputChars: Int) extends UnaryExpression with Generator
-    with CodegenFallback {
+    with RowsGen {
   require(maxInputChars >= 1, "maxInputChars >= 1")
 
   override def prettyName: String = "wordpiece_rows_bc"
@@ -149,12 +154,16 @@ case class WordPieceRowsBc(child: Expression,
   @transient private lazy val vocabSet = WordPieceCore.toSet(bcVocab.value)
   @transient private lazy val maxBody = WordPieceCore.maxBody(bcVocab.value)
 
-  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
-    val v = child.eval(input)
-    if (v == null) return Nil
-    WordPieceCore.rows(v.asInstanceOf[ArrayData], vocabSet, maxBody,
-      maxInputChars)
-  }
+  override def rowsOf(v: ArrayData): IterableOnce[InternalRow] =
+    if (v == null) Nil
+    else WordPieceCore.rows(v, vocabSet, maxBody, maxInputChars)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] =
+    rowsOf(child.eval(input).asInstanceOf[ArrayData])
+
+  // round-19: real doGenCode instead of CodegenFallback (see RowsGen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    RowsGen.genCode(ctx, ev, child, this, "wordPieceRowsBc")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
