@@ -70,27 +70,51 @@ object Decontaminate {
       .select(Fns.shingleRows(Fns.tokens(col(textCol)), n).as("gram"))
       .distinct()
     // NOTE: when broadcastEval is None, plan CONSTRUCTION runs the probe
-    // (an eager limit+count Spark job over the eval side) before the
-    // DataFrame is returned — explain-only flows that must stay lazy
-    // should pin broadcastEval explicitly. When pinned, the probe (and
-    // its threshold) is unused, so the threshold is only validated on
-    // the probe path.
-    val useBroadcast = broadcastEval.getOrElse {
-      // the probe is a limit(threshold+1), so the threshold must fit an
-      // Int — past ~2B grams the broadcast table would be 100+ GB anyway,
-      // far beyond any sane executor, so reject rather than silently
-      // capping the probe and always choosing broadcast
-      require(maxBroadcastGrams < Int.MaxValue,
-        s"maxBroadcastGrams must be < ${Int.MaxValue} (a broadcast that " +
-          s"size is never viable), got $maxBroadcastGrams")
-      evalGrams.limit(maxBroadcastGrams.toInt + 1).count() <= maxBroadcastGrams
+    // (an eager bounded limit+collect Spark job over the eval side)
+    // before the DataFrame is returned — explain-only flows that must
+    // stay lazy should pin broadcastEval explicitly. When pinned, the
+    // probe (and its threshold) is unused, so the threshold is only
+    // validated on the probe path.
+    //
+    // Round-19 (optimization): the probe COLLECTS the (bounded) gram
+    // rows instead of counting them — when the eval set is under the
+    // threshold, the probe has already derived the complete distinct
+    // gram set, so the broadcast build side becomes a local relation
+    // and the eval subtree (scan → shingle → distinct, two jobs' worth
+    // before) runs exactly ONCE per call instead of once for the probe
+    // and again inside the join. Driver memory is the same order as the
+    // broadcast the driver was about to build anyway (≤ threshold grams,
+    // ~50–100 MB at the 1M default); an oversized eval set still pays
+    // only the bounded limit(threshold+1) pull before taking the
+    // shuffled path. Same gram set, same join, same counts — the
+    // auto-switch boundary and both join strategies stay spec-pinned.
+    val probedGrams: Option[Array[String]] = broadcastEval match {
+      case Some(_) => None
+      case None =>
+        // the probe is a limit(threshold+1), so the threshold must fit an
+        // Int — past ~2B grams the broadcast table would be 100+ GB anyway,
+        // far beyond any sane executor, so reject rather than silently
+        // capping the probe and always choosing broadcast
+        require(maxBroadcastGrams < Int.MaxValue,
+          s"maxBroadcastGrams must be < ${Int.MaxValue} (a broadcast that " +
+            s"size is never viable), got $maxBroadcastGrams")
+        Some(evalGrams.limit(maxBroadcastGrams.toInt + 1)
+          .collect().map(_.getString(0)))
     }
+    val useBroadcast = broadcastEval.getOrElse(
+      probedGrams.get.length <= maxBroadcastGrams)
     val trainGrams = train.select(col(idCol).as("id"),
       Fns.shingleRows(Fns.tokens(col(textCol)), n).as("gram"))
     // shuffle_hash (not merge): gram-keyed rows need no sort, and the
     // eval side stays the hash-table build side at any partition count
+    val spark = train.sparkSession
+    import spark.implicits._
     val evalSide =
-      if (useBroadcast) broadcast(evalGrams) else evalGrams.hint("shuffle_hash")
+      if (useBroadcast) broadcast(probedGrams match {
+        case Some(g) => g.toSeq.toDF("gram") // the probe's complete set
+        case None => evalGrams // pinned broadcast: derive in-plan
+      })
+      else evalGrams.hint("shuffle_hash")
     trainGrams.join(evalSide, Seq("gram"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_overlap"))

@@ -95,6 +95,14 @@ object PipelineE2e {
           groups.filter(col("is_rep")).select("doc_id"), "doc_id")
     // 3. benchmark decontamination (eval = doc_id % 20 = 0 of the
     //    post-ingest corpus, 4-gram overlap)
+    // round-19 A/B REJECTED: localCheckpoint of the filtered train side
+    // (to share the keep-rep join between the gram branch and the anti
+    // join) — TimeQ pairs 5.216/5.021 with vs 5.013 without; the added
+    // materialization job costs what the shared derivation saves, the
+    // same verdict as round-18's nearDeduped checkpoint. The decontam
+    // win this round is inside Decontaminate.overlapCounts instead (the
+    // probe collects the bounded gram set, so the eval subtree runs
+    // once and the broadcast builds from a local relation).
     lazy val decontaminated: org.apache.spark.sql.DataFrame =
       Decontaminate.clean(
         nearDeduped.filter(col("doc_id") % 20 =!= 0),

@@ -101,7 +101,11 @@ class PlanHygieneSpec extends AnyFunSuite {
     // remain are the two band exchanges, the candidate distinct, the
     // two verify-join exchanges and the output sort
     "p02_minhash_neardup" -> (6, 0, 0, 0),
-    "p17_decontaminate" -> (3, 1, 0, 0), // eval side broadcast, corpus never shuffled
+    // round-19: 3 -> 2 — the auto-probe now collects the bounded eval
+    // gram set, so the broadcast builds from a LOCAL relation and the
+    // eval scan->shingle->distinct exchange left the main plan (the
+    // probe job derives it, once); corpus still never shuffled
+    "p17_decontaminate" -> (2, 1, 0, 0),
     "p23_tfidf_topterms" -> (6, 2, 0, 0),
     "p26_mixture_sample" -> (2, 0, 0, 1), // one corpus shuffle + quota window
     "p32_token_entropy" -> (3, 0, 0, 0), // single scan, stacked aggs, no join
