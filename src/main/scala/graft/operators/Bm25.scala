@@ -50,7 +50,19 @@ object Bm25 {
       explode(array_distinct(col(qtermsCol))).as("term"))
     // exact candidate cut: every (doc, term) row for query terms survives
     val cand = tf.join(broadcast(qterms.select("term").distinct()), "term")
-    val dfx = cand.groupBy("term").agg(count(lit(1)).as("df"))
+    // round-19: df as a COUNT WINDOW over the candidate stream instead
+    // of a separate groupBy branch joined back — the two branches pruned
+    // different columns, so exchange reuse could not dedupe them and the
+    // corpus explode + partial agg ran TWICE (a candidate-slice
+    // localCheckpoint was A/B-rejected in r18: the barrier serialized
+    // what AQE overlapped). The window costs one candidate-slice
+    // exchange on term (query-vocabulary rows only — parameter-sized
+    // next to the corpus) and keeps the whole query a single job. Same
+    // value per row: cand has exactly one row per (doc, term), so
+    // count(*) over (partition by term) IS the document frequency.
+    val withDf = cand.withColumn("df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("term")))
     // avgdl as exact-long-sum / count, not avg(): both engines then
     // divide the SAME two exact integers — avg()'s streaming double
     // accumulation could differ in the last ulp across engines
@@ -60,8 +72,7 @@ object Bm25 {
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val denom = col("tf") + lit(k1) *
       (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))
-    cand.join(broadcast(qterms), "term")
-      .join(broadcast(dfx), "term")
+    withDf.join(broadcast(qterms), "term")
       .crossJoin(broadcast(totals))
       .select(col("qid"), col("id"),
         (idf * col("tf") * lit(k1 + 1.0) / denom).as("contrib"))
