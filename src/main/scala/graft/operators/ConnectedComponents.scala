@@ -28,6 +28,19 @@ object ConnectedComponents {
 
   /** Component label (min node id in component) for every node that
     * appears in `pairs` (columns id_a, id_b). Output: (id, label).
+    *
+    * Round-19 A/B REJECTED: the designed single-join round (self-loop
+    * edges so neighbor-min over N(s) ∪ {s} is one join+aggregate, the
+    * old label carried out as max(dl WHERE d = s), the per-round
+    * labels-side left join gone). Jobs/round did drop (DbgCC 8 → 7)
+    * but end-to-end it measured consistently SLOWER — p90 interleaved
+    * pairs {2.17, 2.34, 2.05} vs {1.82, 1.75, 1.70} before, p92
+    * 6.36 vs 5.57 — because the near-dup graphs converge in 1-2 rounds:
+    * the one-time distinct + bigger edge checkpoint (self-loops ride
+    * every round's join) cost more than the single removed join saves.
+    * On a high-diameter graph (many rounds amortizing the build) the
+    * fused round would win; at this workload's clique-shaped components
+    * the three-join round stays.
     */
   def componentLabels(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").cast("long").as("s"),
