@@ -53,7 +53,7 @@ object ConnectedComponents {
       // the label frame — the edge side, the larger one on real
       // graphs, moves zero bytes after round 0
       .repartition(col("d"))
-      .localCheckpoint(true) // pair generation (LSH + verify) runs ONCE
+      .transform(Materialize.cut(_)) // pair generation (LSH + verify) runs ONCE
     // round-18: the label init IS the first neighbor-min round, fused —
     // min(own id, min over neighbors) costs the same single exchange +
     // aggregate the old `distinct()` init did (same key, same shuffle
@@ -64,7 +64,7 @@ object ConnectedComponents {
     var labels = edges.groupBy(col("s"))
       .agg(least(col("s"), min(col("d"))).as("label"))
       .select(col("s").as("id"), col("label"))
-      .localCheckpoint(true)
+      .transform(Materialize.cut(_))
     // `improving` counts only rounds that changed a label; the final
     // confirming round (no changes) is always allowed on top of maxIter,
     // so a graph that stabilizes exactly on its maxIter-th improving
@@ -83,7 +83,7 @@ object ConnectedComponents {
       val next = prop
         .join(labels.select(col("id").as("mid"), col("label").as("midl")), "mid")
         .select(col("id"), col("old"), least(col("mid"), col("midl")).as("label"))
-        .localCheckpoint(true)
+        .transform(Materialize.cut(_))
       converged = next.filter(col("label") =!= col("old")).isEmpty
       labels = next.select("id", "label")
       if (!converged) improving += 1

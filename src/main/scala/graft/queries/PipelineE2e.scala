@@ -78,12 +78,12 @@ object PipelineE2e {
           .select("fp"),
         dimKeyCol = "fp", numBits = 1 << 14)
       .drop("fp")
-      .localCheckpoint(true)
+      .transform(graft.operators.Materialize.cut)
     // 1. exact dedup: keep min doc_id per identical text
     lazy val exactDeduped: org.apache.spark.sql.DataFrame = docs.join(
         Dedup.exactGroups(docs, "doc_id", "text")
           .select(col("keep_id").as("doc_id")), "doc_id")
-      .localCheckpoint(true)
+      .transform(graft.operators.Materialize.cut)
     // 2. near-dup components over verified MinHash pairs; keep reps
     lazy val nearPairs: org.apache.spark.sql.DataFrame =
       Dedup.minhashNearDupPairs(exactDeduped, "doc_id", "text",

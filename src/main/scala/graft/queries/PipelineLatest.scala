@@ -254,7 +254,7 @@ object PipelineLatest {
         val hashes = graft.operators.Multimodal.audioFingerprint(wavs,
             frames = 48)
           .toDF().select(col("doc_id").as("id"), col("afp"))
-          .localCheckpoint(true)
+          .transform(graft.operators.Materialize.cut)
         graft.operators.Dedup.hammingNearDupPairs(hashes, "afp",
             totalBits = 48, maxDist = 2)
           .orderBy("id_a", "id_b")

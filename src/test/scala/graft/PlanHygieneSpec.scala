@@ -137,11 +137,18 @@ class PlanHygieneSpec extends AnyFunSuite {
     //   broadcast REUSED by the exact-confirm branch; span-string and
     //   matched-starts aggs touch only the candidate slice; island merge
     //   is a HOF fold, no WindowExec
-    "p83_bm25_topk" -> (8, 4, 1, 0)) // the corpus pays ONE shuffle (the
-    //   (id,dl,term) tf partial agg); the rest are query-vocabulary-sized
-    //   (qterms distinct/join, df over the candidate slice, per-(q,doc)
-    //   score agg, TopKPerGroup final, output sort); totals is the 1-row
-    //   broadcast cross-join (bnljAllowed); no WindowExec
+    // round-19: (8,4,1,0) -> (7,3,0,1) — df is a count WINDOW over the
+    //   candidate stream instead of a groupBy branch broadcast back, so
+    //   the second corpus explode+partial-agg subtree (its exchange, its
+    //   agg pair and its broadcast) left the plan; the corpus now pays
+    //   its ONE shuffle once. The window partitions the candidate slice
+    //   by term — query-vocabulary-sized, the one deliberate WindowExec
+    "p83_bm25_topk" -> (7, 3, 0, 1)) // the corpus pays ONE shuffle (the
+    //   (id,dl,term) tf partial agg, computed ONCE); the rest are
+    //   query-vocabulary-sized (qterms join, df window over the
+    //   candidate slice, per-(q,doc) score agg, TopKPerGroup final,
+    //   output sort); totals is the 1-row broadcast cross-join
+    //   (bnljAllowed)
 
   test("headline-query exchange/window counts stay pinned (AQE-off static plans)") {
     val s = spark.newSession()
@@ -344,6 +351,45 @@ class PlanHygieneSpec extends AnyFunSuite {
         "why the new budget is right)")
   }
 
+  // ROUND-19 (verdict ask #8 — the core-axis scaling gap): at sf0.1
+  // every benched query is fixed-overhead bound, so the 8-vs-32-core
+  // bench ratios sit near 1 and cannot distinguish "overhead-bound at
+  // this SF" from "a newly serialized hot stage". This pin closes the
+  // gap structurally: the compute-dense stage of the minhash path (the
+  // shingle+signature materialization both p02 and p92 run through
+  // Dedup.minhashNearDupPairs' checkpoint) must execute with MORE THAN
+  // ONE task — the spread is core-derived (defaultParallelism), so a
+  // regression that collapses it to a single task (a lost repartition,
+  // a planner change folding the exchange away) trips here at any SF,
+  // long before a bench could see it.
+  test("the minhash heavy stage runs with >1 task (core-axis scaling guard)") {
+    val s = spark.newSession()
+    val stages = new java.util.concurrent.CopyOnWriteArrayList[(String, Int)]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages.add((e.stageInfo.name, e.stageInfo.numTasks)); ()
+      }
+    }
+    s.sparkContext.addSparkListener(listener)
+    try {
+      Registry.byName("p02_minhash_neardup").run(s, TestSpark.sf0001).count()
+      org.apache.spark.sql.graftshim.Bridge.waitForListeners(s)
+      import scala.jdk.CollectionConverters._
+      val checkpointStages = stages.asScala.toSeq
+        .filter(n => n._1.contains("localCheckpoint at Materialize.scala")
+          || n._1.contains("checkpoint at Materialize.scala"))
+      assert(checkpointStages.nonEmpty,
+        "no Materialize.cut stage observed (p02's one cut is the " +
+          "shingle frame) — the listener or the " +
+          "checkpoint moved; re-point this pin")
+      assert(checkpointStages.exists(_._2 > 1),
+        s"the shingle/signature materialization ran single-task: " +
+          s"$checkpointStages — the core-derived spread " +
+          "(minhashNearDupPairs' repartition) regressed")
+    } finally s.sparkContext.removeSparkListener(listener)
+  }
+
   test("q82's SQL-defined function is INLINED — no function-call node survives analysis") {
     val q = Registry.byName("q82_sql_udf")
     val plan = q.run(spark, TestSpark.sf0001).queryExecution.executedPlan
@@ -354,6 +400,21 @@ class PlanHygieneSpec extends AnyFunSuite {
     // parameterization costs no pushdown
     assert(s.contains("LessThan(l_quantity,25.0)"),
       s"the parameterized predicate must push into the parquet scan:\n$s")
+  }
+
+  // ROUND-19 (advice item): FilterSweep joins the gate. Round-18 found
+  // (and fixed) two queries whose pushed-down guards re-ran a full
+  // minhash/BPE encode per row inside the parquet scan's Filter; the
+  // repo-wide sweep has been zero-hit since, so ANY hit here is a
+  // regression of that class — e.g. minhashSignatures' input guard
+  // alias-inlined into size(shingle_array(...)) > 0 below a
+  // non-checkpointed caller.
+  test("no expensive expression in any scan or Filter predicate (FilterSweep)") {
+    val hits = graft.tools.FilterSweep.sweep(spark, TestSpark.sf0001)
+    assert(hits.isEmpty,
+      "expensive expressions reached filter predicates:\n" +
+        hits.map { case (n, h) => s"$n\n  ${h.mkString("\n  ")}" }
+          .mkString("\n"))
   }
 
   test("no cartesian product or unexpected BNLJ in any registered query") {
