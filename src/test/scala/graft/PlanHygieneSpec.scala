@@ -345,10 +345,16 @@ class PlanHygieneSpec extends AnyFunSuite {
     // its reuse twin). A re-introduced re-derivation (the pre-r18
     // shape) lands at ~30 and trips this pin from above; a lost
     // branch trips it from below.
-    assert(docScans.size == 4,
+    // round-19 (advice item): a tight RANGE instead of exactly-4 — the
+    // 4th scan is the bloom build's planner-detail reuse twin, so a
+    // benign planner/AQE change can land at 3 or 5 without any
+    // re-derivation regression. The failure mode this pin exists for
+    // (a lost checkpoint re-deriving the prefix per branch) lands at
+    // ~30 — far outside the band either way.
+    assert(docScans.size >= 2 && docScans.size <= 6,
       s"p92's documents scan budget drifted: got ${docScans.size}, " +
-        "pinned 4 (update the pin ONLY with a PLANS.md entry explaining " +
-        "why the new budget is right)")
+        "expected 2..6 around the pinned 4 (update ONLY with a PLANS.md " +
+        "entry explaining why the new budget is right)")
   }
 
   // ROUND-19 (verdict ask #8 — the core-axis scaling gap): at sf0.1
