@@ -134,9 +134,12 @@ case class SqDistToAll(child: Expression, cents: Seq[Seq[Double]],
 
 object SqDistToAll {
   /** Spark's round(double, 6): NaN/Infinity unchanged, else BigDecimal
-    * HALF_UP at scale 6 (RoundBase's DoubleType branch).
+    * HALF_UP at scale 6 (RoundBase's DoubleType branch). Shared with
+    * Clustering's centroid-update rounding — the Lloyd determinism
+    * contract needs the argmin rounding and the update rounding to
+    * agree exactly, so there is ONE definition.
     */
-  @inline private def round6(x: Double): Double =
+  @inline private[graft] def round6(x: Double): Double =
     if (x.isNaN || x.isInfinite) x
     else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 

@@ -55,11 +55,23 @@ object Bm25 {
     // different columns, so exchange reuse could not dedupe them and the
     // corpus explode + partial agg ran TWICE (a candidate-slice
     // localCheckpoint was A/B-rejected in r18: the barrier serialized
-    // what AQE overlapped). The window costs one candidate-slice
-    // exchange on term (query-vocabulary rows only — parameter-sized
-    // next to the corpus) and keeps the whole query a single job. Same
-    // value per row: cand has exactly one row per (doc, term), so
-    // count(*) over (partition by term) IS the document frequency.
+    // what AQE overlapped). The window costs one exchange of the
+    // CANDIDATE SLICE keyed by term and keeps the whole query a single
+    // job with ONE corpus pass. Same value per row: cand has exactly
+    // one row per (doc, term), so count(*) over (partition by term) IS
+    // the document frequency.
+    //
+    // Skew honesty (the trade, stated): the slice is one row per
+    // matching doc per query term, so a very-high-df query term (a
+    // stop-word) lands its whole posting list in ONE window partition —
+    // WindowExec buffers the group with disk spill, degrading to a
+    // straggler (not an OOM) where the old shape's map-side-aggregated
+    // df branch spread it (at the price of the second corpus pass).
+    // BM25's own math makes such terms near-worthless (idf -> ln(1+eps))
+    // and retrieval callers filter stop-words from queries; for a
+    // workload that can't, compute df for the few hottest terms
+    // separately (the guide §2.5 hot-key split) or revert to the
+    // two-pass shape.
     val withDf = cand.withColumn("df",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
         .partitionBy("term")))

@@ -99,7 +99,7 @@ object BpeTrainer {
       .select(explode(split(col(textCol), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .select(col("cnt"), split(col("word"), "").as("ts"))
-      .localCheckpoint()
+      .transform(Materialize.cut)
     if (freq.count() <= driverMaxWords)
       trainDriver(freq, numMerges)
     else trainDistributed(freq, numMerges)
@@ -176,7 +176,7 @@ object BpeTrainer {
         merges += ((r, l, rr, c))
         cur = cur
           .withColumn("ts", applyMerge(col("ts"), l, rr))
-          .localCheckpoint()
+          .transform(Materialize.cut)
       }
     }
     (merges.toSeq, cur)

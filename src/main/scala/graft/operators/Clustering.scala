@@ -32,8 +32,10 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
+  // ONE rounding definition shared with the native distance expression
+  // (the argmin rounds with the same function the update rounds with)
   private def round6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    graft.functions.SqDistToAll.round6(x)
 
   /** All k distances as one array column — evaluated ONCE per row; the
     * argmin cell is `array_position` of the min (first index wins, so

@@ -82,7 +82,7 @@ object Coreset {
         // initial state: md = distance to the seed (one scan, one center)
         var state = base.filter(col("id") =!= seed._1)
           .select(col("id"), col("v"), distTo(seed._2.toArray).as("md"))
-          .localCheckpoint()
+          .transform(Materialize.cut)
         while (centers.size < k) {
           val next = state
             .orderBy(col("md").desc, col("id").asc).limit(1)
@@ -90,7 +90,7 @@ object Coreset {
           centers = centers :+ ((next._1, next._2.toArray, next._3))
           if (centers.size < k)
             state = nextState(state, next._1, next._2.toArray)
-              .localCheckpoint()
+              .transform(Materialize.cut)
         }
       }
       centers.zipWithIndex

@@ -39,7 +39,7 @@ object EvalMetrics {
     val parted = g.repartitionByRange(col("score"))
       .sortWithinPartitions("score")
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint() // pin layout: offset collect and main plan must
+      .transform(Materialize.cut) // pin layout: offset collect and main plan must
                          // see the SAME pids (p76's contract)
     // Per-partition running sum of nn. The checkpoint's ExistingRDD
     // reports unknown partitioning, so a Window.partitionBy(pid) here

@@ -314,7 +314,7 @@ object IncrementalDedup {
         // and the tier-2 broadcast would run it a second time
         // (broadcast subtrees share no exchange reuse with the
         // shuffle subtree)
-        val bkeys = bBands.select("bkey").distinct().localCheckpoint()
+        val bkeys = bBands.select("bkey").distinct().transform(Materialize.cut)
         val few = bkeys.limit(InListMaxKeys + 1).collect().map(_.get(0))
         if (few.length <= InListMaxKeys)
           iBandsAll.filter(col("bkey").isin(few.toSeq: _*))
@@ -346,7 +346,7 @@ object IncrementalDedup {
         // while it bucket-prunes files cheaply, a broadcast semi-join
         // beyond that (the ids frame reads the checkpointed pairs, so
         // the broadcast costs no recompute).
-        val c = cands0.localCheckpoint()
+        val c = cands0.transform(Materialize.cut)
         val idsDf = c
           .select(explode(array(col("id_a"), col("id_b"))).as("id"))
           .distinct()

@@ -3,11 +3,16 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 
 /** The engine's ONE way to eagerly materialize a shared intermediate
-  * frame (round-19, verdict ask #9). The hot paths — the minhash
-  * shingle frame, the connected-components edge/label frames, the e2e
-  * chain's fan-out frames, p84's audio fingerprints — cut lineage with
-  * an EAGER `localCheckpoint`, which is the right §5 tool locally but
-  * is executor-block-backed and NOT fault-tolerant: on a cluster, a
+  * frame (round-19, verdict ask #9). Every operator/query-layer
+  * lineage cut routes through here — the four hot paths the r18
+  * verdict flagged (the minhash shingle frame, the
+  * connected-components edge/label frames, the e2e chain's fan-out
+  * frames, p84's audio fingerprints) plus the rest of the
+  * eager-materialization sites (PageRank/BpeTrainer/IncrementalDedup/
+  * TextAnalysis/QualityClassifier/Mmr/Coreset/EvalMetrics/Packing) —
+  * so the fault-tolerance posture is one knob, not per-operator
+  * spelunking. Locally these are `localCheckpoint`: the right §5 tool,
+  * but executor-block-backed and NOT fault-tolerant — on a cluster, a
   * lost executor loses its blocks and fails the job instead of
   * recomputing lineage.
   *
@@ -41,7 +46,13 @@ object Materialize {
       require(spark.sparkContext.getCheckpointDir.isDefined,
         s"$ReliableKey=true needs SparkContext.setCheckpointDir " +
           "(a reliable-storage path) — reliable checkpoints write there")
-      df.checkpoint(eager = true)
+      // persist first: a reliable checkpoint's write job re-runs the
+      // RDD's lineage AFTER the eager count computes it (the documented
+      // RDD.checkpoint behavior) — without the persist every cut frame
+      // would be computed twice on exactly the opt-in path
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try df.checkpoint(eager = true)
+      finally { df.unpersist(); () } // checkpoint files now carry the data
     } else df.localCheckpoint(eager = true)
   }
 }

@@ -51,7 +51,7 @@ object Mmr {
     var state = base
       .withColumn("rel", cosTo(queryVec))
       .withColumn("ms", lit(-1.0))
-      .localCheckpoint()
+      .transform(Materialize.cut)
     val n = state.count()
     require(n >= k, s"cannot select $k of $n items")
     var picked = Vector.empty[(Long, Array[Double], Double)]
@@ -65,7 +65,7 @@ object Mmr {
       if (picked.size < k)
         state = state.filter(col("id") =!= next._1)
           .withColumn("ms", greatest(col("ms"), cosTo(next._2.toArray)))
-          .localCheckpoint()
+          .transform(Materialize.cut)
     }
     picked.zipWithIndex
       .map { case ((id, _, s), i) => (i + 1, id, s) }

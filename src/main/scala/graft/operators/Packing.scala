@@ -67,7 +67,7 @@ object Packing {
       .repartitionByRange(col("id"))
       .sortWithinPartitions("id")
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint() // pin the partition layout: the offset collect
+      .transform(Materialize.cut) // pin the partition layout: the offset collect
                          // and the main plan must see the SAME pids
     val w = Window.partitionBy("pid").orderBy("id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

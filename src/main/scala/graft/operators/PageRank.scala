@@ -36,10 +36,10 @@ object PageRank {
     // round's contribs job re-aggregates the full edge set (10 extra
     // corpus-scale scans at 10 iterations)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+      .transform(Materialize.cut)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
+      .transform(Materialize.cut)
     val n = nodes.count().toDouble
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iterations) {
@@ -51,7 +51,7 @@ object PageRank {
         .select(col("node"),
           (lit((1 - damping) / n) +
             lit(damping) * coalesce(col("flowed"), lit(0.0))).as("rank"))
-        .localCheckpoint() // cut lineage: plan size constant per round
+        .transform(Materialize.cut) // cut lineage: plan size constant per round
     }
     ranks
   }

@@ -87,7 +87,7 @@ object QualityClassifier {
     require(buckets >= 2 && rounds >= 1 && lr > 0,
       s"need buckets >= 2, rounds >= 1, lr > 0; got $buckets/$rounds/$lr")
     trainOnFeatures(
-      features(docs, idCol, textCol, labelCol, buckets).localCheckpoint(),
+      features(docs, idCol, textCol, labelCol, buckets).transform(Materialize.cut),
       docs.count().toDouble, buckets, rounds, lr)
   }
 
@@ -104,7 +104,7 @@ object QualityClassifier {
       s"need buckets >= 2, rounds >= 1, lr > 0, k >= 1; " +
         s"got $buckets/$rounds/$lr/$k")
     val f = features(docs, idCol, textCol, labelCol, buckets)
-      .localCheckpoint()
+      .transform(Materialize.cut)
     val w = trainOnFeatures(f, docs.count().toDouble, buckets, rounds, lr)
     val wLit = array(w.map(lit): _*)
     f.groupBy("id")

@@ -304,7 +304,7 @@ object TextAnalysis {
       val survivors = docSpans.groupBy("span")
         .agg(count(lit(1)).as("n_docs"), min("id").as("first_doc"))
         .filter(col("n_docs") >= minDf)
-        .localCheckpoint() // one materialization: probe + prune + result
+        .transform(Materialize.cut) // one materialization: probe + prune + result
       if (survivors.isEmpty) exhausted = true
       else {
         out = out.unionByName(survivors.select(
@@ -314,9 +314,9 @@ object TextAnalysis {
         // hold a wider survivor
         if (pruneDocs) {
           val keep = docSpans.join(survivors.select("span"), "span")
-            .select("id").distinct().localCheckpoint()
+            .select("id").distinct().transform(Materialize.cut)
           eligible = eligible.join(keep, Seq("id"), "left_semi")
-            .localCheckpoint()
+            .transform(Materialize.cut)
         }
         n *= 2
       }

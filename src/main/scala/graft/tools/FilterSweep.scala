@@ -16,7 +16,7 @@ object FilterSweep {
   private val Expensive = Seq("minhash_sigs", "bpe_encode", "wordpiece",
     "shingle_array", "shingle_rows", "sign_projections", "simhash",
     "array_int_dot", "cosine_similarity", "bloom_might_contain",
-    "zorder_key", "fnv1a32", "rolling_hash31")
+    "zorder_key", "fnv1a32", "rolling_hash31", "sq_dist")
 
   /** (query, filter fragments) for every registered query whose
     * executed plan carries an expensive expression inside a FilterExec

@@ -118,12 +118,16 @@ class SqDistsSpec extends AnyFunSuite {
     val proj = df.select(
       functions.Fns.sqDist(col("v"), array(lit(0.0), lit(0.0))).as("d"),
       functions.Fns.sqDistToAll(col("v"), cents, round6 = true).as("ds"))
-    // a CodegenFallback child would disable the whole-stage span over
-    // the project; assert the span exists
-    val hasWsc = proj.queryExecution.executedPlan.exists(
-      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
-    assert(hasWsc,
-      s"expected WholeStageCodegen over the projection:\n" +
+    // a CodegenFallback child would exclude the PROJECT from the span
+    // (the Range scan keeps its own span either way, so exists(WSC)
+    // alone would be vacuous); assert the project itself is inside one
+    val projectInWsc = proj.queryExecution.executedPlan.exists {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+        w.exists(_.isInstanceOf[org.apache.spark.sql.execution.ProjectExec])
+      case _ => false
+    }
+    assert(projectInWsc,
+      s"expected the sq_dist projection inside WholeStageCodegen:\n" +
         proj.queryExecution.executedPlan)
     // and the expressions evaluate correctly THROUGH codegen
     val r = proj.orderBy(col("d")).collect()
